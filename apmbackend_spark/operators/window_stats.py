@@ -1,0 +1,124 @@
+"""Sliding-window throughput/latency statistics — the reference's statistical
+core (SURVEY.md A1-A5; reference ``stream_calc_stats.js:89-203``).
+
+Semantics re-expressed Spark-first:
+  * A1 10 s tumbling bucket on endts (reference :89-101) — Spark's
+    `window(endtime, slide)` does the identical epoch-aligned flooring.
+  * A2 5-min sliding window per (server, service) — `window(endtime,
+    '300 seconds', '10 seconds')`: each event belongs to 30 sliding windows,
+    grouped and aggregated in one shuffle.
+  * A3 tpm = count / 5.0 (reference :186 — denominator is always the full
+    window length in minutes).
+  * A4 mean elapsed = exact integer SUM / COUNT (reference :162-184).
+  * A5 exact p75/p95 with the midpoint rule (reference util_methods.js:112-142)
+    over `sort_array(collect_list(elapsed))`.
+
+Physical plan at scale: a single hash-partitioned shuffle on
+(server, service, window) with map-side partial aggregation for count/sum;
+the collect_list for exact percentiles is bounded by per-key-per-window
+traffic, not data volume. AQE coalesces the post-shuffle partitions. For
+unbounded keys, `window_stats_approx` swaps A5 for `percentile_approx`
+(sketch-mergeable, fully map-side combinable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apmbackend_spark.functions.percentile import (
+    midpoint_percentile,
+    midpoint_percentile_sql,
+)
+
+WINDOW_MS = 300_000
+SLIDE_MS = 10_000
+
+
+def window_stats(
+    tx: DataFrame,
+    window: str = "300 seconds",
+    slide: str = "10 seconds",
+    time_col: str = "endtime",
+) -> DataFrame:
+    """One row per (server, service, sliding window) with tpm/avg/p75/p95."""
+    minutes = _duration_minutes(window)
+    arr: Column = F.sort_array(F.collect_list("elapsed"))
+    return (
+        tx.groupBy("server", "service", F.window(F.col(time_col), window, slide))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("elapsed").alias("_sum"),
+            arr.alias("_arr"),
+        )
+        .select(
+            "server",
+            "service",
+            F.unix_millis("window.start").alias("win_start"),
+            "cnt",
+            (F.col("cnt") / F.lit(minutes)).alias("tpm"),
+            (F.col("_sum").cast("double") / F.col("cnt")).alias("avg_ms"),
+            midpoint_percentile(F.col("_arr"), 75).alias("p75"),
+            midpoint_percentile(F.col("_arr"), 95).alias("p95"),
+        )
+    )
+
+
+def window_stats_approx(
+    tx: DataFrame,
+    window: str = "300 seconds",
+    slide: str = "10 seconds",
+    time_col: str = "endtime",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Perf path for unbounded groups: percentile_approx sketches merge
+    map-side, so no per-group array ever materializes."""
+    minutes = _duration_minutes(window)
+    return (
+        tx.groupBy("server", "service", F.window(F.col(time_col), window, slide))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.avg("elapsed").alias("avg_ms"),
+            F.percentile_approx("elapsed", 0.75, accuracy).alias("p75"),
+            F.percentile_approx("elapsed", 0.95, accuracy).alias("p95"),
+        )
+        .select(
+            "server",
+            "service",
+            F.unix_millis("window.start").alias("win_start"),
+            "cnt",
+            (F.col("cnt") / F.lit(minutes)).alias("tpm"),
+            "avg_ms",
+            F.col("p75").cast("double").alias("p75"),
+            F.col("p95").cast("double").alias("p95"),
+        )
+    )
+
+
+def window_stats_oracle_sql(window_ms: int = WINDOW_MS, slide_ms: int = SLIDE_MS) -> str:
+    """DuckDB twin: expand each tx row into its window_ms/slide_ms sliding
+    windows, then aggregate identically."""
+    n_windows = window_ms // slide_ms
+    minutes = window_ms / 60_000.0
+    p75 = midpoint_percentile_sql("list_sort(list(elapsed))", 75)
+    p95 = midpoint_percentile_sql("list_sort(list(elapsed))", 95)
+    return f"""
+, expanded AS (
+    SELECT t.*, ((t.endts // {slide_ms}) - k.k) * {slide_ms} AS win_start
+    FROM tx t CROSS JOIN (SELECT range AS k FROM range({n_windows})) k
+)
+SELECT server, service, win_start,
+       COUNT(*) AS cnt,
+       COUNT(*) / {minutes!r} AS tpm,
+       CAST(SUM(elapsed) AS DOUBLE) / COUNT(*) AS avg_ms,
+       {p75} AS p75,
+       {p95} AS p95
+FROM expanded
+GROUP BY server, service, win_start
+"""
+
+
+def _duration_minutes(window: str) -> float:
+    qty, unit = window.split()
+    seconds = {"seconds": 1, "second": 1, "minutes": 60, "minute": 60}[unit] * int(qty)
+    return seconds / 60.0

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture: these configs are chosen to behave identically on local[32]
+test runs and a 1000-executor cluster reading 100 TB — AQE handles runtime
+re-planning (partition coalescing, skew-join splitting), shuffle partition
+count is environment-driven, and session timezone is pinned to UTC so
+event-time semantics are deterministic across engines and clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "apmbackend-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # Deterministic event time across Spark/DuckDB/cluster.
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events.parquet carries TIMESTAMP(NANOS) which Spark's
+        # parquet reader rejects as a timestamp type; read it as a nanos
+        # BIGINT and convert explicitly (sources/tx.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Adaptive execution: runtime partition coalescing + skew-join
+        # handling — the 100 TB insurance policy.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas UDF / applyInPandas crossing.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Scan hygiene.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
