@@ -14,8 +14,35 @@ from pyspark.sql import DataFrame, SparkSession
 from apmbackend_spark.sources.tx import TX_CTE, load_tx
 from apmbackend_spark.operators.window_stats import (
     window_stats,
+    window_stats_oracle_ctes,
     window_stats_oracle_sql,
 )
+from apmbackend_spark.operators import zscore as zs
+from apmbackend_spark.operators import alerts as al
+
+ZSCORE_LAGS = (60, 360)
+ZSCORE_THRESHOLD = 3.0
+
+# Exercises every predicate on the fixture data: hard-max fires on the
+# latency tail, the override rebases one service, both-signals pass the
+# floors, one service suppressed (F1), one no-op suppressed lag.
+ALERT_CFG = al.AlertConfig(
+    hard_max_ms=20000.0,
+    hard_min_ms=200.0,
+    min_tpm=0.1,
+    alert_on_both_only=True,
+    suppressed_lags=(8640,),
+    suppressed_services=("click",),
+    hard_max_overrides={"error": 15000.0},
+    window_size=6,
+    required_bad=3,
+    cooldown_minutes=60.0,
+)
+
+
+def _fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = zs.st_from_window_stats(window_stats(load_tx(spark, sf_dir)))
+    return zs.zscore_window(st, lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -46,10 +73,39 @@ def _q_tx_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = zs.st_from_window_stats(window_stats(load_tx(spark, sf_dir)))
+    return zs.zscore_window(st, lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
+
+
+def _q_zscore_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact reference semantics incl. influence damping (recursive state,
+    # not SQL-expressible) — rows-only driver check; unit-tested against a
+    # step-by-step simulation in tests/test_zscore.py.
+    st = zs.st_from_window_stats(window_stats(load_tx(spark, sf_dir)))
+    return zs.zscore_recursive(
+        st, lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD, influence=0.1
+    )
+
+
+def _q_alert_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return al.alert_candidates(_fs(spark, sf_dir), ALERT_CFG)
+
+
+def _q_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full F1-F6 pipeline incl. recursive debounce + cooldown — rows-only
+    # driver check; trace semantics unit-tested in tests/test_alerts.py.
+    return al.alert_pipeline(_fs(spark, sf_dir), ALERT_CFG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tx_normalize": _q_tx_normalize,
         "window_stats": _q_window_stats,
+        "zscore": _q_zscore,
+        "zscore_recursive": _q_zscore_recursive,
+        "alert_candidates": _q_alert_candidates,
+        "alerts": _q_alerts,
     }
 
 
@@ -63,4 +119,15 @@ SELECT server, service, logid, acctnum,
 FROM tx
 """,
         "window_stats": TX_CTE + window_stats_oracle_sql(),
+        "zscore": TX_CTE
+        + window_stats_oracle_ctes()
+        + zs.ST_ORACLE_CTE
+        + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD),
+        "alert_candidates": TX_CTE
+        + window_stats_oracle_ctes()
+        + zs.ST_ORACLE_CTE
+        + ", fs AS ("
+        + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
+        + ")"
+        + al.alert_candidates_oracle_select(ALERT_CFG),
     }

@@ -1,0 +1,290 @@
+"""Alerting operators (SURVEY.md F1-F6; reference
+``stream_process_alerts.js:335-471``).
+
+Layers:
+  * `alert_candidates` [Q] — suppression filters (F1), hard-max threshold
+    with per-service override (F2), signal-with-floors predicates incl.
+    alertOnBothOnly (F3), cause accumulation in reference order (F6). Pure
+    column algebra + a broadcast join against the override dimension; fully
+    oracle-checkable.
+  * `alert_debounce` — F4: per (server, service, lag) rolling bad-interval
+    counter (+1 on firing interval while counter <= window, -1 floored at 0
+    on quiet ones; trigger at counter >= required). The counter is a
+    clamped recursion (output feeds state), so it runs as an ordered per-key
+    applyInPandas; rows-only driver check + trace unit tests.
+  * `alert_cooldown` — F5: per-service last-alert registry; suppress alerts
+    within the cooldown. The reference measures cooldown in processing time
+    (stream_process_alerts.js:437 `new Date()`); here it is defined in EVENT
+    time (entry timestamp) with deterministic (timestamp, server, lag)
+    ordering so results are reproducible and batch/stream identical.
+
+Scale: candidates is one narrow projection (no shuffle beyond the broadcast);
+debounce shuffles once on (server, service, lag); cooldown's per-service
+groups are alert-sparse by construction. No driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CAUSE_HARD_AVG = "average exceeded hard ms threshold"
+CAUSE_HARD_P75 = "per75 exceeded hard ms threshold"
+CAUSE_UB_AVG = "average UB exceeded"
+CAUSE_UB_P75 = "per75 UB exceeded"
+CAUSE_UB_BOTH = "average and per75 UB exceeded"
+
+
+@dataclass(frozen=True)
+class AlertConfig:
+    """Mirrors reference config/apm_config.json:184-211."""
+
+    hard_max_ms: float = 10000.0
+    hard_min_ms: float = 200.0
+    min_tpm: float = 1.0
+    alert_on_both_only: bool = True
+    suppressed_lags: tuple[int, ...] = ()
+    suppressed_services: tuple[str, ...] = ()
+    hard_max_overrides: dict[str, float] = field(default_factory=dict)
+    window_size: int = 60       # rollingAlertWindowSizeInIntervals
+    required_bad: int = 45      # requiredNumberBadIntervalsInAlertWindowToTrigger
+    cooldown_minutes: float = 15.0
+
+
+def alert_candidates(fs: DataFrame, cfg: AlertConfig) -> DataFrame:
+    """Rows whose raw alert predicates fire, cause CSV in reference order.
+    `fired` marks the debounce increment indicator (reference `incremented`)."""
+    spark = fs.sparkSession
+    if cfg.hard_max_overrides:
+        ov = spark.createDataFrame(
+            list(cfg.hard_max_overrides.items()), "service string, hardmax_override double"
+        )
+        fs = fs.join(F.broadcast(ov), "service", "left")
+    else:
+        fs = fs.withColumn("hardmax_override", F.lit(None).cast("double"))
+
+    hard_max = F.coalesce(F.col("hardmax_override"), F.lit(cfg.hard_max_ms))
+    c1 = F.when(F.col("average") > hard_max, F.lit(CAUSE_HARD_AVG))
+    c2 = F.when(F.col("per75") > hard_max, F.lit(CAUSE_HARD_P75))
+    avg_sig = (
+        (F.col("averagesignal") > 0)
+        & (F.col("average") > F.lit(cfg.hard_min_ms))
+        & (F.col("tpm") > F.lit(cfg.min_tpm))
+    )
+    p75_sig = (
+        (F.col("per75signal") > 0)
+        & (F.col("per75") > F.lit(cfg.hard_min_ms))
+        & (F.col("tpm") > F.lit(cfg.min_tpm))
+    )
+    if cfg.alert_on_both_only:
+        sig_causes = [F.when(avg_sig & p75_sig, F.lit(CAUSE_UB_BOTH))]
+    else:
+        sig_causes = [
+            F.when(avg_sig, F.lit(CAUSE_UB_AVG)),
+            F.when(p75_sig, F.lit(CAUSE_UB_P75)),
+        ]
+
+    cause = F.concat_ws(
+        ",", F.filter(F.array(c1, c2, *sig_causes), lambda x: x.isNotNull())
+    )
+    out = fs.withColumn("cause", cause)
+    if cfg.suppressed_lags:
+        out = out.where(~F.col("lag").isin(*[int(x) for x in cfg.suppressed_lags]))
+    if cfg.suppressed_services:
+        out = out.where(~F.col("service").isin(*list(cfg.suppressed_services)))
+    return out.where(F.col("cause") != "").select(
+        "timestamp", "server", "service", "lag", "tpm",
+        "average", "per75", "per95", "cause",
+    )
+
+
+def alert_candidates_oracle_select(cfg: AlertConfig, fs_cte: str = "fs") -> str:
+    """DuckDB twin over an `fs` CTE with the zscore output columns."""
+    if cfg.hard_max_overrides:
+        vals = ", ".join(
+            f"('{s}', {v!r})" for s, v in cfg.hard_max_overrides.items()
+        )
+        join = (
+            f"LEFT JOIN (SELECT * FROM (VALUES {vals}) AS t(service, hardmax_override)) o "
+            f"USING (service)"
+        )
+        hard_max = f"COALESCE(o.hardmax_override, {cfg.hard_max_ms!r})"
+    else:
+        join = ""
+        hard_max = repr(cfg.hard_max_ms)
+
+    avg_sig = (
+        f"(averagesignal > 0 AND average > {cfg.hard_min_ms!r} AND tpm > {cfg.min_tpm!r})"
+    )
+    p75_sig = (
+        f"(per75signal > 0 AND per75 > {cfg.hard_min_ms!r} AND tpm > {cfg.min_tpm!r})"
+    )
+    causes = [
+        f"CASE WHEN average > {hard_max} THEN '{CAUSE_HARD_AVG}' END",
+        f"CASE WHEN per75 > {hard_max} THEN '{CAUSE_HARD_P75}' END",
+    ]
+    if cfg.alert_on_both_only:
+        causes.append(f"CASE WHEN {avg_sig} AND {p75_sig} THEN '{CAUSE_UB_BOTH}' END")
+    else:
+        causes.append(f"CASE WHEN {avg_sig} THEN '{CAUSE_UB_AVG}' END")
+        causes.append(f"CASE WHEN {p75_sig} THEN '{CAUSE_UB_P75}' END")
+    cause_arr = "list_filter([" + ", ".join(causes) + "], x -> x IS NOT NULL)"
+    filters = ["cause <> ''"]
+    if cfg.suppressed_lags:
+        filters.append(f"lag NOT IN ({', '.join(str(int(x)) for x in cfg.suppressed_lags)})")
+    if cfg.suppressed_services:
+        filters.append(
+            "service NOT IN (" + ", ".join(f"'{s}'" for s in cfg.suppressed_services) + ")"
+        )
+    return f"""
+SELECT timestamp, server, service, lag, tpm, average, per75, per95, cause FROM (
+    SELECT {fs_cte}.*, array_to_string({cause_arr}, ',') AS cause
+    FROM {fs_cte} {join}
+) WHERE {' AND '.join(filters)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# F4 debounce + F5 cooldown (recursive state).
+# ---------------------------------------------------------------------------
+
+
+def debounce_trace_py(fired_flags: list[bool], window_size: int, required: int):
+    """Reference counter trace (stream_process_alerts.js:370-391,427-434):
+    returns (counter_after, triggered) per interval."""
+    c = 0
+    out = []
+    for fired in fired_flags:
+        if fired:
+            if c <= window_size:
+                c += 1
+            triggered = c >= required
+        else:
+            if c > 0:
+                c -= 1
+            triggered = False
+        out.append((c, triggered))
+    return out
+
+
+def alert_debounce(
+    candidates_and_quiet: DataFrame, cfg: AlertConfig
+) -> DataFrame:
+    """Apply F4 over the full fs interval series. Input needs columns
+    (timestamp, server, service, lag, cause) where cause='' marks quiet
+    intervals; emits only triggering rows."""
+    ws, req = int(cfg.window_size), int(cfg.required_bad)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp")
+        flags = [bool(c) for c in (pdf["cause"] != "").tolist()]
+        trace = debounce_trace_py(flags, ws, req)
+        pdf = pdf.assign(badcount=[c for c, _ in trace])
+        return pdf[[t for _, t in trace]]
+
+    schema = (
+        "timestamp long, server string, service string, lag int, tpm double, "
+        "average double, per75 double, per95 double, cause string, badcount int"
+    )
+    cols = [c for c in candidates_and_quiet.columns]
+    needed = ["timestamp", "server", "service", "lag", "tpm", "average", "per75", "per95", "cause"]
+    missing = [c for c in needed if c not in cols]
+    if missing:
+        raise ValueError(f"debounce input missing columns {missing}")
+    return (
+        candidates_and_quiet.select(*needed)
+        .groupBy("server", "service", "lag")
+        .applyInPandas(fn, schema=schema)
+    )
+
+
+def cooldown_trace_py(ts_list: list[int], cooldown_ms: float) -> list[bool]:
+    """F5: keep an alert iff no kept alert for the service within cooldown
+    (strict >, reference stream_process_alerts.js:456-460)."""
+    last = None
+    out = []
+    for ts in ts_list:
+        if last is None or (ts - last) > cooldown_ms:
+            out.append(True)
+            last = ts
+        else:
+            out.append(False)
+    return out
+
+
+def alert_cooldown(triggered: DataFrame, cfg: AlertConfig) -> DataFrame:
+    """Event-time deterministic per-service cooldown dedup; ties broken by
+    (timestamp, server, lag)."""
+    cooldown_ms = cfg.cooldown_minutes * 60_000.0
+    schema = (
+        "alerttimestamp long, entrytimestamp long, server string, service string, "
+        "lag int, cause string"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["timestamp", "server", "lag"])
+        keep = cooldown_trace_py(pdf["timestamp"].tolist(), cooldown_ms)
+        kept = pdf[keep]
+        return pd.DataFrame(
+            {
+                "alerttimestamp": kept["timestamp"],
+                "entrytimestamp": kept["timestamp"],
+                "server": kept["server"],
+                "service": kept["service"],
+                "lag": kept["lag"],
+                "cause": kept["cause"],
+            }
+        )
+
+    return (
+        triggered.select("timestamp", "server", "service", "lag", "cause")
+        .groupBy("service")
+        .applyInPandas(fn, schema=schema)
+    )
+
+
+def alert_pipeline(fs: DataFrame, cfg: AlertConfig) -> DataFrame:
+    """F1-F6 end to end: candidates over the full interval series (quiet
+    intervals marked cause='') -> debounce -> cooldown."""
+    spark = fs.sparkSession
+    if cfg.hard_max_overrides:
+        ov = spark.createDataFrame(
+            list(cfg.hard_max_overrides.items()), "service string, hardmax_override double"
+        )
+        fs = fs.join(F.broadcast(ov), "service", "left")
+    else:
+        fs = fs.withColumn("hardmax_override", F.lit(None).cast("double"))
+    hard_max = F.coalesce(F.col("hardmax_override"), F.lit(cfg.hard_max_ms))
+    c1 = F.when(F.col("average") > hard_max, F.lit(CAUSE_HARD_AVG))
+    c2 = F.when(F.col("per75") > hard_max, F.lit(CAUSE_HARD_P75))
+    avg_sig = (
+        (F.col("averagesignal") > 0)
+        & (F.col("average") > F.lit(cfg.hard_min_ms))
+        & (F.col("tpm") > F.lit(cfg.min_tpm))
+    )
+    p75_sig = (
+        (F.col("per75signal") > 0)
+        & (F.col("per75") > F.lit(cfg.hard_min_ms))
+        & (F.col("tpm") > F.lit(cfg.min_tpm))
+    )
+    if cfg.alert_on_both_only:
+        sig_causes = [F.when(avg_sig & p75_sig, F.lit(CAUSE_UB_BOTH))]
+    else:
+        sig_causes = [
+            F.when(avg_sig, F.lit(CAUSE_UB_AVG)),
+            F.when(p75_sig, F.lit(CAUSE_UB_P75)),
+        ]
+    suppressed = F.lit(False)
+    if cfg.suppressed_lags:
+        suppressed = suppressed | F.col("lag").isin(*[int(x) for x in cfg.suppressed_lags])
+    if cfg.suppressed_services:
+        suppressed = suppressed | F.col("service").isin(*list(cfg.suppressed_services))
+    cause = F.when(suppressed, F.lit("")).otherwise(
+        F.concat_ws(",", F.filter(F.array(c1, c2, *sig_causes), lambda x: x.isNotNull()))
+    )
+    with_cause = fs.withColumn("cause", cause)
+    return alert_cooldown(alert_debounce(with_cause, cfg), cfg)

@@ -1,0 +1,129 @@
+"""Correlation joins (SURVEY.md J1-J2; reference
+``stream_parse_transactions.js:213-239,294-327,378-565``).
+
+The reference correlates log lines in TTL'd caches:
+  * J1 — entry/exit correlation: an *entry* line stores a partial record
+    keyed (logid, service); the *exit* line joins it into a full tx.
+    Unmatched entries expire and are discarded; exits without an entry are
+    salvaged as incomplete records (reference :530-540). Batch form: exits
+    LEFT JOIN entries on (logid, service).
+  * J2 — account-number enrichment: a completed tx looks up the SOAP-derived
+    (logid -> acctnum) mapping; on miss it is parked, and after TTL emitted
+    with the BAF-salvaged alternative or empty (reference :226-239). Batch
+    form: tx LEFT JOIN mapping + coalesce(acct, altacct).
+
+Batch legs are derived deterministically from the tx stream (the driver's
+fixture has no separate entry/exit files): a tx's entry leg is missing when
+bigint(logid) % 13 = 0 (cache expiry), its exit leg when % 17 = 0 (service
+never returned), and the BAF-salvage altacct exists when % 3 = 0.
+
+Scale: both joins are high-cardinality equi-joins on logid — sort-merge
+joins over hash-partitioned inputs, no driver state, AQE handles skew. No
+broadcast: the probe and build sides are the same order of magnitude by
+construction (unlike the config dims in alerts.py, which do broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def entry_leg(tx: DataFrame) -> DataFrame:
+    """Entry lines: (logid, service) -> partial {server, startts}
+    (reference :392-400,469-482)."""
+    return tx.where(F.col("logid").cast("long") % 13 != 0).select(
+        "logid",
+        "service",
+        F.col("server").alias("entry_server"),
+        F.coalesce(F.col("startts"), F.col("endts") - F.col("elapsed")).alias("startts"),
+    )
+
+
+def exit_leg(tx: DataFrame) -> DataFrame:
+    """Exit lines carry server, endts, elapsed (reference :403-446)."""
+    return tx.where(F.col("logid").cast("long") % 17 != 0).select(
+        "logid", "service", "server", "endts", "elapsed"
+    )
+
+
+def correlate(entries: DataFrame, exits: DataFrame) -> DataFrame:
+    """J1: exit-side left-outer join; unmatched exits are salvaged with a
+    back-filled startts and matched='N' (reference :530-540). Entries with
+    no exit vanish (cache expiry, reference :220-224)."""
+    joined = exits.join(entries, ["logid", "service"], "left")
+    return joined.select(
+        "logid",
+        "service",
+        "server",
+        F.coalesce(F.col("startts"), F.col("endts") - F.col("elapsed")).alias("startts"),
+        "endts",
+        "elapsed",
+        F.when(F.col("startts").isNotNull(), F.lit("Y")).otherwise(F.lit("N")).alias("matched"),
+    )
+
+
+CORRELATE_ORACLE = """
+, entries AS (
+    SELECT logid, service, server AS entry_server,
+           COALESCE(startts, endts - elapsed) AS startts
+    FROM tx WHERE CAST(logid AS BIGINT) % 13 <> 0
+), exits AS (
+    SELECT logid, service, server, endts, elapsed
+    FROM tx WHERE CAST(logid AS BIGINT) % 17 <> 0
+)
+SELECT x.logid, x.service, x.server,
+       COALESCE(e.startts, x.endts - x.elapsed) AS startts,
+       x.endts, x.elapsed,
+       CASE WHEN e.startts IS NOT NULL THEN 'Y' ELSE 'N' END AS matched
+FROM exits x LEFT JOIN entries e USING (logid, service)
+"""
+
+
+def acct_mapping(tx: DataFrame) -> DataFrame:
+    """The SOAP-extracted logid->acctnum mapping stream (reference P8)."""
+    return tx.where(F.col("acctnum").isNotNull()).select("logid", "acctnum")
+
+
+def acct_enrich(tx: DataFrame) -> DataFrame:
+    """J2: left join + parked-record fallback chain
+    coalesce(mapped, baf_alt, null) (reference :226-239,294-327)."""
+    mapping = acct_mapping(tx)
+    stripped = tx.select(
+        "logid",
+        "service",
+        "server",
+        "endts",
+        F.when(F.col("logid").cast("long") % 3 == 0, F.lit(900000000) + F.col("logid").cast("long"))
+        .alias("altacct"),
+    )
+    joined = stripped.join(mapping, "logid", "left")
+    return joined.select(
+        "logid",
+        "service",
+        "server",
+        "endts",
+        F.coalesce(F.col("acctnum"), F.col("altacct")).alias("acct"),
+        F.when(F.col("acctnum").isNotNull(), F.lit("soap"))
+        .when(F.col("altacct").isNotNull(), F.lit("baf"))
+        .otherwise(F.lit("none"))
+        .alias("acct_source"),
+    )
+
+
+ACCT_ENRICH_ORACLE = """
+, mapping AS (
+    SELECT logid, acctnum FROM tx WHERE acctnum IS NOT NULL
+), stripped AS (
+    SELECT logid, service, server, endts,
+           CASE WHEN CAST(logid AS BIGINT) % 3 = 0
+                THEN 900000000 + CAST(logid AS BIGINT) END AS altacct
+    FROM tx
+)
+SELECT s.logid, s.service, s.server, s.endts,
+       COALESCE(m.acctnum, s.altacct) AS acct,
+       CASE WHEN m.acctnum IS NOT NULL THEN 'soap'
+            WHEN s.altacct IS NOT NULL THEN 'baf'
+            ELSE 'none' END AS acct_source
+FROM stripped s LEFT JOIN mapping m USING (logid)
+"""

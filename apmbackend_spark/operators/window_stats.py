@@ -95,9 +95,10 @@ def window_stats_approx(
     )
 
 
-def window_stats_oracle_sql(window_ms: int = WINDOW_MS, slide_ms: int = SLIDE_MS) -> str:
-    """DuckDB twin: expand each tx row into its window_ms/slide_ms sliding
-    windows, then aggregate identically."""
+def window_stats_oracle_ctes(window_ms: int = WINDOW_MS, slide_ms: int = SLIDE_MS) -> str:
+    """DuckDB twin as composable CTEs (appends to TX_CTE): expand each tx row
+    into its window_ms/slide_ms sliding windows, aggregate identically into a
+    `winstats` CTE."""
     n_windows = window_ms // slide_ms
     minutes = window_ms / 60_000.0
     p75 = midpoint_percentile_sql("list_sort(list(elapsed))", 75)
@@ -106,16 +107,20 @@ def window_stats_oracle_sql(window_ms: int = WINDOW_MS, slide_ms: int = SLIDE_MS
 , expanded AS (
     SELECT t.*, ((t.endts // {slide_ms}) - k.k) * {slide_ms} AS win_start
     FROM tx t CROSS JOIN (SELECT range AS k FROM range({n_windows})) k
-)
-SELECT server, service, win_start,
-       COUNT(*) AS cnt,
-       COUNT(*) / {minutes!r} AS tpm,
-       CAST(SUM(elapsed) AS DOUBLE) / COUNT(*) AS avg_ms,
-       {p75} AS p75,
-       {p95} AS p95
-FROM expanded
-GROUP BY server, service, win_start
-"""
+), winstats AS (
+    SELECT server, service, win_start,
+           COUNT(*) AS cnt,
+           COUNT(*) / {minutes!r} AS tpm,
+           CAST(SUM(elapsed) AS DOUBLE) / COUNT(*) AS avg_ms,
+           {p75} AS p75,
+           {p95} AS p95
+    FROM expanded
+    GROUP BY server, service, win_start
+)"""
+
+
+def window_stats_oracle_sql(window_ms: int = WINDOW_MS, slide_ms: int = SLIDE_MS) -> str:
+    return window_stats_oracle_ctes(window_ms, slide_ms) + "\nSELECT * FROM winstats"
 
 
 def _duration_minutes(window: str) -> float:

@@ -1,0 +1,281 @@
+"""Smoothed z-score anomaly detection (SURVEY.md A8-A9; reference
+``stream_calc_z_score.js:66-104,195-311`` + ``util_methods.js:10-50``).
+
+Per (server, service, lag, metric in {average, per75, per95}):
+  * history = the trailing `lag` metric values (FIFO capped at lag);
+    stats are emitted only once history length == lag
+  * mu      = null-skipping mean of history (util_methods.js:10-24)
+  * sd      = null-skipping POPULATION stddev, with the reference quirk that
+    variance exactly 0 => undefined, so constant series never signal
+    (util_methods.js:44-48)
+  * lb/ub   = mu -/+ threshold*sd (only when both defined)
+  * signal  = +/-1 if |x - mu| > threshold*sd (strict), else 0; 0 when
+    history short, stats undefined, or x null (stream_calc_z_score.js:81-94)
+  * influence damping: when a signal fires, the value appended to history is
+    influence*x + (1-influence)*prev (stream_calc_z_score.js:96-97) — this
+    makes the operator RECURSIVE (output feeds its own history) for
+    influence < 1.
+
+Two implementations:
+  * `zscore_window` — influence=1 semantics (history always receives the raw
+    value): a pure window-function plan, one shuffle on (server, service),
+    whole-stage-codegen'd, oracle-checkable. This is the 100 TB path: state
+    is a bounded rolling frame per key, partitioned by key hash.
+  * `zscore_recursive` — exact reference semantics for any influence, as an
+    ordered per-key `applyInPandas` (Arrow-batched; each key's series is
+    bounded by time span, not data volume, so groups stay executor-sized).
+
+Float determinism: metric values entering the rolling stats are
+integer-valued (rounded ms), so window sums are exact in IEEE double
+regardless of accumulation order, and mu/sd/bounds are bit-identical between
+Spark and DuckDB. The variance uses the E[x^2]-mu^2 form on exact integer
+sums (deterministic), unlike builtin stddev_pop (merge-order dependent).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+METRICS = ("average", "per75", "per95")
+DEFAULT_LAGS = (360, 8640)  # reference config/apm_config.json:137,142
+
+
+def st_from_window_stats(winstats: DataFrame) -> DataFrame:
+    """Project window_stats output into the st record shape
+    (reference entries.js:52-84), with integer-valued metric doubles."""
+    return winstats.select(
+        F.col("win_start").alias("timestamp"),
+        "server",
+        "service",
+        "tpm",
+        F.round(F.col("avg_ms"), 0).alias("average"),
+        F.round(F.col("p75"), 0).alias("per75"),
+        F.round(F.col("p95"), 0).alias("per95"),
+    )
+
+
+ST_ORACLE_CTE = """
+, st AS (
+    SELECT win_start AS timestamp, server, service, tpm,
+           round(avg_ms, 0) AS average,
+           round(p75, 0) AS per75,
+           round(p95, 0) AS per95
+    FROM winstats
+)"""
+
+
+def _zscore_metric_cols(metric: str, lag: int, threshold: float) -> list[Column]:
+    w = (
+        Window.partitionBy("server", "service")
+        .orderBy("timestamp")
+        .rowsBetween(-lag, -1)
+    )
+    x = F.col(metric)
+    histlen = F.count(F.lit(1)).over(w)
+    n = F.count(x).over(w)
+    mu_raw = F.sum(x).over(w) / n
+    ex2 = F.sum(x * x).over(w) / n
+    var = ex2 - mu_raw * mu_raw
+    full = histlen >= lag
+    mu = F.when(full & (n > 0), mu_raw)
+    sd = F.when(full & (n > 0) & (var > 0), F.sqrt(var))
+    t = F.lit(float(threshold))
+    lb = F.when(mu.isNotNull() & sd.isNotNull(), mu - t * sd)
+    ub = F.when(mu.isNotNull() & sd.isNotNull(), mu + t * sd)
+    signal = (
+        F.when(mu.isNull() | sd.isNull() | x.isNull(), F.lit(0))
+        .when(F.abs(x - mu) > t * sd, F.when(x > mu, F.lit(1)).otherwise(F.lit(-1)))
+        .otherwise(F.lit(0))
+    )
+    return [
+        x.alias(metric),
+        mu.alias(f"{metric}avg"),
+        lb.alias(f"{metric}lb"),
+        ub.alias(f"{metric}ub"),
+        signal.cast("int").alias(f"{metric}signal"),
+    ]
+
+
+def zscore_window(
+    st: DataFrame,
+    lags: Iterable[int] = DEFAULT_LAGS,
+    threshold: float = 3.0,
+    metrics: Iterable[str] = METRICS,
+) -> DataFrame:
+    """Window-function z-score (influence=1 semantics), one fs row per lag
+    per st row — the lag fan-out mirrors reference stream_calc_z_score.js:473."""
+    outs = []
+    for lag in lags:
+        cols = [
+            F.col("timestamp"),
+            F.col("server"),
+            F.col("service"),
+            F.col("tpm"),
+            F.lit(int(lag)).alias("lag"),
+        ]
+        for m in metrics:
+            cols.extend(_zscore_metric_cols(m, lag, threshold))
+        outs.append(st.select(*cols))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _zscore_metric_sql(metric: str, lag: int, threshold: float) -> str:
+    m = metric
+    w = f"(PARTITION BY server, service ORDER BY timestamp ROWS BETWEEN {lag} PRECEDING AND 1 PRECEDING)"
+    histlen = f"COUNT(*) OVER {w}"
+    n = f"COUNT({m}) OVER {w}"
+    mu_raw = f"(SUM({m}) OVER {w} / {n})"
+    ex2 = f"(SUM({m} * {m}) OVER {w} / {n})"
+    var = f"({ex2} - {mu_raw} * {mu_raw})"
+    mu = f"(CASE WHEN {histlen} >= {lag} AND {n} > 0 THEN {mu_raw} END)"
+    sd = f"(CASE WHEN {histlen} >= {lag} AND {n} > 0 AND {var} > 0 THEN sqrt({var}) END)"
+    t = repr(float(threshold))
+    return f"""
+        {m},
+        {mu} AS {m}avg,
+        (CASE WHEN {mu} IS NOT NULL AND {sd} IS NOT NULL THEN {mu} - {t} * {sd} END) AS {m}lb,
+        (CASE WHEN {mu} IS NOT NULL AND {sd} IS NOT NULL THEN {mu} + {t} * {sd} END) AS {m}ub,
+        CAST(CASE
+            WHEN {mu} IS NULL OR {sd} IS NULL OR {m} IS NULL THEN 0
+            WHEN abs({m} - {mu}) > {t} * {sd} THEN (CASE WHEN {m} > {mu} THEN 1 ELSE -1 END)
+            ELSE 0 END AS INT) AS {m}signal"""
+
+
+def zscore_oracle_select(
+    lags: Iterable[int] = DEFAULT_LAGS,
+    threshold: float = 3.0,
+    metrics: Iterable[str] = METRICS,
+) -> str:
+    """DuckDB twin of zscore_window over the `st` CTE."""
+    selects = []
+    for lag in lags:
+        metric_sql = ",".join(_zscore_metric_sql(m, lag, threshold) for m in metrics)
+        selects.append(
+            f"SELECT timestamp, server, service, tpm, {lag} AS lag, {metric_sql} FROM st"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Exact reference semantics (any influence) — recursive per-key scan.
+# ---------------------------------------------------------------------------
+
+
+def zscore_step(lag, threshold, influence, new_value, history):
+    """One reference z-score step (stream_calc_z_score.js:66-104). `history`
+    is the trailing list (may contain None). Returns
+    (appended_value, avg, lb, ub, signal)."""
+    import math
+
+    infl_value = new_value
+    avg = sd = lb = ub = None
+    signal = 0
+    if len(history) >= lag:
+        vals = [v for v in history if v is not None and not (isinstance(v, float) and math.isnan(v))]
+        if vals:
+            avg = sum(vals) / len(vals)
+            sq = [(v - avg) ** 2 for v in vals]
+            var = sum(sq) / len(sq)
+            sd = math.sqrt(var) if var != 0 else None  # variance-0 quirk
+        if avg is not None and sd is not None:
+            lb = avg - threshold * sd
+            ub = avg + threshold * sd
+        if avg is None or sd is None:
+            signal = 0
+        elif new_value is None:
+            signal = 0
+        elif abs(new_value - avg) > threshold * sd:
+            signal = 1 if new_value > avg else -1
+            prev = history[-1] if history else None
+            if prev is not None:
+                infl_value = influence * new_value + (1 - influence) * prev
+        else:
+            signal = 0
+    return infl_value, avg, lb, ub, signal
+
+
+def zscore_recursive_py(
+    rows: pd.DataFrame,
+    lags: Iterable[int],
+    threshold: float,
+    influence: float,
+    metrics: Iterable[str] = METRICS,
+) -> pd.DataFrame:
+    """Driver-side-free sequential scan of ONE key's st series (sorted by
+    timestamp), exact reference semantics. Used inside applyInPandas."""
+    rows = rows.sort_values("timestamp")
+    out_rows = []
+    for lag in lags:
+        hist: dict[str, list] = {m: [] for m in metrics}
+        for _, r in rows.iterrows():
+            rec = {
+                "timestamp": r["timestamp"],
+                "server": r["server"],
+                "service": r["service"],
+                "tpm": r["tpm"],
+                "lag": int(lag),
+            }
+            for m in metrics:
+                x = r[m]
+                x = None if pd.isna(x) else float(x)
+                appended, avg, lb, ub, signal = zscore_step(
+                    lag, threshold, influence, x, hist[m]
+                )
+                rec[m] = x
+                rec[f"{m}avg"] = avg
+                rec[f"{m}lb"] = lb
+                rec[f"{m}ub"] = ub
+                rec[f"{m}signal"] = signal
+                hist[m].append(appended)
+                if len(hist[m]) > lag:
+                    hist[m].pop(0)
+            out_rows.append(rec)
+    cols = ["timestamp", "server", "service", "tpm", "lag"]
+    for m in metrics:
+        cols += [m, f"{m}avg", f"{m}lb", f"{m}ub", f"{m}signal"]
+    return pd.DataFrame(out_rows, columns=cols)
+
+
+def zscore_recursive(
+    st: DataFrame,
+    lags: Iterable[int] = DEFAULT_LAGS,
+    threshold: float = 3.0,
+    influence: float = 0.1,
+    metrics: Iterable[str] = METRICS,
+) -> DataFrame:
+    """Exact reference z-score for any influence, as ordered per-key
+    applyInPandas. Partitioned by (server, service): each group holds one
+    key's full series — bounded by the time span, independent of total data
+    volume."""
+    lags = tuple(int(x) for x in lags)
+    metrics = tuple(metrics)
+
+    schema_parts = [
+        "timestamp long",
+        "server string",
+        "service string",
+        "tpm double",
+        "lag int",
+    ]
+    for m in metrics:
+        schema_parts += [
+            f"{m} double",
+            f"{m}avg double",
+            f"{m}lb double",
+            f"{m}ub double",
+            f"{m}signal int",
+        ]
+    schema = ", ".join(schema_parts)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return zscore_recursive_py(pdf, lags, threshold, influence, metrics)
+
+    return st.groupBy("server", "service").applyInPandas(fn, schema=schema)

@@ -1,0 +1,122 @@
+"""Z-score semantics tests (reference stream_calc_z_score.js:66-104).
+
+The recursive implementation is validated two ways: hand-computed step
+traces (FIXTURES.md F-8), and influence=1 equivalence with the
+window-function implementation (at influence=1 the history always receives
+the raw value, so the recursion degenerates to a rolling window)."""
+
+from __future__ import annotations
+
+import math
+
+from apmbackend_spark.operators.zscore import zscore_step
+
+
+def run_series(values, lag, threshold, influence):
+    hist = []
+    out = []
+    for x in values:
+        appended, avg, lb, ub, signal = zscore_step(lag, threshold, influence, x, hist)
+        out.append((avg, lb, ub, signal))
+        hist.append(appended)
+        if len(hist) > lag:
+            hist.pop(0)
+    return out
+
+
+def test_short_history_never_signals():
+    out = run_series([100, 200, 5000], lag=5, threshold=1.0, influence=1.0)
+    assert all(sig == 0 and avg is None for avg, _, _, sig in out)
+
+
+def test_constant_series_never_signals():
+    # variance-0 quirk (util_methods.js:44-48): stddev undefined on constant
+    # history, so even a huge jump cannot signal against a flat baseline.
+    out = run_series([100] * 10 + [100000], lag=5, threshold=3.0, influence=1.0)
+    assert all(sig == 0 for _, _, _, sig in out)
+    avg, lb, ub, sig = out[-1]
+    assert avg == 100 and lb is None and ub is None
+
+
+def test_step_change_signals_and_influence_damps():
+    vals = [100, 110, 90, 105, 95, 1000]
+    out = run_series(vals, lag=5, threshold=3.0, influence=0.0)
+    avg, lb, ub, sig = out[-1]
+    assert sig == 1
+    assert avg == sum(vals[:5]) / 5
+    # influence=0: the appended history value is the PREVIOUS value, so the
+    # spike never contaminates the baseline.
+    hist = []
+    for x in vals:
+        appended, *_ = zscore_step(5, 3.0, 0.0, x, hist)
+        hist.append(appended)
+        if len(hist) > 5:
+            hist.pop(0)
+    assert hist[-1] == 95  # not 1000
+
+    # influence=0.1: appended = 0.1*1000 + 0.9*95
+    hist = []
+    for x in vals:
+        appended, *_ = zscore_step(5, 3.0, 0.1, x, hist)
+        hist.append(appended)
+        if len(hist) > 5:
+            hist.pop(0)
+    assert math.isclose(hist[-1], 0.1 * 1000 + 0.9 * 95)
+
+
+def test_boundary_is_strict():
+    # |x - avg| == threshold*sd must NOT signal (strict >).
+    vals = [1, 3, 1, 3, 1, 3]
+    hist = vals[:4]
+    avg = 2.0
+    sd = 1.0
+    x = avg + 2.0 * sd  # exactly at threshold 2
+    _, _, _, _, sig = zscore_step(4, 2.0, 1.0, x, list(hist))
+    assert sig == 0
+    _, _, _, _, sig = zscore_step(4, 2.0, 1.0, x + 0.001, list(hist))
+    assert sig == 1
+
+
+def test_null_value_gives_zero_signal_but_occupies_history():
+    hist = [10, 12, 11, None]
+    # history length counts the None (reference: list length includes
+    # undefined entries); average skips it.
+    appended, avg, lb, ub, sig = zscore_step(4, 3.0, 1.0, None, hist)
+    assert sig == 0
+    assert avg == (10 + 12 + 11) / 3
+    assert appended is None
+
+
+def test_recursive_influence1_matches_window_impl(spark):
+    from apmbackend_spark.operators.window_stats import window_stats
+    from apmbackend_spark.operators.zscore import (
+        st_from_window_stats,
+        zscore_recursive,
+        zscore_window,
+    )
+    from apmbackend_spark.sources.tx import load_tx
+
+    st = st_from_window_stats(window_stats(load_tx(spark, "/root/testdata/sf0.001")))
+    key_cols = ["server", "service", "timestamp", "lag"]
+    a = {
+        tuple(r[k] for k in key_cols): r
+        for r in zscore_window(st, lags=(60,), threshold=3.0).collect()
+    }
+    b = {
+        tuple(r[k] for k in key_cols): r
+        for r in zscore_recursive(st, lags=(60,), threshold=3.0, influence=1.0).collect()
+    }
+    assert set(a) == set(b) and len(a) > 0
+    n_signals = 0
+    for k, ra in a.items():
+        rb = b[k]
+        for m in ("average", "per75", "per95"):
+            assert ra[f"{m}signal"] == rb[f"{m}signal"], (k, m)
+            n_signals += abs(ra[f"{m}signal"])
+            for f in (m, f"{m}avg", f"{m}lb", f"{m}ub"):
+                va, vb = ra[f], rb[f]
+                if va is None or vb is None:
+                    assert va == vb, (k, f)
+                else:
+                    assert math.isclose(va, vb, rel_tol=1e-9), (k, f, va, vb)
+    assert n_signals > 0  # the fixture data must actually exercise signals
