@@ -19,6 +19,8 @@ from apmbackend_spark.operators.window_stats import (
 )
 from apmbackend_spark.operators import zscore as zs
 from apmbackend_spark.operators import alerts as al
+from apmbackend_spark.operators import correlation as co
+from apmbackend_spark.operators import ordering as od
 
 ZSCORE_LAGS = (60, 360)
 ZSCORE_THRESHOLD = 3.0
@@ -98,6 +100,36 @@ def _q_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return al.alert_pipeline(_fs(spark, sf_dir), ALERT_CFG)
 
 
+def _q_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = load_tx(spark, sf_dir)
+    return co.correlate(co.entry_leg(tx), co.exit_leg(tx))
+
+
+def _q_acct_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return co.acct_enrich(load_tx(spark, sf_dir))
+
+
+def _q_ordered_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return od.ordered_release(load_tx(spark, sf_dir))
+
+
+def _q_db_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    tx = load_tx(spark, sf_dir)
+    st = zs.st_from_window_stats(window_stats(tx))
+    fs = zs.zscore_window(st, lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
+    cand = al.alert_candidates(fs, ALERT_CFG)
+    return od.db_fanin(
+        {
+            "tx": tx.withColumn("ts", F.col("endts")),
+            "st": st.withColumn("ts", F.col("timestamp")),
+            "fs": fs.withColumn("ts", F.col("timestamp")),
+            "al": cand.withColumn("ts", F.col("timestamp")),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tx_normalize": _q_tx_normalize,
@@ -106,6 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_recursive": _q_zscore_recursive,
         "alert_candidates": _q_alert_candidates,
         "alerts": _q_alerts,
+        "correlate": _q_correlate,
+        "acct_enrich": _q_acct_enrich,
+        "ordered_release": _q_ordered_release,
+        "db_fanin": _q_db_fanin,
     }
 
 
@@ -130,4 +166,20 @@ FROM tx
         + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
         + ")"
         + al.alert_candidates_oracle_select(ALERT_CFG),
+        "correlate": TX_CTE + co.CORRELATE_ORACLE,
+        "acct_enrich": TX_CTE + co.ACCT_ENRICH_ORACLE,
+        "ordered_release": TX_CTE + od.ORDERED_RELEASE_ORACLE,
+        "db_fanin": TX_CTE
+        + window_stats_oracle_ctes()
+        + zs.ST_ORACLE_CTE
+        + ", fs AS ("
+        + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
+        + "), cand AS ("
+        + al.alert_candidates_oracle_select(ALERT_CFG)
+        + """)
+SELECT 'tx' AS rectype, endts AS ts, server, service FROM tx
+UNION ALL SELECT 'st' AS rectype, timestamp AS ts, server, service FROM st
+UNION ALL SELECT 'fs' AS rectype, timestamp AS ts, server, service FROM fs
+UNION ALL SELECT 'al' AS rectype, timestamp AS ts, server, service FROM cand
+""",
     }
