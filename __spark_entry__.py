@@ -21,6 +21,12 @@ from apmbackend_spark.operators import zscore as zs
 from apmbackend_spark.operators import alerts as al
 from apmbackend_spark.operators import correlation as co
 from apmbackend_spark.operators import ordering as od
+from apmbackend_spark.operators import dedup as dd
+from apmbackend_spark.operators import similarity as sim
+from apmbackend_spark.operators import textstats as ts
+from apmbackend_spark.operators import multimodal as mm
+from apmbackend_spark.operators import relational as rel
+from apmbackend_spark.sources.loaders import load_table
 
 ZSCORE_LAGS = (60, 360)
 ZSCORE_THRESHOLD = 3.0
@@ -131,7 +137,31 @@ def _q_db_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    docs = lambda s, d: load_table(s, d, "documents")  # noqa: E731
+    embs = lambda s, d: load_table(s, d, "embeddings")  # noqa: E731
+    phase6 = {
+        "doc_stats": lambda s, d: ts.doc_stats(docs(s, d)),
+        "dedup_exact": lambda s, d: dd.dedup_exact(docs(s, d)),
+        "ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(docs(s, d)),
+        "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
+        "simhash": lambda s, d: dd.simhash(docs(s, d)),
+        "ann_bruteforce": lambda s, d: sim.ann_bruteforce(embs(s, d)),
+        "ivf_assign": lambda s, d: sim.ivf_assign(embs(s, d)),
+        "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
+        # mapInPandas decode plumbing (stubbed codecs) — rows-only check.
+        "media_features": lambda s, d: mm.extract_features(
+            mm.synth_media(s, docs(s, d))
+        ),
+        "media_stats": lambda s, d: mm.media_stats(
+            mm.extract_features(mm.synth_media(s, docs(s, d)))
+        ),
+    }
+    relational = {
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_orders": rel.q3_top_orders,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+    }
+    return phase6 | relational | {
         "tx_normalize": _q_tx_normalize,
         "window_stats": _q_window_stats,
         "zscore": _q_zscore,
@@ -147,6 +177,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_stats": ts.doc_stats_oracle_sql(),
+        "dedup_exact": dd.dedup_exact_oracle_sql(),
+        "ngram_jaccard": dd.ngram_jaccard_oracle_sql(),
+        "minhash_lsh": dd.minhash_lsh_oracle(),
+        "simhash": dd.simhash_oracle_sql(),
+        "ann_bruteforce": sim.ann_bruteforce_oracle_sql(),
+        "ivf_assign": sim.ivf_assign_oracle_sql(),
+        "embedding_neardup": sim.embedding_neardup_oracle_sql(),
+        "q1_pricing_summary": rel.Q1_ORACLE,
+        "q3_top_orders": rel.Q3_ORACLE,
+        "q5_local_supplier_volume": rel.Q5_ORACLE,
+        "media_stats": """
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(doc_id % 640 + 32 AS INT) AS meta_width,
+           CAST(doc_id % 480 + 32 AS INT) AS meta_height
+    FROM documents
+)
+SELECT kind, COUNT(*) AS n, SUM(n_bytes) AS total_bytes,
+       MIN(CASE WHEN kind = 'audio' THEN 0 ELSE meta_width END) AS min_width,
+       MAX(CASE WHEN kind = 'audio' THEN 0 ELSE meta_height END) AS max_height
+FROM media GROUP BY kind
+""",
         "tx_normalize": TX_CTE
         + """
 SELECT server, service, logid, acctnum,

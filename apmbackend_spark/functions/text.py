@@ -1,0 +1,72 @@
+"""Deterministic text primitives for the training-data-pipeline operators
+(dedup, quality scoring, language ID, fingerprinting).
+
+Every primitive is rendered twice — Spark Column and DuckDB SQL — with
+identical semantics: same regexes (shared Java/RE2 subset), same md5-based
+hashing (`conv(substr(md5(x),1,15),16,10)` == `('0x'||substr(md5(x),1,15))::BIGINT`),
+same integer arithmetic. All run JVM-side in whole-stage codegen — no Python
+UDFs anywhere on the text hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+NONWORD_RE = "[^a-z0-9 ]"
+
+# Tiny fixed stopword list for the language-ID heuristic + stop-ratio.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+
+def tokens(col: Column) -> Column:
+    """Lower-cased word tokens (whitespace/punct split)."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '{TOKEN_SPLIT_RE}'), "
+        "x -> x <> '')"
+    )
+
+
+def hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash from md5 hex — identical in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash64_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array. (Spark's sequence()
+    runs DESCENDING when start > stop, so the short-doc case must be gated
+    to an empty array, not sequence(1, 0).)"""
+    idx = F.when(
+        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
+    )
+
+
+def shingles_sql(tok_expr: str, n: int = 3) -> str:
+    # DuckDB: generate the start indices, slice the list, join with spaces.
+    return f"""list_distinct(list_transform(
+        range(1, greatest(len({tok_expr}) - {n - 1}, 0) + 1),
+        i -> array_to_string({tok_expr}[i:i+{n - 1}], ' ')))"""
+
+
+def stop_count(tok: Column) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(tok, lambda x: F.array_contains(sw, x)))
+
+
+def stop_count_sql(tok_expr: str) -> str:
+    sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return f"len(list_filter({tok_expr}, x -> list_contains({sw}, x)))"

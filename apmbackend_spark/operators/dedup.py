@@ -1,0 +1,253 @@
+"""Deduplication operators over the `documents` table — exact, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup (north-star
+training-data-pipeline operators; SURVEY.md §7 phase 6).
+
+Scale design (the point of each variant):
+  * exact       — one hash-groupBy on a 64-bit fingerprint; fully map-side
+                  combinable, one shuffle, no arrays in flight.
+  * jaccard     — candidate pairs come from a self-join on shared shingles
+                  (inverted index), never a cross join: O(sum of posting
+                  list^2) not O(n^2). Jaccard from shared-count + per-doc
+                  distinct-shingle counts (|A∪B| = |A|+|B|-|A∩B|).
+  * minhash_lsh — k md5-derived hash functions -> per-band signature ->
+                  bucket join. Only docs sharing a band collide, so the
+                  shuffle volume is k*|docs|, independent of pair count.
+                  Probability calibrated by (bands, rows-per-band).
+  * simhash     — 32-bit sign-aggregated token-hash sketch per doc; near-dup
+                  = small Hamming distance. One explode + one groupBy.
+  * embedding   — see similarity.py (shared quantized-cosine kernel).
+
+Everything is built-in-function SQL (no UDFs); every variant has a DuckDB
+oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apmbackend_spark.functions.text import (
+    hash64,
+    hash64_sql,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Group by normalized-text fingerprint; canonical = min doc_id."""
+    fp = hash64(F.concat_ws(" ", tokens(F.col("text"))))
+    return (
+        documents.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact_oracle_sql() -> str:
+    fp = hash64_sql(f"array_to_string({tokens_sql('text')}, ' ')")
+    return f"""
+SELECT fingerprint, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+FROM (SELECT doc_id, {fp} AS fingerprint FROM documents)
+GROUP BY fingerprint
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.4
+) -> DataFrame:
+    """Near-dup (doc_a, doc_b, jaccard) pairs via an inverted shingle index."""
+    sh = documents.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
+def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.4) -> str:
+    return f"""
+WITH tokd AS (
+    SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+), sh AS (
+    SELECT doc_id, unnest({shingles_sql('tok', n)}) AS shingle FROM tokd
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {float(threshold)!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _minhash_col(sh: Column, seed: int) -> Column:
+    return F.array_min(
+        F.transform(sh, lambda s: hash64(F.concat(F.lit(f"mh{seed}:"), s)))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on at least one LSH band of
+    their minhash signature. k = bands*rows_per_band hash functions."""
+    sh = shingles(tokens(F.col("text")))
+    base = documents.select("doc_id", sh.alias("sh")).where(F.size("sh") > 0)
+    sig = base.select(
+        "doc_id",
+        *[
+            _minhash_col(F.col("sh"), i).alias(f"mh{i}")
+            for i in range(bands * rows_per_band)
+        ],
+    )
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.concat_ws("_", F.lit(str(b)), *[p.cast("string") for p in parts]).alias(
+                f"band{b}"
+            )
+        )
+    banded = sig.select("doc_id", *band_cols)
+    exploded = banded.select(
+        "doc_id", F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band")
+    )
+    return (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "band")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_oracle(bands: int = 4, rows_per_band: int = 2) -> str:
+    k = bands * rows_per_band
+    mh_exprs = []
+    for i in range(k):
+        h = hash64_sql(f"'mh{i}:' || s")
+        mh_exprs.append(f"list_min(list_transform(sh, s -> {h})) AS mh{i}")
+    band_exprs = []
+    for b in range(bands):
+        parts = " || '_' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_exprs.append(f"('{b}' || '_' || {parts})")
+    bands_list = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+WITH tokd AS (
+    SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+), shd AS (
+    SELECT doc_id, {shingles_sql('tok')} AS sh FROM tokd
+), base AS (
+    SELECT doc_id, sh FROM shd WHERE len(sh) > 0
+), sig AS (
+    SELECT doc_id, {", ".join(mh_exprs)} FROM base
+), exploded AS (
+    SELECT doc_id, unnest({bands_list}) AS band FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM exploded a JOIN exploded b USING (band)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc: bit b is the sign of sum over tokens of
+    (+1 if token-hash bit b else -1)."""
+    tokd = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).withColumn("h", hash64(F.col("token")))
+    bit_sums = tokd.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_oracle_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tokd AS (
+    SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+), hashed AS (
+    SELECT doc_id, {hash64_sql('token')} AS h FROM tokd
+), bit_sums AS (
+    SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, ({sim}) AS simhash FROM bit_sums
+"""

@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: image/audio/video as opaque BinaryType
+columns with typed metadata, processed via Arrow-batched mapInPandas
+(north-star operators; SURVEY.md §7 phase 6).
+
+The container has no image/audio codecs, so the decode kernels are
+deterministic fakes behind `_decode_image_stub` (clearly marked); the
+Spark-side plumbing — schema, batch iteration, partition-parallel UDF
+signature, metadata struct — is real and tested. Swapping the stub for
+PIL/librosa is a one-function change.
+
+Scale: mapInPandas streams Arrow record batches (bounded memory per task,
+`spark.sql.execution.arrow.maxRecordsPerBatch`), media bytes never pass
+through the driver, and the operator is embarrassingly parallel — the right
+shape for decoding billions of images on 1000 executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), False),
+        StructField("meta_format", StringType(), True),
+        StructField("meta_width", IntegerType(), True),
+        StructField("meta_height", IntegerType(), True),
+        StructField("meta_duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, content_sha256 string, "
+    "width int, height int, n_frames int, feature_norm double"
+)
+
+
+def synth_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """Deterministic fake media derived from document text bytes — stands in
+    for a real parquet/blob source of media columns."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("synthetic").alias("meta_format"),
+        (F.col("doc_id") % 640 + 32).cast("int").alias("meta_width"),
+        (F.col("doc_id") % 480 + 32).cast("int").alias("meta_height"),
+        (F.length("text") * 10).cast("long").alias("meta_duration_ms"),
+    )
+
+
+def _decode_image_stub(content: bytes, width: int, height: int):
+    """STUB decode: a real build calls PIL.Image.open here. The fake derives
+    deterministic pseudo-pixels from a sha256 of the bytes so downstream
+    feature math is testable. Raises for unsupported kinds like a real
+    decoder would."""
+    digest = hashlib.sha256(content).digest()
+    # 8 fake "pixels" per digest, scaled to [0, 1)
+    return [b / 256.0 for b in digest[:8]], width, height
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Decode + featurize media via mapInPandas (Arrow-batched)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content)
+                sha = hashlib.sha256(content).hexdigest()
+                if r.kind == "image":
+                    pixels, w, h = _decode_image_stub(content, r.meta_width, r.meta_height)
+                    frames = 1
+                elif r.kind == "video":
+                    # frame-sample stub: 4 deterministic "frames"
+                    pixels, w, h = _decode_image_stub(content, r.meta_width, r.meta_height)
+                    frames = 4
+                else:  # audio: no spatial dims
+                    pixels, w, h = _decode_image_stub(content, 0, 0)
+                    frames = 0
+                norm = sum(p * p for p in pixels) ** 0.5
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "n_bytes": len(content),
+                        "content_sha256": sha,
+                        "width": w,
+                        "height": h,
+                        "n_frames": frames,
+                        "feature_norm": norm,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def media_stats(features: DataFrame) -> DataFrame:
+    """Per-kind rollup over extracted features."""
+    return features.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("width").alias("min_width"),
+        F.max("height").alias("max_height"),
+    )

@@ -1,0 +1,200 @@
+"""General relational coverage on the TPC-H-ish star schema — the joins,
+grouped aggregations, and top-k orderings the reference never exposes
+(SURVEY.md §2.9: "come free from Spark") but a complete engine must have.
+
+Plan hygiene (checked by tests/test_plans.py):
+  * dimension joins (region, nation, customer-at-sf) broadcast;
+    fact-fact joins (orders x lineitem) are shuffled hash/sort-merge on the
+    key — never nested-loop
+  * filters and column pruning reach the parquet scan (PushedFilters /
+    ReadSchema)
+  * aggregates are map-side partial before the exchange
+
+Float determinism: money sums are integer-ized (cents / 1e-4 units) before
+SUM so results are bit-identical across engines; see sources/tx.py for the
+rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apmbackend_spark.sources.loaders import load_table
+
+CUTOFF = "1999-12-31 00:00:00"
+Q3_CUTOFF = "1998-01-01 00:00:00"
+
+
+def _cents(col, scale=100):
+    return F.round(col * F.lit(scale), 0).cast("long")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem (scan + filter +
+    map-side-combinable aggregation; no joins, no arrays)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    agg = (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qty"),
+            _cents(F.col("l_extendedprice")).alias("base_c"),
+            _cents(disc_price, 10_000).alias("disc_c"),
+            _cents(charge, 10_000).alias("charge_c"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sum_qty"),
+            (F.sum("base_c").cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum("disc_c").cast("double") / 10_000.0).alias("sum_disc_price"),
+            (F.sum("charge_c").cast("double") / 10_000.0).alias("sum_charge"),
+            (F.sum("qty").cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (
+                F.sum("base_c").cast("double") / F.count(F.lit(1)) / 100.0
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg
+
+
+Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(qty) AS sum_qty,
+       CAST(SUM(base_c) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(disc_c) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(charge_c) AS DOUBLE) / 10000.0 AS sum_charge,
+       CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(base_c) AS DOUBLE) / COUNT(*) / 100.0 AS avg_price,
+       COUNT(*) AS count_order
+FROM (
+    SELECT l_returnflag, l_linestatus,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS base_c,
+           CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000, 0) AS BIGINT) AS disc_c,
+           CAST(round((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) * 10000, 0) AS BIGINT) AS charge_c
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
+)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3-shaped: top-k open orders by discounted revenue for one
+    market segment. customer is broadcast; orders x lineitem sort-merge."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000)
+    joined = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "l_orderkey",
+            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            "o_orderpriority",
+            rev.alias("rev_c"),
+        )
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate_ms", "o_orderpriority").agg(
+        (F.sum("rev_c").cast("double") / 10_000.0).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("l_orderkey", "o_orderdate_ms", "o_orderpriority", "revenue", "rank")
+    )
+
+
+Q3_ORACLE = f"""
+WITH joined AS (
+    SELECT l.l_orderkey,
+           epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+           o.o_orderpriority,
+           CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000, 0) AS BIGINT) AS rev_c
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+), agg AS (
+    SELECT l_orderkey, o_orderdate_ms, o_orderpriority,
+           CAST(SUM(rev_c) AS DOUBLE) / 10000.0 AS revenue
+    FROM joined GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, o_orderdate_ms, o_orderpriority, revenue,
+       CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS INT) AS rank
+FROM agg
+QUALIFY rank <= 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation where customer and supplier share
+    the nation, one region, one year. region/nation/supplier broadcast."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000)
+    nations_in_region = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            cust,
+            (orders["o_custkey"] == cust["c_custkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(
+            F.broadcast(nations_in_region),
+            cust["c_nationkey"] == nations_in_region["n_nationkey"],
+        )
+    )
+    return (
+        joined.select("n_name", rev.alias("rev_c"))
+        .groupBy("n_name")
+        .agg((F.sum("rev_c").cast("double") / 10_000.0).alias("revenue"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n.n_name,
+       CAST(SUM(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+"""

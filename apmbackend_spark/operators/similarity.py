@@ -1,0 +1,202 @@
+"""Similarity search over the `embeddings` table (array<float> column):
+brute-force cosine top-k baseline and an IVF (inverted-file) variant as the
+scale path (north-star operators; SURVEY.md §7 phase 6).
+
+Determinism design: embeddings are quantized to integers (round(x * 1e4))
+before any arithmetic. Dot products and norms then become exact integer
+sums (|x| <= 2e4, 64 dims -> far below 2^53), so cosine similarity is
+bit-identical between Spark and DuckDB regardless of accumulation order —
+float dot products would differ in the last ulp across engines and break
+the hash gate.
+
+Scale:
+  * brute force — queries are broadcast (small side), the corpus scan is
+    embarrassingly parallel; per-partition top-k then global top-k via
+    window row_number (AQE-coalesced). Cost O(|Q| * N) — the baseline.
+  * IVF — coarse "centroids" (deterministic sample of the corpus) define
+    partitions; every vector is assigned to its nearest centroid in one
+    broadcast-join pass, queries probe only the nprobe nearest lists. At
+    100 TB the list assignment is a write-once bucketing (cluster by
+    list_id); probe cost drops by ~n_lists/nprobe.
+
+No UDFs: the dot product is `aggregate(zip_with(...))` JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 10_000
+
+
+def _quantize(col: Column) -> Column:
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("long"))
+
+
+QUANTIZE_SQL = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}, 0) AS BIGINT))"
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sqnorm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine over quantized integer vectors — exact integer sums, then one
+    deterministic double division."""
+    return _dot(a, b).cast("double") / (
+        F.sqrt(_sqnorm(a).cast("double")) * F.sqrt(_sqnorm(b).cast("double"))
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _sqnorm_sql(a: str) -> str:
+    return f"list_sum(list_transform({a}, x -> x * x))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"(CAST({_dot_sql(a, b)} AS DOUBLE) / "
+        f"(sqrt(CAST({_sqnorm_sql(a)} AS DOUBLE)) * sqrt(CAST({_sqnorm_sql(b)} AS DOUBLE))))"
+    )
+
+
+def ann_bruteforce(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Top-k cosine neighbors for the first n_queries vectors (vec_id <
+    n_queries), excluding self. Deterministic tie-break on vec_id."""
+    from pyspark.sql import Window
+
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding")).alias("qv")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("cand_id"), _quantize(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        q.join(F.broadcast(c).hint("broadcast"), F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
+def ann_bruteforce_oracle_sql(n_queries: int = 10, k: int = 5) -> str:
+    return f"""
+WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           {cosine_sql('q.v', 'c.v')} AS sim
+    FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {n_queries}
+), ranked AS (
+    SELECT query_id, cand_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_assign(embeddings: DataFrame, n_lists_mod: int = 50) -> DataFrame:
+    """IVF coarse quantizer: centroids = vectors with vec_id % mod == 0
+    (deterministic stand-in for k-means at fixture scale); each vector is
+    assigned to its nearest centroid by cosine (broadcast join + argmin)."""
+    from pyspark.sql import Window
+
+    cent = embeddings.where(F.col("vec_id") % n_lists_mod == 0).select(
+        F.col("vec_id").alias("list_id"), _quantize(F.col("embedding")).alias("centv")
+    )
+    vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("v"))
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "list_id", cosine(F.col("v"), F.col("centv")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "list_id", F.col("sim").alias("centroid_sim"))
+    )
+
+
+def ivf_assign_oracle_sql(n_lists_mod: int = 50) -> str:
+    return f"""
+WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+), cent AS (
+    SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {n_lists_mod} = 0
+), scored AS (
+    SELECT q.vec_id, c.list_id, {cosine_sql('q.v', 'c.centv')} AS sim
+    FROM qz q CROSS JOIN cent c
+), ranked AS (
+    SELECT vec_id, list_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
+    FROM scored
+)
+SELECT vec_id, list_id, sim AS centroid_sim FROM ranked WHERE rn = 1
+"""
+
+
+def embedding_neardup(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via IVF bucketing: only pairs
+    sharing an IVF list are compared (the scalable blocker), then filtered
+    by cosine >= threshold."""
+    assigned = ivf_assign(embeddings)
+    vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("v"))
+    av = assigned.join(vecs, "vec_id").select("vec_id", "list_id", "v")
+    a = av.alias("a")
+    b = av.alias("b")
+    return (
+        a.join(b, "list_id")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(float(threshold)))
+    )
+
+
+def embedding_neardup_oracle_sql(threshold: float = 0.3, n_lists_mod: int = 50) -> str:
+    return f"""
+WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+), cent AS (
+    SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {n_lists_mod} = 0
+), scored AS (
+    SELECT q.vec_id, c.list_id, {cosine_sql('q.v', 'c.centv')} AS sim
+    FROM qz q CROSS JOIN cent c
+), assigned AS (
+    SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+), av AS (
+    SELECT a.vec_id, a.list_id, q.v FROM assigned a JOIN qz q USING (vec_id)
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cosine_sql('a.v', 'b.v')} AS sim
+FROM av a JOIN av b USING (list_id)
+WHERE a.vec_id < b.vec_id
+  AND {cosine_sql('a.v', 'b.v')} >= {float(threshold)!r}
+"""

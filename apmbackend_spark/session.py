@@ -33,6 +33,10 @@ def get_spark(
         # parquet reader rejects as a timestamp type; read it as a nanos
         # BIGINT and convert explicitly (sources/tx.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Read ms/us parquet timestamps as TimestampType (UTC session), not
+        # NTZ — keeps unix_millis()/window() uniform and matches DuckDB's
+        # naive-as-UTC epoch math.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Adaptive execution: runtime partition coalescing + skew-join
         # handling — the 100 TB insurance policy.
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,74 @@
+"""Physical-plan hygiene: the 100 TB design claims must be visible in
+.explain() output — broadcast joins for dims, pushed filters, pruned scans,
+whole-stage codegen, no Python UDFs on declared-SQL paths."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q3_broadcasts_customer_and_pushes_filters(spark):
+    from apmbackend_spark.operators.relational import q3_top_orders
+
+    p = plan(q3_top_orders(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    # the mktsegment filter must reach the customer parquet scan
+    assert "PushedFilters" in p
+    assert "c_mktsegment" in p
+
+
+def test_q1_scan_prunes_columns(spark):
+    from apmbackend_spark.operators.relational import q1_pricing_summary
+
+    p = plan(q1_pricing_summary(spark, SF_SMOKE))
+    # only the needed lineitem columns are read
+    read_schemas = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all(
+        "l_partkey" not in l and "l_suppkey" not in l for l in read_schemas
+    )
+    assert any("l_extendedprice" in l for l in read_schemas)
+    # partial (map-side) + final HashAggregate around one Exchange
+    assert p.count("HashAggregate") >= 2 and p.count("Exchange") <= 2
+    # the shipdate filter is pushed to the parquet scan
+    assert any("LessThanOrEqual(l_shipdate" in l for l in p.splitlines())
+
+
+def test_window_stats_single_shuffle(spark):
+    from apmbackend_spark.operators.window_stats import window_stats
+    from apmbackend_spark.sources.tx import load_tx
+
+    p = plan(window_stats(load_tx(spark, SF_SMOKE)))
+    # one exchange for the groupBy; no BatchEvalPython (no Python UDFs)
+    assert p.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+    assert "BatchEvalPython" not in p
+    # events scan reads only the needed columns
+    read_schemas = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("props" not in l for l in read_schemas)
+
+
+def test_alert_candidates_broadcasts_override_dim(spark):
+    import __spark_entry__ as e
+
+    p = plan(e.queries()["alert_candidates"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_zscore_has_no_python_udf(spark):
+    import __spark_entry__ as e
+
+    p = plan(e.queries()["zscore"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ann_bruteforce_broadcasts_corpus(spark):
+    from apmbackend_spark.operators.similarity import ann_bruteforce
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(ann_bruteforce(load_table(spark, SF_SMOKE, "embeddings")))
+    assert "Broadcast" in p
