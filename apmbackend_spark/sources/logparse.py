@@ -1,0 +1,317 @@
+"""Log-line ingest front end (SURVEY.md §2.2 P1-P10, §2.3 J1-J3): parse
+WildFly-style logs into tx records.
+
+Architecture (Spark-first, not a port): each file is parsed SEQUENTIALLY
+(line order is load-bearing for entry/exit pairing, SOAP frames and
+audit-trail sessions — reference stream_parse_transactions.js:578-731), but
+files are independent, so the unit of parallelism is the file: one
+`applyInPandas` group per file, wholetext-read. The cross-file work — the
+SOAP acctnum enrichment the reference does via TTL caches
+(stream_parse_transactions.js:213-239) — becomes an explicit logid JOIN
+after parsing (J2), so it scales as a shuffle instead of shared memory.
+
+Per-file grammar handling mirrors the reference semantics:
+  * P1 router: filename -> {SOAP, SERVER, APP} (reference :741-791)
+  * P2/P3: entry/exit line classification + field extraction
+  * P4/U5: dual timestamp formats ('yyyy-MM-dd HH:mm:ss,SSS' and ISO+TZ)
+  * P5: Provider[x] -> Provider:x; EJB services prefixed 'S:' (:259,390)
+  * P6/P7: toplevel derivation; startts back-fill (:258-282)
+  * P8: SOAP frames -> (logid, acctnum), incl. the riskid
+    <key>AccountNumber</key>/<value> variant and numeric validation (U9)
+  * P9: BAF [..:..:acct] salvage block before INFO
+  * P10: audit-trail two-phase parse with FIFO matching of repeated
+    subservices between the RequestTrace elapsed list and the
+    <stopWatchList> XML (:624-726)
+  * J1: entry/exit correlation per (logid, service); exits without entry
+    are salvaged with matched='N' (:530-540)
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# precompiled patterns (reference hoists these too, :345,733-739)
+RX_LOGID = re.compile(r"^\[([^\]]*)\]\s+")
+RX_LOGTS = re.compile(r"(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2}),(\d{3})")
+RX_CT_START = re.compile(r"INFO CommonTiming::Start (\S+)")
+RX_CT_STOP = re.compile(r"INFO CommonTiming::Stop (\S+).*?total time (\d+)")
+RX_EJB_START = re.compile(r"INFO \[CommonTiming\] EJB intercept beginning call (\S+)")
+RX_EJB_STOP = re.compile(
+    r"INFO \[CommonTiming\] EJB intercept total call (\S+) took ms (\d+)"
+)
+RX_BAF_ACCT = re.compile(r"\[[^\]]*:[^\]]*:(\d+)\]\s*INFO")
+RX_SOAP_FRAME = re.compile(r"^=== jbossId=(\S+) .*IO=([IO])")
+RX_ACCT = re.compile(r"<accountNumber>([^<]*)</accountNumber>")
+RX_KEY_ACCT = re.compile(r"<key>AccountNumber</key>")
+RX_VALUE = re.compile(r"<value>([^<]*)</value>")
+RX_AUTR_LINK = re.compile(r"INFO auditTrailId=(\S+)")
+RX_AUTR_OPEN = re.compile(r"INFO Audit Trail id : (\S+)")
+RX_STOPWATCH_ELAPSED = re.compile(r"^\s*(\S+) :\[(\d+) millis")
+RX_SW_XML = re.compile(
+    r"<name>([^<]*)</name><startTime>([^<]*)</startTime><stopTime>([^<]*)</stopTime>"
+)
+RX_NUMERIC = re.compile(r"^[0-9]+$")  # U9 acct validation (:296)
+RX_PROVIDER = re.compile(r"^(.*)\[([^\]]*)\]$")
+
+
+def parse_log_ts(s: str) -> int | None:
+    """U5: 'yyyy-MM-dd HH:mm:ss,SSS' -> epoch ms (reference :242-256)."""
+    m = RX_LOGTS.search(s)
+    if not m:
+        return None
+    dt = datetime.strptime(f"{m.group(1)} {m.group(2)}", "%Y-%m-%d %H:%M:%S")
+    return int(dt.replace(tzinfo=timezone.utc).timestamp()) * 1000 + int(m.group(3))
+
+
+def parse_iso_ts(s: str) -> int | None:
+    """U5 variant: ISO with offset -> epoch ms."""
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError:
+        return None
+    return int(dt.timestamp() * 1000)
+
+
+def normalize_service(svc: str) -> str:
+    """P5: Provider[x] -> Provider:x (strip ']')."""
+    m = RX_PROVIDER.match(svc)
+    if m:
+        return f"{m.group(1)}:{m.group(2)}"
+    return svc
+
+
+def classify_file(path: str) -> str:
+    """P1 router by filename (reference :741-791)."""
+    name = path.rsplit("/", 1)[-1]
+    if "soap_io" in name:
+        return "SOAP"
+    if name.startswith("server"):
+        return "SERVER"
+    return "APP"
+
+
+def server_from_path(path: str) -> str:
+    """Server = parent directory name (reference derives it from a fixed
+    path segment, :746-760)."""
+    parts = path.rstrip("/").split("/")
+    return parts[-2] if len(parts) >= 2 else "unknown"
+
+
+def parse_file(path: str, lines: list[str]) -> list[dict]:
+    """Sequential parse of one file. Emits dicts with rectype in
+    {'tx', 'acct'}."""
+    server = server_from_path(path)
+    ftype = classify_file(path)
+    out: list[dict] = []
+
+    if ftype == "SOAP":
+        _parse_soap(lines, out)
+        return out
+
+    # entry cache keyed (logid, service) — the per-file slice of J1
+    pending: dict[tuple[str, str], int] = {}
+    # audit-trail session state (P10)
+    autr_to_logid: dict[str, str] = {}
+    at_logid: str | None = None
+    at_elapsed: list[tuple[str, int]] = []
+    in_stopwatch_section = False
+    in_xml = False
+
+    def emit_tx(logid, service, startts, endts, elapsed, toplevel, altacct, matched):
+        out.append(
+            {
+                "rectype": "tx",
+                "server": server,
+                "service": service,
+                "logid": logid or None,
+                "altacct": altacct,
+                "startts": startts if startts is not None else endts - elapsed,  # P7
+                "endts": endts,
+                "elapsed": elapsed,
+                "toplevel": toplevel,
+                "matched": matched,
+            }
+        )
+
+    for raw in lines:
+        line = raw.rstrip("\n")
+
+        # ---- audit-trail machinery (APP logs) ----
+        m = RX_AUTR_LINK.search(line)
+        if m:
+            lid = RX_LOGID.match(line)
+            if lid:
+                autr_to_logid[m.group(1)] = lid.group(1)
+            continue
+        m = RX_AUTR_OPEN.search(line)
+        if m:
+            at_logid = autr_to_logid.pop(m.group(1), None)  # consumed once (J3)
+            at_elapsed = []
+            continue
+        if line.startswith(": RequestTrace [stopWatchList="):
+            in_stopwatch_section = True
+            continue
+        if in_stopwatch_section:
+            if line.strip() == "]":
+                in_stopwatch_section = False
+            else:
+                m = RX_STOPWATCH_ELAPSED.match(line)
+                if m:
+                    at_elapsed.append((m.group(1), int(m.group(2))))
+            continue
+        if line.strip() == "<stopWatchList>":
+            in_xml = True
+            continue
+        if in_xml:
+            if line.strip() == "</stopWatchList>":
+                in_xml = False
+                at_logid, at_elapsed = None, []
+                continue
+            m = RX_SW_XML.search(line)
+            if m and at_elapsed:
+                name, s_iso, e_iso = m.groups()
+                # FIFO match: first queued elapsed for this subservice name
+                for idx, (qname, qel) in enumerate(at_elapsed):
+                    if qname == name:
+                        at_elapsed.pop(idx)
+                        sstart = parse_iso_ts(s_iso)
+                        sstop = parse_iso_ts(e_iso)
+                        if sstop is not None:
+                            emit_tx(
+                                at_logid,
+                                normalize_service(name),
+                                sstart,
+                                sstop,
+                                qel,
+                                "N",
+                                None,
+                                "Y",
+                            )
+                        break
+            continue
+
+        # ---- CommonTiming (standard + EJB) ----
+        lid_m = RX_LOGID.match(line)
+        logid = lid_m.group(1) if lid_m else ""
+        ts = parse_log_ts(line)
+
+        m = RX_CT_START.search(line) or RX_EJB_START.search(line)
+        if m and ts is not None:
+            is_ejb = "[CommonTiming]" in line
+            service = ("S:" if is_ejb else "") + normalize_service(m.group(1))
+            pending[(logid, service)] = ts
+            continue
+        m = RX_CT_STOP.search(line) or RX_EJB_STOP.search(line)
+        if m and ts is not None:
+            is_ejb = "[CommonTiming]" in line
+            service = ("S:" if is_ejb else "") + normalize_service(m.group(1))
+            elapsed = int(m.group(2))
+            startts = pending.pop((logid, service), None)
+            baf = RX_BAF_ACCT.search(line)  # P9 salvage
+            altacct = int(baf.group(1)) if baf else None
+            emit_tx(
+                logid,
+                service,
+                startts,
+                ts,
+                elapsed,
+                "Y" if service.startswith("S:") else "N",
+                altacct,
+                "Y" if startts is not None else "N",
+            )
+            continue
+
+    return out
+
+
+def _parse_soap(lines: list[str], out: list[dict]) -> None:
+    """P8: stateful per-file scan for (logid, acctnum) pairs."""
+    cur_logid: str | None = None
+    awaiting_value = False
+    for raw in lines:
+        line = raw.rstrip("\n")
+        m = RX_SOAP_FRAME.match(line)
+        if m:
+            cur_logid = m.group(1) if m.group(2) == "I" else None
+            awaiting_value = False
+            continue
+        if cur_logid is None:
+            continue
+        if RX_KEY_ACCT.search(line):
+            awaiting_value = True
+        if awaiting_value:
+            mv = RX_VALUE.search(line)
+            if mv:
+                _emit_acct(out, cur_logid, mv.group(1))
+                awaiting_value = False
+                cur_logid = None
+                continue
+        ma = RX_ACCT.search(line)
+        if ma:
+            _emit_acct(out, cur_logid, ma.group(1))
+            cur_logid = None
+
+
+def _emit_acct(out: list[dict], logid: str, acct: str) -> None:
+    if RX_NUMERIC.match(acct):  # U9 validation
+        out.append({"rectype": "acct", "logid": logid, "acctnum": int(acct)})
+
+
+PARSED_SCHEMA = (
+    "rectype string, server string, service string, logid string, "
+    "altacct long, startts long, endts long, elapsed long, toplevel string, "
+    "matched string, acctnum long"
+)
+
+
+def parse_logs(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Read log files (wholetext, one task per file — S2's glob fan-in) and
+    parse each sequentially; returns the union of tx records and acct
+    mappings (rectype-tagged)."""
+    raw = spark.read.text(glob_path, wholetext=True).select(
+        F.input_file_name().alias("path"), F.col("value")
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: list[dict] = []
+        for r in pdf.itertuples(index=False):
+            rows.extend(parse_file(r.path, r.value.splitlines()))
+        cols = [
+            "rectype", "server", "service", "logid", "altacct", "startts",
+            "endts", "elapsed", "toplevel", "matched", "acctnum",
+        ]
+        return pd.DataFrame([{c: r.get(c) for c in cols} for r in rows], columns=cols)
+
+    return raw.groupBy("path").applyInPandas(fn, schema=PARSED_SCHEMA)
+
+
+def logs_to_tx(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Full ingest: parse + J2 acct enrichment join (TTL caches -> shuffle
+    join on logid) -> tx records."""
+    parsed = parse_logs(spark, glob_path).cache()
+    tx = parsed.where(F.col("rectype") == "tx").drop("rectype", "acctnum")
+    acct = (
+        parsed.where(F.col("rectype") == "acct")
+        .groupBy("logid")
+        .agg(F.min("acctnum").alias("acctnum"))  # first-write-wins
+    )
+    return (
+        tx.join(acct, "logid", "left")
+        .select(
+            "server",
+            "service",
+            "logid",
+            F.coalesce(F.col("acctnum"), F.col("altacct")).alias("acctnum"),
+            "startts",
+            "endts",
+            "elapsed",
+            "toplevel",
+            "matched",
+        )
+    )
