@@ -26,6 +26,7 @@ from apmbackend_spark.operators import similarity as sim
 from apmbackend_spark.operators import textstats as ts
 from apmbackend_spark.operators import multimodal as mm
 from apmbackend_spark.operators import relational as rel
+from apmbackend_spark.operators import zerofill as zf
 from apmbackend_spark.sources.loaders import load_table
 
 ZSCORE_LAGS = (60, 360)
@@ -161,7 +162,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": rel.q3_top_orders,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
     }
-    return phase6 | relational | {
+    apm_extra = {
+        "st_zerofill": lambda s, d: zf.st_zerofill(load_tx(s, d)),
+        "jmx_rollup": lambda s, d: zf.jmx_rollup(load_tx(s, d)),
+    }
+    return phase6 | relational | apm_extra | {
         "tx_normalize": _q_tx_normalize,
         "window_stats": _q_window_stats,
         "zscore": _q_zscore,
@@ -185,6 +190,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": sim.ann_bruteforce_oracle_sql(),
         "ivf_assign": sim.ivf_assign_oracle_sql(),
         "embedding_neardup": sim.embedding_neardup_oracle_sql(),
+        "st_zerofill": TX_CTE
+        + ", tx_sliced AS ("
+        + zf.TX_SLICED_SQL
+        + ")"
+        + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
+        + zf.st_zerofill_oracle_sql(),
+        "jmx_rollup": TX_CTE + zf.JMX_ROLLUP_ORACLE,
         "q1_pricing_summary": rel.Q1_ORACLE,
         "q3_top_orders": rel.Q3_ORACLE,
         "q5_local_supplier_volume": rel.Q5_ORACLE,

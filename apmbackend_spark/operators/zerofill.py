@@ -1,0 +1,136 @@
+"""A2's zero-row emission and the jx gauge stream (SURVEY.md A2, S5/P11).
+
+The reference emits one st record per KNOWN (server, service) every interval
+even when the window is empty (tpm=0, stats null) — it iterates all keys it
+has ever seen (stream_calc_stats.js:159-202). Batch form: build the
+(interval grid x observed keys) dimension and left-join the computed stats.
+
+The jx stream (pull_jvm_stats.js:15-84) is an out-of-engine collector; here
+a deterministic synthetic gauge set per (server, minute) stands in, and the
+engine-side operator is the per-(server, hour) rollup the dashboards run.
+
+Scale: the grid is |intervals| x |keys| rows of a few columns — broadcast
+the key dimension (small), range-join nothing; the left join shuffles on
+(server, service, win_start) like every other keyed op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apmbackend_spark.operators.window_stats import window_stats
+from apmbackend_spark.operators.zscore import st_from_window_stats
+
+SLICE_MS = 6 * 3600 * 1000  # bound the grid for the checkable query
+
+
+def st_zerofill(tx: DataFrame, slice_ms: int = SLICE_MS) -> DataFrame:
+    """st records INCLUDING silent keys, over the first slice_ms of data.
+    tpm = 0.0 and null stats for empty windows (entries.js:52-84 nullable
+    semantics)."""
+    lo = tx.select(F.min("endts")).first()[0]
+    sliced = tx.where(F.col("endts") < F.lit(lo + slice_ms))
+    st = st_from_window_stats(window_stats(sliced))
+    keys = st.select("server", "service").distinct()
+    grid = st.select("timestamp").distinct()
+    dim = grid.crossJoin(F.broadcast(keys))
+    return (
+        dim.join(st, ["timestamp", "server", "service"], "left")
+        .select(
+            "timestamp",
+            "server",
+            "service",
+            F.coalesce(F.col("tpm"), F.lit(0.0)).alias("tpm"),
+            "average",
+            "per75",
+            "per95",
+        )
+    )
+
+
+def st_zerofill_oracle_sql(slice_ms: int = SLICE_MS) -> str:
+    """Appends to TX_CTE + winstats CTEs (which must be built over the
+    SAME sliced tx — see the query wiring)."""
+    return f"""
+, st AS (
+    SELECT win_start AS timestamp, server, service, tpm,
+           round(avg_ms, 0) AS average,
+           round(p75, 0) AS per75,
+           round(p95, 0) AS per95
+    FROM winstats
+), keys AS (
+    SELECT DISTINCT server, service FROM st
+), grid AS (
+    SELECT DISTINCT timestamp FROM st
+)
+SELECT g.timestamp, k.server, k.service,
+       COALESCE(s.tpm, 0.0) AS tpm,
+       s.average, s.per75, s.per95
+FROM grid g CROSS JOIN keys k
+LEFT JOIN st s ON s.timestamp = g.timestamp
+             AND s.server = k.server AND s.service = k.service
+"""
+
+
+TX_SLICED_SQL = f"""
+SELECT * FROM tx
+WHERE endts < (SELECT MIN(endts) + {SLICE_MS} FROM tx)
+"""
+
+
+# ---------------------------------------------------------------------------
+# jx gauges (S5 collector stand-in + rollup)
+# ---------------------------------------------------------------------------
+
+
+def jmx_gauges(tx: DataFrame) -> DataFrame:
+    """Synthetic jx samples: one row per (server, minute) with gauges
+    derived deterministically from traffic (stands in for the jboss-cli
+    poller, pull_jvm_stats.js:141-149)."""
+    minute = (F.col("endts") - F.col("endts") % 60_000).alias("timestamp")
+    per_min = tx.groupBy(F.col("server"), minute).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("elapsed").alias("sum_elapsed"),
+        F.max("elapsed").alias("max_elapsed"),
+    )
+    return per_min.select(
+        "timestamp",
+        "server",
+        (F.lit(100_000_000) + F.col("sum_elapsed") * 1000).alias("heapused"),
+        F.lit(512_000_000).cast("long").alias("heapmax"),
+        (F.col("n") * 7).cast("int").alias("threadcnt"),
+        (F.col("max_elapsed").cast("double") / 1000.0).alias("sysload"),
+    )
+
+
+def jmx_rollup(tx: DataFrame) -> DataFrame:
+    """Per-(server, hour) dashboard rollup over the gauge stream."""
+    jx = jmx_gauges(tx)
+    hour = (F.col("timestamp") - F.col("timestamp") % 3_600_000).alias("hour_ts")
+    return jx.groupBy(F.col("server"), hour).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.max("heapused").alias("peak_heap"),
+        (F.sum("heapused").cast("double") / F.count(F.lit(1))).alias("avg_heap"),
+        F.max("threadcnt").alias("peak_threads"),
+        F.max("sysload").alias("peak_sysload"),
+    )
+
+
+JMX_ROLLUP_ORACLE = """
+, jx AS (
+    SELECT (endts - endts % 60000) AS timestamp, server,
+           100000000 + SUM(elapsed) * 1000 AS heapused,
+           CAST(512000000 AS BIGINT) AS heapmax,
+           CAST(COUNT(*) * 7 AS INT) AS threadcnt,
+           CAST(MAX(elapsed) AS DOUBLE) / 1000.0 AS sysload
+    FROM tx GROUP BY 1, 2
+)
+SELECT server, (timestamp - timestamp % 3600000) AS hour_ts,
+       COUNT(*) AS n_samples,
+       MAX(heapused) AS peak_heap,
+       CAST(SUM(heapused) AS DOUBLE) / COUNT(*) AS avg_heap,
+       MAX(threadcnt) AS peak_threads,
+       MAX(sysload) AS peak_sysload
+FROM jx GROUP BY 1, 2
+"""

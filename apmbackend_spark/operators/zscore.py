@@ -202,6 +202,64 @@ def zscore_step(lag, threshold, influence, new_value, history):
     return infl_value, avg, lb, ub, signal
 
 
+def _zscore_series_incremental(xs, lag, threshold, influence):
+    """O(1)-per-step exact scan of one metric series: rolling non-null
+    count/sum/sumsq over the FIFO history (variance as E[x^2]-mu^2, same
+    form as zscore_window so influence=1 matches it bitwise). Sums are
+    rebuilt every 8192 steps to cancel float drift from incremental
+    add/remove. Semantics mirror zscore_step (which stays as the simple
+    reference implementation for unit tests / streaming)."""
+    import math
+    from collections import deque
+
+    n = len(xs)
+    hist: deque = deque()
+    nn = 0
+    s = 0.0
+    s2 = 0.0
+    ops = 0
+    avg_o: list = [None] * n
+    lb_o: list = [None] * n
+    ub_o: list = [None] * n
+    sig_o: list = [0] * n
+    for i in range(n):
+        x = xs[i]
+        append_val = x
+        if len(hist) >= lag:
+            avg = sd = None
+            if nn > 0:
+                avg = s / nn
+                var = s2 / nn - avg * avg
+                sd = math.sqrt(var) if var > 0 else None  # variance-0 quirk
+            if avg is not None and sd is not None:
+                lb_o[i] = avg - threshold * sd
+                ub_o[i] = avg + threshold * sd
+                if x is not None and abs(x - avg) > threshold * sd:
+                    sig_o[i] = 1 if x > avg else -1
+                    prev = hist[-1] if hist else None
+                    if prev is not None:
+                        append_val = influence * x + (1 - influence) * prev
+            avg_o[i] = avg
+        hist.append(append_val)
+        if append_val is not None:
+            nn += 1
+            s += append_val
+            s2 += append_val * append_val
+        if len(hist) > lag:
+            old = hist.popleft()
+            if old is not None:
+                nn -= 1
+                s -= old
+                s2 -= old * old
+        ops += 1
+        if ops % 8192 == 0:  # drift reset
+            vals = [v for v in hist if v is not None]
+            nn = len(vals)
+            s = math.fsum(vals)
+            s2 = math.fsum(v * v for v in vals)
+    return avg_o, lb_o, ub_o, sig_o
+
+
 def zscore_recursive_py(
     rows: pd.DataFrame,
     lags: Iterable[int],
@@ -210,38 +268,49 @@ def zscore_recursive_py(
     metrics: Iterable[str] = METRICS,
 ) -> pd.DataFrame:
     """Driver-side-free sequential scan of ONE key's st series (sorted by
-    timestamp), exact reference semantics. Used inside applyInPandas."""
+    timestamp), exact reference semantics. Used inside applyInPandas.
+
+    Columnar inner loop (plain lists, no iterrows): the recursion is
+    inherently sequential per key, but each step is O(history) only when a
+    window is full — a rolling sum would break the exact null-skipping +
+    damping semantics, so the simple exact form is kept and the constant
+    factor minimized."""
     rows = rows.sort_values("timestamp")
-    out_rows = []
+    n = len(rows)
+    ts_l = rows["timestamp"].tolist()
+    srv_l = rows["server"].tolist()
+    svc_l = rows["service"].tolist()
+    tpm_l = rows["tpm"].tolist()
+    metric_vals = {
+        m: [None if pd.isna(v) else float(v) for v in rows[m].tolist()]
+        for m in metrics
+    }
+
+    frames = []
     for lag in lags:
-        hist: dict[str, list] = {m: [] for m in metrics}
-        for _, r in rows.iterrows():
-            rec = {
-                "timestamp": r["timestamp"],
-                "server": r["server"],
-                "service": r["service"],
-                "tpm": r["tpm"],
-                "lag": int(lag),
-            }
-            for m in metrics:
-                x = r[m]
-                x = None if pd.isna(x) else float(x)
-                appended, avg, lb, ub, signal = zscore_step(
-                    lag, threshold, influence, x, hist[m]
-                )
-                rec[m] = x
-                rec[f"{m}avg"] = avg
-                rec[f"{m}lb"] = lb
-                rec[f"{m}ub"] = ub
-                rec[f"{m}signal"] = signal
-                hist[m].append(appended)
-                if len(hist[m]) > lag:
-                    hist[m].pop(0)
-            out_rows.append(rec)
-    cols = ["timestamp", "server", "service", "tpm", "lag"]
+        cols: dict[str, list] = {
+            "timestamp": ts_l,
+            "server": srv_l,
+            "service": svc_l,
+            "tpm": tpm_l,
+            "lag": [int(lag)] * n,
+        }
+        for m in metrics:
+            xs = metric_vals[m]
+            avg_o, lb_o, ub_o, sig_o = _zscore_series_incremental(
+                xs, lag, threshold, influence
+            )
+            cols[m] = xs
+            cols[f"{m}avg"] = avg_o
+            cols[f"{m}lb"] = lb_o
+            cols[f"{m}ub"] = ub_o
+            cols[f"{m}signal"] = sig_o
+        frames.append(pd.DataFrame(cols))
+    out = pd.concat(frames, ignore_index=True)
+    order = ["timestamp", "server", "service", "tpm", "lag"]
     for m in metrics:
-        cols += [m, f"{m}avg", f"{m}lb", f"{m}ub", f"{m}signal"]
-    return pd.DataFrame(out_rows, columns=cols)
+        order += [m, f"{m}avg", f"{m}lb", f"{m}ub", f"{m}signal"]
+    return out[order]
 
 
 def zscore_recursive(
