@@ -209,7 +209,7 @@ WITH media AS (
            CAST(doc_id % 480 + 32 AS INT) AS meta_height
     FROM documents
 )
-SELECT kind, COUNT(*) AS n, SUM(n_bytes) AS total_bytes,
+SELECT kind, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        MIN(CASE WHEN kind = 'audio' THEN 0 ELSE meta_width END) AS min_width,
        MAX(CASE WHEN kind = 'audio' THEN 0 ELSE meta_height END) AS max_height
 FROM media GROUP BY kind

@@ -65,7 +65,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(qty) AS sum_qty,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
        CAST(SUM(base_c) AS DOUBLE) / 100.0 AS sum_base_price,
        CAST(SUM(disc_c) AS DOUBLE) / 10000.0 AS sum_disc_price,
        CAST(SUM(charge_c) AS DOUBLE) / 10000.0 AS sum_charge,

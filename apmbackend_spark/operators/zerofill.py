@@ -120,7 +120,7 @@ def jmx_rollup(tx: DataFrame) -> DataFrame:
 JMX_ROLLUP_ORACLE = """
 , jx AS (
     SELECT (endts - endts % 60000) AS timestamp, server,
-           100000000 + SUM(elapsed) * 1000 AS heapused,
+           CAST(100000000 + SUM(elapsed) * 1000 AS BIGINT) AS heapused,
            CAST(512000000 AS BIGINT) AS heapmax,
            CAST(COUNT(*) * 7 AS INT) AS threadcnt,
            CAST(MAX(elapsed) AS DOUBLE) / 1000.0 AS sysload

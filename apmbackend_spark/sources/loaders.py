@@ -26,10 +26,37 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable confs required to read the driver fixtures on ANY session,
+# not just the tuned one from session.get_spark():
+#   - events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's parquet
+#     reader rejects (PARQUET_TYPE_ILLEGAL) unless read as a nanos BIGINT;
+#   - ms/us parquet timestamps must infer as TimestampType (not NTZ) so
+#     unix_millis()/window() resolve uniformly;
+#   - UTC session time keeps epoch math identical to the DuckDB oracle.
+_SESSION_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_conf(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the fixture-compat confs to a live session.
+
+    The driver calls ``queries()`` with a vanilla SparkSession; these confs
+    are all runtime-settable, so setting them here (rather than only at
+    builder time in session.get_spark) makes every loader portable.
+    """
+    for key, value in _SESSION_CONF.items():
+        if spark.conf.get(key, None) != value:
+            spark.conf.set(key, value)
+    return spark
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_session_conf(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
