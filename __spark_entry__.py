@@ -123,9 +123,11 @@ def _q_ordered_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_db_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    tx = load_tx(spark, sf_dir)
-    st = zs.st_from_window_stats(window_stats(tx))
-    fs = zs.zscore_window(st, lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
+    # tx/st/fs each feed two+ sinks of the fan-in: persist at the seams so
+    # the window-stats chain is computed once, not once per consumer.
+    tx = load_tx(spark, sf_dir).persist()
+    st = zs.st_from_window_stats(window_stats(tx)).persist()
+    fs = zs.zscore_window(st, lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD).persist()
     cand = al.alert_candidates(fs, ALERT_CFG)
     return od.db_fanin(
         {

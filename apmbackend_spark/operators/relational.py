@@ -108,7 +108,12 @@ def q3_top_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "l_orderkey",
-            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            # cast-to-TIMESTAMP is a no-op on TimestampType and rescues a
+            # session that inferred the parquet ms column as TIMESTAMP_NTZ
+            # (UTC session => identical epoch math either way).
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_ms"
+            ),
             "o_orderpriority",
             rev.alias("rev_c"),
         )

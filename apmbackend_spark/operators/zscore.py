@@ -69,36 +69,11 @@ ST_ORACLE_CTE = """
 )"""
 
 
-def _zscore_metric_cols(metric: str, lag: int, threshold: float) -> list[Column]:
-    w = (
-        Window.partitionBy("server", "service")
-        .orderBy("timestamp")
-        .rowsBetween(-lag, -1)
-    )
-    x = F.col(metric)
-    histlen = F.count(F.lit(1)).over(w)
-    n = F.count(x).over(w)
-    mu_raw = F.sum(x).over(w) / n
-    ex2 = F.sum(x * x).over(w) / n
-    var = ex2 - mu_raw * mu_raw
-    full = histlen >= lag
-    mu = F.when(full & (n > 0), mu_raw)
-    sd = F.when(full & (n > 0) & (var > 0), F.sqrt(var))
-    t = F.lit(float(threshold))
-    lb = F.when(mu.isNotNull() & sd.isNotNull(), mu - t * sd)
-    ub = F.when(mu.isNotNull() & sd.isNotNull(), mu + t * sd)
-    signal = (
-        F.when(mu.isNull() | sd.isNull() | x.isNull(), F.lit(0))
-        .when(F.abs(x - mu) > t * sd, F.when(x > mu, F.lit(1)).otherwise(F.lit(-1)))
-        .otherwise(F.lit(0))
-    )
-    return [
-        x.alias(metric),
-        mu.alias(f"{metric}avg"),
-        lb.alias(f"{metric}lb"),
-        ub.alias(f"{metric}ub"),
-        signal.cast("int").alias(f"{metric}signal"),
-    ]
+def _lag0(col: Column, offset: int, over: Window) -> Column:
+    """lag(col, offset) with out-of-bounds/empty-prefix as 0 — correct for
+    cumulative counts and null-skipping cumulative sums (an absent prefix
+    contributes zero)."""
+    return F.coalesce(F.lag(col, offset).over(over), F.lit(0).cast("long"))
 
 
 def zscore_window(
@@ -108,23 +83,124 @@ def zscore_window(
     metrics: Iterable[str] = METRICS,
 ) -> DataFrame:
     """Window-function z-score (influence=1 semantics), one fs row per lag
-    per st row — the lag fan-out mirrors reference stream_calc_z_score.js:473."""
-    outs = []
-    for lag in lags:
-        cols = [
-            F.col("timestamp"),
-            F.col("server"),
-            F.col("service"),
-            F.col("tpm"),
-            F.lit(int(lag)).alias("lag"),
+    per st row — the lag fan-out mirrors reference stream_calc_z_score.js:473.
+
+    Plan shape (the 100 TB path): Spark's sliding-frame aggregation
+    (`rowsBetween(-lag, -1)`) re-aggregates the whole frame per output row —
+    O(rows x lag) per window function — and a per-lag `unionAll` recomputes
+    the entire upstream per branch. Instead, every trailing-frame statistic
+    is derived from CUMULATIVE sums plus `lag()` offsets, both O(1) per row:
+
+        sum over rows[-L..-1] at row i  =  cum(i-1) - cum(i-L-1)
+                                        =  lag(cum, 1) - lag(cum, L+1)
+
+    All cumulative/offset functions share one partitioning and sort, so the
+    whole operator is ONE shuffle + ONE sort regardless of how many lags are
+    requested; the lag fan-out is an `explode` of per-lag structs, not a
+    union (st is scanned once).
+
+    Float determinism: metric values are integer-valued doubles (rounded
+    ms), so they are accumulated as LONGs — cumulative sums and their
+    differences are exact integers, making this formulation bit-identical
+    to the naive sliding-frame oracle (DuckDB) at any accumulation order.
+    Sum-of-squares fits a long up to ~9e18 (values < 1e5 ms squared = 1e10
+    per row => ~9e8 rows per key before overflow; a key is a (server,
+    service) minute-series, orders of magnitude below that even at 100 TB).
+    """
+    lags = tuple(int(x) for x in lags)
+    metrics = tuple(metrics)
+    wcum = (
+        Window.partitionBy("server", "service")
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    word = Window.partitionBy("server", "service").orderBy("timestamp")
+
+    # Pass 1: O(1)-per-row cumulative statistics, lag-independent.
+    cum_cols = [F.row_number().over(word).alias("__rn")]
+    for m in metrics:
+        xl = F.col(m).cast("long")
+        cum_cols += [
+            F.count(F.col(m)).over(wcum).alias(f"__cn_{m}"),
+            F.sum(xl).over(wcum).alias(f"__cs_{m}"),
+            F.sum(xl * xl).over(wcum).alias(f"__cq_{m}"),
         ]
+    cum = st.select("timestamp", "server", "service", "tpm", *metrics, *cum_cols)
+
+    # Pass 2 (same sort, chained window — no extra shuffle): per-lag frame
+    # stats as offset differences. Window (lag) expressions must live in a
+    # plain projection — a Generate (explode) cannot host them — so mu/sd
+    # are materialized as flat columns first.
+    stat_cols = []
+    for lag in lags:
+        full = F.col("__rn") > F.lit(lag)  # trailing history holds >= lag rows
         for m in metrics:
-            cols.extend(_zscore_metric_cols(m, lag, threshold))
-        outs.append(st.select(*cols))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+            n = _lag0(F.col(f"__cn_{m}"), 1, word) - _lag0(
+                F.col(f"__cn_{m}"), lag + 1, word
+            )
+            s1 = _lag0(F.col(f"__cs_{m}"), 1, word) - _lag0(
+                F.col(f"__cs_{m}"), lag + 1, word
+            )
+            s2 = _lag0(F.col(f"__cq_{m}"), 1, word) - _lag0(
+                F.col(f"__cq_{m}"), lag + 1, word
+            )
+            mu_raw = s1.cast("double") / n
+            var = s2.cast("double") / n - mu_raw * mu_raw
+            stat_cols += [
+                F.when(full & (n > 0), mu_raw).alias(f"__mu_{m}_{lag}"),
+                F.when(full & (n > 0) & (var > 0), F.sqrt(var)).alias(
+                    f"__sd_{m}_{lag}"
+                ),
+            ]
+    stats = cum.select(
+        "timestamp", "server", "service", "tpm", *metrics, *stat_cols
+    )
+
+    # Pass 3: pure column arithmetic — per-lag structs, one explode.
+    t = F.lit(float(threshold))
+    lag_structs = []
+    for lag in lags:
+        fields = [F.lit(int(lag)).alias("lag")]
+        for m in metrics:
+            x = F.col(m)
+            mu = F.col(f"__mu_{m}_{lag}")
+            sd = F.col(f"__sd_{m}_{lag}")
+            lb = F.when(mu.isNotNull() & sd.isNotNull(), mu - t * sd)
+            ub = F.when(mu.isNotNull() & sd.isNotNull(), mu + t * sd)
+            signal = (
+                F.when(mu.isNull() | sd.isNull() | x.isNull(), F.lit(0))
+                .when(
+                    F.abs(x - mu) > t * sd,
+                    F.when(x > mu, F.lit(1)).otherwise(F.lit(-1)),
+                )
+                .otherwise(F.lit(0))
+            )
+            fields += [
+                x.alias(m),
+                mu.alias(f"{m}avg"),
+                lb.alias(f"{m}lb"),
+                ub.alias(f"{m}ub"),
+                signal.cast("int").alias(f"{m}signal"),
+            ]
+        lag_structs.append(F.struct(*fields))
+
+    out_fields = ["lag"]
+    for m in metrics:
+        out_fields += [m, f"{m}avg", f"{m}lb", f"{m}ub", f"{m}signal"]
+    exploded = stats.select(
+        "timestamp",
+        "server",
+        "service",
+        "tpm",
+        F.explode(F.array(*lag_structs)).alias("__z"),
+    )
+    return exploded.select(
+        "timestamp",
+        "server",
+        "service",
+        "tpm",
+        *[F.col(f"__z.{f}").alias(f) for f in out_fields],
+    )
 
 
 def _zscore_metric_sql(metric: str, lag: int, threshold: float) -> str:
