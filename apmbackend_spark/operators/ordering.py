@@ -20,10 +20,37 @@ from pyspark.sql import functions as F
 def ordered_release(tx: DataFrame) -> DataFrame:
     """O1: tx in endts order with a deterministic release rank. Ties broken
     by logid (the reference's heap is insertion-stable; batch needs an
-    explicit total order)."""
-    w = Window.orderBy("endts", "logid")
-    return tx.select("logid", "server", "service", "endts", "elapsed").withColumn(
-        "release_rank", F.row_number().over(w)
+    explicit total order).
+
+    Scale shape: a bare ``Window.orderBy`` funnels the whole dataset through
+    ONE task for row_number — the canonical driver-of-one bottleneck.
+    Instead: range-partition on the sort key (sample sort, so partition i's
+    keys all precede partition i+1's), rank WITHIN each partition in
+    parallel, then add per-partition offsets (the running row count of the
+    preceding partitions — the zipWithIndex pattern). The only
+    single-partition exchange left operates on |partitions| count rows, not
+    on the data."""
+    df = tx.select("logid", "server", "service", "endts", "elapsed")
+    rng = df.repartitionByRange(F.col("endts"), F.col("logid"))
+    part = rng.withColumn("__pid", F.spark_partition_id())
+    wp = Window.partitionBy("__pid").orderBy("endts", "logid")
+    local = part.withColumn("__lrn", F.row_number().over(wp))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    wo = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__off"),
+    )
+    return local.join(F.broadcast(offsets), "__pid").select(
+        "logid",
+        "server",
+        "service",
+        "endts",
+        "elapsed",
+        (F.col("__off") + F.col("__lrn")).cast("int").alias("release_rank"),
     )
 
 

@@ -66,6 +66,39 @@ def test_zscore_has_no_python_udf(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_ordered_release_no_global_window(spark):
+    from apmbackend_spark.operators.ordering import ordered_release
+    from apmbackend_spark.sources.tx import load_tx
+
+    p = plan(ordered_release(load_tx(spark, SF_SMOKE)))
+    # the data-bearing row_number must be partitioned (by __pid), and the
+    # only single-partition exchange allowed is the tiny per-partition-count
+    # offsets branch — never the full dataset.
+    assert "windowspecdefinition(__pid" in p
+    assert p.count("Exchange SinglePartition") <= 1
+    # zscore-style global Window over the raw sort key must be gone: every
+    # windowspecdefinition mentioning endts must be pid-partitioned.
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line and "endts" in line:
+            assert "__pid" in line
+
+
+def test_zscore_single_data_shuffle(spark):
+    """The cumulative-sum z-score must sort/shuffle the st input ONCE for
+    all lags (no per-lag union recompute) and stay JVM-side."""
+    import __spark_entry__ as e
+
+    import re
+
+    p = plan(e.queries()["zscore"](spark, SF_SMOKE))
+    # cum pass + offset pass chained over ONE sort: at most 2 Window
+    # operators ("(n) Window" detail headers), and only one exchange keyed
+    # on (server, service) feeding them.
+    assert len(re.findall(r"\(\d+\) Window", p)) <= 2
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3  # ws groupBy + zscore sort (+AQE)
+    assert "BatchEvalPython" not in p
+
+
 def test_ann_bruteforce_broadcasts_corpus(spark):
     from apmbackend_spark.operators.similarity import ann_bruteforce
     from apmbackend_spark.sources.loaders import load_table
