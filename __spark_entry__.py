@@ -32,6 +32,14 @@ from apmbackend_spark.sources.loaders import load_table
 ZSCORE_LAGS = (60, 360)
 ZSCORE_THRESHOLD = 3.0
 
+# Reference settings cascade (apm_config.json:152-172): per-lag default
+# thresholds + per-service per-lag overrides. Exercised by zscore_override.
+ZSCORE_TH_BY_LAG = {60: 3.0, 360: 2.5}
+ZSCORE_OVERRIDES = {
+    "S:purchase": {60: {"threshold": 2.0}},
+    "error": {60: {"threshold": 4.0}, 360: {"threshold": 4.0}},
+}
+
 # Exercises every predicate on the fixture data: hard-max fires on the
 # latency tail, the override rebases one service, both-signals pass the
 # floors, one service suppressed (F1), one no-op suppressed lag.
@@ -85,6 +93,18 @@ def _q_tx_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = zs.st_from_window_stats(window_stats(load_tx(spark, sf_dir)))
     return zs.zscore_window(st, lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
+
+
+def _q_zscore_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A9 settings cascade: per-lag defaults + per-service threshold
+    # overrides (stream_calc_z_score.js:106-150).
+    st = zs.st_from_window_stats(window_stats(load_tx(spark, sf_dir)))
+    return zs.zscore_window(
+        st,
+        lags=ZSCORE_LAGS,
+        threshold=ZSCORE_TH_BY_LAG,
+        overrides=ZSCORE_OVERRIDES,
+    )
 
 
 def _q_zscore_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_normalize": _q_tx_normalize,
         "window_stats": _q_window_stats,
         "zscore": _q_zscore,
+        "zscore_override": _q_zscore_override,
         "zscore_recursive": _q_zscore_recursive,
         "alert_candidates": _q_alert_candidates,
         "alerts": _q_alerts,
@@ -228,6 +249,14 @@ FROM tx
         + window_stats_oracle_ctes()
         + zs.ST_ORACLE_CTE
         + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD),
+        "zscore_override": TX_CTE
+        + window_stats_oracle_ctes()
+        + zs.ST_ORACLE_CTE
+        + zs.zscore_oracle_select(
+            lags=ZSCORE_LAGS,
+            threshold=ZSCORE_TH_BY_LAG,
+            overrides=ZSCORE_OVERRIDES,
+        ),
         "alert_candidates": TX_CTE
         + window_stats_oracle_ctes()
         + zs.ST_ORACLE_CTE

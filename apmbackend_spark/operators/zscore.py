@@ -45,6 +45,37 @@ METRICS = ("average", "per75", "per95")
 DEFAULT_LAGS = (360, 8640)  # reference config/apm_config.json:137,142
 
 
+def _threshold_for(
+    threshold,
+    lag: int,
+    service: str | None = None,
+    overrides: dict | None = None,
+) -> float:
+    """Resolve the reference's settings cascade
+    (stream_calc_z_score.js:106-127 getServiceSettingsFromConfig):
+    per-lag default (scalar threshold applies to every lag; a {lag: value}
+    dict mirrors the per-LAG defaults list), then the per-service per-lag
+    override when configured (config/apm_config.json:152-172)."""
+    base = threshold[lag] if isinstance(threshold, dict) else float(threshold)
+    if overrides and service is not None:
+        ov = overrides.get(service, {}).get(lag, {})
+        base = float(ov.get("threshold", base))
+    return float(base)
+
+
+def _influence_for(
+    influence: float,
+    lag: int,
+    service: str | None = None,
+    overrides: dict | None = None,
+) -> float:
+    base = influence[lag] if isinstance(influence, dict) else float(influence)
+    if overrides and service is not None:
+        ov = overrides.get(service, {}).get(lag, {})
+        base = float(ov.get("influence", base))
+    return float(base)
+
+
 def st_from_window_stats(winstats: DataFrame) -> DataFrame:
     """Project window_stats output into the st record shape
     (reference entries.js:52-84), with integer-valued metric doubles."""
@@ -79,8 +110,9 @@ def _lag0(col: Column, offset: int, over: Window) -> Column:
 def zscore_window(
     st: DataFrame,
     lags: Iterable[int] = DEFAULT_LAGS,
-    threshold: float = 3.0,
+    threshold: float | dict = 3.0,
     metrics: Iterable[str] = METRICS,
+    overrides: dict | None = None,
 ) -> DataFrame:
     """Window-function z-score (influence=1 semantics), one fs row per lag
     per st row — the lag fan-out mirrors reference stream_calc_z_score.js:473.
@@ -156,10 +188,20 @@ def zscore_window(
         "timestamp", "server", "service", "tpm", *metrics, *stat_cols
     )
 
-    # Pass 3: pure column arithmetic — per-lag structs, one explode.
-    t = F.lit(float(threshold))
+    # Pass 3: pure column arithmetic — per-lag structs, one explode. The
+    # per-service threshold cascade compiles to a literal when-chain on the
+    # service column (a handful of configured overrides — constant-folded,
+    # JVM-side, no join needed).
     lag_structs = []
     for lag in lags:
+        t = F.lit(_threshold_for(threshold, lag))
+        if overrides:
+            for svc in sorted(overrides):
+                if "threshold" in overrides[svc].get(lag, {}):
+                    t = F.when(
+                        F.col("service") == svc,
+                        F.lit(_threshold_for(threshold, lag, svc, overrides)),
+                    ).otherwise(t)
         fields = [F.lit(int(lag)).alias("lag")]
         for m in metrics:
             x = F.col(m)
@@ -203,7 +245,7 @@ def zscore_window(
     )
 
 
-def _zscore_metric_sql(metric: str, lag: int, threshold: float) -> str:
+def _zscore_metric_sql(metric: str, lag: int, threshold) -> str:
     m = metric
     w = f"(PARTITION BY server, service ORDER BY timestamp ROWS BETWEEN {lag} PRECEDING AND 1 PRECEDING)"
     histlen = f"COUNT(*) OVER {w}"
@@ -213,7 +255,7 @@ def _zscore_metric_sql(metric: str, lag: int, threshold: float) -> str:
     var = f"({ex2} - {mu_raw} * {mu_raw})"
     mu = f"(CASE WHEN {histlen} >= {lag} AND {n} > 0 THEN {mu_raw} END)"
     sd = f"(CASE WHEN {histlen} >= {lag} AND {n} > 0 AND {var} > 0 THEN sqrt({var}) END)"
-    t = repr(float(threshold))
+    t = threshold if isinstance(threshold, str) else repr(float(threshold))
     return f"""
         {m},
         {mu} AS {m}avg,
@@ -227,13 +269,26 @@ def _zscore_metric_sql(metric: str, lag: int, threshold: float) -> str:
 
 def zscore_oracle_select(
     lags: Iterable[int] = DEFAULT_LAGS,
-    threshold: float = 3.0,
+    threshold: float | dict = 3.0,
     metrics: Iterable[str] = METRICS,
+    overrides: dict | None = None,
 ) -> str:
-    """DuckDB twin of zscore_window over the `st` CTE."""
+    """DuckDB twin of zscore_window over the `st` CTE (naive sliding-frame
+    form; the engine's cumulative formulation is exact-integer so the two
+    are bit-identical). The override cascade renders as a CASE chain on
+    service, mirroring the when-chain in zscore_window."""
     selects = []
     for lag in lags:
-        metric_sql = ",".join(_zscore_metric_sql(m, lag, threshold) for m in metrics)
+        t_sql = repr(_threshold_for(threshold, lag))
+        if overrides:
+            cases = "".join(
+                f"WHEN service = '{svc}' THEN {_threshold_for(threshold, lag, svc, overrides)!r} "
+                for svc in sorted(overrides)
+                if "threshold" in overrides[svc].get(lag, {})
+            )
+            if cases:
+                t_sql = f"(CASE {cases}ELSE {t_sql} END)"
+        metric_sql = ",".join(_zscore_metric_sql(m, lag, t_sql) for m in metrics)
         selects.append(
             f"SELECT timestamp, server, service, tpm, {lag} AS lag, {metric_sql} FROM st"
         )
@@ -339,9 +394,10 @@ def _zscore_series_incremental(xs, lag, threshold, influence):
 def zscore_recursive_py(
     rows: pd.DataFrame,
     lags: Iterable[int],
-    threshold: float,
-    influence: float,
+    threshold: float | dict,
+    influence: float | dict,
     metrics: Iterable[str] = METRICS,
+    overrides: dict | None = None,
 ) -> pd.DataFrame:
     """Driver-side-free sequential scan of ONE key's st series (sorted by
     timestamp), exact reference semantics. Used inside applyInPandas.
@@ -362,8 +418,15 @@ def zscore_recursive_py(
         for m in metrics
     }
 
+    # One applyInPandas group == one (server, service) key, so the settings
+    # cascade resolves once per group (stream_calc_z_score.js:134-150
+    # updateServiceSettings applies per-service settings to every lag slot).
+    service = svc_l[0] if n else None
+
     frames = []
     for lag in lags:
+        t_eff = _threshold_for(threshold, lag, service, overrides)
+        i_eff = _influence_for(influence, lag, service, overrides)
         cols: dict[str, list] = {
             "timestamp": ts_l,
             "server": srv_l,
@@ -374,7 +437,7 @@ def zscore_recursive_py(
         for m in metrics:
             xs = metric_vals[m]
             avg_o, lb_o, ub_o, sig_o = _zscore_series_incremental(
-                xs, lag, threshold, influence
+                xs, lag, t_eff, i_eff
             )
             cols[m] = xs
             cols[f"{m}avg"] = avg_o
@@ -392,9 +455,10 @@ def zscore_recursive_py(
 def zscore_recursive(
     st: DataFrame,
     lags: Iterable[int] = DEFAULT_LAGS,
-    threshold: float = 3.0,
-    influence: float = 0.1,
+    threshold: float | dict = 3.0,
+    influence: float | dict = 0.1,
     metrics: Iterable[str] = METRICS,
+    overrides: dict | None = None,
 ) -> DataFrame:
     """Exact reference z-score for any influence, as ordered per-key
     applyInPandas. Partitioned by (server, service): each group holds one
@@ -421,6 +485,8 @@ def zscore_recursive(
     schema = ", ".join(schema_parts)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return zscore_recursive_py(pdf, lags, threshold, influence, metrics)
+        return zscore_recursive_py(
+            pdf, lags, threshold, influence, metrics, overrides
+        )
 
     return st.groupBy("server", "service").applyInPandas(fn, schema=schema)

@@ -87,6 +87,58 @@ def test_null_value_gives_zero_signal_but_occupies_history():
     assert appended is None
 
 
+def test_per_service_overrides_window_and_recursive(spark):
+    """Reference cascade (stream_calc_z_score.js:106-150 +
+    apm_config.json:152-172): per-lag default thresholds, per-(service,
+    lag) threshold overrides. An overridden service must match a run with
+    that threshold applied globally; every other service must match the
+    default run."""
+    from apmbackend_spark.operators.window_stats import window_stats
+    from apmbackend_spark.operators.zscore import (
+        st_from_window_stats,
+        zscore_recursive,
+        zscore_window,
+    )
+    from apmbackend_spark.sources.tx import load_tx
+
+    st = st_from_window_stats(
+        window_stats(load_tx(spark, "/root/testdata/sf0.001"))
+    ).persist()
+    services = [r[0] for r in st.select("service").distinct().collect()]
+    target = sorted(services)[0]
+    overrides = {target: {60: {"threshold": 1.5}}}
+
+    def rows(df):
+        return {
+            (r["server"], r["service"], r["timestamp"], r["lag"]): tuple(
+                r[f"{m}signal"] for m in ("average", "per75", "per95")
+            )
+            for r in df.collect()
+        }
+
+    base = rows(zscore_window(st, lags=(60,), threshold=3.0))
+    ov = rows(zscore_window(st, lags=(60,), threshold=3.0, overrides=overrides))
+    tight = rows(zscore_window(st, lags=(60,), threshold=1.5))
+    assert set(base) == set(ov)
+    changed = 0
+    for k in ov:
+        if k[1] == target:
+            assert ov[k] == tight[k], k
+            changed += ov[k] != base[k]
+        else:
+            assert ov[k] == base[k], k
+    assert changed > 0  # the tighter threshold must actually fire more
+
+    # recursive form resolves the same cascade per group (influence=1)
+    rec = rows(
+        zscore_recursive(
+            st, lags=(60,), threshold=3.0, influence=1.0, overrides=overrides
+        )
+    )
+    assert rec == ov
+    st.unpersist()
+
+
 def test_recursive_influence1_matches_window_impl(spark):
     from apmbackend_spark.operators.window_stats import window_stats
     from apmbackend_spark.operators.zscore import (
