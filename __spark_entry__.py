@@ -171,7 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": lambda s, d: sim.ann_bruteforce(embs(s, d)),
         "ivf_assign": lambda s, d: sim.ivf_assign(embs(s, d)),
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
-        # mapInPandas decode plumbing (stubbed codecs) — rows-only check.
+        # mapInPandas decode plumbing (stubbed codecs); the stub is
+        # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
             mm.synth_media(s, docs(s, d))
         ),
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
         + zf.st_zerofill_oracle_sql(),
         "jmx_rollup": TX_CTE + zf.JMX_ROLLUP_ORACLE,
+        "media_features": mm.media_features_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,
         "q3_top_orders": rel.Q3_ORACLE,
         "q5_local_supplier_volume": rel.Q5_ORACLE,

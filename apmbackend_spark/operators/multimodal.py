@@ -17,6 +17,7 @@ shape for decoding billions of images on 1000 executors.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -98,7 +99,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
                 else:  # audio: no spatial dims
                     pixels, w, h = _decode_image_stub(content, 0, 0)
                     frames = 0
-                norm = sum(p * p for p in pixels) ** 0.5
+                norm = math.sqrt(sum(p * p for p in pixels))
                 out.append(
                     {
                         "media_id": r.media_id,
@@ -114,6 +115,42 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
             yield pd.DataFrame(out)
 
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def media_features_oracle_sql() -> str:
+    """DuckDB twin of synth_media + extract_features. Every output column —
+    including feature_norm — is deterministic: the stub's pseudo-pixels are
+    sha256 digest bytes / 256.0, reproduced here by hex-nibble arithmetic on
+    DuckDB's sha256() (exact dyadic rationals, so sqrt sees the identical
+    double on both engines)."""
+    hexpos = "strpos('0123456789abcdef', substr(content_sha256, {k}, 1)) - 1"
+    terms = " + ".join(
+        "pow((16 * ({h1}) + ({h2})) / 256.0, 2)".format(
+            h1=hexpos.format(k=2 * i + 1), h2=hexpos.format(k=2 * i + 2)
+        )
+        for i in range(8)
+    )
+    return f"""
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           text,
+           CAST(doc_id % 640 + 32 AS INT) AS meta_width,
+           CAST(doc_id % 480 + 32 AS INT) AS meta_height
+    FROM documents
+), f AS (
+    SELECT media_id, kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           CAST(CASE WHEN kind = 'audio' THEN 0 ELSE meta_width END AS INT) AS width,
+           CAST(CASE WHEN kind = 'audio' THEN 0 ELSE meta_height END AS INT) AS height,
+           CAST(CASE kind WHEN 'image' THEN 1 WHEN 'video' THEN 4 ELSE 0 END AS INT) AS n_frames
+    FROM media
+)
+SELECT media_id, kind, n_bytes, content_sha256, width, height, n_frames,
+       sqrt({terms}) AS feature_norm
+FROM f
+"""
 
 
 def media_stats(features: DataFrame) -> DataFrame:
