@@ -29,7 +29,7 @@ Per-file grammar handling mirrors the reference semantics:
 from __future__ import annotations
 
 import re
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 import pandas as pd
 
@@ -75,7 +75,10 @@ def parse_iso_ts(s: str) -> int | None:
         dt = datetime.fromisoformat(s)
     except ValueError:
         return None
-    return int(dt.timestamp() * 1000)
+    # exact integer ms: timestamp()*1000 in double can land one ulp below
+    # the grid and truncate a millisecond off
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    return (dt - epoch) // timedelta(milliseconds=1)
 
 
 def normalize_service(svc: str) -> str:

@@ -54,7 +54,9 @@ def window_stats_stream(
 ) -> DataFrame:
     """Watermarked sliding-window stats — the streaming twin of
     operators/window_stats.py (same expressions, same output schema)."""
-    minutes = 5.0
+    from apmbackend_spark.operators.window_stats import _duration_minutes
+
+    minutes = _duration_minutes(window)
     arr = F.sort_array(F.collect_list("elapsed"))
     return (
         tx.withWatermark("endtime", watermark)
@@ -107,16 +109,92 @@ def fanout_parquet_sink(
     partition_col: str | None = None,
 ) -> "DataFrame":
     """foreachBatch fan-out sink: the streaming analogue of the reference's
-    buffered multi-row INSERT (micro-batch == buffer; idempotent overwrite
-    per batch id gives effectively-once on replay). Swap `write.parquet`
-    for `write.jdbc` against Postgres in production."""
+    buffered multi-row INSERT (micro-batch == buffer). Partitioning the
+    output by `_batch_id` and dynamically overwriting ONLY that partition
+    makes a replayed micro-batch idempotent — effectively-once on failure
+    recovery, matching the reference's resume-buffer dedup intent
+    (stream_insert_db.js:165-171 resumeBufferFromFileIfExists)."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         (
             batch.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("_batch_id")
             .parquet(out_dir)
         )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# Reference column sets per typed table (stream_insert_db.js:149-160
+# getColumnSets); jx carries the gauge subset the synthetic collector emits.
+DB_TABLE_COLUMNS = {
+    "tx": (
+        "endts",
+        "startts",
+        "server",
+        "service",
+        "logid",
+        "acctnum",
+        "elapsed",
+        "toplevel",
+    ),
+    "fs": ("timestamp", "server", "service", "tpm", "lag", "stats"),
+    "al": (
+        "entrytimestamp",
+        "alerttimestamp",
+        "server",
+        "service",
+        "cause",
+        "entry",
+    ),
+    "jx": ("timestamp", "server", "heapused", "heapmax", "threadcnt", "sysload"),
+}
+
+
+def db_insert_sink(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    jdbc_url: str | None = None,
+    tables: dict[str, str] | None = None,
+    properties: dict[str, str] | None = None,
+    write_fn=None,
+):
+    """S6: the db_insert stage (stream_insert_db.js:277-353) as foreachBatch
+    bulk JDBC. The input is a type-tagged envelope stream (`rectype` column,
+    one nullable column per typed field); each micro-batch routes every
+    rectype's rows — pruned to the reference's column set for that table —
+    into its Postgres table via `batch.write.jdbc` (Spark's JDBC writer
+    issues multi-row batch INSERTs, the same wire shape as pgp.helpers
+    bulk insert; micro-batch == the reference's buffer).
+
+    `write_fn(sub_df, table, batch_id)` injects a sink for contract tests
+    (no JDBC server in CI); production leaves it None -> write.jdbc.
+    """
+    tables = tables or {k: f"apm_{k}" for k in DB_TABLE_COLUMNS}
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            for rectype, table in tables.items():
+                cols = [
+                    c for c in DB_TABLE_COLUMNS[rectype] if c in batch.columns
+                ]
+                sub = batch.where(F.col("rectype") == rectype).select(*cols)
+                if write_fn is not None:
+                    write_fn(sub, table, batch_id)
+                else:  # pragma: no cover - needs a live JDBC endpoint
+                    sub.write.mode("append").jdbc(
+                        jdbc_url, table, properties=properties or {}
+                    )
+        finally:
+            batch.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -124,6 +124,101 @@ def test_zscore_stateful_matches_recursive_across_batches(spark, tmpdir):
     assert n_sig > 0  # the step change must actually signal
 
 
+def test_db_insert_sink_routes_typed_tables(spark, tmpdir):
+    """S6 contract (stream_insert_db.js:149-160, 277-353): the envelope
+    stream splits by rectype and each table receives exactly its reference
+    column set."""
+    from apmbackend_spark.streaming.pipeline import DB_TABLE_COLUMNS, db_insert_sink
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            {
+                "rectype": "tx",
+                "endts": 1000 + i,
+                "startts": 900 + i,
+                "server": "srv0",
+                "service": "svc",
+                "logid": str(i),
+                "acctnum": 100000000 + i,
+                "elapsed": 100 + i,
+                "toplevel": "Y",
+                "timestamp": None,
+                "tpm": None,
+                "lag": None,
+                "stats": None,
+                "entrytimestamp": None,
+                "alerttimestamp": None,
+                "cause": None,
+                "entry": None,
+                "heapused": None,
+                "heapmax": None,
+                "threadcnt": None,
+                "sysload": None,
+            }
+        )
+        rows.append(
+            {
+                "rectype": "fs",
+                "endts": None,
+                "startts": None,
+                "server": "srv0",
+                "service": "svc",
+                "logid": None,
+                "acctnum": None,
+                "elapsed": None,
+                "toplevel": None,
+                "timestamp": 1000 + i,
+                "tpm": 6.0,
+                "lag": 360,
+                "stats": "{}",
+                "entrytimestamp": None,
+                "alerttimestamp": None,
+                "cause": None,
+                "entry": None,
+                "heapused": None,
+                "heapmax": None,
+                "threadcnt": None,
+                "sysload": None,
+            }
+        )
+    src = f"{tmpdir}/env_src"
+    env_schema = (
+        "rectype string, endts long, startts long, server string, "
+        "service string, logid string, acctnum long, elapsed long, "
+        "toplevel string, timestamp long, tpm double, lag long, "
+        "stats string, entrytimestamp long, alerttimestamp long, "
+        "cause string, entry string, heapused long, heapmax long, "
+        "threadcnt long, sysload double"
+    )
+    # explicit schema: pandas would infer None-mixed int columns as double
+    spark.createDataFrame(rows, schema=env_schema).coalesce(1).write.parquet(src)
+    env = spark.readStream.schema(env_schema).parquet(src)
+
+    captured: dict[str, list] = {}
+
+    def capture(sub, table, batch_id):
+        captured.setdefault(table, []).extend(
+            (tuple(sub.columns), r) for r in sub.collect()
+        )
+
+    q = db_insert_sink(env, f"{tmpdir}/ckpt_db", write_fn=capture)
+    q.awaitTermination(300)
+
+    assert set(captured) >= {"apm_tx", "apm_fs"}
+    tx_cols = captured["apm_tx"][0][0]
+    assert tx_cols == DB_TABLE_COLUMNS["tx"]  # exact reference column set
+    assert len(captured["apm_tx"]) == 20
+    fs_cols = captured["apm_fs"][0][0]
+    assert fs_cols == tuple(
+        c for c in DB_TABLE_COLUMNS["fs"] if c in fs_cols
+    )
+    assert len(captured["apm_fs"]) == 20
+    # empty rectypes still route (zero rows, correct schema)
+    assert len(captured.get("apm_al", [])) == 0
+    assert len(captured.get("apm_jx", [])) == 0
+
+
 def test_fanout_parquet_sink(spark, tmpdir):
     from apmbackend_spark.streaming.pipeline import (
         fanout_parquet_sink,
