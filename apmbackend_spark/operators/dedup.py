@@ -69,12 +69,32 @@ GROUP BY fingerprint
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.4
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
-    """Near-dup (doc_a, doc_b, jaccard) pairs via an inverted shingle index."""
+    """Near-dup (doc_a, doc_b, jaccard) pairs via an inverted shingle index.
+
+    Skew guard: a stopword-like shingle shared by k documents contributes
+    k^2 rows to the self-join — one hot posting list can dominate the whole
+    shuffle at corpus scale. Shingles with document frequency >
+    ``max_doc_freq`` are dropped from the index BEFORE the join (they carry
+    ~zero near-dup signal), and per-doc sizes are computed on the filtered
+    universe so jaccard stays a true set similarity of retained shingles.
+    The hot set is tiny by construction, so the exclusion join broadcasts.
+    """
     sh = documents.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")), n)).alias("shingle")
     )
+    # shingles() emits array_distinct per doc, so COUNT(*) == doc frequency
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -102,12 +122,19 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.4) -> str:
+def ngram_jaccard_oracle_sql(
+    n: int = 3, threshold: float = 0.4, max_doc_freq: int = 1000
+) -> str:
     return f"""
 WITH tokd AS (
     SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
-), sh AS (
+), sh_all AS (
     SELECT doc_id, unnest({shingles_sql('tok', n)}) AS shingle FROM tokd
+), sh AS (
+    SELECT * FROM sh_all
+    WHERE shingle NOT IN (
+        SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {max_doc_freq}
+    )
 ), sizes AS (
     SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), pairs AS (

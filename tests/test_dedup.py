@@ -1,0 +1,56 @@
+"""Dedup operator unit tests beyond the oracle sweep: the hot-shingle
+document-frequency guard (skew bomb mitigation) on adversarial input."""
+
+from __future__ import annotations
+
+from apmbackend_spark.operators.dedup import ngram_jaccard_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_hot_shingle_cap_drops_stopword_pairs(spark):
+    # 40 docs that share ONLY a stopword-ish boilerplate trigram, plus two
+    # genuine near-duplicates.
+    boiler = "all rights reserved"
+    rows = [
+        (i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i}") for i in range(40)
+    ]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy cat"),
+    ]
+    docs = _docs(spark, rows)
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=1000)
+    capped = ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=10)
+
+    un_pairs = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    cap_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+
+    # uncapped: the boilerplate shingle alone creates ~40^2/2 join pairs
+    assert any(a < 40 and b < 40 for a, b in un_pairs)
+    # capped: boilerplate (df=40 > 10) is dropped; no boiler-only pairs
+    assert not any(a < 40 and b < 40 for a, b in cap_pairs)
+    # the genuine near-dup pair survives the cap
+    assert (100, 101) in cap_pairs
+
+
+def test_cap_recomputes_sizes_on_filtered_universe(spark):
+    # Two identical docs plus a hot shingle spread across many others: with
+    # the hot shingle removed, the identical pair must stay jaccard == 1.0.
+    hot = "copyright twenty twentysix"
+    rows = [(i, f"{hot} filler{i} pad{i} word{i}") for i in range(20)]
+    rows += [
+        (200, f"{hot} identical body of text here"),
+        (201, f"{hot} identical body of text here"),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=5
+        ).collect()
+    }
+    assert got.get((200, 201)) == 1.0
