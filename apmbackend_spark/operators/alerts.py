@@ -55,9 +55,14 @@ class AlertConfig:
     cooldown_minutes: float = 15.0
 
 
-def alert_candidates(fs: DataFrame, cfg: AlertConfig) -> DataFrame:
-    """Rows whose raw alert predicates fire, cause CSV in reference order.
-    `fired` marks the debounce increment indicator (reference `incremented`)."""
+def _with_cause(fs: DataFrame, cfg: AlertConfig, keep_quiet: bool) -> DataFrame:
+    """Shared F1/F2/F3/F6 predicate block (the single source of truth for
+    both alert_candidates and alert_pipeline — they previously duplicated
+    this inline and could drift).
+
+    keep_quiet=False drops suppressed + quiet rows (candidate view);
+    keep_quiet=True keeps every interval, marking suppressed/quiet ones
+    with cause='' (the debounce counter needs the full series)."""
     spark = fs.sparkSession
     if cfg.hard_max_overrides:
         ov = spark.createDataFrame(
@@ -87,16 +92,34 @@ def alert_candidates(fs: DataFrame, cfg: AlertConfig) -> DataFrame:
             F.when(avg_sig, F.lit(CAUSE_UB_AVG)),
             F.when(p75_sig, F.lit(CAUSE_UB_P75)),
         ]
-
     cause = F.concat_ws(
         ",", F.filter(F.array(c1, c2, *sig_causes), lambda x: x.isNotNull())
     )
-    out = fs.withColumn("cause", cause)
+
+    suppressed = F.lit(False)
     if cfg.suppressed_lags:
-        out = out.where(~F.col("lag").isin(*[int(x) for x in cfg.suppressed_lags]))
+        suppressed = suppressed | F.col("lag").isin(
+            *[int(x) for x in cfg.suppressed_lags]
+        )
     if cfg.suppressed_services:
-        out = out.where(~F.col("service").isin(*list(cfg.suppressed_services)))
-    return out.where(F.col("cause") != "").select(
+        suppressed = suppressed | F.col("service").isin(
+            *list(cfg.suppressed_services)
+        )
+
+    if keep_quiet:
+        return fs.withColumn(
+            "cause", F.when(suppressed, F.lit("")).otherwise(cause)
+        )
+    return (
+        fs.withColumn("cause", cause)
+        .where(~suppressed)
+        .where(F.col("cause") != "")
+    )
+
+
+def alert_candidates(fs: DataFrame, cfg: AlertConfig) -> DataFrame:
+    """Rows whose raw alert predicates fire, cause CSV in reference order."""
+    return _with_cause(fs, cfg, keep_quiet=False).select(
         "timestamp", "server", "service", "lag", "tpm",
         "average", "per75", "per95", "cause",
     )
@@ -248,43 +271,8 @@ def alert_cooldown(triggered: DataFrame, cfg: AlertConfig) -> DataFrame:
 
 
 def alert_pipeline(fs: DataFrame, cfg: AlertConfig) -> DataFrame:
-    """F1-F6 end to end: candidates over the full interval series (quiet
+    """F1-F6 end to end: causes over the full interval series (quiet
     intervals marked cause='') -> debounce -> cooldown."""
-    spark = fs.sparkSession
-    if cfg.hard_max_overrides:
-        ov = spark.createDataFrame(
-            list(cfg.hard_max_overrides.items()), "service string, hardmax_override double"
-        )
-        fs = fs.join(F.broadcast(ov), "service", "left")
-    else:
-        fs = fs.withColumn("hardmax_override", F.lit(None).cast("double"))
-    hard_max = F.coalesce(F.col("hardmax_override"), F.lit(cfg.hard_max_ms))
-    c1 = F.when(F.col("average") > hard_max, F.lit(CAUSE_HARD_AVG))
-    c2 = F.when(F.col("per75") > hard_max, F.lit(CAUSE_HARD_P75))
-    avg_sig = (
-        (F.col("averagesignal") > 0)
-        & (F.col("average") > F.lit(cfg.hard_min_ms))
-        & (F.col("tpm") > F.lit(cfg.min_tpm))
+    return alert_cooldown(
+        alert_debounce(_with_cause(fs, cfg, keep_quiet=True), cfg), cfg
     )
-    p75_sig = (
-        (F.col("per75signal") > 0)
-        & (F.col("per75") > F.lit(cfg.hard_min_ms))
-        & (F.col("tpm") > F.lit(cfg.min_tpm))
-    )
-    if cfg.alert_on_both_only:
-        sig_causes = [F.when(avg_sig & p75_sig, F.lit(CAUSE_UB_BOTH))]
-    else:
-        sig_causes = [
-            F.when(avg_sig, F.lit(CAUSE_UB_AVG)),
-            F.when(p75_sig, F.lit(CAUSE_UB_P75)),
-        ]
-    suppressed = F.lit(False)
-    if cfg.suppressed_lags:
-        suppressed = suppressed | F.col("lag").isin(*[int(x) for x in cfg.suppressed_lags])
-    if cfg.suppressed_services:
-        suppressed = suppressed | F.col("service").isin(*list(cfg.suppressed_services))
-    cause = F.when(suppressed, F.lit("")).otherwise(
-        F.concat_ws(",", F.filter(F.array(c1, c2, *sig_causes), lambda x: x.isNotNull()))
-    )
-    with_cause = fs.withColumn("cause", cause)
-    return alert_cooldown(alert_debounce(with_cause, cfg), cfg)

@@ -28,9 +28,18 @@ SLICE_MS = 6 * 3600 * 1000  # bound the grid for the checkable query
 def st_zerofill(tx: DataFrame, slice_ms: int = SLICE_MS) -> DataFrame:
     """st records INCLUDING silent keys, over the first slice_ms of data.
     tpm = 0.0 and null stats for empty windows (entries.js:52-84 nullable
-    semantics)."""
-    lo = tx.select(F.min("endts")).first()[0]
-    sliced = tx.where(F.col("endts") < F.lit(lo + slice_ms))
+    semantics).
+
+    The slice bound is computed IN-PLAN (broadcast the 1-row global min and
+    cross-join it) rather than via a driver-side collect, so the operator
+    stays a single lazy DataFrame — no extra eager scan, composable inside
+    larger plans."""
+    lo = tx.agg(F.min("endts").alias("__lo"))
+    sliced = (
+        tx.crossJoin(F.broadcast(lo))
+        .where(F.col("endts") < F.col("__lo") + F.lit(slice_ms))
+        .drop("__lo")
+    )
     st = st_from_window_stats(window_stats(sliced))
     keys = st.select("server", "service").distinct()
     grid = st.select("timestamp").distinct()
