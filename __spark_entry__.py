@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": lambda s, d: dd.simhash(docs(s, d)),
         "ann_bruteforce": lambda s, d: sim.ann_bruteforce(embs(s, d)),
         "ivf_assign": lambda s, d: sim.ivf_assign(embs(s, d)),
+        "ivf_assign_refined": lambda s, d: sim.ivf_assign_refined(embs(s, d)),
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dd.simhash_oracle_sql(),
         "ann_bruteforce": sim.ann_bruteforce_oracle_sql(),
         "ivf_assign": sim.ivf_assign_oracle_sql(),
+        "ivf_assign_refined": sim.ivf_assign_refined_oracle_sql(),
         "embedding_neardup": sim.embedding_neardup_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("

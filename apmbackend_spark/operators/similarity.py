@@ -156,6 +156,98 @@ SELECT vec_id, list_id, sim AS centroid_sim FROM ranked WHERE rn = 1
 """
 
 
+def ivf_centroids_refined(
+    embeddings: DataFrame, n_lists_mod: int = 50
+) -> DataFrame:
+    """One Lloyd (k-means) iteration over the seed assignment: per-list,
+    per-dimension mean of the quantized member vectors. The mean is FLOORED
+    back to an integer — sums of longs are exact, the double division is a
+    deterministic IEEE op on identical operands, and floor (unlike
+    round-half ties) has one answer in every engine — so refined centroids
+    are bit-identical between Spark and DuckDB and all downstream cosine
+    arithmetic stays exact-integer.
+
+    Scale: the dimension explode is |members| x dims rows of three small
+    columns, map-side combinable into |lists| x dims partial sums — the
+    classic distributed k-means step. Empty lists simply drop out (standard
+    Lloyd behavior)."""
+    assigned = ivf_assign(embeddings, n_lists_mod).select("vec_id", "list_id")
+    vecs = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    )
+    av = assigned.join(vecs, "vec_id")
+    dims = av.select("list_id", F.posexplode("v").alias("pos", "val"))
+    per_dim = dims.groupBy("list_id", "pos").agg(
+        F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cd")
+    )
+    return per_dim.groupBy("list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cd"))),
+            lambda s: s["cd"],
+        ).alias("centv")
+    )
+
+
+def ivf_assign_refined(
+    embeddings: DataFrame, n_lists_mod: int = 50
+) -> DataFrame:
+    """IVF assignment against the Lloyd-refined centroids (the real k-means
+    step the seed `vec_id % mod` quantizer stands in for)."""
+    from pyspark.sql import Window
+
+    cent = ivf_centroids_refined(embeddings, n_lists_mod)
+    vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("v"))
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "list_id", cosine(F.col("v"), F.col("centv")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "list_id", F.col("sim").alias("centroid_sim"))
+    )
+
+
+def ivf_assign_refined_oracle_sql(n_lists_mod: int = 50) -> str:
+    return f"""
+WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+), cent0 AS (
+    SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {n_lists_mod} = 0
+), scored0 AS (
+    SELECT q.vec_id, c.list_id, {cosine_sql('q.v', 'c.centv')} AS sim
+    FROM qz q CROSS JOIN cent0 c
+), assigned0 AS (
+    SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
+        FROM scored0
+    ) WHERE rn = 1
+), av AS (
+    SELECT a.vec_id, a.list_id, q.v FROM assigned0 a JOIN qz q USING (vec_id)
+), dims AS (
+    SELECT list_id, t.pos, v[t.pos] AS val
+    FROM av, unnest(generate_series(1, len(v))) AS t(pos)
+), per_dim AS (
+    SELECT list_id, pos,
+           CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+    FROM dims GROUP BY 1, 2
+), cent AS (
+    SELECT list_id, list(cd ORDER BY pos) AS centv FROM per_dim GROUP BY list_id
+), scored AS (
+    SELECT q.vec_id, c.list_id, {cosine_sql('q.v', 'c.centv')} AS sim
+    FROM qz q CROSS JOIN cent c
+), ranked AS (
+    SELECT vec_id, list_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
+    FROM scored
+)
+SELECT vec_id, list_id, sim AS centroid_sim FROM ranked WHERE rn = 1
+"""
+
+
 def embedding_neardup(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via IVF bucketing: only pairs
     sharing an IVF list are compared (the scalable blocker), then filtered
