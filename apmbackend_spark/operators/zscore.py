@@ -138,6 +138,17 @@ def zscore_window(
     Sum-of-squares fits a long up to ~9e18 (values < 1e5 ms squared = 1e10
     per row => ~9e8 rows per key before overflow; a key is a (server,
     service) minute-series, orders of magnitude below that even at 100 TB).
+
+    Key-cardinality note: parallelism is bounded by |server x service| keys
+    (a few dozen on the fixture, thousands in a real fleet), and one key's
+    FULL history sorts in one task. Both bounds break at unbounded history
+    length, not data width — the mitigations, in preference order: (1) the
+    streaming stateful path (streaming/stateful.py) carries only O(lag)
+    state per key forever; (2) time-chunk the batch: process window
+    [t0, t1) with the trailing `lag` rows before t0 prepended as carry-in,
+    then discard carry rows from the output — exact, embarrassingly
+    parallel across chunks. The cumulative formulation here is what makes
+    (2) cheap: a chunk needs only lag extra rows, not a full rescan.
     """
     lags = tuple(int(x) for x in lags)
     metrics = tuple(metrics)

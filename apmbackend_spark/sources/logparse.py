@@ -273,12 +273,37 @@ PARSED_SCHEMA = (
 )
 
 
-def parse_logs(spark: SparkSession, glob_path: str) -> DataFrame:
+def parse_logs(
+    spark: SparkSession,
+    glob_path: str,
+    max_file_bytes: int = 1 << 30,
+) -> DataFrame:
     """Read log files (wholetext, one task per file — S2's glob fan-in) and
     parse each sequentially; returns the union of tx records and acct
-    mappings (rectype-tagged)."""
+    mappings (rectype-tagged).
+
+    Size guard: wholetext makes each file ONE task and ONE in-memory blob —
+    right for the reference's ~70 bounded, rotated server logs, but a
+    multi-GB stray file would become a straggler task that can OOM an
+    executor. Files above ``max_file_bytes`` fail fast with a clear error
+    instead; split such inputs (or switch to line-mode reading with a
+    per-file repartition) before ingesting."""
     raw = spark.read.text(glob_path, wholetext=True).select(
         F.input_file_name().alias("path"), F.col("value")
+    )
+    raw = raw.withColumn(
+        "value",
+        F.when(
+            F.length("value") > max_file_bytes,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"log file exceeds wholetext size guard ({max_file_bytes} bytes): "
+                    ),
+                    F.col("path"),
+                )
+            ),
+        ).otherwise(F.col("value")),
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
