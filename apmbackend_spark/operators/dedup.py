@@ -86,7 +86,7 @@ def ngram_jaccard_pairs(
     """
     sh = documents.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")), n)).alias("shingle")
-    )
+    ).persist()  # feeds the df-count aggregate AND the anti-join input
     # shingles() emits array_distinct per doc, so COUNT(*) == doc frequency
     hot = (
         sh.groupBy("shingle")
@@ -94,7 +94,11 @@ def ngram_jaccard_pairs(
         .where(F.col("df") > max_doc_freq)
         .select("shingle")
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # The shingle expression (regexp split + per-index slice/concat +
+    # array_distinct) is the expensive part of this plan; the filtered
+    # index feeds BOTH sides of the self-join plus the sizes aggregate, so
+    # persist it once instead of recomputing the explode three times.
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -157,37 +161,63 @@ WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {float(threshold)
 # ---------------------------------------------------------------------------
 
 
-def _minhash_col(sh: Column, seed: int) -> Column:
-    return F.array_min(
-        F.transform(sh, lambda s: hash64(F.concat(F.lit(f"mh{seed}:"), s)))
-    )
+# Universal-hash family over ONE md5 base hash (all arithmetic < 2^60, so
+# Spark and DuckDB BIGINT ops agree exactly):
+#   h      = first 10 md5 hex chars -> integer < 2^40   (one md5 per shingle)
+#   mh_i   = (a_i * h + b_i) mod MH_PRIME < 2^30        (cheap int ops per i)
+# The previous formulation hashed every shingle k times with a seeded md5
+# AND re-evaluated the whole shingle array expression per signature column
+# (projection collapse re-inlines it) — k x the scan cost for no extra
+# signal. One exploded pass + k min() aggregates is map-side combinable and
+# never materializes a per-doc array.
+MH_PRIME = 1_073_741_789  # largest prime < 2^30
+_BAND_FOLD = 1_000_033
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    return 1_000_003 + 7_919 * i, (2_654_435_761 * (i + 1)) % MH_PRIME
+
+
+def _base_hash40(col: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("mh:"), col)), 1, 10), 16, 10
+    ).cast("long")
 
 
 def minhash_lsh_pairs(
     documents: DataFrame, bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on at least one LSH band of
-    their minhash signature. k = bands*rows_per_band hash functions."""
-    sh = shingles(tokens(F.col("text")))
-    base = documents.select("doc_id", sh.alias("sh")).where(F.size("sh") > 0)
-    sig = base.select(
-        "doc_id",
-        *[
-            _minhash_col(F.col("sh"), i).alias(f"mh{i}")
-            for i in range(bands * rows_per_band)
-        ],
+    their minhash signature. k = bands*rows_per_band hash functions.
+
+    Band keys fold the band's minhashes modulo MH_PRIME into one LONG (a
+    rare fold collision only adds a candidate pair — LSH is a candidate
+    generator by contract), so the self-join shuffles 8-byte keys."""
+    k = bands * rows_per_band
+    sh = documents.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("s")
     )
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.concat_ws("_", F.lit(str(b)), *[p.cast("string") for p in parts]).alias(
-                f"band{b}"
+    hv = sh.select("doc_id", _base_hash40(F.col("s")).alias("h"))
+    aggs = []
+    for i in range(k):
+        a, b = _mh_params(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_PRIME)).alias(
+                f"mh{i}"
             )
         )
-    banded = sig.select("doc_id", *band_cols)
-    exploded = banded.select(
-        "doc_id", F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band")
+    sig = hv.groupBy("doc_id").agg(*aggs)
+    band_cols = []
+    for bnd in range(bands):
+        bk = F.col(f"mh{bnd * rows_per_band}")
+        for r in range(1, rows_per_band):
+            bk = (bk * F.lit(_BAND_FOLD) + F.col(f"mh{bnd * rows_per_band + r}")) % F.lit(
+                MH_PRIME
+            )
+        band_cols.append((bk * bands + bnd).alias(f"band{bnd}"))
+    exploded = sig.select(
+        "doc_id",
+        F.explode(F.array(*band_cols)).alias("band"),
     )
     return (
         exploded.alias("a")
@@ -204,24 +234,24 @@ def minhash_lsh_oracle(bands: int = 4, rows_per_band: int = 2) -> str:
     k = bands * rows_per_band
     mh_exprs = []
     for i in range(k):
-        h = hash64_sql(f"'mh{i}:' || s")
-        mh_exprs.append(f"list_min(list_transform(sh, s -> {h})) AS mh{i}")
+        a, b = _mh_params(i)
+        mh_exprs.append(f"MIN(({a} * h + {b}) % {MH_PRIME}) AS mh{i}")
     band_exprs = []
-    for b in range(bands):
-        parts = " || '_' || ".join(
-            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
-        )
-        band_exprs.append(f"('{b}' || '_' || {parts})")
+    for bnd in range(bands):
+        bk = f"mh{bnd * rows_per_band}"
+        for r in range(1, rows_per_band):
+            bk = f"(({bk} * {_BAND_FOLD} + mh{bnd * rows_per_band + r}) % {MH_PRIME})"
+        band_exprs.append(f"({bk} * {bands} + {bnd})")
     bands_list = "[" + ", ".join(band_exprs) + "]"
     return f"""
 WITH tokd AS (
     SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
-), shd AS (
-    SELECT doc_id, {shingles_sql('tok')} AS sh FROM tokd
-), base AS (
-    SELECT doc_id, sh FROM shd WHERE len(sh) > 0
+), sh AS (
+    SELECT doc_id, unnest({shingles_sql('tok')}) AS s FROM tokd
+), hv AS (
+    SELECT doc_id, ('0x' || substr(md5('mh:' || s), 1, 10))::BIGINT AS h FROM sh
 ), sig AS (
-    SELECT doc_id, {", ".join(mh_exprs)} FROM base
+    SELECT doc_id, {", ".join(mh_exprs)} FROM hv GROUP BY doc_id
 ), exploded AS (
     SELECT doc_id, unnest({bands_list}) AS band FROM sig
 )
