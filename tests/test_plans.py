@@ -4,7 +4,18 @@ whole-stage codegen, no Python UDFs on declared-SQL paths."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _clean_cache(spark):
+    # Plan-shape assertions must see the raw plan: a persisted st/fs left
+    # behind by another test (e.g. db_fanin's seam persists) would be
+    # substituted as an InMemoryRelation and change operator counts.
+    spark.catalog.clearCache()
+    yield
 
 
 def plan(df) -> str:
