@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
         "simhash": lambda s, d: dd.simhash(docs(s, d)),
         "ann_bruteforce": lambda s, d: sim.ann_bruteforce(embs(s, d)),
+        "ann_ivf": lambda s, d: sim.ann_ivf(embs(s, d)),
         "ivf_assign": lambda s, d: sim.ivf_assign(embs(s, d)),
         "ivf_assign_refined": lambda s, d: sim.ivf_assign_refined(embs(s, d)),
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": dd.minhash_lsh_oracle(),
         "simhash": dd.simhash_oracle_sql(),
         "ann_bruteforce": sim.ann_bruteforce_oracle_sql(),
+        "ann_ivf": sim.ann_ivf_oracle_sql(),
         "ivf_assign": sim.ivf_assign_oracle_sql(),
         "ivf_assign_refined": sim.ivf_assign_refined_oracle_sql(),
         "embedding_neardup": sim.embedding_neardup_oracle_sql(),

@@ -117,6 +117,105 @@ SELECT query_id, cand_id, sim, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 5,
+    n_lists_mod: int = 50,
+) -> DataFrame:
+    """IVF-probed top-k search — the scale path ann_bruteforce is the
+    baseline for. Each query scores only the vectors assigned to its
+    `nprobe` nearest coarse lists, so probe cost is ~(nprobe/n_lists) of
+    the corpus instead of all of it.
+
+    Plan shape at 100 TB: centroids are broadcast twice (once to assign
+    the corpus — a write-once bucketing in a real deployment — once to
+    pick each query's probe lists); the only shuffle joins are on
+    `list_id`, whose cardinality we control via n_lists. Candidate lists
+    are disjoint (each vector lives in exactly one list), so no
+    dedup step is needed before the top-k window.
+
+    Approximate by design: a true neighbor in an unprobed list is missed —
+    that is the IVF recall/cost trade, same contract as FAISS IndexIVF."""
+    from pyspark.sql import Window
+
+    cent = embeddings.where(F.col("vec_id") % n_lists_mod == 0).select(
+        F.col("vec_id").alias("list_id"), _quantize(F.col("embedding")).alias("centv")
+    )
+    vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("v"))
+
+    # Query -> nprobe nearest lists (broadcast centroids, tiny result).
+    q = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qv", "list_id", cosine(F.col("qv"), F.col("centv")).alias("psim")
+        )
+        .withColumn("prn", F.row_number().over(probe_w))
+        .where(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+
+    # Corpus bucketed by list; score only candidates in probed lists.
+    av = ivf_assign(embeddings, n_lists_mod).select("vec_id", "list_id").join(
+        vecs, "vec_id"
+    )
+    scored = (
+        probes.join(av.withColumnRenamed("vec_id", "cand_id"), "list_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ann_ivf_oracle_sql(
+    n_queries: int = 10, k: int = 5, nprobe: int = 5, n_lists_mod: int = 50
+) -> str:
+    return f"""
+WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+), cent AS (
+    SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {n_lists_mod} = 0
+), cscored AS (
+    SELECT q.vec_id, c.list_id, {cosine_sql('q.v', 'c.centv')} AS sim
+    FROM qz q CROSS JOIN cent c
+), assigned AS (
+    SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
+        FROM cscored
+    ) WHERE rn = 1
+), probes AS (
+    SELECT vec_id AS query_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS prn
+        FROM cscored WHERE vec_id < {n_queries}
+    ) WHERE prn <= {nprobe}
+), scored AS (
+    SELECT p.query_id, a.vec_id AS cand_id, {cosine_sql('q.v', 'c2.v')} AS sim
+    FROM probes p
+    JOIN assigned a USING (list_id)
+    JOIN qz q ON q.vec_id = p.query_id
+    JOIN qz c2 ON c2.vec_id = a.vec_id
+    WHERE p.query_id <> a.vec_id
+), ranked AS (
+    SELECT query_id, cand_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def ivf_assign(embeddings: DataFrame, n_lists_mod: int = 50) -> DataFrame:
     """IVF coarse quantizer: centroids = vectors with vec_id % mod == 0
     (deterministic stand-in for k-means at fixture scale); each vector is

@@ -116,3 +116,15 @@ def test_ann_bruteforce_broadcasts_corpus(spark):
 
     p = plan(ann_bruteforce(load_table(spark, SF_SMOKE, "embeddings")))
     assert "Broadcast" in p
+
+
+def test_ann_ivf_probes_not_cartesian(spark):
+    # The scale path must never cross-join query x corpus: centroids are
+    # broadcast, and the candidate join is keyed on list_id.
+    from apmbackend_spark.operators.similarity import ann_ivf
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(ann_ivf(load_table(spark, SF_SMOKE, "embeddings")))
+    assert "Broadcast" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
