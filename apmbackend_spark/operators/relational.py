@@ -121,10 +121,14 @@ def q3_top_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     agg = joined.groupBy("l_orderkey", "o_orderdate_ms", "o_orderpriority").agg(
         (F.sum("rev_c").cast("double") / 10_000.0).alias("revenue")
     )
+    # Top-k via orderBy+limit => TakeOrderedAndProject: every partition
+    # yields its local top-k, the driver merges k*#parts candidate rows. A
+    # global row_number window here would instead funnel the WHOLE aggregate
+    # through one task; the ranking window below only ever sees k rows.
+    topk = agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(k)
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("l_orderkey", "o_orderdate_ms", "o_orderpriority", "revenue", "rank")
     )
 

@@ -32,6 +32,9 @@ def test_q3_broadcasts_customer_and_pushes_filters(spark):
     # the mktsegment filter must reach the customer parquet scan
     assert "PushedFilters" in p
     assert "c_mktsegment" in p
+    # top-k must be TakeOrderedAndProject (parallel partial top-k), not a
+    # global row_number window over the whole aggregate
+    assert "TakeOrderedAndProject" in p
 
 
 def test_q1_scan_prunes_columns(spark):
