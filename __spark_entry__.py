@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dd.dedup_exact(docs(s, d)),
         "ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(docs(s, d)),
         "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
+        "dedup_clusters": lambda s, d: dd.dedup_clusters(docs(s, d)),
         "simhash": lambda s, d: dd.simhash(docs(s, d)),
         "ann_bruteforce": lambda s, d: sim.ann_bruteforce(embs(s, d)),
         "ann_ivf": lambda s, d: sim.ann_ivf(embs(s, d)),
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dd.dedup_exact_oracle_sql(),
         "ngram_jaccard": dd.ngram_jaccard_oracle_sql(),
         "minhash_lsh": dd.minhash_lsh_oracle(),
+        "dedup_clusters": dd.dedup_clusters_oracle_sql(),
         "simhash": dd.simhash_oracle_sql(),
         "ann_bruteforce": sim.ann_bruteforce_oracle_sql(),
         "ann_ivf": sim.ann_ivf_oracle_sql(),

@@ -262,6 +262,99 @@ WHERE a.doc_id < b.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster assignment (connected components over the LSH graph)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every document: connected components over
+    the MinHash-LSH candidate-pair graph, cluster_id = min doc_id in the
+    component. Docs with no near-dup edge form singleton clusters. This is
+    the step that turns near-dup PAIRS into an actionable keep/drop
+    decision (keep doc_id == cluster_id, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; fixpoint = component min.
+    Rounds = graph diameter, and dedup components are near-cliques from
+    banding, so it converges in a handful of rounds.
+
+    Scale shape: per round, ONE shuffle-join keyed on doc_id plus one
+    map-side-combinable min-aggregate over edges — the standard
+    distributed CC loop (large-star/small-star is the published
+    shortcut if diameters ever grow). Labels are persisted per round and
+    the previous round unpersisted, so memory is O(|V|) not O(rounds).
+    The convergence check is a scalar count, not a collect of data rows.
+    """
+    pairs = minhash_lsh_pairs(documents, bands, rows_per_band)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).persist()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"), F.col("label").alias("src_label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("src_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_oracle_sql(bands: int = 4, rows_per_band: int = 2) -> str:
+    # The recursive walk enumerates (node, reachable-ancestor) pairs over the
+    # symmetrized edge set; MIN over ancestors = component min — the same
+    # fixpoint the Spark label propagation converges to.
+    return f"""
+WITH RECURSIVE edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM ({minhash_lsh_oracle(bands, rows_per_band)}) p
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM ({minhash_lsh_oracle(bands, rows_per_band)}) p
+), walk(doc_id, label) AS (
+    SELECT doc_id, doc_id AS label FROM documents
+    UNION
+    SELECT e.dst AS doc_id, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+)
+SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -54,3 +54,25 @@ def test_cap_recomputes_sizes_on_filtered_universe(spark):
         ).collect()
     }
     assert got.get((200, 201)) == 1.0
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    # a~b and b~c via shared text => all three land in one cluster even if
+    # a and c never share an LSH band; d is an unrelated singleton.
+    from apmbackend_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base + " tail one"),
+        (2, base + " tail one variant"),
+        (3, base + " tail one variant two"),
+        (10, "completely different text about spark catalyst optimizer plans"),
+    ]
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(_docs(spark, rows)).collect()
+    }
+    assert out[10] == 10  # singleton keeps its own id
+    assert out[1] == 1
+    # 2 and 3 must collapse into doc 1's component (transitively)
+    assert out[2] == 1 and out[3] == 1
