@@ -28,6 +28,7 @@ from apmbackend_spark.operators import multimodal as mm
 from apmbackend_spark.operators import relational as rel
 from apmbackend_spark.operators import zerofill as zf
 from apmbackend_spark.sources.loaders import load_table
+from apmbackend_spark.sources import jmx as jmxsrc
 
 ZSCORE_LAGS = (60, 360)
 ZSCORE_THRESHOLD = 3.0
@@ -191,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     apm_extra = {
         "st_zerofill": lambda s, d: zf.st_zerofill(load_tx(s, d)),
         "jmx_rollup": lambda s, d: zf.jmx_rollup(load_tx(s, d)),
+        # S5 collector end-to-end (synthetic fleet; transport -> CLI
+        # rewriter -> typed frame); sf_dir unused by design.
+        "jmx_poll": lambda s, d: jmxsrc.jmx_poll_synthetic(s),
     }
     return phase6 | relational | apm_extra | {
         "tx_normalize": _q_tx_normalize,
@@ -227,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
         + zf.st_zerofill_oracle_sql(),
         "jmx_rollup": TX_CTE + zf.JMX_ROLLUP_ORACLE,
+        "jmx_poll": jmxsrc.jmx_poll_oracle_sql(),
         "media_features": mm.media_features_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,
         "q3_top_orders": rel.Q3_ORACLE,
