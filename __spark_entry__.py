@@ -27,6 +27,7 @@ from apmbackend_spark.operators import textstats as ts
 from apmbackend_spark.operators import multimodal as mm
 from apmbackend_spark.operators import relational as rel
 from apmbackend_spark.operators import zerofill as zf
+from apmbackend_spark.operators import packing as pk
 from apmbackend_spark.sources.loaders import load_table
 from apmbackend_spark.sources import jmx as jmxsrc
 
@@ -169,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(docs(s, d)),
         "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
         "dedup_clusters": lambda s, d: dd.dedup_clusters(docs(s, d)),
+        "token_pack": lambda s, d: pk.token_pack(docs(s, d)),
         "simhash": lambda s, d: dd.simhash(docs(s, d)),
         "ann_bruteforce": lambda s, d: sim.ann_bruteforce(embs(s, d)),
         "ann_ivf": lambda s, d: sim.ann_ivf(embs(s, d)),
@@ -218,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dd.ngram_jaccard_oracle_sql(),
         "minhash_lsh": dd.minhash_lsh_oracle(),
         "dedup_clusters": dd.dedup_clusters_oracle_sql(),
+        "token_pack": pk.token_pack_oracle_sql(),
         "simhash": dd.simhash_oracle_sql(),
         "ann_bruteforce": sim.ann_bruteforce_oracle_sql(),
         "ann_ivf": sim.ann_ivf_oracle_sql(),

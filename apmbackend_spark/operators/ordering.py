@@ -32,10 +32,12 @@ def ordered_release(tx: DataFrame) -> DataFrame:
     on the data."""
     df = tx.select("logid", "server", "service", "endts", "elapsed")
     rng = df.repartitionByRange(F.col("endts"), F.col("logid"))
-    part = rng.withColumn("__pid", F.spark_partition_id())
+    # persist: `part` feeds both the rank pass and the per-partition counts;
+    # without it the upstream tx derivation + range shuffle run twice
+    part = rng.withColumn("__pid", F.spark_partition_id()).persist()
     wp = Window.partitionBy("__pid").orderBy("endts", "logid")
     local = part.withColumn("__lrn", F.row_number().over(wp))
-    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     wo = (
         Window.orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)

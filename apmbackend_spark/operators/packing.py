@@ -1,0 +1,74 @@
+"""Training-sequence packing: assign documents, in deterministic corpus
+order, to fixed-token-budget sequences (the sharding step between a cleaned
+corpus and a tokenized training run).
+
+Semantics: documents are concatenated in doc_id order; a document's
+sequence is determined by its STARTING token offset (`seq_id =
+floor(start_offset / budget)`), so every sequence holds ~budget tokens and
+assignment is a pure function of the corpus — no packing heuristics, no
+order dependence between engines.
+
+Scale shape: a naive cumulative sum is `Window.orderBy(doc_id)` — the
+whole corpus through ONE task. Instead the same two-pass pattern as
+ordering.ordered_release: range-partition on doc_id (sample sort keeps
+partition i's ids before partition i+1's), cumulative-sum WITHIN each
+partition in parallel, then add broadcast per-partition token totals. The
+only single-partition step operates on |partitions| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from apmbackend_spark.functions.text import tokens, tokens_sql
+
+
+def token_pack(documents: DataFrame, budget: int = 2048) -> DataFrame:
+    d = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    rng = d.repartitionByRange(F.col("doc_id"))
+    # persist the NARROW (doc_id, n_tokens, pid) frame: it feeds both the
+    # cumsum pass and the totals aggregate — without it the text scan and
+    # tokenize run twice (24 B/row cached vs a second full-corpus pass)
+    part = rng.withColumn("__pid", F.spark_partition_id()).persist()
+    wp = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn(
+        "__lcum", F.coalesce(F.sum("n_tokens").over(wp), F.lit(0).cast("long"))
+    )
+    totals = part.groupBy("__pid").agg(F.sum("n_tokens").alias("__tot"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__tot").over(wo), F.lit(0).cast("long")).alias("__off")
+    )
+    start = F.col("__off") + F.col("__lcum")
+    # integer division, not floor(double /): a double quotient one ulp under
+    # an integer boundary would misassign a document at large offsets
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .select("doc_id", "n_tokens", start.alias("start_offset"))
+        .withColumn("seq_id", F.expr(f"start_offset DIV {int(budget)}"))
+    )
+
+
+def token_pack_oracle_sql(budget: int = 2048) -> str:
+    return f"""
+WITH counted AS (
+    SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+    FROM documents
+), cum AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM counted
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {budget} AS seq_id
+FROM cum
+"""

@@ -121,6 +121,20 @@ def test_ann_bruteforce_broadcasts_corpus(spark):
     assert "Broadcast" in p
 
 
+def test_token_pack_no_global_data_window(spark):
+    # The corpus-wide cumulative sum must be the two-pass pattern: any
+    # single-partition sort happens on per-partition totals, never the data.
+    # Concretely: no `Window.orderBy` over doc-level rows => the plan's only
+    # unpartitioned window input is the broadcast offsets side.
+    from apmbackend_spark.operators.packing import token_pack
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(token_pack(load_table(spark, SF_SMOKE, "documents")))
+    assert "rangepartitioning" in p  # sample-sorted data pass
+    assert "Broadcast" in p  # offsets join, not a shuffle
+    assert "BatchEvalPython" not in p
+
+
 def test_ann_ivf_probes_not_cartesian(spark):
     # The scale path must never cross-join query x corpus: centroids are
     # broadcast, and the candidate join is keyed on list_id.
