@@ -62,6 +62,76 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+# corpus_filter rule thresholds (C4/Gopher-style deterministic gates)
+MIN_TOKENS, MAX_TOKENS = 10, 50_000
+MIN_QUALITY = 0.30
+MAX_PUNCT = 0.50
+
+
+def corpus_filter(
+    documents: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+    min_quality: float = MIN_QUALITY,
+    max_punct: float = MAX_PUNCT,
+    keep_lang: str | None = "en",
+) -> DataFrame:
+    """The keep/drop decision a cleaning pipeline makes from the doc_stats
+    signals: fixed rule order, every failed rule named in `reasons` (the
+    same cause-accumulation style as the alert pipeline's F6), keep =
+    nothing failed. Single scan, zero shuffles — filtering 100 TB is
+    embarrassingly parallel."""
+    ds = doc_stats(documents)
+    rules = [
+        (F.col("n_tokens") < min_tokens, "too_short"),
+        (F.col("n_tokens") > max_tokens, "too_long"),
+        (F.col("quality") < min_quality, "low_quality"),
+        (F.col("punct_ratio") > max_punct, "high_punct"),
+    ]
+    if keep_lang is not None:
+        rules.append((F.col("lang_pred") != keep_lang, "wrong_lang"))
+    # concat_ws skips NULLs, so un-fired rules vanish from the CSV
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for cond, name in rules]
+    )
+    return ds.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        reasons.alias("reasons"),
+    ).withColumn("keep", F.col("reasons") == "")
+
+
+def corpus_filter_oracle_sql(
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+    min_quality: float = MIN_QUALITY,
+    max_punct: float = MAX_PUNCT,
+    keep_lang: str | None = "en",
+) -> str:
+    rules = [
+        (f"n_tokens < {min_tokens}", "too_short"),
+        (f"n_tokens > {max_tokens}", "too_long"),
+        (f"quality < {min_quality!r}", "low_quality"),
+        (f"punct_ratio > {max_punct!r}", "high_punct"),
+    ]
+    if keep_lang is not None:
+        rules.append((f"lang_pred <> '{keep_lang}'", "wrong_lang"))
+    cases = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for cond, name in rules
+    )
+    return f"""
+WITH ds AS (
+    SELECT * FROM ({doc_stats_oracle_sql()}) t
+), flagged AS (
+    SELECT doc_id, n_tokens, quality,
+           concat_ws(',', {cases}) AS reasons
+    FROM ds
+)
+SELECT doc_id, n_tokens, quality, reasons, reasons = '' AS keep FROM flagged
+"""
+
+
 def doc_stats_oracle_sql() -> str:
     tok = tokens_sql("text")
     return f"""
