@@ -138,6 +138,11 @@ def _q_acct_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return co.acct_enrich(load_tx(spark, sf_dir))
 
 
+def _q_gauge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = load_tx(spark, sf_dir)
+    return co.gauge_asof(tx, zf.jmx_gauges(tx))
+
+
 def _q_ordered_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.ordered_release(load_tx(spark, sf_dir))
 
@@ -209,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alerts": _q_alerts,
         "correlate": _q_correlate,
         "acct_enrich": _q_acct_enrich,
+        "gauge_asof": _q_gauge_asof,
         "ordered_release": _q_ordered_release,
         "db_fanin": _q_db_fanin,
     }
@@ -284,6 +290,7 @@ FROM tx
         + al.alert_candidates_oracle_select(ALERT_CFG),
         "correlate": TX_CTE + co.CORRELATE_ORACLE,
         "acct_enrich": TX_CTE + co.ACCT_ENRICH_ORACLE,
+        "gauge_asof": TX_CTE + co.GAUGE_ASOF_ORACLE,
         "ordered_release": TX_CTE + od.ORDERED_RELEASE_ORACLE,
         "db_fanin": TX_CTE
         + window_stats_oracle_ctes()

@@ -111,6 +111,89 @@ def acct_enrich(tx: DataFrame) -> DataFrame:
     )
 
 
+def gauge_asof(tx: DataFrame, gauges: DataFrame) -> DataFrame:
+    """As-of join: each tx picks up the LATEST JVM gauge sample at-or-before
+    its endts on the same server (the "what was the box doing when this
+    request finished" enrichment; gauge stream = S5 collector output).
+
+    Scale shape — the union + carry-forward pattern, not a range join:
+    tag both streams, union, ONE shuffle on server, then
+    `last(gauge, ignorenulls)` over an ordered running window copies each
+    gauge forward to the tx rows that follow it. Cost is one sort per
+    server partition; a naive inequality join is |tx| x |gauges-per-server|
+    rows before its filter, and Spark would plan it as a broadcast
+    nested-loop. Ties (gauge at exactly endts) count as "before": gauge
+    rows sort ahead of tx rows on equal ts.
+
+    Per-server history lives in one task; for 100 TB spans, chunk by
+    (server, time-slice) with a one-gauge carry into each slice — same
+    mitigation as the z-score history chunking (zscore.py module docs)."""
+    g = gauges.select(
+        "server",
+        F.col("timestamp").alias("ts"),
+        F.lit(0).alias("is_tx"),
+        F.lit(None).cast("string").alias("logid"),
+        F.lit(None).cast("long").alias("elapsed"),
+        F.col("timestamp").alias("gauge_ts"),
+        "heapused",
+        "threadcnt",
+    )
+    t = tx.select(
+        "server",
+        F.col("endts").alias("ts"),
+        F.lit(1).alias("is_tx"),
+        "logid",
+        "elapsed",
+        F.lit(None).cast("long").alias("gauge_ts"),
+        F.lit(None).cast("long").alias("heapused"),
+        F.lit(None).cast("int").alias("threadcnt"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("server")
+        .orderBy("ts", "is_tx", "logid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = g.unionAll(t)
+    carried = u.select(
+        "server",
+        "ts",
+        "is_tx",
+        "logid",
+        "elapsed",
+        F.last("gauge_ts", ignorenulls=True).over(w).alias("gauge_ts"),
+        F.last("heapused", ignorenulls=True).over(w).alias("heapused"),
+        F.last("threadcnt", ignorenulls=True).over(w).alias("threadcnt"),
+    )
+    return carried.where(F.col("is_tx") == 1).select(
+        "logid",
+        "server",
+        F.col("ts").alias("endts"),
+        "elapsed",
+        "gauge_ts",
+        "heapused",
+        "threadcnt",
+    )
+
+
+# DuckDB has a native ASOF JOIN; `endts >= timestamp` picks the greatest
+# gauge timestamp at-or-before each tx — the same tie rule as the
+# carry-forward ordering above. jx CTE = zerofill.jmx_gauges formulas.
+GAUGE_ASOF_ORACLE = """
+, jx AS (
+    SELECT (endts - endts % 60000) AS timestamp, server,
+           CAST(100000000 + SUM(elapsed) * 1000 AS BIGINT) AS heapused,
+           CAST(COUNT(*) * 7 AS INT) AS threadcnt
+    FROM tx GROUP BY 1, 2
+)
+SELECT t.logid, t.server, t.endts, t.elapsed,
+       g.timestamp AS gauge_ts, g.heapused, g.threadcnt
+FROM tx t ASOF LEFT JOIN jx g
+  ON t.server = g.server AND t.endts >= g.timestamp
+"""
+
+
 ACCT_ENRICH_ORACLE = """
 , mapping AS (
     SELECT logid, acctnum FROM tx WHERE acctnum IS NOT NULL
