@@ -80,6 +80,24 @@ def window_stats_stream(
     )
 
 
+def dedup_stream(
+    tx: DataFrame,
+    watermark: str = "300 seconds",
+    keys: tuple[str, ...] = ("logid",),
+    time_col: str = "endtime",
+) -> DataFrame:
+    """At-least-once -> effectively-once record stream. The reference's
+    queue consumer acks on receive (queue.js:266-305), so a crash between
+    ack and downstream write can replay records on resume; the Spark
+    equivalent hazard is a source replay. Dropping duplicates WITHIN the
+    watermark keeps the dedup state bounded (a plain dropDuplicates would
+    grow one state row per key forever), which is the only viable shape at
+    100 TB — redeliveries arrive within seconds, not days."""
+    return tx.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

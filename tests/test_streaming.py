@@ -232,3 +232,30 @@ def test_fanout_parquet_sink(spark, tmpdir):
     written = spark.read.parquet(f"{tmpdir}/out")
     assert written.count() > 0
     assert "_batch_id" in written.columns
+
+
+def test_dedup_stream_drops_cross_batch_redeliveries(spark, tmpdir):
+    """A record redelivered in a LATER micro-batch (within the watermark)
+    must be emitted exactly once."""
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.streaming.pipeline import dedup_stream, run_available_now
+
+    schema = "logid string, server string, endts long, elapsed long"
+    base = [(f"L{i}", "srv0", 1_700_000_000_000 + i * 1000, 100 + i) for i in range(10)]
+    redelivered = base[3:6]  # replayed verbatim in the next batch
+    src = f"{tmpdir}/dedup_src"
+    spark.createDataFrame(base, schema=schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(redelivered, schema=schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("endtime", F.timestamp_millis(F.col("endts")))
+    )
+    got = run_available_now(
+        dedup_stream(stream), f"{tmpdir}/ckpt_dd", query_name="dd_stream"
+    ).collect()
+    logids = [r["logid"] for r in got]
+    assert sorted(logids) == sorted({r[0] for r in base})  # each exactly once
