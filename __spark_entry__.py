@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": lambda s, d: mm.media_stats(
             mm.extract_features(mm.synth_media(s, docs(s, d)))
         ),
+        "media_resize": lambda s, d: mm.media_resize_check(
+            mm.synth_media(s, docs(s, d))
+        ),
     }
     relational = {
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -244,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "jmx_rollup": TX_CTE + zf.JMX_ROLLUP_ORACLE,
         "jmx_poll": jmxsrc.jmx_poll_oracle_sql(),
         "media_features": mm.media_features_oracle_sql(),
+        "media_resize": mm.media_resize_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,
         "q3_top_orders": rel.Q3_ORACLE,
         "q5_local_supplier_volume": rel.Q5_ORACLE,

@@ -153,6 +153,124 @@ FROM f
 """
 
 
+RESIZE_SCHEMA = (
+    "media_id long, kind string, in_w int, in_h int, out_w int, out_h int, "
+    "content binary"
+)
+
+
+def resize_media(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Resize into a max_w x max_h box preserving aspect ratio. The
+    GEOMETRY (aspect-fit, integer truncating division — identical in every
+    engine) is JVM-side column math; only the pixel resample runs in
+    mapInPandas, where the stub emits a deterministic buffer of exactly
+    out_w*out_h bytes (a real build calls PIL `Image.resize` there).
+    Audio has no spatial dims and passes through as 0x0 with empty content.
+
+    The downstream gate query checks octet_length(content) == out_w*out_h,
+    so the Arrow round-trip through the Python worker is verified, not just
+    the geometry."""
+    mw, mh = int(max_w), int(max_h)
+    is_audio = F.col("kind") == "audio"
+    fits = (F.col("meta_width") <= mw) & (F.col("meta_height") <= mh)
+    # height-binding test by integer cross-multiplication (no doubles)
+    by_h = (F.col("meta_width") * mh) <= (F.col("meta_height") * mw)
+    out_w = (
+        F.when(is_audio, F.lit(0))
+        .when(fits, F.col("meta_width"))
+        .when(by_h, F.expr(f"meta_width * {mh} DIV meta_height"))
+        .otherwise(F.lit(mw))
+        .cast("int")
+    )
+    out_h = (
+        F.when(is_audio, F.lit(0))
+        .when(fits, F.col("meta_height"))
+        .when(by_h, F.lit(mh))
+        .otherwise(F.expr(f"meta_height * {mw} DIV meta_width"))
+        .cast("int")
+    )
+    geo = media.select(
+        "media_id",
+        "kind",
+        F.col("meta_width").alias("in_w"),
+        F.col("meta_height").alias("in_h"),
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        "content",
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                n = int(r.out_w) * int(r.out_h)
+                if n == 0:
+                    buf = b""
+                else:
+                    # STUB resample: digest-seeded bytes, exact target size
+                    digest = hashlib.sha256(bytes(r.content)).digest()
+                    buf = (digest * (n // len(digest) + 1))[:n]
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "in_w": r.in_w,
+                        "in_h": r.in_h,
+                        "out_w": r.out_w,
+                        "out_h": r.out_h,
+                        "content": buf,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return geo.mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+def media_resize_check(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Gate projection: geometry + produced-buffer length (content itself is
+    stub-generated, so the oracle checks its SIZE, which only comes out
+    right if the Python resample ran)."""
+    return resize_media(media, max_w, max_h).select(
+        "media_id",
+        "kind",
+        "in_w",
+        "in_h",
+        "out_w",
+        "out_h",
+        F.octet_length("content").cast("long").alias("out_bytes"),
+    )
+
+
+def media_resize_oracle_sql(max_w: int = 224, max_h: int = 224) -> str:
+    return f"""
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(doc_id % 640 + 32 AS INT) AS in_w,
+           CAST(doc_id % 480 + 32 AS INT) AS in_h
+    FROM documents
+), geo AS (
+    SELECT media_id, kind, in_w, in_h,
+           CAST(CASE
+               WHEN kind = 'audio' THEN 0
+               WHEN in_w <= {max_w} AND in_h <= {max_h} THEN in_w
+               WHEN in_w * {max_h} <= in_h * {max_w} THEN in_w * {max_h} // in_h
+               ELSE {max_w}
+           END AS INT) AS out_w,
+           CAST(CASE
+               WHEN kind = 'audio' THEN 0
+               WHEN in_w <= {max_w} AND in_h <= {max_h} THEN in_h
+               WHEN in_w * {max_h} <= in_h * {max_w} THEN {max_h}
+               ELSE in_h * {max_w} // in_w
+           END AS INT) AS out_h
+    FROM media
+)
+SELECT media_id, kind, in_w, in_h, out_w, out_h,
+       CAST(out_w * out_h AS BIGINT) AS out_bytes
+FROM geo
+"""
+
+
 def media_stats(features: DataFrame) -> DataFrame:
     """Per-kind rollup over extracted features."""
     return features.groupBy("kind").agg(
