@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     phase6 = {
         "doc_stats": lambda s, d: ts.doc_stats(docs(s, d)),
         "corpus_filter": lambda s, d: ts.corpus_filter(docs(s, d)),
+        "corpus_sample": lambda s, d: ts.corpus_sample(docs(s, d)),
         "dedup_exact": lambda s, d: dd.dedup_exact(docs(s, d)),
         "ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(docs(s, d)),
         "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats": ts.doc_stats_oracle_sql(),
         "corpus_filter": ts.corpus_filter_oracle_sql(),
+        "corpus_sample": ts.corpus_sample_oracle_sql(),
         "dedup_exact": dd.dedup_exact_oracle_sql(),
         "ngram_jaccard": dd.ngram_jaccard_oracle_sql(),
         "minhash_lsh": dd.minhash_lsh_oracle(),

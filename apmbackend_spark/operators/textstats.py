@@ -132,6 +132,59 @@ SELECT doc_id, n_tokens, quality, reasons, reasons = '' AS keep FROM flagged
 """
 
 
+# mixture-sampling defaults: per-source keep rates in basis points of 10_000
+# (unlisted sources fall back to DEFAULT_RATE_BP)
+SAMPLE_RATES_BP = {"src0": 10_000, "src1": 7_500, "src2": 5_000, "src3": 2_500}
+DEFAULT_RATE_BP = 1_000
+_SAMPLE_MOD = 10_000
+
+
+def corpus_sample(
+    documents: DataFrame,
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = DEFAULT_RATE_BP,
+) -> DataFrame:
+    """Deterministic per-source mixture sampling: keep a document iff
+    hash64(doc_id) mod 10000 < its source's rate (basis points). This is the
+    data-mixture control of a training pipeline — up/down-weight sources by
+    rate — and, being a pure hash of the row key, it is reproducible across
+    runs, engines, partitionings and retries (a `rand()` sample is none of
+    those). Single scan + one broadcast of the tiny rate dim; the filter is
+    a pushable deterministic predicate, so sampling composes with pruning."""
+    rates = rates_bp if rates_bp is not None else SAMPLE_RATES_BP
+    spark = documents.sparkSession
+    dim = spark.createDataFrame(
+        list(rates.items()), schema="source string, rate_bp int"
+    )
+    h = hash64(F.col("doc_id").cast("string")) % _SAMPLE_MOD
+    return (
+        documents.join(F.broadcast(dim), "source", "left")
+        .withColumn("rate_bp", F.coalesce(F.col("rate_bp"), F.lit(int(default_bp))))
+        .where(h < F.col("rate_bp"))
+        .select("doc_id", "source", "rate_bp")
+    )
+
+
+def corpus_sample_oracle_sql(
+    rates_bp: dict[str, int] | None = None, default_bp: int = DEFAULT_RATE_BP
+) -> str:
+    rates = rates_bp if rates_bp is not None else SAMPLE_RATES_BP
+    dim_rows = ", ".join(f"('{s}', {int(bp)})" for s, bp in rates.items())
+    h = hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH dim(source, rate_bp) AS (
+    SELECT * FROM (VALUES {dim_rows})
+), rated AS (
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(m.rate_bp, {int(default_bp)}) AS INT) AS rate_bp
+    FROM documents d LEFT JOIN dim m USING (source)
+)
+SELECT doc_id, source, rate_bp
+FROM rated
+WHERE ({h}) % {_SAMPLE_MOD} < rate_bp
+"""
+
+
 def doc_stats_oracle_sql() -> str:
     tok = tokens_sql("text")
     return f"""
