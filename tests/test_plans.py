@@ -53,13 +53,18 @@ def test_q1_scan_prunes_columns(spark):
     assert any("LessThanOrEqual(l_shipdate" in l for l in p.splitlines())
 
 
-def test_window_stats_single_shuffle(spark):
+def test_window_stats_two_level_rollup(spark):
     from apmbackend_spark.operators.window_stats import window_stats
     from apmbackend_spark.sources.tx import load_tx
 
+    import re
+
     p = plan(window_stats(load_tx(spark, SF_SMOKE)))
-    # one exchange for the groupBy; no BatchEvalPython (no Python UDFs)
-    assert p.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+    # two-level rollup: bucket groupBy + window merge groupBy, nothing more;
+    # the FIRST aggregate must partially aggregate map-side (the explode
+    # happens after it, on bucket rows, not on raw events)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "partial_count" in p or "ObjectHashAggregate" in p
     assert "BatchEvalPython" not in p
     # events scan reads only the needed columns
     read_schemas = [l for l in p.splitlines() if "ReadSchema" in l]
