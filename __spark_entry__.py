@@ -28,6 +28,7 @@ from apmbackend_spark.operators import multimodal as mm
 from apmbackend_spark.operators import relational as rel
 from apmbackend_spark.operators import zerofill as zf
 from apmbackend_spark.operators import packing as pk
+from apmbackend_spark.operators import sessions as sess
 from apmbackend_spark.sources.loaders import load_table
 from apmbackend_spark.sources import jmx as jmxsrc
 
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": lambda s, d: ts.doc_stats(docs(s, d)),
         "corpus_filter": lambda s, d: ts.corpus_filter(docs(s, d)),
         "corpus_sample": lambda s, d: ts.corpus_sample(docs(s, d)),
+        "corpus_scrub": lambda s, d: ts.corpus_scrub(docs(s, d)),
         "dedup_exact": lambda s, d: dd.dedup_exact(docs(s, d)),
         "ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(docs(s, d)),
         "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
@@ -202,6 +204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
     }
     apm_extra = {
+        "sessionize": lambda s, d: sess.sessionize(load_tx(s, d)),
+        "service_rollup": lambda s, d: sess.service_rollup(load_tx(s, d)),
         "st_zerofill": lambda s, d: zf.st_zerofill(load_tx(s, d)),
         "jmx_rollup": lambda s, d: zf.jmx_rollup(load_tx(s, d)),
         # S5 collector end-to-end (synthetic fleet; transport -> CLI
@@ -229,6 +233,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": ts.doc_stats_oracle_sql(),
         "corpus_filter": ts.corpus_filter_oracle_sql(),
         "corpus_sample": ts.corpus_sample_oracle_sql(),
+        "corpus_scrub": ts.corpus_scrub_oracle_sql(),
+        "sessionize": TX_CTE + sess.sessionize_oracle_sql(),
+        "service_rollup": TX_CTE + sess.SERVICE_ROLLUP_ORACLE,
         "dedup_exact": dd.dedup_exact_oracle_sql(),
         "ngram_jaccard": dd.ngram_jaccard_oracle_sql(),
         "minhash_lsh": dd.minhash_lsh_oracle(),

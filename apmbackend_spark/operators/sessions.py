@@ -1,0 +1,127 @@
+"""Gap-based sessionization and hierarchical rollup over the tx stream.
+
+SURVEY.md §2.9 lists session windows and grouping-sets/rollup among the
+categories the reference does NOT implement ("audit-trail sessions are
+parse-level, not time-gap based"); both come essentially free from Spark and
+round out the engine's aggregation surface for training-data pipelines
+(user-session reconstruction, per-source traffic summaries).
+
+Scale shape:
+  * `sessionize` — Spark's native `session_window` groupBy: one shuffle on
+    (key-hash), map-side partial merge of session fragments, no per-key
+    global sort. The same expression works under Structured Streaming with
+    a watermark (session state is evicted once the gap closes), so the
+    batch and streaming renderings share one plan.
+  * `service_rollup` — a single `rollup` aggregation: Spark expands the
+    grouping sets and still map-side-combines; no extra scan per level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_MINUTES = 5.0
+
+
+def sessionize(tx: DataFrame, gap_minutes: float = DEFAULT_GAP_MINUTES) -> DataFrame:
+    """Per (server, service) gap-based sessions: consecutive tx closer than
+    `gap_minutes` apart fuse into one session; the session closes `gap`
+    after its last event (Spark session_window semantics: end = last event
+    time + gap, end-exclusive).
+
+    Bounds are emitted as epoch-ms BIGINTs computed from the ms-floored
+    event time, so the DuckDB island-detection oracle (lag + cumulative
+    boundary count) is bit-identical.
+    """
+    gap_ms = int(round(gap_minutes * 60_000))
+    evt = tx.select(
+        "server",
+        "service",
+        F.timestamp_millis(F.col("endts")).alias("et"),
+        "elapsed",
+    )
+    return (
+        evt.groupBy(
+            F.session_window("et", f"{gap_ms} milliseconds"),
+            "server",
+            "service",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("elapsed").alias("sum_elapsed"),
+        )
+        .select(
+            "server",
+            "service",
+            F.unix_millis(F.col("session_window.start")).alias("session_start"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+            "sum_elapsed",
+        )
+    )
+
+
+def sessionize_oracle_sql(gap_minutes: float = DEFAULT_GAP_MINUTES) -> str:
+    """Island detection: a session boundary is a gap >= gap_ms from the
+    previous event of the same key; session id = running boundary count.
+    Tie-safe: equal endts rows always fuse (diff 0 < gap) whatever the
+    tie order, so group membership is deterministic."""
+    gap_ms = int(round(gap_minutes * 60_000))
+    return f"""
+, ev AS (
+    SELECT server, service, endts, elapsed FROM tx
+), flagged AS (
+    SELECT server, service, endts, elapsed,
+           CASE WHEN lag(endts) OVER w IS NULL
+                     OR endts - lag(endts) OVER w >= {gap_ms}
+                THEN 1 ELSE 0 END AS is_new
+    FROM ev
+    WINDOW w AS (PARTITION BY server, service ORDER BY endts)
+), sess AS (
+    SELECT server, service, endts, elapsed,
+           SUM(is_new) OVER (PARTITION BY server, service ORDER BY endts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT server, service,
+       MIN(endts) AS session_start,
+       MAX(endts) + {gap_ms} AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(elapsed) AS BIGINT) AS sum_elapsed
+FROM sess
+GROUP BY server, service, sid
+"""
+
+
+ALL_LABEL = "<all>"
+
+
+def service_rollup(tx: DataFrame) -> DataFrame:
+    """Traffic/latency summary at three grain levels in one aggregation:
+    (server, service), (server), and grand total, via `rollup`. NULL group
+    labels are rewritten to '<all>' (keys never collide: real servers are
+    'srvN'). avg_ms is computed as exact-integer-sum / count, so the double
+    division is order-independent and engine-identical."""
+    rolled = tx.rollup("server", "service").agg(
+        F.count(F.lit(1)).alias("n_tx"),
+        F.sum("elapsed").alias("total_ms"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("server"), F.lit(ALL_LABEL)).alias("server"),
+        F.coalesce(F.col("service"), F.lit(ALL_LABEL)).alias("service"),
+        "n_tx",
+        "total_ms",
+        (F.col("total_ms").cast("double") / F.col("n_tx")).alias("avg_ms"),
+    )
+
+
+SERVICE_ROLLUP_ORACLE = f"""
+SELECT COALESCE(server, '{ALL_LABEL}') AS server,
+       COALESCE(service, '{ALL_LABEL}') AS service,
+       CAST(COUNT(*) AS BIGINT) AS n_tx,
+       CAST(SUM(elapsed) AS BIGINT) AS total_ms,
+       CAST(SUM(elapsed) AS DOUBLE) / COUNT(*) AS avg_ms
+FROM tx
+GROUP BY ROLLUP(server, service)
+"""

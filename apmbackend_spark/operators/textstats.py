@@ -185,6 +185,87 @@ WHERE ({h}) % {_SAMPLE_MOD} < rate_bp
 """
 
 
+# PII scrub patterns (chosen to parse identically under Java regex and
+# DuckDB's RE2: no lookaround, no backrefs, ASCII word boundaries only).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _with_pii(doc_id, text):
+    """Deterministically inject synthetic PII (the fixture corpus is clean
+    word soup, so the scrubber needs something to find): an email for
+    doc_id%3==0, a phone for %4==1, an IP for %5==2. Built identically in
+    the DuckDB oracle so both engines scrub the same input."""
+    return F.concat(
+        text,
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(doc_id % 4 == 1, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        F.when(
+            doc_id % 5 == 2,
+            F.concat(F.lit(" from 10.0.0."), (doc_id % 255).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def corpus_scrub(documents: DataFrame) -> DataFrame:
+    """PII redaction pass of a training-data cleaning pipeline: count and
+    replace emails / phone numbers / IPv4 addresses with typed placeholder
+    tokens. All regexp built-ins (JVM-side, whole-stage codegen) — a single
+    scan, zero shuffles, embarrassingly parallel at 100 TB."""
+    doc_id = F.col("doc_id")
+    aug = _with_pii(doc_id, F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(IP_RE),
+            F.lit("<IP>"),
+        ),
+        F.lit(PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(aug, F.lit(IP_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def corpus_scrub_oracle_sql() -> str:
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 1 THEN ' call 555-867-5309' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 2 THEN ' from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) ELSE '' END"
+    )
+    return f"""
+WITH aug AS (
+    SELECT doc_id, {aug} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{IP_RE}')) AS BIGINT) AS n_ips,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IP_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM aug
+"""
+
+
 def doc_stats_oracle_sql() -> str:
     tok = tokens_sql("text")
     return f"""
