@@ -29,6 +29,7 @@ from apmbackend_spark.operators import relational as rel
 from apmbackend_spark.operators import zerofill as zf
 from apmbackend_spark.operators import packing as pk
 from apmbackend_spark.operators import sessions as sess
+from apmbackend_spark.operators import setops as so
 from apmbackend_spark.sources.loaders import load_table
 from apmbackend_spark.sources import jmx as jmxsrc
 
@@ -206,6 +207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     apm_extra = {
         "sessionize": lambda s, d: sess.sessionize(load_tx(s, d)),
         "service_rollup": lambda s, d: sess.service_rollup(load_tx(s, d)),
+        "top_services": lambda s, d: so.top_services(load_tx(s, d)),
+        "account_coverage": lambda s, d: so.account_coverage(load_tx(s, d)),
         "st_zerofill": lambda s, d: zf.st_zerofill(load_tx(s, d)),
         "jmx_rollup": lambda s, d: zf.jmx_rollup(load_tx(s, d)),
         # S5 collector end-to-end (synthetic fleet; transport -> CLI
@@ -236,6 +239,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_scrub": ts.corpus_scrub_oracle_sql(),
         "sessionize": TX_CTE + sess.sessionize_oracle_sql(),
         "service_rollup": TX_CTE + sess.SERVICE_ROLLUP_ORACLE,
+        "top_services": TX_CTE + so.top_services_oracle_sql(),
+        "account_coverage": TX_CTE + so.account_coverage_oracle_sql(),
         "dedup_exact": dd.dedup_exact_oracle_sql(),
         "ngram_jaccard": dd.ngram_jaccard_oracle_sql(),
         "minhash_lsh": dd.minhash_lsh_oracle(),
