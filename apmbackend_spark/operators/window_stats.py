@@ -63,7 +63,9 @@ def window_stats(
         .agg(
             F.count(F.lit(1)).alias("_bcnt"),
             F.sum("elapsed").alias("_bsum"),
-            F.sort_array(F.collect_list("elapsed")).alias("_barr"),
+            # unsorted: the post-merge sort_array normalizes, so a
+            # per-bucket pre-sort is pure wasted work
+            F.collect_list("elapsed").alias("_barr"),
         )
     )
     # bucket b belongs to windows starting at (b-n+1..b) * slide

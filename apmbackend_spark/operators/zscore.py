@@ -354,16 +354,21 @@ def _zscore_series_incremental(xs, lag, threshold, influence):
     import math
     from collections import deque
 
+    import numpy as np
+
     n = len(xs)
     hist: deque = deque()
     nn = 0
     s = 0.0
     s2 = 0.0
     ops = 0
-    avg_o: list = [None] * n
-    lb_o: list = [None] * n
-    ub_o: list = [None] * n
-    sig_o: list = [0] * n
+    # numpy outputs (NaN = undefined): pandas renders a None-list as NaN
+    # anyway, so this is the same result with none of the object-dtype
+    # conversion cost on the 2×len(st) output rows
+    avg_o = np.full(n, np.nan)
+    lb_o = np.full(n, np.nan)
+    ub_o = np.full(n, np.nan)
+    sig_o = np.zeros(n, dtype=np.int32)
     for i in range(n):
         x = xs[i]
         append_val = x
@@ -381,7 +386,8 @@ def _zscore_series_incremental(xs, lag, threshold, influence):
                     prev = hist[-1] if hist else None
                     if prev is not None:
                         append_val = influence * x + (1 - influence) * prev
-            avg_o[i] = avg
+            if avg is not None:
+                avg_o[i] = avg
         hist.append(append_val)
         if append_val is not None:
             nn += 1
@@ -418,49 +424,49 @@ def zscore_recursive_py(
     window is full — a rolling sum would break the exact null-skipping +
     damping semantics, so the simple exact form is kept and the constant
     factor minimized."""
-    rows = rows.sort_values("timestamp")
+    import numpy as np
+
+    rows = rows.sort_values("timestamp", ignore_index=True)
     n = len(rows)
-    ts_l = rows["timestamp"].tolist()
-    srv_l = rows["server"].tolist()
-    svc_l = rows["service"].tolist()
-    tpm_l = rows["tpm"].tolist()
+    base = rows[["timestamp", "server", "service", "tpm"]]
+    # None-lists (not NaN arrays) for the scan: the loop's null semantics
+    # are identity checks, and NaN would poison the rolling sums
     metric_vals = {
         m: [None if pd.isna(v) else float(v) for v in rows[m].tolist()]
         for m in metrics
     }
+    metric_np = {m: rows[m].to_numpy(dtype="float64") for m in metrics}
 
     # One applyInPandas group == one (server, service) key, so the settings
     # cascade resolves once per group (stream_calc_z_score.js:134-150
     # updateServiceSettings applies per-service settings to every lag slot).
-    service = svc_l[0] if n else None
+    service = rows["service"].iloc[0] if n else None
 
     frames = []
     for lag in lags:
         t_eff = _threshold_for(threshold, lag, service, overrides)
         i_eff = _influence_for(influence, lag, service, overrides)
-        cols: dict[str, list] = {
-            "timestamp": ts_l,
-            "server": srv_l,
-            "service": svc_l,
-            "tpm": tpm_l,
-            "lag": [int(lag)] * n,
+        # one-shot dict-of-arrays construction in final column order:
+        # per-column inserts into a copied frame consolidate blocks per
+        # insert and were measurably slower
+        data = {
+            "timestamp": base["timestamp"],
+            "server": base["server"],
+            "service": base["service"],
+            "tpm": base["tpm"],
+            "lag": np.full(n, lag, dtype=np.int32),
         }
         for m in metrics:
-            xs = metric_vals[m]
             avg_o, lb_o, ub_o, sig_o = _zscore_series_incremental(
-                xs, lag, t_eff, i_eff
+                metric_vals[m], lag, t_eff, i_eff
             )
-            cols[m] = xs
-            cols[f"{m}avg"] = avg_o
-            cols[f"{m}lb"] = lb_o
-            cols[f"{m}ub"] = ub_o
-            cols[f"{m}signal"] = sig_o
-        frames.append(pd.DataFrame(cols))
-    out = pd.concat(frames, ignore_index=True)
-    order = ["timestamp", "server", "service", "tpm", "lag"]
-    for m in metrics:
-        order += [m, f"{m}avg", f"{m}lb", f"{m}ub", f"{m}signal"]
-    return out[order]
+            data[m] = metric_np[m]
+            data[f"{m}avg"] = avg_o
+            data[f"{m}lb"] = lb_o
+            data[f"{m}ub"] = ub_o
+            data[f"{m}signal"] = sig_o
+        frames.append(pd.DataFrame(data))
+    return pd.concat(frames, ignore_index=True)
 
 
 def zscore_recursive(
@@ -500,4 +506,7 @@ def zscore_recursive(
             pdf, lags, threshold, influence, metrics, overrides
         )
 
+    # Grouped by (server, service) ONLY — a lag fan-out before the shuffle
+    # was tried and is a net loss: it multiplies the Arrow transfer volume
+    # by len(lags) while the per-group Python scan total stays the same.
     return st.groupBy("server", "service").applyInPandas(fn, schema=schema)
