@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda s, d: dd.dedup_clusters(docs(s, d)),
         "token_pack": lambda s, d: pk.token_pack(docs(s, d)),
         "simhash": lambda s, d: dd.simhash(docs(s, d)),
+        "simhash_pairs": lambda s, d: dd.simhash_pairs(docs(s, d)),
         "ann_bruteforce": lambda s, d: sim.ann_bruteforce(embs(s, d)),
         "ann_ivf": lambda s, d: sim.ann_ivf(embs(s, d)),
         "ivf_assign": lambda s, d: sim.ivf_assign(embs(s, d)),
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dd.dedup_clusters_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),
         "simhash": dd.simhash_oracle_sql(),
+        "simhash_pairs": dd.simhash_pairs_oracle_sql(),
         "ann_bruteforce": sim.ann_bruteforce_oracle_sql(),
         "ann_ivf": sim.ann_ivf_oracle_sql(),
         "ivf_assign": sim.ivf_assign_oracle_sql(),

@@ -382,6 +382,97 @@ def simhash(documents: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    max_band_freq: int = 2000,
+) -> DataFrame:
+    """Near-dup (doc_a, doc_b, hamming) pairs over 32-bit SimHash signatures.
+
+    Pigeonhole blocking: the signature splits into ``max_hamming + 1`` bands;
+    any pair within Hamming distance ``max_hamming`` differs in at most
+    ``max_hamming`` bands, so it must agree EXACTLY on at least one band —
+    candidates are pairs sharing a (band_index, band_value) key, then an
+    exact ``bit_count(a XOR b)`` verify. Recall is 1.0 by construction, no
+    all-pairs join anywhere.
+
+    Scale: shuffle volume is (bands x |docs|) for the index plus the
+    candidate pairs; a band value shared by k docs makes k^2 join rows, so
+    band values with document frequency > ``max_band_freq`` are dropped from
+    the index (skew guard, same pattern as ngram_jaccard's hot-shingle cap —
+    a band that common carries no near-dup signal). The signature frame
+    feeds both join sides; it is tiny (one long per doc) so the recompute
+    trade is irrelevant next to the token scan it would otherwise double.
+    """
+    n_bands = int(max_hamming) + 1
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash(documents).persist()
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.val")
+    hot = (
+        banded.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_band_freq)
+        .select("band", "val")
+    )
+    banded = banded.join(F.broadcast(hot), ["band", "val"], "left_anti")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+        .distinct()
+    )
+
+
+def simhash_pairs_oracle_sql(
+    max_hamming: int = 3, max_band_freq: int = 2000
+) -> str:
+    n_bands = int(max_hamming) + 1
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH sims AS ({simhash_oracle_sql()}),
+banded_all AS (
+    SELECT doc_id, simhash, k.b AS band, (simhash >> (k.b * {band_bits})) & {mask} AS val
+    FROM sims CROSS JOIN (SELECT range AS b FROM range({n_bands})) k
+),
+hot AS (
+    SELECT band, val FROM banded_all GROUP BY band, val HAVING COUNT(*) > {max_band_freq}
+),
+banded AS (
+    SELECT * FROM banded_all ba WHERE NOT EXISTS (
+        SELECT 1 FROM hot h WHERE h.band = ba.band AND h.val = ba.val)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {int(max_hamming)}
+"""
+
+
 def simhash_oracle_sql() -> str:
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"

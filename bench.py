@@ -43,6 +43,12 @@ def main() -> None:
         t0 = time.perf_counter()
         force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Isolation between timings: multi-pass operators persist
+        # intermediates that are garbage once the query's action completes;
+        # left in place they pin unified memory and make later queries spill
+        # (a leaked-cache artifact, not real cost — mirrors the driver's
+        # fresh-process-per-query gate).
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -56,6 +56,35 @@ def test_cap_recomputes_sizes_on_filtered_universe(spark):
     assert got.get((200, 201)) == 1.0
 
 
+def test_simhash_pairs_pigeonhole_recall(spark):
+    # Band blocking must find EVERY pair within max_hamming — verify against
+    # a brute-force all-pairs Hamming computation on the same signatures.
+    from apmbackend_spark.operators.dedup import simhash, simhash_pairs
+
+    rows = [
+        (i, f"shared body of mostly common text tokens here variant{i % 7}")
+        for i in range(30)
+    ] + [(i, f"totally unrelated document number {i} " + " ".join(
+        f"w{i}x{j}" for j in range(10))) for i in range(50, 60)]
+    docs = _docs(spark, rows)
+    k = 3
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    expect = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= k
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=k).collect()
+    }
+    assert expect  # fixture must actually produce near-dup pairs
+    assert got == expect
+
+
 def test_dedup_clusters_transitive_closure(spark):
     # a~b and b~c via shared text => all three land in one cluster even if
     # a and c never share an LSH band; d is an unrelated singleton.
