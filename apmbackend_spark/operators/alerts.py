@@ -176,10 +176,13 @@ SELECT timestamp, server, service, lag, tpm, average, per75, per95, cause FROM (
 # ---------------------------------------------------------------------------
 
 
-def debounce_trace_py(fired_flags: list[bool], window_size: int, required: int):
+def debounce_trace_py(
+    fired_flags: list[bool], window_size: int, required: int, start: int = 0
+):
     """Reference counter trace (stream_process_alerts.js:370-391,427-434):
-    returns (counter_after, triggered) per interval."""
-    c = 0
+    returns (counter_after, triggered) per interval. ``start`` carries the
+    counter across micro-batches in the streaming port."""
+    c = int(start)
     out = []
     for fired in fired_flags:
         if fired:
@@ -225,10 +228,12 @@ def alert_debounce(
     )
 
 
-def cooldown_trace_py(ts_list: list[int], cooldown_ms: float) -> list[bool]:
+def cooldown_trace_py(
+    ts_list: list[int], cooldown_ms: float, last: int | None = None
+) -> list[bool]:
     """F5: keep an alert iff no kept alert for the service within cooldown
-    (strict >, reference stream_process_alerts.js:456-460)."""
-    last = None
+    (strict >, reference stream_process_alerts.js:456-460). ``last`` carries
+    the last-kept timestamp across micro-batches in the streaming port."""
     out = []
     for ts in ts_list:
         if last is None or (ts - last) > cooldown_ms:

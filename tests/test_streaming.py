@@ -124,6 +124,81 @@ def test_zscore_stateful_matches_recursive_across_batches(spark, tmpdir):
     assert n_sig > 0  # the step change must actually signal
 
 
+def test_alerts_stateful_matches_batch_across_batches(spark, tmpdir):
+    """F4+F5 streaming: counters and cooldown registry carry across
+    micro-batches; output must equal the batch alert_pipeline exactly."""
+    import pandas as pd
+
+    from apmbackend_spark.operators import alerts as al
+    from apmbackend_spark.streaming.pipeline import run_available_now
+    from apmbackend_spark.streaming.stateful import alerts_stateful
+
+    cfg = al.AlertConfig(
+        hard_max_ms=1e12,  # only the signal path fires
+        hard_min_ms=200.0,
+        min_tpm=0.1,
+        alert_on_both_only=True,
+        window_size=6,
+        required_bad=3,
+        cooldown_minutes=1.0,
+    )
+    rows = []
+    for i in range(60):
+        for srv in ("srv0", "srv1"):
+            burst = 10 <= i < 30  # 20 bad intervals: debounce arms, fires,
+            rows.append(                    # cooldown thins the fires
+                {
+                    "timestamp": i * 10_000,
+                    "server": srv,
+                    "service": "svc",
+                    "lag": 60,
+                    "tpm": 5.0,
+                    "average": 900.0 if burst else 100.0,
+                    "per75": 950.0 if burst else 110.0,
+                    "per95": 990.0 if burst else 120.0,
+                    "averagesignal": 1 if burst else 0,
+                    "per75signal": 1 if burst else 0,
+                    "per95signal": 0,
+                }
+            )
+    schema = (
+        "timestamp long, server string, service string, lag int, tpm double, "
+        "average double, per75 double, per95 double, averagesignal int, "
+        "per75signal int, per95signal int"
+    )
+    fs = spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+
+    src = f"{tmpdir}/fs_src"
+    from pyspark.sql import functions as F
+
+    for lo, hi in [(0, 20), (20, 40), (40, 60)]:
+        (
+            fs.where(
+                (F.col("timestamp") >= lo * 10_000)
+                & (F.col("timestamp") < hi * 10_000)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    fs_stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    got = sorted(
+        (r["alerttimestamp"], r["server"], r["service"], r["lag"], r["cause"])
+        for r in run_available_now(
+            alerts_stateful(fs_stream, cfg), f"{tmpdir}/ckpt_al", query_name="al_stream"
+        ).collect()
+    )
+    expect = sorted(
+        (r["alerttimestamp"], r["server"], r["service"], r["lag"], r["cause"])
+        for r in al.alert_pipeline(fs, cfg).collect()
+    )
+    assert got == expect
+    assert len(expect) > 2  # burst must produce several cooldown-spaced alerts
+
+
 def test_db_insert_sink_routes_typed_tables(spark, tmpdir):
     """S6 contract (stream_insert_db.js:149-160, 277-353): the envelope
     stream splits by rectype and each table receives exactly its reference
