@@ -140,6 +140,18 @@ def test_token_pack_no_global_data_window(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_simhash_pairs_band_join_not_cartesian(spark):
+    # Pigeonhole blocking must join on (band, value) keys — never all-pairs —
+    # and the hot-band exclusion side must broadcast.
+    from apmbackend_spark.operators.dedup import simhash_pairs
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(simhash_pairs(load_table(spark, SF_SMOKE, "documents")))
+    assert "CartesianProduct" not in p
+    assert "Broadcast" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_ann_ivf_probes_not_cartesian(spark):
     # The scale path must never cross-join query x corpus: centroids are
     # broadcast, and the candidate join is keyed on list_id.
