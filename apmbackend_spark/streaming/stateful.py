@@ -136,6 +136,110 @@ def zscore_stateful(
 
 
 # ---------------------------------------------------------------------------
+# A2 streaming zero-fill: remembered keys + event-time timers.
+# ---------------------------------------------------------------------------
+
+ZF_SLIDE_MS = 10_000
+
+
+def bucket_zerofill_stateful(
+    tx_stream: DataFrame,
+    slide_ms: int = ZF_SLIDE_MS,
+    watermark: str = "60 seconds",
+    time_col: str = "endtime",
+) -> DataFrame:
+    """A2 zero-row emission as a streaming operator (SURVEY 'hard part #4').
+    Emits (timestamp, server, service, cnt, sum_elapsed) per 10 s bucket for
+    every key ever seen, cnt=0 while silent — the reference iterates every
+    known key each interval (stream_calc_stats.js:159-202). The remembered
+    key dimension lives in the state store, and watermark-driven
+    ``EventTimeTimeout`` ticks wake silent keys: a timed-out group is invoked
+    with no input rows, emits its zero rows, and re-arms the timeout for the
+    next bucket boundary. (transformWithState timers would express the same
+    thing; applyInPandasWithState timeouts are the portable form — no
+    protobuf dependency.)
+
+    State per key: last finalized bucket + pending bucket partials (bounded
+    by watermark delay / slide — a bucket finalizes only once the watermark
+    passes its end, so late rows inside the delay still count exactly).
+    Batch twin: the bucket grid of ``operators.zerofill.st_zerofill``;
+    full-window stats compose downstream exactly as window_stats composes
+    over buckets.
+
+    Scale: keys partition across the cluster and timeouts fire where the key
+    lives — no global key enumeration anywhere; state is a few longs plus
+    the in-flight buckets."""
+    slide = int(slide_ms)
+    out_schema = (
+        "timestamp long, server string, service string, cnt long, sum_elapsed long"
+    )
+    state_schema = StructType(
+        [
+            StructField("last_bucket", LongType(), True),
+            StructField("pend_b", ArrayType(LongType(), True), True),
+            StructField("pend_cnt", ArrayType(LongType(), True), True),
+            StructField("pend_sum", ArrayType(LongType(), True), True),
+        ]
+    )
+    out_cols = ["timestamp", "server", "service", "cnt", "sum_elapsed"]
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        server, service = key
+        if state.exists:
+            last_b, pb, pc, ps = state.get
+            pending = {int(b): (int(c), int(s)) for b, c, s in zip(pb, pc, ps)}
+        else:
+            last_b, pending = None, {}
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for endts, elapsed in zip(pdf["endts"], pdf["elapsed"]):
+                    b = int(endts) // slide
+                    c, s = pending.get(b, (0, 0))
+                    pending[b] = (c + 1, s + int(elapsed))
+            if last_b is None and pending:
+                last_b = min(pending) - 1
+
+        wm = state.getCurrentWatermarkMs()
+        out = []
+        if last_b is not None:
+            hi = wm // slide - 1  # highest bucket fully below the watermark
+            for b in range(int(last_b) + 1, hi + 1):
+                c, s = pending.pop(b, (0, None))
+                out.append((b * slide, server, service, c, s))
+            last_b = max(int(last_b), hi)
+
+        state.update(
+            (
+                None if last_b is None else int(last_b),
+                list(pending),
+                [c for c, _ in pending.values()],
+                [s for _, s in pending.values()],
+            )
+        )
+        # next tick strictly above the current watermark so silent keys keep
+        # finalizing buckets as the watermark advances
+        state.setTimeoutTimestamp((wm // slide + 2) * slide)
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return (
+        tx_stream.withWatermark(time_col, watermark)
+        .groupBy("server", "service")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # F4/F5 streaming: alert debounce + cooldown with store-backed state.
 # ---------------------------------------------------------------------------
 

@@ -124,6 +124,68 @@ def test_zscore_stateful_matches_recursive_across_batches(spark, tmpdir):
     assert n_sig > 0  # the step change must actually signal
 
 
+def test_bucket_zerofill_emits_silent_intervals(spark, tmpdir):
+    """A2 zero-row emission (SURVEY 'hard part #4'): a key silent for six
+    buckets must still emit cnt=0 rows for them, driven by event-time
+    timers; counted buckets must match the batch aggregation exactly."""
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.streaming.pipeline import run_available_now
+    from apmbackend_spark.streaming.stateful import bucket_zerofill_stateful
+
+    # key B: buckets 0..15; key A: 0..5 then silent 6..11 then 12..15
+    rows = []
+    for b in range(16):
+        rows.append(("srvB", "svc", b * 10_000 + 500, 10 + b))
+        if b <= 5 or b >= 12:
+            rows.append(("srvA", "svc", b * 10_000 + 500, 100 + b))
+    schema = "server string, service string, endts long, elapsed long"
+    src = f"{tmpdir}/zf_src"
+    df = spark.createDataFrame(rows, schema=schema)
+    for lo, hi in [(0, 6), (6, 12), (12, 16)]:
+        (
+            df.where((F.col("endts") >= lo * 10_000) & (F.col("endts") < hi * 10_000))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("endtime", F.timestamp_millis(F.col("endts")))
+    )
+    got = run_available_now(
+        bucket_zerofill_stateful(stream, watermark="0 seconds"),
+        f"{tmpdir}/ckpt_zf",
+        query_name="zf_stream",
+    ).collect()
+
+    by_key = {}
+    for r in got:
+        k = (r["server"], r["timestamp"] // 10_000)
+        assert k not in by_key, f"duplicate emission {k}"
+        by_key[k] = (r["cnt"], r["sum_elapsed"])
+
+    # counted buckets match the batch aggregation
+    batch = {}
+    for r in (
+        df.withColumn("bkt", (F.col("endts") / 10_000).cast("long"))
+        .groupBy("server", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("elapsed").alias("s"))
+        .collect()
+    ):
+        batch[(r["server"], r["bkt"])] = (r["cnt"], r["s"])
+    for k, v in by_key.items():
+        if v[0] > 0:
+            assert batch[k] == v, k
+    # the silent gap emits zeros (this is the feature under test)
+    for b in range(6, 12):
+        assert by_key.get(("srvA", b)) == (0, None), b
+    # coverage: every finalized bucket up to the final watermark - 1
+    assert {b for (s, b) in by_key if s == "srvB"} >= set(range(0, 14))
+
+
 def test_alerts_stateful_matches_batch_across_batches(spark, tmpdir):
     """F4+F5 streaming: counters and cooldown registry carry across
     micro-batches; output must equal the batch alert_pipeline exactly."""
