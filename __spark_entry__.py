@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": lambda s, d: ts.corpus_filter(docs(s, d)),
         "corpus_sample": lambda s, d: ts.corpus_sample(docs(s, d)),
         "corpus_scrub": lambda s, d: ts.corpus_scrub(docs(s, d)),
+        "vocab_topk": lambda s, d: ts.vocab_topk(docs(s, d)),
         "dedup_exact": lambda s, d: dd.dedup_exact(docs(s, d)),
         "ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(docs(s, d)),
         "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
@@ -238,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": ts.corpus_filter_oracle_sql(),
         "corpus_sample": ts.corpus_sample_oracle_sql(),
         "corpus_scrub": ts.corpus_scrub_oracle_sql(),
+        "vocab_topk": ts.vocab_topk_oracle_sql(),
         "sessionize": TX_CTE + sess.sessionize_oracle_sql(),
         "service_rollup": TX_CTE + sess.SERVICE_ROLLUP_ORACLE,
         "top_services": TX_CTE + so.top_services_oracle_sql(),

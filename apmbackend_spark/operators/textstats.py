@@ -296,3 +296,58 @@ SELECT doc_id, lang, source, n_tokens, n_chars_actual, punct_ratio, stop_ratio,
        fingerprint
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: top-k n-gram frequencies
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(documents: DataFrame, n: int = 2, k: int = 200) -> DataFrame:
+    """Corpus-wide top-k n-gram frequencies (vocabulary / boilerplate audit
+    for a training corpus).
+
+    Scale: the count is a plain hash-groupBy on the gram string — fully
+    map-side combinable, one shuffle whose width is the distinct-gram count,
+    never the token count. The top-k runs as TakeOrderedAndProject (partial
+    per-partition top-k merged on the driver), not a global sort. Ties break
+    deterministically by (cnt DESC, ngram ASC) so the cutoff is stable
+    across engines and partitionings.
+    """
+    tok = tokens(F.col("text"))
+    if n == 1:
+        grams = tok
+    else:
+        grams = F.when(
+            F.size(tok) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - F.lit(n)),
+                lambda i: F.concat_ws(" ", F.slice(tok, i + F.lit(1), n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram"))
+        .limit(int(k))
+    )
+
+
+def vocab_topk_oracle_sql(n: int = 2, k: int = 200) -> str:
+    tok = tokens_sql("text")
+    if n == 1:
+        grams = "t"
+    else:
+        grams = (
+            f"CASE WHEN len(t) >= {n} THEN "
+            f"list_transform(range(len(t) - {n} + 1), "
+            f"i -> array_to_string(t[i + 1 : i + {n}], ' ')) "
+            "ELSE []::VARCHAR[] END"
+        )
+    return f"""
+WITH tok AS (SELECT {tok} AS t FROM documents),
+g AS (SELECT unnest({grams}) AS ngram FROM tok)
+SELECT ngram, COUNT(*) AS cnt FROM g
+GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {int(k)}
+"""
