@@ -70,3 +70,27 @@ def stop_count(tok: Column) -> Column:
 def stop_count_sql(tok_expr: str) -> str:
     sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
     return f"len(list_filter({tok_expr}, x -> list_contains({sw}, x)))"
+
+
+def ngrams(tok: Column, n: int) -> Column:
+    """Space-joined word n-grams (all occurrences, not distinct)."""
+    if n == 1:
+        return tok
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + F.lit(1), n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams_sql(tok_expr: str, n: int) -> str:
+    if n == 1:
+        return tok_expr
+    return (
+        f"CASE WHEN len({tok_expr}) >= {n} THEN "
+        f"list_transform(range(len({tok_expr}) - {n} + 1), "
+        f"i -> array_to_string(({tok_expr})[i + 1 : i + {n}], ' ')) "
+        "ELSE []::VARCHAR[] END"
+    )

@@ -314,17 +314,9 @@ def vocab_topk(documents: DataFrame, n: int = 2, k: int = 200) -> DataFrame:
     deterministically by (cnt DESC, ngram ASC) so the cutoff is stable
     across engines and partitionings.
     """
-    tok = tokens(F.col("text"))
-    if n == 1:
-        grams = tok
-    else:
-        grams = F.when(
-            F.size(tok) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tok) - F.lit(n)),
-                lambda i: F.concat_ws(" ", F.slice(tok, i + F.lit(1), n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    from apmbackend_spark.functions.text import ngrams
+
+    grams = ngrams(tokens(F.col("text")), n)
     return (
         documents.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
@@ -335,19 +327,79 @@ def vocab_topk(documents: DataFrame, n: int = 2, k: int = 200) -> DataFrame:
 
 
 def vocab_topk_oracle_sql(n: int = 2, k: int = 200) -> str:
-    tok = tokens_sql("text")
-    if n == 1:
-        grams = "t"
-    else:
-        grams = (
-            f"CASE WHEN len(t) >= {n} THEN "
-            f"list_transform(range(len(t) - {n} + 1), "
-            f"i -> array_to_string(t[i + 1 : i + {n}], ' ')) "
-            "ELSE []::VARCHAR[] END"
-        )
+    from apmbackend_spark.functions.text import ngrams_sql
+
     return f"""
-WITH tok AS (SELECT {tok} AS t FROM documents),
-g AS (SELECT unnest({grams}) AS ngram FROM tok)
+WITH tok AS (SELECT {tokens_sql('text')} AS t FROM documents),
+g AS (SELECT unnest({ngrams_sql('t', n)}) AS ngram FROM tok)
 SELECT ngram, COUNT(*) AS cnt FROM g
 GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {int(k)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition signals (Gopher-style quality gates)
+# ---------------------------------------------------------------------------
+
+
+def doc_repetition(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Per-document n-gram repetition: total/distinct gram counts, the
+    duplicate-gram fraction (1 - distinct/total), and the most-frequent-gram
+    fraction — the classic repetition quality gates for a training corpus.
+
+    Scale: two keyed aggregations on doc_id (gram counts, then the rollup),
+    both map-side combinable; the left join back to documents keeps docs too
+    short to produce a gram (zeros). No arrays ever leave a task."""
+    from apmbackend_spark.functions.text import ngrams
+
+    grams = documents.select(
+        "doc_id", F.explode(ngrams(tokens(F.col("text")), n)).alias("g")
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+            F.when(
+                F.col("n_grams") > 0,
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)).alias("dup_gram_frac"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("top_cnt").cast("double") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)).alias("top_gram_frac"),
+        )
+    )
+
+
+def doc_repetition_oracle_sql(n: int = 2) -> str:
+    from apmbackend_spark.functions.text import ngrams_sql
+
+    return f"""
+WITH tok AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+g AS (SELECT doc_id, unnest({ngrams_sql('t', n)}) AS g FROM tok),
+per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+per_doc AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+    FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_distinct, 0) AS n_distinct,
+       CASE WHEN p.n_grams > 0
+            THEN 1.0 - CAST(p.n_distinct AS DOUBLE) / p.n_grams
+            ELSE 0.0 END AS dup_gram_frac,
+       CASE WHEN p.n_grams > 0
+            THEN CAST(p.top_cnt AS DOUBLE) / p.n_grams
+            ELSE 0.0 END AS top_gram_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
