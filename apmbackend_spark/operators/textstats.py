@@ -403,3 +403,107 @@ SELECT d.doc_id,
             ELSE 0.0 END AS top_gram_frac
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination detection (decontamination gate)
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 5
+CONTAM_PROBE_MOD = 97
+CONTAM_THRESHOLD = 0.2
+
+
+def contamination(
+    documents: DataFrame,
+    probes: DataFrame | None = None,
+    n: int = CONTAM_N,
+    threshold: float = CONTAM_THRESHOLD,
+) -> DataFrame:
+    """Per-document benchmark-overlap: the fraction of a doc's DISTINCT word
+    n-grams that appear anywhere in the probe (benchmark/eval) corpus, plus
+    a keep/drop verdict — the standard decontamination gate before training.
+
+    ``probes`` defaults to the deterministic in-table stand-in (doc_id %
+    {mod} == 0), which is then excluded from the scored set; pass the real
+    eval corpus in production.
+
+    Scale: probe grams are DISTINCT before the join (the membership test
+    needs existence, not counts), the doc side is distinct per (doc_id,
+    gram), and the join keys on the gram string — shuffle is bounded by
+    distinct-gram volume, never token volume. A left semi join would lose
+    the per-doc hit COUNT, so it is an inner join + groupBy, then a left
+    join back for zero-hit docs."""
+    from apmbackend_spark.functions.text import ngrams
+
+    if probes is None:
+        probes = documents.where(F.col("doc_id") % CONTAM_PROBE_MOD == 0)
+        scored = documents.where(F.col("doc_id") % CONTAM_PROBE_MOD != 0)
+    else:
+        scored = documents
+
+    def distinct_grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", F.explode(F.array_distinct(ngrams(tokens(F.col("text")), n))).alias("g")
+        )
+
+    probe_grams = distinct_grams(probes).select("g").distinct()
+    doc_grams = distinct_grams(scored)
+    sizes = doc_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(probe_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        scored.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)).alias("contam_frac"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("contam_frac") >= F.lit(float(threshold))).cast("int"),
+        )
+    )
+
+
+def contamination_oracle_sql(
+    n: int = CONTAM_N, threshold: float = CONTAM_THRESHOLD
+) -> str:
+    from apmbackend_spark.functions.text import ngrams_sql
+
+    return f"""
+WITH tok AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+dg AS (
+    SELECT doc_id, unnest(list_distinct({ngrams_sql('t', n)})) AS g
+    FROM tok WHERE doc_id % {CONTAM_PROBE_MOD} <> 0
+),
+pg AS (
+    SELECT DISTINCT unnest(list_distinct({ngrams_sql('t', n)})) AS g
+    FROM tok WHERE doc_id % {CONTAM_PROBE_MOD} = 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+hits AS (
+    SELECT dg.doc_id, COUNT(*) AS n_hit FROM dg JOIN pg USING (g) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       CASE WHEN s.n_grams > 0
+            THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_grams
+            ELSE 0.0 END AS contam_frac,
+       CAST(CASE WHEN (CASE WHEN s.n_grams > 0
+            THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_grams
+            ELSE 0.0 END) >= {float(threshold)!r} THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {CONTAM_PROBE_MOD} <> 0) d
+LEFT JOIN sizes s USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
