@@ -301,6 +301,7 @@ def dedup_clusters(
     labels = documents.select(
         "doc_id", F.col("doc_id").alias("label")
     ).persist()
+    prev_sum = None
     for _ in range(max_iters):
         nbr_min = (
             edges.join(
@@ -322,16 +323,15 @@ def dedup_clusters(
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # labels only ever decrease under min-propagation, so the label sum
+        # strictly decreases until the fixpoint — a scalar aggregate detects
+        # convergence without the new-vs-old join a changed-count would need
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
