@@ -1,0 +1,119 @@
+"""The reference's four-process queue topology as chained streaming stages.
+
+The reference deploys parse -> calc_stats -> calc_z_score -> process_alerts
+as separate OS processes connected by RabbitMQ queues (apm_config.json:5-12;
+queue.js producer/consumer). Here each stage is an independent Structured
+Streaming query and the queue between stages is a parquet handoff directory:
+the upstream stage's file sink is the downstream stage's file source, which
+is exactly the durable-queue contract (at-least-once delivery, consumer
+offset tracking via the sink's _spark_metadata + the reader's checkpoint).
+
+In production the four queries run continuously and concurrently —
+micro-batches pipeline through the handoff dirs (or Kafka topics, swapping
+format('parquet') for format('kafka')); each stage checkpoints and scales
+its shuffle partitions independently, matching the reference's
+process-per-stage deployment and restart isolation. The test harness runs
+them sequentially with availableNow, which drains the same dataflow to
+quiescence.
+
+Stage map (reference file -> here):
+  * stream_parse_transactions.js -> tx_stream (sources/tx.py projection)
+  * stream_calc_stats.js         -> window_stats_stream + st projection
+  * stream_calc_z_score.js       -> zscore_stateful
+  * stream_process_alerts.js     -> alerts_stateful
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from apmbackend_spark.operators.alerts import AlertConfig
+from apmbackend_spark.operators.zscore import METRICS
+from apmbackend_spark.streaming.pipeline import tx_stream, window_stats_stream
+from apmbackend_spark.streaming.stateful import alerts_stateful, zscore_stateful
+
+TX_HANDOFF_SCHEMA = (
+    "logid string, server string, service string, acctnum long, "
+    "startts long, endts long, elapsed long, toplevel string"
+)
+
+ST_HANDOFF_SCHEMA = (
+    "timestamp long, server string, service string, tpm double, "
+    "average double, per75 double, per95 double"
+)
+
+
+def _fs_handoff_schema(metrics=METRICS) -> str:
+    parts = ["timestamp long", "server string", "service string", "tpm double", "lag int"]
+    for m in metrics:
+        parts += [f"{m} double", f"{m}avg double", f"{m}lb double", f"{m}ub double", f"{m}signal int"]
+    return ", ".join(parts)
+
+
+def _run_stage(stream_df, path: str, ckpt: str, timeout_s: int) -> None:
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def run_apm_topology(
+    spark: SparkSession,
+    events_dir: str,
+    work_dir: str,
+    lags=(30,),
+    threshold: float = 3.0,
+    influence: float = 0.1,
+    alert_cfg: AlertConfig | None = None,
+    watermark: str = "60 seconds",
+    timeout_s: int = 300,
+) -> dict[str, str]:
+    """Drain the full four-stage pipeline over everything in ``events_dir``;
+    returns the handoff directory per stage ('tx', 'st', 'fs', 'al')."""
+    cfg = alert_cfg or AlertConfig()
+    dirs = {name: f"{work_dir}/{name}" for name in ("tx", "st", "fs", "al")}
+
+    # stage 1 — parse: raw events -> normalized tx records
+    tx = tx_stream(spark, events_dir).select(
+        "logid", "server", "service", "acctnum",
+        "startts", "endts", "elapsed", "toplevel",
+    )
+    _run_stage(tx, dirs["tx"], f"{work_dir}/ckpt_tx", timeout_s)
+
+    # stage 2 — calc_stats: sliding-window st records (watermark-closed only)
+    tx_in = (
+        spark.readStream.schema(TX_HANDOFF_SCHEMA)
+        .parquet(dirs["tx"])
+        .withColumn("endtime", F.timestamp_millis(F.col("endts")))
+    )
+    st = window_stats_stream(tx_in, watermark=watermark).select(
+        F.col("win_start").alias("timestamp"),
+        "server",
+        "service",
+        "tpm",
+        F.round(F.col("avg_ms"), 0).alias("average"),
+        F.round(F.col("p75"), 0).alias("per75"),
+        F.round(F.col("p95"), 0).alias("per95"),
+    )
+    _run_stage(st, dirs["st"], f"{work_dir}/ckpt_st", timeout_s)
+
+    # stage 3 — calc_z_score: per-key recursive detector with store-backed
+    # history
+    st_in = spark.readStream.schema(ST_HANDOFF_SCHEMA).parquet(dirs["st"])
+    fs = zscore_stateful(
+        st_in, lags=lags, threshold=threshold, influence=influence
+    )
+    _run_stage(fs, dirs["fs"], f"{work_dir}/ckpt_fs", timeout_s)
+
+    # stage 4 — process_alerts: predicates + debounce + cooldown
+    fs_in = spark.readStream.schema(_fs_handoff_schema()).parquet(dirs["fs"])
+    al = alerts_stateful(fs_in, cfg)
+    _run_stage(al, dirs["al"], f"{work_dir}/ckpt_al", timeout_s)
+
+    return dirs

@@ -371,6 +371,64 @@ def test_fanout_parquet_sink(spark, tmpdir):
     assert "_batch_id" in written.columns
 
 
+def test_apm_topology_end_to_end(spark, tmpdir):
+    """The four-stage queue topology drained over the sf0.001 events: every
+    handoff populated, tx count exact, st rows matching the batch operator
+    for closed windows, fs = st x lags, and the alert stage fires."""
+    from apmbackend_spark.operators.alerts import AlertConfig
+    from apmbackend_spark.streaming.topology import run_apm_topology
+
+    cfg = AlertConfig(
+        hard_max_ms=1.0,      # everything exceeds the hard max -> causes fire
+        hard_min_ms=0.0,
+        min_tpm=0.0,
+        window_size=3,
+        required_bad=2,       # debounce arms on the second bad interval
+        cooldown_minutes=5.0,
+    )
+    # the streaming file source wants a directory with only the events table
+    import os
+    import shutil
+
+    ev_dir = f"{tmpdir}/events_src"
+    os.makedirs(ev_dir)
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{ev_dir}/events.parquet")
+    dirs = run_apm_topology(spark, ev_dir, f"{tmpdir}/topo", alert_cfg=cfg)
+
+    tx = spark.read.parquet(dirs["tx"])
+    assert tx.count() == 1000
+
+    st = spark.read.parquet(dirs["st"])
+    n_st = st.count()
+    assert n_st > 0
+
+    from apmbackend_spark.operators.window_stats import window_stats
+    from apmbackend_spark.operators.zscore import st_from_window_stats
+    from apmbackend_spark.sources.tx import load_tx
+
+    batch = {
+        (r["server"], r["service"], r["timestamp"]): r
+        for r in st_from_window_stats(window_stats(load_tx(spark, SF_SMOKE))).collect()
+    }
+    # append mode emits only watermark-closed windows; all must match batch
+    assert n_st <= len(batch)
+    assert n_st >= 0.9 * len(batch)
+    for r in st.collect():
+        b = batch[(r["server"], r["service"], r["timestamp"])]
+        assert (r["tpm"], r["average"], r["per75"], r["per95"]) == (
+            b["tpm"], b["average"], b["per75"], b["per95"]
+        )
+
+    fs = spark.read.parquet(dirs["fs"])
+    assert fs.count() == n_st  # one lag configured -> one fs row per st row
+
+    al = spark.read.parquet(dirs["al"])
+    assert al.count() > 0  # the always-bad config must produce alerts
+    assert set(al.columns) == {
+        "alerttimestamp", "entrytimestamp", "server", "service", "lag", "cause"
+    }
+
+
 def test_dedup_stream_drops_cross_batch_redeliveries(spark, tmpdir):
     """A record redelivered in a LATER micro-batch (within the watermark)
     must be emitted exactly once."""
