@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(docs(s, d)),
         "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
         "dedup_clusters": lambda s, d: dd.dedup_clusters(docs(s, d)),
+        "corpus_dedup": lambda s, d: dd.corpus_dedup(docs(s, d)),
         "token_pack": lambda s, d: pk.token_pack(docs(s, d)),
         "simhash": lambda s, d: dd.simhash(docs(s, d)),
         "simhash_pairs": lambda s, d: dd.simhash_pairs(docs(s, d)),
@@ -207,6 +208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q4_priority_semijoin": rel.q4_priority_semijoin,
+        "parts_never_shipped": rel.parts_never_shipped,
     }
     apm_extra = {
         "sessionize": lambda s, d: sess.sessionize(load_tx(s, d)),
@@ -252,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dd.ngram_jaccard_oracle_sql(),
         "minhash_lsh": dd.minhash_lsh_oracle(),
         "dedup_clusters": dd.dedup_clusters_oracle_sql(),
+        "corpus_dedup": dd.corpus_dedup_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),
         "simhash": dd.simhash_oracle_sql(),
         "simhash_pairs": dd.simhash_pairs_oracle_sql(),
@@ -273,6 +278,9 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": rel.Q1_ORACLE,
         "q3_top_orders": rel.Q3_ORACLE,
         "q5_local_supplier_volume": rel.Q5_ORACLE,
+        "q6_forecast_revenue": rel.Q6_ORACLE,
+        "q4_priority_semijoin": rel.Q4_ORACLE,
+        "parts_never_shipped": rel.PARTS_NEVER_SHIPPED_ORACLE,
         "media_stats": """
 WITH media AS (
     SELECT doc_id AS media_id,

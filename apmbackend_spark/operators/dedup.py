@@ -354,6 +354,40 @@ SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
 """
 
 
+def corpus_dedup(
+    documents: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """End-to-end near-dup removal: the kept corpus after MinHash-LSH
+    clustering — one representative (min doc_id) per duplicate cluster,
+    singletons kept as-is. This is the operator a training-data pipeline
+    actually runs; pairs/clusters are its inspectable intermediates.
+
+    Scale shape: adds exactly one broadcast-able join on top of
+    ``dedup_clusters`` — cluster labels are |V|-sized with 8-byte rows, and
+    the documents side streams past them keyed by doc_id. Text bytes are
+    never shuffled: the join keys on doc_id and the text column rides only
+    in the final projection of the kept rows.
+    """
+    labels = dedup_clusters(documents, bands, rows_per_band)
+    kept = labels.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return (
+        documents.join(kept, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def corpus_dedup_oracle_sql(bands: int = 4, rows_per_band: int = 2) -> str:
+    return f"""
+WITH clusters AS ({dedup_clusters_oracle_sql(bands, rows_per_band)})
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.cluster_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

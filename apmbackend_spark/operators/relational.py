@@ -207,3 +207,118 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n.n_name
 """
+
+
+Q6_YEAR_START = "1997-01-01 00:00:00"
+Q6_YEAR_END = "1998-01-01 00:00:00"
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: revenue effect of discount changes — one scan, zero
+    joins, zero shuffles beyond the final single-group agg. Every predicate
+    (shipdate range, discount band, quantity cap) and the 3-column
+    projection must reach the parquet scan as PushedFilters/ReadSchema
+    (asserted in tests/test_plans.py) — at 100 TB this query IS its scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q6_YEAR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_YEAR_END).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = _cents(F.col("l_extendedprice") * F.col("l_discount"), 10_000)
+    return li.select(rev.alias("rev_c")).agg(
+        (F.sum("rev_c").cast("double") / 10_000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q6_ORACLE = f"""
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR_START}'
+  AND l_shipdate < TIMESTAMP '{Q6_YEAR_END}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+Q4_QTR_START = "1997-01-01 00:00:00"
+Q4_QTR_END = "1997-04-01 00:00:00"
+
+
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: order count per priority for orders with at least
+    one late-shipped lineitem (l_shipdate > o_orderdate) — an EXISTS
+    semi-join. LeftSemi keeps orders' columns only, so lineitem never
+    widens the row: the shuffle carries (l_orderkey, l_shipdate) alone.
+
+    The fixture has no l_commitdate/l_receiptdate, so "late" is defined
+    against o_orderdate — same join/predicate shape as the published Q4."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q4_QTR_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_QTR_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_QTR_START}'
+  AND o.o_orderdate < TIMESTAMP '{Q4_QTR_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage: parts with no lineitem in a ship-date window,
+    counted per brand. part LEFT ANTI lineitem-keys — the NOT EXISTS shape.
+    The distinct on l_partkey happens BEFORE the join (map-side combinable),
+    so the anti-join probe side is |distinct parts shipped|, not |lineitem|."""
+    part = load_table(spark, sf_dir, "part")
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(Q6_YEAR_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_YEAR_END).cast("timestamp"))
+        )
+        .select("l_partkey")
+        .distinct()
+    )
+    anti = part.join(shipped, part["p_partkey"] == shipped["l_partkey"], "left_anti")
+    return anti.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum(_cents(F.col("p_retailprice"))).cast("double") / 100.0).alias(
+            "idle_retail_value"
+        ),
+    )
+
+
+PARTS_NEVER_SHIPPED_ORACLE = f"""
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS idle_retail_value
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey
+      AND l.l_shipdate >= TIMESTAMP '{Q6_YEAR_START}'
+      AND l.l_shipdate < TIMESTAMP '{Q6_YEAR_END}'
+)
+GROUP BY p_brand
+"""

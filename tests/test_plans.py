@@ -152,6 +152,58 @@ def test_simhash_pairs_band_join_not_cartesian(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_q6_all_predicates_pushed_to_scan(spark):
+    from apmbackend_spark.operators.relational import q6_forecast_revenue
+
+    p = plan(q6_forecast_revenue(spark, SF_SMOKE))
+    lines = p.splitlines()
+    pushed = [l for l in lines if "PushedFilters" in l]
+    # every predicate column reaches the parquet scan as a pushed filter
+    assert pushed and all(
+        c in pushed[0] for c in ("l_shipdate", "l_discount", "l_quantity")
+    )
+    # projection pruned to the 4 referenced columns
+    read_schemas = [l for l in lines if "ReadSchema" in l]
+    assert read_schemas and all(
+        "l_partkey" not in l and "l_returnflag" not in l for l in read_schemas
+    )
+    # single-group agg: partial map-side + final, one exchange between
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q4_semi_join_keeps_orders_narrow(spark):
+    from apmbackend_spark.operators.relational import q4_priority_semijoin
+
+    p = plan(q4_priority_semijoin(spark, SF_SMOKE))
+    assert "LeftSemi" in p
+    # lineitem probe side reads only the join/predicate columns
+    read_schemas = [l for l in p.splitlines() if "ReadSchema" in l and "l_orderkey" in l]
+    assert read_schemas and all("l_extendedprice" not in l for l in read_schemas)
+
+
+def test_parts_never_shipped_anti_join_after_distinct(spark):
+    from apmbackend_spark.operators.relational import parts_never_shipped
+
+    p = plan(parts_never_shipped(spark, SF_SMOKE))
+    assert "LeftAnti" in p
+    # the shipped-keys side must pre-aggregate (distinct) before the join:
+    # a partial_ aggregate on l_partkey appears below the join
+    assert "partial" in p.lower()
+    assert "CartesianProduct" not in p
+
+
+def test_corpus_dedup_no_text_shuffle(spark):
+    # The kept-set join must key on doc_id; the text column must not appear
+    # in any exchange input (it is never selected at all).
+    from apmbackend_spark.operators.dedup import corpus_dedup
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = corpus_dedup(load_table(spark, SF_SMOKE, "documents"))
+    assert "text" not in df.columns
+    p = plan(df)
+    assert "CartesianProduct" not in p
+
+
 def test_ann_ivf_probes_not_cartesian(spark):
     # The scale path must never cross-join query x corpus: centroids are
     # broadcast, and the candidate join is keyed on list_id.
