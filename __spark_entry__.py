@@ -32,6 +32,7 @@ from apmbackend_spark.operators import sessions as sess
 from apmbackend_spark.operators import setops as so
 from apmbackend_spark.sources.loaders import load_table
 from apmbackend_spark.sources import jmx as jmxsrc
+from apmbackend_spark.sources import bucketing as bk
 
 ZSCORE_LAGS = (60, 360)
 ZSCORE_THRESHOLD = 3.0
@@ -222,6 +223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S5 collector end-to-end (synthetic fleet; transport -> CLI
         # rewriter -> typed frame); sf_dir unused by design.
         "jmx_poll": lambda s, d: jmxsrc.jmx_poll_synthetic(s),
+        # write-once bucketed layout -> shuffle-free key join (S6-adjacent
+        # sink + §2.9 co-located join; plan asserted in test_bucketing.py)
+        "bucketed_enrich": bk.bucketed_enrich,
     }
     return phase6 | relational | apm_extra | {
         "tx_normalize": _q_tx_normalize,
@@ -273,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         + zf.st_zerofill_oracle_sql(),
         "jmx_rollup": TX_CTE + zf.JMX_ROLLUP_ORACLE,
         "jmx_poll": jmxsrc.jmx_poll_oracle_sql(),
+        "bucketed_enrich": TX_CTE + bk.BUCKETED_ENRICH_ORACLE,
         "media_features": mm.media_features_oracle_sql(),
         "media_resize": mm.media_resize_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,
