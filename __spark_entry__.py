@@ -33,6 +33,8 @@ from apmbackend_spark.operators import setops as so
 from apmbackend_spark.sources.loaders import load_table
 from apmbackend_spark.sources import jmx as jmxsrc
 from apmbackend_spark.sources import bucketing as bk
+from apmbackend_spark.sources import partitioned as pt
+from apmbackend_spark.operators import skew as sk
 
 ZSCORE_LAGS = (60, 360)
 ZSCORE_THRESHOLD = 3.0
@@ -177,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": lambda s, d: ts.corpus_filter(docs(s, d)),
         "corpus_sample": lambda s, d: ts.corpus_sample(docs(s, d)),
         "corpus_scrub": lambda s, d: ts.corpus_scrub(docs(s, d)),
+        "corpus_split": lambda s, d: ts.corpus_split(docs(s, d)),
         "vocab_topk": lambda s, d: ts.vocab_topk(docs(s, d)),
         "doc_repetition": lambda s, d: ts.doc_repetition(docs(s, d)),
         "contamination": lambda s, d: ts.contamination(docs(s, d)),
@@ -226,6 +229,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # write-once bucketed layout -> shuffle-free key join (S6-adjacent
         # sink + §2.9 co-located join; plan asserted in test_bucketing.py)
         "bucketed_enrich": bk.bucketed_enrich,
+        # hot-key salting: same semantics as a plain key join, physically
+        # spread over n_salts shuffle partitions (operators/skew.py)
+        "skew_salted_join": sk.skew_salted_profile,
+        # date-partitioned lake layout: the day filter is partition pruning,
+        # not a data scan (sources/partitioned.py)
+        "daily_slice_rollup": pt.daily_slice_rollup,
     }
     return phase6 | relational | apm_extra | {
         "tx_normalize": _q_tx_normalize,
@@ -249,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": ts.corpus_filter_oracle_sql(),
         "corpus_sample": ts.corpus_sample_oracle_sql(),
         "corpus_scrub": ts.corpus_scrub_oracle_sql(),
+        "corpus_split": ts.corpus_split_oracle_sql(),
         "vocab_topk": ts.vocab_topk_oracle_sql(),
         "doc_repetition": ts.doc_repetition_oracle_sql(),
         "contamination": ts.contamination_oracle_sql(),
@@ -278,6 +288,8 @@ def oracle_sql() -> dict[str, str]:
         "jmx_rollup": TX_CTE + zf.JMX_ROLLUP_ORACLE,
         "jmx_poll": jmxsrc.jmx_poll_oracle_sql(),
         "bucketed_enrich": TX_CTE + bk.BUCKETED_ENRICH_ORACLE,
+        "skew_salted_join": TX_CTE + sk.SKEW_SALTED_PROFILE_ORACLE,
+        "daily_slice_rollup": TX_CTE + pt.daily_slice_rollup_oracle_sql(),
         "media_features": mm.media_features_oracle_sql(),
         "media_resize": mm.media_resize_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,

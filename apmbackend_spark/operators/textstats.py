@@ -185,6 +185,44 @@ WHERE ({h}) % {_SAMPLE_MOD} < rate_bp
 """
 
 
+SPLIT_MOD = 10_000
+# (name, upper-bound in basis points): [0, 9600) train, [9600, 9800) val,
+# [9800, 10000) test — contiguous hash ranges so each doc lands in exactly
+# one split.
+SPLIT_BOUNDS = (("train", 9600), ("val", 9800), ("test", SPLIT_MOD))
+
+
+def corpus_split(documents: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment: split = which contiguous
+    hash-range bucket hash64('split:' || doc_id) mod 10000 falls in. Like
+    corpus_sample this is a pure function of the row key — stable across
+    runs, engines, partitionings, retries, and insert order (a rand()/
+    randomSplit split is none of those, and re-shuffles membership every
+    run). The salt prefix decorrelates it from the sampling hash, so
+    splitting composes with sampling without bias. Single scan, no shuffle,
+    no joins; the assignment is a when-chain over one hash value."""
+    h = hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % SPLIT_MOD
+    expr = F.lit(None).cast("string")
+    # build the when-chain from the last bound backwards
+    for name, ub in reversed(SPLIT_BOUNDS):
+        expr = F.when(h < ub, F.lit(name)).otherwise(expr)
+    return documents.select(
+        "doc_id", "source", expr.alias("split")
+    )
+
+
+def corpus_split_oracle_sql() -> str:
+    salted = "'split:' || CAST(doc_id AS VARCHAR)"
+    h = f"({hash64_sql(salted)}) % {SPLIT_MOD}"
+    cases = " ".join(
+        f"WHEN {h} < {ub} THEN '{name}'" for name, ub in SPLIT_BOUNDS
+    )
+    return f"""
+SELECT doc_id, source, CASE {cases} END AS split
+FROM documents
+"""
+
+
 # PII scrub patterns (chosen to parse identically under Java regex and
 # DuckDB's RE2: no lookaround, no backrefs, ASCII word boundaries only).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

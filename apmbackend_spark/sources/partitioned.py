@@ -1,0 +1,84 @@
+"""Date-partitioned parquet layout: partition pruning + retention.
+
+The reference keeps its Postgres tables trimmed by a yyyymmdd retention
+number (``util_methods.js:178-182`` convertDateToYYYYMMDDNumber, used for
+log/table retention). The lake-native equivalent is directory partitioning
+by that same integer: `partitionBy("log_date")` at write time makes
+
+  * time-sliced reads partition-PRUNED — a one-day query on a 30-day,
+    100 TB fact table lists and scans 1/30th of the files; the filter shows
+    up as PartitionFilters on the scan, never touching row data
+    (asserted in tests/test_partitioned.py), and
+  * retention a metadata operation — dropping day N is deleting one
+    directory, not a DELETE scan.
+
+Hygiene at scale: partition count = days, bounded and low-cardinality (the
+anti-pattern is partitioning by a high-cardinality key); within a
+partition, files stay row-grouped for predicate pushdown on the remaining
+columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apmbackend_spark.functions.scalars import yyyymmdd_int, yyyymmdd_int_sql
+
+DEFAULT_ROOT = "/tmp/apmbackend_spark_partitioned"
+
+# Fixture events span 2024-01-01..2024-01-30 at every SF; a mid-range day
+# keeps the slice non-empty everywhere.
+DEFAULT_DAY = 20240105
+
+
+def write_partitioned_by_day(
+    tx: DataFrame, name: str, root: str = DEFAULT_ROOT
+) -> str:
+    """tx + derived log_date partition column, one directory per day."""
+    path = os.path.join(root, name)
+    (
+        tx.withColumn("log_date", yyyymmdd_int(F.col("endts")))
+        .write.mode("overwrite")
+        .partitionBy("log_date")
+        .parquet(path)
+    )
+    return path
+
+
+def _token(sf_dir: str) -> str:
+    return "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+
+
+def daily_slice_rollup(
+    spark: SparkSession, sf_dir: str, day: int = DEFAULT_DAY
+) -> DataFrame:
+    """Per-service traffic/latency for ONE day, read through the
+    date-partitioned layout: the day filter prunes partitions (metadata
+    only), so the scan touches 1/30th of the lake."""
+    from apmbackend_spark.sources.tx import load_tx
+
+    path = write_partitioned_by_day(
+        load_tx(spark, sf_dir).select("server", "service", "endts", "elapsed"),
+        f"tx_{_token(sf_dir)}",
+    )
+    day_df = spark.read.parquet(path).where(F.col("log_date") == day)
+    return day_df.groupBy("server", "service").agg(
+        F.count(F.lit(1)).alias("n_tx"),
+        F.sum("elapsed").alias("total_ms"),
+        (F.sum("elapsed").cast("double") / F.count(F.lit(1))).alias("avg_ms"),
+    )
+
+
+def daily_slice_rollup_oracle_sql(day: int = DEFAULT_DAY) -> str:
+    return f"""
+SELECT server, service,
+       CAST(COUNT(*) AS BIGINT) AS n_tx,
+       CAST(SUM(elapsed) AS BIGINT) AS total_ms,
+       CAST(SUM(elapsed) AS DOUBLE) / COUNT(*) AS avg_ms
+FROM tx
+WHERE {yyyymmdd_int_sql('endts')} = {day}
+GROUP BY server, service
+"""

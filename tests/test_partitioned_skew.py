@@ -1,0 +1,103 @@
+"""Plan + semantics tests for the date-partitioned layout, the salted hot-key
+join, and the deterministic corpus split."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_daily_slice_is_partition_pruned(spark):
+    from apmbackend_spark.sources import partitioned as pt
+
+    df = pt.daily_slice_rollup(spark, SF_SMOKE)
+    p = _plan(df)
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    # the day predicate is metadata pruning on log_date, not a data filter
+    assert pf and any("log_date" in l for l in pf), p
+    # and it is NOT also a rowgroup PushedFilter (the column does not exist
+    # in the data files)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert all("log_date" not in l for l in pushed)
+
+
+def test_daily_slice_day_boundaries(spark):
+    # the pruned slice equals an endts-range filter over the raw tx
+    from apmbackend_spark.sources import partitioned as pt
+    from apmbackend_spark.sources.tx import load_tx
+
+    day = pt.DEFAULT_DAY
+    got = {
+        (r["server"], r["service"]): (r["n_tx"], r["total_ms"])
+        for r in pt.daily_slice_rollup(spark, SF_SMOKE, day).collect()
+    }
+    tx = load_tx(spark, SF_SMOKE)
+    from apmbackend_spark.functions.scalars import yyyymmdd_int
+
+    want = {
+        (r["server"], r["service"]): (r["n_tx"], r["total_ms"])
+        for r in tx.where(yyyymmdd_int(F.col("endts")) == day)
+        .groupBy("server", "service")
+        .agg(F.count(F.lit(1)).alias("n_tx"), F.sum("elapsed").alias("total_ms"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from apmbackend_spark.operators import skew as sk
+    from apmbackend_spark.sources.tx import load_tx
+
+    tx = load_tx(spark, SF_SMOKE).select("logid", "server", "service", "elapsed")
+    profile = tx.groupBy("server", "service").agg(
+        F.count(F.lit(1)).alias("key_n")
+    )
+    joined = sk.salted_join(
+        tx, profile, ["server", "service"], F.col("logid"), n_salts=4
+    )
+    # semantics: identical to the plain join
+    assert joined.count() == tx.count()
+    # physical: with broadcast off, the shuffle keys on (key..., salt) — the
+    # hot key occupies n_salts distinct join partitions
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(
+            sk.salted_join(
+                tx, profile, ["server", "service"], F.col("logid"), n_salts=4
+            )
+        )
+        assert "__salt" in p
+        assert re.search(r"hashpartitioning\(server[^)]*__salt", p), p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_corpus_split_deterministic_and_single_scan(spark):
+    from apmbackend_spark.operators.textstats import corpus_split
+    from apmbackend_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = {r["doc_id"]: r["split"] for r in corpus_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in corpus_split(docs.repartition(7)).collect()
+    }
+    # membership survives arbitrary repartitioning (rand()-based wouldn't)
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    # ~96/2/2 mixture within loose bounds on 500 docs
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.9 < train / n < 1.0
+    p = _plan(corpus_split(docs))
+    assert not re.search(r"\(\d+\) Exchange", p)  # no shuffle at all
