@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": lambda s, d: sim.ann_ivf(embs(s, d)),
         "ivf_assign": lambda s, d: sim.ivf_assign(embs(s, d)),
         "ivf_assign_refined": lambda s, d: sim.ivf_assign_refined(embs(s, d)),
+        "kmeans_train": lambda s, d: sim.kmeans_train(embs(s, d)),
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
@@ -278,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": sim.ann_ivf_oracle_sql(),
         "ivf_assign": sim.ivf_assign_oracle_sql(),
         "ivf_assign_refined": sim.ivf_assign_refined_oracle_sql(),
+        "kmeans_train": sim.kmeans_train_oracle_sql(),
         "embedding_neardup": sim.embedding_neardup_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("

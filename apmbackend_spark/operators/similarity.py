@@ -220,20 +220,12 @@ def ivf_assign(embeddings: DataFrame, n_lists_mod: int = 50) -> DataFrame:
     """IVF coarse quantizer: centroids = vectors with vec_id % mod == 0
     (deterministic stand-in for k-means at fixture scale); each vector is
     assigned to its nearest centroid by cosine (broadcast join + argmin)."""
-    from pyspark.sql import Window
-
     cent = embeddings.where(F.col("vec_id") % n_lists_mod == 0).select(
         F.col("vec_id").alias("list_id"), _quantize(F.col("embedding")).alias("centv")
     )
     vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("v"))
-    scored = vecs.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "list_id", cosine(F.col("v"), F.col("centv")).alias("sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "list_id", F.col("sim").alias("centroid_sim"))
+    return _assign_step(vecs, cent).select(
+        "vec_id", "list_id", F.col("sim").alias("centroid_sim")
     )
 
 
@@ -255,26 +247,35 @@ SELECT vec_id, list_id, sim AS centroid_sim FROM ranked WHERE rn = 1
 """
 
 
-def ivf_centroids_refined(
-    embeddings: DataFrame, n_lists_mod: int = 50
-) -> DataFrame:
-    """One Lloyd (k-means) iteration over the seed assignment: per-list,
-    per-dimension mean of the quantized member vectors. The mean is FLOORED
-    back to an integer — sums of longs are exact, the double division is a
-    deterministic IEEE op on identical operands, and floor (unlike
-    round-half ties) has one answer in every engine — so refined centroids
-    are bit-identical between Spark and DuckDB and all downstream cosine
-    arithmetic stays exact-integer.
+def _assign_step(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd ASSIGN step: nearest centroid by cosine for every vector
+    (broadcast centroids + argmin window). vecs: (vec_id, v); cent:
+    (list_id, centv) -> (vec_id, list_id, sim)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    return (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "list_id", cosine(F.col("v"), F.col("centv")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "list_id", "sim")
+    )
+
+
+def _update_step(assigned: DataFrame, vecs: DataFrame) -> DataFrame:
+    """One Lloyd UPDATE step: per-list, per-dimension mean of the quantized
+    member vectors. The mean is FLOORED back to an integer — sums of longs
+    are exact, the double division is a deterministic IEEE op on identical
+    operands, and floor (unlike round-half ties) has one answer in every
+    engine — so updated centroids are bit-identical between Spark and DuckDB
+    and all downstream cosine arithmetic stays exact-integer.
 
     Scale: the dimension explode is |members| x dims rows of three small
     columns, map-side combinable into |lists| x dims partial sums — the
     classic distributed k-means step. Empty lists simply drop out (standard
     Lloyd behavior)."""
-    assigned = ivf_assign(embeddings, n_lists_mod).select("vec_id", "list_id")
-    vecs = embeddings.select(
-        "vec_id", _quantize(F.col("embedding")).alias("v")
-    )
-    av = assigned.join(vecs, "vec_id")
+    av = assigned.select("vec_id", "list_id").join(vecs, "vec_id")
     dims = av.select("list_id", F.posexplode("v").alias("pos", "val"))
     per_dim = dims.groupBy("list_id", "pos").agg(
         F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
@@ -289,23 +290,27 @@ def ivf_centroids_refined(
     )
 
 
+def ivf_centroids_refined(
+    embeddings: DataFrame, n_lists_mod: int = 50
+) -> DataFrame:
+    """One Lloyd (k-means) iteration over the seed assignment (see
+    _update_step for the determinism + scale design)."""
+    assigned = ivf_assign(embeddings, n_lists_mod).select("vec_id", "list_id")
+    vecs = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    )
+    return _update_step(assigned, vecs)
+
+
 def ivf_assign_refined(
     embeddings: DataFrame, n_lists_mod: int = 50
 ) -> DataFrame:
     """IVF assignment against the Lloyd-refined centroids (the real k-means
     step the seed `vec_id % mod` quantizer stands in for)."""
-    from pyspark.sql import Window
-
     cent = ivf_centroids_refined(embeddings, n_lists_mod)
     vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("v"))
-    scored = vecs.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "list_id", cosine(F.col("v"), F.col("centv")).alias("sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "list_id", F.col("sim").alias("centroid_sim"))
+    return _assign_step(vecs, cent).select(
+        "vec_id", "list_id", F.col("sim").alias("centroid_sim")
     )
 
 
@@ -345,6 +350,114 @@ WITH qz AS (
 )
 SELECT vec_id, list_id, sim AS centroid_sim FROM ranked WHERE rn = 1
 """
+
+
+def kmeans_train(
+    embeddings: DataFrame, n_iter: int = 3, n_lists_mod: int = 50
+) -> DataFrame:
+    """Full Lloyd k-means training loop (the real centroid build the IVF
+    family's seed quantizer stands in for): n_iter ASSIGN+UPDATE rounds
+    from the deterministic `vec_id % mod` seed, emitting one convergence
+    row per iteration:
+
+        (iteration, n_moved, n_lists)
+
+    n_moved = vectors whose list changed vs the previous assignment (the
+    standard convergence signal — 0 means Lloyd has converged); n_lists =
+    surviving non-empty lists. All-integer output keeps the DuckDB oracle
+    comparison exact.
+
+    Scale shape: each iteration is one broadcast-join ASSIGN (cross join
+    against |lists| centroids, argmin window keyed by vec_id) plus one
+    map-side-combinable UPDATE (posexplode -> partial sums per (list,
+    dim)), i.e. the canonical distributed k-means — per-iteration cost is
+    O(N * lists * dims) flops and ONE shuffle, no driver-side data. The
+    convergence counters are per-iteration single-row aggregates unioned
+    lazily, so the whole train is still one Spark job when collected.
+    Assignments are persisted: iteration i's assignment feeds both the
+    i+1 UPDATE and the moved-counter join, and without pinning, lineage
+    would re-run the whole prefix chain per consumer."""
+    vecs = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    ).persist()
+    cent = embeddings.where(F.col("vec_id") % n_lists_mod == 0).select(
+        F.col("vec_id").alias("list_id"), _quantize(F.col("embedding")).alias("centv")
+    )
+    prev = _assign_step(vecs, cent).select("vec_id", "list_id").persist()
+    stats = []
+    for i in range(1, n_iter + 1):
+        cent = _update_step(prev, vecs)
+        cur = _assign_step(vecs, cent).select("vec_id", "list_id").persist()
+        moved = (
+            cur.alias("c")
+            .join(prev.alias("p"), "vec_id")
+            .agg(
+                F.sum(
+                    (F.col("c.list_id") != F.col("p.list_id")).cast("long")
+                ).alias("n_moved"),
+                F.countDistinct(F.col("c.list_id")).alias("n_lists"),
+            )
+            .select(
+                F.lit(i).cast("int").alias("iteration"), "n_moved", "n_lists"
+            )
+        )
+        stats.append(moved)
+        prev = cur
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionAll(b), stats)
+
+
+def kmeans_train_oracle_sql(n_iter: int = 3, n_lists_mod: int = 50) -> str:
+    """Oracle twin: the Lloyd loop unrolled into chained CTEs (assigned_0
+    is the seed assignment; each round adds cent_i/assigned_i/stat_i)."""
+    ctes = [
+        f"WITH qz AS (\n    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings\n)",
+        f"""cent_0 AS (
+    SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {n_lists_mod} = 0
+)""",
+        f"""assigned_0 AS (
+    SELECT vec_id, list_id FROM (
+        SELECT q.vec_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cosine_sql('q.v', 'c.centv')} DESC, c.list_id ASC) AS rn
+        FROM qz q CROSS JOIN cent_0 c
+    ) WHERE rn = 1
+)""",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"""cent_{i} AS (
+    SELECT list_id, list(cd ORDER BY pos) AS centv FROM (
+        SELECT list_id, t.pos,
+               CAST(floor(CAST(SUM(v[t.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+        FROM assigned_{p} a JOIN qz q USING (vec_id),
+             unnest(generate_series(1, len(q.v))) AS t(pos)
+        GROUP BY 1, 2
+    ) GROUP BY list_id
+)"""
+        )
+        ctes.append(
+            f"""assigned_{i} AS (
+    SELECT vec_id, list_id FROM (
+        SELECT q.vec_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cosine_sql('q.v', 'c.centv')} DESC, c.list_id ASC) AS rn
+        FROM qz q CROSS JOIN cent_{i} c
+    ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""stat_{i} AS (
+    SELECT CAST({i} AS INT) AS iteration,
+           CAST(SUM(CASE WHEN c.list_id <> p.list_id THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           CAST(COUNT(DISTINCT c.list_id) AS BIGINT) AS n_lists
+    FROM assigned_{i} c JOIN assigned_{p} p USING (vec_id)
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM stat_{i}" for i in range(1, n_iter + 1)
+    )
+    return ",\n".join(ctes) + "\n" + union
 
 
 def embedding_neardup(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:

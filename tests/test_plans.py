@@ -214,3 +214,16 @@ def test_ann_ivf_probes_not_cartesian(spark):
     assert "Broadcast" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_kmeans_train_broadcasts_centroids_no_cartesian(spark):
+    from apmbackend_spark.operators.similarity import kmeans_train
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(kmeans_train(load_table(spark, SF_SMOKE, "embeddings")))
+    # every ASSIGN is a broadcast of the centroid side, never a
+    # partition-cartesian of the corpus against itself
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # the convergence counters stay scalar aggregates (no Python UDFs)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
