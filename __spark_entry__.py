@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda s, d: dd.dedup_clusters(docs(s, d)),
         "corpus_dedup": lambda s, d: dd.corpus_dedup(docs(s, d)),
         "token_pack": lambda s, d: pk.token_pack(docs(s, d)),
+        "corpus_shuffle": lambda s, d: pk.corpus_shuffle(docs(s, d)),
         "simhash": lambda s, d: dd.simhash(docs(s, d)),
         "simhash_pairs": lambda s, d: dd.simhash_pairs(docs(s, d)),
         "ann_bruteforce": lambda s, d: sim.ann_bruteforce(embs(s, d)),
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dd.dedup_clusters_oracle_sql(),
         "corpus_dedup": dd.corpus_dedup_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),
+        "corpus_shuffle": pk.corpus_shuffle_oracle_sql(),
         "simhash": dd.simhash_oracle_sql(),
         "simhash_pairs": dd.simhash_pairs_oracle_sql(),
         "ann_bruteforce": sim.ann_bruteforce_oracle_sql(),

@@ -56,6 +56,57 @@ def token_pack(documents: DataFrame, budget: int = 2048) -> DataFrame:
     )
 
 
+def corpus_shuffle(
+    documents: DataFrame, n_shards: int = 8, seed: int = 42
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data loaders:
+    every document gets a (shard, pos) address in a pseudo-random
+    permutation that is a pure function of (doc_id, seed) — re-running with
+    the same seed reproduces the exact epoch order, a different seed gives
+    an independent permutation (the standard reshuffle-per-epoch contract).
+
+    Mechanics: key = md5(seed:doc_id); shard = key-prefix mod n_shards;
+    pos = rank of key within the shard. md5 (not Spark's murmur `hash`)
+    keeps the permutation engine-portable — the DuckDB oracle computes the
+    identical bytes.
+
+    Scale shape: the shard assignment is a stateless map over the scan
+    (no shuffle); the per-shard position is ONE hash-partitioned window
+    where a task holds N/n_shards rows — n_shards is sized so a shard fits
+    a task (at 100 TB: tens of thousands of shards, which is also the
+    file layout a data loader wants). No global sort, no driver state."""
+    key = F.md5(F.concat(F.lit(f"shuf{int(seed)}:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % int(n_shards)
+    ).cast("int")
+    keyed = documents.select(
+        "doc_id", key.alias("__k"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("__k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
+def corpus_shuffle_oracle_sql(n_shards: int = 8, seed: int = 42) -> str:
+    return f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5('shuf{int(seed)}:' || CAST(doc_id AS VARCHAR)) AS k
+    FROM documents
+), sharded AS (
+    SELECT doc_id, k,
+           CAST(('0x' || substr(k, 1, 8))::BIGINT % {int(n_shards)} AS INT) AS shard
+    FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos
+FROM sharded
+"""
+
+
 def token_pack_oracle_sql(budget: int = 2048) -> str:
     return f"""
 WITH counted AS (
