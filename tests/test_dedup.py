@@ -105,3 +105,21 @@ def test_dedup_clusters_transitive_closure(spark):
     assert out[1] == 1
     # 2 and 3 must collapse into doc 1's component (transitively)
     assert out[2] == 1 and out[3] == 1
+
+
+def test_corpus_cardinality_hll_close_to_exact(spark):
+    # the HLL scale path must agree with the exact path within its
+    # advertised rsd (1.5% default; allow 5% at fixture cardinalities)
+    from apmbackend_spark.operators.textstats import corpus_cardinality
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {r["source"]: r["n_distinct"] for r in corpus_cardinality(docs).collect()}
+    approx = {
+        r["source"]: r["n_distinct"]
+        for r in corpus_cardinality(docs, approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    for src, n in exact.items():
+        assert abs(approx[src] - n) <= max(1, 0.05 * n), (src, n, approx[src])
