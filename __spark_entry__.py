@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": lambda s, d: mm.media_stats(
             mm.extract_features(mm.synth_media(s, docs(s, d)))
         ),
+        "media_frame_sample": lambda s, d: mm.media_frame_sample(
+            mm.synth_media(s, load_table(s, d, "documents"))
+        ),
         "media_resize": lambda s, d: mm.media_resize_check(
             mm.synth_media(s, docs(s, d))
         ),
@@ -298,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_slice_rollup": TX_CTE + pt.daily_slice_rollup_oracle_sql(),
         "media_features": mm.media_features_oracle_sql(),
         "media_resize": mm.media_resize_oracle_sql(),
+        "media_frame_sample": mm.media_frame_sample_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,
         "q3_top_orders": rel.Q3_ORACLE,
         "q5_local_supplier_volume": rel.Q5_ORACLE,

@@ -271,6 +271,86 @@ FROM geo
 """
 
 
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms long, frame_sha256 string"
+
+
+def media_frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: emit one row per sampled frame at a fixed
+    timestamp stride (the decode-side companion to resize_media — a real
+    build hands each (content, ts_ms) to a demuxer; the stub hashes the
+    container bytes + frame index so the gate can verify every sampled
+    frame actually crossed the Arrow boundary into Python and back).
+
+    The SAMPLING PLAN — which frames exist — is JVM-side integer math:
+    `sequence(0, (duration-1) div stride)` exploded per video, so Catalyst
+    sees the fan-out and the Python worker does nothing but the per-frame
+    decode kernel. Scale: explode multiplies rows by duration/stride
+    (bounded per media item), stays partition-local (no shuffle), and the
+    decode is embarrassingly parallel over frames — finer-grained than
+    per-video, which is exactly what you want when one 2-hour video would
+    otherwise pin a task."""
+    stride = int(every_ms)
+    frames = (
+        media.where((F.col("kind") == "video") & (F.col("meta_duration_ms") > 0))
+        .select(
+            "media_id",
+            "content",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr(f"(meta_duration_ms - 1) DIV {stride}"),
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "content",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            (F.col("frame_idx") * stride).cast("long").alias("ts_ms"),
+        )
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                # STUB frame decode: a real build seeks to ts_ms and decodes;
+                # the fake fingerprints (container bytes, frame index)
+                frame = bytes(r.content) + b":" + str(int(r.frame_idx)).encode()
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "frame_idx": int(r.frame_idx),
+                        "ts_ms": int(r.ts_ms),
+                        "frame_sha256": hashlib.sha256(frame).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def media_frame_sample_oracle_sql(every_ms: int = 1000) -> str:
+    stride = int(every_ms)
+    return f"""
+WITH media AS (
+    SELECT doc_id AS media_id, text,
+           CAST(length(text) * 10 AS BIGINT) AS duration_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
+), idx AS (
+    SELECT media_id, text,
+           unnest(generate_series(0, (duration_ms - 1) // {stride})) AS frame_idx
+    FROM media WHERE duration_ms > 0
+)
+SELECT media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * {stride} AS BIGINT) AS ts_ms,
+       sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sha256
+FROM idx
+"""
+
+
 def media_stats(features: DataFrame) -> DataFrame:
     """Per-kind rollup over extracted features."""
     return features.groupBy("kind").agg(
