@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": lambda s, d: ts.doc_repetition(docs(s, d)),
         "contamination": lambda s, d: ts.contamination(docs(s, d)),
         "corpus_cardinality": lambda s, d: ts.corpus_cardinality(docs(s, d)),
+        "doc_token_counts": lambda s, d: ts.doc_token_counts(docs(s, d)),
         "dedup_exact": lambda s, d: dd.dedup_exact(docs(s, d)),
         "ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(docs(s, d)),
         "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
@@ -269,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": ts.doc_repetition_oracle_sql(),
         "contamination": ts.contamination_oracle_sql(),
         "corpus_cardinality": ts.corpus_cardinality_oracle_sql(),
+        "doc_token_counts": ts.doc_token_counts_oracle_sql(),
         "sessionize": TX_CTE + sess.sessionize_oracle_sql(),
         "service_rollup": TX_CTE + sess.SERVICE_ROLLUP_ORACLE,
         "top_services": TX_CTE + so.top_services_oracle_sql(),

@@ -34,6 +34,25 @@ def tokens_sql(expr: str) -> str:
     )
 
 
+# GPT-2-style pre-tokenizer, simplified to the ASCII subset both engines'
+# regex libraries (Java util.regex / RE2) treat identically: a token is a
+# letter run, digit run, or punctuation run, each optionally absorbing one
+# leading space. This is the unit a byte-level BPE merges within — counting
+# them is the standard tokenizer-fertility proxy when the merge table
+# itself isn't part of the pipeline.
+BPE_PRETOKEN_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE pre-tokenizer segments (leftmost-first alternation — same result
+    in Java regex and RE2 for this ASCII pattern)."""
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_tokens_sql(expr: str) -> str:
+    return f"regexp_extract_all({expr}, '{BPE_PRETOKEN_RE}')"
+
+
 def hash64(col: Column) -> Column:
     """Deterministic 60-bit hash from md5 hex — identical in DuckDB."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

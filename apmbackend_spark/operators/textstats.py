@@ -605,3 +605,51 @@ SELECT source,
        (1.0 - CAST(COUNT(DISTINCT fingerprint) AS DOUBLE) / COUNT(*)) AS dup_ratio
 FROM d GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Token accounting: whitespace tokens vs BPE-pretokenizer segments
+# ---------------------------------------------------------------------------
+
+
+def doc_token_counts(documents: DataFrame) -> DataFrame:
+    """Per-document token accounting with BOTH counting conventions a
+    training pipeline budgets in: whitespace/punct word tokens (corpus
+    analytics) and BPE pre-tokenizer segments (what a byte-level BPE
+    actually merges within — the proxy for sequence length / cost), plus
+    bytes-per-segment, the fertility signal used to spot
+    tokenizer-hostile content (code, tables, non-language bytes).
+
+    Single scan, zero shuffles, all whole-stage-codegen regex — the same
+    shape as doc_stats."""
+    from apmbackend_spark.functions.text import bpe_tokens
+
+    seg = F.size(bpe_tokens(F.col("text")))
+    return documents.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        seg.alias("n_bpe_segments"),
+        F.length("text").alias("n_chars"),
+        F.when(
+            seg > 0, F.length("text").cast("double") / seg.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_segment"),
+    )
+
+
+def doc_token_counts_oracle_sql() -> str:
+    from apmbackend_spark.functions.text import bpe_tokens_sql
+
+    seg = f"len({bpe_tokens_sql('text')})"
+    return f"""
+SELECT doc_id, source,
+       CAST(len({tokens_sql('text')}) AS INT) AS n_ws_tokens,
+       CAST({seg} AS INT) AS n_bpe_segments,
+       CAST(length(text) AS INT) AS n_chars,
+       CASE WHEN {seg} > 0
+            THEN CAST(length(text) AS DOUBLE) / {seg}
+            ELSE 0.0 END AS chars_per_segment
+FROM documents
+"""
