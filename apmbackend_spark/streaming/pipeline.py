@@ -98,6 +98,68 @@ def dedup_stream(
     )
 
 
+def correlate_stream(
+    tx: DataFrame, ttl: str = "120 seconds", join_type: str = "leftOuter"
+) -> DataFrame:
+    """J1 entry/exit correlation as a watermarked STREAM-STREAM join — the
+    Structured Streaming rendering of the reference's TTL'd entry cache
+    (stream_parse_transactions.js:213-224,378-565):
+
+      * entry rows buffer in join state keyed (logid, service), exactly the
+        reference's `recordCache`; the watermark + time-bound condition
+        evicts them after `ttl`, the analogue of NodeCache's 120 s stdTTL
+        (reference :215) — state is bounded by ttl x arrival rate, never by
+        stream length.
+      * an exit row joins the buffered entry into a full record
+        (matched='Y'); with leftOuter, an exit whose entry never arrived
+        (or already expired) emits salvaged with back-filled startts and
+        matched='N' once the watermark passes — reference :530-540's
+        incomplete-record salvage, including its TIMING (salvage happens at
+        TTL expiry, not immediately).
+
+    The time-bound `starttime in [endtime - ttl, endtime]` is what lets
+    Spark drop state: without it a stream-stream join buffers both sides
+    forever (the 100 TB killer); with it state is the last `ttl` of
+    entries, the same working set the reference holds."""
+    entries = (
+        tx.where(F.col("logid").cast("long") % 13 != 0)
+        .select(
+            F.col("logid").alias("e_logid"),
+            F.col("service").alias("e_service"),
+            F.coalesce(
+                F.col("startts"), F.col("endts") - F.col("elapsed")
+            ).alias("e_startts"),
+        )
+        .withColumn("starttime", F.timestamp_millis(F.col("e_startts")))
+        .withWatermark("starttime", ttl)
+    )
+    exits = (
+        tx.where(F.col("logid").cast("long") % 17 != 0)
+        .select("logid", "service", "server", "endts", "elapsed", "endtime")
+        .withWatermark("endtime", ttl)
+    )
+    cond = (
+        (F.col("logid") == F.col("e_logid"))
+        & (F.col("service") == F.col("e_service"))
+        & (F.col("starttime") >= F.col("endtime") - F.expr(f"INTERVAL {ttl}"))
+        & (F.col("starttime") <= F.col("endtime"))
+    )
+    joined = exits.join(entries, cond, join_type)
+    return joined.select(
+        "logid",
+        "service",
+        "server",
+        F.coalesce(F.col("e_startts"), F.col("endts") - F.col("elapsed")).alias(
+            "startts"
+        ),
+        "endts",
+        "elapsed",
+        F.when(F.col("e_logid").isNotNull(), F.lit("Y"))
+        .otherwise(F.lit("N"))
+        .alias("matched"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -454,3 +454,40 @@ def test_dedup_stream_drops_cross_batch_redeliveries(spark, tmpdir):
     ).collect()
     logids = [r["logid"] for r in got]
     assert sorted(logids) == sorted({r[0] for r in base})  # each exactly once
+
+
+def test_correlate_stream_matches_batch(spark, tmpdir):
+    # J1 stream-stream join vs the batch correlate: every emitted row must
+    # equal its batch twin; all MATCHED rows emit (inner results don't wait
+    # for the watermark), unmatched salvage emits as the watermark passes.
+    from apmbackend_spark.operators.correlation import correlate, entry_leg, exit_leg
+    from apmbackend_spark.sources.tx import load_tx
+    from apmbackend_spark.streaming.pipeline import (
+        correlate_stream,
+        run_available_now,
+        tx_stream,
+    )
+
+    tx = tx_stream(spark, f"{SF_SMOKE}")
+    # generous ttl: the fixture's elapsed values must not cross the time
+    # bound, so stream results are comparable 1:1 with the (unbounded) batch
+    got = run_available_now(
+        correlate_stream(tx, ttl="24 hours"), f"{tmpdir}/ckpt_corr",
+        query_name="corr_stream",
+    ).collect()
+    assert len(got) > 0
+
+    batch_tx = load_tx(spark, SF_SMOKE)
+    batch = {
+        (r["logid"], r["service"]): r
+        for r in correlate(entry_leg(batch_tx), exit_leg(batch_tx)).collect()
+    }
+    for r in got:
+        b = batch[(r["logid"], r["service"])]
+        assert (r["server"], r["startts"], r["endts"], r["elapsed"], r["matched"]) == (
+            b["server"], b["startts"], b["endts"], b["elapsed"], b["matched"]
+        )
+    # every matched batch row must have been emitted by the stream
+    n_matched_batch = sum(1 for b in batch.values() if b["matched"] == "Y")
+    n_matched_got = sum(1 for r in got if r["matched"] == "Y")
+    assert n_matched_got == n_matched_batch
