@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q4_priority_semijoin": rel.q4_priority_semijoin,
         "parts_never_shipped": rel.parts_never_shipped,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
     }
     apm_extra = {
         "sessionize": lambda s, d: sess.sessionize(load_tx(s, d)),
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": rel.Q6_ORACLE,
         "q4_priority_semijoin": rel.Q4_ORACLE,
         "parts_never_shipped": rel.PARTS_NEVER_SHIPPED_ORACLE,
+        "q18_large_volume_customers": rel.Q18_ORACLE,
         "media_stats": """
 WITH media AS (
     SELECT doc_id AS media_id,

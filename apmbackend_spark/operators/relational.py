@@ -322,3 +322,60 @@ WHERE NOT EXISTS (
 )
 GROUP BY p_brand
 """
+
+
+def q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str, qty_threshold: int = 250
+) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total lineitem quantity exceeds the
+    threshold, joined back to their customer — the aggregation-driven
+    semi-join shape (HAVING subquery drives the join).
+
+    Scale shape: the ONLY full-fact pass is one map-side-combinable groupBy
+    on l_orderkey (partial sums per mapper, one shuffle). Its survivors are
+    a tiny set under any selective threshold, so they BROADCAST into the
+    orders join — the big fact is probed once, never shuffled on the join
+    key — and the (few) hits then join customer hash-to-hash; AQE converts
+    that to broadcast too when the hit set is small enough."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > int(qty_threshold))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    hits = orders.join(
+        F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]
+    )
+    return (
+        hits.join(cust, hits["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_ms"
+            ),
+            _cents(F.col("o_totalprice"), 100).alias("totalprice_c"),
+            "sum_qty",
+        )
+    )
+
+
+Q18_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 250
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_c,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
