@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     apm_extra = {
         "sessionize": lambda s, d: sess.sessionize(load_tx(s, d)),
         "service_rollup": lambda s, d: sess.service_rollup(load_tx(s, d)),
+        "apdex": lambda s, d: sess.apdex(load_tx(s, d)),
         "top_services": lambda s, d: so.top_services(load_tx(s, d)),
         "account_coverage": lambda s, d: so.account_coverage(load_tx(s, d)),
         "st_zerofill": lambda s, d: zf.st_zerofill(load_tx(s, d)),
@@ -274,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": ts.doc_token_counts_oracle_sql(),
         "sessionize": TX_CTE + sess.sessionize_oracle_sql(),
         "service_rollup": TX_CTE + sess.SERVICE_ROLLUP_ORACLE,
+        "apdex": TX_CTE + sess.apdex_oracle_sql(),
         "top_services": TX_CTE + so.top_services_oracle_sql(),
         "account_coverage": TX_CTE + so.account_coverage_oracle_sql(),
         "dedup_exact": dd.dedup_exact_oracle_sql(),

@@ -125,3 +125,58 @@ SELECT COALESCE(server, '{ALL_LABEL}') AS server,
 FROM tx
 GROUP BY ROLLUP(server, service)
 """
+
+
+def apdex(
+    tx: DataFrame, satisfied_ms: int = 500, tolerating_ms: int = 2000
+) -> DataFrame:
+    """Apdex / SLA-attainment rollup per (server, service): the industry
+    score the reference's percentile stats feed into on the dashboard side
+    (satisfied <= T, tolerating <= 4T convention, here explicit bounds):
+
+        apdex = (n_satisfied + n_tolerating/2) / n
+
+    Integer bucket counts (exact, map-side combinable partial aggregation
+    in ONE shuffle) and a single final double division — the same
+    bit-determinism discipline as window_stats. Scale: a plain
+    two-phase hash aggregate; cardinality = live (server, service) pairs."""
+    sat = (F.col("elapsed") <= int(satisfied_ms)).cast("long")
+    tol = (
+        (F.col("elapsed") > int(satisfied_ms))
+        & (F.col("elapsed") <= int(tolerating_ms))
+    ).cast("long")
+    return (
+        tx.groupBy("server", "service")
+        .agg(
+            F.count(F.lit(1)).alias("n_tx"),
+            F.sum(sat).alias("n_satisfied"),
+            F.sum(tol).alias("n_tolerating"),
+        )
+        .select(
+            "server",
+            "service",
+            "n_tx",
+            "n_satisfied",
+            "n_tolerating",
+            (
+                (
+                    F.col("n_satisfied").cast("double")
+                    + F.col("n_tolerating").cast("double") / 2.0
+                )
+                / F.col("n_tx").cast("double")
+            ).alias("apdex"),
+        )
+    )
+
+
+def apdex_oracle_sql(satisfied_ms: int = 500, tolerating_ms: int = 2000) -> str:
+    return f"""
+SELECT server, service,
+       CAST(COUNT(*) AS BIGINT) AS n_tx,
+       CAST(SUM(CASE WHEN elapsed <= {satisfied_ms} THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+       CAST(SUM(CASE WHEN elapsed > {satisfied_ms} AND elapsed <= {tolerating_ms} THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+       ((CAST(SUM(CASE WHEN elapsed <= {satisfied_ms} THEN 1 ELSE 0 END) AS DOUBLE)
+         + CAST(SUM(CASE WHEN elapsed > {satisfied_ms} AND elapsed <= {tolerating_ms} THEN 1 ELSE 0 END) AS DOUBLE) / 2.0)
+        / COUNT(*)) AS apdex
+FROM tx GROUP BY server, service
+"""
