@@ -160,6 +160,60 @@ def correlate_stream(
     )
 
 
+def acct_enrich_stream(tx: DataFrame, ttl: str = "120 seconds") -> DataFrame:
+    """J2 account enrichment as a watermarked stream-stream left-outer join
+    — the reference's parked-record machinery
+    (stream_parse_transactions.js:226-239,294-327): a completed tx looks up
+    the SOAP-derived (logid -> acctnum) mapping; on miss it is PARKED until
+    the cache TTL and then emitted with the BAF-salvaged alternative (or
+    none). Here parking is the join state itself: the symmetric time bound
+    lets a mapping row arrive up to `ttl` before OR after its tx, the
+    watermark evicts both sides after `ttl` (NodeCache acctCache stdTTL
+    120 s, reference :214), and the leftOuter null-side emission at
+    watermark expiry IS the park-timeout fallback — same outcome, same
+    timing, no bespoke state store."""
+    mapping = (
+        tx.where(F.col("acctnum").isNotNull())
+        .select(
+            F.col("logid").alias("m_logid"),
+            F.col("acctnum"),
+            F.col("endtime").alias("m_time"),
+        )
+        .withWatermark("m_time", ttl)
+    )
+    stripped = (
+        tx.select(
+            "logid",
+            "service",
+            "server",
+            "endts",
+            "endtime",
+            F.when(
+                F.col("logid").cast("long") % 3 == 0,
+                F.lit(900000000) + F.col("logid").cast("long"),
+            ).alias("altacct"),
+        )
+        .withWatermark("endtime", ttl)
+    )
+    cond = (
+        (F.col("logid") == F.col("m_logid"))
+        & (F.col("m_time") >= F.col("endtime") - F.expr(f"INTERVAL {ttl}"))
+        & (F.col("m_time") <= F.col("endtime") + F.expr(f"INTERVAL {ttl}"))
+    )
+    joined = stripped.join(mapping, cond, "leftOuter")
+    return joined.select(
+        "logid",
+        "service",
+        "server",
+        "endts",
+        F.coalesce(F.col("acctnum"), F.col("altacct")).alias("acct"),
+        F.when(F.col("acctnum").isNotNull(), F.lit("soap"))
+        .when(F.col("altacct").isNotNull(), F.lit("baf"))
+        .otherwise(F.lit("none"))
+        .alias("acct_source"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

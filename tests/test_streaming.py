@@ -491,3 +491,33 @@ def test_correlate_stream_matches_batch(spark, tmpdir):
     n_matched_batch = sum(1 for b in batch.values() if b["matched"] == "Y")
     n_matched_got = sum(1 for r in got if r["matched"] == "Y")
     assert n_matched_got == n_matched_batch
+
+
+def test_acct_enrich_stream_matches_batch(spark, tmpdir):
+    # J2 stream-stream enrichment vs batch acct_enrich: every emitted row
+    # equals its batch twin; all soap-matched rows emit immediately, parked
+    # rows (baf/none fallback) emit as the watermark passes.
+    from apmbackend_spark.operators.correlation import acct_enrich
+    from apmbackend_spark.sources.tx import load_tx
+    from apmbackend_spark.streaming.pipeline import (
+        acct_enrich_stream,
+        run_available_now,
+        tx_stream,
+    )
+
+    tx = tx_stream(spark, f"{SF_SMOKE}")
+    got = run_available_now(
+        acct_enrich_stream(tx, ttl="24 hours"), f"{tmpdir}/ckpt_acct",
+        query_name="acct_stream",
+    ).collect()
+    assert len(got) > 0
+
+    batch = {r["logid"]: r for r in acct_enrich(load_tx(spark, SF_SMOKE)).collect()}
+    for r in got:
+        b = batch[r["logid"]]
+        assert (r["service"], r["server"], r["endts"], r["acct"], r["acct_source"]) == (
+            b["service"], b["server"], b["endts"], b["acct"], b["acct_source"]
+        )
+    n_soap_batch = sum(1 for b in batch.values() if b["acct_source"] == "soap")
+    n_soap_got = sum(1 for r in got if r["acct_source"] == "soap")
+    assert n_soap_got == n_soap_batch
