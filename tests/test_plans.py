@@ -227,3 +227,35 @@ def test_kmeans_train_broadcasts_centroids_no_cartesian(spark):
     assert "CartesianProduct" not in p
     # the convergence counters stay scalar aggregates (no Python UDFs)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_window_stats_approx_pins_to_exact(spark):
+    # the approx perf path must agree exactly on count-derived columns and
+    # within sketch tolerance on percentiles
+    from apmbackend_spark.operators.window_stats import (
+        window_stats,
+        window_stats_approx,
+    )
+    from apmbackend_spark.sources.tx import load_tx
+
+    tx = load_tx(spark, SF_SMOKE)
+    exact = {
+        (r["server"], r["service"], r["win_start"]): r
+        for r in window_stats(tx).collect()
+    }
+    approx = {
+        (r["server"], r["service"], r["win_start"]): r
+        for r in window_stats_approx(tx).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["cnt"] == e["cnt"] and a["tpm"] == e["tpm"]
+        assert abs(a["avg_ms"] - e["avg_ms"]) < 1e-9
+        # percentile_approx returns an exact member of the multiset; the
+        # midpoint rule can fall between members — allow the gap
+        assert abs(a["p75"] - e["p75"]) <= max(50.0, 0.1 * e["p75"]), k
+        assert abs(a["p95"] - e["p95"]) <= max(50.0, 0.1 * e["p95"]), k
+    # and its plan must be sketch-mergeable: no collect_list anywhere
+    p = plan(window_stats_approx(tx))
+    assert "collect_list" not in p
