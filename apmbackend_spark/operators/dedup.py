@@ -84,12 +84,12 @@ def ngram_jaccard_pairs(
     universe so jaccard stays a true set similarity of retained shingles.
     The hot set is tiny by construction, so the exclusion join broadcasts.
     """
-    sh = documents.select(
+    raw = documents.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")), n)).alias("shingle")
     ).persist()  # feeds the df-count aggregate AND the anti-join input
     # shingles() emits array_distinct per doc, so COUNT(*) == doc frequency
     hot = (
-        sh.groupBy("shingle")
+        raw.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > max_doc_freq)
         .select("shingle")
@@ -98,7 +98,12 @@ def ngram_jaccard_pairs(
     # array_distinct) is the expensive part of this plan; the filtered
     # index feeds BOTH sides of the self-join plus the sizes aggregate, so
     # persist it once instead of recomputing the explode three times.
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    # Materialize it eagerly so the raw (pre-filter) index — the largest
+    # intermediate in the job — can be dropped instead of staying pinned
+    # alongside the filtered copy for the query's lifetime.
+    sh = raw.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    sh.count()
+    raw.unpersist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")

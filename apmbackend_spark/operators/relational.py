@@ -365,11 +365,14 @@ def q18_large_volume_customers(
     )
 
 
-Q18_ORACLE = """
+def q18_oracle_sql(qty_threshold: int = 250) -> str:
+    """Oracle twin of q18_large_volume_customers; keep the threshold default
+    in lockstep with the function's."""
+    return f"""
 WITH big AS (
     SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
     FROM lineitem GROUP BY l_orderkey
-    HAVING SUM(l_quantity) > 250
+    HAVING SUM(l_quantity) > {int(qty_threshold)}
 )
 SELECT c.c_custkey, c.c_name, o.o_orderkey,
        epoch_ms(o.o_orderdate) AS o_orderdate_ms,
@@ -379,3 +382,6 @@ FROM big b
 JOIN orders o ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 """
+
+
+Q18_ORACLE = q18_oracle_sql()

@@ -372,11 +372,13 @@ def kmeans_train(
     map-side-combinable UPDATE (posexplode -> partial sums per (list,
     dim)), i.e. the canonical distributed k-means — per-iteration cost is
     O(N * lists * dims) flops and ONE shuffle, no driver-side data. The
-    convergence counters are per-iteration single-row aggregates unioned
-    lazily, so the whole train is still one Spark job when collected.
-    Assignments are persisted: iteration i's assignment feeds both the
-    i+1 UPDATE and the moved-counter join, and without pinning, lineage
-    would re-run the whole prefix chain per consumer."""
+    convergence counters are single-row aggregates evaluated EAGERLY per
+    iteration: that bounds pinned storage to two assignment frames (cur +
+    prev) regardless of n_iter — a lazy union would keep every iteration's
+    assignment persisted until the final collect. Assignments are
+    persisted because iteration i's assignment feeds both the i+1 UPDATE
+    and the moved-counter join; without pinning, lineage would re-run the
+    whole prefix chain per consumer."""
     vecs = embeddings.select(
         "vec_id", _quantize(F.col("embedding")).alias("v")
     ).persist()
@@ -384,11 +386,13 @@ def kmeans_train(
         F.col("vec_id").alias("list_id"), _quantize(F.col("embedding")).alias("centv")
     )
     prev = _assign_step(vecs, cent).select("vec_id", "list_id").persist()
-    stats = []
+    rows = []
     for i in range(1, n_iter + 1):
         cent = _update_step(prev, vecs)
         cur = _assign_step(vecs, cent).select("vec_id", "list_id").persist()
-        moved = (
+        # Single-row eager aggregate: forces cur to materialize, after which
+        # prev's cache is dead and can be dropped before the next round.
+        stat = (
             cur.alias("c")
             .join(prev.alias("p"), "vec_id")
             .agg(
@@ -397,15 +401,16 @@ def kmeans_train(
                 ).alias("n_moved"),
                 F.countDistinct(F.col("c.list_id")).alias("n_lists"),
             )
-            .select(
-                F.lit(i).cast("int").alias("iteration"), "n_moved", "n_lists"
-            )
+            .first()
         )
-        stats.append(moved)
+        rows.append((i, stat["n_moved"], stat["n_lists"]))
+        prev.unpersist()
         prev = cur
-    from functools import reduce
-
-    return reduce(lambda a, b: a.unionAll(b), stats)
+    prev.unpersist()
+    vecs.unpersist()
+    return embeddings.sparkSession.createDataFrame(
+        rows, "iteration int, n_moved bigint, n_lists bigint"
+    )
 
 
 def kmeans_train_oracle_sql(n_iter: int = 3, n_lists_mod: int = 50) -> str:

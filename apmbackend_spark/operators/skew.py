@@ -39,7 +39,18 @@ def salted_join(
     dim rows are replicated n_salts times (explode, cheap — dim rows only),
     facts pick replica pmod(hash(salt_source), n_salts). The shuffle then
     keys on (keys..., salt): a key hot enough to swamp one task now lands
-    on n_salts tasks. Output columns = facts' + dim's non-key columns."""
+    on n_salts tasks. Output columns = facts' + dim's non-key columns.
+
+    Only inner/left(-outer)/left_semi/left_anti survive salting: a dim key
+    unmatched by any fact has n_salts replicas and a right/full outer join
+    would emit every one of them as a separate null-padded row."""
+    if how.lower().replace("_", "").replace("outer", "") not in {
+        "inner", "left", "leftsemi", "leftanti", "semi", "anti"
+    }:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched dim rows are "
+            f"replicated n_salts times under right/full outer semantics"
+        )
     salted_dim = dim.withColumn(
         "__salt",
         F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1))),

@@ -55,6 +55,15 @@ def window_stats(
     minutes = _duration_minutes(window)
     window_ms = _duration_ms(window)
     slide_ms = _duration_ms(slide)
+    if window_ms % slide_ms:
+        # The bucket-partial rollup pre-aggregates at slide granularity, so a
+        # bucket must be fully contained in every window it feeds; a window
+        # that is not a whole number of slides would need sub-bucket splits
+        # and would silently under-cover.  Reference geometry (5 min / 10 s,
+        # stream_calc_stats.js:89-101) always divides evenly.
+        raise ValueError(
+            f"window ({window_ms} ms) must be a multiple of slide ({slide_ms} ms)"
+        )
     n_win = window_ms // slide_ms
     buckets = (
         tx.groupBy(

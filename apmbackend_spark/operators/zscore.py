@@ -162,7 +162,10 @@ def zscore_window(
     # Pass 1: O(1)-per-row cumulative statistics, lag-independent.
     cum_cols = [F.row_number().over(word).alias("__rn")]
     for m in metrics:
-        xl = F.col(m).cast("long")
+        # Integer contract: metrics must be whole-valued (st_from_window_stats
+        # rounds them). round() before the cast so an unrounded caller gets
+        # nearest-integer semantics instead of a silent truncation toward 0.
+        xl = F.round(F.col(m)).cast("long")
         cum_cols += [
             F.count(F.col(m)).over(wcum).alias(f"__cn_{m}"),
             F.sum(xl).over(wcum).alias(f"__cs_{m}"),

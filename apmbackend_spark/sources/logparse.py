@@ -77,6 +77,9 @@ def parse_iso_ts(s: str) -> int | None:
         return None
     # exact integer ms: timestamp()*1000 in double can land one ulp below
     # the grid and truncate a millisecond off
+    if dt.tzinfo is None:
+        # offset-less ISO strings are UTC by convention (same as parse_log_ts)
+        dt = dt.replace(tzinfo=timezone.utc)
     epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
     return (dt - epoch) // timedelta(milliseconds=1)
 

@@ -60,7 +60,14 @@ def _run_stage(stream_df, path: str, ckpt: str, timeout_s: int) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # A timed-out stage has a half-written handoff dir; the next stage
+        # would silently read it as complete. Fail loudly instead.
+        q.stop()
+        raise TimeoutError(
+            f"streaming stage writing {path!r} did not drain within {timeout_s}s"
+        )
 
 
 def run_apm_topology(

@@ -66,3 +66,14 @@ def test_parse_is_file_parallel(spark, logdir):
     assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
     types = {r["rectype"] for r in df.select("rectype").distinct().collect()}
     assert types == {"tx", "acct"}
+
+
+def test_parse_iso_ts_handles_naive_and_aware():
+    # offset-less ISO strings are UTC by convention; must not raise
+    from apmbackend_spark.sources.logparse import parse_iso_ts
+
+    assert parse_iso_ts("2024-01-05T10:00:00") == 1704448800000
+    assert parse_iso_ts("2024-01-05T10:00:00+00:00") == 1704448800000
+    assert parse_iso_ts("2024-01-05T11:00:00+01:00") == 1704448800000
+    assert parse_iso_ts("2024-01-05T10:00:00.123") == 1704448800123
+    assert parse_iso_ts("not a timestamp") is None

@@ -101,3 +101,20 @@ def test_corpus_split_deterministic_and_single_scan(spark):
     assert 0.9 < train / n < 1.0
     p = _plan(corpus_split(docs))
     assert not re.search(r"\(\d+\) Exchange", p)  # no shuffle at all
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    # unmatched dim rows would be emitted n_salts times under right/full
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.operators import skew as sk
+
+    facts = spark.range(4).select(F.col("id").alias("k"), F.lit(1).alias("x"))
+    dim = spark.range(6).select(F.col("id").alias("k"), F.lit(2).alias("y"))
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            sk.salted_join(facts, dim, ["k"], F.col("x"), 4, how=how)
+    # left outer stays allowed (facts side is never replicated)
+    out = sk.salted_join(facts, dim, ["k"], F.col("x"), 4, how="left")
+    assert out.count() == 4

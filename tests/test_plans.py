@@ -217,10 +217,21 @@ def test_ann_ivf_probes_not_cartesian(spark):
 
 
 def test_kmeans_train_broadcasts_centroids_no_cartesian(spark):
-    from apmbackend_spark.operators.similarity import kmeans_train
+    # kmeans_train evaluates eagerly per iteration (bounded cache), so the
+    # plan to audit is the per-iteration ASSIGN step, not the returned
+    # (local) convergence frame.
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.operators import similarity as sim
     from apmbackend_spark.sources.loaders import load_table
 
-    p = plan(kmeans_train(load_table(spark, SF_SMOKE, "embeddings")))
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = embs.select("vec_id", sim._quantize(F.col("embedding")).alias("v"))
+    cent = embs.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("list_id"),
+        sim._quantize(F.col("embedding")).alias("centv"),
+    )
+    p = plan(sim._assign_step(vecs, cent))
     # every ASSIGN is a broadcast of the centroid side, never a
     # partition-cartesian of the corpus against itself
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

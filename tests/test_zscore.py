@@ -172,3 +172,17 @@ def test_recursive_influence1_matches_window_impl(spark):
                 else:
                     assert math.isclose(va, vb, rel_tol=1e-9), (k, f, va, vb)
     assert n_signals > 0  # the fixture data must actually exercise signals
+
+
+def test_window_stats_rejects_non_divisible_slide(spark):
+    # the bucket-partial rollup requires window % slide == 0; a silent
+    # truncation would under-cover every window (see window_stats docstring)
+    import pytest
+
+    from apmbackend_spark.operators.window_stats import window_stats
+    from apmbackend_spark.sources.tx import load_tx
+    from tests.conftest import SF_SMOKE
+
+    tx = load_tx(spark, SF_SMOKE)
+    with pytest.raises(ValueError, match="multiple of slide"):
+        window_stats(tx, window="25 seconds", slide="10 seconds")
