@@ -23,8 +23,9 @@ Mapping (all arithmetic chosen to be bit-deterministic across engines):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 # DuckDB CTE body; registered view `events` is the input.
 TX_SQL = """
@@ -47,15 +48,35 @@ FROM events
 TX_CTE = f"WITH tx AS ({TX_SQL})"
 
 
+def _ts_exprs(events: DataFrame) -> tuple[Column, Column]:
+    """(endts epoch-ms BIGINT, endtime TimestampType) from the fixture `ts`,
+    whatever physical shape it arrives in:
+
+    * BIGINT        — nanos epoch (legacy fixtures read under
+      spark.sql.legacy.parquet.nanosAsLong): floor-divide, matching
+      DuckDB's ns->us->ms truncation chain.
+    * TIMESTAMP     — parquet micros: unix_millis reads the internal epoch
+      micros directly (no session-TZ shift on the parquet read path), so it
+      is bit-identical to DuckDB's epoch_ms over the same file.
+    * TIMESTAMP_NTZ — naive-as-UTC under the engine's UTC session contract
+      (loaders.ensure_session_conf); cast then as TIMESTAMP.
+    """
+    t = events.schema["ts"].dataType
+    if isinstance(t, LongType):
+        return F.expr("ts DIV 1000000"), F.timestamp_micros(F.expr("ts DIV 1000"))
+    ts = F.col("ts")
+    if isinstance(t, TimestampNTZType):
+        ts = ts.cast("timestamp")
+    return F.unix_millis(ts), ts
+
+
 def tx_from_events(events: DataFrame) -> DataFrame:
     """Spark rendering of TX_SQL. Keeps an extra `endtime` TimestampType
-    column (not part of the wire schema) for window() operators.
-
-    `ts` arrives as a nanos BIGINT (spark.sql.legacy.parquet.nanosAsLong);
-    floor-division to millis matches DuckDB's ns->us->ms truncation chain.
+    column (not part of the wire schema) for window() operators; `ts`
+    handling is schema-dispatched (see _ts_exprs).
     """
     elapsed = F.round(F.col("value") * F.lit(100), 0).cast("long")
-    endts = F.expr("ts DIV 1000000")
+    endts, endtime = _ts_exprs(events)
     service = F.when(
         F.col("event_type").isin("signup", "purchase"),
         F.concat(F.lit("S:"), F.col("event_type")),
@@ -75,7 +96,7 @@ def tx_from_events(events: DataFrame) -> DataFrame:
         F.when(F.col("event_type").isin("signup", "purchase"), F.lit("Y"))
         .otherwise(F.lit("N"))
         .alias("toplevel"),
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("endtime"),
+        endtime.alias("endtime"),
     )
 
 

@@ -29,7 +29,7 @@ from apmbackend_spark.functions.percentile import midpoint_percentile
 from apmbackend_spark.sources.tx import tx_from_events
 
 EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -38,7 +38,7 @@ def tx_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming tx source: a parquet-file stream with the same projection
-    as the batch loader (ts arrives as nanos BIGINT, see session.py)."""
+    as the batch loader (tx_from_events dispatches on the ts type)."""
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
