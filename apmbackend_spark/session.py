@@ -29,9 +29,9 @@ def get_spark(
         .master(master or f"local[{cpus}]")
         # Deterministic event time across Spark/DuckDB/cluster.
         .config("spark.sql.session.timeZone", "UTC")
-        # The driver's events.parquet carries TIMESTAMP(NANOS) which Spark's
-        # parquet reader rejects as a timestamp type; read it as a nanos
-        # BIGINT and convert explicitly (sources/tx.py).
+        # Legacy-fixture compat: a TIMESTAMP(NANOS) events.ts is rejected by
+        # the parquet reader unless read as a nanos BIGINT; harmless for the
+        # current timestamp[us] fixtures (sources/tx.py dispatches on type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Read ms/us parquet timestamps as TimestampType (UTC session), not
         # NTZ — keeps unix_millis()/window() uniform and matches DuckDB's

@@ -28,8 +28,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Runtime-settable confs required to read the driver fixtures on ANY session,
 # not just the tuned one from session.get_spark():
-#   - events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's parquet
-#     reader rejects (PARQUET_TYPE_ILLEGAL) unless read as a nanos BIGINT;
+#   - some fixture generations carry events.ts as INT64 TIMESTAMP(NANOS),
+#     which Spark's parquet reader rejects (PARQUET_TYPE_ILLEGAL) unless
+#     read as a nanos BIGINT (current fixtures are timestamp[us]; the conf
+#     is harmless there and tx_from_events dispatches on the actual type);
 #   - ms/us parquet timestamps must infer as TimestampType (not NTZ) so
 #     unix_millis()/window() resolve uniformly;
 #   - UTC session time keeps epoch math identical to the DuckDB oracle.
