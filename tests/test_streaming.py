@@ -521,3 +521,92 @@ def test_acct_enrich_stream_matches_batch(spark, tmpdir):
     n_soap_batch = sum(1 for b in batch.values() if b["acct_source"] == "soap")
     n_soap_got = sum(1 for r in got if r["acct_source"] == "soap")
     assert n_soap_got == n_soap_batch
+
+
+def test_zscore_tws_matches_recursive_across_batches(spark, tmpdir):
+    # transformWithStateInPandas rendering (RocksDB state store) must agree
+    # with both the batch recursive operator and (by construction) the
+    # applyInPandasWithState rendering. The TWS Python worker requires
+    # protobuf (not present in this container): skip, don't fail, there.
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.operators.zscore import zscore_recursive
+    from apmbackend_spark.streaming.pipeline import run_available_now
+    from apmbackend_spark.streaming.stateful import zscore_tws
+
+    rows = []
+    for i in range(120):
+        for srv in ("srv0", "srv1"):
+            base = 100.0 if i < 100 else 5000.0
+            rows.append(
+                {
+                    "timestamp": i * 10_000,
+                    "server": srv,
+                    "service": "svc",
+                    "tpm": 1.0,
+                    "average": base + (i % 7),
+                    "per75": base + (i % 5),
+                    "per95": base + (i % 3),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    st = spark.createDataFrame(pdf)
+
+    src = f"{tmpdir}/st_tws_src"
+    for lo, hi in [(0, 40), (40, 80), (80, 120)]:
+        (
+            st.where(
+                (F.col("timestamp") >= lo * 10_000)
+                & (F.col("timestamp") < hi * 10_000)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    st_stream = spark.readStream.schema(
+        "timestamp long, server string, service string, tpm double, "
+        "average double, per75 double, per95 double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_available_now(
+            zscore_tws(st_stream, lags=(30,), threshold=3.0, influence=0.1),
+            f"{tmpdir}/ckpt_tws",
+            query_name="zs_tws",
+            output_mode="append",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    expect = {
+        (r["server"], r["timestamp"]): r
+        for r in zscore_recursive(
+            st, lags=(30,), threshold=3.0, influence=0.1
+        ).collect()
+    }
+    assert len(got) == len(expect) > 0
+    n_sig = 0
+    for r in got:
+        e = expect[(r["server"], r["timestamp"])]
+        for m in ("average", "per75", "per95"):
+            assert r[f"{m}signal"] == e[f"{m}signal"]
+            n_sig += abs(r[f"{m}signal"])
+            for f in (f"{m}avg", f"{m}lb", f"{m}ub"):
+                a, b = r[f], e[f]
+                if a is None or b is None:
+                    assert a == b, (r["timestamp"], f, a, b)
+                else:
+                    assert math.isclose(a, b, rel_tol=1e-12), (r["timestamp"], f)
+    assert n_sig > 0
