@@ -28,6 +28,7 @@ from apmbackend_spark.operators import multimodal as mm
 from apmbackend_spark.operators import relational as rel
 from apmbackend_spark.operators import zerofill as zf
 from apmbackend_spark.operators import packing as pk
+from apmbackend_spark.operators import prepare as prep
 from apmbackend_spark.operators import sessions as sess
 from apmbackend_spark.operators import setops as so
 from apmbackend_spark.sources.loaders import load_table
@@ -191,6 +192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda s, d: dd.dedup_clusters(docs(s, d)),
         "corpus_dedup": lambda s, d: dd.corpus_dedup(docs(s, d)),
         "token_pack": lambda s, d: pk.token_pack(docs(s, d)),
+        # end-to-end training-corpus prep: filter ∩ dedup-rep -> scrub -> pack
+        "corpus_prepare": lambda s, d: prep.corpus_prepare(docs(s, d)),
         "corpus_shuffle": lambda s, d: pk.corpus_shuffle(docs(s, d)),
         "simhash": lambda s, d: dd.simhash(docs(s, d)),
         "simhash_pairs": lambda s, d: dd.simhash_pairs(docs(s, d)),
@@ -284,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dd.dedup_clusters_oracle_sql(),
         "corpus_dedup": dd.corpus_dedup_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),
+        "corpus_prepare": prep.corpus_prepare_oracle_sql(),
         "corpus_shuffle": pk.corpus_shuffle_oracle_sql(),
         "simhash": dd.simhash_oracle_sql(),
         "simhash_pairs": dd.simhash_pairs_oracle_sql(),

@@ -1,0 +1,108 @@
+"""End-to-end training-corpus preparation: the composed DAG a user actually
+runs before a tokenization job, built entirely from the engine's
+LLM-pipeline operators (each independently oracle-checked):
+
+    quality filter (textstats.corpus_filter)
+      ∩ near-dup representative selection (dedup.dedup_clusters)
+      → PII scrub counts (textstats.corpus_scrub)
+      → sequence packing over the surviving corpus (packing.token_pack)
+
+Semantics choices, stated explicitly because they are contracts:
+  * Dedup clusters are computed over the FULL corpus, then intersected with
+    the filter survivors; the kept representative is the MIN doc_id among a
+    cluster's *surviving* members (a cluster whose canonical doc was
+    filtered out still keeps its best remaining member).
+  * Packing runs over the prepared corpus in doc_id order, so sequence
+    addresses are a pure function of the corpus + config — two engines (or
+    two runs) agree bit-for-bit.
+
+Scale shape: filter and scrub are stateless single scans; the dedup join is
+|V|-sized 8-byte label rows against the doc stream (text bytes never
+shuffle); packing is the range-partitioned two-pass cumulative sum. The
+whole DAG adds NO new shuffle beyond its constituent operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apmbackend_spark.operators.dedup import (
+    dedup_clusters,
+    dedup_clusters_oracle_sql,
+)
+from apmbackend_spark.operators.packing import token_pack
+from apmbackend_spark.operators.textstats import (
+    corpus_filter,
+    corpus_filter_oracle_sql,
+    corpus_scrub,
+    corpus_scrub_oracle_sql,
+)
+from apmbackend_spark.functions.text import tokens_sql
+
+
+def corpus_prepare(
+    documents: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    budget: int = 2048,
+) -> DataFrame:
+    """One row per document surviving filter+dedup, with its PII scrub
+    counts and its packed-sequence address: (doc_id, source, n_tokens,
+    n_pii, start_offset, seq_id)."""
+    filt = corpus_filter(documents).where(F.col("keep")).select("doc_id")
+    clusters = dedup_clusters(documents, bands, rows_per_band)
+    kept_members = clusters.join(filt, "doc_id")
+    reps = kept_members.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept_ids = kept_members.join(reps.select("doc_id"), "doc_id").select(
+        "doc_id"
+    )
+
+    prepared = documents.join(kept_ids, "doc_id")
+    packed = token_pack(prepared, budget)  # doc_id, n_tokens, start_offset, seq_id
+    pii = corpus_scrub(documents).select(
+        "doc_id",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")).alias("n_pii"),
+    )
+    return (
+        packed.join(pii, "doc_id")
+        .join(documents.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id", "source", "n_tokens", "n_pii", "start_offset", "seq_id"
+        )
+    )
+
+
+def corpus_prepare_oracle_sql(
+    bands: int = 4, rows_per_band: int = 2, budget: int = 2048
+) -> str:
+    return f"""
+WITH clusters AS ({dedup_clusters_oracle_sql(bands, rows_per_band)}),
+filt AS ({corpus_filter_oracle_sql()}),
+keptm AS (
+    SELECT c.doc_id, c.cluster_id
+    FROM clusters c JOIN filt f USING (doc_id)
+    WHERE f.keep
+), reps AS (
+    SELECT cluster_id, MIN(doc_id) AS doc_id FROM keptm GROUP BY cluster_id
+), kept AS (
+    SELECT k.doc_id FROM keptm k JOIN reps r ON k.doc_id = r.doc_id
+), counted AS (
+    SELECT d.doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+    FROM documents d JOIN kept USING (doc_id)
+), cum AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM counted
+), scrub AS ({corpus_scrub_oracle_sql()})
+SELECT c.doc_id, d.source, c.n_tokens,
+       CAST(s.n_emails + s.n_phones + s.n_ips AS BIGINT) AS n_pii,
+       c.start_offset, c.start_offset // {budget} AS seq_id
+FROM cum c
+JOIN documents d USING (doc_id)
+JOIN scrub s USING (doc_id)
+"""
