@@ -33,6 +33,7 @@ from apmbackend_spark.operators import sessions as sess
 from apmbackend_spark.operators import setops as so
 from apmbackend_spark.sources.loaders import load_table
 from apmbackend_spark.sources import jmx as jmxsrc
+from apmbackend_spark.sources import logparse as lp
 from apmbackend_spark.sources import bucketing as bk
 from apmbackend_spark.sources import partitioned as pt
 from apmbackend_spark.operators import skew as sk
@@ -228,6 +229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": rel.q18_large_volume_customers,
     }
     apm_extra = {
+        # P2-P5/U5/U9 as a codegen line-extraction scan (no Python, no
+        # per-file tasks): lines synthesized from tx in-plan, fields
+        # recovered by the engine's extraction expressions
+        "log_extract": lambda s, d: lp.log_extract(load_tx(s, d)),
         "sessionize": lambda s, d: sess.sessionize(load_tx(s, d)),
         "service_rollup": lambda s, d: sess.service_rollup(load_tx(s, d)),
         "apdex": lambda s, d: sess.apdex(load_tx(s, d)),
@@ -276,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": ts.contamination_oracle_sql(),
         "corpus_cardinality": ts.corpus_cardinality_oracle_sql(),
         "doc_token_counts": ts.doc_token_counts_oracle_sql(),
+        "log_extract": TX_CTE + lp.LOG_EXTRACT_ORACLE,
         "sessionize": TX_CTE + sess.sessionize_oracle_sql(),
         "service_rollup": TX_CTE + sess.SERVICE_ROLLUP_ORACLE,
         "apdex": TX_CTE + sess.apdex_oracle_sql(),

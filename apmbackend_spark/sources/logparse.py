@@ -346,3 +346,116 @@ def logs_to_tx(spark: SparkSession, glob_path: str) -> DataFrame:
             "matched",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# P2-P5/U5/U9 as a JVM-side SQL extraction pipeline (graded query).
+# ---------------------------------------------------------------------------
+#
+# The per-file applyInPandas parser above is the right shape when line ORDER
+# carries meaning (entry/exit pairing, SOAP frames, audit sessions). For the
+# simple one-line grammar — CommonTiming stop lines — the same extraction is
+# expressible entirely in codegen'd built-ins (regexp_extract/to_timestamp),
+# which is the form a 100 TB raw-log lake wants: a stateless line-level scan,
+# no Python, no per-file task granularity. `log_extract` grades that
+# rendering: log LINES are synthesized deterministically from the tx stream
+# in-plan (so the driver needs no log files), then every field is recovered
+# with the engine's extraction expressions and checked against a DuckDB
+# regexp oracle (reference grammar: stream_parse_transactions.js:345,733-739;
+# ts parse :242-256; Provider normalize :259; acct validation :296).
+
+_LOG_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def log_lines_from_tx(tx: DataFrame) -> DataFrame:
+    """Deterministic single-line synthesis: one CommonTiming stop line per
+    tx with the service re-encoded in its RAW 'Provider[x]' spelling for
+    toplevel services (so extraction must re-normalize it), a ~1/7-invalid
+    acct token (so U9 validation must reject it), and the ms-precision log
+    timestamp format."""
+    ts = F.timestamp_millis(F.col("endts"))
+    ts_str = F.concat(
+        F.date_format(ts, _LOG_TS_FMT),
+        F.lit(","),
+        F.lpad((F.col("endts") % 1000).cast("string"), 3, "0"),
+    )
+    svc_raw = F.when(
+        F.col("service").startswith("S:"),
+        F.concat(F.lit("Provider["), F.expr("substring(service, 3)"), F.lit("]")),
+    ).otherwise(F.col("service"))
+    acct_raw = F.coalesce(
+        F.col("acctnum").cast("string"), F.concat(F.lit("X"), F.col("logid"))
+    )
+    line = F.concat(
+        F.lit("["), F.col("logid"), F.lit("] "),
+        ts_str,
+        F.lit(" INFO CommonTiming::Stop "), svc_raw,
+        F.lit(" server="), F.col("server"),
+        F.lit(" <accountNumber>"), acct_raw, F.lit("</accountNumber>"),
+        F.lit(" total time "), F.col("elapsed").cast("string"),
+    )
+    return tx.select(line.alias("line"))
+
+
+def log_extract(tx: DataFrame) -> DataFrame:
+    """Recover (logid, server, service, endts, elapsed, acctnum) from raw
+    log-line strings using only whole-stage-codegen built-ins."""
+    lines = log_lines_from_tx(tx)
+    l = F.col("line")
+    date_s = F.regexp_extract(l, r"(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2}),(\d{3})", 1)
+    time_s = F.regexp_extract(l, r"(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2}),(\d{3})", 2)
+    ms_s = F.regexp_extract(l, r"(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2}),(\d{3})", 3)
+    endts = (
+        F.unix_millis(
+            F.to_timestamp(F.concat(date_s, F.lit(" "), time_s), _LOG_TS_FMT)
+        )
+        + ms_s.cast("long")
+    )
+    svc_extracted = F.regexp_extract(l, r"INFO CommonTiming::Stop (\S+)", 1)
+    service = F.regexp_replace(
+        svc_extracted, r"^(.*)\[([^\]]*)\]$", r"$1:$2"
+    )
+    acct_s = F.regexp_extract(l, r"<accountNumber>([^<]*)</accountNumber>", 1)
+    acctnum = F.when(acct_s.rlike(r"^[0-9]+$"), acct_s.cast("long"))
+    return lines.select(
+        F.regexp_extract(l, r"^\[([^\]]*)\]", 1).alias("logid"),
+        F.regexp_extract(l, r" server=(\S+)", 1).alias("server"),
+        service.alias("service"),
+        endts.alias("endts"),
+        F.regexp_extract(l, r"total time (\d+)", 1).cast("long").alias("elapsed"),
+        acctnum.alias("acctnum"),
+    )
+
+
+LOG_EXTRACT_ORACLE = r"""
+, lines AS (
+    SELECT '[' || logid || '] '
+        || strftime(make_timestamp(endts * 1000), '%Y-%m-%d %H:%M:%S')
+        || ',' || lpad(CAST(endts % 1000 AS VARCHAR), 3, '0')
+        || ' INFO CommonTiming::Stop '
+        || CASE WHEN service LIKE 'S:%'
+                THEN 'Provider[' || substr(service, 3) || ']'
+                ELSE service END
+        || ' server=' || server
+        || ' <accountNumber>' || COALESCE(CAST(acctnum AS VARCHAR), 'X' || logid) || '</accountNumber>'
+        || ' total time ' || CAST(elapsed AS VARCHAR) AS line
+    FROM tx
+)
+SELECT regexp_extract(line, '^\[([^\]]*)\]', 1) AS logid,
+       regexp_extract(line, ' server=(\S+)', 1) AS server,
+       regexp_replace(
+           regexp_extract(line, 'INFO CommonTiming::Stop (\S+)', 1),
+           '^(.*)\[([^\]]*)\]$', '\1:\2') AS service,
+       epoch_ms(strptime(
+           regexp_extract(line, '(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2}),(\d{3})', 1)
+           || ' ' ||
+           regexp_extract(line, '(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2}),(\d{3})', 2),
+           '%Y-%m-%d %H:%M:%S'))
+       + CAST(regexp_extract(line, '(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2}),(\d{3})', 3) AS BIGINT)
+       AS endts,
+       CAST(regexp_extract(line, 'total time (\d+)', 1) AS BIGINT) AS elapsed,
+       CASE WHEN regexp_matches(regexp_extract(line, '<accountNumber>([^<]*)</accountNumber>', 1), '^[0-9]+$')
+            THEN CAST(regexp_extract(line, '<accountNumber>([^<]*)</accountNumber>', 1) AS BIGINT)
+       END AS acctnum
+FROM lines
+"""
