@@ -31,7 +31,7 @@ from apmbackend_spark.operators import packing as pk
 from apmbackend_spark.operators import prepare as prep
 from apmbackend_spark.operators import sessions as sess
 from apmbackend_spark.operators import setops as so
-from apmbackend_spark.sources.loaders import load_table
+from apmbackend_spark.sources.loaders import load_table, spread
 from apmbackend_spark.sources import jmx as jmxsrc
 from apmbackend_spark.sources import logparse as lp
 from apmbackend_spark.sources import bucketing as bk
@@ -174,8 +174,10 @@ def _q_db_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    docs = lambda s, d: load_table(s, d, "documents")  # noqa: E731
-    embs = lambda s, d: load_table(s, d, "embeddings")  # noqa: E731
+    # spread: the fixture tables are single-row-group files (1-task scans);
+    # fan the raw rows out before the tokenize/shingle/hash-heavy stages
+    docs = lambda s, d: spread(load_table(s, d, "documents"))  # noqa: E731
+    embs = lambda s, d: spread(load_table(s, d, "embeddings"))  # noqa: E731
     phase6 = {
         "doc_stats": lambda s, d: ts.doc_stats(docs(s, d)),
         "corpus_filter": lambda s, d: ts.corpus_filter(docs(s, d)),

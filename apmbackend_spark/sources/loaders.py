@@ -62,6 +62,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Small-input ingest guard: parquet scan parallelism is bounded by row
+    groups, so a single-row-group file (the fixture layout) scans as ONE
+    task — and every per-row expression before the first shuffle (tokenize,
+    shingle explode, hashing) runs single-threaded behind it. When the scan
+    has fewer partitions than the cluster's parallelism, round-robin
+    repartition the (small, by construction) raw rows so the heavy
+    stage runs wide; when the input is already parallel — the real
+    many-file lake at scale — this is a no-op, so no shuffle is added
+    where it would actually hurt."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (mirrors the driver's DuckDB
     side, which pre-registers the same names)."""

@@ -101,6 +101,9 @@ def tx_from_events(events: DataFrame) -> DataFrame:
 
 
 def load_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from apmbackend_spark.sources.loaders import load_table
+    from apmbackend_spark.sources.loaders import load_table, spread
 
-    return tx_from_events(load_table(spark, sf_dir, "events"))
+    # spread: the events fixture is a single-row-group file (1-task scan);
+    # fan raw events wide so the first map stage (projection + bucket
+    # partial aggregation) parallelizes. No-op on a many-file lake.
+    return tx_from_events(spread(load_table(spark, sf_dir, "events")))

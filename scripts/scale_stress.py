@@ -7,7 +7,12 @@ A factor near K on a K-times dataset = linear scaling (what the partitioned
 designs claim); super-linear factors flag an operator whose plan degrades
 with volume.
 
-Usage: python scripts/scale_stress.py [K] [sf_dir]
+Also tiles the documents table (per-copy deterministic character
+permutation, so intra-copy duplicate structure is preserved while
+cross-copy similarity is destroyed — a 10x corpus with the SAME dup rate,
+not a 100x pair blowup) and times the dedup family.
+
+Usage: python scripts/scale_stress.py [K] [sf_dir] [events|docs|all]
 """
 
 from __future__ import annotations
@@ -51,6 +56,72 @@ def tile_events(spark, sf_dir: str, out_dir: str, k: int) -> str:
     dest = os.path.join(out_dir, "events.parquet")
     tiled.repartition(32).write.mode("overwrite").parquet(dest)
     return out_dir
+
+
+_ALPHA = "etaoinshrdlu"
+
+
+def _perm(i: int) -> str:
+    """Deterministic permutation of _ALPHA per copy index (rotation +
+    stride), identity for i=0."""
+    n = len(_ALPHA)
+    if i == 0:
+        return _ALPHA
+    stride = 5 if i % 2 else 7  # both coprime with 12
+    return "".join(_ALPHA[(i + j * stride) % n] for j in range(n))
+
+
+def tile_documents(spark, sf_dir: str, out_dir: str, k: int) -> str:
+    """K copies of documents: doc_id offset per copy; for copies > 0 the
+    text goes through a per-copy `translate` character permutation — most
+    shingles change wholesale, so cross-copy near-dup similarity collapses
+    below threshold while each copy keeps the original intra-copy duplicate
+    structure (duplicate RATE stays constant as volume grows)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    copies = []
+    for i in range(k):
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * int(n))).alias("doc_id"),
+                F.translate(F.col("text"), _ALPHA, _perm(i)).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    tiled = copies[0]
+    for c in copies[1:]:
+        tiled = tiled.unionAll(c)
+    dest = os.path.join(out_dir, "documents.parquet")
+    tiled.repartition(32).write.mode("overwrite").parquet(dest)
+    return out_dir
+
+
+def docs_timings(spark, sf_dir: str) -> dict[str, float]:
+    from apmbackend_spark.operators import dedup as dd
+    from apmbackend_spark.operators import textstats as ts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.perf_counter()
+        force(thunk())
+        out[name] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+
+    timed("doc_stats", lambda: ts.doc_stats(docs))
+    timed("dedup_exact", lambda: dd.dedup_exact(docs))
+    timed("minhash_lsh", lambda: dd.minhash_lsh_pairs(docs))
+    timed("ngram_jaccard", lambda: dd.ngram_jaccard_pairs(docs))
+    timed("simhash", lambda: dd.simhash(docs))
+    timed("dedup_clusters", lambda: dd.dedup_clusters(docs))
+    return out
 
 
 def chain_timings(spark, sf_dir: str) -> dict[str, float]:
@@ -98,9 +169,17 @@ def chain_timings(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _report(base: dict[str, float], big: dict[str, float], k: int) -> None:
+    print(f"\n{'query':<18}{'1x sec':>10}{k:>9}x sec{'factor':>9}")
+    for q in base:
+        f = big[q] / base[q] if base[q] else float("inf")
+        print(f"{q:<18}{base[q]:>10.2f}{big[q]:>13.2f}{f:>9.1f}")
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    mode = sys.argv[3] if len(sys.argv) > 3 else "events"
 
     from apmbackend_spark.session import get_spark
 
@@ -110,20 +189,26 @@ def main() -> None:
     scaled_dir = f"/tmp/apm_scale_{k}x"
     shutil.rmtree(scaled_dir, ignore_errors=True)
     os.makedirs(scaled_dir, exist_ok=True)
-    print(f"tiling events {k}x into {scaled_dir} ...", flush=True)
-    tile_events(spark, sf_dir, scaled_dir, k)
 
-    print("timing 1x ...", flush=True)
-    base = chain_timings(spark, sf_dir)
-    # second 1x pass so the comparison excludes first-plan codegen
-    base = chain_timings(spark, sf_dir)
-    print(f"timing {k}x ...", flush=True)
-    big = chain_timings(spark, scaled_dir)
+    if mode in ("events", "all"):
+        print(f"tiling events {k}x into {scaled_dir} ...", flush=True)
+        tile_events(spark, sf_dir, scaled_dir, k)
+        print("timing 1x ...", flush=True)
+        chain_timings(spark, sf_dir)  # warm pass: absorb first-plan codegen
+        base = chain_timings(spark, sf_dir)
+        print(f"timing {k}x ...", flush=True)
+        big = chain_timings(spark, scaled_dir)
+        _report(base, big, k)
 
-    print(f"\n{'query':<18}{'1x sec':>10}{k:>9}x sec{'factor':>9}")
-    for q in base:
-        f = big[q] / base[q] if base[q] else float("inf")
-        print(f"{q:<18}{base[q]:>10.2f}{big[q]:>13.2f}{f:>9.1f}")
+    if mode in ("docs", "all"):
+        print(f"tiling documents {k}x into {scaled_dir} ...", flush=True)
+        tile_documents(spark, sf_dir, scaled_dir, k)
+        print("timing 1x ...", flush=True)
+        docs_timings(spark, sf_dir)  # warm pass
+        base = docs_timings(spark, sf_dir)
+        print(f"timing {k}x ...", flush=True)
+        big = docs_timings(spark, scaled_dir)
+        _report(base, big, k)
 
 
 if __name__ == "__main__":
