@@ -62,13 +62,17 @@ def corpus_prepare(
 
     prepared = documents.join(kept_ids, "doc_id")
     packed = token_pack(prepared, budget)  # doc_id, n_tokens, start_offset, seq_id
-    pii = corpus_scrub(documents).select(
+    # scrub only the survivors: every inner join downstream keys on the kept
+    # set anyway, and the PII regex pass is the expensive scan — running it
+    # over dropped documents (or rescanning `documents` for `source`) would
+    # be pure wasted work at corpus scale
+    pii = corpus_scrub(prepared).select(
         "doc_id",
         (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")).alias("n_pii"),
     )
     return (
         packed.join(pii, "doc_id")
-        .join(documents.select("doc_id", "source"), "doc_id")
+        .join(prepared.select("doc_id", "source"), "doc_id")
         .select(
             "doc_id", "source", "n_tokens", "n_pii", "start_offset", "seq_id"
         )

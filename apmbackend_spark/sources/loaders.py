@@ -74,7 +74,14 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     where it would actually hurt."""
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # file count as the parallelism proxy (already computed by the scan's
+    # file index — no second planning pass the way .rdd.getNumPartitions()
+    # would force): a many-file lake has files >= cores and no-ops here
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:  # non-file-backed frame: nothing to widen
+        return df
+    if 0 < n_inputs < target:
         return df.repartition(target)
     return df
 

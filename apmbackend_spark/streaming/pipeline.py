@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 from apmbackend_spark.functions.percentile import midpoint_percentile
 from apmbackend_spark.sources.tx import tx_from_events
 
+# Current-generation fixture shape; tx_stream peeks the actual files when
+# they exist so a regenerated fixture (e.g. the r1 nanos-BIGINT ts read
+# under nanosAsLong) streams with its true schema — same multi-generation
+# compat as the batch loader (tx_from_events dispatches on the ts type).
 EVENTS_STREAM_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
@@ -38,8 +42,25 @@ def tx_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming tx source: a parquet-file stream with the same projection
-    as the batch loader (tx_from_events dispatches on the ts type)."""
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    as the batch loader. File streams need a declared schema; derive it
+    from the directory's existing parquet footers (one batch-read plan, no
+    data scan), falling back to the current-generation default for an
+    as-yet-empty directory."""
+    from apmbackend_spark.sources.loaders import ensure_session_conf
+
+    ensure_session_conf(spark)
+    schema = EVENTS_STREAM_SCHEMA
+    # probe events files first: a fixture dir mixes other tables' parquet
+    # whose (merged) footer schema would be the wrong one to stream with
+    for candidate in (f"{events_dir}/events*.parquet", events_dir):
+        try:
+            peeked = spark.read.parquet(candidate).schema
+        except Exception:  # empty/not-yet-created stream dir
+            continue
+        if {"event_id", "ts"} <= set(peeked.names):
+            schema = peeked
+            break
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     events = reader.parquet(events_dir)

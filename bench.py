@@ -4,8 +4,9 @@ JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
 {name: sec}, "sf": ...}.
 
 Each query is forced end-to-end with the noop sink (full computation, no
-driver collect). A warmup run of the first query absorbs JVM/codegen start-up
-so numbers reflect steady-state throughput.
+driver collect). A warmup pass (the flagship window-stats chain plus the
+first registered query) absorbs JVM/codegen start-up so numbers reflect
+steady-state throughput.
 """
 
 from __future__ import annotations

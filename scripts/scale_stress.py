@@ -30,32 +30,61 @@ from pyspark.sql import functions as F
 def tile_events(spark, sf_dir: str, out_dir: str, k: int) -> str:
     """K time-shifted copies of events; each copy's ts range follows the
     previous one so the (server, service) key set stays FIXED while the
-    series length grows Kx — the shape a longer retention window produces."""
+    series length grows Kx — the shape a longer retention window produces.
+    Handles both fixture generations of ts (timestamp[us], or nanos BIGINT
+    read under nanosAsLong) like the engine's own loader."""
+    from pyspark.sql.types import LongType
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    lo, hi, n = ev.agg(
-        F.min("ts"), F.max("ts"), F.count(F.lit(1))
-    ).first()
-    span_us = int((hi - lo).total_seconds() * 1_000_000) + 60_000_000
-    copies = []
-    for i in range(k):
-        copies.append(
-            ev.select(
-                (F.col("event_id") + F.lit(i * int(n))).alias("event_id"),
-                (F.col("ts") + F.expr(f"INTERVAL {i * span_us} MICROSECONDS")).alias(
-                    "ts"
-                ),
-                "user_id",
-                "event_type",
-                "value",
-                "props",
-            )
+    lo, hi, n = ev.agg(F.min("ts"), F.max("ts"), F.count(F.lit(1))).first()
+    ts_is_long = isinstance(ev.schema["ts"].dataType, LongType)
+    if ts_is_long:  # nanos epoch
+        span = int(hi - lo) + 60_000_000_000
+
+        def shift(i):
+            return (F.col("ts") + F.lit(i * span)).alias("ts")
+
+    else:
+        span_us = int((hi - lo).total_seconds() * 1_000_000) + 60_000_000
+
+        def shift(i):
+            return (
+                F.col("ts") + F.expr(f"INTERVAL {i * span_us} MICROSECONDS")
+            ).alias("ts")
+
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * int(n))).alias("event_id"),
+            shift(i),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
         )
+        for i in range(k)
+    ]
     tiled = copies[0]
     for c in copies[1:]:
         tiled = tiled.unionAll(c)
     dest = os.path.join(out_dir, "events.parquet")
     tiled.repartition(32).write.mode("overwrite").parquet(dest)
     return out_dir
+
+
+class _Timer:
+    """Shared timing harness: noop-sink force + cache isolation between
+    measurements (one definition so the events and docs suites cannot
+    drift)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.out: dict[str, float] = {}
+
+    def timed(self, name, thunk):
+        t0 = time.perf_counter()
+        thunk().write.format("noop").mode("overwrite").save()
+        self.out[name] = round(time.perf_counter() - t0, 2)
+        self.spark.catalog.clearCache()
 
 
 _ALPHA = "etaoinshrdlu"
@@ -101,51 +130,35 @@ def tile_documents(spark, sf_dir: str, out_dir: str, k: int) -> str:
 def docs_timings(spark, sf_dir: str) -> dict[str, float]:
     from apmbackend_spark.operators import dedup as dd
     from apmbackend_spark.operators import textstats as ts
+    from apmbackend_spark.sources.loaders import spread
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # same ingest path as the graded queries: spread engages at 1x (single
+    # row group), no-ops on the 32-partition tiled copy
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
-    def force(df):
-        df.write.format("noop").mode("overwrite").save()
-
-    out: dict[str, float] = {}
-
-    def timed(name, thunk):
-        t0 = time.perf_counter()
-        force(thunk())
-        out[name] = round(time.perf_counter() - t0, 2)
-        spark.catalog.clearCache()
-
-    timed("doc_stats", lambda: ts.doc_stats(docs))
-    timed("dedup_exact", lambda: dd.dedup_exact(docs))
-    timed("minhash_lsh", lambda: dd.minhash_lsh_pairs(docs))
-    timed("ngram_jaccard", lambda: dd.ngram_jaccard_pairs(docs))
-    timed("simhash", lambda: dd.simhash(docs))
-    timed("dedup_clusters", lambda: dd.dedup_clusters(docs))
-    return out
+    t = _Timer(spark)
+    t.timed("doc_stats", lambda: ts.doc_stats(docs))
+    t.timed("dedup_exact", lambda: dd.dedup_exact(docs))
+    t.timed("minhash_lsh", lambda: dd.minhash_lsh_pairs(docs))
+    t.timed("ngram_jaccard", lambda: dd.ngram_jaccard_pairs(docs))
+    t.timed("simhash", lambda: dd.simhash(docs))
+    t.timed("dedup_clusters", lambda: dd.dedup_clusters(docs))
+    return t.out
 
 
 def chain_timings(spark, sf_dir: str) -> dict[str, float]:
     from apmbackend_spark.operators import alerts as al
     from apmbackend_spark.operators import zscore as zs
+    from apmbackend_spark.operators.ordering import ordered_release
     from apmbackend_spark.operators.window_stats import window_stats
     from apmbackend_spark.sources.tx import load_tx
 
     import __spark_entry__ as e
 
-    def force(df):
-        df.write.format("noop").mode("overwrite").save()
-
-    out: dict[str, float] = {}
-
-    def timed(name, thunk):
-        t0 = time.perf_counter()
-        force(thunk())
-        out[name] = round(time.perf_counter() - t0, 2)
-        spark.catalog.clearCache()
-
-    timed("tx_scan", lambda: load_tx(spark, sf_dir))
-    timed("window_stats", lambda: window_stats(load_tx(spark, sf_dir)))
-    timed(
+    t = _Timer(spark)
+    t.timed("tx_scan", lambda: load_tx(spark, sf_dir))
+    t.timed("window_stats", lambda: window_stats(load_tx(spark, sf_dir)))
+    t.timed(
         "zscore",
         lambda: zs.zscore_window(
             zs.st_from_window_stats(window_stats(load_tx(spark, sf_dir))),
@@ -153,7 +166,7 @@ def chain_timings(spark, sf_dir: str) -> dict[str, float]:
             threshold=e.ZSCORE_THRESHOLD,
         ),
     )
-    timed(
+    t.timed(
         "zscore_recursive",
         lambda: zs.zscore_recursive(
             zs.st_from_window_stats(window_stats(load_tx(spark, sf_dir))),
@@ -162,11 +175,9 @@ def chain_timings(spark, sf_dir: str) -> dict[str, float]:
             influence=0.1,
         ),
     )
-    timed("alerts", lambda: al.alert_pipeline(e._fs(spark, sf_dir), e.ALERT_CFG))
-    timed("ordered_release", lambda: __import__(
-        "apmbackend_spark.operators.ordering", fromlist=["ordered_release"]
-    ).ordered_release(load_tx(spark, sf_dir)))
-    return out
+    t.timed("alerts", lambda: al.alert_pipeline(e._fs(spark, sf_dir), e.ALERT_CFG))
+    t.timed("ordered_release", lambda: ordered_release(load_tx(spark, sf_dir)))
+    return t.out
 
 
 def _report(base: dict[str, float], big: dict[str, float], k: int) -> None:
