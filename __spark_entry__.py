@@ -37,6 +37,7 @@ from apmbackend_spark.sources import logparse as lp
 from apmbackend_spark.sources import bucketing as bk
 from apmbackend_spark.sources import partitioned as pt
 from apmbackend_spark.operators import skew as sk
+from apmbackend_spark.operators import semistruct as ss
 
 ZSCORE_LAGS = (60, 360)
 ZSCORE_THRESHOLD = 3.0
@@ -242,6 +243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "account_coverage": lambda s, d: so.account_coverage(load_tx(s, d)),
         "st_zerofill": lambda s, d: zf.st_zerofill(load_tx(s, d)),
         "jmx_rollup": lambda s, d: zf.jmx_rollup(load_tx(s, d)),
+        # schema-on-read over the JSON props payload (typed from_json, not
+        # per-row Python), with explicit unparsed-row accounting
+        "props_rollup": lambda s, d: ss.props_rollup(
+            load_table(s, d, "events")
+        ),
         # S5 collector end-to-end (synthetic fleet; transport -> CLI
         # rewriter -> typed frame); sf_dir unused by design.
         "jmx_poll": lambda s, d: jmxsrc.jmx_poll_synthetic(s),
@@ -312,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
         + zf.st_zerofill_oracle_sql(),
         "jmx_rollup": TX_CTE + zf.JMX_ROLLUP_ORACLE,
+        "props_rollup": ss.PROPS_ROLLUP_ORACLE,
         "jmx_poll": jmxsrc.jmx_poll_oracle_sql(),
         "bucketed_enrich": TX_CTE + bk.BUCKETED_ENRICH_ORACLE,
         "skew_salted_join": TX_CTE + sk.SKEW_SALTED_PROFILE_ORACLE,
