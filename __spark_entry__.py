@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_extract": lambda s, d: lp.log_extract(load_tx(s, d)),
         "sessionize": lambda s, d: sess.sessionize(load_tx(s, d)),
         "service_rollup": lambda s, d: sess.service_rollup(load_tx(s, d)),
+        "service_cube": lambda s, d: sess.service_cube(load_tx(s, d)),
         "apdex": lambda s, d: sess.apdex(load_tx(s, d)),
         "top_services": lambda s, d: so.top_services(load_tx(s, d)),
         "account_coverage": lambda s, d: so.account_coverage(load_tx(s, d)),
@@ -292,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "log_extract": TX_CTE + lp.LOG_EXTRACT_ORACLE,
         "sessionize": TX_CTE + sess.sessionize_oracle_sql(),
         "service_rollup": TX_CTE + sess.SERVICE_ROLLUP_ORACLE,
+        "service_cube": TX_CTE + sess.SERVICE_CUBE_ORACLE,
         "apdex": TX_CTE + sess.apdex_oracle_sql(),
         "top_services": TX_CTE + so.top_services_oracle_sql(),
         "account_coverage": TX_CTE + so.account_coverage_oracle_sql(),

@@ -127,6 +127,37 @@ GROUP BY ROLLUP(server, service)
 """
 
 
+def service_cube(tx: DataFrame) -> DataFrame:
+    """All four grain levels in one aggregation — (server, service),
+    (server), (service), and grand total — via `cube`: the service-only
+    grain is the one `rollup` cannot produce (cross-host per-service
+    traffic, the view an SRE pivots to first). Same single map-side
+    combinable shuffle; Spark expands the grouping sets without extra
+    scans."""
+    cubed = tx.cube("server", "service").agg(
+        F.count(F.lit(1)).alias("n_tx"),
+        F.sum("elapsed").alias("total_ms"),
+    )
+    return cubed.select(
+        F.coalesce(F.col("server"), F.lit(ALL_LABEL)).alias("server"),
+        F.coalesce(F.col("service"), F.lit(ALL_LABEL)).alias("service"),
+        "n_tx",
+        "total_ms",
+        (F.col("total_ms").cast("double") / F.col("n_tx")).alias("avg_ms"),
+    )
+
+
+SERVICE_CUBE_ORACLE = f"""
+SELECT COALESCE(server, '{ALL_LABEL}') AS server,
+       COALESCE(service, '{ALL_LABEL}') AS service,
+       CAST(COUNT(*) AS BIGINT) AS n_tx,
+       CAST(SUM(elapsed) AS BIGINT) AS total_ms,
+       CAST(SUM(elapsed) AS DOUBLE) / COUNT(*) AS avg_ms
+FROM tx
+GROUP BY CUBE(server, service)
+"""
+
+
 def apdex(
     tx: DataFrame, satisfied_ms: int = 500, tolerating_ms: int = 2000
 ) -> DataFrame:

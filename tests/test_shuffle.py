@@ -38,3 +38,30 @@ def test_shuffle_deterministic_and_seed_sensitive(spark):
     c = _rows(spark, 7)
     assert a == b  # same seed -> identical epoch order
     assert a != c  # new seed -> a different permutation
+
+
+def test_spread_widens_narrow_scans_only(spark, tmpdir):
+    import pandas as pd
+
+    from apmbackend_spark.sources.loaders import spread
+
+    pdf = pd.DataFrame({"x": range(1000)})
+    one = f"{tmpdir}/one_file"
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(one)
+    narrow = spark.read.parquet(one)
+    widened = spread(narrow)
+    target = spark.sparkContext.defaultParallelism
+    assert widened.rdd.getNumPartitions() == target
+    assert sorted(r["x"] for r in widened.collect()) == list(range(1000))
+
+    many = f"{tmpdir}/many_files"
+    spark.createDataFrame(pdf).repartition(target * 2).write.mode(
+        "overwrite"
+    ).parquet(many)
+    wide = spark.read.parquet(many)
+    # already-parallel input: no-op, no shuffle added
+    assert spread(wide) is wide
+
+    # non-file-backed frames pass through untouched
+    mem = spark.createDataFrame(pdf)
+    assert spread(mem) is mem
