@@ -273,3 +273,25 @@ def test_window_stats_approx_pins_to_exact(spark):
     # and its plan must be sketch-mergeable: no collect_list anywhere
     p = plan(window_stats_approx(tx))
     assert "collect_list" not in p
+
+
+def test_props_rollup_prunes_scan_and_stays_jvm(spark):
+    import __spark_entry__ as e
+
+    p = plan(e.queries()["props_rollup"](spark, SF_SMOKE))
+    # scan reads only the two needed columns; JSON parse is codegen'd
+    read_schemas = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schemas
+    assert all("user_id" not in l and "value" not in l for l in read_schemas)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_log_extract_single_stage_no_python(spark):
+    import __spark_entry__ as e
+
+    p = plan(e.queries()["log_extract"](spark, SF_SMOKE))
+    # stateless synthesize+extract: no semantic shuffle, no Python
+    import re
+
+    assert len(re.findall(r"hashpartitioning", p)) == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
