@@ -117,6 +117,23 @@ def _q_zscore_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZSCORE_CHUNK_INTERVALS = 360  # 1 h chunks on the 10 s grid
+
+
+def _q_zscore_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB key-parallelism mitigation as a graded query: dense
+    # zero-filled st grid (the reference's steady-state emission), z-score
+    # computed per 1 h time chunk with trailing-history carry — bit-equal
+    # to the global window form, but parallelism = keys x chunks.
+    st = zf.st_zerofill_dense(load_tx(spark, sf_dir))
+    return zs.zscore_window_chunked(
+        st,
+        lags=ZSCORE_LAGS,
+        threshold=ZSCORE_THRESHOLD,
+        chunk_intervals=ZSCORE_CHUNK_INTERVALS,
+    )
+
+
 def _q_zscore_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact reference semantics incl. influence damping (recursive state,
     # not SQL-expressible) — rows-only driver check; unit-tested against a
@@ -266,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_normalize": _q_tx_normalize,
         "window_stats": _q_window_stats,
         "zscore": _q_zscore,
+        "zscore_chunked": _q_zscore_chunked,
         "zscore_override": _q_zscore_override,
         "zscore_recursive": _q_zscore_recursive,
         "alert_candidates": _q_alert_candidates,
@@ -360,6 +378,16 @@ FROM tx
         "zscore": TX_CTE
         + window_stats_oracle_ctes()
         + zs.ST_ORACLE_CTE
+        + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD),
+        # chunked form: same naive sliding-frame oracle, over the DENSE
+        # zero-filled st grid (its input contract) — the oracle needs no
+        # chunk awareness because chunking is exact on that grid
+        "zscore_chunked": TX_CTE
+        + ", tx_sliced AS ("
+        + zf.TX_SLICED_SQL
+        + ")"
+        + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
+        + zf.st_zerofill_dense_oracle_cte()
         + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD),
         "zscore_override": TX_CTE
         + window_stats_oracle_ctes()

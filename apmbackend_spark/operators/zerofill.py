@@ -88,6 +88,72 @@ WHERE endts < (SELECT MIN(endts) + {SLICE_MS} FROM tx)
 """
 
 
+def st_zerofill_dense(
+    tx: DataFrame, slice_ms: int = SLICE_MS, slide_ms: int = 10_000
+) -> DataFrame:
+    """`st_zerofill` with a FULLY dense grid: every slide-grid slot between
+    the first and last observed window, not just the observed ones. This is
+    the reference's true steady-state emission (one st per interval per
+    known key, every interval — stream_calc_stats.js:159-202) and the input
+    contract of `zscore.zscore_window_chunked` (trailing-ROW frames equal
+    trailing-TIME frames only on a dense grid).
+
+    Scale: the grid is built in-plan (sequence over the 1-row min/max
+    bounds, exploded, cross-joined with the broadcast key dim)."""
+    lo = tx.agg(F.min("endts").alias("__lo"))
+    sliced = (
+        tx.crossJoin(F.broadcast(lo))
+        .where(F.col("endts") < F.col("__lo") + F.lit(slice_ms))
+        .drop("__lo")
+    )
+    st = st_from_window_stats(window_stats(sliced))
+    keys = st.select("server", "service").distinct()
+    bounds = st.agg(
+        F.min("timestamp").alias("__t0"), F.max("timestamp").alias("__t1")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("__t0"), F.col("__t1"), F.lit(int(slide_ms)))
+        ).alias("timestamp")
+    )
+    dim = grid.crossJoin(F.broadcast(keys))
+    return dim.join(st, ["timestamp", "server", "service"], "left").select(
+        "timestamp",
+        "server",
+        "service",
+        F.coalesce(F.col("tpm"), F.lit(0.0)).alias("tpm"),
+        "average",
+        "per75",
+        "per95",
+    )
+
+
+def st_zerofill_dense_oracle_cte(slide_ms: int = 10_000) -> str:
+    """Appends to TX_CTE + tx_sliced + winstats CTEs; defines a dense `st`."""
+    return f"""
+, bounds AS (
+    SELECT MIN(win_start) AS t0, MAX(win_start) AS t1 FROM winstats
+), grid AS (
+    -- list-form range() accepts column arguments (the table function does
+    -- not); unnest explodes it to one row per slide slot
+    SELECT unnest(range(t0, t1 + {int(slide_ms)}, {int(slide_ms)})) AS timestamp
+    FROM bounds
+), keys AS (
+    SELECT DISTINCT server, service FROM winstats
+), st AS (
+    SELECT g.timestamp, k.server, k.service,
+           COALESCE(w.tpm, 0.0) AS tpm,
+           round(w.avg_ms, 0) AS average,
+           round(w.p75, 0) AS per75,
+           round(w.p95, 0) AS per95
+    FROM grid g
+    CROSS JOIN keys k
+    LEFT JOIN winstats w
+      ON w.win_start = g.timestamp AND w.server = k.server
+     AND w.service = k.service
+)"""
+
+
 # ---------------------------------------------------------------------------
 # jx gauges (S5 collector stand-in + rollup)
 # ---------------------------------------------------------------------------

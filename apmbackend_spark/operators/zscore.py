@@ -150,14 +150,35 @@ def zscore_window(
     parallel across chunks. The cumulative formulation here is what makes
     (2) cheap: a chunk needs only lag extra rows, not a full rescan.
     """
-    lags = tuple(int(x) for x in lags)
-    metrics = tuple(metrics)
+    return _zscore_window_over(
+        st,
+        partition_cols=("server", "service"),
+        lags=tuple(int(x) for x in lags),
+        threshold=threshold,
+        metrics=tuple(metrics),
+        overrides=overrides,
+        extra_cols=(),
+    )
+
+
+def _zscore_window_over(
+    st: DataFrame,
+    partition_cols: tuple[str, ...],
+    lags: tuple[int, ...],
+    threshold: float | dict,
+    metrics: tuple[str, ...],
+    overrides: dict | None,
+    extra_cols: tuple[str, ...],
+) -> DataFrame:
+    """The cumulative-sum z-score plan over an arbitrary partitioning key
+    (shared by the global and time-chunked forms); `extra_cols` pass
+    through to the output unchanged."""
     wcum = (
-        Window.partitionBy("server", "service")
+        Window.partitionBy(*partition_cols)
         .orderBy("timestamp")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    word = Window.partitionBy("server", "service").orderBy("timestamp")
+    word = Window.partitionBy(*partition_cols).orderBy("timestamp")
 
     # Pass 1: O(1)-per-row cumulative statistics, lag-independent.
     cum_cols = [F.row_number().over(word).alias("__rn")]
@@ -171,7 +192,10 @@ def zscore_window(
             F.sum(xl).over(wcum).alias(f"__cs_{m}"),
             F.sum(xl * xl).over(wcum).alias(f"__cq_{m}"),
         ]
-    cum = st.select("timestamp", "server", "service", "tpm", *metrics, *cum_cols)
+    base_cols = ["timestamp", "server", "service", "tpm"]
+    base_cols += [c for c in partition_cols if c not in base_cols]
+    base_cols += list(extra_cols)
+    cum = st.select(*base_cols, *metrics, *cum_cols)
 
     # Pass 2 (same sort, chained window — no extra shuffle): per-lag frame
     # stats as offset differences. Window (lag) expressions must live in a
@@ -198,9 +222,7 @@ def zscore_window(
                     f"__sd_{m}_{lag}"
                 ),
             ]
-    stats = cum.select(
-        "timestamp", "server", "service", "tpm", *metrics, *stat_cols
-    )
+    stats = cum.select(*base_cols, *metrics, *stat_cols)
 
     # Pass 3: pure column arithmetic — per-lag structs, one explode. The
     # per-service threshold cascade compiles to a literal when-chain on the
@@ -244,19 +266,71 @@ def zscore_window(
     for m in metrics:
         out_fields += [m, f"{m}avg", f"{m}lb", f"{m}ub", f"{m}signal"]
     exploded = stats.select(
-        "timestamp",
-        "server",
-        "service",
-        "tpm",
+        *base_cols,
         F.explode(F.array(*lag_structs)).alias("__z"),
     )
     return exploded.select(
-        "timestamp",
-        "server",
-        "service",
-        "tpm",
+        *base_cols,
         *[F.col(f"__z.{f}").alias(f) for f in out_fields],
     )
+
+
+def zscore_window_chunked(
+    st: DataFrame,
+    lags: Iterable[int] = DEFAULT_LAGS,
+    threshold: float | dict = 3.0,
+    metrics: Iterable[str] = METRICS,
+    overrides: dict | None = None,
+    chunk_intervals: int = 8_640,
+    slide_ms: int = 10_000,
+) -> DataFrame:
+    """`zscore_window` with TIME-CHUNKED key histories — the documented
+    mitigation for the key-parallelism cap (a (server, service) key's FULL
+    multi-year history sorting in one task).
+
+    Each chunk of ``chunk_intervals`` slide-grid intervals is processed
+    independently, with the trailing ``max(lags)`` intervals of the previous
+    chunk prepended as carry-in (their output rows are dropped after the
+    window pass). The window partitioning becomes (server, service, chunk),
+    so parallelism is keys x chunks and per-task state is bounded by
+    chunk + carry length — O(1) in total history.
+
+    Exactness contract: the trailing-`lag` ROW frame equals the trailing
+    `lag*slide_ms` TIME range only when the per-key series is DENSE on the
+    slide grid. The reference guarantees exactly that — it emits one st per
+    interval for every known key, silent ones zero-filled
+    (stream_calc_stats.js:159-202; engine twin `zerofill.st_zerofill`) — so
+    feed this operator the zero-filled st stream. Parity with the global
+    `zscore_window` on dense input is asserted in tests/test_zscore.py.
+    """
+    lags = tuple(int(x) for x in lags)
+    span = int(chunk_intervals) * int(slide_ms)
+    carry_ms = max(lags) * int(slide_ms)
+    main = st.withColumn(
+        "__chunk", F.expr(f"timestamp DIV {span}")
+    ).withColumn("__carry", F.lit(False))
+    carry = (
+        st.withColumn("__chunk", F.expr(f"timestamp DIV {span}") + F.lit(1))
+        .where(
+            F.col("timestamp")
+            >= (F.col("__chunk") * F.lit(span) - F.lit(carry_ms))
+        )
+        .withColumn("__carry", F.lit(True))
+    )
+    both = main.unionAll(carry)
+
+    # same cumulative plan as zscore_window, with __chunk joined into the
+    # partitioning key
+    out = _zscore_window_over(
+        both,
+        partition_cols=("server", "service", "__chunk"),
+        lags=lags,
+        threshold=threshold,
+        metrics=tuple(metrics),
+        overrides=overrides,
+        extra_cols=("__carry",),
+    )
+    return out.where(~F.col("__carry")).drop("__carry", "__chunk")
 
 
 def _zscore_metric_sql(metric: str, lag: int, threshold) -> str:

@@ -186,3 +186,64 @@ def test_window_stats_rejects_non_divisible_slide(spark):
     tx = load_tx(spark, SF_SMOKE)
     with pytest.raises(ValueError, match="multiple of slide"):
         window_stats(tx, window="25 seconds", slide="10 seconds")
+
+
+def test_zscore_chunked_matches_global_on_dense_grid(spark):
+    # The time-chunked form must equal the global window form bit-for-bit on
+    # a dense per-key slide grid — the shape the reference's
+    # emit-every-interval contract (A2 zero-fill) produces at steady state.
+    # Silent intervals carry NULL metrics (history slots that skip stats);
+    # chunk span forces many chunks, carry crossings, and a mid-stream key.
+    import pandas as pd
+
+    from apmbackend_spark.operators.zscore import (
+        zscore_window,
+        zscore_window_chunked,
+    )
+
+    rows = []
+    for i in range(1200):  # 1200 slots x 10 s, chunk_intervals=100 -> 12 chunks
+        ts = 1_700_000_000_000 + i * 10_000
+        for srv in ("srv0", "srv1"):
+            val = None if (i % 37 == 5 and srv == "srv0") else float(
+                100 + (i * 7 + hash(srv) % 13) % 50 + (400 if i > 900 else 0)
+            )
+            rows.append(
+                {
+                    "timestamp": ts,
+                    "server": srv,
+                    "service": "svc",
+                    "tpm": 1.0,
+                    "average": val,
+                    "per75": None if val is None else val + 1,
+                    "per95": None if val is None else val + 3,
+                }
+            )
+        if i >= 400:  # key that first appears mid-stream (chunk 4)
+            rows.append(
+                {
+                    "timestamp": ts,
+                    "server": "srv9",
+                    "service": "late",
+                    "tpm": 1.0,
+                    "average": float(200 + i % 11),
+                    "per75": float(201 + i % 11),
+                    "per95": float(203 + i % 11),
+                }
+            )
+    st = spark.createDataFrame(pd.DataFrame(rows)).persist()
+    lags = (30, 60)
+    want = sorted(
+        map(tuple, zscore_window(st, lags=lags, threshold=3.0).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            zscore_window_chunked(
+                st, lags=lags, threshold=3.0, chunk_intervals=100
+            ).collect(),
+        )
+    )
+    st.unpersist()
+    assert len(got) == len(want) > 0
+    assert got == want
