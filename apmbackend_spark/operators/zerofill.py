@@ -41,9 +41,18 @@ def st_zerofill(tx: DataFrame, slice_ms: int = SLICE_MS) -> DataFrame:
         .drop("__lo")
     )
     st = st_from_window_stats(window_stats(sliced))
-    keys = st.select("server", "service").distinct()
+    # "keys it has ever seen": a key emits zero-rows only from its first
+    # observed window onward (stream_calc_stats.js:159-202 iterates the
+    # grown-so-far key set, never future members)
+    keys = st.groupBy("server", "service").agg(
+        F.min("timestamp").alias("__t0k")
+    )
     grid = st.select("timestamp").distinct()
-    dim = grid.crossJoin(F.broadcast(keys))
+    dim = (
+        grid.crossJoin(F.broadcast(keys))
+        .where(F.col("timestamp") >= F.col("__t0k"))
+        .drop("__t0k")
+    )
     return (
         dim.join(st, ["timestamp", "server", "service"], "left")
         .select(
@@ -69,14 +78,16 @@ def st_zerofill_oracle_sql(slice_ms: int = SLICE_MS) -> str:
            round(p95, 0) AS per95
     FROM winstats
 ), keys AS (
-    SELECT DISTINCT server, service FROM st
+    SELECT server, service, MIN(timestamp) AS t0k FROM st
+    GROUP BY server, service
 ), grid AS (
     SELECT DISTINCT timestamp FROM st
 )
 SELECT g.timestamp, k.server, k.service,
        COALESCE(s.tpm, 0.0) AS tpm,
        s.average, s.per75, s.per95
-FROM grid g CROSS JOIN keys k
+FROM grid g
+JOIN keys k ON g.timestamp >= k.t0k
 LEFT JOIN st s ON s.timestamp = g.timestamp
              AND s.server = k.server AND s.service = k.service
 """
@@ -91,32 +102,40 @@ WHERE endts < (SELECT MIN(endts) + {SLICE_MS} FROM tx)
 def st_zerofill_dense(
     tx: DataFrame, slice_ms: int = SLICE_MS, slide_ms: int = 10_000
 ) -> DataFrame:
-    """`st_zerofill` with a FULLY dense grid: every slide-grid slot between
-    the first and last observed window, not just the observed ones. This is
-    the reference's true steady-state emission (one st per interval per
-    known key, every interval — stream_calc_stats.js:159-202) and the input
-    contract of `zscore.zscore_window_chunked` (trailing-ROW frames equal
-    trailing-TIME frames only on a dense grid).
+    """`st_zerofill` with a FULLY dense per-key grid: every slide-grid slot
+    from a key's FIRST observed window to the global last one. This is the
+    reference's true steady-state emission — it iterates the keys "it has
+    ever seen" each interval (stream_calc_stats.js:159-202), so a key emits
+    nothing before its first sighting and one row per interval after — and
+    it is the input contract of `zscore.zscore_window_chunked`
+    (trailing-ROW frames equal trailing-TIME frames only on a dense grid).
 
-    Scale: the grid is built in-plan (sequence over the 1-row min/max
-    bounds, exploded, cross-joined with the broadcast key dim)."""
+    Scale: the per-key grid is built in-plan (sequence from each key's
+    first-seen slot to the broadcast global end, exploded)."""
+    if slide_ms % 1000 or 300_000 % slide_ms:
+        # the stats layer computes on its own window/slide geometry; the
+        # grid must step at exactly that slide or density silently breaks
+        raise ValueError(f"slide_ms ({slide_ms}) must divide the 300 s window")
     lo = tx.agg(F.min("endts").alias("__lo"))
     sliced = (
         tx.crossJoin(F.broadcast(lo))
         .where(F.col("endts") < F.col("__lo") + F.lit(slice_ms))
         .drop("__lo")
     )
-    st = st_from_window_stats(window_stats(sliced))
-    keys = st.select("server", "service").distinct()
-    bounds = st.agg(
-        F.min("timestamp").alias("__t0"), F.max("timestamp").alias("__t1")
+    st = st_from_window_stats(
+        window_stats(sliced, slide=f"{slide_ms // 1000} seconds")
     )
-    grid = bounds.select(
+    key_starts = st.groupBy("server", "service").agg(
+        F.min("timestamp").alias("__t0k")
+    )
+    end = st.agg(F.max("timestamp").alias("__t1"))
+    dim = key_starts.crossJoin(F.broadcast(end)).select(
+        "server",
+        "service",
         F.explode(
-            F.sequence(F.col("__t0"), F.col("__t1"), F.lit(int(slide_ms)))
-        ).alias("timestamp")
+            F.sequence(F.col("__t0k"), F.col("__t1"), F.lit(int(slide_ms)))
+        ).alias("timestamp"),
     )
-    dim = grid.crossJoin(F.broadcast(keys))
     return dim.join(st, ["timestamp", "server", "service"], "left").select(
         "timestamp",
         "server",
@@ -129,28 +148,30 @@ def st_zerofill_dense(
 
 
 def st_zerofill_dense_oracle_cte(slide_ms: int = 10_000) -> str:
-    """Appends to TX_CTE + tx_sliced + winstats CTEs; defines a dense `st`."""
+    """Appends to TX_CTE + tx_sliced + winstats CTEs; defines a dense `st`
+    (per-key grid from first sighting, like the engine)."""
     return f"""
-, bounds AS (
-    SELECT MIN(win_start) AS t0, MAX(win_start) AS t1 FROM winstats
-), grid AS (
+, key_starts AS (
+    SELECT server, service, MIN(win_start) AS t0k FROM winstats
+    GROUP BY server, service
+), bounds AS (
+    SELECT MAX(win_start) AS t1 FROM winstats
+), dim AS (
     -- list-form range() accepts column arguments (the table function does
     -- not); unnest explodes it to one row per slide slot
-    SELECT unnest(range(t0, t1 + {int(slide_ms)}, {int(slide_ms)})) AS timestamp
-    FROM bounds
-), keys AS (
-    SELECT DISTINCT server, service FROM winstats
+    SELECT k.server, k.service,
+           unnest(range(k.t0k, b.t1 + {int(slide_ms)}, {int(slide_ms)})) AS timestamp
+    FROM key_starts k CROSS JOIN bounds b
 ), st AS (
-    SELECT g.timestamp, k.server, k.service,
+    SELECT d.timestamp, d.server, d.service,
            COALESCE(w.tpm, 0.0) AS tpm,
            round(w.avg_ms, 0) AS average,
            round(w.p75, 0) AS per75,
            round(w.p95, 0) AS per95
-    FROM grid g
-    CROSS JOIN keys k
+    FROM dim d
     LEFT JOIN winstats w
-      ON w.win_start = g.timestamp AND w.server = k.server
-     AND w.service = k.service
+      ON w.win_start = d.timestamp AND w.server = d.server
+     AND w.service = d.service
 )"""
 
 

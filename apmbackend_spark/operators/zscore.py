@@ -304,20 +304,29 @@ def zscore_window_chunked(
     `zscore_window` on dense input is asserted in tests/test_zscore.py.
     """
     lags = tuple(int(x) for x in lags)
+    if max(lags) > int(chunk_intervals):
+        # carry reaches exactly one chunk back; a longer lag would read a
+        # silently truncated history (guard convention: window_stats's
+        # window/slide divisibility ValueError)
+        raise ValueError(
+            f"max lag ({max(lags)}) must be <= chunk_intervals "
+            f"({chunk_intervals}) so the carry covers the frame"
+        )
     span = int(chunk_intervals) * int(slide_ms)
     carry_ms = max(lags) * int(slide_ms)
-    main = st.withColumn(
-        "__chunk", F.expr(f"timestamp DIV {span}")
-    ).withColumn("__carry", F.lit(False))
-    carry = (
-        st.withColumn("__chunk", F.expr(f"timestamp DIV {span}") + F.lit(1))
-        .where(
-            F.col("timestamp")
-            >= (F.col("__chunk") * F.lit(span) - F.lit(carry_ms))
-        )
-        .withColumn("__carry", F.lit(True))
+    # single scan: a row in the trailing carry zone of its chunk is exploded
+    # into (own chunk, next chunk); everything else stays one row — no
+    # unionAll, so the (expensive) upstream st plan is evaluated ONCE
+    own = F.expr(f"timestamp DIV {span}")
+    in_carry = F.col("timestamp") >= (own + F.lit(1)) * F.lit(span) - F.lit(
+        carry_ms
     )
-    both = main.unionAll(carry)
+    chunks = F.when(in_carry, F.array(own, own + F.lit(1))).otherwise(
+        F.array(own)
+    )
+    both = st.select(
+        "*", F.explode(chunks).alias("__chunk")
+    ).withColumn("__carry", F.col("__chunk") != own)
 
     # same cumulative plan as zscore_window, with __chunk joined into the
     # partitioning key

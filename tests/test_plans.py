@@ -283,6 +283,7 @@ def test_props_rollup_prunes_scan_and_stays_jvm(spark):
     read_schemas = [l for l in p.splitlines() if "ReadSchema" in l]
     assert read_schemas
     assert all("user_id" not in l and "value" not in l for l in read_schemas)
+    assert any("props" in l and "event_type" in l for l in read_schemas)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 

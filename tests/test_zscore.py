@@ -205,8 +205,9 @@ def test_zscore_chunked_matches_global_on_dense_grid(spark):
     for i in range(1200):  # 1200 slots x 10 s, chunk_intervals=100 -> 12 chunks
         ts = 1_700_000_000_000 + i * 10_000
         for srv in ("srv0", "srv1"):
+            srv_off = {"srv0": 3, "srv1": 9}[srv]
             val = None if (i % 37 == 5 and srv == "srv0") else float(
-                100 + (i * 7 + hash(srv) % 13) % 50 + (400 if i > 900 else 0)
+                100 + (i * 7 + srv_off) % 50 + (400 if i > 900 else 0)
             )
             rows.append(
                 {
