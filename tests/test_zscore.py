@@ -248,3 +248,76 @@ def test_zscore_chunked_matches_global_on_dense_grid(spark):
     st.unpersist()
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_incremental_scan_matches_step_loop_property():
+    # The O(1)-per-step incremental scan (rolling sums + drift resets) must
+    # agree with a naive zscore_step loop on arbitrary series — including
+    # nulls, constant runs (variance-0 quirk), spikes, and series long
+    # enough to cross the 8192-op drift-reset boundary.
+    import math
+
+    from hypothesis import given, settings, strategies as st_
+
+    from apmbackend_spark.operators.zscore import (
+        _zscore_series_incremental,
+        zscore_step,
+    )
+
+    val = st_.one_of(
+        st_.none(),
+        st_.integers(min_value=0, max_value=10_000).map(float),
+        st_.just(500.0),  # encourage constant runs
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        xs=st_.lists(val, min_size=1, max_size=300),
+        lag=st_.integers(min_value=1, max_value=12),
+        influence=st_.sampled_from([0.0, 0.1, 1.0]),
+    )
+    def check(xs, lag, influence):
+        threshold = 3.0
+        avg_o, lb_o, ub_o, sig_o = _zscore_series_incremental(
+            xs, lag, threshold, influence
+        )
+        hist = []
+        for i, x in enumerate(xs):
+            appended, avg, lb, ub, signal = zscore_step(
+                lag, threshold, influence, x, hist
+            )
+            hist.append(appended)
+            if len(hist) > lag:
+                hist.pop(0)
+            assert sig_o[i] == signal, (i, xs, lag)
+            for got, want in ((avg_o[i], avg), (lb_o[i], lb), (ub_o[i], ub)):
+                if want is None:
+                    assert math.isnan(got), (i, xs, lag)
+                else:
+                    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-9)
+
+    check()
+
+
+def test_incremental_scan_drift_reset_boundary():
+    # deterministic long series crossing the 8192-op reset: exactness of the
+    # rolling sums must survive the rebuild
+    import math
+
+    from apmbackend_spark.operators.zscore import (
+        _zscore_series_incremental,
+        zscore_step,
+    )
+
+    xs = [float((i * 31 + 7) % 997) if i % 53 else None for i in range(9000)]
+    lag = 64
+    avg_o, lb_o, ub_o, sig_o = _zscore_series_incremental(xs, lag, 3.0, 0.1)
+    hist = []
+    for i, x in enumerate(xs):
+        appended, avg, lb, ub, signal = zscore_step(lag, 3.0, 0.1, x, hist)
+        hist.append(appended)
+        if len(hist) > lag:
+            hist.pop(0)
+        assert sig_o[i] == signal, i
+        if avg is not None:
+            assert math.isclose(avg_o[i], avg, rel_tol=1e-9), i
