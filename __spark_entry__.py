@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_services": lambda s, d: so.top_services(load_tx(s, d)),
         "account_coverage": lambda s, d: so.account_coverage(load_tx(s, d)),
         "st_zerofill": lambda s, d: zf.st_zerofill(load_tx(s, d)),
+        # fully dense per-key grid from first sighting (the steady-state
+        # emission shape; input contract of zscore_chunked)
+        "st_zerofill_dense": lambda s, d: zf.st_zerofill_dense(load_tx(s, d)),
         "jmx_rollup": lambda s, d: zf.jmx_rollup(load_tx(s, d)),
         # schema-on-read over the JSON props payload (typed from_json, not
         # per-row Python), with explicit unparsed-row accounting
@@ -338,6 +341,13 @@ def oracle_sql() -> dict[str, str]:
         + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
         + zf.st_zerofill_oracle_sql(),
         "jmx_rollup": TX_CTE + zf.JMX_ROLLUP_ORACLE,
+        "st_zerofill_dense": TX_CTE
+        + ", tx_sliced AS ("
+        + zf.TX_SLICED_SQL
+        + ")"
+        + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
+        + zf.st_zerofill_dense_oracle_cte()
+        + "SELECT * FROM st",
         "props_rollup": ss.PROPS_ROLLUP_ORACLE,
         "jmx_poll": jmxsrc.jmx_poll_oracle_sql(),
         "bucketed_enrich": TX_CTE + bk.BUCKETED_ENRICH_ORACLE,
