@@ -41,6 +41,15 @@ from apmbackend_spark.operators import semistruct as ss
 
 ZSCORE_LAGS = (60, 360)
 ZSCORE_THRESHOLD = 3.0
+ZSCORE_CHUNK_INTERVALS = 360  # 1 h chunks on the 10 s grid
+# Dense-grid slice for the z-score/alert gates: the reference emits one st
+# per known key per 10 s interval, so a DENSE grid's size is keys x time
+# span, independent of event volume — the fixture spans 30 days at every
+# sf, which would be ~6.2M st rows (and an O(rows x lag) DuckDB oracle).
+# 24 h bounds the grid to ~200k rows (~2x the r2 sparse gate's input)
+# while exercising every semantic: warmup, zero-fill, nulls, 24 chunk
+# boundaries with carry.
+ZSCORE_SLICE_MS = 24 * 3600 * 1000
 
 # Reference settings cascade (apm_config.json:152-172): per-lag default
 # thresholds + per-service per-lag overrides. Exercised by zscore_override.
@@ -67,9 +76,24 @@ ALERT_CFG = al.AlertConfig(
 )
 
 
+def _dense_st(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's steady-state st emission: one row per known key per
+    # 10 s interval, silent keys zero-filled (stream_calc_stats.js:159-202).
+    # This is the input contract that makes the time-chunked z-score plan
+    # exact; sliced to 24 h to bound the grid (see ZSCORE_SLICE_MS).
+    return zf.st_zerofill_dense(load_tx(spark, sf_dir), slice_ms=ZSCORE_SLICE_MS)
+
+
 def _fs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = zs.st_from_window_stats(window_stats(load_tx(spark, sf_dir)))
-    return zs.zscore_window(st, lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
+    # Chunked plan is the default (scale path): parallelism = keys x chunks,
+    # per-task state bounded by chunk + carry, bit-equal to the global
+    # window form on the dense grid.
+    return zs.zscore_window_chunked(
+        _dense_st(spark, sf_dir),
+        lags=ZSCORE_LAGS,
+        threshold=ZSCORE_THRESHOLD,
+        chunk_intervals=ZSCORE_CHUNK_INTERVALS,
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -101,23 +125,22 @@ def _q_tx_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = zs.st_from_window_stats(window_stats(load_tx(spark, sf_dir)))
-    return zs.zscore_window(st, lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
+    # Dense steady-state st grid + the time-chunked cumulative plan — the
+    # default (scale) form of A8/A9 with influence=1 semantics.
+    return _fs(spark, sf_dir)
 
 
 def _q_zscore_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A9 settings cascade: per-lag defaults + per-service threshold
-    # overrides (stream_calc_z_score.js:106-150).
-    st = zs.st_from_window_stats(window_stats(load_tx(spark, sf_dir)))
-    return zs.zscore_window(
-        st,
+    # overrides (stream_calc_z_score.js:106-150), on the same dense+chunked
+    # default plan.
+    return zs.zscore_window_chunked(
+        _dense_st(spark, sf_dir),
         lags=ZSCORE_LAGS,
         threshold=ZSCORE_TH_BY_LAG,
         overrides=ZSCORE_OVERRIDES,
+        chunk_intervals=ZSCORE_CHUNK_INTERVALS,
     )
-
-
-ZSCORE_CHUNK_INTERVALS = 360  # 1 h chunks on the 10 s grid
 
 
 def _q_zscore_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,12 +158,14 @@ def _q_zscore_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_zscore_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact reference semantics incl. influence damping (recursive state,
-    # not SQL-expressible) — rows-only driver check; unit-tested against a
-    # step-by-step simulation in tests/test_zscore.py.
-    st = zs.st_from_window_stats(window_stats(load_tx(spark, sf_dir)))
+    # Exact reference semantics incl. influence damping (recursive state:
+    # output feeds its own history) over the dense steady-state grid —
+    # unit-tested against a step-by-step simulation in tests/test_zscore.py.
     return zs.zscore_recursive(
-        st, lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD, influence=0.1
+        _dense_st(spark, sf_dir),
+        lags=ZSCORE_LAGS,
+        threshold=ZSCORE_THRESHOLD,
+        influence=0.1,
     )
 
 
@@ -178,8 +203,13 @@ def _q_db_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tx/st/fs each feed two+ sinks of the fan-in: persist at the seams so
     # the window-stats chain is computed once, not once per consumer.
     tx = load_tx(spark, sf_dir).persist()
-    st = zs.st_from_window_stats(window_stats(tx)).persist()
-    fs = zs.zscore_window(st, lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD).persist()
+    st = zf.st_zerofill_dense(tx, slice_ms=ZSCORE_SLICE_MS).persist()
+    fs = zs.zscore_window_chunked(
+        st,
+        lags=ZSCORE_LAGS,
+        threshold=ZSCORE_THRESHOLD,
+        chunk_intervals=ZSCORE_CHUNK_INTERVALS,
+    ).persist()
     cand = al.alert_candidates(fs, ALERT_CFG)
     return od.db_fanin(
         {
@@ -325,6 +355,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Shared prefix for the z-score/alert family: 24 h-sliced tx -> sliding
+    # winstats -> DENSE zero-filled st grid (the reference's steady-state
+    # emission; input contract of the chunked z-score plan).
+    dense_st = (
+        TX_CTE
+        + ", tx_sliced AS ("
+        + zf.tx_sliced_sql(ZSCORE_SLICE_MS)
+        + ")"
+        + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
+        + zf.st_zerofill_dense_oracle_cte()
+    )
     return {
         "doc_stats": ts.doc_stats_oracle_sql(),
         "corpus_filter": ts.corpus_filter_oracle_sql(),
@@ -410,9 +451,7 @@ SELECT server, service, logid, acctnum,
 FROM tx
 """,
         "window_stats": TX_CTE + window_stats_oracle_sql(),
-        "zscore": TX_CTE
-        + window_stats_oracle_ctes()
-        + zs.ST_ORACLE_CTE
+        "zscore": dense_st
         + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD),
         # chunked form: same naive sliding-frame oracle, over the DENSE
         # zero-filled st grid (its input contract) — the oracle needs no
@@ -424,17 +463,13 @@ FROM tx
         + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
         + zf.st_zerofill_dense_oracle_cte()
         + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD),
-        "zscore_override": TX_CTE
-        + window_stats_oracle_ctes()
-        + zs.ST_ORACLE_CTE
+        "zscore_override": dense_st
         + zs.zscore_oracle_select(
             lags=ZSCORE_LAGS,
             threshold=ZSCORE_TH_BY_LAG,
             overrides=ZSCORE_OVERRIDES,
         ),
-        "alert_candidates": TX_CTE
-        + window_stats_oracle_ctes()
-        + zs.ST_ORACLE_CTE
+        "alert_candidates": dense_st
         + ", fs AS ("
         + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
         + ")"
@@ -443,9 +478,7 @@ FROM tx
         "acct_enrich": TX_CTE + co.ACCT_ENRICH_ORACLE,
         "gauge_asof": TX_CTE + co.GAUGE_ASOF_ORACLE,
         "ordered_release": TX_CTE + od.ORDERED_RELEASE_ORACLE,
-        "db_fanin": TX_CTE
-        + window_stats_oracle_ctes()
-        + zs.ST_ORACLE_CTE
+        "db_fanin": dense_st
         + ", fs AS ("
         + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
         + "), cand AS ("

@@ -99,8 +99,16 @@ WHERE endts < (SELECT MIN(endts) + {SLICE_MS} FROM tx)
 """
 
 
+def tx_sliced_sql(slice_ms: int = SLICE_MS) -> str:
+    """Oracle twin of the in-plan slice bound (first ``slice_ms`` of data)."""
+    return f"""
+SELECT * FROM tx
+WHERE endts < (SELECT MIN(endts) + {int(slice_ms)} FROM tx)
+"""
+
+
 def st_zerofill_dense(
-    tx: DataFrame, slice_ms: int = SLICE_MS, slide_ms: int = 10_000
+    tx: DataFrame, slice_ms: int | None = SLICE_MS, slide_ms: int = 10_000
 ) -> DataFrame:
     """`st_zerofill` with a FULLY dense per-key grid: every slide-grid slot
     from a key's FIRST observed window to the global last one. This is the
@@ -111,17 +119,24 @@ def st_zerofill_dense(
     (trailing-ROW frames equal trailing-TIME frames only on a dense grid).
 
     Scale: the per-key grid is built in-plan (sequence from each key's
-    first-seen slot to the broadcast global end, exploded)."""
+    first-seen slot to the broadcast global end, exploded).
+
+    ``slice_ms=None`` disables the time slice and builds the dense grid
+    over the FULL input span — the steady-state emission shape the z-score
+    and alert gates consume."""
     if slide_ms % 1000 or 300_000 % slide_ms:
         # the stats layer computes on its own window/slide geometry; the
         # grid must step at exactly that slide or density silently breaks
         raise ValueError(f"slide_ms ({slide_ms}) must divide the 300 s window")
-    lo = tx.agg(F.min("endts").alias("__lo"))
-    sliced = (
-        tx.crossJoin(F.broadcast(lo))
-        .where(F.col("endts") < F.col("__lo") + F.lit(slice_ms))
-        .drop("__lo")
-    )
+    if slice_ms is None:
+        sliced = tx
+    else:
+        lo = tx.agg(F.min("endts").alias("__lo"))
+        sliced = (
+            tx.crossJoin(F.broadcast(lo))
+            .where(F.col("endts") < F.col("__lo") + F.lit(slice_ms))
+            .drop("__lo")
+        )
     st = st_from_window_stats(
         window_stats(sliced, slide=f"{slide_ms // 1000} seconds")
     )

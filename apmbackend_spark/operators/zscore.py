@@ -327,6 +327,14 @@ def zscore_window_chunked(
     both = st.select(
         "*", F.explode(chunks).alias("__chunk")
     ).withColumn("__carry", F.col("__chunk") != own)
+    # EXPLICIT repartition on the full (key, chunk) tuple: a Window's
+    # ClusteredDistribution(server, service, __chunk) is also satisfied by
+    # any upstream hashpartitioning on the SUBSET (server, service) — e.g.
+    # the zerofill key-dim groupBy — in which case EnsureRequirements
+    # inserts no exchange and one task would again sort a key's FULL
+    # history, silently defeating the whole point of chunking. Forcing the
+    # exchange here guarantees parallelism = keys x chunks.
+    both = both.repartition("server", "service", "__chunk")
 
     # same cumulative plan as zscore_window, with __chunk joined into the
     # partitioning key

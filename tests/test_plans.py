@@ -105,19 +105,27 @@ def test_ordered_release_no_global_window(spark):
 
 
 def test_zscore_single_data_shuffle(spark):
-    """The cumulative-sum z-score must sort/shuffle the st input ONCE for
-    all lags (no per-lag union recompute) and stay JVM-side."""
+    """The cumulative-sum z-score must sort/shuffle the st grid ONCE for
+    all lags (no per-lag union recompute), stay JVM-side, and — since the
+    default gate is the time-chunked plan — actually shuffle on the full
+    (server, service, __chunk) tuple so parallelism is keys x chunks (a
+    subset (server, service) partitioning would satisfy the Window's
+    distribution and silently serialize each key's history)."""
     import __spark_entry__ as e
 
     import re
 
     p = plan(e.queries()["zscore"](spark, SF_SMOKE))
     # cum pass + offset pass chained over ONE sort: at most 2 Window
-    # operators ("(n) Window" detail headers), and only one exchange keyed
-    # on (server, service) feeding them. Hash exchanges only — the ingest
-    # spread() round-robin widen is not a semantic shuffle.
+    # operators ("(n) Window" detail headers).
     assert len(re.findall(r"\(\d+\) Window", p)) <= 2
-    assert len(re.findall(r"hashpartitioning", p)) <= 3  # ws groupBys + zscore sort
+    # exactly one chunk-keyed exchange feeds them
+    chunk_exchanges = [
+        line
+        for line in p.splitlines()
+        if "hashpartitioning" in line and "__chunk" in line
+    ]
+    assert len(chunk_exchanges) == 1, chunk_exchanges
     assert "BatchEvalPython" not in p
 
 
