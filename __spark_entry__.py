@@ -166,6 +166,9 @@ def _q_zscore_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         lags=ZSCORE_LAGS,
         threshold=ZSCORE_THRESHOLD,
         influence=0.1,
+        # pin the incremental scan's float-op sequence (no drift rebuild)
+        # so the recursive DuckDB oracle is bit-identical
+        reset_every=None,
     )
 
 
@@ -474,6 +477,25 @@ FROM tx
         + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
         + ")"
         + al.alert_candidates_oracle_select(ALERT_CFG),
+        # Full F1-F6 incl. recursive debounce + cooldown: the sequential
+        # recurrences render as position-iterating recursive CTEs (the
+        # whole query must start WITH RECURSIVE).
+        "alerts": (
+            dense_st
+            + ", fs AS ("
+            + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD)
+            + ")"
+            + al.alert_pipeline_oracle_sql(ALERT_CFG)
+        ).replace("WITH tx AS", "WITH RECURSIVE tx AS", 1),
+        # Influence-damped z-score (the reference's recursive semantics):
+        # position-iterating recursive CTE replaying the engine's exact
+        # float-op sequence — see zscore_recursive_oracle_sql.
+        "zscore_recursive": (
+            dense_st
+            + zs.zscore_recursive_oracle_sql(
+                lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD, influence=0.1
+            )
+        ).replace("WITH tx AS", "WITH RECURSIVE tx AS", 1),
         "correlate": TX_CTE + co.CORRELATE_ORACLE,
         "acct_enrich": TX_CTE + co.ACCT_ENRICH_ORACLE,
         "gauge_asof": TX_CTE + co.GAUGE_ASOF_ORACLE,

@@ -140,6 +140,24 @@ def alert_candidates_oracle_select(cfg: AlertConfig, fs_cte: str = "fs") -> str:
         join = ""
         hard_max = repr(cfg.hard_max_ms)
 
+    filters = ["cause <> ''"]
+    if cfg.suppressed_lags:
+        filters.append(f"lag NOT IN ({', '.join(str(int(x)) for x in cfg.suppressed_lags)})")
+    if cfg.suppressed_services:
+        filters.append(
+            "service NOT IN (" + ", ".join(f"'{s}'" for s in cfg.suppressed_services) + ")"
+        )
+    return f"""
+SELECT timestamp, server, service, lag, tpm, average, per75, per95, cause FROM (
+    SELECT {fs_cte}.*, {_cause_expr_sql(cfg, hard_max)} AS cause
+    FROM {fs_cte} {join}
+) WHERE {' AND '.join(filters)}
+"""
+
+
+def _cause_expr_sql(cfg: AlertConfig, hard_max: str) -> str:
+    """The cause-CSV expression shared by both oracle renderings (candidate
+    filter and keep-quiet series)."""
     avg_sig = (
         f"(averagesignal > 0 AND average > {cfg.hard_min_ms!r} AND tpm > {cfg.min_tpm!r})"
     )
@@ -156,18 +174,107 @@ def alert_candidates_oracle_select(cfg: AlertConfig, fs_cte: str = "fs") -> str:
         causes.append(f"CASE WHEN {avg_sig} THEN '{CAUSE_UB_AVG}' END")
         causes.append(f"CASE WHEN {p75_sig} THEN '{CAUSE_UB_P75}' END")
     cause_arr = "list_filter([" + ", ".join(causes) + "], x -> x IS NOT NULL)"
-    filters = ["cause <> ''"]
-    if cfg.suppressed_lags:
-        filters.append(f"lag NOT IN ({', '.join(str(int(x)) for x in cfg.suppressed_lags)})")
-    if cfg.suppressed_services:
-        filters.append(
-            "service NOT IN (" + ", ".join(f"'{s}'" for s in cfg.suppressed_services) + ")"
+    return f"array_to_string({cause_arr}, ',')"
+
+
+def alert_pipeline_oracle_sql(cfg: AlertConfig, fs_cte: str = "fs") -> str:
+    """DuckDB twin of `alert_pipeline` (F1-F6 incl. the RECURSIVE debounce
+    counter and cooldown registry), over an `fs` CTE with zscore output
+    columns. The assembled query must start WITH RECURSIVE.
+
+    The debounce counter (stream_process_alerts.js:358-391) is a two-sided
+    clamped walk — +1 on firing intervals while counter <= window_size, -1
+    floored at 0 on quiet ones, trigger when the post-step counter reaches
+    required_bad on a firing interval — and the cooldown registry
+    (stream_process_alerts.js:437-460) is a per-service greedy keep-if-
+    elapsed scan. Both are sequential recurrences, rendered as recursive
+    CTEs that iterate ROW POSITION: each key's interval series is first
+    pivoted into ordered lists (MATERIALIZED — the recursive half re-reads
+    it every iteration), so one iteration advances every key by one
+    position against a |keys|-row working table. Iterations = longest
+    per-key series; per-iteration work = |keys| O(1) list probes.
+    """
+    if cfg.hard_max_overrides:
+        vals = ", ".join(
+            f"('{s}', {v!r})" for s, v in cfg.hard_max_overrides.items()
         )
+        join = (
+            f"LEFT JOIN (SELECT * FROM (VALUES {vals}) AS t(service, hardmax_override)) o "
+            f"USING (service)"
+        )
+        hard_max = f"COALESCE(o.hardmax_override, {cfg.hard_max_ms!r})"
+    else:
+        join = ""
+        hard_max = repr(cfg.hard_max_ms)
+    cause = _cause_expr_sql(cfg, hard_max)
+
+    suppressed = ["FALSE"]
+    if cfg.suppressed_lags:
+        suppressed.append(
+            f"lag IN ({', '.join(str(int(x)) for x in cfg.suppressed_lags)})"
+        )
+    if cfg.suppressed_services:
+        suppressed.append(
+            "service IN (" + ", ".join(f"'{s}'" for s in cfg.suppressed_services) + ")"
+        )
+    ws = int(cfg.window_size)
+    req = int(cfg.required_bad)
+    cd = float(cfg.cooldown_minutes) * 60_000.0
+
     return f"""
-SELECT timestamp, server, service, lag, tpm, average, per75, per95, cause FROM (
-    SELECT {fs_cte}.*, array_to_string({cause_arr}, ',') AS cause
+, causes AS (
+    SELECT timestamp, server, service, lag,
+           CASE WHEN {' OR '.join(suppressed)} THEN '' ELSE {cause} END AS cause
     FROM {fs_cte} {join}
-) WHERE {' AND '.join(filters)}
+), flagged AS MATERIALIZED (
+    SELECT server, service, lag,
+           list(timestamp ORDER BY timestamp) AS tss,
+           list(cause ORDER BY timestamp) AS cs
+    FROM causes GROUP BY server, service, lag
+), trace AS (
+    SELECT server, service, lag, 1 AS i,
+           CASE WHEN cs[1] <> '' THEN 1 ELSE 0 END AS c
+    FROM flagged
+    UNION ALL
+    SELECT t.server, t.service, t.lag, t.i + 1,
+           CASE WHEN f.cs[t.i + 1] <> ''
+                THEN CASE WHEN t.c <= {ws} THEN t.c + 1 ELSE t.c END
+                ELSE greatest(t.c - 1, 0) END
+    FROM trace t JOIN flagged f USING (server, service, lag)
+    WHERE t.i < len(f.cs)
+), triggered AS MATERIALIZED (
+    -- firing interval whose post-step counter reached required_bad
+    SELECT f.server, f.service, f.lag, f.tss[t.i] AS timestamp,
+           f.cs[t.i] AS cause
+    FROM trace t JOIN flagged f USING (server, service, lag)
+    WHERE f.cs[t.i] <> '' AND t.c >= {req}
+), trig_lists AS MATERIALIZED (
+    -- deterministic event-time cooldown order: (timestamp, server, lag)
+    SELECT service,
+           list(timestamp ORDER BY timestamp, server, lag) AS tss,
+           list(server   ORDER BY timestamp, server, lag) AS svs,
+           list(lag      ORDER BY timestamp, server, lag) AS lgs,
+           list(cause    ORDER BY timestamp, server, lag) AS css
+    FROM triggered GROUP BY service
+), keepscan AS (
+    SELECT service, 1 AS i, TRUE AS keep, tss[1] AS last_kept
+    FROM trig_lists
+    UNION ALL
+    SELECT k.service, k.i + 1,
+           (l.tss[k.i + 1] - k.last_kept) > {cd!r} AS keep,
+           CASE WHEN (l.tss[k.i + 1] - k.last_kept) > {cd!r}
+                THEN l.tss[k.i + 1] ELSE k.last_kept END
+    FROM keepscan k JOIN trig_lists l USING (service)
+    WHERE k.i < len(l.tss)
+)
+SELECT l.tss[k.i] AS alerttimestamp,
+       l.tss[k.i] AS entrytimestamp,
+       l.svs[k.i] AS server,
+       k.service AS service,
+       l.lgs[k.i] AS lag,
+       l.css[k.i] AS cause
+FROM keepscan k JOIN trig_lists l USING (service)
+WHERE k.keep
 """
 
 
