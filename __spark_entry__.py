@@ -38,6 +38,7 @@ from apmbackend_spark.sources import bucketing as bk
 from apmbackend_spark.sources import partitioned as pt
 from apmbackend_spark.operators import skew as sk
 from apmbackend_spark.operators import semistruct as ss
+from apmbackend_spark.streaming import topology as topo
 
 ZSCORE_LAGS = (60, 360)
 ZSCORE_THRESHOLD = 3.0
@@ -224,6 +225,26 @@ def _q_db_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_GATE_LAGS = (60,)
+STREAM_GATE_WATERMARK_MS = 60_000
+# 48 h slice: the stateful scan and oracle recursion are span-bound (per-key
+# series length), so the gate's cost would be identical at every sf without
+# the bound while covering no additional semantics.
+STREAM_GATE_SLICE_MS = 48 * 3600 * 1000
+
+
+def _q_stream_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topo.stream_topology_gate(
+        spark,
+        sf_dir,
+        lags=STREAM_GATE_LAGS,
+        threshold=ZSCORE_THRESHOLD,
+        influence=0.1,
+        watermark="60 seconds",
+        slice_ms=STREAM_GATE_SLICE_MS,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # spread: the fixture tables are single-row-group files (1-task scans);
     # fan the raw rows out before the tokenize/shingle/hash-heavy stages
@@ -331,6 +352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gauge_asof": _q_gauge_asof,
         "ordered_release": _q_ordered_release,
         "db_fanin": _q_db_fanin,
+        # S1/S7/O2 + stateful A9 under the hard signal: drain the 4-stage
+        # availableNow topology (file stream -> watermarked window stats ->
+        # stateful z-score -> alerts), grade the fs sink against the
+        # watermark-closed batch oracle.
+        "stream_topology": _q_stream_topology,
     }
     # phase-6 split: the algorithmically substantive gates stay inside the
     # 50-query grading window; the simple single-scan / stub-plumbing gates
@@ -494,6 +520,28 @@ FROM tx
             dense_st
             + zs.zscore_recursive_oracle_sql(
                 lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD, influence=0.1
+            )
+        ).replace("WITH tx AS", "WITH RECURSIVE tx AS", 1),
+        # Batch/stream parity gate: append-mode emission = windows whose
+        # end <= final watermark (max event time - delay), a pure function
+        # of the data; the fs stage replays zscore_step arithmetic.
+        "stream_topology": (
+            TX_CTE
+            + ", tx_sliced AS ("
+            + zf.tx_sliced_sql(STREAM_GATE_SLICE_MS)
+            + ")"
+            + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
+            + f"""
+, st AS (
+    SELECT win_start AS timestamp, server, service, tpm,
+           round(avg_ms, 0) AS average,
+           round(p75, 0) AS per75,
+           round(p95, 0) AS per95
+    FROM winstats
+    WHERE win_start + 300000 <= (SELECT MAX(endts) FROM tx_sliced) - {STREAM_GATE_WATERMARK_MS}
+)"""
+            + zs.zscore_step_oracle_sql(
+                lags=STREAM_GATE_LAGS, threshold=ZSCORE_THRESHOLD, influence=0.1
             )
         ).replace("WITH tx AS", "WITH RECURSIVE tx AS", 1),
         "correlate": TX_CTE + co.CORRELATE_ORACLE,

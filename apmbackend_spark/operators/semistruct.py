@@ -38,8 +38,16 @@ def props_rollup(events: DataFrame) -> DataFrame:
 
 PROPS_ROLLUP_ORACLE = """
 WITH parsed AS (
+    -- json_valid + json_type + TRY_CAST so a malformed-props row (the very
+    -- case the rollup advertises counting) degrades to k NULL like Spark's
+    -- strict from_json, instead of aborting the oracle query: only a JSON
+    -- integer parses (a quoted "7" or a 5.7 stays NULL, as in Spark's
+    -- JacksonParser), and TRY_CAST absorbs out-of-INT-range values
     SELECT event_type,
-           CAST(json_extract(props, '$.k') AS INT) AS k
+           CASE WHEN json_valid(props)
+                 AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract(props, '$.k') AS INT)
+           END AS k
     FROM events
 )
 SELECT event_type,

@@ -316,7 +316,13 @@ def zscore_window_chunked(
     carry_ms = max(lags) * int(slide_ms)
     # single scan: a row in the trailing carry zone of its chunk is exploded
     # into (own chunk, next chunk); everything else stays one row — no
-    # unionAll, so the (expensive) upstream st plan is evaluated ONCE
+    # unionAll, so the (expensive) upstream st plan is evaluated ONCE.
+    # Known, intentional waste: the LAST chunk's carry rows spawn a phantom
+    # chunk N+1 whose output is entirely dropped by the ~__carry filter —
+    # max(lags) rows per key per run. Suppressing it would need the global
+    # max timestamp, i.e. a second evaluation of the upstream st plan for a
+    # 1-row aggregate, which costs far more than the phantom rows' window
+    # pass at any scale.
     own = F.expr(f"timestamp DIV {span}")
     in_carry = F.col("timestamp") >= (own + F.lit(1)) * F.lit(span) - F.lit(
         carry_ms
@@ -719,7 +725,11 @@ def zscore_step(lag, threshold, influence, new_value, history):
         vals = [v for v in history if v is not None and not (isinstance(v, float) and math.isnan(v))]
         if vals:
             avg = sum(vals) / len(vals)
-            sq = [(v - avg) ** 2 for v in vals]
+            # (v-avg)*(v-avg), NOT **2: CPython pow(x, 2) is not always the
+            # correctly-rounded square on this libm, while the single
+            # multiplication is — and the DuckDB oracle squares by
+            # multiplication, so pow here would hash-mismatch ~0.1% of rows
+            sq = [(v - avg) * (v - avg) for v in vals]
             var = sum(sq) / len(sq)
             sd = math.sqrt(var) if var != 0 else None  # variance-0 quirk
         if avg is not None and sd is not None:

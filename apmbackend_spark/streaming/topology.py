@@ -80,14 +80,21 @@ def run_apm_topology(
     alert_cfg: AlertConfig | None = None,
     watermark: str = "60 seconds",
     timeout_s: int = 300,
+    endts_before: int | None = None,
 ) -> dict[str, str]:
     """Drain the full four-stage pipeline over everything in ``events_dir``;
-    returns the handoff directory per stage ('tx', 'st', 'fs', 'al')."""
+    returns the handoff directory per stage ('tx', 'st', 'fs', 'al').
+    ``endts_before`` optionally bounds stage 1 to tx with endts below it (a
+    stateless stream filter — used by the graded gate to keep the drained
+    volume span-bounded)."""
     cfg = alert_cfg or AlertConfig()
     dirs = {name: f"{work_dir}/{name}" for name in ("tx", "st", "fs", "al")}
 
     # stage 1 — parse: raw events -> normalized tx records
-    tx = tx_stream(spark, events_dir).select(
+    tx = tx_stream(spark, events_dir)
+    if endts_before is not None:
+        tx = tx.where(F.col("endts") < int(endts_before))
+    tx = tx.select(
         "logid", "server", "service", "acctnum",
         "startts", "endts", "elapsed", "toplevel",
     )
@@ -124,3 +131,60 @@ def run_apm_topology(
     _run_stage(al, dirs["al"], f"{work_dir}/ckpt_al", timeout_s)
 
     return dirs
+
+
+def stream_topology_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    lags=(60,),
+    threshold: float = 3.0,
+    influence: float = 0.1,
+    watermark: str = "60 seconds",
+    slice_ms: int | None = 48 * 3600 * 1000,
+) -> "DataFrame":
+    """Driver-gradeable batch/stream parity query: drain the full
+    availableNow topology over the fixture's events and return the
+    fs-stage sink as a batch DataFrame.
+
+    Determinism contract (what makes this hash-gradeable): append-mode
+    emission is windows whose end <= final watermark = max(event time) -
+    watermark delay — a pure function of the data, independent of how the
+    source batched the files — and the fs stage consumes the st handoff in
+    one availableNow batch sorted per key by timestamp, so the stateful
+    z-score scan (zscore_step arithmetic, incl. influence damping) sees
+    the same event-time order the oracle replays.
+
+    ``slice_ms`` bounds the drained stream to the first N hours of events
+    (default 48 h): the per-key st series length — and with it both the
+    Python stateful scan and the oracle's recursion depth — is span-bound,
+    not volume-bound, so an unsliced gate would cost the same minutes at
+    every sf while adding no semantic coverage."""
+    import os
+    import tempfile
+
+    from apmbackend_spark.sources.tx import load_tx
+
+    work = tempfile.mkdtemp(prefix="apm_topology_gate_")
+    ev_dir = os.path.join(work, "events_src")
+    os.makedirs(ev_dir)
+    # the file stream wants a directory containing only the events table
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(ev_dir, "events.parquet"),
+    )
+    endts_before = None
+    if slice_ms is not None:
+        # one cheap batch scan for the slice bound (min endts + slice)
+        lo = load_tx(spark, sf_dir).agg(F.min("endts")).collect()[0][0]
+        endts_before = int(lo) + int(slice_ms)
+    dirs = run_apm_topology(
+        spark,
+        ev_dir,
+        os.path.join(work, "topo"),
+        lags=lags,
+        threshold=threshold,
+        influence=influence,
+        watermark=watermark,
+        endts_before=endts_before,
+    )
+    return spark.read.schema(_fs_handoff_schema()).parquet(dirs["fs"])
