@@ -289,8 +289,10 @@ def parse_logs(
     right for the reference's ~70 bounded, rotated server logs, but a
     multi-GB stray file would become a straggler task that can OOM an
     executor. Files above ``max_file_bytes`` fail fast with a clear error
-    instead; split such inputs (or switch to line-mode reading with a
-    per-file repartition) before ingesting."""
+    instead; route such APP/SERVER files through
+    ``sources.logchunk.parse_logs_chunked`` — the byte-range-split parser
+    with exact cross-chunk pair repair (identical output, tasks ∝ bytes) —
+    and only SOAP session logs genuinely need the per-file path."""
     raw = spark.read.text(glob_path, wholetext=True).select(
         F.input_file_name().alias("path"), F.col("value")
     )
