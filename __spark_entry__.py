@@ -292,6 +292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": lambda s, d: mm.media_resize_check(
             mm.synth_media(s, docs(s, d))
         ),
+        # END-TO-END REAL audio modality: real WAV bytes (RIFF container
+        # written executor-side) -> real stdlib-wave demux -> exact integer
+        # DSP features; no stub on this path.
+        "audio_features": lambda s, d: mm.audio_features(
+            mm.synth_wav_media(s, docs(s, d))
+        ),
     }
     relational = {
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -377,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign_refined",
         "kmeans_train",
         "embedding_neardup",
+        "audio_features",
     )
     phase6_primary = {k: phase6[k] for k in phase6_primary_keys}
     phase6_rest = {k: v for k, v in phase6.items() if k not in phase6_primary}
@@ -449,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_join": TX_CTE + sk.SKEW_SALTED_PROFILE_ORACLE,
         "daily_slice_rollup": TX_CTE + pt.daily_slice_rollup_oracle_sql(),
         "media_features": mm.media_features_oracle_sql(),
+        "audio_features": mm.audio_features_oracle_sql(),
         "media_resize": mm.media_resize_oracle_sql(),
         "media_frame_sample": mm.media_frame_sample_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,

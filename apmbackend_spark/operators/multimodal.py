@@ -359,3 +359,132 @@ def media_stats(features: DataFrame) -> DataFrame:
         F.min("width").alias("min_width"),
         F.max("height").alias("max_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs where the environment provides them.
+#
+# Audio: the stdlib `wave` module is a genuine RIFF/WAVE container parser,
+# so the audio modality runs END-TO-END REAL — real PCM bytes synthesized
+# into a real WAV container, decoded back by a real demuxer, with real DSP
+# features — no stub anywhere on this path. Image decode is gated on PIL
+# availability (absent in this container): `decode_image_real` raises
+# ImportError cleanly and its test skips.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+
+def _wav_samples(media_id: int) -> list[int]:
+    """Deterministic int16 PCM pattern (sawtooth-ish), mirrored exactly by
+    the SQL oracle: sample[i] = (media_id*31 + i*7) % 4096 - 2048."""
+    n = 200 + media_id % 300
+    return [((media_id * 31 + i * 7) % 4096) - 2048 for i in range(n)]
+
+
+def _wav_bytes(samples: list[int], rate: int = WAV_RATE) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def synth_wav_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """One real mono 16-bit WAV per document, PCM pattern keyed by doc_id —
+    built executor-side in mapInPandas (bytes never visit the driver)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_wav_bytes(_wav_samples(int(i))) for i in ids],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        fn, schema="media_id long, content binary"
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + features via mapInPandas: parse the WAV container
+    (stdlib `wave`), then exact integer DSP — sample count, frame rate,
+    duration, peak amplitude, and RMS from the exact sum of squares."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                with wave.open(io.BytesIO(bytes(r.content)), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                sumsq = sum(s * s for s in samples)  # exact int
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "n_samples": n,
+                        "framerate": rate,
+                        "duration_ms": n * 1000 // rate,
+                        "peak": max(abs(s) for s in samples) if n else 0,
+                        "rms": math.sqrt(sumsq / n) if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        schema=(
+            "media_id long, n_samples int, framerate int, duration_ms long, "
+            "peak int, rms double"
+        ),
+    )
+
+
+def audio_features_oracle_sql(rate: int = WAV_RATE) -> str:
+    """Exact twin: regenerate the PCM pattern with a range join and fold the
+    same integer aggregates (integer sum of squares -> identical double
+    RMS)."""
+    return f"""
+WITH ids AS (
+    SELECT doc_id AS media_id, 200 + doc_id % 300 AS n FROM documents
+), samples AS (
+    SELECT media_id, n,
+           (media_id * 31 + i.range * 7) % 4096 - 2048 AS s
+    FROM ids JOIN range(500) i ON i.range < n
+)
+SELECT media_id,
+       CAST(n AS INT) AS n_samples,
+       CAST({int(rate)} AS INT) AS framerate,
+       CAST(n * 1000 // {int(rate)} AS BIGINT) AS duration_ms,
+       CAST(MAX(ABS(s)) AS INT) AS peak,
+       sqrt(CAST(SUM(s * s) AS DOUBLE) / n) AS rms
+FROM samples
+GROUP BY media_id, n
+"""
+
+
+def decode_image_real(content: bytes):
+    """Real image decode, gated on PIL availability (raises ImportError in
+    codec-less environments — callers and tests skip cleanly). Returns
+    (pixels[0,1), width, height) with the same signature as the stub."""
+    from PIL import Image  # noqa: F401 - the availability gate
+    import io
+
+    img = Image.open(io.BytesIO(content)).convert("L")
+    px = list(img.getdata())
+    return [p / 256.0 for p in px], img.width, img.height

@@ -261,6 +261,33 @@ def test_alerts_stateful_matches_batch_across_batches(spark, tmpdir):
     assert len(expect) > 2  # burst must produce several cooldown-spaced alerts
 
 
+ENV_SCHEMA = (
+    "rectype string, endts long, startts long, server string, "
+    "service string, logid string, acctnum long, elapsed long, "
+    "toplevel string, timestamp long, tpm double, lag long, "
+    "stats string, entrytimestamp long, alerttimestamp long, "
+    "cause string, entry string, heapused long, heapmax long, "
+    "threadcnt long, sysload double"
+)
+
+_ENV_NULLS = {
+    f.strip().split()[0]: None for f in ENV_SCHEMA.split(",")
+}
+
+
+def _env_row(**kw):
+    r = dict(_ENV_NULLS)
+    r.update(kw)
+    return r
+
+
+def _envelope_stream(spark, tmpdir, rows):
+    src = f"{tmpdir}/env_src"
+    # explicit schema: pandas would infer None-mixed int columns as double
+    spark.createDataFrame(rows, schema=ENV_SCHEMA).coalesce(1).write.parquet(src)
+    return spark.readStream.schema(ENV_SCHEMA).parquet(src)
+
+
 def test_db_insert_sink_routes_typed_tables(spark, tmpdir):
     """S6 contract (stream_insert_db.js:149-160, 277-353): the envelope
     stream splits by rectype and each table receives exactly its reference
@@ -319,18 +346,7 @@ def test_db_insert_sink_routes_typed_tables(spark, tmpdir):
                 "sysload": None,
             }
         )
-    src = f"{tmpdir}/env_src"
-    env_schema = (
-        "rectype string, endts long, startts long, server string, "
-        "service string, logid string, acctnum long, elapsed long, "
-        "toplevel string, timestamp long, tpm double, lag long, "
-        "stats string, entrytimestamp long, alerttimestamp long, "
-        "cause string, entry string, heapused long, heapmax long, "
-        "threadcnt long, sysload double"
-    )
-    # explicit schema: pandas would infer None-mixed int columns as double
-    spark.createDataFrame(rows, schema=env_schema).coalesce(1).write.parquet(src)
-    env = spark.readStream.schema(env_schema).parquet(src)
+    env = _envelope_stream(spark, tmpdir, rows)
 
     captured: dict[str, list] = {}
 
@@ -354,6 +370,57 @@ def test_db_insert_sink_routes_typed_tables(spark, tmpdir):
     # empty rectypes still route (zero rows, correct schema)
     assert len(captured.get("apm_al", [])) == 0
     assert len(captured.get("apm_jx", [])) == 0
+
+
+def test_db_insert_sink_writes_real_jdbc(spark, tmpdir):
+    """S6's PRODUCTION branch (batch.write.jdbc) against embedded Derby —
+    the JDBC engine Spark ships with — asserting the four typed tables
+    land with the reference column sets (stream_insert_db.js:149-160) and
+    exact row counts, read back through spark.read.jdbc."""
+    from apmbackend_spark.streaming.pipeline import DB_TABLE_COLUMNS, db_insert_sink
+
+    rows = []
+    for i in range(7):
+        rows.append(
+            _env_row(
+                rectype="tx", endts=1000 + i, startts=900 + i, server="srv0",
+                service="svc", logid=str(i), acctnum=100000000 + i,
+                elapsed=100 + i, toplevel="Y",
+            )
+        )
+        rows.append(
+            _env_row(
+                rectype="fs", server="srv0", service="svc",
+                timestamp=1000 + i, tpm=6.0, lag=360, stats="{}",
+            )
+        )
+    rows.append(
+        _env_row(
+            rectype="al", entrytimestamp=1000, alerttimestamp=1001,
+            server="srv0", service="svc", cause="average UB exceeded",
+            entry="{}",
+        )
+    )
+    rows.append(
+        _env_row(
+            rectype="jx", timestamp=1000, server="srv0",
+            heapused=100, heapmax=512, threadcnt=7, sysload=0.5,
+        )
+    )
+    env = _envelope_stream(spark, tmpdir, rows)
+
+    url = f"jdbc:derby:{tmpdir}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    q = db_insert_sink(
+        env, f"{tmpdir}/ckpt_jdbc", jdbc_url=url, properties=props
+    )
+    q.awaitTermination(300)
+
+    want_counts = {"tx": 7, "fs": 7, "al": 1, "jx": 1}
+    for rectype, n in want_counts.items():
+        back = spark.read.jdbc(url, f"apm_{rectype}", properties=props)
+        assert tuple(c.lower() for c in back.columns) == DB_TABLE_COLUMNS[rectype]
+        assert back.count() == n
 
 
 def test_fanout_parquet_sink(spark, tmpdir):
