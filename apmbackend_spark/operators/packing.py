@@ -24,10 +24,24 @@ from pyspark.sql import functions as F
 from apmbackend_spark.functions.text import tokens, tokens_sql
 
 
-def token_pack(documents: DataFrame, budget: int = 2048) -> DataFrame:
-    d = documents.select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
-    )
+def token_pack(
+    documents: DataFrame,
+    budget: int = 2048,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """``counts``, if given, is a precomputed (doc_id, n_tokens) frame that
+    REPLACES the tokenization scan — the caller guarantees the values equal
+    ``size(tokens(text))`` for the same rows (doc_stats computes exactly
+    that expression, so a pipeline that already ran the quality-filter scan
+    can pack without re-tokenizing the surviving text — one full-corpus
+    regex pass saved)."""
+    if counts is not None:
+        d = counts.select("doc_id", F.col("n_tokens").cast("long"))
+    else:
+        d = documents.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
     rng = d.repartitionByRange(F.col("doc_id"))
     # persist the NARROW (doc_id, n_tokens, pid) frame: it feeds both the
     # cumsum pass and the totals aggregate — without it the text scan and

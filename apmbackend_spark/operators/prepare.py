@@ -18,8 +18,10 @@ Semantics choices, stated explicitly because they are contracts:
 
 Scale shape: filter and scrub are stateless single scans; the dedup join is
 |V|-sized 8-byte label rows against the doc stream (text bytes never
-shuffle); packing is the range-partitioned two-pass cumulative sum. The
-whole DAG adds NO new shuffle beyond its constituent operators.
+shuffle); packing is the range-partitioned two-pass cumulative sum, fed the
+filter scan's precomputed n_tokens so the surviving text is never
+re-tokenized. The whole DAG adds NO new shuffle beyond its constituent
+operators.
 """
 
 from __future__ import annotations
@@ -50,7 +52,15 @@ def corpus_prepare(
     """One row per document surviving filter+dedup, with its PII scrub
     counts and its packed-sequence address: (doc_id, source, n_tokens,
     n_pii, start_offset, seq_id)."""
-    filt = corpus_filter(documents).where(F.col("keep")).select("doc_id")
+    # carry n_tokens out of the filter scan: doc_stats already computed
+    # size(tokens(text)) for every document, so packing can run over this
+    # narrow (doc_id, n_tokens) frame instead of re-tokenizing the
+    # surviving text — one full-corpus regex pass removed from the DAG
+    filt = (
+        corpus_filter(documents)
+        .where(F.col("keep"))
+        .select("doc_id", "n_tokens")
+    )
     clusters = dedup_clusters(documents, bands, rows_per_band)
     # no extra persist here: dedup_clusters already persists its label
     # frame (the expensive upstream), so the three downstream consumers
@@ -62,12 +72,15 @@ def corpus_prepare(
     reps = kept_members.groupBy("cluster_id").agg(
         F.min("doc_id").alias("doc_id")
     )
-    kept_ids = kept_members.join(reps.select("doc_id"), "doc_id").select(
-        "doc_id"
+    kept = kept_members.join(reps.select("doc_id"), "doc_id").select(
+        "doc_id", "n_tokens"
     )
+    kept_ids = kept.select("doc_id")
 
     prepared = documents.join(kept_ids, "doc_id")
-    packed = token_pack(prepared, budget)  # doc_id, n_tokens, start_offset, seq_id
+    packed = token_pack(
+        documents, budget, counts=kept
+    )  # doc_id, n_tokens, start_offset, seq_id
     # scrub only the survivors: every inner join downstream keys on the kept
     # set anyway, and the PII regex pass is the expensive scan — running it
     # over dropped documents (or rescanning `documents` for `source`) would

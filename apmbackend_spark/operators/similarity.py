@@ -385,11 +385,24 @@ def kmeans_train(
     cent = embeddings.where(F.col("vec_id") % n_lists_mod == 0).select(
         F.col("vec_id").alias("list_id"), _quantize(F.col("embedding")).alias("centv")
     )
-    prev = _assign_step(vecs, cent).select("vec_id", "list_id").persist()
+    # localCheckpoint, not bare persist: iteration i's assignment is
+    # referenced twice (the i+1 UPDATE and the moved-counter join), so the
+    # logical plan would double per round and each eager aggregate would
+    # re-analyze an exponentially growing tree (same lineage-truncation
+    # rationale as dedup_clusters' CC loop).
+    prev = (
+        _assign_step(vecs, cent)
+        .select("vec_id", "list_id")
+        .localCheckpoint(eager=False)
+    )
     rows = []
     for i in range(1, n_iter + 1):
         cent = _update_step(prev, vecs)
-        cur = _assign_step(vecs, cent).select("vec_id", "list_id").persist()
+        cur = (
+            _assign_step(vecs, cent)
+            .select("vec_id", "list_id")
+            .localCheckpoint(eager=False)
+        )
         # Single-row eager aggregate: forces cur to materialize, after which
         # prev's cache is dead and can be dropped before the next round.
         stat = (

@@ -84,6 +84,23 @@ def test_corpus_prepare_rep_can_be_non_minimum_when_min_filtered(spark):
         assert out == [2]
 
 
+def test_token_pack_counts_fastpath_identical(spark):
+    from apmbackend_spark.operators.packing import token_pack
+    from apmbackend_spark.operators.textstats import doc_stats
+    from apmbackend_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = {r["doc_id"]: r for r in token_pack(docs).collect()}
+    counts = doc_stats(docs).select("doc_id", "n_tokens")
+    fast = {r["doc_id"]: r for r in token_pack(docs, counts=counts).collect()}
+    assert len(base) == len(fast) > 0
+    for i, b in base.items():
+        f = fast[i]
+        assert (b["n_tokens"], b["start_offset"], b["seq_id"]) == (
+            f["n_tokens"], f["start_offset"], f["seq_id"],
+        )
+
+
 def test_log_extract_round_trip(spark):
     from apmbackend_spark.sources.logparse import log_extract
     from apmbackend_spark.sources.tx import load_tx
