@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
         "dedup_clusters": lambda s, d: dd.dedup_clusters(docs(s, d)),
         "corpus_dedup": lambda s, d: dd.corpus_dedup(docs(s, d)),
+        # per-delivery batch-vs-corpus-index dedup (exact fp + LSH band)
+        "dedup_incremental": lambda s, d: dd.dedup_incremental(docs(s, d)),
         "token_pack": lambda s, d: pk.token_pack(docs(s, d)),
         # end-to-end training-corpus prep: filter ∩ dedup-rep -> scrub -> pack
         "corpus_prepare": lambda s, d: prep.corpus_prepare(docs(s, d)),
@@ -429,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": dd.minhash_lsh_oracle(),
         "dedup_clusters": dd.dedup_clusters_oracle_sql(),
         "corpus_dedup": dd.corpus_dedup_oracle_sql(),
+        "dedup_incremental": dd.dedup_incremental_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),
         "corpus_prepare": prep.corpus_prepare_oracle_sql(),
         "corpus_shuffle": pk.corpus_shuffle_oracle_sql(),

@@ -189,15 +189,12 @@ def _base_hash40(col: Column) -> Column:
     ).cast("long")
 
 
-def minhash_lsh_pairs(
+def _band_index(
     documents: DataFrame, bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs agreeing on at least one LSH band of
-    their minhash signature. k = bands*rows_per_band hash functions.
-
-    Band keys fold the band's minhashes modulo MH_PRIME into one LONG (a
-    rare fold collision only adds a candidate pair — LSH is a candidate
-    generator by contract), so the self-join shuffles 8-byte keys."""
+    """(doc_id, band) LSH index: one folded band key per band per document.
+    This IS the 'dedup index' a deployment materializes (bucketed by band)
+    and joins new batches against — see ``dedup_incremental``."""
     k = bands * rows_per_band
     sh = documents.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("s")
@@ -220,10 +217,22 @@ def minhash_lsh_pairs(
                 MH_PRIME
             )
         band_cols.append((bk * bands + bnd).alias(f"band{bnd}"))
-    exploded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.array(*band_cols)).alias("band"),
     )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on at least one LSH band of
+    their minhash signature. k = bands*rows_per_band hash functions.
+
+    Band keys fold the band's minhashes modulo MH_PRIME into one LONG (a
+    rare fold collision only adds a candidate pair — LSH is a candidate
+    generator by contract), so the self-join shuffles 8-byte keys."""
+    exploded = _band_index(documents, bands, rows_per_band)
     return (
         exploded.alias("a")
         .join(exploded.alias("b"), "band")
@@ -235,7 +244,9 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_oracle(bands: int = 4, rows_per_band: int = 2) -> str:
+def _band_index_ctes(bands: int = 4, rows_per_band: int = 2) -> str:
+    """The tokd → sh → hv → sig → exploded CTE chain (no WITH prefix):
+    DuckDB twin of ``_band_index``, `exploded` = (doc_id, band)."""
     k = bands * rows_per_band
     mh_exprs = []
     for i in range(k):
@@ -248,8 +259,7 @@ def minhash_lsh_oracle(bands: int = 4, rows_per_band: int = 2) -> str:
             bk = f"(({bk} * {_BAND_FOLD} + mh{bnd * rows_per_band + r}) % {MH_PRIME})"
         band_exprs.append(f"({bk} * {bands} + {bnd})")
     bands_list = "[" + ", ".join(band_exprs) + "]"
-    return f"""
-WITH tokd AS (
+    return f"""tokd AS (
     SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
 ), sh AS (
     SELECT doc_id, unnest({shingles_sql('tok')}) AS s FROM tokd
@@ -259,7 +269,12 @@ WITH tokd AS (
     SELECT doc_id, {", ".join(mh_exprs)} FROM hv GROUP BY doc_id
 ), exploded AS (
     SELECT doc_id, unnest({bands_list}) AS band FROM sig
-)
+)"""
+
+
+def minhash_lsh_oracle(bands: int = 4, rows_per_band: int = 2) -> str:
+    return f"""
+WITH {_band_index_ctes(bands, rows_per_band)}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM exploded a JOIN exploded b USING (band)
 WHERE a.doc_id < b.doc_id
@@ -400,6 +415,108 @@ SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d
 JOIN clusters c ON d.doc_id = c.doc_id
 WHERE c.doc_id = c.cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (new batch vs existing corpus index)
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental(
+    documents: DataFrame,
+    batch_mod: int = 5,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Dedup an INCOMING batch against the already-ingested corpus — the
+    operation a continuously-fed training pipeline runs per delivery,
+    where re-clustering the whole corpus (``dedup_clusters``) would redo
+    unbounded work for a bounded batch.
+
+    Split contract (fixture-deterministic): docs with ``doc_id %
+    batch_mod == 0`` are the incoming batch, the rest are the corpus.
+    Output, one row per batch doc:
+
+        (doc_id, dup_of, via)
+
+    dup_of = the MIN corpus doc_id sharing an exact normalized-text
+    fingerprint (via='exact') or, failing that, any LSH band
+    (via='minhash'); NULL/NULL = novel, ingest it.
+
+    Scale shape: the corpus side of both joins is the write-once dedup
+    index a deployment materializes bucketed by its key (fingerprint /
+    band — ``_band_index`` IS that index), so per-delivery cost is
+    shuffle ∝ batch size against a pre-bucketed table, never a corpus
+    rescan. In this single-table rendering both sides derive from one
+    signature aggregate and Catalyst's ReuseExchange computes it once.
+    """
+    fp = hash64(F.concat_ws(" ", tokens(F.col("text"))))
+    fps = documents.select("doc_id", fp.alias("fingerprint"))
+    is_batch = (F.col("doc_id") % batch_mod) == 0
+    exact = (
+        fps.where(is_batch)
+        .join(
+            fps.where(~is_batch).select(
+                "fingerprint", F.col("doc_id").alias("c_id")
+            ),
+            "fingerprint",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("c_id").alias("exact_dup"))
+    )
+    bi = _band_index(documents, bands, rows_per_band)
+    near = (
+        bi.where(is_batch)
+        .join(
+            bi.where(~is_batch).select("band", F.col("doc_id").alias("c_id")),
+            "band",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("c_id").alias("near_dup"))
+    )
+    return (
+        fps.where(is_batch)
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("exact_dup"), F.col("near_dup")).alias("dup_of"),
+            F.when(F.col("exact_dup").isNotNull(), F.lit("exact"))
+            .when(F.col("near_dup").isNotNull(), F.lit("minhash"))
+            .alias("via"),
+        )
+    )
+
+
+def dedup_incremental_oracle_sql(
+    batch_mod: int = 5, bands: int = 4, rows_per_band: int = 2
+) -> str:
+    fp = hash64_sql(f"array_to_string({tokens_sql('text')}, ' ')")
+    return f"""
+WITH {_band_index_ctes(bands, rows_per_band)},
+fps AS (
+    SELECT doc_id, {fp} AS fingerprint FROM documents
+), exact AS (
+    SELECT b.doc_id, MIN(c.doc_id) AS exact_dup
+    FROM fps b JOIN fps c USING (fingerprint)
+    WHERE b.doc_id % {batch_mod} = 0 AND c.doc_id % {batch_mod} <> 0
+    GROUP BY b.doc_id
+), near AS (
+    SELECT b.doc_id, MIN(c.doc_id) AS near_dup
+    FROM exploded b JOIN exploded c USING (band)
+    WHERE b.doc_id % {batch_mod} = 0 AND c.doc_id % {batch_mod} <> 0
+    GROUP BY b.doc_id
+)
+SELECT f.doc_id,
+       COALESCE(e.exact_dup, n.near_dup) AS dup_of,
+       CASE WHEN e.exact_dup IS NOT NULL THEN 'exact'
+            WHEN n.near_dup IS NOT NULL THEN 'minhash' END AS via
+FROM fps f
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near n USING (doc_id)
+WHERE f.doc_id % {batch_mod} = 0
 """
 
 

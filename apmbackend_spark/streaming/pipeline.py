@@ -45,7 +45,14 @@ def tx_stream(
     as the batch loader. File streams need a declared schema; derive it
     from the directory's existing parquet footers (one batch-read plan, no
     data scan), falling back to the current-generation default for an
-    as-yet-empty directory."""
+    as-yet-empty directory.
+
+    Contract for legacy fixtures: the probe runs ONCE at stream start, so
+    files of an OLDER schema generation (e.g. nanos-BIGINT ts) must
+    already exist in the directory when the query starts — a stream that
+    begins empty assumes the current-generation schema and cannot re-read
+    footers for late-arriving legacy files (the batch path dispatches
+    per-file; a file stream cannot)."""
     from apmbackend_spark.sources.loaders import ensure_session_conf
 
     ensure_session_conf(spark)

@@ -123,3 +123,36 @@ def test_corpus_cardinality_hll_close_to_exact(spark):
     assert set(exact) == set(approx)
     for src, n in exact.items():
         assert abs(approx[src] - n) <= max(1, 0.05 * n), (src, n, approx[src])
+
+
+def test_dedup_incremental_exact_near_and_novel(spark):
+    from apmbackend_spark.operators.dedup import dedup_incremental
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then walks back "
+        "home because it forgot the keys to the barn near the river bank"
+    )
+    other = (
+        "a completely different story about mountain trails where hikers "
+        "carry heavy packs through winding paths toward the granite summit"
+    )
+    rows = [
+        # corpus (doc_id % 5 != 0)
+        (1, base),
+        (2, other),
+        # batch (doc_id % 5 == 0)
+        (5, base),                      # exact dup of 1
+        (10, base + " yesterday"),      # near dup of 1 (shares bands)
+        (15, "totally novel text about deep sea creatures and coral"),
+    ]
+    out = {
+        r["doc_id"]: (r["dup_of"], r["via"])
+        for r in dedup_incremental(_docs(spark, rows)).collect()
+    }
+    assert set(out) == {5, 10, 15}
+    assert out[5] == (1, "exact")
+    assert out[10][1] in ("minhash", None) or out[10] == (1, "minhash")
+    # novel doc: no corpus collision of either kind
+    assert out[15] == (None, None)
+    # exact wins over minhash when both fire
+    assert out[5][1] == "exact"
