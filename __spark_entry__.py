@@ -268,6 +268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup": lambda s, d: dd.corpus_dedup(docs(s, d)),
         # per-delivery batch-vs-corpus-index dedup (exact fp + LSH band)
         "dedup_incremental": lambda s, d: dd.dedup_incremental(docs(s, d)),
+        # span-level (chunk-fingerprint) cross-doc duplication stats
+        "doc_span_dup": lambda s, d: dd.doc_span_dup(docs(s, d)),
+        # sequence spans with document splitting across budget boundaries
+        "token_spans": lambda s, d: pk.token_spans(docs(s, d)),
         "token_pack": lambda s, d: pk.token_pack(docs(s, d)),
         # end-to-end training-corpus prep: filter ∩ dedup-rep -> scrub -> pack
         "corpus_prepare": lambda s, d: prep.corpus_prepare(docs(s, d)),
@@ -376,10 +380,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard",
         "dedup_clusters",
         "corpus_dedup",
+        # new this round — graded in place of corpus_shuffle (r2-green,
+        # algorithmically simple md5 sharding), which moves past the window
+        "dedup_incremental",
         "simhash_pairs",
         "token_pack",
         "corpus_prepare",
-        "corpus_shuffle",
         "ann_bruteforce",
         "ann_ivf",
         "ivf_assign_refined",
@@ -432,6 +438,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dd.dedup_clusters_oracle_sql(),
         "corpus_dedup": dd.corpus_dedup_oracle_sql(),
         "dedup_incremental": dd.dedup_incremental_oracle_sql(),
+        "doc_span_dup": dd.doc_span_dup_oracle_sql(),
+        "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),
         "corpus_prepare": prep.corpus_prepare_oracle_sql(),
         "corpus_shuffle": pk.corpus_shuffle_oracle_sql(),

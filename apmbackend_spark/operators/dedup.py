@@ -63,6 +63,94 @@ GROUP BY fingerprint
 """
 
 
+def doc_span_dup(documents: DataFrame, chunk_tokens: int = 20) -> DataFrame:
+    """Cross-document duplicated-SPAN statistics — the chunk-fingerprint
+    approximation of exact substring dedup (the 'dedup the training data at
+    the span level, not the document level' operation): slice each doc's
+    token stream into fixed ``chunk_tokens``-token chunks (short tail
+    dropped), fingerprint each chunk, and report per document
+
+        (doc_id, n_chunks, n_dup_chunks, dup_fraction)
+
+    where a chunk is 'dup' if its fingerprint occurs in >= 2 DISTINCT
+    documents. High dup_fraction = boilerplate/mirror content a span-level
+    scrub should cut even when the documents as wholes are not near-dups.
+
+    Scale shape: the explode ships 8-byte (doc_id, fp) rows — text never
+    shuffles; the document-frequency aggregate is map-side combinable; the
+    join back is keyed on fp with fan-out bounded by total chunk count
+    (no pairwise blow-up anywhere, unlike a chunk self-join)."""
+    c = int(chunk_tokens)
+    tok = tokens(F.col("text"))
+    base = documents.select("doc_id", tok.alias("tok")).select(
+        "doc_id", F.expr(f"size(tok) DIV {c}").alias("n_chunks"), "tok"
+    )
+    idx = F.when(
+        F.col("n_chunks") > 0,
+        F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = base.select("doc_id", "tok", F.explode(idx).alias("i")).select(
+        "doc_id",
+        hash64(
+            F.concat_ws(" ", F.slice(F.col("tok"), F.col("i") * c + 1, c))
+        ).alias("fp"),
+    )
+    dfc = chunks.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = (
+        chunks.join(dfc, "fp")
+        .groupBy("doc_id")
+        .agg(F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_chunks"))
+    )
+    return (
+        base.select("doc_id", F.col("n_chunks").cast("long").alias("n_chunks"))
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_dup_chunks"), F.lit(0).cast("long")).alias(
+                "n_dup_chunks"
+            ),
+            F.when(
+                F.col("n_chunks") > 0,
+                F.coalesce(F.col("n_dup_chunks"), F.lit(0)).cast("double")
+                / F.col("n_chunks"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def doc_span_dup_oracle_sql(chunk_tokens: int = 20) -> str:
+    c = int(chunk_tokens)
+    fp = hash64_sql(f"array_to_string(tok[i * {c} + 1 : i * {c} + {c}], ' ')")
+    return f"""
+WITH tokd AS (
+    SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+), base AS (
+    SELECT doc_id, len(tok) // {c} AS n_chunks, tok FROM tokd
+), chunks AS (
+    SELECT doc_id, {fp} AS fp
+    FROM (
+        SELECT doc_id, tok, unnest(range(0, n_chunks)) AS i
+        FROM base WHERE n_chunks > 0
+    )
+), dfc AS (
+    SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp
+), dup AS (
+    SELECT doc_id, SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks
+    FROM chunks JOIN dfc USING (fp) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_chunks AS BIGINT) AS n_chunks,
+       CAST(COALESCE(d.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       CASE WHEN b.n_chunks > 0
+            THEN CAST(COALESCE(d.n_dup_chunks, 0) AS DOUBLE) / b.n_chunks
+            ELSE 0.0 END AS dup_fraction
+FROM base b LEFT JOIN dup d USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup pairs
 # ---------------------------------------------------------------------------

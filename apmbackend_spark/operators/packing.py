@@ -137,3 +137,63 @@ SELECT doc_id, n_tokens, start_offset,
        start_offset // {budget} AS seq_id
 FROM cum
 """
+
+def token_spans(
+    documents: DataFrame,
+    budget: int = 2048,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Training-sequence spans with document SPLITTING: where ``token_pack``
+    assigns a document to the single sequence containing its start offset,
+    a real loader must fill every sequence to exactly ``budget`` tokens —
+    a document crossing a boundary contributes a span to EACH sequence it
+    touches. One row per (document, touched sequence):
+
+        (doc_id, seq_id, tok_start, tok_end)
+
+    with tok_* document-relative and tok_end exclusive, so per doc the
+    span lengths sum to n_tokens and per sequence the lengths sum to
+    ``budget`` (except the corpus tail). Zero-token docs contribute no
+    spans. Scale shape: ``token_pack``'s two-pass cumulative sum plus a
+    per-row sequence explode — fan-out is ceil(n_tokens/budget)+1 per doc,
+    no new shuffle."""
+    b = int(budget)
+    packed = token_pack(documents, b, counts=counts)
+    first = F.expr(f"start_offset DIV {b}")
+    last = F.expr(f"(start_offset + n_tokens - 1) DIV {b}")
+    spans = packed.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    tok_start = F.greatest(
+        F.col("seq_id") * b - F.col("start_offset"), F.lit(0).cast("long")
+    )
+    tok_end = F.least(
+        (F.col("seq_id") + 1) * b - F.col("start_offset"), F.col("n_tokens")
+    )
+    return spans.select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        tok_start.cast("long").alias("tok_start"),
+        tok_end.cast("long").alias("tok_end"),
+    )
+
+
+def token_spans_oracle_sql(budget: int = 2048) -> str:
+    b = int(budget)
+    return f"""
+WITH packed AS ({token_pack_oracle_sql(b)}),
+spans AS (
+    SELECT doc_id, n_tokens, start_offset,
+           unnest(range(start_offset // {b},
+                        (start_offset + n_tokens - 1) // {b} + 1)) AS seq_id
+    FROM packed WHERE n_tokens > 0
+)
+SELECT doc_id,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(seq_id * {b} - start_offset, 0) AS BIGINT) AS tok_start,
+       CAST(least((seq_id + 1) * {b} - start_offset, n_tokens) AS BIGINT) AS tok_end
+FROM spans
+"""

@@ -121,3 +121,62 @@ def test_log_extract_round_trip(spark):
             assert g["service"] == "Provider:" + s["service"][2:]
         else:
             assert g["service"] == s["service"]
+
+
+def test_token_spans_partition_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.operators.packing import token_pack, token_spans
+    from apmbackend_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    budget = 64  # small budget so many docs cross boundaries
+    packed = {r["doc_id"]: r for r in token_pack(docs, budget).collect()}
+    spans = token_spans(docs, budget).collect()
+
+    # per doc: spans tile [0, n_tokens) exactly, in seq order
+    by_doc: dict = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["seq_id"])
+        assert rs[0]["tok_start"] == 0
+        assert rs[-1]["tok_end"] == packed[doc_id]["n_tokens"]
+        for a, b in zip(rs, rs[1:]):
+            assert a["tok_end"] == b["tok_start"]
+            assert b["seq_id"] == a["seq_id"] + 1
+
+    # per sequence: span lengths sum to exactly budget (except the tail)
+    per_seq: dict = {}
+    for r in spans:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + (
+            r["tok_end"] - r["tok_start"]
+        )
+    tail = max(per_seq)
+    assert all(v == budget for s, v in per_seq.items() if s != tail)
+    assert 0 < per_seq[tail] <= budget
+    # zero-token docs contribute no spans
+    assert set(by_doc) == {i for i, p in packed.items() if p["n_tokens"] > 0}
+
+
+def test_doc_span_dup_flags_shared_boilerplate(spark):
+    from apmbackend_spark.operators.dedup import doc_span_dup
+
+    boiler = " ".join(f"w{i}" for i in range(20))  # exactly one chunk
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(20))
+    docs = _docs(
+        spark,
+        [
+            (1, boiler + " " + uniq_a),   # chunk0=boiler (dup), chunk1=uniq
+            (2, boiler + " " + uniq_b),   # chunk0=boiler (dup), chunk1=uniq
+            (3, uniq_a),                  # same as doc1's chunk1 -> dup
+            (4, "short text"),            # < 20 tokens: zero chunks
+        ],
+    )
+    out = {r["doc_id"]: r for r in doc_span_dup(docs).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 2
+    assert out[2]["n_chunks"] == 2 and out[2]["n_dup_chunks"] == 1
+    assert out[3]["n_chunks"] == 1 and out[3]["n_dup_chunks"] == 1
+    assert out[4]["n_chunks"] == 0 and out[4]["dup_fraction"] == 0.0
+    assert out[1]["dup_fraction"] == 1.0 and out[2]["dup_fraction"] == 0.5
