@@ -37,6 +37,7 @@ from apmbackend_spark.sources import logparse as lp
 from apmbackend_spark.sources import bucketing as bk
 from apmbackend_spark.sources import partitioned as pt
 from apmbackend_spark.operators import skew as sk
+from apmbackend_spark.operators import langid as lid
 from apmbackend_spark.operators import semistruct as ss
 from apmbackend_spark.streaming import topology as topo
 
@@ -304,6 +305,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": lambda s, d: mm.audio_features(
             mm.synth_wav_media(s, docs(s, d))
         ),
+        # Cavnar-Trenkle char-trigram language ID: single codegen scan,
+        # profile maps evaluated in-expression (no explode/join/shuffle)
+        "lang_id": lambda s, d: lid.lang_id(docs(s, d)),
+        # tf-idf top-k keywords (log-free idf so both engines' doubles are
+        # bit-identical)
+        "doc_keywords": lambda s, d: lid.doc_keywords(docs(s, d)),
+        # per-source corpus profile: integer sums + exact midpoint
+        # percentiles + distinct-fingerprint dup rate
+        "domain_stats": lambda s, d: lid.domain_stats(docs(s, d)),
     }
     relational = {
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -438,6 +448,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dd.dedup_clusters_oracle_sql(),
         "corpus_dedup": dd.corpus_dedup_oracle_sql(),
         "dedup_incremental": dd.dedup_incremental_oracle_sql(),
+        "lang_id": lid.lang_id_oracle_sql(),
+        "doc_keywords": lid.doc_keywords_oracle_sql(),
+        "domain_stats": lid.domain_stats_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

@@ -81,6 +81,25 @@ def shingles_sql(tok_expr: str, n: int = 3) -> str:
         i -> array_to_string({tok_expr}[i:i+{n - 1}], ' ')))"""
 
 
+def char_trigrams(col: Column) -> Column:
+    """All character trigrams (every occurrence, 1-per-position) of a string
+    column. Empty array below 3 chars — gated, because Spark's sequence()
+    runs DESCENDING when start > stop."""
+    idx = F.when(
+        F.length(col) >= 3, F.sequence(F.lit(1), F.length(col) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.substring(col, i, F.lit(3)))
+
+
+def char_trigrams_sql(expr: str) -> str:
+    # DuckDB range(a, b) excludes b: starts 1..L-2 for string length L.
+    return (
+        f"CASE WHEN length({expr}) >= 3 THEN "
+        f"list_transform(range(1, length({expr}) - 1), i -> substr({expr}, i, 3)) "
+        "ELSE []::VARCHAR[] END"
+    )
+
+
 def stop_count(tok: Column) -> Column:
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
     return F.size(F.filter(tok, lambda x: F.array_contains(sw, x)))

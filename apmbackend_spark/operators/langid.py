@@ -1,0 +1,297 @@
+"""Language identification and corpus-profiling operators over the
+``documents`` table — the text-analysis tier of the training-data pipeline
+(beyond the stopword-ratio heuristic in ``textstats.doc_stats``).
+
+``lang_id`` is the Cavnar–Trenkle n-gram method (character-trigram profile
+scoring): a document's trigram multiset is scored against a small fixed
+per-language weighted-trigram profile, argmax wins. The profiles live in a
+map literal evaluated inside whole-stage codegen (``aggregate`` over the
+trigram array), so the operator is a SINGLE stateless scan — no explode, no
+join, no shuffle, no Python. That is the 100 TB shape: language ID is
+embarrassingly parallel and must never cost more than one pass over the
+bytes.
+
+``doc_keywords`` is tf-idf top-k term extraction. The idf factor is
+rendered as ``tf * (N / df)`` (two exactly-rounded IEEE ops — ``ln`` is NOT
+exactly rounded and could rank-flip between engines, so the monotone
+log-free form is used; ordering is identical). Shuffles: one token-level
+combine (map-side partial), one |vocab| df rollup, one term-keyed join, one
+per-doc window — all keyed, none global.
+
+``domain_stats`` is the per-source corpus profile (doc counts, token sums,
+exact midpoint percentiles, distinct-fingerprint dedup rate) a curation
+pipeline reads before choosing mixture weights. Integer sums and
+integer-input percentiles only — cross-row float accumulation is
+order-dependent and would not be bit-deterministic under Spark's partial
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apmbackend_spark.functions.percentile import (
+    midpoint_percentile,
+    midpoint_percentile_sql,
+)
+from apmbackend_spark.functions.text import (
+    char_trigrams,
+    char_trigrams_sql,
+    hash64,
+    hash64_sql,
+    tokens,
+    tokens_sql,
+)
+
+# Fixed per-language character-trigram profiles (Cavnar & Trenkle 1994
+# style: the most frequent trigrams of each language, integer-weighted by
+# typical rank). Trigrams may legitimately appear in several profiles with
+# different weights (" de" is heavy in de/fr/es). Space-padded entries
+# capture word boundaries, as in the original method.
+LANG_PROFILES: dict[str, dict[str, int]] = {
+    "de": {
+        "der": 5, " de": 4, "er ": 4, "und": 5, " un": 3, "nd ": 3,
+        "die": 4, " di": 3, "ie ": 3, "ein": 4, " ei": 3, "ich": 4,
+        "ch ": 3, "sch": 4, "ung": 3, "gen": 3, "en ": 4, "cht": 3,
+    },
+    "en": {
+        "the": 5, " th": 4, "he ": 4, "ing": 4, "ng ": 3, "and": 4,
+        " an": 3, "nd ": 2, " of": 3, "of ": 3, " to": 3, "to ": 3,
+        "ion": 3, " in": 3, "in ": 2, "ed ": 3, "er ": 2, "is ": 2,
+    },
+    "es": {
+        " de": 4, "de ": 4, " la": 4, "la ": 4, "os ": 4, "que": 4,
+        " qu": 3, "ue ": 3, " el": 3, "el ": 3, " en": 3, "en ": 2,
+        "ar ": 3, "ado": 3, "as ": 3, "es ": 3, "ien": 2, "nte": 2,
+    },
+    "fr": {
+        " le": 4, "le ": 4, " de": 4, "de ": 3, "es ": 4, "ent": 4,
+        " et": 3, "et ": 3, " la": 3, "la ": 2, "ion": 3, "que": 3,
+        " qu": 2, "ue ": 2, "eur": 3, "ait": 3, "ois": 2, "ais": 2,
+    },
+    "zh": {
+        # romanized (pinyin) finals/initials — the ASCII-representable
+        # signal; CJK-codepoint trigrams would join here for raw text
+        "ang": 4, "eng": 4, "ong": 4, "zh ": 3, "sh ": 3, "shi": 4,
+        "zhi": 4, "ian": 3, "uan": 3, "iao": 3, "uo ": 3, "ei ": 2,
+        "ao ": 3, "an ": 2, "ui ": 2, "un ": 2, "ia ": 2, "ou ": 2,
+    },
+}
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Char-trigram profile language ID: one codegen scan, zero shuffles.
+
+    Per language, ``aggregate(trigrams, 0L, acc + profile_map[t])`` sums the
+    profile weights of every trigram occurrence; the argmax (ties broken by
+    lexicographically-smallest language, via a priority field in the struct
+    compare) is the prediction. Scores are integers, so cross-engine
+    equality is exact.
+    """
+    txt = F.lower(F.col("text"))
+    trigs = char_trigrams(txt)
+    langs = sorted(LANG_PROFILES)
+
+    def score(lang: str):
+        prof = LANG_PROFILES[lang]
+        m = F.create_map(
+            *[x for k, w in sorted(prof.items()) for x in (F.lit(k), F.lit(w))]
+        )
+        return F.aggregate(
+            trigs,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.coalesce(m[t], F.lit(0)).cast("long"),
+        )
+
+    # array_max over (score, priority, lang) structs: field-order compare,
+    # priority descending in lang order so ties pick the smallest lang.
+    cands = F.array(
+        *[
+            F.struct(
+                score(lang).alias("s"),
+                F.lit(len(langs) - i).alias("p"),
+                F.lit(lang).alias("l"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(cands)
+    return documents.select(
+        "doc_id",
+        "lang",
+        best["l"].alias("lang_pred"),
+        best["s"].alias("score"),
+        F.greatest(F.length(txt) - 2, F.lit(0)).cast("long").alias("n_trigrams"),
+    )
+
+
+def lang_id_oracle_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    prof_rows = ", ".join(
+        f"('{lang}', '{tg}', {w})"
+        for lang in langs
+        for tg, w in sorted(LANG_PROFILES[lang].items())
+    )
+    lang_rows = ", ".join(f"('{lang}')" for lang in langs)
+    return f"""
+WITH d AS (
+    SELECT doc_id, lang, lower(text) AS txt FROM documents
+),
+profile(plang, tg, w) AS (VALUES {prof_rows}),
+plangs(plang) AS (VALUES {lang_rows}),
+trigs AS (
+    SELECT doc_id, UNNEST({char_trigrams_sql("txt")}) AS tg FROM d
+),
+scores AS (
+    SELECT t.doc_id, p.plang, CAST(SUM(p.w) AS BIGINT) AS s
+    FROM trigs t JOIN profile p ON t.tg = p.tg
+    GROUP BY t.doc_id, p.plang
+),
+full_grid AS (
+    SELECT d.doc_id, d.lang, l.plang, COALESCE(s.s, 0) AS s,
+           CAST(greatest(length(d.txt) - 2, 0) AS BIGINT) AS n_trigrams
+    FROM d CROSS JOIN plangs l
+    LEFT JOIN scores s ON s.doc_id = d.doc_id AND s.plang = l.plang
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY s DESC, plang ASC
+    ) AS rn
+    FROM full_grid
+)
+SELECT doc_id, lang, plang AS lang_pred, CAST(s AS BIGINT) AS score, n_trigrams
+FROM ranked WHERE rn = 1
+"""
+
+
+KEYWORDS_TOP_K = 5
+
+
+def doc_keywords(documents: DataFrame, k: int = KEYWORDS_TOP_K) -> DataFrame:
+    """tf-idf top-k keywords per document.
+
+    Score is ``tf * (N / df)`` — the log-free idf (same ordering as
+    ``tf * ln(N/df)`` within a document since ln is monotone; division and
+    multiplication are exactly-rounded IEEE ops so both engines produce
+    identical doubles, which ``ln`` would not guarantee).
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def doc_keywords_oracle_sql(k: int = KEYWORDS_TOP_K) -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST({tokens_sql("text")}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT f.doc_id, f.term, f.tf, d.df,
+           CAST(f.tf AS DOUBLE)
+             * (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+    FROM tf f JOIN df d USING (term) CROSS JOIN nd n
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def domain_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus profile: volume, token distribution (exact midpoint
+    percentiles over integer token counts), and exact-dup rate inputs
+    (distinct text fingerprints vs docs).
+
+    Exact percentiles need the group's token-count multiset; groups are
+    |sources|, each bounded by corpus share — at 100 TB swap
+    ``percentile_approx`` in if a single source's doc COUNT (not bytes)
+    outgrows executor memory. All other aggregates are map-side combinable
+    integer sums.
+    """
+    per_doc = documents.select(
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        hash64(F.col("text")).alias("fp"),
+    )
+    arr = F.sort_array(F.collect_list("n_tokens"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("fp").alias("n_unique"),
+            midpoint_percentile(arr, 50).alias("p50_tokens"),
+            midpoint_percentile(arr, 95).alias("p95_tokens"),
+        )
+        .withColumn(
+            "avg_tokens",
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .withColumn(
+            "dup_rate",
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double"),
+        )
+        .select(
+            "source", "n_docs", "total_tokens", "n_unique",
+            "p50_tokens", "p95_tokens", "avg_tokens", "dup_rate",
+        )
+    )
+
+
+def domain_stats_oracle_sql() -> str:
+    arr = "list_sort(list(n_tokens))"
+    return f"""
+WITH per_doc AS (
+    SELECT source,
+           CAST(len({tokens_sql("text")}) AS BIGINT) AS n_tokens,
+           {hash64_sql("text")} AS fp
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       {midpoint_percentile_sql(arr, 50)} AS p50_tokens,
+       {midpoint_percentile_sql(arr, 95)} AS p95_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM per_doc
+GROUP BY source
+"""

@@ -1,0 +1,95 @@
+"""Unit tests for the language-ID / keywords / domain-stats tier
+(operators/langid.py). Cross-engine parity is covered by
+test_oracle_parity.py; these pin the edge semantics."""
+
+from __future__ import annotations
+
+from apmbackend_spark.operators.langid import (
+    LANG_PROFILES,
+    doc_keywords,
+    domain_stats,
+    lang_id,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, src) for i, (t, lang, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_lang_id_scores_profile_trigrams(spark):
+    df = _docs(
+        spark,
+        [
+            ("the thing and the other thing", "en", "s"),
+            ("der und die ein ich schlecht", "de", "s"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in lang_id(df).collect()}
+    assert got[0]["lang_pred"] == "en"
+    assert got[1]["lang_pred"] == "de"
+    assert got[0]["score"] > 0 and got[1]["score"] > 0
+    assert got[0]["n_trigrams"] == len("the thing and the other thing") - 2
+
+
+def test_lang_id_short_and_empty_doc_ties_break_to_first_lang(spark):
+    # <3 chars -> no trigrams -> all scores 0 -> smallest lang wins
+    df = _docs(spark, [("xy", "en", "s"), ("", "en", "s")])
+    first = sorted(LANG_PROFILES)[0]
+    for r in lang_id(df).collect():
+        assert r["lang_pred"] == first
+        assert r["score"] == 0
+        assert r["n_trigrams"] == 0
+
+
+def test_lang_id_is_case_insensitive(spark):
+    df = _docs(spark, [("THE THING AND THE OTHER", "en", "s")])
+    assert lang_id(df).collect()[0]["lang_pred"] == "en"
+
+
+def test_doc_keywords_ranks_rare_terms_above_common(spark):
+    # 'zebra' appears once in one doc (df=1); 'common' is in every doc
+    # (df=3, idf factor 1) — zebra must outrank common despite equal tf.
+    df = _docs(
+        spark,
+        [
+            ("common zebra", "en", "s"),
+            ("common other", "en", "s"),
+            ("common words here", "en", "s"),
+        ],
+    )
+    rows = doc_keywords(df, k=5).collect()
+    d0 = {r["term"]: r for r in rows if r["doc_id"] == 0}
+    assert d0["zebra"]["rank"] < d0["common"]["rank"]
+    assert d0["zebra"]["df"] == 1 and d0["common"]["df"] == 3
+    assert d0["zebra"]["score"] == 3.0  # tf 1 * (3 docs / df 1)
+    assert d0["common"]["score"] == 1.0
+
+
+def test_doc_keywords_tiebreak_is_lexicographic(spark):
+    df = _docs(spark, [("b a c", "en", "s")])
+    rows = sorted(doc_keywords(df, k=3).collect(), key=lambda r: r["rank"])
+    assert [r["term"] for r in rows] == ["a", "b", "c"]
+
+
+def test_domain_stats_counts_and_dup_rate(spark):
+    df = _docs(
+        spark,
+        [
+            ("one two three", "en", "src_a"),
+            ("one two three", "en", "src_a"),  # exact dup
+            ("four five", "en", "src_a"),
+            ("solo doc", "en", "src_b"),
+        ],
+    )
+    got = {r["source"]: r for r in domain_stats(df).collect()}
+    a = got["src_a"]
+    assert a["n_docs"] == 3
+    assert a["total_tokens"] == 8
+    assert a["n_unique"] == 2
+    assert a["dup_rate"] == 1.0 / 3.0
+    assert a["p50_tokens"] == 3.0  # sorted [2,3,3], midpoint rule
+    b = got["src_b"]
+    assert b["n_docs"] == 1 and b["dup_rate"] == 0.0
