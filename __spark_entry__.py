@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source corpus profile: integer sums + exact midpoint
         # percentiles + distinct-fingerprint dup rate
         "domain_stats": lambda s, d: lid.domain_stats(docs(s, d)),
+        # domain-weighted mixture sampling to a token budget (deterministic
+        # per-source acceptance rates, hash-threshold realization)
+        "corpus_mixture": lambda s, d: prep.corpus_mixture(docs(s, d)),
     }
     relational = {
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -451,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": lid.lang_id_oracle_sql(),
         "doc_keywords": lid.doc_keywords_oracle_sql(),
         "domain_stats": lid.domain_stats_oracle_sql(),
+        "corpus_mixture": prep.corpus_mixture_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

@@ -40,7 +40,7 @@ from apmbackend_spark.operators.textstats import (
     corpus_scrub,
     corpus_scrub_oracle_sql,
 )
-from apmbackend_spark.functions.text import tokens_sql
+from apmbackend_spark.functions.text import hash64, hash64_sql, tokens, tokens_sql
 
 
 def corpus_prepare(
@@ -96,6 +96,118 @@ def corpus_prepare(
             "doc_id", "source", "n_tokens", "n_pii", "start_offset", "seq_id"
         )
     )
+
+
+# Default mixture config for the graded query: up-weighted "curated"
+# sources, default weight 1 elsewhere, keep ~40% of corpus tokens.
+MIXTURE_WEIGHTS: dict[str, int] = {"src0": 4, "src1": 4, "src2": 2, "src3": 2}
+MIXTURE_DEFAULT_WEIGHT = 1
+MIXTURE_FRAC = (2, 5)  # token budget = total_tokens * 2/5 (exact rational)
+
+
+def corpus_mixture(
+    documents: DataFrame,
+    weights: dict[str, int] | None = None,
+    default_weight: int = MIXTURE_DEFAULT_WEIGHT,
+    frac: tuple[int, int] = MIXTURE_FRAC,
+) -> DataFrame:
+    """Domain-weighted mixture sampling to a token budget (the Pile/DoReMi
+    mixture-building step): each source s gets budget
+    ``budget_total * w_s / Σw``, realized as a deterministic per-source
+    acceptance rate ``min(1, budget_s / tokens_s)`` applied by hash
+    threshold on doc_id — so the sampled corpus is a pure function of
+    (corpus, weights, frac), reproducible across engines and runs.
+
+    Determinism: the budget is an exact integer (``total_tokens*num div
+    den``), rates are one exactly-rounded IEEE division of exact integer
+    products (< 2^53), and acceptance compares an integer hash residue
+    against ``rate * 1e6`` — no cross-row float accumulation anywhere.
+
+    Scale shape: one tokenize scan, one map-side-combinable per-source
+    rollup (|sources| rows), a single-row totals aggregate broadcast back,
+    and a broadcast rate join — the corpus shuffles zero bytes of text.
+    """
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    num, den = frac
+    wmap = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    per_doc = documents.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (hash64(F.col("doc_id").cast("string")) % F.lit(1_000_000)).alias("h"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.sum("n_tokens").alias("tokens_s")
+    ).withColumn(
+        "w", F.coalesce(wmap[F.col("source")], F.lit(default_weight)).cast("long")
+    )
+    totals = per_source.agg(
+        F.sum("tokens_s").alias("total_tokens"), F.sum("w").alias("sum_w")
+    )
+    rates = (
+        per_source.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "budget_total", F.expr(f"(total_tokens * {num}) div {den}")
+        )
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                (F.col("budget_total") * F.col("w")).cast("double")
+                / (F.col("sum_w") * F.col("tokens_s")).cast("double"),
+            ),
+        )
+        .select("source", "rate")
+    )
+    return (
+        per_doc.join(F.broadcast(rates), "source")
+        .where(F.col("h").cast("double") < F.col("rate") * F.lit(1_000_000.0))
+        .select("doc_id", "source", "n_tokens", "rate")
+    )
+
+
+def corpus_mixture_oracle_sql(
+    weights: dict[str, int] | None = None,
+    default_weight: int = MIXTURE_DEFAULT_WEIGHT,
+    frac: tuple[int, int] = MIXTURE_FRAC,
+) -> str:
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    num, den = frac
+    wcase = (
+        "CASE source "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(weights.items()))
+        + f" ELSE {default_weight} END"
+    )
+    return f"""
+WITH per_doc AS (
+    SELECT doc_id, source,
+           CAST(len({tokens_sql("text")}) AS BIGINT) AS n_tokens,
+           {hash64_sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+    FROM documents
+),
+per_source AS (
+    SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens_s,
+           CAST({wcase} AS BIGINT) AS w
+    FROM per_doc GROUP BY source
+),
+totals AS (
+    SELECT CAST(SUM(tokens_s) AS BIGINT) AS total_tokens,
+           CAST(SUM(w) AS BIGINT) AS sum_w
+    FROM per_source
+),
+rates AS (
+    SELECT source,
+           least(CAST(1.0 AS DOUBLE),
+                 CAST(((total_tokens * {num}) // {den}) * w AS DOUBLE)
+                   / CAST(sum_w * tokens_s AS DOUBLE)) AS rate
+    FROM per_source CROSS JOIN totals
+)
+SELECT d.doc_id, d.source, d.n_tokens, r.rate
+FROM per_doc d JOIN rates r USING (source)
+WHERE CAST(d.h AS DOUBLE) < r.rate * CAST(1000000 AS DOUBLE)
+"""
 
 
 def corpus_prepare_oracle_sql(

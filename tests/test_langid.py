@@ -93,3 +93,31 @@ def test_domain_stats_counts_and_dup_rate(spark):
     assert a["p50_tokens"] == 3.0  # sorted [2,3,3], midpoint rule
     b = got["src_b"]
     assert b["n_docs"] == 1 and b["dup_rate"] == 0.0
+
+
+def test_corpus_mixture_budget_and_cap(spark):
+    from apmbackend_spark.operators.prepare import corpus_mixture
+
+    # big: 8 docs x 10 tokens = 80; rare: 2 docs x 10 = 20. total=100.
+    # weights rare=9, big=1; frac=1/2 -> budget=50; rare budget=45 > 20
+    # so rare rate caps at 1.0 (all kept); big rate = 5/80 = 0.0625.
+    rows = [(i, "ten words " * 5, "en", "big") for i in range(8)]
+    rows += [(100 + i, "ten words " * 5, "en", "rare") for i in range(2)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = corpus_mixture(df, weights={"rare": 9}, default_weight=1, frac=(1, 2))
+    got = out.collect()
+    rare = [r for r in got if r["source"] == "rare"]
+    big = [r for r in got if r["source"] == "big"]
+    assert len(rare) == 2  # rate 1.0 keeps everything
+    assert all(r["rate"] == 1.0 for r in rare)
+    assert all(r["rate"] == 0.0625 for r in big)
+    # acceptance is the doc_id-hash threshold: recompute it exactly
+    import hashlib
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 1_000_000
+
+    expect_big = {i for i in range(8) if h(i) < 0.0625 * 1_000_000}
+    assert {r["doc_id"] for r in big} == expect_big
