@@ -305,6 +305,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": lambda s, d: mm.audio_features(
             mm.synth_wav_media(s, docs(s, d))
         ),
+        # END-TO-END REAL image modality: spec-compliant PNG bytes (all 5
+        # scanline filters, CRC-32 chunks) encoded executor-side -> genuine
+        # stdlib decoder (chunk walk, inflate, unfilter incl. Paeth) ->
+        # exact integer channel sums; no stub on this path either.
+        "image_features": lambda s, d: mm.image_features(
+            mm.synth_png_media(s, docs(s, d))
+        ),
         # Cavnar-Trenkle char-trigram language ID: single codegen scan,
         # profile maps evaluated in-expression (no explode/join/shuffle)
         "lang_id": lambda s, d: lid.lang_id(docs(s, d)),
@@ -489,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_slice_rollup": TX_CTE + pt.daily_slice_rollup_oracle_sql(),
         "media_features": mm.media_features_oracle_sql(),
         "audio_features": mm.audio_features_oracle_sql(),
+        "image_features": mm.image_features_oracle_sql(),
         "media_resize": mm.media_resize_oracle_sql(),
         "media_frame_sample": mm.media_frame_sample_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,

@@ -2,11 +2,15 @@
 columns with typed metadata, processed via Arrow-batched mapInPandas
 (north-star operators; SURVEY.md §7 phase 6).
 
-The container has no image/audio codecs, so the decode kernels are
-deterministic fakes behind `_decode_image_stub` (clearly marked); the
-Spark-side plumbing — schema, batch iteration, partition-parallel UDF
-signature, metadata struct — is real and tested. Swapping the stub for
-PIL/librosa is a one-function change.
+Two modalities run END-TO-END REAL with stdlib-only codecs: audio (RIFF/WAVE
+via `wave`, exact integer DSP) and image (spec-compliant PNG encode/decode —
+CRC-verified chunks, zlib inflate, all five scanline filters incl. Paeth —
+see `_png_bytes`/`decode_png`). Only the generic kind-dispatch feature
+kernel (`extract_features`) keeps a deterministic stub behind
+`_decode_image_stub` (clearly marked) for formats with no stdlib codec
+(JPEG, video containers); its Spark-side plumbing — schema, batch
+iteration, partition-parallel UDF signature, metadata struct — is real and
+tested, and swapping the stub for PIL/pyav is a one-function change.
 
 Scale: mapInPandas streams Arrow record batches (bounded memory per task,
 `spark.sql.execution.arrow.maxRecordsPerBatch`), media bytes never pass
@@ -488,3 +492,252 @@ def decode_image_real(content: bytes):
     img = Image.open(io.BytesIO(content)).convert("L")
     px = list(img.getdata())
     return [p / 256.0 for p in px], img.width, img.height
+
+
+# ---------------------------------------------------------------------------
+# REAL image modality: PNG, end-to-end with no codec library.
+#
+# The container lacks PIL, but PNG needs only stdlib zlib: the encoder below
+# writes spec-compliant PNGs (8-bit RGB, all five scanline filter types
+# cycled per row, real CRC-32 chunk checksums), and the decoder is a genuine
+# PNG reader — chunk walk with CRC verification, IDAT inflate, per-row
+# unfiltering incl. the Paeth predictor. Features are exact integer channel
+# sums, so the DuckDB oracle can regenerate them from the deterministic
+# pixel pattern with a range join — the same real-decode grading design as
+# the audio path above.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(media_id: int) -> tuple[int, int]:
+    return 8 + media_id % 9, 8 + media_id % 7  # w in 8..16, h in 8..14
+
+
+def _png_pixel(media_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic RGB pattern, mirrored exactly by the SQL oracle."""
+    return (
+        (media_id + x * 3 + y * 7) % 256,
+        (media_id * 2 + x * 5 + y) % 256,
+        (media_id * 3 + x + y * 11) % 256,
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(media_id: int) -> bytes:
+    """Spec-compliant 8-bit RGB PNG; filter type cycles 0..4 by row so a
+    decoder must implement None/Sub/Up/Average/Paeth for real."""
+    import struct
+    import zlib
+
+    w, h = _png_dims(media_id)
+    bpp = 3
+    prev = bytes(w * bpp)
+    out = bytearray()
+    for y in range(h):
+        raw = bytearray()
+        for x in range(w):
+            raw += bytes(_png_pixel(media_id, x, y))
+        f = y % 5
+        out.append(f)
+        for i in range(len(raw)):
+            a = raw[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = raw[i]
+            elif f == 1:
+                v = raw[i] - a
+            elif f == 2:
+                v = raw[i] - b
+            elif f == 3:
+                v = raw[i] - (a + b) // 2
+            else:
+                v = raw[i] - _paeth(a, b, c)
+            out.append(v & 0xFF)
+        prev = bytes(raw)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Real stdlib-only PNG decoder for 8-bit RGB non-interlaced images:
+    chunk walk with CRC-32 verification, IDAT inflate, scanline unfiltering
+    (all five filter types). Returns (width, height, pixels row-major)."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    idat = bytearray()
+    w = h = None
+    while pos < len(content):
+        if pos + 8 > len(content):
+            raise ValueError("truncated PNG: partial chunk header")
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        if pos + 12 + length > len(content):
+            raise ValueError(f"truncated PNG: partial {tag!r} chunk")
+        data = content[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    prev = bytearray(stride)
+    pixels: list[tuple[int, int, int]] = []
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif f == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif f == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif f == 4:
+                line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+            elif f != 0:
+                raise ValueError(f"bad filter type {f}")
+        for x in range(w):
+            pixels.append(
+                (line[x * bpp], line[x * bpp + 1], line[x * bpp + 2])
+            )
+        prev = line
+    return w, h, pixels
+
+
+def synth_png_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """One real PNG per document, pixel pattern keyed by doc_id — encoded
+    executor-side in mapInPandas (bytes never visit the driver)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_png_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        fn, schema="media_id long, content binary"
+    )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL image decode + features via mapInPandas: full PNG parse
+    (CRC-verified chunks, inflate, unfilter), then exact integer channel
+    sums and a Rec.601 mean luma (one exactly-rounded division)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, px = decode_png(bytes(r.content))
+                sum_r = sum(p[0] for p in px)
+                sum_g = sum(p[1] for p in px)
+                sum_b = sum(p[2] for p in px)
+                n = w * h
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": n,
+                        "sum_r": sum_r,
+                        "sum_g": sum_g,
+                        "sum_b": sum_b,
+                        # Rec.601 integer luma, one exact division at the end
+                        "mean_luma": (sum_r * 299 + sum_g * 587 + sum_b * 114)
+                        / (1000 * n),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        schema=(
+            "media_id long, width int, height int, n_pixels long, "
+            "sum_r long, sum_g long, sum_b long, mean_luma double"
+        ),
+    )
+
+
+def image_features_oracle_sql() -> str:
+    """Exact twin: regenerate the pixel pattern with two range joins and
+    fold the same integer sums (identical final double division)."""
+    return """
+WITH ids AS (
+    SELECT doc_id AS media_id,
+           8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+    FROM documents
+), px AS (
+    SELECT media_id, w, h,
+           (media_id + x.range * 3 + y.range * 7) % 256 AS r,
+           (media_id * 2 + x.range * 5 + y.range) % 256 AS g,
+           (media_id * 3 + x.range + y.range * 11) % 256 AS b
+    FROM ids
+    JOIN range(16) x ON x.range < w
+    JOIN range(14) y ON y.range < h
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) * 299 + SUM(g) * 587 + SUM(b) * 114 AS DOUBLE)
+         / CAST(1000 * w * h AS DOUBLE) AS mean_luma
+FROM px
+GROUP BY media_id, w, h
+"""

@@ -75,3 +75,59 @@ def test_decode_image_real_with_pil():
     assert (w, h) == (4, 3)
     assert len(pixels) == 12
     assert all(p == 128 / 256.0 for p in pixels)
+
+
+class TestRealPng:
+    def test_roundtrip_exact_all_filters(self):
+        from apmbackend_spark.operators.multimodal import (
+            _png_bytes,
+            _png_dims,
+            _png_pixel,
+            decode_png,
+        )
+
+        for mid in (0, 7, 123, 499):
+            w, h, px = decode_png(_png_bytes(mid))
+            assert (w, h) == _png_dims(mid)
+            assert h >= 5  # every filter type 0..4 exercised
+            assert px == [
+                _png_pixel(mid, x, y) for y in range(h) for x in range(w)
+            ]
+
+    def test_corrupt_crc_raises(self):
+        from apmbackend_spark.operators.multimodal import _png_bytes, decode_png
+
+        b = bytearray(_png_bytes(5))
+        b[20] ^= 0xFF
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(b))
+
+    def test_truncated_raises(self):
+        from apmbackend_spark.operators.multimodal import _png_bytes, decode_png
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            decode_png(_png_bytes(5)[:10])
+
+    def test_image_features_end_to_end(self, spark):
+        from apmbackend_spark.operators.multimodal import (
+            _png_dims,
+            _png_pixel,
+            image_features,
+            synth_png_media,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        got = {r["media_id"]: r for r in image_features(
+            synth_png_media(spark, docs)
+        ).collect()}
+        for mid in range(6):
+            w, h = _png_dims(mid)
+            px = [_png_pixel(mid, x, y) for y in range(h) for x in range(w)]
+            r = got[mid]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sum_r"] == sum(p[0] for p in px)
+            assert r["sum_b"] == sum(p[2] for p in px)
