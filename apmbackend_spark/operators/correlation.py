@@ -210,3 +210,131 @@ SELECT s.logid, s.service, s.server, s.endts,
             ELSE 'none' END AS acct_source
 FROM stripped s LEFT JOIN mapping m USING (logid)
 """
+
+
+# ---------------------------------------------------------------------------
+# Interval containment join — the scale-correct range-join pattern.
+# ---------------------------------------------------------------------------
+
+INTERVAL_BUCKET_MS = 6 * 3_600_000  # choose ~ median interval span
+
+
+def interval_join(
+    intervals: DataFrame,
+    probe: DataFrame,
+    keys: list[str],
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    ts_col: str = "endts",
+    bucket_ms: int = INTERVAL_BUCKET_MS,
+) -> DataFrame:
+    """Containment join ``probe.ts in [interval.start, interval.end)`` on
+    shared equi-keys, planned as an EQUI-join — never a nested-loop theta
+    join (which Spark would otherwise pick and which is O(n*m) per key).
+
+    Pattern: each interval explodes to the time buckets it covers
+    (``start div B .. (end-1) div B``), each probe row maps to its single
+    bucket, the join runs hash/sort-merge on (keys, bucket), and the exact
+    range predicate remains as a residual filter. Each qualifying
+    (interval, row) pair matches in EXACTLY one bucket — the probe row's
+    own — so no dedup is needed. Shuffle is ∝ rows + intervals×buckets;
+    pick ``bucket_ms`` near the median interval span so the explode factor
+    stays O(1).
+
+    Returns interval columns + probe's non-key columns prefixed ``probe_``.
+    """
+    seq = F.sequence(
+        F.expr(f"{start_col} div {bucket_ms}"),
+        F.expr(f"({end_col} - 1) div {bucket_ms}"),
+    )
+    iv = (
+        intervals.where(F.col(end_col) > F.col(start_col))
+        .withColumn("__bucket", F.explode(seq))
+        .alias("iv")
+    )
+    pr = probe.withColumn(
+        "__bucket", F.expr(f"{ts_col} div {bucket_ms}")
+    ).alias("pr")
+    cond = F.col("iv.__bucket") == F.col("pr.__bucket")
+    for k in keys:
+        cond = cond & (F.col(f"iv.{k}") == F.col(f"pr.{k}"))
+    cond = (
+        cond
+        & (F.col(f"pr.{ts_col}") >= F.col(f"iv.{start_col}"))
+        & (F.col(f"pr.{ts_col}") < F.col(f"iv.{end_col}"))
+    )
+    out_iv = [F.col(f"iv.{c}") for c in intervals.columns]
+    out_pr = [
+        F.col(f"pr.{c}").alias(f"probe_{c}")
+        for c in probe.columns
+        if c not in keys
+    ]
+    return iv.join(pr, cond).select(*out_iv, *out_pr)
+
+
+INCIDENT_SERVICE = "error"
+
+
+def incident_windows(
+    tx: DataFrame,
+    incident_service: str = INCIDENT_SERVICE,
+    gap_minutes: float | None = None,
+    bucket_ms: int = INTERVAL_BUCKET_MS,
+) -> DataFrame:
+    """Incident-window attribution: for every gap-session of the incident
+    service on a server, count ALL services' traffic on that server inside
+    the window [session_start, session_end) — "what else was happening on
+    this host during the error burst". Composition: sessionize → filter →
+    interval_join → per-window rollup."""
+    from apmbackend_spark.operators.sessions import (
+        DEFAULT_GAP_MINUTES,
+        sessionize,
+    )
+
+    gap = DEFAULT_GAP_MINUTES if gap_minutes is None else gap_minutes
+    sess = (
+        sessionize(tx, gap)
+        .where(F.col("service") == incident_service)
+        .select("server", "session_start", "session_end")
+    )
+    pairs = interval_join(
+        sess,
+        tx.select("server", "service", "endts"),
+        keys=["server"],
+        bucket_ms=bucket_ms,
+    )
+    return pairs.groupBy("server", "session_start", "session_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("probe_service").alias("n_services"),
+    )
+
+
+def incident_windows_oracle_sql(
+    incident_service: str = INCIDENT_SERVICE,
+    gap_minutes: float | None = None,
+) -> str:
+    """Twin as a plain theta join (DuckDB handles the O(n*m)-per-key form
+    fine at oracle scale; the Spark side MUST NOT plan it that way)."""
+    from apmbackend_spark.operators.sessions import (
+        DEFAULT_GAP_MINUTES,
+        sessionize_oracle_ctes,
+    )
+
+    gap = DEFAULT_GAP_MINUTES if gap_minutes is None else gap_minutes
+    return (
+        sessionize_oracle_ctes(gap)
+        + f"""
+, incidents AS (
+    SELECT server, session_start, session_end
+    FROM sessions WHERE service = '{incident_service}'
+)
+SELECT i.server, i.session_start, i.session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT t.service) AS BIGINT) AS n_services
+FROM incidents i
+JOIN tx t ON t.server = i.server
+         AND t.endts >= i.session_start
+         AND t.endts < i.session_end
+GROUP BY i.server, i.session_start, i.session_end
+"""
+    )

@@ -62,11 +62,14 @@ def sessionize(tx: DataFrame, gap_minutes: float = DEFAULT_GAP_MINUTES) -> DataF
     )
 
 
-def sessionize_oracle_sql(gap_minutes: float = DEFAULT_GAP_MINUTES) -> str:
-    """Island detection: a session boundary is a gap >= gap_ms from the
-    previous event of the same key; session id = running boundary count.
-    Tie-safe: equal endts rows always fuse (diff 0 < gap) whatever the
-    tie order, so group membership is deterministic."""
+def sessionize_oracle_ctes(
+    gap_minutes: float = DEFAULT_GAP_MINUTES, out: str = "sessions"
+) -> str:
+    """Island detection as a reusable CTE chain ending in ``{out}``: a
+    session boundary is a gap >= gap_ms from the previous event of the same
+    key; session id = running boundary count. Tie-safe: equal endts rows
+    always fuse (diff 0 < gap) whatever the tie order, so group membership
+    is deterministic."""
     gap_ms = int(round(gap_minutes * 60_000))
     return f"""
 , ev AS (
@@ -83,15 +86,19 @@ def sessionize_oracle_sql(gap_minutes: float = DEFAULT_GAP_MINUTES) -> str:
            SUM(is_new) OVER (PARTITION BY server, service ORDER BY endts
                              ROWS UNBOUNDED PRECEDING) AS sid
     FROM flagged
-)
-SELECT server, service,
-       MIN(endts) AS session_start,
-       MAX(endts) + {gap_ms} AS session_end,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(elapsed) AS BIGINT) AS sum_elapsed
-FROM sess
-GROUP BY server, service, sid
-"""
+), {out} AS (
+    SELECT server, service,
+           MIN(endts) AS session_start,
+           MAX(endts) + {gap_ms} AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(elapsed) AS BIGINT) AS sum_elapsed
+    FROM sess
+    GROUP BY server, service, sid
+)"""
+
+
+def sessionize_oracle_sql(gap_minutes: float = DEFAULT_GAP_MINUTES) -> str:
+    return sessionize_oracle_ctes(gap_minutes) + "\nSELECT * FROM sessions"
 
 
 ALL_LABEL = "<all>"

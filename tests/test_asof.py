@@ -31,3 +31,34 @@ def test_asof_picks_latest_at_or_before(spark):
     assert out["c"] == (100, 10)
     assert out["d"] == (200, 20)
     assert out["e"] == (150, 99)
+
+
+class TestIntervalJoin:
+    def test_boundaries_and_multibucket(self, spark):
+        from apmbackend_spark.operators.correlation import interval_join
+
+        # bucket_ms=10: interval [5, 25) covers buckets 0,1,2
+        iv = spark.createDataFrame(
+            [("k1", 5, 25), ("k2", 5, 25)],
+            "server string, session_start long, session_end long",
+        )
+        pr = spark.createDataFrame(
+            [("k1", 4), ("k1", 5), ("k1", 15), ("k1", 24), ("k1", 25),
+             ("k2", 15), ("kX", 15)],
+            "server string, endts long",
+        )
+        got = interval_join(
+            iv, pr, keys=["server"], ts_col="endts", bucket_ms=10
+        ).collect()
+        k1 = sorted(r["probe_endts"] for r in got if r["server"] == "k1")
+        assert k1 == [5, 15, 24]  # start inclusive, end exclusive; no dups
+        assert sorted(r["probe_endts"] for r in got if r["server"] == "k2") == [15]
+
+    def test_empty_interval_dropped(self, spark):
+        from apmbackend_spark.operators.correlation import interval_join
+
+        iv = spark.createDataFrame(
+            [("k", 10, 10)], "server string, session_start long, session_end long"
+        )
+        pr = spark.createDataFrame([("k", 10)], "server string, endts long")
+        assert interval_join(iv, pr, keys=["server"], bucket_ms=10).count() == 0

@@ -304,3 +304,16 @@ def test_log_extract_single_stage_no_python(spark):
 
     assert len(re.findall(r"hashpartitioning", p)) == 0
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_incident_windows_equi_join_not_theta(spark):
+    # The interval containment join must plan as a hash/sort-merge join on
+    # (server, bucket) with the range predicate as residual — a nested-loop
+    # theta join would be O(n*m) per server and die at scale.
+    from apmbackend_spark.operators.correlation import incident_windows
+    from apmbackend_spark.sources.tx import load_tx
+
+    p = plan(incident_windows(load_tx(spark, SF_SMOKE)))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
