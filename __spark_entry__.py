@@ -38,6 +38,7 @@ from apmbackend_spark.sources import bucketing as bk
 from apmbackend_spark.sources import partitioned as pt
 from apmbackend_spark.operators import skew as sk
 from apmbackend_spark.operators import langid as lid
+from apmbackend_spark.operators import scd
 from apmbackend_spark.operators import semistruct as ss
 from apmbackend_spark.streaming import topology as topo
 
@@ -375,6 +376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # range filter), never a nested-loop theta join: per-incident-window
         # cross-service traffic attribution
         "incident_windows": lambda s, d: co.incident_windows(load_tx(s, d)),
+        # SCD2 snapshot merge over the customer dimension (full-outer key
+        # join + four disjoint union legs; history streams through untouched)
+        "scd2_customer": lambda s, d: scd.scd2_customer(
+            load_table(s, d, "customer")
+        ),
     }
     core = {
         # SURVEY §2 reference semantics — graded FIRST (the driver checks the
@@ -604,6 +610,7 @@ FROM tx
         "acct_enrich": TX_CTE + co.ACCT_ENRICH_ORACLE,
         "gauge_asof": TX_CTE + co.GAUGE_ASOF_ORACLE,
         "incident_windows": TX_CTE + co.incident_windows_oracle_sql(),
+        "scd2_customer": scd.scd2_customer_oracle_sql(),
         "ordered_release": TX_CTE + od.ORDERED_RELEASE_ORACLE,
         "db_fanin": dense_st
         + ", fs AS ("
