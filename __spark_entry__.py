@@ -381,6 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer": lambda s, d: scd.scd2_customer(
             load_table(s, d, "customer")
         ),
+        # streaming LLM-pipeline gate: the corpus arrives as 3 separate
+        # deliveries (one micro-batch each); a streaming aggregation builds
+        # the exact-dedup fingerprint index incrementally across batches
+        "stream_corpus_dedup": lambda s, d: topo.stream_corpus_gate(s, d),
     }
     core = {
         # SURVEY §2 reference semantics — graded FIRST (the driver checks the
@@ -611,6 +615,7 @@ FROM tx
         "gauge_asof": TX_CTE + co.GAUGE_ASOF_ORACLE,
         "incident_windows": TX_CTE + co.incident_windows_oracle_sql(),
         "scd2_customer": scd.scd2_customer_oracle_sql(),
+        "stream_corpus_dedup": topo.stream_corpus_gate_oracle_sql(),
         "ordered_release": TX_CTE + od.ORDERED_RELEASE_ORACLE,
         "db_fanin": dense_st
         + ", fs AS ("
