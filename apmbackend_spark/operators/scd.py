@@ -3,14 +3,17 @@ dimension pipeline runs per snapshot delivery (Kimball SCD2: close the
 changed row, open a new version, insert unseen keys, keep history
 immutable).
 
-Plan shape: one FULL OUTER equi-join on the dimension key between the
-current-version slice and the incoming snapshot, then a union of four
+Plan shape: logically one FULL OUTER equi-join on the dimension key between
+the current-version slice and the incoming snapshot, then a union of four
 disjoint leg projections (history pass-through, closed rows, carried rows,
-opened rows). The join is key-hash partitioned (sort-merge at dimension
-scale, broadcast when the delta is small); nothing is ordered globally and
-no window functions are involved, so the operator is shuffle-minimal and
-embarrassingly scalable: 100 TB dimension history is fine because only the
-`is_current` slice joins — history rows stream straight through.
+opened rows). Catalyst specializes the join per leg — the carried leg reads
+only the left side so it plans LeftOuter, the closed leg Inner, the opened
+leg RightOuter (asserted in tests/test_plans.py) — each a keyed hash join
+(sort-merge at dimension scale, broadcast when the delta is small); nothing
+is ordered globally and no window functions are involved, so the operator
+is shuffle-minimal and embarrassingly scalable: 100 TB dimension history is
+fine because only the `is_current` slice joins — history rows stream
+straight through.
 
 Change detection is null-safe equality over the tracked attributes
 (`eqNullSafe`), so NULL→value and value→NULL transitions version correctly.

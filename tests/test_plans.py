@@ -317,3 +317,45 @@ def test_incident_windows_equi_join_not_theta(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_lang_id_is_single_scan_no_shuffle(spark):
+    # The trigram-profile scoring runs inside one codegen scan stage: no
+    # explode, no join, no Exchange anywhere in the plan.
+    from apmbackend_spark.operators.langid import lang_id
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(lang_id(load_table(spark, SF_SMOKE, "documents")))
+    assert "Exchange" not in p
+    assert "Generate" not in p  # no explode
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_corpus_mixture_rate_join_is_broadcast(spark):
+    # The |sources|-row rate table must broadcast back onto the corpus —
+    # the text never shuffles.
+    from apmbackend_spark.operators.prepare import corpus_mixture
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(corpus_mixture(load_table(spark, SF_SMOKE, "documents")))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_scd2_single_key_join_history_not_joined(spark):
+    # Exactly one equi-join (current slice vs snapshot); history rows
+    # union through without joining. No nested-loop anywhere.
+    from apmbackend_spark.operators.scd import scd2_customer
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(scd2_customer(load_table(spark, SF_SMOKE, "customer")))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # Catalyst specializes the logical full-outer per union leg (the carried
+    # leg keeps only the left side -> LeftOuter, the closed leg needs both
+    # -> Inner, the opened leg -> RightOuter) — every physical join must be
+    # a keyed hash join, one per leg, never a nested loop.
+    n_joins = p.count("SortMergeJoin") + p.count("BroadcastHashJoin") + p.count("ShuffledHashJoin")
+    assert n_joins >= 1
+    assert "Join type: LeftOuter" in p or "Join type: FullOuter" in p
