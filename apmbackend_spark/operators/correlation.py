@@ -216,7 +216,17 @@ FROM stripped s LEFT JOIN mapping m USING (logid)
 # Interval containment join — the scale-correct range-join pattern.
 # ---------------------------------------------------------------------------
 
-INTERVAL_BUCKET_MS = 6 * 3_600_000  # choose ~ median interval span
+# Generic default for interval_join. Choose bucket_ms ~ the MEDIAN INTERVAL
+# SPAN of the actual workload: too-large buckets pre-pair a probe row with
+# every interval sharing its bucket (per-bucket quadratic before the
+# residual filter); too-small buckets inflate the interval explode
+# (span/bucket rows per interval).
+INTERVAL_BUCKET_MS = 3_600_000
+# incident_windows sessions close after a 5-minute silence gap, so typical
+# spans are minutes — bucket accordingly (NOT the generic hour default:
+# a 6h bucket would pre-pair each tx row with every error session in the
+# same quarter-day on that server).
+INCIDENT_BUCKET_MS = 600_000
 
 
 def interval_join(
@@ -279,7 +289,7 @@ def incident_windows(
     tx: DataFrame,
     incident_service: str = INCIDENT_SERVICE,
     gap_minutes: float | None = None,
-    bucket_ms: int = INTERVAL_BUCKET_MS,
+    bucket_ms: int = INCIDENT_BUCKET_MS,
 ) -> DataFrame:
     """Incident-window attribution: for every gap-session of the incident
     service on a server, count ALL services' traffic on that server inside

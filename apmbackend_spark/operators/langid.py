@@ -179,8 +179,17 @@ def doc_keywords(documents: DataFrame, k: int = KEYWORDS_TOP_K) -> DataFrame:
     tok = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist the narrow tf frame: both the df rollup and the scored join
+    # consume it, and without materialization each branch would re-run the
+    # tokenize + explode + token-level shuffle over the corpus
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # separate column-pruned scan on purpose: N must count ALL documents,
+    # including zero-token ones that have no tf rows
     nd = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(df, "term")

@@ -543,21 +543,26 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def _png_bytes(media_id: int) -> bytes:
-    """Spec-compliant 8-bit RGB PNG; filter type cycles 0..4 by row so a
-    decoder must implement None/Sub/Up/Average/Paeth for real."""
+def encode_png(
+    pixels: list[tuple[int, int, int]],
+    w: int,
+    h: int,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Spec-compliant 8-bit RGB PNG encoder. ``filters`` gives the scanline
+    filter type per row (default: cycle 0..4, so a decoder must implement
+    None/Sub/Up/Average/Paeth for real)."""
     import struct
     import zlib
 
-    w, h = _png_dims(media_id)
     bpp = 3
     prev = bytes(w * bpp)
     out = bytearray()
     for y in range(h):
         raw = bytearray()
         for x in range(w):
-            raw += bytes(_png_pixel(media_id, x, y))
-        f = y % 5
+            raw += bytes(pixels[y * w + x])
+        f = (y % 5) if filters is None else filters[y]
         out.append(f)
         for i in range(len(raw)):
             a = raw[i - bpp] if i >= bpp else 0
@@ -582,6 +587,12 @@ def _png_bytes(media_id: int) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def _png_bytes(media_id: int) -> bytes:
+    w, h = _png_dims(media_id)
+    pixels = [_png_pixel(media_id, x, y) for y in range(h) for x in range(w)]
+    return encode_png(pixels, w, h)
 
 
 def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:

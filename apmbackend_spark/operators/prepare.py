@@ -123,9 +123,12 @@ def corpus_mixture(
     products (< 2^53), and acceptance compares an integer hash residue
     against ``rate * 1e6`` — no cross-row float accumulation anywhere.
 
-    Scale shape: one tokenize scan, one map-side-combinable per-source
-    rollup (|sources| rows), a single-row totals aggregate broadcast back,
-    and a broadcast rate join — the corpus shuffles zero bytes of text.
+    Scale shape: ONE tokenize scan — the narrow per-doc frame (doc_id,
+    source, n_tokens, hash; no text) is persisted so the per-source rollup,
+    the totals aggregate, and the final rate join all read the same
+    materialization instead of re-tokenizing the corpus per branch — then a
+    map-side-combinable |sources| rollup, a single-row totals broadcast,
+    and a broadcast rate join. The corpus text never shuffles.
     """
     weights = MIXTURE_WEIGHTS if weights is None else weights
     num, den = frac
@@ -137,7 +140,7 @@ def corpus_mixture(
         "source",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
         (hash64(F.col("doc_id").cast("string")) % F.lit(1_000_000)).alias("h"),
-    )
+    ).persist()
     per_source = per_doc.groupBy("source").agg(
         F.sum("n_tokens").alias("tokens_s")
     ).withColumn(

@@ -50,6 +50,13 @@ def scd2_merge(
 
     ``scd`` columns: key, *attrs, valid_from, valid_to, is_current.
     ``snapshot`` columns: key, *attrs.
+
+    PRECONDITION: ``snapshot`` must be key-unique (one row per ``key``) —
+    the standard dimension-delivery contract. A duplicate-keyed delivery
+    would fan out through the join and mint multiple current versions;
+    validate upstream (e.g. ``assert snap.groupBy(key).count().where("count
+    > 1").isEmpty()`` in the ingest job) rather than silently deduping
+    here, because which duplicate to keep is a data-owner decision.
     """
     hist = scd.where(~F.col("is_current"))
     cur = scd.where(F.col("is_current")).alias("c")

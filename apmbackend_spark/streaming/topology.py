@@ -164,7 +164,13 @@ def stream_topology_gate(
 
     from apmbackend_spark.sources.tx import load_tx
 
+    import atexit
+    import shutil
+
     work = tempfile.mkdtemp(prefix="apm_topology_gate_")
+    # handoff dirs + checkpoints are data-sized; reclaim at interpreter exit
+    # (the returned DataFrame reads the fs sink until the caller collects)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     ev_dir = os.path.join(work, "events_src")
     os.makedirs(ev_dir)
     # the file stream wants a directory containing only the events table
@@ -220,13 +226,19 @@ def stream_corpus_gate(
     dedup operators over the lake — the per-batch state-store mechanics
     exercised here are identical.
     """
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from apmbackend_spark.functions.text import hash64
     from apmbackend_spark.sources.loaders import load_table
 
     work = tempfile.mkdtemp(prefix="apm_corpus_gate_")
+    # the staged corpus copy + index + checkpoint are corpus-sized; reclaim
+    # at interpreter exit (the returned DataFrame reads from `work` until
+    # the caller collects, so an eager delete would break grading)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     src = os.path.join(work, "docs_src")
     out = os.path.join(work, "dedup_index")
     docs = load_table(spark, sf_dir, "documents").select(

@@ -143,6 +143,18 @@ def docs_timings(spark, sf_dir: str) -> dict[str, float]:
     t.timed("ngram_jaccard", lambda: dd.ngram_jaccard_pairs(docs))
     t.timed("simhash", lambda: dd.simhash(docs))
     t.timed("dedup_clusters", lambda: dd.dedup_clusters(docs))
+
+    from apmbackend_spark.operators.langid import (
+        doc_keywords,
+        domain_stats,
+        lang_id,
+    )
+    from apmbackend_spark.operators.prepare import corpus_mixture
+
+    t.timed("lang_id", lambda: lang_id(docs))
+    t.timed("doc_keywords", lambda: doc_keywords(docs))
+    t.timed("domain_stats", lambda: domain_stats(docs))
+    t.timed("corpus_mixture", lambda: corpus_mixture(docs))
     return t.out
 
 
@@ -177,6 +189,10 @@ def chain_timings(spark, sf_dir: str) -> dict[str, float]:
     )
     t.timed("alerts", lambda: al.alert_pipeline(e._fs(spark, sf_dir), e.ALERT_CFG))
     t.timed("ordered_release", lambda: ordered_release(load_tx(spark, sf_dir)))
+
+    from apmbackend_spark.operators.correlation import incident_windows
+
+    t.timed("incident_windows", lambda: incident_windows(load_tx(spark, sf_dir)))
     return t.out
 
 

@@ -10,49 +10,7 @@ import zlib
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from apmbackend_spark.operators.multimodal import (
-    _paeth,
-    _png_chunk,
-    _PNG_SIG,
-    decode_png,
-)
-
-
-def encode_rgb(pixels, w, h, filters):
-    """Arbitrary-filter PNG encoder (generalizes _png_bytes: the per-row
-    filter types come from `filters` instead of y % 5)."""
-    bpp = 3
-    prev = bytes(w * bpp)
-    out = bytearray()
-    for y in range(h):
-        raw = bytearray()
-        for x in range(w):
-            raw += bytes(pixels[y * w + x])
-        f = filters[y]
-        out.append(f)
-        for i in range(len(raw)):
-            a = raw[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if f == 0:
-                v = raw[i]
-            elif f == 1:
-                v = raw[i] - a
-            elif f == 2:
-                v = raw[i] - b
-            elif f == 3:
-                v = raw[i] - (a + b) // 2
-            else:
-                v = raw[i] - _paeth(a, b, c)
-            out.append(v & 0xFF)
-        prev = bytes(raw)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
-        + _png_chunk(b"IEND", b"")
-    )
+from apmbackend_spark.operators.multimodal import decode_png, encode_png
 
 
 @settings(max_examples=60, deadline=None)
@@ -72,7 +30,7 @@ def test_roundtrip_random_images_and_filters(data):
     filters = data.draw(
         st.lists(st.integers(0, 4), min_size=h, max_size=h)
     )
-    dw, dh, got = decode_png(encode_rgb(pixels, w, h, filters))
+    dw, dh, got = decode_png(encode_png(pixels, w, h, filters))
     assert (dw, dh) == (w, h)
     assert got == pixels
 
@@ -85,7 +43,7 @@ def test_single_bit_corruption_never_passes_silently(data):
     # zlib padding bytes can be a no-op) — never silently different pixels
     # without a CRC failure. We flip within chunk data, so decode must raise.
     pixels = [(x * 17 % 256, x * 29 % 256, x * 43 % 256) for x in range(16)]
-    png = encode_rgb(pixels, 4, 4, [0, 1, 2, 4])
+    png = encode_png(pixels, 4, 4, [0, 1, 2, 4])
     # byte offsets inside IHDR/IDAT chunk payloads (skip signature+lengths)
     idx = data.draw(st.integers(16, len(png) - 13))
     bit = data.draw(st.integers(0, 7))
