@@ -36,6 +36,7 @@ from apmbackend_spark.sources import jmx as jmxsrc
 from apmbackend_spark.sources import logparse as lp
 from apmbackend_spark.sources import bucketing as bk
 from apmbackend_spark.sources import partitioned as pt
+from apmbackend_spark.sources import jsonl
 from apmbackend_spark.operators import skew as sk
 from apmbackend_spark.operators import langid as lid
 from apmbackend_spark.operators import scd
@@ -385,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deliveries (one micro-batch each); a streaming aggregation builds
         # the exact-dedup fingerprint index incrementally across batches
         "stream_corpus_dedup": lambda s, d: topo.stream_corpus_gate(s, d),
+        # schema-on-read JSONL source with PERMISSIVE corrupt-record
+        # accounting: torn-delivery round-trip, per-lang quality rollup
+        "jsonl_ingest": jsonl.jsonl_ingest_gate,
     }
     core = {
         # SURVEY §2 reference semantics — graded FIRST (the driver checks the
@@ -616,6 +620,7 @@ FROM tx
         "incident_windows": TX_CTE + co.incident_windows_oracle_sql(),
         "scd2_customer": scd.scd2_customer_oracle_sql(),
         "stream_corpus_dedup": topo.stream_corpus_gate_oracle_sql(),
+        "jsonl_ingest": jsonl.jsonl_ingest_oracle_sql(),
         "ordered_release": TX_CTE + od.ORDERED_RELEASE_ORACLE,
         "db_fanin": dense_st
         + ", fs AS ("
