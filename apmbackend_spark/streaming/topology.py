@@ -141,6 +141,7 @@ def stream_topology_gate(
     influence: float = 0.1,
     watermark: str = "60 seconds",
     slice_ms: int | None = 48 * 3600 * 1000,
+    shuffle_partitions: int = 8,
 ) -> "DataFrame":
     """Driver-gradeable batch/stream parity query: drain the full
     availableNow topology over the fixture's events and return the
@@ -183,16 +184,27 @@ def stream_topology_gate(
         # one cheap batch scan for the slice bound (min endts + slice)
         lo = load_tx(spark, sf_dir).agg(F.min("endts")).collect()[0][0]
         endts_before = int(lo) + int(slice_ms)
-    dirs = run_apm_topology(
-        spark,
-        ev_dir,
-        os.path.join(work, "topo"),
-        lags=lags,
-        threshold=threshold,
-        influence=influence,
-        watermark=watermark,
-        endts_before=endts_before,
-    )
+    # The gate's drained volume is span-bounded (|keys| x slice hours), so
+    # the session default of 32 shuffle partitions means mostly-empty state
+    # store instances per stateful operator per micro-batch — measured ~2x
+    # the gate's wall time in pure overhead at sf0.1. Size the stream's
+    # shuffle to the bounded key volume for the drain, restore after.
+    # (Partitioning never changes results — every stage is key-hashed.)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        dirs = run_apm_topology(
+            spark,
+            ev_dir,
+            os.path.join(work, "topo"),
+            lags=lags,
+            threshold=threshold,
+            influence=influence,
+            watermark=watermark,
+            endts_before=endts_before,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.schema(_fs_handoff_schema()).parquet(dirs["fs"])
 
 
@@ -206,7 +218,8 @@ DOCS_STREAM_SCHEMA = (
 
 
 def stream_corpus_gate(
-    spark: SparkSession, sf_dir: str, n_shards: int = 3
+    spark: SparkSession, sf_dir: str, n_shards: int = 3,
+    shuffle_partitions: int = 8,
 ) -> "DataFrame":
     """Driver-gradeable streaming LLM-pipeline query: the documents table
     arrives as ``n_shards`` separate parquet deliveries (maxFilesPerTrigger=1
@@ -266,14 +279,21 @@ def stream_corpus_gate(
     def sink(df, _bid):
         df.write.mode("overwrite").parquet(out)
 
-    q = (
-        index.writeStream.outputMode("complete")
-        .foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(work, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # same span-bounded sizing rationale as stream_topology_gate: the index
+    # aggregation is tiny, so default-width state stores are pure overhead
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            index.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out)
 
 
