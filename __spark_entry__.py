@@ -389,6 +389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # schema-on-read JSONL source with PERMISSIVE corrupt-record
         # accounting: torn-delivery round-trip, per-lang quality rollup
         "jsonl_ingest": jsonl.jsonl_ingest_gate,
+        # linear gauge interpolation at event time: bidirectional
+        # carry-forward windows (one shuffle), no range join
+        "gauge_interpolate": lambda s, d: co.gauge_interpolate(
+            load_tx(s, d), zf.jmx_gauges(load_tx(s, d))
+        ),
     }
     core = {
         # SURVEY §2 reference semantics — graded FIRST (the driver checks the
@@ -621,6 +626,7 @@ FROM tx
         "scd2_customer": scd.scd2_customer_oracle_sql(),
         "stream_corpus_dedup": topo.stream_corpus_gate_oracle_sql(),
         "jsonl_ingest": jsonl.jsonl_ingest_oracle_sql(),
+        "gauge_interpolate": TX_CTE + co.GAUGE_INTERPOLATE_ORACLE,
         "ordered_release": TX_CTE + od.ORDERED_RELEASE_ORACLE,
         "db_fanin": dense_st
         + ", fs AS ("

@@ -348,3 +348,125 @@ JOIN tx t ON t.server = i.server
 GROUP BY i.server, i.session_start, i.session_end
 """
     )
+
+
+def gauge_interpolate(tx: DataFrame, gauges: DataFrame) -> DataFrame:
+    """Linear interpolation of the heap gauge at each tx's endts — the
+    time-series companion to `gauge_asof`: instead of carrying the latest
+    sample forward, estimate the value AT the event time from the samples
+    bracketing it: h(t) = h_prev + (h_next - h_prev) * (t-t_prev)/(t_next-t_prev).
+
+    Scale shape: the same union + one-shuffle-per-server ordered window as
+    gauge_asof, run in BOTH directions (last-ignorenulls over the preceding
+    frame for the bracket start, first-ignorenulls over the following frame
+    for the bracket end) — still one sort per server partition, no range
+    join. Tie rule matches gauge_asof: a gauge at exactly endts is the
+    "prev" sample (gauge rows order before tx rows at equal ts), so the
+    "next" bracket is strictly after. Edge rows fall back to the one
+    existing bracket (flat extrapolation).
+
+    Float contract: the interpolation is (exact long subtraction) x (one
+    exactly-rounded division) with one multiply and one add, in a fixed
+    order — bit-identical across engines (no cross-row float accumulation).
+    """
+    from pyspark.sql import Window
+
+    g = gauges.select(
+        "server",
+        F.col("timestamp").alias("ts"),
+        F.lit(0).alias("is_tx"),
+        F.lit(None).cast("string").alias("logid"),
+        F.col("timestamp").alias("gts"),
+        F.col("heapused").alias("h"),
+    )
+    t = tx.select(
+        "server",
+        F.col("endts").alias("ts"),
+        F.lit(1).alias("is_tx"),
+        "logid",
+        F.lit(None).cast("long").alias("gts"),
+        F.lit(None).cast("long").alias("h"),
+    )
+    back = (
+        Window.partitionBy("server")
+        .orderBy("ts", "is_tx", "logid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("server")
+        .orderBy("ts", "is_tx", "logid")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    u = g.unionAll(t).select(
+        "server",
+        "ts",
+        "is_tx",
+        "logid",
+        F.last("gts", ignorenulls=True).over(back).alias("prev_ts"),
+        F.last("h", ignorenulls=True).over(back).alias("prev_h"),
+        F.first("gts", ignorenulls=True).over(fwd).alias("next_ts"),
+        F.first("h", ignorenulls=True).over(fwd).alias("next_h"),
+    )
+    both = F.col("prev_h").isNotNull() & F.col("next_h").isNotNull()
+    ratio = (F.col("ts") - F.col("prev_ts")).cast("double") / (
+        F.col("next_ts") - F.col("prev_ts")
+    ).cast("double")
+    interp = (
+        F.when(
+            both & (F.col("next_ts") > F.col("prev_ts")),
+            F.col("prev_h").cast("double")
+            + (F.col("next_h") - F.col("prev_h")).cast("double") * ratio,
+        )
+        .when(F.col("prev_h").isNotNull(), F.col("prev_h").cast("double"))
+        .otherwise(F.col("next_h").cast("double"))
+    )
+    return u.where(F.col("is_tx") == 1).select(
+        "logid",
+        "server",
+        F.col("ts").alias("endts"),
+        "prev_ts",
+        "next_ts",
+        interp.alias("heap_interp"),
+    )
+
+
+# Twin rendering: identical union + bidirectional IGNORE NULLS windows in
+# DuckDB (no native bidirectional ASOF), identical float-op order.
+GAUGE_INTERPOLATE_ORACLE = """
+, jx AS (
+    SELECT (endts - endts % 60000) AS timestamp, server,
+           CAST(100000000 + SUM(elapsed) * 1000 AS BIGINT) AS heapused
+    FROM tx GROUP BY 1, 2
+), u AS (
+    SELECT server, timestamp AS ts, 0 AS is_tx,
+           CAST(NULL AS VARCHAR) AS logid,
+           timestamp AS gts, heapused AS h
+    FROM jx
+    UNION ALL
+    SELECT server, endts, 1, logid,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM tx
+), c AS (
+    SELECT server, ts, is_tx, logid,
+           last_value(gts IGNORE NULLS) OVER w_back AS prev_ts,
+           last_value(h IGNORE NULLS) OVER w_back AS prev_h,
+           first_value(gts IGNORE NULLS) OVER w_fwd AS next_ts,
+           first_value(h IGNORE NULLS) OVER w_fwd AS next_h
+    FROM u
+    WINDOW
+      w_back AS (PARTITION BY server ORDER BY ts, is_tx, logid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_fwd AS (PARTITION BY server ORDER BY ts, is_tx, logid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT logid, server, ts AS endts, prev_ts, next_ts,
+       CASE
+         WHEN prev_h IS NOT NULL AND next_h IS NOT NULL AND next_ts > prev_ts
+         THEN CAST(prev_h AS DOUBLE)
+              + CAST(next_h - prev_h AS DOUBLE)
+                * (CAST(ts - prev_ts AS DOUBLE) / CAST(next_ts - prev_ts AS DOUBLE))
+         WHEN prev_h IS NOT NULL THEN CAST(prev_h AS DOUBLE)
+         ELSE CAST(next_h AS DOUBLE)
+       END AS heap_interp
+FROM c WHERE is_tx = 1
+"""

@@ -62,3 +62,31 @@ class TestIntervalJoin:
         )
         pr = spark.createDataFrame([("k", 10)], "server string, endts long")
         assert interval_join(iv, pr, keys=["server"], bucket_ms=10).count() == 0
+
+
+class TestGaugeInterpolate:
+    def test_bracketed_edge_and_tie_semantics(self, spark):
+        from apmbackend_spark.operators.correlation import gauge_interpolate
+
+        gauges = spark.createDataFrame(
+            [("s1", 100, 1000, 5), ("s1", 200, 2000, 5)],
+            "server string, timestamp long, heapused long, threadcnt int",
+        )
+        tx = spark.createDataFrame(
+            [
+                ("a", "s1", 150),  # bracketed: 1000 + 1000*(50/100) = 1500
+                ("b", "s1", 100),  # tie: gauge at ts is prev -> interp from 100..200
+                ("c", "s1", 250),  # after last gauge: flat 2000
+                ("d", "s1", 50),   # before first gauge: flat 1000
+                ("e", "s2", 150),  # no gauges on server: NULL
+            ],
+            "logid string, server string, endts long",
+        )
+        got = {r["logid"]: r for r in gauge_interpolate(tx, gauges).collect()}
+        assert got["a"]["heap_interp"] == 1500.0
+        assert got["a"]["prev_ts"] == 100 and got["a"]["next_ts"] == 200
+        # at exactly a gauge ts, prev = that gauge, ratio 0 -> its value
+        assert got["b"]["heap_interp"] == 1000.0
+        assert got["c"]["heap_interp"] == 2000.0 and got["c"]["next_ts"] is None
+        assert got["d"]["heap_interp"] == 1000.0 and got["d"]["prev_ts"] is None
+        assert got["e"]["heap_interp"] is None
