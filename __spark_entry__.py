@@ -394,6 +394,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gauge_interpolate": lambda s, d: co.gauge_interpolate(
             load_tx(s, d), zf.jmx_gauges(load_tx(s, d))
         ),
+        # overlapping token-window chunking (RAG / long-context prep):
+        # stateless scan + explode, chunk address + fingerprint only
+        "doc_chunks": lambda s, d: pk.doc_chunks(docs(s, d)),
+        # symmetric int8 vector quantization with per-vector integrity
+        # stats (index prep for the ANN family)
+        "embed_quantize": lambda s, d: sim.embed_quantize(embs(s, d)),
     }
     core = {
         # SURVEY §2 reference semantics — graded FIRST (the driver checks the
@@ -627,6 +633,8 @@ FROM tx
         "stream_corpus_dedup": topo.stream_corpus_gate_oracle_sql(),
         "jsonl_ingest": jsonl.jsonl_ingest_oracle_sql(),
         "gauge_interpolate": TX_CTE + co.GAUGE_INTERPOLATE_ORACLE,
+        "doc_chunks": pk.doc_chunks_oracle_sql(),
+        "embed_quantize": sim.embed_quantize_oracle_sql(),
         "ordered_release": TX_CTE + od.ORDERED_RELEASE_ORACLE,
         "db_fanin": dense_st
         + ", fs AS ("

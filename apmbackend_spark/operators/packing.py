@@ -197,3 +197,79 @@ SELECT doc_id,
        CAST(least((seq_id + 1) * {b} - start_offset, n_tokens) AS BIGINT) AS tok_end
 FROM spans
 """
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (RAG / long-context preprocessing).
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def doc_chunks(
+    documents: DataFrame,
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split each document into overlapping token windows (the retrieval /
+    long-context chunking step): starts at 1, 1+step, ... with step =
+    chunk_size - overlap, last window truncated. Emits the chunk's address
+    and fingerprint, not its text — downstream joins re-slice lazily.
+
+    Scale: a stateless scan + explode (fan-out = ceil(n_tokens/step) per
+    doc); no shuffle, no Python. Empty docs emit no chunks.
+    """
+    from apmbackend_spark.functions.text import hash64, tokens
+
+    step = chunk_size - overlap
+    tok = tokens(F.col("text"))
+    base = documents.select(
+        "doc_id", tok.alias("tok"), F.size(tok).alias("n")
+    ).where(F.col("n") > 0)
+    exploded = base.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.col("n") - overlap, F.lit(1)),
+                F.lit(step),
+            )
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("tok"), F.col("s"), chunk_size)
+    return exploded.select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) DIV {step} AS INT)").alias("chunk_id"),
+        F.col("s").cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        hash64(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+def doc_chunks_oracle_sql(
+    chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> str:
+    from apmbackend_spark.functions.text import hash64_sql, tokens_sql
+
+    step = chunk_size - overlap
+    hi = chunk_size - 1
+    return f"""
+WITH t AS (
+    SELECT doc_id, {tokens_sql("text")} AS tok FROM documents
+), base AS (
+    SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0
+), st AS (
+    SELECT doc_id, tok,
+           UNNEST(range(1, greatest(n - {overlap}, 1) + 1, {step})) AS s
+    FROM base
+)
+SELECT doc_id,
+       CAST((s - 1) // {step} AS INT) AS chunk_id,
+       CAST(s AS INT) AS start_tok,
+       CAST(len(tok[s:s+{hi}]) AS INT) AS n_chunk_tokens,
+       {hash64_sql(f"array_to_string(tok[s:s+{hi}], ' ')")} AS chunk_fp
+FROM st
+"""

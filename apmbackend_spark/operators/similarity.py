@@ -522,3 +522,86 @@ FROM av a JOIN av b USING (list_id)
 WHERE a.vec_id < b.vec_id
   AND {cosine_sql('a.v', 'b.v')} >= {float(threshold)!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 vector quantization (index-prep for the ANN family).
+# ---------------------------------------------------------------------------
+
+
+def embed_quantize(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = 127/max|x|, q_i =
+    round(x_i * scale) — the standard index-prep step before an int8 ANN
+    index. Emits per-vector integrity stats (dim, integer sums/extrema of
+    the quantized vector, max reconstruction error) rather than the raw
+    int8 array, so the gate compares scalar columns.
+
+    Float contract: float32 -> double casts are exact, the scale division /
+    per-component multiply are single exactly-rounded IEEE ops, and round()
+    is half-away-from-zero in BOTH engines; every aggregate over the
+    quantized components is integer (or a max of identically-computed
+    doubles), so no cross-row float accumulation exists.
+
+    Scale: stateless per-row scan, zero shuffle, all codegen.
+    """
+    emb = F.col("embedding")
+    max_abs = F.array_max(F.transform(emb, lambda x: F.abs(x))).cast("double")
+    scale = F.lit(127.0) / max_abs
+    q = F.transform(
+        emb, lambda x: F.round(x.cast("double") * scale).cast("int")
+    )
+    recon = F.zip_with(
+        emb,
+        q,
+        lambda x, qi: F.abs(x.cast("double") - qi.cast("double") / scale),
+    )
+    zero = max_abs == F.lit(0.0)
+    return embeddings.select(
+        "vec_id",
+        F.size(emb).cast("int").alias("dim"),
+        F.when(zero, F.lit(0.0)).otherwise(scale).alias("scale"),
+        F.when(zero, F.lit(0).cast("long"))
+        .otherwise(F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x))
+        .alias("sum_q"),
+        F.when(zero, F.lit(0).cast("long"))
+        .otherwise(
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
+        )
+        .alias("sumsq_q"),
+        F.when(zero, F.lit(0)).otherwise(F.array_min(q)).alias("min_q"),
+        F.when(zero, F.lit(0)).otherwise(F.array_max(q)).alias("max_q"),
+        F.when(zero, F.lit(0.0)).otherwise(F.array_max(recon)).alias("recon_err"),
+    )
+
+
+def embed_quantize_oracle_sql() -> str:
+    scale = "(CAST(127.0 AS DOUBLE) / CAST(ma AS DOUBLE))"
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               AS ma
+    FROM embeddings
+), q AS (
+    SELECT vec_id, embedding, ma,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS INT)) AS qv
+    FROM e
+)
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       CASE WHEN ma = 0 THEN 0.0 ELSE {scale} END AS scale,
+       CASE WHEN ma = 0 THEN 0
+            ELSE CAST(list_sum(qv) AS BIGINT) END AS sum_q,
+       CASE WHEN ma = 0 THEN 0
+            ELSE CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT)
+       END AS sumsq_q,
+       CAST(CASE WHEN ma = 0 THEN 0 ELSE list_min(qv) END AS INT) AS min_q,
+       CAST(CASE WHEN ma = 0 THEN 0 ELSE list_max(qv) END AS INT) AS max_q,
+       CASE WHEN ma = 0 THEN 0.0
+            ELSE list_max(list_transform(range(1, len(embedding) + 1),
+                i -> abs(CAST(embedding[i] AS DOUBLE)
+                         - CAST(qv[i] AS DOUBLE) / {scale})))
+       END AS recon_err
+FROM q
+"""

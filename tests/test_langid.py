@@ -121,3 +121,42 @@ def test_corpus_mixture_budget_and_cap(spark):
 
     expect_big = {i for i in range(8) if h(i) < 0.0625 * 1_000_000}
     assert {r["doc_id"] for r in big} == expect_big
+
+
+def test_doc_chunks_boundaries(spark):
+    from apmbackend_spark.operators.packing import doc_chunks
+
+    words = " ".join(f"w{i}" for i in range(65))  # 65 tokens
+    df = spark.createDataFrame(
+        [(1, words, "en", "s"), (2, "short doc", "en", "s"), (3, "", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = doc_chunks(df).collect()
+    d1 = sorted(
+        [r for r in rows if r["doc_id"] == 1], key=lambda r: r["chunk_id"]
+    )
+    # 65 tokens, chunk 64, step 48: starts 1 and 49 -> lens 64 and 17
+    assert [(r["start_tok"], r["n_chunk_tokens"]) for r in d1] == [(1, 64), (49, 17)]
+    assert [r["chunk_id"] for r in d1] == [0, 1]
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_chunk_tokens"] == 2
+    assert not [r for r in rows if r["doc_id"] == 3]  # empty doc: no chunks
+
+
+def test_embed_quantize_range_and_zero_vector(spark):
+    from apmbackend_spark.operators.similarity import embed_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in embed_quantize(df).collect()}
+    v = got[1]
+    # scale = 127/1.0; q = [64, -127, 32] (0.5*127=63.5 rounds half-up to 64)
+    assert v["scale"] == 127.0
+    assert (v["min_q"], v["max_q"]) == (-127, 64)
+    assert v["sum_q"] == 64 - 127 + 32
+    assert v["sumsq_q"] == 64**2 + 127**2 + 32**2
+    assert v["recon_err"] <= 0.5 / 127.0
+    z = got[2]
+    assert (z["scale"], z["sum_q"], z["recon_err"]) == (0.0, 0, 0.0)
