@@ -392,10 +392,20 @@ def gauge_interpolate(tx: DataFrame, gauges: DataFrame) -> DataFrame:
         .orderBy("ts", "is_tx", "logid")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    fwd = (
+    # The "next" bracket is a RUNNING last() over the REVERSED sort, not a
+    # first() over an unbounded-FOLLOWING frame: Spark evaluates running
+    # (preceding..current) frames in one streaming pass per partition,
+    # while an unbounded-following first(ignorenulls) re-scans the frame
+    # per row — measured ~O(n^2): 100 s at sf0.1 vs ~4 s for this form.
+    # Tie rule is preserved: at equal ts the reverse sort (is_tx DESC)
+    # places the gauge AFTER the tx row, so an at-endts gauge is excluded
+    # from the tx's running frame — it stays "prev", never "next".
+    fwd_rev = (
         Window.partitionBy("server")
-        .orderBy("ts", "is_tx", "logid")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(
+            F.col("ts").desc(), F.col("is_tx").desc(), F.col("logid").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = g.unionAll(t).select(
         "server",
@@ -404,8 +414,8 @@ def gauge_interpolate(tx: DataFrame, gauges: DataFrame) -> DataFrame:
         "logid",
         F.last("gts", ignorenulls=True).over(back).alias("prev_ts"),
         F.last("h", ignorenulls=True).over(back).alias("prev_h"),
-        F.first("gts", ignorenulls=True).over(fwd).alias("next_ts"),
-        F.first("h", ignorenulls=True).over(fwd).alias("next_h"),
+        F.last("gts", ignorenulls=True).over(fwd_rev).alias("next_ts"),
+        F.last("h", ignorenulls=True).over(fwd_rev).alias("next_h"),
     )
     both = F.col("prev_h").isNotNull() & F.col("next_h").isNotNull()
     ratio = (F.col("ts") - F.col("prev_ts")).cast("double") / (
