@@ -469,9 +469,10 @@ def contamination(
     Scale: probe grams are DISTINCT before the join (the membership test
     needs existence, not counts), the doc side is distinct per (doc_id,
     gram), and the join keys on the gram string — shuffle is bounded by
-    distinct-gram volume, never token volume. A left semi join would lose
-    the per-doc hit COUNT, so it is an inner join + groupBy, then a left
-    join back for zero-hit docs."""
+    distinct-gram volume, never token volume. One pass over the doc grams:
+    a LEFT join against the (distinct) probe grams marks hits, then a
+    single groupBy counts size and hits together — tokenization runs once,
+    not once per aggregate."""
     from apmbackend_spark.functions.text import ngrams
 
     if probes is None:
@@ -485,18 +486,24 @@ def contamination(
             "doc_id", F.explode(F.array_distinct(ngrams(tokens(F.col("text")), n))).alias("g")
         )
 
-    probe_grams = distinct_grams(probes).select("g").distinct()
-    doc_grams = distinct_grams(scored)
-    sizes = doc_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        doc_grams.join(probe_grams, "g")
+    probe_grams = (
+        distinct_grams(probes).select("g").distinct().withColumn("hit", F.lit(1))
+    )
+    # doc_grams rows are unique per (doc_id, g) and probe_grams per g, so
+    # the left join is 1:1 — count(1) is the gram count, count(hit) the
+    # overlap, in one shuffle-by-g + one shuffle-by-doc_id.
+    counts = (
+        distinct_grams(scored)
+        .join(probe_grams, "g", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
     )
     return (
         scored.select("doc_id")
-        .join(sizes, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        .join(counts, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),

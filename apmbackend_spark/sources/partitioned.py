@@ -35,16 +35,26 @@ DEFAULT_DAY = 20240105
 
 
 def write_partitioned_by_day(
-    tx: DataFrame, name: str, root: str = DEFAULT_ROOT
+    tx: DataFrame, name: str, root: str = DEFAULT_ROOT, files_per_day: int = 1
 ) -> str:
-    """tx + derived log_date partition column, one directory per day."""
+    """tx + derived log_date partition column, one directory per day.
+
+    File-count hygiene: without the pre-write repartition every scan task
+    writes one file into every day directory it touches — tasks × days
+    small files (900 on the 32-core/30-day fixture), which slows the write
+    (file-open/commit overhead) and the later reads (file listing). The
+    hash repartition on (log_date, shard) bounds output to files_per_day
+    per directory; raise files_per_day at scale so each file stays in the
+    ~128 MB–1 GB band rather than collapsing a 100 TB day to one writer."""
     path = os.path.join(root, name)
-    (
-        tx.withColumn("log_date", yyyymmdd_int(F.col("endts")))
-        .write.mode("overwrite")
-        .partitionBy("log_date")
-        .parquet(path)
-    )
+    part = tx.withColumn("log_date", yyyymmdd_int(F.col("endts")))
+    if files_per_day == 1:
+        part = part.repartition(F.col("log_date"))
+    else:
+        part = part.repartition(
+            F.col("log_date"), F.pmod(F.xxhash64(*tx.columns), F.lit(files_per_day))
+        )
+    part.write.mode("overwrite").partitionBy("log_date").parquet(path)
     return path
 
 
