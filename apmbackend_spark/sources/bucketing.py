@@ -61,7 +61,7 @@ def _table_token(sf_dir: str) -> str:
     return "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
 
 
-def bucketed_enrich(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> DataFrame:
+def bucketed_enrich(spark: SparkSession, sf_dir: str, n_buckets: int = 32) -> DataFrame:
     """Each tx row enriched with its (server, service) traffic profile via a
     CO-LOCATED join: both sides are written bucketed by the key, so the join
     plan has no Exchange on either side (tests/test_bucketing.py asserts
@@ -69,7 +69,13 @@ def bucketed_enrich(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> Dat
 
     This is the write-once/join-many pattern: at 100 TB the fact write
     amortizes the single layout shuffle across every downstream key-join,
-    where the unbucketed plan pays a full-fact shuffle per query."""
+    where the unbucketed plan pays a full-fact shuffle per query.
+
+    Bucket-count choice: buckets bound BOTH the layout write's parallelism
+    and every later bucket-local join's — size to the cluster (here the 32
+    local cores; thousands on a real cluster) so neither stage runs
+    narrower than the hardware. Empty buckets on the small dim side are
+    free (no file is written for an empty bucket)."""
     from pyspark.sql import functions as F
 
     from apmbackend_spark.sources.tx import load_tx
