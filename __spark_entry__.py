@@ -400,6 +400,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # symmetric int8 vector quantization with per-vector integrity
         # stats (index prep for the ANN family)
         "embed_quantize": lambda s, d: sim.embed_quantize(embs(s, d)),
+        # winnowing rolling-hash fingerprint profile (single codegen scan,
+        # XOR-fold digest makes the fingerprint SET oracle-checkable)
+        "doc_fingerprint": lambda s, d: dd.doc_fingerprint(docs(s, d)),
+        # per-domain URL profile + blocklist verdict (C4-style domain
+        # filtering input; only (doc_id, domain) pairs shuffle)
+        "url_domains": lambda s, d: ts.url_domains(docs(s, d)),
     }
     core = {
         # SURVEY §2 reference semantics — graded FIRST (the driver checks the
@@ -624,6 +630,8 @@ FROM tx
         "gauge_interpolate": TX_CTE + co.GAUGE_INTERPOLATE_ORACLE,
         "doc_chunks": pk.doc_chunks_oracle_sql(),
         "embed_quantize": sim.embed_quantize_oracle_sql(),
+        "doc_fingerprint": dd.doc_fingerprint_oracle_sql(),
+        "url_domains": ts.url_domains_oracle_sql(),
         "ordered_release": TX_CTE + od.ORDERED_RELEASE_ORACLE,
         "db_fanin": dense_st
         + ", fs AS ("

@@ -746,3 +746,104 @@ WITH tokd AS (
 )
 SELECT doc_id, ({sim}) AS simhash FROM bit_sums
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing rolling-hash document fingerprint (Schleimer et al., SIGMOD'03)
+
+WINNOW_K = 8   # char k-gram length (guarantee floor: matches >= k chars)
+WINNOW_W = 4   # winnow window (guarantee ceiling: matches >= k+w-1 chars
+               # always share a fingerprint)
+
+
+def doc_fingerprint(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Per-document winnowing fingerprint profile — the classic rolling-hash
+    document fingerprint: hash every character ``k``-gram of the normalized
+    text, then keep the MINIMUM hash of each window of ``w`` consecutive
+    k-gram hashes. The selected set is position-independent, robust to
+    whitespace/punctuation edits (normalization strips them), and any shared
+    substring of length >= k+w-1 between two documents is guaranteed to
+    contribute at least one common fingerprint.
+
+    Output: (doc_id, n_kgrams, n_fp, fp_fold) where fp_fold is the XOR fold
+    of the distinct selected fingerprints — an order-insensitive exact
+    digest so the oracle comparison checks the SET of fingerprints, not
+    just its size.
+
+    Scale shape: the entire operator is ONE whole-stage-codegen projection —
+    sequence/transform/array_min higher-order expressions per row, no
+    explode, no shuffle, no Python. Cost is O(chars) md5 calls per document,
+    embarrassingly parallel and linear in corpus bytes."""
+    k, w = int(k), int(w)
+    s = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    # sequence(1, 0) runs DESCENDING in Spark (yields [1, 0]), so the empty
+    # case must be gated to an explicit empty array — same pitfall as
+    # functions.text.shingles.
+    hs = F.expr(
+        f"""
+    transform(
+        if(length(__winnow_s) >= {k},
+           sequence(1, length(__winnow_s) - {k - 1}),
+           array()),
+        i -> cast(conv(substring(md5(substring(__winnow_s, i, {k})), 1, 15), 16, 10) AS BIGINT)
+    )"""
+    )
+    wins = F.expr(
+        f"""
+    transform(
+        if(size(__winnow_hs) >= {w},
+           sequence(1, size(__winnow_hs) - {w - 1}),
+           array()),
+        j -> array_min(slice(__winnow_hs, j, {w}))
+    )"""
+    )
+    return (
+        documents.withColumn("__winnow_s", s)
+        .withColumn("__winnow_hs", hs)
+        .withColumn("__winnow_fps", F.array_distinct(wins))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.length(F.col("__winnow_s")) - F.lit(k - 1), F.lit(0)
+            ).cast("long").alias("n_kgrams"),
+            F.size(F.col("__winnow_fps")).cast("long").alias("n_fp"),
+            F.aggregate(
+                F.col("__winnow_fps"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc.bitwiseXOR(x),
+            ).alias("fp_fold"),
+        )
+    )
+
+
+def doc_fingerprint_oracle_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    k, w = int(k), int(w)
+    return f"""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+    FROM documents
+), grams AS (
+    SELECT doc_id, s,
+           list_transform(
+               range(1, greatest(length(s) - {k - 1}, 0) + 1),
+               i -> (('0x' || substr(md5(substr(s, i, {k})), 1, 15))::BIGINT)
+           ) AS hs
+    FROM norm
+), fps AS (
+    SELECT doc_id, s,
+           list_distinct(list_transform(
+               range(1, greatest(len(hs) - {w - 1}, 0) + 1),
+               j -> list_min(hs[j:j + {w - 1}])
+           )) AS fp
+    FROM grams
+)
+SELECT doc_id,
+       CAST(greatest(length(s) - {k - 1}, 0) AS BIGINT) AS n_kgrams,
+       CAST(len(fp) AS BIGINT) AS n_fp,
+       CASE WHEN len(fp) = 0 THEN CAST(0 AS BIGINT)
+            ELSE list_reduce(fp, (a, x) -> xor(a, x)) END AS fp_fold
+FROM fps
+"""

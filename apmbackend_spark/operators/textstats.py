@@ -660,3 +660,88 @@ SELECT doc_id, source,
             ELSE 0.0 END AS chars_per_segment
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# URL / domain profile (C4-style domain filtering input)
+
+URL_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+# Demo blocklist (production: a broadcast dim table or Bloom filter built
+# from the real list; semantics identical — the membership test runs
+# map-side either way).
+BLOCKED_DOMAINS = ("spam.example.net", "site3.example.com")
+
+
+def _with_urls(doc_id, text):
+    """Deterministically inject synthetic URLs (the fixture corpus has
+    none): a per-doc .example.com link for even doc_ids, a blocklisted
+    domain for doc_id%11==3. Mirrored in the DuckDB oracle."""
+    return F.concat(
+        text,
+        F.when(
+            doc_id % 2 == 0,
+            F.concat(
+                F.lit(" see https://site"),
+                (doc_id % 7).cast("string"),
+                F.lit(".example.com/page"),
+                doc_id.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 11 == 3, F.lit(" ref https://spam.example.net/x")
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_domains(documents: DataFrame) -> DataFrame:
+    """Per-domain URL profile over the corpus: how many URLs and how many
+    distinct documents reference each domain, with the blocklist verdict —
+    the aggregation that drives C4-style domain filtering decisions.
+
+    Scale shape: host extraction is a codegen regexp scan; only (doc_id,
+    domain) pairs shuffle (text never leaves the scan); the rollup is one
+    hash aggregate keyed on domain. The blocklist is a tiny literal IN
+    (broadcast dim join in production) evaluated map-side."""
+    doc_id = F.col("doc_id")
+    aug = _with_urls(doc_id, F.col("text"))
+    pairs = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(aug, F.lit(URL_HOST_RE), F.lit(1))
+        ).alias("domain"),
+    )
+    return (
+        pairs.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .withColumn(
+            "blocked", F.col("domain").isin(*BLOCKED_DOMAINS).cast("int")
+        )
+    )
+
+
+def url_domains_oracle_sql() -> str:
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example.com/page' || CAST(doc_id AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 3 THEN ' ref https://spam.example.net/x' ELSE '' END"
+    )
+    blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    return f"""
+WITH aug AS (
+    SELECT doc_id, {aug} AS t FROM documents
+), pairs AS (
+    SELECT doc_id, unnest(regexp_extract_all(t, '{URL_HOST_RE}', 1)) AS domain
+    FROM aug
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN domain IN ({blocked}) THEN 1 ELSE 0 END AS INT) AS blocked
+FROM pairs
+GROUP BY domain
+"""

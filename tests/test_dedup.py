@@ -156,3 +156,84 @@ def test_dedup_incremental_exact_near_and_novel(spark):
     assert out[15] == (None, None)
     # exact wins over minhash when both fire
     assert out[5][1] == "exact"
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint
+
+
+def _fp_sets(spark, rows, k=8, w=4):
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.operators.dedup import doc_fingerprint
+
+    # re-derive the raw fingerprint arrays (the gate folds them) by
+    # running the same expression pipeline with n_fp only
+    out = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fp"], r["fp_fold"])
+        for r in doc_fingerprint(
+            spark.createDataFrame(rows, "doc_id long, text string"), k, w
+        ).collect()
+    }
+    return out
+
+
+def test_winnow_identical_docs_fold_equal(spark):
+    rows = [(1, "The quick brown fox jumps over the lazy dog!"),
+            (2, "the QUICK brown-fox ... jumps over the lazy dog"),
+            (3, "an entirely different sentence with other words")]
+    out = _fp_sets(spark, rows)
+    # normalization strips case/punct/whitespace: 1 and 2 normalize
+    # identically -> identical fingerprint profile
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    # xor fold of a non-empty set is (almost surely) nonzero
+    assert out[1][2] != 0
+
+
+def test_winnow_guarantee_shared_long_substring(spark):
+    # winnowing guarantee: a shared substring of >= k+w-1 chars (normalized)
+    # contributes at least one common fingerprint. Verify via the raw sets.
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.operators.dedup import doc_fingerprint
+
+    shared = "xylophonequartzmarmaladeobelisk"  # 31 chars >= 8+4-1
+    rows = [(1, "aaa bbb ccc " + shared + " ddd"),
+            (2, shared + " zzz yyy unrelated tail words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # recover the sets by exploding: run doc_fingerprint's internals via the
+    # public frame equality instead — fold differs but intersection must be
+    # non-empty, so check via a pairwise xor trick: if the sets were
+    # disjoint, |union| = n_fp1 + n_fp2. Compute union size by
+    # fingerprinting the concatenated corpus vocabulary — simplest honest
+    # check: explode raw selected hashes with a local reimplementation.
+    import hashlib
+
+    def winnow(text, k=8, w=4):
+        import re
+
+        s = re.sub("[^a-z0-9]", "", text.lower())
+        hs = [
+            int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(s) - k + 1)
+        ]
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    s1, s2 = winnow(rows[0][1]), winnow(rows[1][1])
+    assert s1 & s2, "winnowing guarantee violated in reference model"
+    # engine agrees with the local model on count + fold per doc
+    out = {r["doc_id"]: r for r in doc_fingerprint(df).collect()}
+    for doc_id, s in ((1, s1), (2, s2)):
+        fold = 0
+        for x in s:
+            fold ^= x
+        assert out[doc_id]["n_fp"] == len(s)
+        assert out[doc_id]["fp_fold"] == fold
+
+
+def test_winnow_short_doc_empty_profile(spark):
+    rows = [(1, "ab"), (2, "")]
+    out = _fp_sets(spark, rows)
+    assert out[1] == (0, 0, 0)
+    assert out[2] == (0, 0, 0)
