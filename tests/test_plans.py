@@ -359,3 +359,33 @@ def test_scd2_single_key_join_history_not_joined(spark):
     n_joins = p.count("SortMergeJoin") + p.count("BroadcastHashJoin") + p.count("ShuffledHashJoin")
     assert n_joins >= 1
     assert "Join type: LeftOuter" in p or "Join type: FullOuter" in p
+
+
+def test_doc_fingerprint_zero_shuffle_no_python(spark):
+    # winnowing is ONE codegen projection: no Exchange beyond the ingest
+    # spread (none on a pre-parallel source), no explode, no Python
+    from apmbackend_spark.operators.dedup import doc_fingerprint
+    from apmbackend_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")  # no spread: raw scan
+    p = plan(doc_fingerprint(docs))
+    assert "Exchange" not in p
+    assert "Generate" not in p  # no explode — arrays fold per-row
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_url_domains_single_rollup_shuffle(spark):
+    # text never shuffles: the only Exchanges key the (doc_id, domain)
+    # pairs for the rollup (partial + final around one Exchange per agg
+    # phase; countDistinct adds its expand stage but still no text column)
+    from apmbackend_spark.operators.textstats import url_domains
+    from apmbackend_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = plan(url_domains(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # shuffles carry only domain/doc_id/count columns, never `text`
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in m.group(1)
