@@ -363,6 +363,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # write-once bucketed layout -> shuffle-free key join (S6-adjacent
         # sink + §2.9 co-located join; plan asserted in test_bucketing.py)
         "bucketed_enrich": bk.bucketed_enrich,
+        # P8-P10/J3 under the hard signal: the real per-file session parser
+        # (SOAP acct frames, BAF salvage, audit-trail FIFO sessions,
+        # consumed-once autr links) over the deterministic generator
+        # corpus, graded against the golden expectation (sf_dir unused)
+        "log_sessions": lambda s, d: lp.log_sessions_gate(s, d),
         # hot-key salting: same semantics as a plain key join, physically
         # spread over n_salts shuffle partitions (operators/skew.py)
         "skew_salted_join": sk.skew_salted_profile,
@@ -453,11 +458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rel_windowed_keys = (
         "q5_local_supplier_volume",
         "q6_forecast_revenue",
-        "q18_large_volume_customers",
     )
     rel_windowed = {k: relational[k] for k in rel_windowed_keys}
     rel_rest = {k: v for k, v in relational.items() if k not in rel_windowed}
-    # 14 + 15 + 3 + 9 + 9 = exactly 50 graded; r2-green gates follow.
+    # 14 + 16 + 2 + 9 + 9 = exactly 50 graded; r2-green gates follow.
     return (
         core
         | apm_extra
@@ -538,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT * FROM st",
         "props_rollup": ss.PROPS_ROLLUP_ORACLE,
         "jmx_poll": jmxsrc.jmx_poll_oracle_sql(),
+        "log_sessions": lp.log_sessions_oracle_sql(),
         "bucketed_enrich": TX_CTE + bk.BUCKETED_ENRICH_ORACLE,
         "skew_salted_join": TX_CTE + sk.SKEW_SALTED_PROFILE_ORACLE,
         "daily_slice_rollup": TX_CTE + pt.daily_slice_rollup_oracle_sql(),

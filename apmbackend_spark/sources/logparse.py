@@ -461,3 +461,66 @@ SELECT regexp_extract(line, '^\[([^\]]*)\]', 1) AS logid,
        END AS acctnum
 FROM lines
 """
+
+
+# ---------------------------------------------------------------------------
+# P8-P10/J3 under the hard signal: the REAL per-file session parser as a
+# graded gate.
+# ---------------------------------------------------------------------------
+#
+# `log_extract` grades the stateless one-line grammar; this gate grades the
+# stateful machinery that genuinely needs per-file line order — entry/exit
+# pairing with parked starts, SOAP acct frames (P8) + BAF salvage (P9) +
+# first-write-wins enrichment (J2 batch form), audit-trail sessions with
+# FIFO-matched repeated subservices (P10) and consumed-once autrId->logId
+# links (J3). The corpus comes from the deterministic generator
+# (sources/loggen.py, seeded; record i derives from i), the engine side is
+# the real wholetext applyInPandas parser + enrichment join, and the oracle
+# is the generator's golden expectation rendered as a VALUES literal — the
+# reference's own test strategy (golden end-to-end) under the driver's
+# value-hash compare.
+
+
+def log_sessions_gate(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Graded P8-P10/J3 gate: generate the three-grammar corpus, parse it
+    with the real per-file parser, enrich accts. ``sf_dir`` unused by
+    design (the corpus is generator-defined, like ``jmx_poll``)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from apmbackend_spark.sources.loggen import generate
+
+    d = tempfile.mkdtemp(prefix="apm_log_gate_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    generate().write(d)
+    return logs_to_tx(spark, f"{d}/logs/*/*.log")
+
+
+def log_sessions_oracle_sql() -> str:
+    from apmbackend_spark.sources.loggen import generate
+
+    def lit(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if typ == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        return f"CAST({v} AS {typ})"
+
+    cols = (
+        ("server", "VARCHAR"),
+        ("service", "VARCHAR"),
+        ("logid", "VARCHAR"),
+        ("acctnum", "BIGINT"),
+        ("startts", "BIGINT"),
+        ("endts", "BIGINT"),
+        ("elapsed", "BIGINT"),
+        ("toplevel", "VARCHAR"),
+        ("matched", "VARCHAR"),
+    )
+    rows = ",\n".join(
+        "(" + ", ".join(lit(e[c], t) for c, t in cols) + ")"
+        for e in generate().expected
+    )
+    names = ", ".join(c for c, _ in cols)
+    return f"SELECT * FROM (VALUES {rows}) AS t({names})"
