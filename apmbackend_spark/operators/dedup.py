@@ -777,7 +777,10 @@ def doc_fingerprint(
     explode, no shuffle, no Python. Cost is O(chars) md5 calls per document,
     embarrassingly parallel and linear in corpus bytes."""
     k, w = int(k), int(w)
-    s = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    # coalesce first: Spark's greatest() SKIPS nulls while DuckDB's
+    # propagates them, so a NULL text would diverge between the twins —
+    # normalize NULL to '' (empty profile) in BOTH renderings instead
+    s = F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]", "")
     # sequence(1, 0) runs DESCENDING in Spark (yields [1, 0]), so the empty
     # case must be gated to an explicit empty array — same pitfall as
     # functions.text.shingles.
@@ -823,7 +826,7 @@ def doc_fingerprint_oracle_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     return f"""
 WITH norm AS (
     SELECT doc_id,
-           regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+           regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9]', '', 'g') AS s
     FROM documents
 ), grams AS (
     SELECT doc_id, s,
