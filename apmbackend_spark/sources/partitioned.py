@@ -92,3 +92,67 @@ FROM tx
 WHERE {yyyymmdd_int_sql('endts')} = {day}
 GROUP BY server, service
 """
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning: the day filter arrives THROUGH a dim join.
+# ---------------------------------------------------------------------------
+
+# Calendar-week dim over the fixture span (2024-01-01..30): week w covers
+# days 7w+1 .. 7w+7. Week 1 = Jan 8..14.
+DPP_WEEK = 1
+
+
+def _week_dim(spark: SparkSession, year_month: int = 202401):
+    """Tiny in-plan calendar dim: (log_date, week). Arithmetic-only so the
+    oracle can spell the same membership as a BETWEEN predicate."""
+    return spark.range(1, 31).select(
+        (F.lit(year_month * 100) + F.col("id")).cast("int").alias("log_date"),
+        ((F.col("id") - 1) / 7).cast("int").alias("week"),
+    )
+
+
+def dpp_week_rollup(
+    spark: SparkSession, sf_dir: str, week: int = DPP_WEEK
+) -> DataFrame:
+    """Per-service rollup for one calendar WEEK where the fact scan learns
+    its day list at RUNTIME through the dim join — dynamic partition
+    pruning, the lake-scale pattern for `fact JOIN filtered_dim` when the
+    filter is on a dim attribute (here `week`) rather than the partition
+    key itself. Catalyst plants a dynamicpruningexpression subquery on the
+    fact's partition column (asserted in tests/test_partitioned_skew.py):
+    the broadcast dim's log_date values prune the partitioned scan to 7 of
+    30 day directories before any fact row is read — static pruning can't
+    do this, and a naive plan scans the full table. At 100 TB the scan-side
+    saving is the whole point of keying facts by the dim's join column."""
+    from apmbackend_spark.sources.tx import load_tx
+
+    path = write_partitioned_by_day(
+        load_tx(spark, sf_dir).select("server", "service", "endts", "elapsed"),
+        f"tx_{_token(sf_dir)}",
+    )
+    facts = spark.read.parquet(path)
+    dim = _week_dim(spark).where(F.col("week") == int(week))
+    return (
+        facts.join(F.broadcast(dim), "log_date")
+        .groupBy("server", "service")
+        .agg(
+            F.count(F.lit(1)).alias("n_tx"),
+            F.sum("elapsed").alias("total_ms"),
+            (F.sum("elapsed").cast("double") / F.count(F.lit(1))).alias("avg_ms"),
+        )
+    )
+
+
+def dpp_week_rollup_oracle_sql(week: int = DPP_WEEK) -> str:
+    lo = 20240100 + 7 * int(week) + 1
+    hi = 20240100 + 7 * int(week) + 7
+    return f"""
+SELECT server, service,
+       CAST(COUNT(*) AS BIGINT) AS n_tx,
+       CAST(SUM(elapsed) AS BIGINT) AS total_ms,
+       CAST(SUM(elapsed) AS DOUBLE) / COUNT(*) AS avg_ms
+FROM tx
+WHERE {yyyymmdd_int_sql('endts')} BETWEEN {lo} AND {hi}
+GROUP BY server, service
+"""

@@ -118,3 +118,16 @@ def test_salted_join_rejects_right_and_full_outer(spark):
     # left outer stays allowed (facts side is never replicated)
     out = sk.salted_join(facts, dim, ["k"], F.col("x"), 4, how="left")
     assert out.count() == 4
+
+
+def test_dpp_week_rollup_runtime_prunes(spark):
+    # the week filter must reach the partitioned fact scan as a RUNTIME
+    # dynamic-pruning subquery on log_date, not a static predicate
+    from apmbackend_spark.sources.partitioned import dpp_week_rollup
+    from tests.conftest import SF_SMOKE
+
+    df = dpp_week_rollup(spark, SF_SMOKE)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in p.lower()
