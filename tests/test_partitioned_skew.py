@@ -126,8 +126,35 @@ def test_dpp_week_rollup_runtime_prunes(spark):
     from apmbackend_spark.sources.partitioned import dpp_week_rollup
     from tests.conftest import SF_SMOKE
 
-    df = dpp_week_rollup(spark, SF_SMOKE)
-    p = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    p = _plan(dpp_week_rollup(spark, SF_SMOKE))
     assert "dynamicpruning" in p.lower()
+
+
+def test_files_per_day_bounds_partition_file_count(spark):
+    # the advertised file-count knob: files_per_day=3 must produce at most
+    # 3 files per day directory, with rollup output identical to the
+    # single-file layout
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.sources.partitioned import write_partitioned_by_day
+    from apmbackend_spark.sources.tx import load_tx
+    from tests.conftest import SF_SMOKE
+
+    tx = load_tx(spark, SF_SMOKE).select("server", "service", "endts", "elapsed")
+    path = write_partitioned_by_day(tx, "tx_fpd_test", files_per_day=3)
+    for day_dir in glob.glob(os.path.join(path, "log_date=*")):
+        files = [f for f in os.listdir(day_dir) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 3, (day_dir, files)
+    got = (
+        spark.read.parquet(path)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("elapsed").alias("s"))
+        .collect()[0]
+    )
+    want = tx.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("elapsed").alias("s")
+    ).collect()[0]
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
