@@ -850,3 +850,100 @@ SELECT doc_id,
             ELSE list_reduce(fp, (a, x) -> xor(a, x)) END AS fp_fold
 FROM fps
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level corpus dedup
+
+LINE_DEDUP_THRESHOLD = 3  # a line occurring in >= 3 docs corpus-wide is boilerplate
+
+
+def _with_lines(doc_id, text):
+    """Deterministic multi-line structure (the fixture corpus is single-line
+    word soup): a shared nav header for even doc_ids, one of five copyright
+    footer variants, a unique per-doc line for doc_id%3==0. The header and
+    footers recur corpus-wide (boilerplate to drop); the body and unique
+    lines do not. Mirrored in the DuckDB oracle."""
+    nl = F.lit("\n")
+    return F.concat(
+        F.when(doc_id % 2 == 0, F.concat(F.lit("HEADER nav menu search login"), nl)).otherwise(F.lit("")),
+        text,
+        nl,
+        F.concat(F.lit("COPYRIGHT footer variant "), (doc_id % 5).cast("string")),
+        F.when(doc_id % 3 == 0, F.concat(nl, F.lit("UNIQUE line of doc "), doc_id.cast("string"))).otherwise(F.lit("")),
+    )
+
+
+def line_dedup(
+    documents: DataFrame, threshold: int = LINE_DEDUP_THRESHOLD
+) -> DataFrame:
+    """C4-style line-level deduplication: drop every LINE that occurs at
+    least ``threshold`` times across the corpus (nav bars, cookie banners,
+    copyright footers survive document-level dedup because the documents
+    differ; they only fall to cross-document line accounting), then rebuild
+    each document from its kept lines in original order.
+
+    Scale shape: lines shuffle keyed by a 64-bit line fingerprint for the
+    corpus count (map-side combinable — the hot boilerplate lines are
+    exactly the well-combining keys), then once more keyed by doc_id for
+    the ordered rebuild. Text rides each shuffle exactly once; no
+    self-joins, no pairwise anything."""
+    doc_id = F.col("doc_id")
+    aug = _with_lines(doc_id, F.col("text"))
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split(aug, "\n")).alias("idx", "line")
+    ).withColumn("fp", hash64(F.col("line")))
+    hot = (
+        lines.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= int(threshold))
+        .select("fp", F.lit(True).alias("hot"))
+    )
+    marked = lines.join(hot, "fp", "left")
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("hot").alias("n_dropped"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("idx", "line", F.coalesce("hot", F.lit(False)).alias("hot"))
+                        )
+                    ),
+                    lambda x: ~x["hot"],
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("kept_text"),
+    )
+    return rebuilt.select("doc_id", "n_lines", "n_dropped", "kept_text")
+
+
+def line_dedup_oracle_sql(threshold: int = LINE_DEDUP_THRESHOLD) -> str:
+    aug = (
+        "CASE WHEN doc_id % 2 = 0 THEN 'HEADER nav menu search login' || chr(10) ELSE '' END"
+        " || text || chr(10)"
+        " || 'COPYRIGHT footer variant ' || CAST(doc_id % 5 AS VARCHAR)"
+        " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'UNIQUE line of doc ' || CAST(doc_id AS VARCHAR) ELSE '' END"
+    )
+    return f"""
+WITH aug AS (
+    SELECT doc_id, string_split({aug}, chr(10)) AS ls FROM documents
+), lines AS (
+    SELECT doc_id, i AS idx, ls[i] AS line
+    FROM aug, LATERAL unnest(range(1, len(ls) + 1)) AS t(i)
+), counted AS (
+    SELECT line, COUNT(*) AS n FROM lines GROUP BY line
+), marked AS (
+    SELECT l.doc_id, l.idx, l.line, (c.n >= {int(threshold)}) AS hot
+    FROM lines l JOIN counted c USING (line)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(CASE WHEN hot THEN 1 END) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN NOT hot THEN line END, chr(10) ORDER BY idx), '') AS kept_text
+FROM marked
+GROUP BY doc_id
+"""

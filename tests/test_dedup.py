@@ -237,3 +237,29 @@ def test_winnow_short_doc_empty_profile(spark):
     out = _fp_sets(spark, rows)
     assert out[1] == (0, 0, 0)
     assert out[2] == (0, 0, 0)
+
+
+def test_line_dedup_drops_corpus_boilerplate_keeps_order(spark):
+    from apmbackend_spark.operators.dedup import line_dedup
+
+    # even doc_ids get the shared HEADER line (4 of them -> corpus count 4
+    # >= 3 -> dropped); footer variant doc_id%5 recurs at most twice here
+    # (below threshold -> kept); body lines are unique -> kept.
+    rows = [(i, f"body text of document {i}") for i in range(2, 10)]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == set(range(2, 10))
+    for i in range(2, 10):
+        r = out[i]
+        lines = r["kept_text"].split("\n")
+        if i % 2 == 0:  # had the HEADER boilerplate -> dropped
+            assert r["n_dropped"] >= 1
+            assert all("HEADER" not in ln for ln in lines)
+        # body retained, in original position (first kept line)
+        assert lines[0] == f"body text of document {i}"
+        # footer kept (each variant occurs <= 2x in this corpus)
+        assert any(ln.startswith("COPYRIGHT") for ln in lines)
