@@ -155,6 +155,10 @@ def docs_timings(spark, sf_dir: str) -> dict[str, float]:
     t.timed("doc_keywords", lambda: doc_keywords(docs))
     t.timed("domain_stats", lambda: domain_stats(docs))
     t.timed("corpus_mixture", lambda: corpus_mixture(docs))
+    t.timed("contamination", lambda: ts.contamination(docs))
+    t.timed("line_dedup", lambda: dd.line_dedup(docs))
+    t.timed("doc_fingerprint", lambda: dd.doc_fingerprint(docs))
+    t.timed("url_domains", lambda: ts.url_domains(docs))
     return t.out
 
 
