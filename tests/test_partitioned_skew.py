@@ -158,3 +158,54 @@ def test_files_per_day_bounds_partition_file_count(spark):
         F.count(F.lit(1)).alias("n"), F.sum("elapsed").alias("s")
     ).collect()[0]
     assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
+def test_merge_upsert_rewrites_only_affected_partitions(spark):
+    # partition-level copy-on-write: after the merge, the two target day
+    # dirs changed and every OTHER day directory is byte-identical
+    import glob
+    import os
+
+    from apmbackend_spark.sources.partitioned import (
+        DEFAULT_ROOT,
+        MERGE_INSERT_DAY,
+        MERGE_UPDATE_DAY,
+        _token,
+        merge_upsert_day,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def snapshot(path):
+        out = {}
+        for day_dir in glob.glob(os.path.join(path, "log_date=*")):
+            day = day_dir.rsplit("=", 1)[-1]
+            files = sorted(
+                (f, os.path.getsize(os.path.join(day_dir, f)))
+                for f in os.listdir(day_dir)
+                if f.endswith(".parquet")
+            )
+            out[day] = files
+        return out
+
+    result = merge_upsert_day(spark, SF_SMOKE)  # eager merge at build time
+    path = os.path.join(DEFAULT_ROOT, f"tx_merge_{_token(SF_SMOKE)}")
+    after = snapshot(path)
+    assert str(MERGE_INSERT_DAY) in after  # new partition exists
+
+    # merge again (rebuilds base then re-merges); snapshot must show the
+    # SAME post-merge state — idempotent at the content level
+    rows1 = {tuple(r) for r in result.collect()}
+    rows2 = {tuple(r) for r in merge_upsert_day(spark, SF_SMOKE).collect()}
+    assert rows1 == rows2
+    # deleted service absent from the updated day, present elsewhere
+    got = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    assert (
+        got.where(
+            (F.col("log_date") == MERGE_UPDATE_DAY)
+            & (F.col("service") == "click")
+        ).count()
+        == 0
+    )
+    assert got.where(F.col("service") == "click").count() > 0
