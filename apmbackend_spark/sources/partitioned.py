@@ -256,10 +256,12 @@ def merge_upsert_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def merge_upsert_day_oracle_sql() -> str:
+    # rendered as CTE continuations: the caller prepends TX_CTE ("WITH tx
+    # AS (...)"), so this fragment must NOT open its own WITH
     upd, ins = MERGE_UPDATE_DAY, MERGE_INSERT_DAY
     day = yyyymmdd_int_sql("endts")
     return f"""
-WITH base AS (
+, base AS (
     SELECT server, service, endts, elapsed, {day} AS log_date FROM tx
 ), merged AS (
     SELECT server, service, endts,
