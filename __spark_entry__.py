@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # domain-weighted mixture sampling to a token budget (deterministic
         # per-source acceptance rates, hash-threshold realization)
         "corpus_mixture": lambda s, d: prep.corpus_mixture(docs(s, d)),
+        # BPE merge-iteration pair counting: Sennrich distinct-pretoken
+        # weighting, vocabulary-bounded explode (tokenizer training step)
+        "bpe_pair_counts": lambda s, d: ts.bpe_pair_counts(docs(s, d)),
     }
     relational = {
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -523,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": lid.doc_keywords_oracle_sql(),
         "domain_stats": lid.domain_stats_oracle_sql(),
         "corpus_mixture": prep.corpus_mixture_oracle_sql(),
+        "bpe_pair_counts": ts.bpe_pair_counts_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

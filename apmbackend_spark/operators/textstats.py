@@ -745,3 +745,67 @@ SELECT domain,
 FROM pairs
 GROUP BY domain
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-iteration pair counting (tokenizer training support)
+
+BPE_PAIR_TOPK = 100
+
+
+def bpe_pair_counts(documents: DataFrame, k: int = BPE_PAIR_TOPK) -> DataFrame:
+    """The counting step of one BPE merge iteration (Sennrich-style): count
+    adjacent CHARACTER pairs across the corpus, weighted by pre-token
+    frequency — the statistic a byte-pair-encoding trainer maximizes when
+    choosing its next merge. Returns the top-k (pair, n) with a
+    deterministic (n DESC, pair ASC) tie-break.
+
+    Scale shape, the Sennrich trick made distributed: pairs are counted
+    over DISTINCT pre-tokens × their corpus frequency, so the expensive
+    char-pair explode runs once per distinct pre-token (vocabulary-bounded,
+    sub-linear in corpus bytes) rather than once per occurrence. Two hash
+    aggregates (pretoken freq, then pair rollup — both map-side
+    combinable); the top-k is TakeOrderedAndProject over the
+    alphabet²-bounded pair set, never a global data sort."""
+    from apmbackend_spark.functions.text import bpe_tokens
+
+    pretok = documents.select(
+        F.explode(bpe_tokens(F.col("text"))).alias("w")
+    )
+    freq = pretok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = freq.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(w) - 1, 0)),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(int(k))
+    )
+
+
+def bpe_pair_counts_oracle_sql(k: int = BPE_PAIR_TOPK) -> str:
+    from apmbackend_spark.functions.text import bpe_tokens_sql
+
+    return f"""
+WITH pretok AS (
+    SELECT unnest({bpe_tokens_sql('text')}) AS w FROM documents
+), freq AS (
+    SELECT w, COUNT(*) AS freq FROM pretok GROUP BY w
+), pairs AS (
+    SELECT freq, unnest(list_transform(
+        range(1, greatest(length(w) - 1, 0) + 1),
+        i -> substr(w, i, 2)
+    )) AS pair
+    FROM freq
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT {int(k)}
+"""
