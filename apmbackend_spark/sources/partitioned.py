@@ -280,3 +280,23 @@ SELECT log_date,
 FROM merged
 GROUP BY log_date
 """
+
+
+def drop_partitions_before(path: str, cutoff_day: int) -> list[int]:
+    """Retention as a METADATA operation (the point of the date-partitioned
+    layout; the reference trims by yyyymmdd retention number,
+    util_methods.js:178-182): dropping expired days = deleting their
+    directories. No DELETE scan, no rewrite, cost independent of data
+    volume. Returns the dropped day numbers."""
+    import glob
+
+    dropped = []
+    for day_dir in glob.glob(os.path.join(path, "log_date=*")):
+        try:
+            day = int(day_dir.rsplit("=", 1)[-1])
+        except ValueError:
+            continue
+        if day < int(cutoff_day):
+            shutil.rmtree(day_dir, ignore_errors=True)
+            dropped.append(day)
+    return sorted(dropped)

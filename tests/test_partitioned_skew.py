@@ -209,3 +209,27 @@ def test_merge_upsert_rewrites_only_affected_partitions(spark):
         == 0
     )
     assert got.where(F.col("service") == "click").count() > 0
+
+
+def test_retention_drop_is_metadata_only(spark):
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.sources.partitioned import (
+        drop_partitions_before,
+        write_partitioned_by_day,
+    )
+    from apmbackend_spark.sources.tx import load_tx
+    from tests.conftest import SF_SMOKE
+
+    tx = load_tx(spark, SF_SMOKE).select("server", "service", "endts", "elapsed")
+    path = write_partitioned_by_day(tx, "tx_retention_test")
+    cutoff = 20240110
+    dropped = drop_partitions_before(path, cutoff)
+    assert dropped and all(d < cutoff for d in dropped)
+    back = spark.read.parquet(path)
+    assert back.agg(F.min("log_date")).first()[0] >= cutoff
+    # surviving rows identical to a cutoff filter over the raw frame
+    from apmbackend_spark.functions.scalars import yyyymmdd_int
+
+    want = tx.where(yyyymmdd_int(F.col("endts")) >= cutoff).count()
+    assert back.count() == want
