@@ -263,3 +263,52 @@ def test_line_dedup_drops_corpus_boilerplate_keeps_order(spark):
         assert lines[0] == f"body text of document {i}"
         # footer kept (each variant occurs <= 2x in this corpus)
         assert any(ln.startswith("COPYRIGHT") for ln in lines)
+
+
+def test_winnow_engine_matches_model_on_diverse_corpus(spark):
+    # seeded diverse batch: unicode, punctuation-only, repeats, short/empty,
+    # long runs — engine (n_kgrams, n_fp, fp_fold) must equal the local
+    # reference model on every row
+    import hashlib
+    import re
+
+    from apmbackend_spark.operators.dedup import WINNOW_K, WINNOW_W, doc_fingerprint
+
+    def model(text, k=WINNOW_K, w=WINNOW_W):
+        s = re.sub("[^a-z0-9]", "", (text or "").lower())
+        n_kgrams = max(len(s) - k + 1, 0)
+        if n_kgrams == 0:
+            return (0, 0, 0)
+        hs = [
+            int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(n_kgrams)
+        ]
+        if len(hs) < w:
+            return (n_kgrams, 0, 0)
+        fps = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+        fold = 0
+        for x in fps:
+            fold ^= x
+        return (n_kgrams, len(fps), fold)
+
+    corpus = [
+        "",
+        "ab",
+        "!!! ??? ...",
+        "aaaaaaaaaaaaaaaaaaaaaaaa",
+        "The quick brown fox; the quick brown fox; the quick brown fox",
+        "MiXeD CaSe With   WHITESPACE\tand\nnewlines here",
+        "digits 1234567890 interleaved 1a2b3c4d5e6f7g8h",
+        "Ünïcödé ìs strípped by the ascii-only normalizer, leaving nothing?",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "x" * 7 + "y",  # exactly k chars after normalize
+    ]
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    got = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fp"], r["fp_fold"])
+        for r in doc_fingerprint(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == model(t), (i, t, got[i], model(t))
