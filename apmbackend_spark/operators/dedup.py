@@ -855,7 +855,7 @@ FROM fps
 # ---------------------------------------------------------------------------
 # C4-style line-level corpus dedup
 
-LINE_DEDUP_THRESHOLD = 3  # a line occurring in >= 3 docs corpus-wide is boilerplate
+LINE_DEDUP_THRESHOLD = 3  # a line with >= 3 total occurrences corpus-wide is boilerplate
 
 
 def _with_lines(doc_id, text):
@@ -878,7 +878,8 @@ def line_dedup(
     documents: DataFrame, threshold: int = LINE_DEDUP_THRESHOLD
 ) -> DataFrame:
     """C4-style line-level deduplication: drop every LINE that occurs at
-    least ``threshold`` times across the corpus (nav bars, cookie banners,
+    least ``threshold`` times across the corpus — TOTAL occurrences, so a
+    line repeated 3x inside one document also trips it (nav bars, banners,
     copyright footers survive document-level dedup because the documents
     differ; they only fall to cross-document line accounting), then rebuild
     each document from its kept lines in original order.

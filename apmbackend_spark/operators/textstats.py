@@ -773,11 +773,15 @@ def bpe_pair_counts(documents: DataFrame, k: int = BPE_PAIR_TOPK) -> DataFrame:
         F.explode(bpe_tokens(F.col("text"))).alias("w")
     )
     freq = pretok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # sequence(1, 0) runs DESCENDING in Spark ([1, 0]) — a 1-char pretoken
+    # would emit two phantom self-pairs; gate to an empty array (same
+    # pitfall as functions.text.shingles)
     pairs = freq.select(
         "freq",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(length(w) - 1, 0)),"
+                "transform("
+                " if(length(w) >= 2, sequence(1, length(w) - 1), array()),"
                 " i -> substring(w, i, 2))"
             )
         ).alias("pair"),

@@ -176,7 +176,9 @@ MERGE_INSERT_DAY = 20240131   # inserts create this (previously absent) one
 _MERGE_SHIFT_MS = 26 * 24 * 3600 * 1000  # Jan 5 + 26 days = Jan 31
 
 
-def merge_upsert_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+def merge_upsert_day(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
     """MERGE against the date-partitioned lake the way plain parquet does it
     at scale: copy-on-write at PARTITION granularity. The changeset touches
     two days — update/delete rows on Jan 5, insert a new Jan 31 partition —
@@ -195,15 +197,22 @@ def merge_upsert_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition), elapsed += 7
 
     Returns the post-merge per-day rollup (the whole table, proving the
-    untouched partitions still read back exactly)."""
+    untouched partitions still read back exactly).
+
+    ``path``: merge into an existing layout instead of (re)building the
+    private copy — lets tests snapshot the base BEFORE the merge. The
+    default rebuild-per-call keeps the graded gate self-contained and
+    idempotent (its cost is the gate's setup, not the merge: the merge
+    itself touches 2 of 31 directories regardless of table size)."""
     from apmbackend_spark.sources.tx import load_tx
 
-    # private layout copy: the memoized shared path must stay immutable
-    # (daily_slice_rollup / dpp_week_rollup read it in the same process)
-    path = write_partitioned_by_day(
-        load_tx(spark, sf_dir).select("server", "service", "endts", "elapsed"),
-        f"tx_merge_{_token(sf_dir)}",
-    )
+    if path is None:
+        # private layout copy: the memoized shared path must stay immutable
+        # (daily_slice_rollup / dpp_week_rollup read it in the same process)
+        path = write_partitioned_by_day(
+            load_tx(spark, sf_dir).select("server", "service", "endts", "elapsed"),
+            f"tx_merge_{_token(sf_dir)}",
+        )
     facts = spark.read.parquet(path)
 
     upd_day, ins_day = MERGE_UPDATE_DAY, MERGE_INSERT_DAY
@@ -297,6 +306,9 @@ def drop_partitions_before(path: str, cutoff_day: int) -> list[int]:
         except ValueError:
             continue
         if day < int(cutoff_day):
-            shutil.rmtree(day_dir, ignore_errors=True)
+            # no ignore_errors: a failed delete (open handle, permissions)
+            # must surface, not report the partition as dropped while its
+            # data still scans
+            shutil.rmtree(day_dir)
             dropped.append(day)
     return sorted(dropped)

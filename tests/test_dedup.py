@@ -312,3 +312,14 @@ def test_winnow_engine_matches_model_on_diverse_corpus(spark):
     }
     for i, t in rows:
         assert got[i] == model(t), (i, t, got[i], model(t))
+
+
+def test_bpe_pair_counts_single_char_pretoken_emits_no_pair(spark):
+    # regression: Spark sequence(1, 0) runs DESCENDING — an ungated range
+    # emitted two phantom self-pairs per 1-char pretoken (DuckDB emits none)
+    from apmbackend_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "a , b . a")], "doc_id long, text string")
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(df).collect()}
+    # pretokens: 'a', ' ,', ' b', ' .', ' a' — the bare 'a' contributes none
+    assert got == {" ,": 1, " .": 1, " a": 1, " b": 1}

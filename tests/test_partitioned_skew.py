@@ -187,16 +187,32 @@ def test_merge_upsert_rewrites_only_affected_partitions(spark):
             out[day] = files
         return out
 
-    result = merge_upsert_day(spark, SF_SMOKE)  # eager merge at build time
-    path = os.path.join(DEFAULT_ROOT, f"tx_merge_{_token(SF_SMOKE)}")
+    from apmbackend_spark.sources.partitioned import write_partitioned_by_day
+    from apmbackend_spark.sources.tx import load_tx
+
+    # build the base layout OURSELVES so we can snapshot BEFORE the merge
+    path = write_partitioned_by_day(
+        load_tx(spark, SF_SMOKE).select("server", "service", "endts", "elapsed"),
+        "tx_merge_cow_test",
+    )
+    before = snapshot(path)
+    result = merge_upsert_day(spark, SF_SMOKE, path=path)  # merges in place
     after = snapshot(path)
     assert str(MERGE_INSERT_DAY) in after  # new partition exists
+    # THE CoW claim: every untouched day directory is byte-identical
+    # (same file names — which embed the write job's task IDs — and sizes)
+    touched = {str(MERGE_UPDATE_DAY), str(MERGE_INSERT_DAY)}
+    for day, files in before.items():
+        if day not in touched:
+            assert after[day] == files, f"day {day} was rewritten"
+    assert after[str(MERGE_UPDATE_DAY)] != before[str(MERGE_UPDATE_DAY)]
 
-    # merge again (rebuilds base then re-merges); snapshot must show the
-    # SAME post-merge state — idempotent at the content level
+    # gate form (rebuilds its own base then re-merges): same post-merge
+    # content — idempotent
     rows1 = {tuple(r) for r in result.collect()}
     rows2 = {tuple(r) for r in merge_upsert_day(spark, SF_SMOKE).collect()}
     assert rows1 == rows2
+    path = os.path.join(DEFAULT_ROOT, f"tx_merge_{_token(SF_SMOKE)}")
     # deleted service absent from the updated day, present elsewhere
     got = spark.read.parquet(path)
     from pyspark.sql import functions as F
