@@ -79,7 +79,10 @@ def doc_span_dup(documents: DataFrame, chunk_tokens: int = 20) -> DataFrame:
     Scale shape: the explode ships 8-byte (doc_id, fp) rows — text never
     shuffles; the document-frequency aggregate is map-side combinable; the
     join back is keyed on fp with fan-out bounded by total chunk count
-    (no pairwise blow-up anywhere, unlike a chunk self-join)."""
+    (no pairwise blow-up anywhere, unlike a chunk self-join). The narrow
+    (doc_id, fp) frame is persisted eagerly so the tokenize+slice+hash
+    scan runs ONCE — it feeds the df-count aggregate, both sides of the
+    fp join, and (via a per-doc count) the n_chunks rollup."""
     c = int(chunk_tokens)
     tok = tokens(F.col("text"))
     base = documents.select("doc_id", tok.alias("tok")).select(
@@ -89,11 +92,19 @@ def doc_span_dup(documents: DataFrame, chunk_tokens: int = 20) -> DataFrame:
         F.col("n_chunks") > 0,
         F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
     ).otherwise(F.array().cast("array<int>"))
-    chunks = base.select("doc_id", "tok", F.explode(idx).alias("i")).select(
-        "doc_id",
-        hash64(
-            F.concat_ws(" ", F.slice(F.col("tok"), F.col("i") * c + 1, c))
-        ).alias("fp"),
+    chunks = (
+        base.select("doc_id", "tok", F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            hash64(
+                F.concat_ws(" ", F.slice(F.col("tok"), F.col("i") * c + 1, c))
+            ).alias("fp"),
+        )
+        .persist()
+    )
+    chunks.count()  # materialize before the three consumers fork
+    nch = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
     )
     dfc = chunks.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
     dup = (
@@ -102,11 +113,12 @@ def doc_span_dup(documents: DataFrame, chunk_tokens: int = 20) -> DataFrame:
         .agg(F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_chunks"))
     )
     return (
-        base.select("doc_id", F.col("n_chunks").cast("long").alias("n_chunks"))
+        documents.select("doc_id")
+        .join(nch, "doc_id", "left")
         .join(dup, "doc_id", "left")
         .select(
             "doc_id",
-            "n_chunks",
+            F.coalesce(F.col("n_chunks"), F.lit(0).cast("long")).alias("n_chunks"),
             F.coalesce(F.col("n_dup_chunks"), F.lit(0).cast("long")).alias(
                 "n_dup_chunks"
             ),
@@ -394,9 +406,14 @@ def dedup_clusters(
     Scale shape: per round, ONE shuffle-join keyed on doc_id plus one
     map-side-combinable min-aggregate over edges — the standard
     distributed CC loop (large-star/small-star is the published
-    shortcut if diameters ever grow). Labels are persisted per round and
-    the previous round unpersisted, so memory is O(|V|) not O(rounds).
-    The convergence check is a scalar count, not a collect of data rows.
+    shortcut if diameters ever grow). Storage note: localCheckpoint blocks
+    are NOT freed by DataFrame.unpersist() (that API only clears
+    CacheManager entries); a round's blocks are reclaimed by the
+    ContextCleaner once its frame is dereferenced, and are
+    MEMORY_AND_DISK so a few narrow (doc_id, label) copies pending GC
+    spill rather than OOM — with rounds ≈ diameter ≈ a handful, the
+    transient overhead is bounded. The convergence check is a scalar
+    aggregate, not a collect of data rows.
 
     Lineage is TRUNCATED each round (``localCheckpoint``): the label frame
     is referenced twice per round (propagation join + neighbor aggregate),
@@ -445,12 +462,13 @@ def dedup_clusters(
         # strictly decreases until the fixpoint — a scalar aggregate detects
         # convergence without the new-vs-old join a changed-count would need
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
+        # dereference the previous round; its localCheckpoint blocks are
+        # ContextCleaner-reclaimed (DataFrame.unpersist would be a no-op
+        # on a checkpoint — see docstring storage note)
         labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

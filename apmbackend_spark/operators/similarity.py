@@ -404,7 +404,10 @@ def kmeans_train(
             .localCheckpoint(eager=False)
         )
         # Single-row eager aggregate: forces cur to materialize, after which
-        # prev's cache is dead and can be dropped before the next round.
+        # prev is dead — dereferencing it lets the ContextCleaner reclaim
+        # its localCheckpoint blocks (DataFrame.unpersist is a no-op on a
+        # checkpoint; the blocks are MEMORY_AND_DISK, so copies pending GC
+        # spill rather than OOM).
         stat = (
             cur.alias("c")
             .join(prev.alias("p"), "vec_id")
@@ -417,9 +420,7 @@ def kmeans_train(
             .first()
         )
         rows.append((i, stat["n_moved"], stat["n_lists"]))
-        prev.unpersist()
         prev = cur
-    prev.unpersist()
     vecs.unpersist()
     return embeddings.sparkSession.createDataFrame(
         rows, "iteration int, n_moved bigint, n_lists bigint"

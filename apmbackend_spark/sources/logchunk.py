@@ -13,10 +13,15 @@ output IDENTICAL to the sequential parse:
     (the `pending` dict). Each chunk parses its lines normally, then emits
     its leftover pending starts (the LAST unconsumed start per key — all
     an earlier start can ever contribute, since a later start overwrites
-    it) and marks stops that found no intra-chunk start. A per-(path,
-    logid, service) REPLAY over those spill records in byte-offset order
-    reproduces the sequential pending-dict outcome exactly, and a repair
-    join rewrites the affected stop rows' (startts, matched).
+    it), a 'kill' marker at its FIRST start per key (the offset where a
+    start carried from an earlier chunk would be overwritten in the
+    sequential parse — required even when this chunk's starts are all
+    consumed intra-chunk, else the replay would match the stale carry to
+    a later unmatched stop), and marks stops that found no intra-chunk
+    start. A per-(path, logid, service) REPLAY over those spill records in
+    byte-offset order reproduces the sequential pending-dict outcome
+    exactly, and a repair join rewrites the affected stop rows'
+    (startts, matched).
   * Audit-trail sessions (P10) and autr links (J3) are inherently
     sequential, but their lines are individually recognizable, so each
     chunk forwards just that (tiny) subsequence and a per-file ordered
@@ -135,6 +140,12 @@ def _parse_ct_chunk(path: str, lines: list[tuple[int, str]]) -> list[dict]:
     server = server_from_path(path)
     out: list[dict] = []
     pending: dict[tuple[str, str], tuple[int, int]] = {}  # key -> (okey, ts)
+    # first start per key: a pending start carried from an EARLIER chunk is
+    # overwritten (killed) at this offset in the sequential parse, even if
+    # this chunk's own starts are all consumed intra-chunk — without this
+    # marker the replay would wrongly match the stale carry to a later
+    # unmatched stop
+    first_start: dict[tuple[str, str], int] = {}
 
     for okey, line in lines:
         if _is_audit_line(line):
@@ -147,6 +158,7 @@ def _parse_ct_chunk(path: str, lines: list[tuple[int, str]]) -> list[dict]:
         if m and ts is not None:
             is_ejb = "[CommonTiming]" in line
             service = ("S:" if is_ejb else "") + normalize_service(m.group(1))
+            first_start.setdefault((logid, service), okey)
             pending[(logid, service)] = (okey, ts)
             continue
         m = RX_CT_STOP.search(line) or RX_EJB_STOP.search(line)
@@ -182,6 +194,15 @@ def _parse_ct_chunk(path: str, lines: list[tuple[int, str]]) -> list[dict]:
                 "okey": okey,
             }
         )
+    for (logid, service), okey in first_start.items():
+        out.append(
+            {
+                "rectype": "kill",
+                "service": service,
+                "logid": logid or None,
+                "okey": okey,
+            }
+        )
     return out
 
 
@@ -189,12 +210,20 @@ def _replay_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
     """Cross-chunk pairing replay for ONE (path, logid, service): leftover
     starts and unmatched stops in byte order through the pending-dict
     recurrence; returns (okey, startts) repairs for stops that match."""
-    pdf = pdf.sort_values("okey")
+    # (okey, rectype) order: at equal okey (a chunk's first start IS its
+    # leftover start) the 'kill' must apply before the 'pend' re-arms the
+    # slot — lexicographic rectype order gives kill < pend < tx
+    pdf = pdf.sort_values(["okey", "rectype"])
     pending_ts = None
     rep_okey, rep_ts = [], []
     for r in pdf.itertuples(index=False):
         if r.rectype == "pend":
             pending_ts = r.startts
+        elif r.rectype == "kill":
+            # a later chunk's first start overwrites the carried slot in
+            # the sequential parse — even when that start was consumed
+            # intra-chunk and never spilled as a pend
+            pending_ts = None
         else:  # unmatched stop
             if pending_ts is not None:
                 rep_okey.append(r.okey)
@@ -317,11 +346,25 @@ def parse_logs_chunked(
     ).persist()
 
     tx = scanned.where(F.col("rectype") == "tx")
-    # cross-chunk pairing repair: leftover starts + unmatched stops replay
-    spill = scanned.where(
-        (F.col("rectype") == "pend")
-        | ((F.col("rectype") == "tx") & (F.col("matched") == "N"))
-    ).select("path", "rectype", "logid", "service", "okey", "startts")
+    # cross-chunk pairing repair: leftover starts + kill markers + unmatched
+    # stops replay the sequential pending-dict recurrence. Kill/stop records
+    # only matter for keys that actually carry a pend across chunks, so both
+    # are pruned by a broadcast semi-join against the (small) pend key set —
+    # the shuffle into the replay stays bounded by leftover-start volume,
+    # not by per-chunk key counts.
+    pend = scanned.where(F.col("rectype") == "pend").select(
+        "path", "rectype", "logid", "service", "okey", "startts"
+    )
+    pend_keys = pend.select("path", "logid", "service").distinct()
+    others = (
+        scanned.where(
+            (F.col("rectype") == "kill")
+            | ((F.col("rectype") == "tx") & (F.col("matched") == "N"))
+        )
+        .select("path", "rectype", "logid", "service", "okey", "startts")
+        .join(F.broadcast(pend_keys), ["path", "logid", "service"], "left_semi")
+    )
+    spill = pend.unionByName(others)
     repairs = spill.groupBy("path", "logid", "service").applyInPandas(
         lambda pdf: _replay_pairs(pdf),
         schema="path string, okey long, startts long",

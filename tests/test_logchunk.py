@@ -78,3 +78,67 @@ def test_chunked_parse_rejects_soap(spark, logdir):
     ]
     with pytest.raises(ValueError, match="SOAP"):
         parse_logs_chunked(spark, soap)
+
+
+def test_stale_carry_killed_by_consumed_start(spark, tmp_path):
+    # Regression (adversarial split): chunk 1 leaves an unconsumed start A;
+    # chunk 2 has start B consumed by stop S1 (neither spilled), then stop
+    # S2. Sequential: B overwrote A, S1 consumed B -> S2 is UNMATCHED. The
+    # repair must NOT resurrect A for S2.
+    from apmbackend_spark.sources.logchunk import parse_logs_chunked
+    from apmbackend_spark.sources.logparse import parse_logs
+
+    lines = [
+        "[L1] 2024-01-05 10:00:00,000 t1 INFO CommonTiming::Start Svc request begins",
+        "[L1] 2024-01-05 10:00:02,000 t1 INFO CommonTiming::Start Svc request begins",
+        "[L1] 2024-01-05 10:00:02,995 t1 INFO CommonTiming::Stop Svc total time 995",
+        "[L1] 2024-01-05 10:00:03,000 t1 INFO CommonTiming::Stop Svc total time 5",
+    ]
+    d = tmp_path / "logs" / "srva"
+    d.mkdir(parents=True)
+    f = d / "server.log"
+    f.write_text("\n".join(lines) + "\n")
+
+    def rows(df):
+        return sorted(
+            (r["service"], r["startts"], r["endts"], r["matched"])
+            for r in df.where(df.rectype == "tx").collect()
+        )
+
+    want = rows(parse_logs(spark, str(f)))
+    # force a boundary after every line: chunk size ~ one line length
+    got = rows(parse_logs_chunked(spark, [str(f)], chunk_bytes=90))
+    assert got == want, (got, want)
+    # the second stop must be unmatched in both
+    assert ("Svc", 1704448803000 - 5, 1704448803000, "N") in want
+
+
+def test_stale_carry_killed_across_intermediate_chunk(spark, tmp_path):
+    # chunk 1: start A; chunk 2: start B + stop S1 (fully consumed, no
+    # spill at all); chunk 3: stop S2 — the intermediate chunk's kill
+    # marker must clear A so S2 stays unmatched.
+    from apmbackend_spark.sources.logchunk import parse_logs_chunked
+    from apmbackend_spark.sources.logparse import parse_logs
+
+    pad = "x" * 60  # widen lines so each chunk holds ~2 lines
+    lines = [
+        f"[L9] 2024-01-05 11:00:00,000 t1 INFO CommonTiming::Start Svc request begins {pad}",
+        f"[L9] 2024-01-05 11:00:02,000 t1 INFO CommonTiming::Start Svc request begins {pad}",
+        f"[L9] 2024-01-05 11:00:02,995 t1 INFO CommonTiming::Stop Svc total time 995 {pad}",
+        f"[L9] 2024-01-05 11:00:03,000 t1 INFO CommonTiming::Stop Svc total time 5 {pad}",
+    ]
+    d = tmp_path / "logs" / "srvb"
+    d.mkdir(parents=True)
+    f = d / "server.log"
+    f.write_text("\n".join(lines) + "\n")
+
+    def rows(df):
+        return sorted(
+            (r["service"], r["startts"], r["endts"], r["matched"])
+            for r in df.where(df.rectype == "tx").collect()
+        )
+
+    want = rows(parse_logs(spark, str(f)))
+    for cb in (80, 150, 300):  # several split geometries
+        got = rows(parse_logs_chunked(spark, [str(f)], chunk_bytes=cb))
+        assert got == want, (cb, got, want)
