@@ -677,3 +677,104 @@ def test_zscore_tws_matches_recursive_across_batches(spark, tmpdir):
                 else:
                     assert math.isclose(a, b, rel_tol=1e-12), (r["timestamp"], f)
     assert n_sig > 0
+
+
+def test_zscore_stateful_resumes_from_checkpoint_across_query_restarts(
+    spark, tmpdir
+):
+    """S7 resume-snapshot semantics under the real mechanism: source
+    offsets AND the per-key FIFO state survive a query RESTART. Query 1
+    drains delivery 1 and terminates; a brand-new query object on the
+    same checkpoint drains deliveries 2-3. The combined sink must equal
+    the batch reference exactly — no reprocessed rows, and the restored
+    histories must continue the recursion mid-series (any state loss
+    would show as a fresh warmup: NULL bounds after the restart point)."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.operators.zscore import zscore_recursive
+    from apmbackend_spark.streaming.stateful import zscore_stateful
+
+    rows = []
+    for i in range(120):
+        for srv in ("srv0", "srv1"):
+            base = 100.0 if i < 100 else 5000.0
+            rows.append(
+                {
+                    "timestamp": i * 10_000,
+                    "server": srv,
+                    "service": "svc",
+                    "tpm": 1.0,
+                    "average": base + (i % 7),
+                    "per75": base + (i % 5),
+                    "per95": base + (i % 3),
+                }
+            )
+    st = spark.createDataFrame(pd.DataFrame(rows))
+    src, out, ck = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/ck"
+
+    def deliver(lo, hi):
+        (
+            st.where(
+                (F.col("timestamp") >= lo * 10_000)
+                & (F.col("timestamp") < hi * 10_000)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "timestamp long, server string, service string, tpm double, "
+                "average double, per75 double, per95 double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            zscore_stateful(stream, lags=(30,), threshold=3.0, influence=0.1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    deliver(0, 50)
+    drain()  # query 1 ends after delivery 1
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 2 * 50
+    deliver(50, 90)
+    deliver(90, 120)
+    drain()  # query 2: NEW query, same checkpoint — must resume, not replay
+
+    got = {
+        (r["server"], r["timestamp"]): r for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        (r["server"], r["timestamp"]): r
+        for r in zscore_recursive(st, lags=(30,), threshold=3.0, influence=0.1).collect()
+    }
+    assert len(got) == len(expect) == 2 * 120  # exactly once, no replays
+    for k, e in expect.items():
+        r = got[k]
+        for m in ("average", "per75", "per95"):
+            assert r[f"{m}signal"] == e[f"{m}signal"], (k, m)
+            for f in (f"{m}avg", f"{m}lb", f"{m}ub"):
+                a, b = r[f], e[f]
+                if a is None or b is None:
+                    assert a == b, (k, f, a, b)
+                else:
+                    assert math.isclose(a, b, rel_tol=1e-12), (k, f)
+    # the restart fell mid-warmup (50 < ... < 50+30): rows right after the
+    # restart DO have bounds, proving the FIFO state was restored (a state
+    # loss would re-warm and leave them NULL)
+    r = got[("srv0", 60 * 10_000)]
+    assert r["averageavg"] is not None
