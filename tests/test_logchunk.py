@@ -142,3 +142,54 @@ def test_stale_carry_killed_across_intermediate_chunk(spark, tmp_path):
     for cb in (80, 150, 300):  # several split geometries
         got = rows(parse_logs_chunked(spark, [str(f)], chunk_bytes=cb))
         assert got == want, (cb, got, want)
+
+
+def test_repair_matches_sequential_on_fuzzed_sequences(spark, tmp_path):
+    """Seeded fuzz of the pairing recurrence: random start/stop event
+    sequences for a handful of (logid, service) keys interleaved in one
+    file, parsed sequentially and chunked at several adversarial chunk
+    sizes — outputs must be identical row-for-row. Covers every repair
+    interaction: carried pends, head stops, intra-chunk consumed starts
+    (kill markers), pend overwrites, and unmatched tails."""
+    import random
+
+    from apmbackend_spark.sources.logchunk import parse_logs_chunked
+    from apmbackend_spark.sources.logparse import parse_logs
+
+    rng = random.Random(20260814)
+    keys = [("L%d" % k, "Svc%d" % (k % 3)) for k in range(5)]
+    t0 = 1704448800000
+    lines = []
+    for i in range(120):
+        logid, svc = keys[rng.randrange(len(keys))]
+        ts = t0 + i * 1000 + rng.randrange(999)
+        h, rem = divmod(ts // 1000 % 86400, 3600)
+        mnt, sec = divmod(rem, 60)
+        tss = f"2024-01-05 {h:02d}:{mnt:02d}:{sec:02d},{ts % 1000:03d}"
+        if rng.random() < 0.55:
+            lines.append(
+                f"[{logid}] {tss} t1 INFO CommonTiming::Start {svc} request begins"
+            )
+        else:
+            lines.append(
+                f"[{logid}] {tss} t1 INFO CommonTiming::Stop {svc} total time {rng.randrange(1, 2000)}"
+            )
+    d = tmp_path / "logs" / "srvf"
+    d.mkdir(parents=True)
+    f = d / "server.log"
+    f.write_text("\n".join(lines) + "\n")
+
+    def rows(df):
+        return sorted(
+            (
+                r["logid"], r["service"], r["startts"], r["endts"],
+                r["elapsed"], r["matched"],
+            )
+            for r in df.where(df.rectype == "tx").collect()
+        )
+
+    want = rows(parse_logs(spark, str(f)))
+    assert want  # fuzz actually produced transactions
+    for cb in (64, 97, 256, 1024, 4096):
+        got = rows(parse_logs_chunked(spark, [str(f)], chunk_bytes=cb))
+        assert got == want, (cb, len(got), len(want))
