@@ -46,6 +46,22 @@ def get_spark(
         # Arrow for every pandas UDF / applyInPandas crossing.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Streaming state off-heap: RocksDB state store with changelog
+        # checkpointing — at production retention the z-score FIFO /
+        # zero-fill timer state outgrows executor heap, and changelog
+        # (delta) checkpointing bounds per-batch upload by state CHANGED,
+        # not state held. Identical semantics to the default provider
+        # (the streaming suite runs against it).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled",
+            "true",
+        )
         # Scan hygiene.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
