@@ -425,6 +425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-domain URL profile + blocklist verdict (C4-style domain
         # filtering input; only (doc_id, domain) pairs shuffle)
         "url_domains": lambda s, d: ts.url_domains(docs(s, d)),
+        # native streaming session windows: gap-merged sessions across
+        # micro-batch boundaries (state-store merge), watermark-closed
+        # emission graded against the batch island oracle
+        "stream_sessions": lambda s, d: topo.stream_sessions_gate(s, d),
     }
     core = {
         # SURVEY §2 reference semantics — graded FIRST (the driver checks the
@@ -668,6 +672,7 @@ FROM tx
         "incident_windows": TX_CTE + co.incident_windows_oracle_sql(),
         "scd2_customer": scd.scd2_customer_oracle_sql(),
         "stream_corpus_dedup": topo.stream_corpus_gate_oracle_sql(),
+        "stream_sessions": topo.stream_sessions_oracle_sql(),
         "jsonl_ingest": jsonl.jsonl_ingest_oracle_sql(),
         "gauge_interpolate": TX_CTE + co.GAUGE_INTERPOLATE_ORACLE,
         "doc_chunks": pk.doc_chunks_oracle_sql(),

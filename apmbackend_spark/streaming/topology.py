@@ -307,3 +307,159 @@ SELECT {hash64_sql("text")} AS fingerprint,
 FROM documents
 GROUP BY fingerprint
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows gate: native session_window + watermark with
+# cross-micro-batch session merging.
+# ---------------------------------------------------------------------------
+
+SESSIONS_GATE_SLICE_MS = 24 * 3600 * 1000
+SESSIONS_GATE_WATERMARK_MS = 60_000
+
+
+def _session_cuts(sliced, gap_ms: int, lo: int, hi: int) -> list[int]:
+    """Two delivery boundaries, the FIRST placed strictly inside the
+    largest multi-event session (cut = its last event's time, which is
+    session_end - gap), so at least one session's events split across
+    micro-batches and the state store MUST merge them — equal time slicing
+    on a sparse fixture never splits a session, leaving the merge path
+    untested. Deterministic: largest session, ties broken by earliest
+    start; collect is a single row."""
+    from apmbackend_spark.operators.sessions import sessionize
+
+    big = (
+        sessionize(sliced, gap_minutes=gap_ms / 60_000.0)
+        .where(F.col("n_events") >= 2)
+        .orderBy(F.col("n_events").desc(), F.col("session_start"))
+        .limit(1)
+        .collect()
+    )
+    if big:
+        c1 = int(big[0]["session_end"]) - gap_ms  # last event's endts
+        c1 = max(lo + 1, min(c1, hi - 2))
+    else:  # degenerate corpus: fall back to thirds
+        c1 = lo + (hi - lo) // 3
+    c2 = c1 + max((hi - c1) // 2, 1)
+    return [c1, c2]
+
+
+def stream_sessions_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: float = 5.0,
+    slice_ms: int = SESSIONS_GATE_SLICE_MS,
+    shuffle_partitions: int = 8,
+) -> "DataFrame":
+    """Driver-gradeable rendering of Spark's NATIVE streaming session
+    windows (`F.session_window` + watermark): the sliced tx stream arrives
+    as three time-consecutive parquet deliveries (one micro-batch each via
+    maxFilesPerTrigger), with the first boundary placed INSIDE the largest
+    session (see ``_session_cuts``) so that session's events straddle
+    micro-batches and MERGE in the state store — the stateful behavior a
+    batch run never exercises. Append mode emits a
+    session once the watermark passes its end (last event + gap), so the
+    drained sink is the deterministic set
+
+        sessions with session_end <= max(event time) - watermark delay
+
+    which the DuckDB island-detection oracle reproduces exactly (same
+    gap-merge recurrence as the batch `sessionize` oracle, plus the
+    final-watermark filter). Time-consecutive deliveries keep every event
+    ahead of the watermark — nothing is late, so emission is a pure
+    function of the data, not of batching.
+
+    Scale: session state is per (key, open session) and watermark-evicted;
+    shuffle sized to the bounded key volume for the drain (same rationale
+    as the other availableNow gates)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from apmbackend_spark.sources.tx import load_tx
+
+    gap_ms = int(round(gap_minutes * 60_000))
+    work = tempfile.mkdtemp(prefix="apm_sessions_gate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src, out = os.path.join(work, "src"), os.path.join(work, "out")
+
+    tx = load_tx(spark, sf_dir).select("server", "service", "endts", "elapsed")
+    lo = tx.agg(F.min("endts")).collect()[0][0]
+    hi = int(lo) + int(slice_ms)
+    sliced = tx.where(F.col("endts") < hi)
+    bounds = [int(lo)] + _session_cuts(sliced, gap_ms, int(lo), hi) + [hi]
+    for a, b in zip(bounds, bounds[1:]):
+        (
+            sliced.where((F.col("endts") >= a) & (F.col("endts") < b))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "server string, service string, endts long, elapsed long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("et", F.timestamp_millis(F.col("endts")))
+        .withWatermark("et", f"{SESSIONS_GATE_WATERMARK_MS // 1000} seconds")
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("et", f"{gap_ms} milliseconds"), "server", "service"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("elapsed").alias("sum_elapsed"),
+        )
+        .select(
+            "server",
+            "service",
+            F.unix_millis(F.col("session_window.start")).alias("session_start"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+            "sum_elapsed",
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("session gate did not drain in 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.schema(
+        "server string, service string, session_start long, session_end long, "
+        "n_events long, sum_elapsed long"
+    ).parquet(out)
+
+
+def stream_sessions_oracle_sql(
+    gap_minutes: float = 5.0, slice_ms: int = SESSIONS_GATE_SLICE_MS
+) -> str:
+    from apmbackend_spark.operators.sessions import sessionize_oracle_ctes
+    from apmbackend_spark.operators.zerofill import tx_sliced_sql
+    from apmbackend_spark.sources.tx import TX_CTE
+
+    return (
+        TX_CTE
+        + ", tx_sliced AS ("
+        + tx_sliced_sql(slice_ms)
+        + ")"
+        + sessionize_oracle_ctes(gap_minutes).replace("FROM tx", "FROM tx_sliced")
+        + f"""
+SELECT * FROM sessions
+WHERE session_end <= (SELECT MAX(endts) FROM tx_sliced) - {SESSIONS_GATE_WATERMARK_MS}
+"""
+    )

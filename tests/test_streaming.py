@@ -778,3 +778,49 @@ def test_zscore_stateful_resumes_from_checkpoint_across_query_restarts(
     # loss would re-warm and leave them NULL)
     r = got[("srv0", 60 * 10_000)]
     assert r["averageavg"] is not None
+
+
+def test_stream_sessions_merges_across_micro_batches(spark, tmpdir):
+    """The session-gate's first delivery boundary bisects the largest
+    session, so its events arrive in different micro-batches; the drained
+    output must still contain that session WHOLE (n_events intact) —
+    direct evidence the session state merged across batches."""
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.operators.sessions import sessionize
+    from apmbackend_spark.sources.tx import load_tx
+    from apmbackend_spark.streaming.topology import (
+        SESSIONS_GATE_SLICE_MS,
+        SESSIONS_GATE_WATERMARK_MS,
+        _session_cuts,
+        stream_sessions_gate,
+    )
+    from tests.conftest import SF_CORRECT
+
+    # sf0.01: the smoke fixture's 24 h slice is too sparse to contain any
+    # multi-event session, so the merge scenario only exists at this SF
+    tx = load_tx(spark, SF_CORRECT).select("server", "service", "endts", "elapsed")
+    lo = int(tx.agg(F.min("endts")).collect()[0][0])
+    hi = lo + SESSIONS_GATE_SLICE_MS
+    sliced = tx.where(F.col("endts") < hi)
+    gap_ms = 5 * 60_000
+    c1, _ = _session_cuts(sliced, gap_ms, lo, hi)
+    big = (
+        sessionize(sliced)
+        .where(F.col("n_events") >= 2)
+        .orderBy(F.col("n_events").desc(), F.col("session_start"))
+        .limit(1)
+        .collect()[0]
+    )
+    # the cut really bisects it: at least one event strictly before c1 and
+    # its last event at/after c1
+    assert big["session_start"] < c1 <= big["session_end"] - gap_ms
+
+    out = {
+        (r["server"], r["service"], r["session_start"]): r["n_events"]
+        for r in stream_sessions_gate(spark, SF_CORRECT).collect()
+    }
+    key = (big["server"], big["service"], big["session_start"])
+    hi_wm = int(sliced.agg(F.max("endts")).collect()[0][0]) - SESSIONS_GATE_WATERMARK_MS
+    if big["session_end"] <= hi_wm:  # emitted only if watermark-closed
+        assert out[key] == big["n_events"]
