@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": lambda s, d: ts.bpe_pair_counts(docs(s, d)),
     }
     relational = {
+        # runtime Bloom-filter join: might_contain predicate injected into
+        # the fact scan from the filtered dim (plan-asserted)
+        "bloom_join_profile": rel.bloom_join_profile,
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
@@ -574,6 +577,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": mm.media_resize_oracle_sql(),
         "media_frame_sample": mm.media_frame_sample_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,
+        "bloom_join_profile": rel.BLOOM_JOIN_PROFILE_ORACLE,
         "q3_top_orders": rel.Q3_ORACLE,
         "q5_local_supplier_volume": rel.Q5_ORACLE,
         "q6_forecast_revenue": rel.Q6_ORACLE,

@@ -385,3 +385,72 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 
 
 Q18_ORACLE = q18_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Runtime Bloom-filter join (row-level runtime pruning, the DPP sibling)
+# ---------------------------------------------------------------------------
+
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def bloom_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side rollup of `lineitem JOIN orders` where orders carries a
+    selective dim-attribute filter: Catalyst's RUNTIME BLOOM FILTER
+    injects a `bloom_filter_agg` subquery on the filtered build side and a
+    `might_contain(xxhash64(l_orderkey))` predicate into the fact scan —
+    row-level runtime pruning, the shuffle-join sibling of dynamic
+    partition pruning (asserted in tests/test_plans.py). At 100 TB the
+    fact rows that would shuffle only to be dropped by the join are
+    instead filtered at the scan for the cost of one broadcast bitmap.
+
+    The two conf overrides exist because the feature is sized for real
+    lakes: the application-side scan threshold defaults to 10 GB (the
+    fixture is far smaller — at production volume the default stands), and
+    broadcast is disabled so the join actually shuffles (a broadcast join
+    already prunes build-side misses by construction). Both are
+    runtime-settable and restored.
+
+    Semantics are untouched by the optimization — the oracle is the plain
+    join."""
+    from apmbackend_spark.sources.loaders import load_table
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == BLOOM_PRIORITY
+        )
+        out = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            )
+        )
+        # a Dataset's QueryExecution plans lazily ONCE — forcing the
+        # physical plan inside the conf scope pins the runtime-filter
+        # rewrite for every later action on the returned frame
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+BLOOM_JOIN_PROFILE_ORACLE = f"""
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '{BLOOM_PRIORITY}'
+GROUP BY l.l_returnflag
+"""

@@ -389,3 +389,14 @@ def test_url_domains_single_rollup_shuffle(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "text" not in m.group(1)
+
+
+def test_bloom_join_profile_injects_runtime_filter(spark):
+    # the filtered dim side must build a bloom_filter_agg subquery and the
+    # fact scan must carry a might_contain predicate (runtime row-level
+    # pruning — the shuffle-join sibling of DPP)
+    from apmbackend_spark.operators.relational import bloom_join_profile
+
+    p = plan(bloom_join_profile(spark, SF_SMOKE))
+    assert "might_contain" in p
+    assert "bloom_filter_agg" in p
