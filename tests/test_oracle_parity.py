@@ -60,3 +60,87 @@ def test_props_rollup_oracle_survives_hostile_json(spark, tmpdir):
     }
     assert got == want
     assert got["a"] == (5, 3, 1, 4)  # only the JSON-integer k parses
+
+
+def _hostile_docs_compare(spark, tmpdir, rows, spark_fn, oracle_sql_str, key_cols):
+    """Differential check on a CUSTOM documents table: run the Spark
+    operator and its DuckDB oracle over the same hostile rows; outputs
+    must agree exactly."""
+    import duckdb
+
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pq = f"{tmpdir}/documents.parquet"
+    sdf.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+
+    got_rows = spark_fn(sdf).collect()
+    cols = got_rows[0].asDict().keys() if got_rows else key_cols
+    got = {tuple(r[c] for c in key_cols): tuple(r[c] for c in cols) for r in got_rows}
+    res = con.sql(oracle_sql_str)
+    names = [d[0] for d in res.description]
+    want = {}
+    for row in res.fetchall():
+        d = dict(zip(names, row))
+        want[tuple(d[c] for c in key_cols)] = tuple(d[c] for c in cols)
+    assert got == want, (
+        f"engine/oracle diverge: only-engine={set(got) - set(want)}, "
+        f"only-oracle={set(want) - set(got)}"
+    )
+
+
+HOSTILE_DOCS = [
+    (1, "", "en", "src0", 0),                      # empty text
+    (2, "   \t  ", "en", "src0", 6),               # whitespace only
+    (3, "it's a 'quoted' line -- dashes", "en", "src1", 30),
+    (4, "UPPER lower MiXeD 12345 !!!", "xx", "src1", 27),
+    (5, "repeat repeat repeat repeat repeat", "en", "src2", 34),
+    (6, "a", "en", "src2", 1),                     # single char
+    (7, "x" * 500, "en", "src3", 500),             # one long run
+    (8, "tab\tsep\tand  double  spaces", "en", "src3", 27),
+]
+
+
+def test_line_dedup_oracle_survives_hostile_corpus(spark, tmpdir):
+    from apmbackend_spark.operators.dedup import line_dedup, line_dedup_oracle_sql
+
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, line_dedup, line_dedup_oracle_sql(), ("doc_id",)
+    )
+
+
+def test_url_domains_oracle_survives_hostile_corpus(spark, tmpdir):
+    from apmbackend_spark.operators.textstats import (
+        url_domains,
+        url_domains_oracle_sql,
+    )
+
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, url_domains, url_domains_oracle_sql(), ("domain",)
+    )
+
+
+def test_doc_fingerprint_oracle_survives_hostile_corpus(spark, tmpdir):
+    from apmbackend_spark.operators.dedup import (
+        doc_fingerprint,
+        doc_fingerprint_oracle_sql,
+    )
+
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, doc_fingerprint,
+        doc_fingerprint_oracle_sql(), ("doc_id",)
+    )
+
+
+def test_bpe_pair_counts_oracle_survives_hostile_corpus(spark, tmpdir):
+    from apmbackend_spark.operators.textstats import (
+        bpe_pair_counts,
+        bpe_pair_counts_oracle_sql,
+    )
+
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, bpe_pair_counts,
+        bpe_pair_counts_oracle_sql(), ("pair",)
+    )
