@@ -174,7 +174,7 @@ def _cause_expr_sql(cfg: AlertConfig, hard_max: str) -> str:
         causes.append(f"CASE WHEN {avg_sig} THEN '{CAUSE_UB_AVG}' END")
         causes.append(f"CASE WHEN {p75_sig} THEN '{CAUSE_UB_P75}' END")
     cause_arr = "list_filter([" + ", ".join(causes) + "], x -> x IS NOT NULL)"
-    return f"array_to_string({cause_arr}, ',')"
+    return f"COALESCE(array_to_string({cause_arr}, ','), '')"
 
 
 def alert_pipeline_oracle_sql(cfg: AlertConfig, fs_cte: str = "fs") -> str:

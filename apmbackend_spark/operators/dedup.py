@@ -55,7 +55,7 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 
 def dedup_exact_oracle_sql() -> str:
-    fp = hash64_sql(f"array_to_string({tokens_sql('text')}, ' ')")
+    fp = hash64_sql(f"COALESCE(array_to_string({tokens_sql('text')}, ' '), '')")
     return f"""
 SELECT fingerprint, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
 FROM (SELECT doc_id, {fp} AS fingerprint FROM documents)
@@ -599,7 +599,7 @@ def dedup_incremental(
 def dedup_incremental_oracle_sql(
     batch_mod: int = 5, bands: int = 4, rows_per_band: int = 2
 ) -> str:
-    fp = hash64_sql(f"array_to_string({tokens_sql('text')}, ' ')")
+    fp = hash64_sql(f"COALESCE(array_to_string({tokens_sql('text')}, ' '), '')")
     return f"""
 WITH {_band_index_ctes(bands, rows_per_band)},
 fps AS (

@@ -324,7 +324,7 @@ WITH base AS (
                 THEN CAST({stop_count_sql('tok')} AS DOUBLE) / len(tok)
                 ELSE 0.0 END AS stop_ratio,
            least(CAST(len(tok) AS DOUBLE) / 100.0, 1.0) AS len_score,
-           {hash64_sql("array_to_string(tok, ' ')")} AS fingerprint
+           {hash64_sql("COALESCE(array_to_string(tok, ' '), '')")} AS fingerprint
     FROM base
 )
 SELECT doc_id, lang, source, n_tokens, n_chars_actual, punct_ratio, stop_ratio,
@@ -601,7 +601,7 @@ def corpus_cardinality(documents: DataFrame, approx: bool = False) -> DataFrame:
 
 
 def corpus_cardinality_oracle_sql() -> str:
-    fp = hash64_sql(f"array_to_string({tokens_sql('text')}, ' ')")
+    fp = hash64_sql(f"COALESCE(array_to_string({tokens_sql('text')}, ' '), '')")
     return f"""
 WITH d AS (
     SELECT source, {fp} AS fingerprint FROM documents

@@ -144,3 +144,49 @@ def test_bpe_pair_counts_oracle_survives_hostile_corpus(spark, tmpdir):
         spark, tmpdir, HOSTILE_DOCS, bpe_pair_counts,
         bpe_pair_counts_oracle_sql(), ("pair",)
     )
+
+
+def test_langid_family_oracle_survives_hostile_corpus(spark, tmpdir):
+    from apmbackend_spark.operators.langid import (
+        doc_keywords,
+        doc_keywords_oracle_sql,
+        domain_stats,
+        domain_stats_oracle_sql,
+        lang_id,
+        lang_id_oracle_sql,
+    )
+
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, lang_id, lang_id_oracle_sql(), ("doc_id",)
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, doc_keywords, doc_keywords_oracle_sql(),
+        ("doc_id", "term"),
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, domain_stats, domain_stats_oracle_sql(),
+        ("source",),
+    )
+
+
+def test_textstats_family_oracle_survives_hostile_corpus(spark, tmpdir):
+    from apmbackend_spark.operators.textstats import (
+        contamination,
+        contamination_oracle_sql,
+        corpus_scrub,
+        corpus_scrub_oracle_sql,
+        doc_stats,
+        doc_stats_oracle_sql,
+    )
+
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, doc_stats, doc_stats_oracle_sql(), ("doc_id",)
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, corpus_scrub, corpus_scrub_oracle_sql(),
+        ("doc_id",),
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, contamination, contamination_oracle_sql(),
+        ("doc_id",),
+    )
