@@ -190,3 +190,67 @@ def test_textstats_family_oracle_survives_hostile_corpus(spark, tmpdir):
         spark, tmpdir, HOSTILE_DOCS, contamination, contamination_oracle_sql(),
         ("doc_id",),
     )
+
+
+def test_dedup_pair_family_oracle_survives_hostile_corpus(spark, tmpdir):
+    from apmbackend_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_oracle,
+        ngram_jaccard_pairs,
+        ngram_jaccard_oracle_sql,
+        simhash,
+        simhash_oracle_sql,
+        doc_span_dup,
+        doc_span_dup_oracle_sql,
+    )
+
+    # add exact-duplicate and near-duplicate hostile rows so the pair
+    # queries emit something
+    rows = HOSTILE_DOCS + [
+        (9, "repeat repeat repeat repeat repeat", "en", "src2", 34),  # dup of 5
+        (10, "repeat repeat repeat repeat indeed", "en", "src2", 34),  # near-dup
+    ]
+    _hostile_docs_compare(
+        spark, tmpdir, rows, ngram_jaccard_pairs, ngram_jaccard_oracle_sql(),
+        ("doc_a", "doc_b"),
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, rows, minhash_lsh_pairs, minhash_lsh_oracle(),
+        ("doc_a", "doc_b"),
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, rows, simhash, simhash_oracle_sql(), ("doc_id",)
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, rows, doc_span_dup, doc_span_dup_oracle_sql(), ("doc_id",)
+    )
+
+
+def test_sampling_family_oracle_survives_hostile_corpus(spark, tmpdir):
+    from apmbackend_spark.operators.textstats import (
+        corpus_sample,
+        corpus_sample_oracle_sql,
+        corpus_split,
+        corpus_split_oracle_sql,
+        vocab_topk,
+        vocab_topk_oracle_sql,
+        doc_repetition,
+        doc_repetition_oracle_sql,
+    )
+
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, corpus_sample, corpus_sample_oracle_sql(),
+        ("doc_id",),
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, corpus_split, corpus_split_oracle_sql(),
+        ("doc_id",),
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, vocab_topk, vocab_topk_oracle_sql(),
+        ("ngram",),
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, doc_repetition, doc_repetition_oracle_sql(),
+        ("doc_id",),
+    )
