@@ -254,3 +254,124 @@ def test_sampling_family_oracle_survives_hostile_corpus(spark, tmpdir):
         spark, tmpdir, HOSTILE_DOCS, doc_repetition, doc_repetition_oracle_sql(),
         ("doc_id",),
     )
+
+
+def test_apm_family_oracle_survives_hostile_events(spark, tmp_path):
+    """APM-family differential check on an ADVERSARIAL events table:
+    timestamp ties (ordering ambiguity), negative user_id (cross-engine %
+    sign), zero / fractional-rounding / large `value`s, duplicate
+    event_ids, empty event_type, and the NULL-acct / NULL-startts mod
+    branches all hit at once. Engine and DuckDB oracle must agree exactly
+    on every batch APM gate (the contract keeps ts NOT NULL, so that is
+    not exercised)."""
+    import datetime
+    import os
+
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path / "hostile_sf"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+
+    base = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    ms = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    rows = []
+    # five events at the IDENTICAL timestamp, mixed keys (tie ordering)
+    for i in range(5):
+        rows.append((i, ms(0), i, "click", 1.5 + i, "{}"))
+    # duplicate event_id (at-least-once delivery), different ts
+    rows.append((3, ms(10), 3, "click", 2.0, "{}"))
+    # negative user_id: % sign semantics must match across engines
+    rows.append((20, ms(20), -7, "view", 3.25, "{}"))
+    rows.append((21, ms(21), -8, "purchase", 0.0, "{}"))  # zero elapsed
+    # event_id % 20 == 0 -> NULL startts branch; % 7 == 0 -> NULL acct
+    rows.append((40, ms(30), 2, "signup", 199.994999, "{}"))  # rounding edge
+    rows.append((49, ms(31), 3, "error", 10.5, None))  # NULL props
+    rows.append((50, ms(32), 4, "", 7.0, "not json"))  # empty event_type
+    # a dense run for window/session structure
+    for i in range(60, 90):
+        rows.append((i, ms(40 + (i - 60) * 7), i % 5, "api", 1.0 + (i % 13) * 0.25, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(d / "events.parquet")
+
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    from apmbackend_spark.testing import compare_query
+
+    for name in (
+        "tx_normalize",
+        "log_extract",
+        "sessionize",
+        "service_rollup",
+        "service_cube",
+        "apdex",
+        "top_services",
+        "account_coverage",
+        "correlate",
+        "acct_enrich",
+        "ordered_release",
+        "jmx_rollup",
+        "window_stats",
+        "daily_slice_rollup",
+    ):
+        ok, msg = compare_query(spark, str(d), qs[name], os_[name])
+        assert ok, f"{name}: {msg}"
+
+
+def test_zscore_family_oracle_survives_hostile_events(spark, tmp_path):
+    """Dense-grid z-score / alert chain on the adversarial events table
+    (ties, zero elapsed, negative keys): the grid is span-bound, so the
+    recursive oracles stay small here."""
+    import datetime
+    import os
+
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path / "hostile_sf_z"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+
+    base = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    rows = []
+    # two keys, 90 minutes of 30 s cadence with ties and a step change
+    for i in range(180):
+        t = base + datetime.timedelta(seconds=30 * i)
+        v = 1.0 if i < 150 else 50.0
+        rows.append((i, t, i % 2, "api", v, "{}"))
+        if i % 17 == 0:  # tie at the same timestamp, same key
+            rows.append((1000 + i, t, i % 2, "api", v + 0.25, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(d / "events.parquet")
+
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    from apmbackend_spark.testing import compare_query
+
+    for name in (
+        "st_zerofill_dense",
+        "zscore",
+        "zscore_override",
+        "alert_candidates",
+        "zscore_recursive",
+        "alerts",
+    ):
+        ok, msg = compare_query(spark, str(d), qs[name], os_[name])
+        assert ok, f"{name}: {msg}"
