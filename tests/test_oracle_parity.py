@@ -375,3 +375,80 @@ def test_zscore_family_oracle_survives_hostile_events(spark, tmp_path):
     ):
         ok, msg = compare_query(spark, str(d), qs[name], os_[name])
         assert ok, f"{name}: {msg}"
+
+
+def test_packing_family_oracle_survives_hostile_corpus(spark, tmpdir):
+    from apmbackend_spark.operators.packing import (
+        corpus_shuffle,
+        corpus_shuffle_oracle_sql,
+        doc_chunks,
+        doc_chunks_oracle_sql,
+        token_pack,
+        token_pack_oracle_sql,
+        token_spans,
+        token_spans_oracle_sql,
+    )
+
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, token_pack, token_pack_oracle_sql(),
+        ("doc_id",),
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, token_spans, token_spans_oracle_sql(),
+        ("doc_id", "span_idx") if "span_idx" in token_spans_oracle_sql() else ("doc_id",),
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, doc_chunks, doc_chunks_oracle_sql(),
+        ("doc_id", "chunk_idx") if "chunk_idx" in doc_chunks_oracle_sql() else ("doc_id",),
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, HOSTILE_DOCS, corpus_shuffle, corpus_shuffle_oracle_sql(),
+        ("doc_id",),
+    )
+
+
+def _hostile_embs_compare(spark, tmpdir, rows, spark_fn, oracle_sql_str, key_cols):
+    import duckdb
+
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    pq = f"{tmpdir}/embeddings.parquet"
+    sdf.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}')")
+    got_rows = spark_fn(sdf).collect()
+    cols = got_rows[0].asDict().keys() if got_rows else key_cols
+    got = {tuple(r[c] for c in key_cols): tuple(r[c] for c in cols) for r in got_rows}
+    res = con.sql(oracle_sql_str)
+    names = [d[0] for d in res.description]
+    want = {}
+    for row in res.fetchall():
+        d = dict(zip(names, row))
+        want[tuple(d[c] for c in key_cols)] = tuple(d[c] for c in cols)
+    assert got == want, (
+        f"diverge: only-engine={set(got) - set(want)}, only-oracle={set(want) - set(got)}"
+    )
+
+
+def test_quantize_oracle_survives_hostile_embeddings(spark, tmpdir):
+    """int8 quantization on adversarial vectors: the all-zero vector
+    (max|x| = 0 — division guard), a constant vector, huge/tiny
+    magnitudes, and sign flips."""
+    from apmbackend_spark.operators.similarity import (
+        embed_quantize,
+        embed_quantize_oracle_sql,
+    )
+
+    dim = 8
+    rows = [
+        (1, [0.0] * dim, 0),                       # zero vector
+        (2, [1.0] * dim, 0),                       # constant
+        (3, [1e30] + [0.0] * (dim - 1), 1),        # huge spike
+        (4, [1e-30] * dim, 1),                     # tiny magnitudes
+        (5, [(-1.0) ** i * (i + 1) for i in range(dim)], 2),  # sign flips
+    ]
+    _hostile_embs_compare(
+        spark, tmpdir, rows, embed_quantize, embed_quantize_oracle_sql(),
+        ("vec_id",),
+    )
