@@ -79,10 +79,12 @@ def doc_span_dup(documents: DataFrame, chunk_tokens: int = 20) -> DataFrame:
     Scale shape: the explode ships 8-byte (doc_id, fp) rows — text never
     shuffles; the document-frequency aggregate is map-side combinable; the
     join back is keyed on fp with fan-out bounded by total chunk count
-    (no pairwise blow-up anywhere, unlike a chunk self-join). The narrow
-    (doc_id, fp) frame is persisted eagerly so the tokenize+slice+hash
-    scan runs ONCE — it feeds the df-count aggregate, both sides of the
-    fp join, and (via a per-doc count) the n_chunks rollup."""
+    (no pairwise blow-up anywhere, unlike a chunk self-join). The
+    tokenize+slice+hash scan runs ONCE without any persist: every consumer
+    is derived from ONE (doc_id, fp) pre-aggregate, so all three branches
+    share an identical Exchange subtree and Spark's exchange reuse
+    (ReusedExchange, on by default) computes the scan + shuffle write a
+    single time — nothing stays pinned in executor storage afterwards."""
     c = int(chunk_tokens)
     tok = tokens(F.col("text"))
     base = documents.select("doc_id", tok.alias("tok")).select(
@@ -92,25 +94,26 @@ def doc_span_dup(documents: DataFrame, chunk_tokens: int = 20) -> DataFrame:
         F.col("n_chunks") > 0,
         F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
     ).otherwise(F.array().cast("array<int>"))
-    chunks = (
-        base.select("doc_id", "tok", F.explode(idx).alias("i"))
-        .select(
-            "doc_id",
-            hash64(
-                F.concat_ws(" ", F.slice(F.col("tok"), F.col("i") * c + 1, c))
-            ).alias("fp"),
-        )
-        .persist()
+    chunks = base.select("doc_id", "tok", F.explode(idx).alias("i")).select(
+        "doc_id",
+        hash64(
+            F.concat_ws(" ", F.slice(F.col("tok"), F.col("i") * c + 1, c))
+        ).alias("fp"),
     )
-    chunks.count()  # materialize before the three consumers fork
-    nch = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_chunks")
-    )
-    dfc = chunks.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    # single (doc_id, fp) pre-aggregate: its Exchange subtree is shared by
+    # all three consumers below, so ReusedExchange runs the scan once
+    g = chunks.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("k"))
+    nch = g.groupBy("doc_id").agg(F.sum("k").cast("long").alias("n_chunks"))
+    # g is distinct per (doc_id, fp), so distinct-doc count per fp = count
+    dfc = g.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
     dup = (
-        chunks.join(dfc, "fp")
+        g.join(dfc, "fp")
         .groupBy("doc_id")
-        .agg(F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_chunks"))
+        .agg(
+            F.sum(F.col("k") * (F.col("nd") >= 2).cast("long")).alias(
+                "n_dup_chunks"
+            )
+        )
     )
     return (
         documents.select("doc_id")

@@ -355,14 +355,29 @@ def parse_logs_chunked(
     pend = scanned.where(F.col("rectype") == "pend").select(
         "path", "rectype", "logid", "service", "okey", "startts"
     )
-    pend_keys = pend.select("path", "logid", "service").distinct()
+    pend_keys = pend.select(
+        F.col("path").alias("pk_path"),
+        F.col("logid").alias("pk_logid"),
+        F.col("service").alias("pk_service"),
+    ).distinct()
     others = (
         scanned.where(
             (F.col("rectype") == "kill")
             | ((F.col("rectype") == "tx") & (F.col("matched") == "N"))
         )
         .select("path", "rectype", "logid", "service", "okey", "startts")
-        .join(F.broadcast(pend_keys), ["path", "logid", "service"], "left_semi")
+        # NULL-SAFE on logid: lines with no [logid] prefix parse to logid
+        # NULL, and the replay's groupBy groups NULLs together — a
+        # null-unsafe semi-join would drop their kill/stop records while
+        # the pend passes through, breaking chunked == sequential for
+        # cross-chunk pairs on such keys.
+        .join(
+            F.broadcast(pend_keys),
+            (F.col("path") == F.col("pk_path"))
+            & F.col("logid").eqNullSafe(F.col("pk_logid"))
+            & (F.col("service") == F.col("pk_service")),
+            "left_semi",
+        )
     )
     spill = pend.unionByName(others)
     repairs = spill.groupBy("path", "logid", "service").applyInPandas(

@@ -389,13 +389,28 @@ def stream_sessions_gate(
     hi = int(lo) + int(slice_ms)
     sliced = tx.where(F.col("endts") < hi)
     bounds = [int(lo)] + _session_cuts(sliced, gap_ms, int(lo), hi) + [hi]
-    for a, b in zip(bounds, bounds[1:]):
+    # FileStreamSource picks files up in MODIFICATION-TIME order; three
+    # rapid appends can land with equal (second-granularity on some
+    # filesystems) mtimes, letting a later delivery's batch run first and
+    # advance the watermark past the earlier delivery. Stamp each
+    # delivery's data files with an explicit strictly-increasing mtime so
+    # the processing order IS the write order, deterministically.
+    delivery_t0 = None
+    for i, (a, b) in enumerate(zip(bounds, bounds[1:])):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
         (
             sliced.where((F.col("endts") >= a) & (F.col("endts") < b))
             .coalesce(1)
             .write.mode("append")
             .parquet(src)
         )
+        for name in set(os.listdir(src)) - before:
+            if name.startswith((".", "_")):
+                continue  # metadata files are ignored by the source
+            path = os.path.join(src, name)
+            if delivery_t0 is None:
+                delivery_t0 = os.stat(path).st_mtime
+            os.utime(path, (delivery_t0 + 10 * i, delivery_t0 + 10 * i))
 
     stream = (
         spark.readStream.schema(

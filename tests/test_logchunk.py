@@ -144,6 +144,49 @@ def test_stale_carry_killed_across_intermediate_chunk(spark, tmp_path):
         assert got == want, (cb, got, want)
 
 
+def test_null_logid_pair_repaired_across_chunks(spark, tmp_path):
+    # Regression (round-4 ADVICE): lines with NO [logid] prefix parse to
+    # logid NULL; the repair's pruning semi-join must be null-safe on logid
+    # or the kill/stop spill records are dropped while the pend passes,
+    # leaving a cross-chunk start/stop pair unrepaired (matched='N' with
+    # P7-fallback startts instead of the sequential parse's matched='Y').
+    from apmbackend_spark.sources.logchunk import parse_logs_chunked
+    from apmbackend_spark.sources.logparse import parse_logs
+
+    lines = [
+        # no-logid pair split across chunks (start in chunk 1, stop later)
+        "2024-01-05 10:00:00,000 t1 INFO CommonTiming::Start Svc request begins",
+        # a logid'd key interleaves so the semi-join has mixed keys
+        "[L1] 2024-01-05 10:00:01,000 t1 INFO CommonTiming::Start Svc request begins",
+        "[L1] 2024-01-05 10:00:01,500 t1 INFO CommonTiming::Stop Svc total time 500",
+        "2024-01-05 10:00:02,000 t1 INFO CommonTiming::Stop Svc total time 2000",
+        # second no-logid round: start, then a kill-relevant re-start
+        "2024-01-05 10:00:03,000 t1 INFO CommonTiming::Start Svc request begins",
+        "2024-01-05 10:00:04,000 t1 INFO CommonTiming::Start Svc request begins",
+        "2024-01-05 10:00:04,500 t1 INFO CommonTiming::Stop Svc total time 500",
+    ]
+    d = tmp_path / "logs" / "srvn"
+    d.mkdir(parents=True)
+    f = d / "server.log"
+    f.write_text("\n".join(lines) + "\n")
+
+    def rows(df):
+        return sorted(
+            (
+                r["logid"] or "", r["service"], r["startts"], r["endts"],
+                r["elapsed"], r["matched"],
+            )
+            for r in df.where(df.rectype == "tx").collect()
+        )
+
+    want = rows(parse_logs(spark, str(f)))
+    # sequential truth: the split no-logid pair IS matched
+    assert ("", "Svc", 1704448800000, 1704448802000, 2000, "Y") in want
+    for cb in (60, 90, 150, 300):
+        got = rows(parse_logs_chunked(spark, [str(f)], chunk_bytes=cb))
+        assert got == want, (cb, got, want)
+
+
 def test_repair_matches_sequential_on_fuzzed_sequences(spark, tmp_path):
     """Seeded fuzz of the pairing recurrence: random start/stop event
     sequences for a handful of (logid, service) keys interleaved in one
@@ -157,7 +200,9 @@ def test_repair_matches_sequential_on_fuzzed_sequences(spark, tmp_path):
     from apmbackend_spark.sources.logparse import parse_logs
 
     rng = random.Random(20260814)
-    keys = [("L%d" % k, "Svc%d" % (k % 3)) for k in range(5)]
+    # include a NO-logid key (logid parses to NULL) so the fuzz also covers
+    # the null-safe pruning path of the repair semi-join
+    keys = [("L%d" % k, "Svc%d" % (k % 3)) for k in range(5)] + [(None, "Svc0")]
     t0 = 1704448800000
     lines = []
     for i in range(120):
@@ -166,13 +211,14 @@ def test_repair_matches_sequential_on_fuzzed_sequences(spark, tmp_path):
         h, rem = divmod(ts // 1000 % 86400, 3600)
         mnt, sec = divmod(rem, 60)
         tss = f"2024-01-05 {h:02d}:{mnt:02d}:{sec:02d},{ts % 1000:03d}"
+        prefix = f"[{logid}] " if logid is not None else ""
         if rng.random() < 0.55:
             lines.append(
-                f"[{logid}] {tss} t1 INFO CommonTiming::Start {svc} request begins"
+                f"{prefix}{tss} t1 INFO CommonTiming::Start {svc} request begins"
             )
         else:
             lines.append(
-                f"[{logid}] {tss} t1 INFO CommonTiming::Stop {svc} total time {rng.randrange(1, 2000)}"
+                f"{prefix}{tss} t1 INFO CommonTiming::Stop {svc} total time {rng.randrange(1, 2000)}"
             )
     d = tmp_path / "logs" / "srvf"
     d.mkdir(parents=True)
@@ -182,7 +228,7 @@ def test_repair_matches_sequential_on_fuzzed_sequences(spark, tmp_path):
     def rows(df):
         return sorted(
             (
-                r["logid"], r["service"], r["startts"], r["endts"],
+                r["logid"] or "", r["service"], r["startts"], r["endts"],
                 r["elapsed"], r["matched"],
             )
             for r in df.where(df.rectype == "tx").collect()
