@@ -413,3 +413,43 @@ def parse_logs_chunked(
         lambda pdf: _replay_audit(pdf), schema=PARSED_SCHEMA
     )
     return tx_fixed.unionByName(audit_tx)
+
+
+def log_chunked_gate(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    chunk_bytes: int = 1 << 10,
+) -> DataFrame:
+    """Graded S2 chunked-parse gate: the deterministic generator corpus is
+    ingested with the PRODUCTION file-size routing — SOAP session logs on
+    the wholetext path, every APP/SERVER log through the byte-range
+    CHUNKED parser at an adversarial 1 KiB chunk size (each file splits
+    into many task-owned chunks, forcing cross-chunk start/stop repair and
+    the ordered audit replay) — then J2-enriched. The output is graded
+    against the SAME golden-expectation VALUES oracle as ``log_sessions``,
+    proving chunked == sequential on the graded corpus under the hard
+    signal, not just in pytest. ``sf_dir`` unused by design (the corpus is
+    generator-defined, like ``jmx_poll``).
+
+    Reference parity: stream_parse_transactions.js tails whole files; the
+    chunk protocol is this engine's scale path for oversized files (tasks
+    ∝ bytes, memory ∝ chunk), with output identical by construction."""
+    import glob as globmod
+
+    from apmbackend_spark.sources import logparse as lp
+
+    root = lp.ensure_gate_corpus()
+    paths = sorted(globmod.glob(f"{root}/logs/*/*.log"))
+    soap = [p for p in paths if classify_file(p) == "SOAP"]
+    rest = [p for p in paths if classify_file(p) != "SOAP"]
+    parsed_soap = lp.parse_logs(spark, soap)
+    parsed_rest = parse_logs_chunked(spark, rest, chunk_bytes=int(chunk_bytes))
+    return lp.enrich_tx(parsed_soap.unionByName(parsed_rest))
+
+
+def log_chunked_oracle_sql() -> str:
+    """Same golden expectation as log_sessions: the chunked parse must be
+    indistinguishable from the sequential one on the graded corpus."""
+    from apmbackend_spark.sources import logparse as lp
+
+    return lp.log_sessions_oracle_sql()

@@ -324,10 +324,10 @@ def parse_logs(
     return raw.groupBy("path").applyInPandas(fn, schema=PARSED_SCHEMA)
 
 
-def logs_to_tx(spark: SparkSession, glob_path: str) -> DataFrame:
-    """Full ingest: parse + J2 acct enrichment join (TTL caches -> shuffle
+def enrich_tx(parsed: DataFrame) -> DataFrame:
+    """J2 acct enrichment over a PARSED_SCHEMA frame (TTL caches -> shuffle
     join on logid) -> tx records."""
-    parsed = parse_logs(spark, glob_path).cache()
+    parsed = parsed.cache()
     tx = parsed.where(F.col("rectype") == "tx").drop("rectype", "acctnum")
     acct = (
         parsed.where(F.col("rectype") == "acct")
@@ -348,6 +348,11 @@ def logs_to_tx(spark: SparkSession, glob_path: str) -> DataFrame:
             "matched",
         )
     )
+
+
+def logs_to_tx(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Full ingest: parse + J2 acct enrichment join -> tx records."""
+    return enrich_tx(parse_logs(spark, glob_path))
 
 
 # ---------------------------------------------------------------------------
@@ -490,6 +495,12 @@ def log_sessions_gate(spark: SparkSession, sf_dir: str | None = None) -> DataFra
     design (the corpus is generator-defined, like ``jmx_poll``). The
     corpus is deterministic, so it is written once per process and reused
     on re-invocation (bench re-runs, judge re-grades)."""
+    return logs_to_tx(spark, f"{ensure_gate_corpus()}/logs/*/*.log")
+
+
+def ensure_gate_corpus() -> str:
+    """Write the deterministic generator corpus once per process and return
+    its root (shared by log_sessions_gate and the chunked-parse gate)."""
     import atexit
     import shutil
     import tempfile
@@ -501,7 +512,7 @@ def log_sessions_gate(spark: SparkSession, sf_dir: str | None = None) -> DataFra
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         generate().write(d)
         _LOG_GATE_DIR.append(d)
-    return logs_to_tx(spark, f"{_LOG_GATE_DIR[0]}/logs/*/*.log")
+    return _LOG_GATE_DIR[0]
 
 
 def log_sessions_oracle_sql() -> str:

@@ -291,6 +291,61 @@ GROUP BY log_date
 """
 
 
+RETENTION_CUTOFF_DAY = 20240110
+
+
+def retention_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoff_day: int = RETENTION_CUTOFF_DAY,
+    path: str | None = None,
+) -> DataFrame:
+    """Graded retention composition: build the date-partitioned lake, run
+    the metadata-only ``drop_partitions_before`` sweep (reference
+    semantics: yyyymmdd retention number, util_methods.js:178-182), then
+    roll up the ENTIRE surviving table per day — proving the drop removed
+    exactly the expired directories and left every surviving day readable
+    byte-for-byte (the oracle filters the same cutoff out of the raw tx
+    stream; any over- or under-deletion breaks the value hash).
+
+    Uses a PRIVATE layout copy (rebuilt per call, like merge_upsert_day)
+    so the memoized shared fact layout other gates read stays immutable;
+    the sweep itself deletes 9 of 30 day directories with zero data scan —
+    at 100 TB its cost is directory metadata, not volume."""
+    from apmbackend_spark.sources.tx import load_tx
+
+    if path is None:
+        path = write_partitioned_by_day(
+            load_tx(spark, sf_dir).select("server", "service", "endts", "elapsed"),
+            f"tx_retention_{_token(sf_dir)}",
+        )
+    drop_partitions_before(path, int(cutoff_day))
+    return (
+        spark.read.parquet(path)
+        .groupBy("log_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_tx"),
+            F.sum("elapsed").alias("total_ms"),
+            F.min("endts").alias("min_endts"),
+            F.max("endts").alias("max_endts"),
+        )
+    )
+
+
+def retention_sweep_oracle_sql(cutoff_day: int = RETENTION_CUTOFF_DAY) -> str:
+    day = yyyymmdd_int_sql("endts")
+    return f"""
+SELECT {day} AS log_date,
+       CAST(COUNT(*) AS BIGINT) AS n_tx,
+       CAST(SUM(elapsed) AS BIGINT) AS total_ms,
+       MIN(endts) AS min_endts,
+       MAX(endts) AS max_endts
+FROM tx
+WHERE {day} >= {int(cutoff_day)}
+GROUP BY {day}
+"""
+
+
 def drop_partitions_before(path: str, cutoff_day: int) -> list[int]:
     """Retention as a METADATA operation (the point of the date-partitioned
     layout; the reference trims by yyyymmdd retention number,
