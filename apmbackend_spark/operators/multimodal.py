@@ -752,3 +752,274 @@ SELECT media_id,
 FROM px
 GROUP BY media_id, w, h
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL video modality: Y4M (YUV4MPEG2), end-to-end with no codec library.
+#
+# The remaining stubbed modality closed the same way as WAV and PNG: Y4M is
+# a real, standard, uncompressed video container (mjpegtools/ffmpeg
+# interchange format) that needs no codec — a plain-text stream header
+# ("YUV4MPEG2 W.. H.. F<num>:<den> .. C444"), then per frame a "FRAME\n"
+# marker followed by raw Y, U, V planes. The encoder below writes
+# spec-compliant streams (C444 = no chroma subsampling, so every plane is
+# w*h bytes) and the decoder is a genuine Y4M demuxer: header tokenizer,
+# frame-marker walk with parameter tolerance, plane slicing, with hard
+# errors on malformed input. Features are exact integer plane sums, so the
+# DuckDB oracle regenerates them from the deterministic pattern with range
+# joins — the same real-decode grading design as audio/PNG above. The
+# mapInPandas plumbing (Arrow batches, bytes never at the driver) is shared
+# with the other modalities; stream_parse parity: the reference treats
+# binary payloads as opaque tailed bytes, this engine decodes them
+# executor-side.
+# ---------------------------------------------------------------------------
+
+Y4M_FPS = 25  # F25:1 -> 40 ms per frame
+
+
+def _y4m_dims(media_id: int) -> tuple[int, int]:
+    return 16 + media_id % 8, 12 + media_id % 6  # w in 16..23, h in 12..17
+
+
+def _y4m_frames(media_id: int) -> int:
+    return 3 + media_id % 4  # 3..6 frames
+
+
+def _y4m_plane_val(media_id: int, p: int, f: int, x: int, y: int) -> int:
+    """Deterministic plane pattern (p: 0=Y, 1=U, 2=V), mirrored exactly by
+    the SQL oracle."""
+    return (
+        media_id * (7 + 4 * p) + f * (13 + 2 * p) + x * (3 + p) + y * (5 + p)
+    ) % 256
+
+
+def encode_y4m(media_id: int) -> bytes:
+    w, h = _y4m_dims(media_id)
+    n = _y4m_frames(media_id)
+    parts = [f"YUV4MPEG2 W{w} H{h} F{Y4M_FPS}:1 Ip A1:1 C444\n".encode()]
+    for f in range(n):
+        parts.append(b"FRAME\n")
+        for p in range(3):
+            parts.append(
+                bytes(
+                    _y4m_plane_val(media_id, p, f, x, y)
+                    for y in range(h)
+                    for x in range(w)
+                )
+            )
+    return b"".join(parts)
+
+
+def decode_y4m(content: bytes):
+    """Real Y4M demux: returns (w, h, fps_num, fps_den, frames) where each
+    frame is the (y, u, v) plane bytes. Only C444 (and the default C420
+    tag-absent case rejected explicitly) is supported — the synth side
+    writes C444; a genuinely subsampled stream raises rather than
+    mis-slicing planes."""
+    nl = content.index(b"\n")
+    header = content[:nl].decode("ascii")
+    toks = header.split(" ")
+    if toks[0] != "YUV4MPEG2":
+        raise ValueError(f"not a Y4M stream: {toks[0]!r}")
+    w = h = None
+    fps_num, fps_den = 30, 1
+    colorspace = "C420"
+    for t in toks[1:]:
+        if not t:
+            continue
+        tag, val = t[0], t[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == "C":
+            colorspace = t
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "C444":
+        raise ValueError(f"unsupported colorspace {colorspace!r} (need C444)")
+    plane = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(content):
+        fnl = content.index(b"\n", pos)
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad frame marker at byte {pos}")
+        pos = fnl + 1
+        if pos + 3 * plane > len(content):
+            raise ValueError("truncated frame payload")
+        frames.append(
+            (
+                content[pos : pos + plane],
+                content[pos + plane : pos + 2 * plane],
+                content[pos + 2 * plane : pos + 3 * plane],
+            )
+        )
+        pos += 3 * plane
+    return w, h, fps_num, fps_den, frames
+
+
+def synth_y4m_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """One real Y4M stream per document, plane pattern keyed by doc_id —
+    built executor-side in mapInPandas (bytes never visit the driver)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [encode_y4m(int(i)) for i in ids],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        fn, schema="media_id long, content binary"
+    )
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """REAL video decode + features via mapInPandas: demux the Y4M stream,
+    then exact integer plane statistics — frame count, dimensions, frame
+    rate, duration, total per-plane sums, peak luma, mean luma."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, num, den, frames = decode_y4m(bytes(r.content))
+                y_sum = sum(sum(f[0]) for f in frames)  # exact ints
+                u_sum = sum(sum(f[1]) for f in frames)
+                v_sum = sum(sum(f[2]) for f in frames)
+                y_max = max(max(f[0]) for f in frames) if frames else 0
+                npx = len(frames) * w * h
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": w,
+                        "height": h,
+                        "n_frames": len(frames),
+                        "fps_num": num,
+                        "duration_ms": len(frames) * 1000 * den // num,
+                        "y_sum": y_sum,
+                        "u_sum": u_sum,
+                        "v_sum": v_sum,
+                        "y_max": y_max,
+                        "mean_luma": y_sum / npx if npx else 0.0,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        schema=(
+            "media_id long, width int, height int, n_frames int, "
+            "fps_num int, duration_ms long, y_sum long, u_sum long, "
+            "v_sum long, y_max int, mean_luma double"
+        ),
+    )
+
+
+def video_features_oracle_sql() -> str:
+    """Exact twin: regenerate every (frame, x, y) plane value with range
+    joins and fold the same integer sums (identical double mean)."""
+    return f"""
+WITH ids AS (
+    SELECT doc_id AS media_id,
+           16 + doc_id % 8 AS w, 12 + doc_id % 6 AS h,
+           3 + doc_id % 4 AS n
+    FROM documents
+), cells AS (
+    SELECT media_id, w, h, n, f.range AS f, x.range AS x, y.range AS y
+    FROM ids
+    JOIN range(7) f ON f.range < n
+    JOIN range(24) x ON x.range < w
+    JOIN range(18) y ON y.range < h
+), vals AS (
+    SELECT media_id, w, h, n,
+           (media_id * 7 + f * 13 + x * 3 + y * 5) % 256 AS yv,
+           (media_id * 11 + f * 15 + x * 4 + y * 6) % 256 AS uv,
+           (media_id * 15 + f * 17 + x * 5 + y * 7) % 256 AS vv
+    FROM cells
+)
+SELECT media_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_frames,
+       CAST({Y4M_FPS} AS INT) AS fps_num,
+       CAST(n * 1000 // {Y4M_FPS} AS BIGINT) AS duration_ms,
+       CAST(SUM(yv) AS BIGINT) AS y_sum,
+       CAST(SUM(uv) AS BIGINT) AS u_sum,
+       CAST(SUM(vv) AS BIGINT) AS v_sum,
+       CAST(MAX(yv) AS INT) AS y_max,
+       CAST(SUM(yv) AS DOUBLE) / (n * w * h) AS mean_luma
+FROM vals
+GROUP BY media_id, w, h, n
+"""
+
+
+def video_frame_sample(media: DataFrame, every_ms: int = 80) -> DataFrame:
+    """REAL frame sampling on the real container: demux, keep frames whose
+    presentation time (f * 1000 * den / num ms) falls on the ``every_ms``
+    grid, emit one row per kept frame with its exact luma profile. The
+    frame explode happens executor-side inside the Arrow batch — sampled
+    frames, not full streams, are what crosses operator boundaries."""
+    every = int(every_ms)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, num, den, frames = decode_y4m(bytes(r.content))
+                for f, (yp, _, _) in enumerate(frames):
+                    t_ms = f * 1000 * den // num
+                    if t_ms % every:
+                        continue
+                    ysum = sum(yp)
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": f,
+                            "t_ms": t_ms,
+                            "y_sum": ysum,
+                            "y_mean": ysum / (w * h),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "t_ms", "y_sum", "y_mean"],
+            )
+
+    return media.mapInPandas(
+        fn,
+        schema="media_id long, frame_idx int, t_ms long, y_sum long, y_mean double",
+    )
+
+
+def video_frame_sample_oracle_sql(every_ms: int = 80) -> str:
+    return f"""
+WITH ids AS (
+    SELECT doc_id AS media_id,
+           16 + doc_id % 8 AS w, 12 + doc_id % 6 AS h,
+           3 + doc_id % 4 AS n
+    FROM documents
+), frames AS (
+    SELECT media_id, w, h, f.range AS f,
+           f.range * 1000 // {Y4M_FPS} AS t_ms
+    FROM ids JOIN range(7) f ON f.range < n
+    WHERE (f.range * 1000 // {Y4M_FPS}) % {int(every_ms)} = 0
+), cells AS (
+    SELECT media_id, w, h, f, t_ms,
+           (media_id * 7 + f * 13 + x.range * 3 + y.range * 5) % 256 AS yv
+    FROM frames
+    JOIN range(24) x ON x.range < w
+    JOIN range(18) y ON y.range < h
+)
+SELECT media_id, CAST(f AS INT) AS frame_idx, CAST(t_ms AS BIGINT) AS t_ms,
+       CAST(SUM(yv) AS BIGINT) AS y_sum,
+       CAST(SUM(yv) AS DOUBLE) / (w * h) AS y_mean
+FROM cells
+GROUP BY media_id, f, t_ms, w, h
+"""

@@ -131,3 +131,83 @@ class TestRealPng:
             assert (r["width"], r["height"]) == (w, h)
             assert r["sum_r"] == sum(p[0] for p in px)
             assert r["sum_b"] == sum(p[2] for p in px)
+
+
+class TestY4MVideo:
+    def test_encode_decode_roundtrip(self):
+        from apmbackend_spark.operators.multimodal import (
+            _y4m_dims,
+            _y4m_frames,
+            _y4m_plane_val,
+            decode_y4m,
+            encode_y4m,
+        )
+
+        for mid in range(8):
+            w, h, num, den, frames = decode_y4m(encode_y4m(mid))
+            assert (w, h) == _y4m_dims(mid)
+            assert (num, den) == (25, 1)
+            assert len(frames) == _y4m_frames(mid)
+            # spot-check plane bytes against the deterministic pattern
+            yp, up, vp = frames[0]
+            assert yp[0] == _y4m_plane_val(mid, 0, 0, 0, 0)
+            assert up[w + 1] == _y4m_plane_val(mid, 1, 0, 1, 1)
+            assert vp[-1] == _y4m_plane_val(mid, 2, 0, w - 1, h - 1)
+
+    def test_bad_magic_raises(self):
+        import pytest as _pytest
+
+        from apmbackend_spark.operators.multimodal import decode_y4m
+
+        with _pytest.raises(ValueError, match="not a Y4M"):
+            decode_y4m(b"RIFFxxxx\nFRAME\n")
+
+    def test_subsampled_colorspace_rejected(self):
+        import pytest as _pytest
+
+        from apmbackend_spark.operators.multimodal import decode_y4m
+
+        with _pytest.raises(ValueError, match="C420"):
+            decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\0" * 24)
+
+    def test_truncated_frame_raises(self):
+        import pytest as _pytest
+
+        from apmbackend_spark.operators.multimodal import decode_y4m, encode_y4m
+
+        with _pytest.raises(ValueError, match="truncated"):
+            decode_y4m(encode_y4m(3)[:-5])
+
+    def test_frame_marker_params_tolerated(self):
+        from apmbackend_spark.operators.multimodal import decode_y4m
+
+        # per-frame parameters after FRAME are legal Y4M; 2x1, one frame
+        raw = b"YUV4MPEG2 W2 H1 F25:1 C444\nFRAME Ip\n" + bytes(range(6))
+        w, h, _, _, frames = decode_y4m(raw)
+        assert (w, h) == (2, 1)
+        assert frames == [(bytes([0, 1]), bytes([2, 3]), bytes([4, 5]))]
+
+    def test_video_features_end_to_end(self, spark):
+        from apmbackend_spark.operators.multimodal import (
+            _y4m_dims,
+            _y4m_frames,
+            _y4m_plane_val,
+            synth_y4m_media,
+            video_features,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        got = {r["media_id"]: r for r in video_features(
+            synth_y4m_media(spark, docs)
+        ).collect()}
+        for mid in range(6):
+            w, h = _y4m_dims(mid)
+            n = _y4m_frames(mid)
+            want_y = sum(
+                _y4m_plane_val(mid, 0, f, x, y)
+                for f in range(n) for y in range(h) for x in range(w)
+            )
+            r = got[mid]
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, n)
+            assert r["y_sum"] == want_y
+            assert r["duration_ms"] == n * 40
