@@ -78,16 +78,22 @@ def window_stats_stream(
     tx: DataFrame,
     window: str = "300 seconds",
     slide: str = "10 seconds",
-    watermark: str = "60 seconds",
+    watermark: str | None = "60 seconds",
 ) -> DataFrame:
     """Watermarked sliding-window stats — the streaming twin of
-    operators/window_stats.py (same expressions, same output schema)."""
+    operators/window_stats.py (same expressions, same output schema).
+
+    ``watermark=None`` inherits the stream's existing watermark instead of
+    setting one — required when chaining after another stateful operator
+    (e.g. dedup_stream): Spark disallows redefining the watermark between
+    stateful operators in one query."""
     from apmbackend_spark.operators.window_stats import _duration_minutes
 
     minutes = _duration_minutes(window)
     arr = F.sort_array(F.collect_list("elapsed"))
+    src = tx.withWatermark("endtime", watermark) if watermark else tx
     return (
-        tx.withWatermark("endtime", watermark)
+        src
         .groupBy("server", "service", F.window(F.col("endtime"), window, slide))
         .agg(
             F.count(F.lit(1)).alias("cnt"),

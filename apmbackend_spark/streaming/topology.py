@@ -208,6 +208,109 @@ def stream_topology_gate(
     return spark.read.schema(_fs_handoff_schema()).parquet(dirs["fs"])
 
 
+def _write_time_deliveries(df, src: str, ts_col: str, bounds: list[int]) -> None:
+    """Write ``df`` as ``len(bounds)-1`` time-consecutive parquet deliveries
+    into ``src``, stamping each delivery's data files with strictly
+    increasing mtimes: FileStreamSource picks files up in MODIFICATION-TIME
+    order, and rapid appends can land with equal (second-granularity on
+    some filesystems) timestamps, letting a later delivery's batch run
+    first. With explicit stamps the processing order IS the write order."""
+    import os
+
+    delivery_t0 = None
+    for i, (a, b) in enumerate(zip(bounds, bounds[1:])):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        (
+            df.where((F.col(ts_col) >= a) & (F.col(ts_col) < b))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for name in set(os.listdir(src)) - before:
+            if name.startswith((".", "_")):
+                continue  # metadata files are ignored by the source
+            path = os.path.join(src, name)
+            if delivery_t0 is None:
+                delivery_t0 = os.stat(path).st_mtime
+            os.utime(path, (delivery_t0 + 10 * i, delivery_t0 + 10 * i))
+
+
+# ---------------------------------------------------------------------------
+# Bounded-state influence z-score drain gate (the zscore_recursive scale path).
+# ---------------------------------------------------------------------------
+
+# 12 h grid: the oracle's recursion depth (and the drain volume) is
+# span-bound — keys x 4320 slots x |lags| covers warmup, damping, nulls and
+# two cross-batch state carries per key with no extra semantics beyond that.
+ZS_DRAIN_SLICE_MS = 12 * 3600 * 1000
+
+
+def zscore_stateful_drain_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    lags=(60, 360),
+    threshold: float = 3.0,
+    influence: float = 0.1,
+    n_deliveries: int = 3,
+    slice_ms: int = ZS_DRAIN_SLICE_MS,
+    shuffle_partitions: int = 8,
+    timeout_s: int = 300,
+) -> "DataFrame":
+    """Graded BOUNDED-STATE form of the influence-damped z-score (A9).
+
+    ``zscore_recursive`` grades the exact reference semantics but scans a
+    key's WHOLE series inside one task — the form you would not run at
+    100x retention. This gate grades the scale path itself: the dense
+    steady-state st grid arrives as ``n_deliveries`` time-consecutive
+    parquet deliveries (one micro-batch each via maxFilesPerTrigger);
+    `zscore_stateful` scans each batch per key in timestamp order with its
+    FIFO histories persisted in the STATE STORE across batches — per-key
+    state is O(|lags| x |metrics| x max(lag)) values, independent of
+    series length, and per-task input is one micro-batch, not one series.
+    The delivery cuts land mid-series (on a dense grid every key spans all
+    deliveries), so the cross-batch state carry is genuinely forced.
+
+    Graded against the recursive ``zscore_step`` DuckDB oracle over the
+    same dense grid — the same exactness contract as ``stream_topology``'s
+    fs stage, here at the graded z-score family's own lags (60, 360) and
+    input grid. Reference semantics: stream_calc_z_score.js:66-104
+    (:96-97 influence damping)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from apmbackend_spark.operators.zerofill import st_zerofill_dense
+    from apmbackend_spark.sources.tx import load_tx
+
+    work = tempfile.mkdtemp(prefix="apm_zs_drain_gate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src, out = os.path.join(work, "src"), os.path.join(work, "out")
+
+    st = st_zerofill_dense(load_tx(spark, sf_dir), slice_ms=int(slice_ms))
+    lo, hi = st.agg(F.min("timestamp"), F.max("timestamp")).collect()[0]
+    lo, hi = int(lo), int(hi) + 1
+    step = max((hi - lo) // int(n_deliveries), 1)
+    bounds = [lo + k * step for k in range(int(n_deliveries))] + [hi]
+    _write_time_deliveries(st, src, "timestamp", bounds)
+
+    stream = (
+        spark.readStream.schema(ST_HANDOFF_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    fs = zscore_stateful(
+        stream, lags=lags, threshold=threshold, influence=influence
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        _run_stage(fs, out, os.path.join(work, "ck"), timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.schema(_fs_handoff_schema()).parquet(out)
+
+
 # ---------------------------------------------------------------------------
 # Streaming corpus ingest gate: multi-delivery dedup-index build.
 # ---------------------------------------------------------------------------
@@ -389,28 +492,7 @@ def stream_sessions_gate(
     hi = int(lo) + int(slice_ms)
     sliced = tx.where(F.col("endts") < hi)
     bounds = [int(lo)] + _session_cuts(sliced, gap_ms, int(lo), hi) + [hi]
-    # FileStreamSource picks files up in MODIFICATION-TIME order; three
-    # rapid appends can land with equal (second-granularity on some
-    # filesystems) mtimes, letting a later delivery's batch run first and
-    # advance the watermark past the earlier delivery. Stamp each
-    # delivery's data files with an explicit strictly-increasing mtime so
-    # the processing order IS the write order, deterministically.
-    delivery_t0 = None
-    for i, (a, b) in enumerate(zip(bounds, bounds[1:])):
-        before = set(os.listdir(src)) if os.path.isdir(src) else set()
-        (
-            sliced.where((F.col("endts") >= a) & (F.col("endts") < b))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        for name in set(os.listdir(src)) - before:
-            if name.startswith((".", "_")):
-                continue  # metadata files are ignored by the source
-            path = os.path.join(src, name)
-            if delivery_t0 is None:
-                delivery_t0 = os.stat(path).st_mtime
-            os.utime(path, (delivery_t0 + 10 * i, delivery_t0 + 10 * i))
+    _write_time_deliveries(sliced, src, "endts", bounds)
 
     stream = (
         spark.readStream.schema(

@@ -400,3 +400,43 @@ def test_bloom_join_profile_injects_runtime_filter(spark):
     p = plan(bloom_join_profile(spark, SF_SMOKE))
     assert "might_contain" in p
     assert "bloom_filter_agg" in p
+
+
+def test_queue_codec_stays_jvm_side(spark):
+    # The wire protocol encode->replay->decode->account pipeline is pure
+    # column expressions: no Python eval anywhere, and the only wide
+    # exchange is the final 8-column accounting groupBy.
+    from apmbackend_spark.sources.queue import queue_roundtrip_gate
+
+    p = plan(queue_roundtrip_gate(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_retention_sweep_reads_only_surviving_partitions(spark):
+    # after the metadata drop, the rollup's scan must list only surviving
+    # day directories (partition values below the cutoff are gone)
+    from apmbackend_spark.sources.partitioned import (
+        RETENTION_CUTOFF_DAY,
+        retention_sweep,
+    )
+
+    df = retention_sweep(spark, SF_SMOKE)
+    days = [r["log_date"] for r in df.select("log_date").distinct().collect()]
+    assert days and min(days) >= RETENTION_CUTOFF_DAY
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_doc_span_dup_shares_one_exchange_no_cache(spark):
+    # round-4 rewrite: the (doc_id, fp) pre-aggregate must be shared via
+    # exchange reuse, not a pinned persist — no InMemoryRelation in the
+    # plan, and the executed plan reuses the common exchange
+    from apmbackend_spark.operators.dedup import doc_span_dup
+    from apmbackend_spark.sources.loaders import load_table, spread
+
+    docs = spread(load_table(spark, SF_SMOKE, "documents"))
+    df = doc_span_dup(docs)
+    assert "InMemoryRelation" not in plan(df)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed

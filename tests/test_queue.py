@@ -1,0 +1,192 @@
+"""Messaging-queue adapter (S3/S4): wire codec round-trip + batch/stream
+parity over a real TCP socket with out-of-order, multi-wave, at-least-once
+replay. The reference's queue protocol is pipe-delimited TxEntry lines
+(entries.js:16-21) with ack-on-receive consumers (queue.js:266-305)."""
+
+from __future__ import annotations
+
+import random
+import socket
+import threading
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from apmbackend_spark.sources.queue import (
+    queue_roundtrip_gate,
+    socket_tx_stream,
+    tx_to_wire,
+    wire_to_tx,
+)
+from apmbackend_spark.sources.tx import load_tx
+
+SF_DIR = "/root/testdata/sf0.001"
+TX_COLS = (
+    "server", "service", "logid", "acctnum",
+    "startts", "endts", "elapsed", "toplevel",
+)
+
+
+def test_wire_codec_roundtrip(spark):
+    tx = load_tx(spark, SF_DIR).drop("endtime")
+    back = wire_to_tx(tx_to_wire(tx))
+    want = sorted(map(tuple, tx.select(*TX_COLS).collect()))
+    got = sorted(map(tuple, back.select(*TX_COLS).collect()))
+    assert got == want
+    # NULL numerics ride as the reference's literal NaN and decode back
+    line = tx_to_wire(
+        tx.where(F.col("acctnum").isNull() & F.col("startts").isNull()).limit(1)
+    ).collect()[0]["value"]
+    assert "|NaN|NaN|" in line
+
+
+def test_non_tx_lines_dropped(spark):
+    lines = spark.createDataFrame(
+        [("st|123|srv0|click|1.00|2.0|3.0|4.0",),
+         ("tx|srv1|click|42|NaN|NaN|1000|5|N",)],
+        "value string",
+    )
+    rows = wire_to_tx(lines).collect()
+    assert len(rows) == 1 and rows[0]["logid"] == "42"
+    assert rows[0]["acctnum"] is None and rows[0]["startts"] is None
+
+
+class _LineServer:
+    """One-shot TCP server: accepts a single consumer and sends waves of
+    wire lines with pauses between them (so each wave lands in its own
+    micro-batch), then holds the connection open until closed."""
+
+    def __init__(self, waves: list[list[str]], wave_gap_s: float = 2.0):
+        self.waves = waves
+        self.wave_gap_s = wave_gap_s
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self._conn = None
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def _serve(self):
+        conn, _ = self.sock.accept()
+        self._conn = conn
+        try:
+            for i, wave in enumerate(self.waves):
+                if i:
+                    time.sleep(self.wave_gap_s)
+                conn.sendall(("\n".join(wave) + "\n").encode())
+        except OSError:
+            pass  # consumer went away first
+
+    def close(self):
+        for s in (self._conn, self.sock):
+            try:
+                if s is not None:
+                    s.close()
+            except OSError:
+                pass
+
+
+def _disordered_waves(lines: list[str], n_waves: int, block: int, seed: int):
+    """Time-ordered input -> waves of blocks with bounded disorder: lines
+    are shuffled WITHIN each `block`-line window and adjacent blocks are
+    swapped pairwise, so event-time disorder is bounded by ~2 blocks —
+    well inside the stream's watermark, while genuinely out-of-order."""
+    rng = random.Random(seed)
+    blocks = [lines[i : i + block] for i in range(0, len(lines), block)]
+    for b in blocks:
+        rng.shuffle(b)
+    for i in range(0, len(blocks) - 1, 2):
+        blocks[i], blocks[i + 1] = blocks[i + 1], blocks[i]
+    per_wave = max(-(-len(blocks) // n_waves), 1)  # ceil: every block ships
+    return [
+        [ln for b in blocks[w : w + per_wave] for ln in b]
+        for w in range(0, len(blocks), per_wave)
+    ]
+
+
+def test_socket_stream_parity_out_of_order(spark, tmp_path):
+    """Batch/stream parity over the socket transport: a 7-day tx slice is
+    served as 3 waves of bounded-disorder wire lines PLUS an at-least-once
+    duplicate replay of ~10% of them; the socket consumer's watermarked
+    window stats (after exactly-once dedup) must equal the batch operator
+    on the same slice."""
+    from apmbackend_spark.operators.window_stats import window_stats
+    from apmbackend_spark.streaming.pipeline import dedup_stream, window_stats_stream
+
+    # sf0.001 is SPARSE (~1.4 tx/hour): a 7-day slice gives ~230 lines and
+    # the 1-day watermark comfortably covers the ~6 h block-level disorder
+    watermark = "86400 seconds"
+    tx = load_tx(spark, SF_DIR)
+    lo = tx.agg(F.min("endts")).collect()[0][0]
+    hi = int(lo) + 7 * 24 * 3600 * 1000
+    sliced = tx.where(F.col("endts") < hi)
+    lines = [
+        r["value"]
+        for r in tx_to_wire(sliced.orderBy("endts", "logid")).collect()
+    ]
+    assert len(lines) > 100
+
+    waves = _disordered_waves(lines, n_waves=3, block=8, seed=20260814)
+    # at-least-once: replay ~10% of each wave's lines at its tail
+    rng = random.Random(1)
+    for w in waves:
+        w.extend(ln for ln in list(w) if rng.random() < 0.1)
+    # flusher wave: one sentinel far enough ahead to close every payload
+    # window (window 300 s + watermark + slack), excluded from compare
+    flush_ts = hi + 86_400_000 + 600_000
+    waves.append([f"tx|srvX|__flush__|flush-1|NaN|NaN|{flush_ts}|1|N"])
+
+    server = _LineServer(waves).start()
+    try:
+        stream = socket_tx_stream(spark, "127.0.0.1", server.port)
+        stream = dedup_stream(stream, watermark=watermark, keys=("logid",))
+        st_cols = ("server", "service", "win_start", "cnt", "tpm", "avg_ms", "p75", "p95")
+        st = (
+            # watermark=None: inherit dedup_stream's watermark (Spark
+            # disallows redefining it between stateful operators)
+            window_stats_stream(stream, watermark=None)
+            .where(F.col("service") != "__flush__")
+            .select(*st_cols)
+        )
+        q = (
+            st.writeStream.format("memory")
+            .queryName("qsock_st")
+            .outputMode("append")
+            .start()
+        )
+        want = sorted(map(tuple, window_stats(sliced).select(*st_cols).collect()))
+        deadline = time.time() + 240
+        got: list = []
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(f"query died: {q.exception()}")
+            got = sorted(
+                map(tuple, spark.sql("SELECT * FROM qsock_st").collect())
+            )
+            if len(got) >= len(want):
+                break
+            time.sleep(2)
+        q.stop()
+    finally:
+        server.close()
+    assert got == want, (len(got), len(want))
+    # replay actually happened and was deduped
+    assert sum(len(w) for w in waves[:-1]) > len(lines)
+
+
+def test_queue_roundtrip_gate_counts(spark):
+    out = queue_roundtrip_gate(spark, SF_DIR)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_deliveries") == 2).cast("long")).alias("dups"),
+    ).collect()[0]
+    n_tx = load_tx(spark, SF_DIR).count()
+    assert agg["n"] == n_tx          # exactly-once projection
+    assert 0 < agg["dups"] < n_tx    # the replay rule fired on a subset
