@@ -520,11 +520,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | phase6_rest
     )
     assert len(window) == 50, f"grading window holds {len(window)}, want 50"
+    # Round-4 EXTRA operators (beyond the verdict items): arrive in the
+    # overflow set because the window is saturated with the rotation above;
+    # judge-verified via scripts/check_oracle.py like every overflow gate.
+    round4_extra = {
+        # corpus-trained character-trigram LM quality score (CCNet-style
+        # in-distribution signal; log-free integer weights for bitwise
+        # cross-engine parity)
+        "charlm_score": lambda s, d: lid.charlm_score(docs(s, d)),
+        # PII redaction + accounting (emails/IPv4/phones -> typed
+        # placeholders, fixed rule order, scrubbed-text fingerprint);
+        # deterministic PII injected in-plan — the fixture corpus is clean
+        "pii_scrub": lambda s, d: ts.pii_scrub(docs(s, d)),
+    }
     overflow = (
         {k: v for k, v in core.items() if k not in window}
         | {k: v for k, v in apm_extra.items() if k not in window}
         | {k: phase6[k] for k in r3_windowed_p6 if k not in window}
         | {k: v for k, v in late_extra.items() if k not in window}
+        | round4_extra
     )
     return window | overflow
 
@@ -705,6 +719,8 @@ FROM tx
             )
         ).replace("WITH tx AS", "WITH RECURSIVE tx AS", 1),
         # Round-4 gates.
+        "charlm_score": lid.charlm_score_oracle_sql(),
+        "pii_scrub": ts.pii_scrub_oracle_sql(),
         "log_chunked": lc.log_chunked_oracle_sql(),
         "retention_sweep": TX_CTE + pt.retention_sweep_oracle_sql(),
         "queue_roundtrip": TX_CTE + qu.queue_roundtrip_oracle_sql(),

@@ -304,3 +304,123 @@ SELECT source,
 FROM per_doc
 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained character-LM quality scoring.
+# ---------------------------------------------------------------------------
+
+CHARLM_MODEL_SIZE = 2048
+CHARLM_SCALE = 1_000_000
+
+
+def charlm_score(
+    documents: DataFrame,
+    model_size: int = CHARLM_MODEL_SIZE,
+    scale: int = CHARLM_SCALE,
+) -> DataFrame:
+    """Corpus-trained character-trigram LM scoring — the in-distribution
+    quality signal (CCNet-style "does this look like the reference
+    corpus") that rule-based `doc_stats.quality` cannot give: train a
+    trigram frequency model on the WHOLE corpus, score each document by
+    its mean per-trigram model weight.
+
+    Bit-determinism: the model weight is ``floor(scale * (c / total))`` —
+    division and multiplication are exactly-rounded IEEE ops, floor makes
+    the weight an integer, so per-doc sums are integer math and the final
+    score an integer division. (A log-prob rendering would hinge on ``ln``,
+    which is not exactly rounded and differs across libms.) The double
+    intermediate also avoids the ``c * scale`` int64 overflow a 100 TB
+    corpus would hit (~1e14 trigrams x 1e6).
+
+    Plan shape: one (doc_id, tri) pre-aggregate feeds BOTH the model
+    rollup and the scoring join (shared Exchange, reused); the model is
+    top-``model_size`` trigrams (TakeOrdered, deterministic c-then-tri
+    tie-break) and joins back as a BROADCAST — corpus bytes shuffle only
+    as compressed (doc_id, tri, k) rows, never as text."""
+    tris = documents.select(
+        "doc_id", F.explode(char_trigrams(F.lower(F.col("text")))).alias("tri")
+    )
+    dt = tris.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("k"))
+    cnt = dt.groupBy("tri").agg(F.sum("k").alias("c"))
+    total = cnt.agg(F.sum("c").alias("total"))
+    model = (
+        cnt.orderBy(F.col("c").desc(), F.col("tri").asc())
+        .limit(int(model_size))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tri",
+            F.floor(
+                F.lit(int(scale))
+                * (F.col("c").cast("double") / F.col("total").cast("double"))
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    per_doc = (
+        dt.join(F.broadcast(model), "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tris"),
+            F.sum(
+                F.when(F.col("w").isNotNull(), F.col("k")).otherwise(F.lit(0))
+            ).alias("n_model_hits"),
+            F.sum(F.col("k") * F.coalesce(F.col("w"), F.lit(0))).alias("wsum"),
+        )
+    )
+    return (
+        documents.select("doc_id", "lang", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce(F.col("n_tris"), F.lit(0)).cast("long").alias("n_tris"),
+            F.coalesce(F.col("n_model_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_model_hits"),
+            F.when(
+                F.col("n_tris") > 0, F.expr("wsum DIV n_tris")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lm_score"),
+        )
+    )
+
+
+def charlm_score_oracle_sql(
+    model_size: int = CHARLM_MODEL_SIZE, scale: int = CHARLM_SCALE
+) -> str:
+    tri = char_trigrams_sql("lower(text)")
+    return f"""
+WITH tris AS (
+    SELECT doc_id, UNNEST({tri}) AS tri FROM documents
+), dt AS (
+    SELECT doc_id, tri, CAST(COUNT(*) AS BIGINT) AS k
+    FROM tris GROUP BY doc_id, tri
+), cnt AS (
+    SELECT tri, CAST(SUM(k) AS BIGINT) AS c FROM dt GROUP BY tri
+), tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt
+), model AS (
+    SELECT tri,
+           CAST(FLOOR({int(scale)} * (CAST(c AS DOUBLE) / CAST(total AS DOUBLE))) AS BIGINT) AS w
+    FROM cnt CROSS JOIN tot
+    ORDER BY c DESC, tri ASC
+    LIMIT {int(model_size)}
+), per_doc AS (
+    SELECT dt.doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_tris,
+           CAST(SUM(CASE WHEN m.tri IS NOT NULL THEN k ELSE 0 END) AS BIGINT) AS n_model_hits,
+           CAST(SUM(k * COALESCE(m.w, 0)) AS BIGINT) AS wsum
+    FROM dt LEFT JOIN model m USING (tri)
+    GROUP BY dt.doc_id
+)
+SELECT d.doc_id, d.lang, d.source,
+       COALESCE(p.n_tris, 0) AS n_tris,
+       COALESCE(p.n_model_hits, 0) AS n_model_hits,
+       CAST(CASE WHEN p.n_tris > 0 THEN p.wsum // p.n_tris ELSE 0 END AS BIGINT) AS lm_score
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -813,3 +813,106 @@ SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
 FROM pairs GROUP BY pair
 ORDER BY n DESC, pair LIMIT {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (redaction + accounting).
+# ---------------------------------------------------------------------------
+
+# Patterns kept to the regex subset Java (Spark) and RE2 (DuckDB) render
+# identically: character classes, bounded quantifiers, \b, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def _pii_injected_text():
+    """The fixture corpus is clean synthetic prose, so the gate injects
+    deterministic PII spans IN-PLAN (the same in-plan synthesis trick as
+    log_extract) — every doc gets one email and one IPv4, every third doc
+    a phone number — and the operator under test is the scrub itself."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com from 10."),
+        (did % 200).cast("string"),
+        F.lit("."),
+        (did % 97).cast("string"),
+        F.lit(".7"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII redaction with per-document accounting — the compliance pass a
+    training-data pipeline runs before anything leaves the lake: emails,
+    IPv4 addresses, and phone numbers replaced by typed placeholders, in a
+    FIXED rule order (emails first — an address inside a URL-ish span must
+    be gone before the IP pattern sees the text), with match counts and a
+    fingerprint of the scrubbed text so the redaction is value-checkable.
+
+    Single stateless scan, zero shuffles, zero Python: regexp_count +
+    chained regexp_replace inside whole-stage codegen — filtering 100 TB
+    of text is embarrassingly parallel and must stay that way."""
+    txt = _pii_injected_text()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return documents.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>"), F.lit(PII_IP_RE)
+        )
+        .cast("long")
+        .alias("n_ips"),
+        F.regexp_count(txt, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        (F.length(txt) - F.length(scrubbed)).cast("long").alias("n_chars_delta"),
+        hash64(scrubbed).alias("clean_fp"),
+    )
+
+
+def pii_scrub_oracle_sql() -> str:
+    txt = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || "
+        "CAST(doc_id % 97 AS VARCHAR) || '.7' || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || "
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    email, ip, phone = PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(txt, '{email}', "
+        f"'<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{phone}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, {txt} AS txt FROM documents
+), scrubbed AS (
+    SELECT doc_id, txt, {scrub} AS clean FROM base
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(regexp_replace(txt, '{email}', '<EMAIL>', 'g'), '{ip}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(txt, '{phone}')) AS BIGINT) AS n_phones,
+       CAST(length(txt) - length(clean) AS BIGINT) AS n_chars_delta,
+       {hash64_sql('clean')} AS clean_fp
+FROM scrubbed
+"""
