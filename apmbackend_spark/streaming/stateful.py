@@ -86,20 +86,29 @@ def _zscore_scan_batch(
     backs the operator. Shared by the applyInPandasWithState and
     transformWithStateInPandas renderings — identical semantics by
     construction."""
+    # Column-list iteration (no iterrows): identical per-step arithmetic
+    # (zscore_step on Python floats), ~10x less per-row overhead — the
+    # loop dominates the availableNow drain gates' wall time.
+    ts_vals = rows["timestamp"].tolist()
+    tpm_vals = rows["tpm"].tolist()
+    metric_vals = {
+        m: [None if pd.isna(v) else float(v) for v in rows[m].tolist()]
+        for m in metrics
+    }
+    n = len(ts_vals)
     out = []
-    for _, r in rows.iterrows():
-        for li, lag in enumerate(lags):
+    for li, lag in enumerate(lags):
+        for i in range(n):
             rec = {
-                "timestamp": int(r["timestamp"]),
+                "timestamp": int(ts_vals[i]),
                 "server": server,
                 "service": service,
-                "tpm": float(r["tpm"]),
+                "tpm": float(tpm_vals[i]),
                 "lag": lag,
             }
             for mi, m in enumerate(metrics):
                 slot = li * len(metrics) + mi
-                x = r[m]
-                x = None if pd.isna(x) else float(x)
+                x = metric_vals[m][i]
                 appended, avg, lb, ub, signal = zscore_step(
                     lag, threshold, influence, x, hists[slot]
                 )

@@ -452,3 +452,32 @@ def test_quantize_oracle_survives_hostile_embeddings(spark, tmpdir):
         spark, tmpdir, rows, embed_quantize, embed_quantize_oracle_sql(),
         ("vec_id",),
     )
+
+
+def test_charlm_and_pii_oracle_survive_hostile_corpus(spark, tmpdir):
+    from apmbackend_spark.operators.langid import (
+        charlm_score,
+        charlm_score_oracle_sql,
+    )
+    from apmbackend_spark.operators.textstats import (
+        pii_scrub,
+        pii_scrub_oracle_sql,
+    )
+
+    # regex-adversarial rows on top of the standard hostile set: Java
+    # (Spark) and RE2 (DuckDB) must agree on every boundary case — partial
+    # emails, 5-octet runs (where \b anchors differently than a human
+    # would guess), over-long phone shapes, PII already present in text
+    rows = HOSTILE_DOCS + [
+        (11, "not@an email@ @nope trailing@dot.", "en", "src4", 33),
+        (12, "five octets 1.2.3.4.5 and 10.0.0.1 real", "en", "src4", 39),
+        (13, "phone 123-456-78901 too long, 12-345-6789 short", "en", "src4", 48),
+        (14, "already here: b@c.io and 255.255.255.255 x", "en", "src4", 43),
+        (15, "dots..everywhere..a@b..c..de 1...2", "en", "src4", 34),
+    ]
+    _hostile_docs_compare(
+        spark, tmpdir, rows, charlm_score, charlm_score_oracle_sql(), ("doc_id",)
+    )
+    _hostile_docs_compare(
+        spark, tmpdir, rows, pii_scrub, pii_scrub_oracle_sql(), ("doc_id",)
+    )
