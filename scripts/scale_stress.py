@@ -159,6 +159,17 @@ def docs_timings(spark, sf_dir: str) -> dict[str, float]:
     t.timed("line_dedup", lambda: dd.line_dedup(docs))
     t.timed("doc_fingerprint", lambda: dd.doc_fingerprint(docs))
     t.timed("url_domains", lambda: ts.url_domains(docs))
+
+    from apmbackend_spark.operators.langid import charlm_score
+    from apmbackend_spark.operators import multimodal as mm
+
+    t.timed("charlm_score", lambda: charlm_score(docs))
+    t.timed("pii_scrub", lambda: ts.pii_scrub(docs))
+    t.timed("doc_span_dup", lambda: dd.doc_span_dup(docs))
+    t.timed(
+        "video_features",
+        lambda: mm.video_features(mm.synth_y4m_media(spark, docs)),
+    )
     return t.out
 
 
