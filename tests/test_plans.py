@@ -440,3 +440,21 @@ def test_doc_span_dup_shares_one_exchange_no_cache(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_charlm_score_model_broadcast_shared_pretri(spark):
+    # the (doc_id, tri) pre-aggregate must be shared (reused exchange),
+    # the model must come back as a broadcast, never a cartesian product,
+    # and nothing drops to Python
+    from apmbackend_spark.operators.langid import charlm_score
+    from apmbackend_spark.sources.loaders import load_table, spread
+
+    docs = spread(load_table(spark, SF_SMOKE, "documents"))
+    df = charlm_score(docs)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+    assert "BroadcastHashJoin" in executed or "BroadcastNestedLoopJoin" in executed
