@@ -100,25 +100,28 @@ def doc_span_dup(documents: DataFrame, chunk_tokens: int = 20) -> DataFrame:
             F.concat_ws(" ", F.slice(F.col("tok"), F.col("i") * c + 1, c))
         ).alias("fp"),
     )
-    # single (doc_id, fp) pre-aggregate: its Exchange subtree is shared by
-    # all three consumers below, so ReusedExchange runs the scan once
+    # single (doc_id, fp) pre-aggregate with exactly TWO consumers — the
+    # fp-level document-frequency rollup and the join back — so the heavy
+    # tokenize+slice+hash scan and its shuffle are shared via exchange
+    # reuse; n_chunks folds into the SAME post-join groupBy as the dup
+    # count (a third consumer for it would re-run the scan when reuse
+    # doesn't cover every branch)
     g = chunks.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("k"))
-    nch = g.groupBy("doc_id").agg(F.sum("k").cast("long").alias("n_chunks"))
     # g is distinct per (doc_id, fp), so distinct-doc count per fp = count
     dfc = g.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
-    dup = (
+    per_doc = (
         g.join(dfc, "fp")
         .groupBy("doc_id")
         .agg(
+            F.sum("k").cast("long").alias("n_chunks"),
             F.sum(F.col("k") * (F.col("nd") >= 2).cast("long")).alias(
                 "n_dup_chunks"
-            )
+            ),
         )
     )
     return (
         documents.select("doc_id")
-        .join(nch, "doc_id", "left")
-        .join(dup, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_chunks"), F.lit(0).cast("long")).alias("n_chunks"),
