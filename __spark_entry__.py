@@ -172,9 +172,6 @@ def _q_zscore_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         lags=ZSCORE_LAGS,
         threshold=ZSCORE_THRESHOLD,
         influence=0.1,
-        # pin the incremental scan's float-op sequence (no drift rebuild)
-        # so the recursive DuckDB oracle is bit-identical
-        reset_every=None,
     )
 
 
@@ -688,11 +685,13 @@ FROM tx
             + al.alert_pipeline_oracle_sql(ALERT_CFG)
         ).replace("WITH tx AS", "WITH RECURSIVE tx AS", 1),
         # Influence-damped z-score (the reference's recursive semantics):
-        # position-iterating recursive CTE replaying the engine's exact
-        # float-op sequence — see zscore_recursive_oracle_sql.
+        # position-iterating recursive CTE replaying the REFERENCE
+        # arithmetic (zscore_step: left-fold sums, deviation-form variance,
+        # variance-0 quirk) — the engine's scan replays the same ops, so
+        # this gate checks reference semantics, not implementation drift.
         "zscore_recursive": (
             dense_st
-            + zs.zscore_recursive_oracle_sql(
+            + zs.zscore_step_oracle_sql(
                 lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD, influence=0.1
             )
         ).replace("WITH tx AS", "WITH RECURSIVE tx AS", 1),

@@ -25,11 +25,17 @@ Two implementations:
     ordered per-key `applyInPandas` (Arrow-batched; each key's series is
     bounded by time span, not data volume, so groups stay executor-sized).
 
-Float determinism: metric values entering the rolling stats are
-integer-valued (rounded ms), so window sums are exact in IEEE double
-regardless of accumulation order, and mu/sd/bounds are bit-identical between
-Spark and DuckDB. The variance uses the E[x^2]-mu^2 form on exact integer
-sums (deterministic), unlike builtin stddev_pop (merge-order dependent).
+Float determinism: in `zscore_window` (influence=1) metric values entering
+the rolling stats are integer-valued (rounded ms), so window sums are exact
+in IEEE double regardless of accumulation order, and mu/sd/bounds are
+bit-identical between Spark and DuckDB; its variance uses the E[x^2]-mu^2
+form on exact integer sums (deterministic), unlike builtin stddev_pop
+(merge-order dependent). In `zscore_recursive` (influence<1) damped appends
+are NON-integer, so no rolling-sums shortcut is exact — the scan replays
+zscore_step's reference arithmetic per step (left-fold sums, deviation-form
+variance) and the DuckDB twin (zscore_step_oracle_sql) replays the same
+reference arithmetic via list_reduce, so the hash gate checks reference
+semantics, not an implementation-private float-op sequence.
 """
 
 from __future__ import annotations
@@ -406,173 +412,6 @@ def zscore_oracle_select(
     return "\nUNION ALL\n".join(selects)
 
 
-def zscore_recursive_oracle_sql(
-    lags: Iterable[int] = DEFAULT_LAGS,
-    threshold: float | dict = 3.0,
-    influence: float | dict = 0.1,
-    metrics: Iterable[str] = METRICS,
-) -> str:
-    """DuckDB twin of `zscore_recursive` (influence damping — the operator
-    is RECURSIVE: a fired signal rewrites the value entering its own
-    trailing history, stream_calc_z_score.js:96-97), appended to an `st`
-    CTE. The assembled query must start WITH RECURSIVE.
-
-    Bitwise-exactness design: the engine's incremental scan (reset_every=
-    None) performs, per step, the float-op sequence
-
-        stats from (nn, s, s2); a = infl*x + (1-infl)*prev on damp;
-        s' = (s + a) - old;  s2' = (s2 + a*a) - old*old
-
-    and this oracle replays the IDENTICAL sequence in a recursive CTE that
-    iterates row position per (server, service, lag). Raw metric values are
-    integers, so only damped appends introduce non-integer floats; the
-    recursion therefore carries scalars (nn, s, s2, prev) plus a PRUNED
-    list of still-windowed damped positions — the popped value at step i
-    is the damped value if position i-lag was damped, else the raw series
-    value (read from the MATERIALIZED per-key lists)."""
-    lags = tuple(int(x) for x in lags)
-    metrics = tuple(metrics)
-
-    # per-lag config rows carried as working-table columns; (1 - influence)
-    # is computed HERE in Python — the same op the engine performs — and
-    # repr() round-trips the exact double through DuckDB's parser
-    cfg_rows = []
-    for lag in lags:
-        t_eff = _threshold_for(threshold, lag)
-        i_eff = _influence_for(influence, lag)
-        cfg_rows.append(
-            f"(CAST({lag} AS INTEGER), CAST('{t_eff!r}' AS DOUBLE), "
-            f"CAST('{i_eff!r}' AS DOUBLE), CAST('{1.0 - i_eff!r}' AS DOUBLE))"
-        )
-    cfg_values = ", ".join(cfg_rows)
-
-    # The recursive member is built as LAYERED derived tables so every
-    # intermediate (x, avg, sd, signal, damped append, popped value) is
-    # computed exactly once per row per iteration — a flat rendering
-    # re-evaluates the nested expression trees ~100x over and was measured
-    # ~70 ms/iteration vs ~1 ms layered.
-    anchor_metric_cols = []
-    l1_cols, l2_cols, l3_cols, l4_cols, upd_cols = [], [], [], [], []
-    carry = []  # state columns passed through the layers untouched
-    out_metric_cols = []
-    for m in metrics:
-        anchor_metric_cols.append(
-            f"0 AS nn_{m}, CAST(0.0 AS DOUBLE) AS s_{m}, "
-            f"CAST(0.0 AS DOUBLE) AS s2_{m}, CAST(NULL AS DOUBLE) AS pv_{m}, "
-            f"CAST([] AS STRUCT(pos INTEGER, val DOUBLE)[]) AS dp_{m}, "
-            f"CAST(NULL AS DOUBLE) AS o_avg_{m}, CAST(NULL AS DOUBLE) AS o_lb_{m}, "
-            f"CAST(NULL AS DOUBLE) AS o_ub_{m}, 0 AS o_sg_{m}"
-        )
-        carry += [f"nn_{m}", f"s_{m}", f"s2_{m}", f"pv_{m}", f"dp_{m}"]
-        # L1: raw values and full-window mean/variance from carried sums
-        l1_cols += [
-            f"raw_{m}[i + 1] AS x_{m}",
-            f"raw_{m}[i + 1 - lag] AS xo_{m}",
-            f"(CASE WHEN i >= lag AND nn_{m} > 0 THEN s_{m} / nn_{m} END) AS avg_{m}",
-            f"(s2_{m} / nn_{m} - (s_{m} / nn_{m}) * (s_{m} / nn_{m})) AS var_{m}",
-        ]
-        # L2: stddev with the variance-0 quirk
-        l2_cols.append(
-            f"(CASE WHEN i >= lag AND nn_{m} > 0 AND var_{m} > 0 "
-            f"THEN sqrt(var_{m}) END) AS sd_{m}"
-        )
-        # L3: bounds + signal
-        l3_cols += [
-            f"(CASE WHEN avg_{m} IS NOT NULL AND sd_{m} IS NOT NULL "
-            f"THEN avg_{m} - th * sd_{m} END) AS lb_{m}",
-            f"(CASE WHEN avg_{m} IS NOT NULL AND sd_{m} IS NOT NULL "
-            f"THEN avg_{m} + th * sd_{m} END) AS ub_{m}",
-            f"(CASE WHEN avg_{m} IS NOT NULL AND sd_{m} IS NOT NULL "
-            f"AND x_{m} IS NOT NULL AND abs(x_{m} - avg_{m}) > th * sd_{m} "
-            f"THEN (CASE WHEN x_{m} > avg_{m} THEN 1 ELSE -1 END) ELSE 0 END) AS sig_{m}",
-        ]
-        # L4: damped append value, popped value, pruned damp list
-        l4_cols += [
-            f"(CASE WHEN sig_{m} <> 0 AND pv_{m} IS NOT NULL "
-            f"THEN infl * x_{m} + infl1 * pv_{m} ELSE x_{m} END) AS a_{m}",
-            f"(CASE WHEN i + 1 > lag THEN COALESCE("
-            f"list_extract(list_transform(list_filter(dp_{m}, "
-            f"e -> e.pos = i + 1 - lag), e -> e.val), 1), xo_{m}) END) AS popv_{m}",
-            f"list_filter(dp_{m}, e -> e.pos > i + 1 - lag) AS dpp_{m}",
-        ]
-        # final: state updates — the engine's exact op order ((s + a) - old)
-        upd_cols.append(
-            f"""
-           nn_{m} + (CASE WHEN a_{m} IS NOT NULL THEN 1 ELSE 0 END)
-                  - (CASE WHEN popv_{m} IS NOT NULL THEN 1 ELSE 0 END) AS nn_{m},
-           (CASE WHEN a_{m} IS NOT NULL AND popv_{m} IS NOT NULL THEN (s_{m} + a_{m}) - popv_{m}
-                 WHEN a_{m} IS NOT NULL THEN s_{m} + a_{m}
-                 WHEN popv_{m} IS NOT NULL THEN s_{m} - popv_{m}
-                 ELSE s_{m} END) AS s_{m},
-           (CASE WHEN a_{m} IS NOT NULL AND popv_{m} IS NOT NULL THEN (s2_{m} + a_{m} * a_{m}) - popv_{m} * popv_{m}
-                 WHEN a_{m} IS NOT NULL THEN s2_{m} + a_{m} * a_{m}
-                 WHEN popv_{m} IS NOT NULL THEN s2_{m} - popv_{m} * popv_{m}
-                 ELSE s2_{m} END) AS s2_{m},
-           a_{m} AS pv_{m},
-           (CASE WHEN sig_{m} <> 0 AND pv_{m} IS NOT NULL
-                 THEN list_append(dpp_{m}, struct_pack(pos := i + 1, val := a_{m}))
-                 ELSE dpp_{m} END) AS dp_{m},
-           avg_{m} AS o_avg_{m},
-           lb_{m} AS o_lb_{m},
-           ub_{m} AS o_ub_{m},
-           sig_{m} AS o_sg_{m}"""
-        )
-        out_metric_cols.append(
-            f"f.raw_{m}[t.i] AS {m}, t.o_avg_{m} AS {m}avg, "
-            f"t.o_lb_{m} AS {m}lb, t.o_ub_{m} AS {m}ub, "
-            f"CAST(t.o_sg_{m} AS INTEGER) AS {m}signal"
-        )
-
-    raw_lists = ", ".join(
-        f"list({m} ORDER BY timestamp) AS raw_{m}" for m in metrics
-    )
-    raw_refs = ", ".join(f"f.raw_{m}" for m in metrics)
-    carry_refs = ", ".join(f"t.{c}" for c in carry)
-    carry_fwd = ", ".join(carry)
-    anchor_metrics = ",\n           ".join(anchor_metric_cols)
-    upd_metrics = ",".join(upd_cols)
-
-    return f"""
-, zr_flagged AS MATERIALIZED (
-    SELECT server, service,
-           list(timestamp ORDER BY timestamp) AS tss,
-           list(tpm ORDER BY timestamp) AS tpms,
-           {raw_lists}
-    FROM st GROUP BY server, service
-), zr_trace AS (
-    SELECT server, service, lg.lag, lg.th, lg.infl, lg.infl1, 0 AS i,
-           {anchor_metrics}
-    FROM zr_flagged
-    CROSS JOIN (VALUES {cfg_values}) AS lg(lag, th, infl, infl1)
-    UNION ALL
-    SELECT server, service, lag, th, infl, infl1, i + 1 AS i,{upd_metrics}
-    FROM (
-      SELECT *, {', '.join(l4_cols)}
-      FROM (
-        SELECT *, {', '.join(l3_cols)}
-        FROM (
-          SELECT *, {', '.join(l2_cols)}
-          FROM (
-            SELECT *, {', '.join(l1_cols)}
-            FROM (
-              SELECT t.server, t.service, t.lag, t.th, t.infl, t.infl1, t.i,
-                     {carry_refs}, len(f.tss) AS n, {raw_refs}
-              FROM zr_trace t JOIN zr_flagged f USING (server, service)
-              WHERE t.i < len(f.tss)
-            )
-          )
-        )
-      )
-    )
-)
-SELECT f.tss[t.i] AS timestamp, t.server, t.service, f.tpms[t.i] AS tpm,
-       t.lag AS lag,
-       {', '.join(out_metric_cols)}
-FROM zr_trace t JOIN zr_flagged f USING (server, service)
-WHERE t.i >= 1
-"""
-
-
 def zscore_step_oracle_sql(
     lags: Iterable[int] = (60,),
     threshold: float | dict = 3.0,
@@ -749,27 +588,33 @@ def zscore_step(lag, threshold, influence, new_value, history):
     return infl_value, avg, lb, ub, signal
 
 
-def _zscore_series_incremental(xs, lag, threshold, influence, reset_every=8192):
-    """O(1)-per-step exact scan of one metric series: rolling non-null
-    count/sum/sumsq over the FIFO history (variance as E[x^2]-mu^2, same
-    form as zscore_window so influence=1 matches it bitwise). Sums are
-    rebuilt every ``reset_every`` steps to cancel float drift from
-    incremental add/remove; ``reset_every=None`` disables the rebuild so
-    the float-op sequence is exactly ``((s + a) - old)`` per step — the
-    contract the DuckDB recursive oracle replays bit-for-bit. Semantics
-    mirror zscore_step (which stays as the simple reference implementation
-    for unit tests / streaming)."""
+def _zscore_series_exact(xs, lag, threshold, influence):
+    """Exact scan of one metric series: per step, a bit-for-bit replay of
+    ``zscore_step`` (left-to-right ``sum()`` over the window's non-null
+    values, variance as the mean of squared deviations, the variance-0 =>
+    undefined-sd quirk, influence damping into the FIFO history).
+
+    A rolling-sums O(1) form was tried and REVERTED: incremental
+    add/subtract leaves ~1e-10 residue once a damped (non-integer) append
+    cycles through the sums, which defeats the reference's variance-0
+    quirk (util_methods.js:44-48 — constant series must NEVER signal) and
+    fabricates spurious signals/bounds. Exactness wins; the cost is
+    bounded by an O(1) fast path for the dominant case — a constant
+    integer-valued window (the zero-filled dense grid is mostly long
+    constant runs): nn copies of integer c left-fold to exactly nn*c, so
+    avg == c, every deviation is exactly 0, variance is exactly 0 and the
+    quirk fires — no O(lag) pass needed. Non-constant (or non-integer)
+    windows pay the O(lag) replay; those occur only around real activity
+    and for `lag` steps after a damped append."""
     import math
-    from collections import deque
+    from collections import Counter, deque
 
     import numpy as np
 
     n = len(xs)
     hist: deque = deque()
+    cnt: Counter = Counter()  # multiset of the window's non-null values
     nn = 0
-    s = 0.0
-    s2 = 0.0
-    ops = 0
     # numpy outputs (NaN = undefined): pandas renders a None-list as NaN
     # anyway, so this is the same result with none of the object-dtype
     # conversion cost on the 2×len(st) output rows
@@ -780,39 +625,45 @@ def _zscore_series_incremental(xs, lag, threshold, influence, reset_every=8192):
     for i in range(n):
         x = xs[i]
         append_val = x
-        if len(hist) >= lag:
-            avg = sd = None
-            if nn > 0:
-                avg = s / nn
-                var = s2 / nn - avg * avg
-                sd = math.sqrt(var) if var > 0 else None  # variance-0 quirk
-            if avg is not None and sd is not None:
-                lb_o[i] = avg - threshold * sd
-                ub_o[i] = avg + threshold * sd
-                if x is not None and abs(x - avg) > threshold * sd:
-                    sig_o[i] = 1 if x > avg else -1
-                    prev = hist[-1] if hist else None
-                    if prev is not None:
-                        append_val = influence * x + (1 - influence) * prev
-            if avg is not None:
-                avg_o[i] = avg
+        if len(hist) >= lag and nn > 0:
+            c = next(iter(cnt)) if len(cnt) == 1 else None
+            if c is not None and c.is_integer() and abs(c) * nn < 2.0**53:
+                # constant integer window: avg = fl(fl(nn*c)/nn) == c and
+                # var == 0 exactly => sd undefined (quirk), signal 0.
+                # (+ 0.0 matches reference sum()'s 0-start, which turns a
+                # window of -0.0 into avg 0.0)
+                avg_o[i] = c + 0.0
+            else:
+                # zscore_step replay (identical op sequence; v == v is the
+                # float NaN check — hist holds only None/finite floats)
+                vals = [v for v in hist if v is not None and v == v]
+                avg = sd = None
+                if vals:
+                    avg = sum(vals) / len(vals)
+                    # (v-avg)*(v-avg), NOT **2 — see zscore_step
+                    var = sum((v - avg) * (v - avg) for v in vals) / len(vals)
+                    sd = math.sqrt(var) if var != 0 else None  # quirk
+                if avg is not None:
+                    avg_o[i] = avg
+                if avg is not None and sd is not None:
+                    lb_o[i] = avg - threshold * sd
+                    ub_o[i] = avg + threshold * sd
+                    if x is not None and abs(x - avg) > threshold * sd:
+                        sig_o[i] = 1 if x > avg else -1
+                        prev = hist[-1] if hist else None
+                        if prev is not None:
+                            append_val = influence * x + (1 - influence) * prev
         hist.append(append_val)
         if append_val is not None:
             nn += 1
-            s += append_val
-            s2 += append_val * append_val
+            cnt[append_val] += 1
         if len(hist) > lag:
             old = hist.popleft()
             if old is not None:
                 nn -= 1
-                s -= old
-                s2 -= old * old
-        ops += 1
-        if reset_every and ops % reset_every == 0:  # drift reset
-            vals = [v for v in hist if v is not None]
-            nn = len(vals)
-            s = math.fsum(vals)
-            s2 = math.fsum(v * v for v in vals)
+                cnt[old] -= 1
+                if not cnt[old]:
+                    del cnt[old]
     return avg_o, lb_o, ub_o, sig_o
 
 
@@ -823,16 +674,15 @@ def zscore_recursive_py(
     influence: float | dict,
     metrics: Iterable[str] = METRICS,
     overrides: dict | None = None,
-    reset_every: int | None = 8192,
 ) -> pd.DataFrame:
     """Driver-side-free sequential scan of ONE key's st series (sorted by
     timestamp), exact reference semantics. Used inside applyInPandas.
 
     Columnar inner loop (plain lists, no iterrows): the recursion is
-    inherently sequential per key, but each step is O(history) only when a
-    window is full — a rolling sum would break the exact null-skipping +
-    damping semantics, so the simple exact form is kept and the constant
-    factor minimized."""
+    inherently sequential per key, and each step replays zscore_step's
+    arithmetic exactly (see _zscore_series_exact — a rolling-sums variant
+    drifted and was reverted), with constant integer windows short-cut to
+    O(1)."""
     import numpy as np
 
     rows = rows.sort_values("timestamp", ignore_index=True)
@@ -866,8 +716,8 @@ def zscore_recursive_py(
             "lag": np.full(n, lag, dtype=np.int32),
         }
         for m in metrics:
-            avg_o, lb_o, ub_o, sig_o = _zscore_series_incremental(
-                metric_vals[m], lag, t_eff, i_eff, reset_every
+            avg_o, lb_o, ub_o, sig_o = _zscore_series_exact(
+                metric_vals[m], lag, t_eff, i_eff
             )
             data[m] = metric_np[m]
             data[f"{m}avg"] = avg_o
@@ -885,13 +735,14 @@ def zscore_recursive(
     influence: float | dict = 0.1,
     metrics: Iterable[str] = METRICS,
     overrides: dict | None = None,
-    reset_every: int | None = 8192,
 ) -> DataFrame:
     """Exact reference z-score for any influence, as ordered per-key
     applyInPandas. Partitioned by (server, service): each group holds one
     key's full series — bounded by the time span, independent of total data
-    volume. ``reset_every=None`` pins the float-op sequence for bitwise
-    parity with the recursive DuckDB oracle (zscore_recursive_oracle_sql)."""
+    volume. Arithmetic is a bit-for-bit replay of zscore_step (reference
+    stream_calc_z_score.js:66-104), so the DuckDB twin is
+    zscore_step_oracle_sql — the oracle replays REFERENCE arithmetic, not
+    an implementation-private float-op sequence."""
     lags = tuple(int(x) for x in lags)
     metrics = tuple(metrics)
 
@@ -914,7 +765,7 @@ def zscore_recursive(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return zscore_recursive_py(
-            pdf, lags, threshold, influence, metrics, overrides, reset_every
+            pdf, lags, threshold, influence, metrics, overrides
         )
 
     # Grouped by (server, service) ONLY — a lag fan-out before the shuffle
