@@ -80,11 +80,14 @@ def doc_span_dup(documents: DataFrame, chunk_tokens: int = 20) -> DataFrame:
     shuffles; the document-frequency aggregate is map-side combinable; the
     join back is keyed on fp with fan-out bounded by total chunk count
     (no pairwise blow-up anywhere, unlike a chunk self-join). The
-    tokenize+slice+hash scan runs ONCE without any persist: every consumer
-    is derived from ONE (doc_id, fp) pre-aggregate, so all three branches
-    share an identical Exchange subtree and Spark's exchange reuse
-    (ReusedExchange, on by default) computes the scan + shuffle write a
-    single time — nothing stays pinned in executor storage afterwards."""
+    tokenize+slice+hash scan runs ONCE: the (doc_id, fp) pre-aggregate is
+    eagerly localCheckpoint()ed (the dedup_clusters pattern) and both
+    consumers — the fp-level document-frequency rollup and the join back —
+    read the materialized blocks. Exchange reuse alone was tried and does
+    NOT materialize here (the round-4 regression: the two consumers'
+    differing downstream partitionings kept AQE from unifying the stage,
+    so the scan ran twice); the checkpoint makes the sharing explicit and
+    its footprint is the compact aggregate, never the text."""
     c = int(chunk_tokens)
     tok = tokens(F.col("text"))
     base = documents.select("doc_id", tok.alias("tok")).select(
@@ -101,12 +104,14 @@ def doc_span_dup(documents: DataFrame, chunk_tokens: int = 20) -> DataFrame:
         ).alias("fp"),
     )
     # single (doc_id, fp) pre-aggregate with exactly TWO consumers — the
-    # fp-level document-frequency rollup and the join back — so the heavy
-    # tokenize+slice+hash scan and its shuffle are shared via exchange
-    # reuse; n_chunks folds into the SAME post-join groupBy as the dup
-    # count (a third consumer for it would re-run the scan when reuse
-    # doesn't cover every branch)
-    g = chunks.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("k"))
+    # fp-level document-frequency rollup and the join back; n_chunks folds
+    # into the SAME post-join groupBy as the dup count. Materialized
+    # eagerly so the tokenize scan runs once (see docstring).
+    g = (
+        chunks.groupBy("doc_id", "fp")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
+    )
     # g is distinct per (doc_id, fp), so distinct-doc count per fp = count
     dfc = g.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
     per_doc = (

@@ -607,14 +607,16 @@ def _zscore_series_exact(xs, lag, threshold, influence):
     windows pay the O(lag) replay; those occur only around real activity
     and for `lag` steps after a damped append."""
     import math
-    from collections import Counter, deque
+    from collections import Counter
 
     import numpy as np
 
     n = len(xs)
-    hist: deque = deque()
+    # appended-value series (NaN = null); the window at step i is the view
+    # h[i-lag:i] — identical contents to the reference's FIFO history
+    h = np.empty(n, dtype=np.float64)
     cnt: Counter = Counter()  # multiset of the window's non-null values
-    nn = 0
+    nn = 0  # non-null count in the window
     # numpy outputs (NaN = undefined): pandas renders a None-list as NaN
     # anyway, so this is the same result with none of the object-dtype
     # conversion cost on the 2×len(st) output rows
@@ -625,7 +627,7 @@ def _zscore_series_exact(xs, lag, threshold, influence):
     for i in range(n):
         x = xs[i]
         append_val = x
-        if len(hist) >= lag and nn > 0:
+        if i >= lag and nn > 0:
             c = next(iter(cnt)) if len(cnt) == 1 else None
             if c is not None and c.is_integer() and abs(c) * nn < 2.0**53:
                 # constant integer window: avg = fl(fl(nn*c)/nn) == c and
@@ -634,33 +636,41 @@ def _zscore_series_exact(xs, lag, threshold, influence):
                 # window of -0.0 into avg 0.0)
                 avg_o[i] = c + 0.0
             else:
-                # zscore_step replay (identical op sequence; v == v is the
-                # float NaN check — hist holds only None/finite floats)
-                vals = [v for v in hist if v is not None and v == v]
-                avg = sd = None
-                if vals:
-                    avg = sum(vals) / len(vals)
-                    # (v-avg)*(v-avg), NOT **2 — see zscore_step
-                    var = sum((v - avg) * (v - avg) for v in vals) / len(vals)
-                    sd = math.sqrt(var) if var != 0 else None  # quirk
-                if avg is not None:
-                    avg_o[i] = avg
-                if avg is not None and sd is not None:
+                # zscore_step replay, numpy-vectorized within the window:
+                # np.cumsum is a strictly sequential accumulation, so its
+                # last element is bitwise Python sum()'s left-fold (the
+                # property/bitwise tests in test_zscore.py guard this)
+                w = h[i - lag : i]
+                if nn == lag:
+                    vals = w  # no nulls — the dense-grid common case
+                else:
+                    vals = w[~np.isnan(w)]
+                avg = np.cumsum(vals)[-1] / nn
+                # (v-avg)*(v-avg), NOT **2 — see zscore_step
+                d = vals - avg
+                var = np.cumsum(d * d)[-1] / nn
+                sd = math.sqrt(var) if var != 0 else None  # quirk
+                avg_o[i] = avg
+                if sd is not None:
                     lb_o[i] = avg - threshold * sd
                     ub_o[i] = avg + threshold * sd
                     if x is not None and abs(x - avg) > threshold * sd:
                         sig_o[i] = 1 if x > avg else -1
-                        prev = hist[-1] if hist else None
-                        if prev is not None:
+                        prev = h[i - 1]
+                        if prev == prev:  # non-null
                             append_val = influence * x + (1 - influence) * prev
-        hist.append(append_val)
-        if append_val is not None:
+        if append_val is None:
+            h[i] = np.nan
+        else:
+            append_val = float(append_val)
+            h[i] = append_val
             nn += 1
             cnt[append_val] += 1
-        if len(hist) > lag:
-            old = hist.popleft()
-            if old is not None:
+        if i >= lag:
+            old = h[i - lag]
+            if old == old:
                 nn -= 1
+                old = float(old)
                 cnt[old] -= 1
                 if not cnt[old]:
                     del cnt[old]

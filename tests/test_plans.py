@@ -427,19 +427,27 @@ def test_retention_sweep_reads_only_surviving_partitions(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_doc_span_dup_shares_one_exchange_no_cache(spark):
-    # round-4 rewrite: the (doc_id, fp) pre-aggregate must be shared via
-    # exchange reuse, not a pinned persist — no InMemoryRelation in the
-    # plan, and the executed plan reuses the common exchange
+def test_doc_span_dup_single_scan_via_checkpoint(spark):
+    # round-5 fix: plain exchange reuse did NOT materialize for the two
+    # consumers of the (doc_id, fp) pre-aggregate (the round-4 regression:
+    # the tokenize+slice+hash scan ran twice), so the pre-aggregate is
+    # eagerly localCheckpoint()ed. Assert the mechanism: no pinned cache,
+    # both consumers read the checkpointed RDD, and the heavy text-reading
+    # scan appears NOWHERE in the final plan (it ran exactly once, at
+    # checkpoint time).
     from apmbackend_spark.operators.dedup import doc_span_dup
     from apmbackend_spark.sources.loaders import load_table, spread
 
     docs = spread(load_table(spark, SF_SMOKE, "documents"))
     df = doc_span_dup(docs)
-    assert "InMemoryRelation" not in plan(df)
+    p = plan(df)
+    assert "InMemoryRelation" not in p
+    assert p.count("ExistingRDD") >= 2  # both consumers on the checkpoint
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed
+    # the only parquet scan left is the doc_id projection for the outer
+    # join back — nothing re-reads text
+    assert "text" not in executed.lower().replace("context", "")
 
 
 def test_charlm_score_model_broadcast_shared_pretri(spark):
