@@ -1,88 +1,388 @@
 """Messaging-queue adapter (S3/S4 posture): the reference's wire protocol
-over line-based transports.
+over line-based transports — the FULL entry family.
 
 The reference chains its four processes through RabbitMQ queues whose
-messages are pipe-delimited entry lines — `TxEntry.toCSVString()` renders
-``tx|server|service|logId|acctNum|startTs|endTs|elapsed|topLevel``
-(entries.js:16-21), missing numerics render as the literal ``NaN`` (JS
-`parseInt(undefined)`), and `toPostgresObject` maps NaN back to NULL
-(entries.js:23-33). Producers buffer + pause on channel backpressure
-(queue.js:206-263); consumers ack-on-receive, so delivery is AT-LEAST-ONCE
-and a crash between ack and downstream write replays records
-(queue.js:266-305).
+messages are pipe-delimited entry lines, one ``toCSVString()`` form per
+record type (entries.js):
 
-This module renders that protocol Spark-first:
+  * ``tx`` — ``tx|server|service|logId|acctNum|startTs|endTs|elapsed|
+    topLevel`` (entries.js:16-21).
+  * ``st`` — ``st|timestamp|server|service|nf(tpm,2)|nf(average)|
+    nf(per75)|nf(per95)`` where ``nf`` is ``Number.toFixed`` with
+    missing → ``undefined`` (entries.js:66-73).
+  * ``fs`` — 6 header fields then one ``:``-delimited five-way sub-tuple
+    PER METRIC: ``nf(m):nf(mAvg):nf(mLB):nf(mUB):signal``
+    (entries.js:117). Reference quirk kept: ``averageSignal`` renders RAW
+    while ``per75Signal``/``per95Signal`` go through ``nf`` (compare
+    ``${this.averageSignal}`` vs ``${this.nf(this.per75Signal)}`` on that
+    line); decode's ``parseInt('1.0') == 1`` makes both forms read back.
+  * ``al`` — ``al|alertTs|entryTs|server|service|cause|entry`` where
+    ``entry`` is an embedded, already-encoded entry line with its pipes
+    escaped to ``&`` (entries.js:210-215); the nested entry is decoded
+    with delimiter ``&`` (entries.js:228).
+  * ``jx`` — 19 raw-rendered JVM gauge fields (entries.js:307).
 
-  * `tx_to_wire` / `wire_to_tx` — the codec as single codegen projections
-    (concat_ws / split + casts): encode and decode are line-local, so they
-    run inside whatever scan carries the lines — no Python, no shuffle.
-  * `socket_tx_stream` — the protocol over Structured Streaming's socket
-    source: a drop-in queue consumer for tests and small deployments. At
-    cluster scale the same `wire_to_tx` projection sits on a Kafka source
-    (`spark.readStream.format("kafka")` → value cast to string → decode);
-    only the transport line changes, which is the point of keeping the
-    codec a pure column expression.
-  * `queue_roundtrip_gate` — driver-gradeable: the tx stream is encoded to
-    wire lines, a deterministic subset is REPLAYED (the at-least-once
-    hazard), and the consumer projection decodes + exactly-onces the
-    result; graded against an oracle that recomputes delivery counts from
-    the same replay rule. Duplicate elimination on the decoded frame is
-    how the Spark consumer makes at-least-once effectively-once (the
-    batch twin of streaming dropDuplicates-within-watermark).
+Missing-value rendering follows the reference's JS template literals:
+numeric fields hold ``NaN`` after ``parseInt(undefined)`` and render as the
+literal ``NaN``; missing string fields render as the literal ``undefined``.
+Both decode back to NULL (``toPostgresObject`` drops NaN the same way,
+entries.js:23-33). Every field is explicitly coalesced to its sentinel so a
+line ALWAYS carries its full field count — ``concat_ws`` alone silently
+skips NULL columns, which shifts every later field on decode (the round-4
+NULL-logid defect).
+
+This module renders that protocol Spark-first: every encode/decode is a
+single codegen projection (concat_ws / split + casts) — line-local, no
+Python, no shuffle, so it runs inside whatever scan carries the lines and
+works unchanged on a Kafka ``value`` column. ``nf`` (JS ``toFixed``) is
+replayed as ``floor(|x|·10^d + 0.5)`` with the sign prepended — the ES
+spec's round-half-away-from-zero on the double's value — and the DuckDB
+oracles run the identical IEEE op sequence, so the graded gates are exact.
+
+Gates:
+  * `queue_roundtrip_gate` — tx codec + at-least-once replay + in-plan
+    NULL injection (every wire column NULLed once, so the field-position
+    guarantee is driver-graded, not just unit-tested).
+  * `wire_fs_roundtrip_gate` — the z-score stage's fs output through
+    encode→decode: nested sub-tuples, nf quantization, signal asymmetry.
+  * `wire_al_roundtrip_gate` — alert wrapping with an embedded tx entry:
+    pipe→``&`` escape, nested decode at delimiter ``&``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apmbackend_spark.functions.text import hash64, hash64_sql
+
+# JS template-literal renderings of a missing field (entries.js toCSVString)
+_NULL_NUM = "NaN"  # parseInt(undefined) -> NaN -> `${NaN}`
+_NULL_STR = "undefined"  # `${undefined}`
 
 # TxEntry wire column order (entries.js:19)
 _WIRE_COLS = (
     "server", "service", "logid", "acctnum",
     "startts", "endts", "elapsed", "toplevel",
 )
+_TX_STR_COLS = frozenset({"server", "service", "logid", "toplevel"})
 
 
-def tx_to_wire(tx: DataFrame) -> DataFrame:
-    """Producer encode: one wire line per tx record (column ``value``).
-    NULL numerics render as the reference's literal ``NaN``."""
+# ---------------------------------------------------------------------------
+# Field renderings (encode) and parsers (decode) — shared by all entry types.
+# ---------------------------------------------------------------------------
+
+
+def _num(col: Column) -> Column:
+    """Wire rendering of an integer-ish field: digits or literal NaN."""
+    return F.coalesce(col.cast("string"), F.lit(_NULL_NUM))
+
+
+def _str(col: Column) -> Column:
+    """Wire rendering of a string field: value or literal ``undefined``."""
+    return F.coalesce(col, F.lit(_NULL_STR))
+
+
+def nf(col: Column, decimals: int = 1) -> Column:
+    """JS ``Number.toFixed(decimals)`` replay (the reference's ``nf``,
+    entries.js:66-69): missing/NaN → literal ``undefined``; else the sign,
+    then round-half-away-from-zero of the magnitude at ``decimals`` places
+    (ES toFixed: sign is stripped first, ties pick the larger numerator).
+    Implemented as ``floor(|x|·scale + 0.5)`` — the identical IEEE ops run
+    in the DuckDB oracle (`nf_sql`), so rendered strings are bit-equal."""
+    scale = 10 ** int(decimals)
+    n = F.floor(F.abs(col) * F.lit(float(scale)) + F.lit(0.5))
+    body = F.concat(
+        F.when(col < 0, F.lit("-")).otherwise(F.lit("")),
+        F.floor(n / F.lit(scale)).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad(F.pmod(n, F.lit(scale)).cast("string"), int(decimals), "0"),
+    )
+    return F.when(col.isNull() | F.isnan(col), F.lit(_NULL_STR)).otherwise(body)
+
+
+def nf_sql(expr: str, decimals: int = 1) -> str:
+    """DuckDB twin of `nf` — same IEEE op sequence."""
+    scale = 10 ** int(decimals)
+    n = f"CAST(floor(abs({expr}) * CAST({scale} AS DOUBLE) + 0.5) AS BIGINT)"
+    return (
+        f"(CASE WHEN {expr} IS NULL OR isnan({expr}) THEN '{_NULL_STR}' "
+        f"ELSE (CASE WHEN {expr} < 0 THEN '-' ELSE '' END) "
+        f"|| CAST({n} // {scale} AS VARCHAR) || '.' "
+        f"|| lpad(CAST({n} % {scale} AS VARCHAR), {decimals}, '0') END)"
+    )
+
+
+def _parse_str(v: Column) -> Column:
+    return F.when(v == _NULL_STR, F.lit(None).cast("string")).otherwise(v)
+
+
+def _parse_long(v: Column) -> Column:
+    """parseInt: digits -> long, NaN/undefined -> NULL."""
+    return F.when(v.isin(_NULL_NUM, _NULL_STR), F.lit(None).cast("long")).otherwise(
+        v.cast("long")
+    )
+
+
+def _parse_double(v: Column) -> Column:
+    """parseFloat: fixed-point string -> double, NaN/undefined -> NULL."""
+    return F.when(
+        v.isin(_NULL_NUM, _NULL_STR), F.lit(None).cast("double")
+    ).otherwise(v.cast("double"))
+
+
+def _parse_int(v: Column) -> Column:
+    """parseInt over a possibly nf-rendered number ('1.0' -> 1)."""
+    return F.when(v.isin(_NULL_NUM, _NULL_STR), F.lit(None).cast("int")).otherwise(
+        v.cast("double").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx codec (entries.js:16-21).
+# ---------------------------------------------------------------------------
+
+
+def tx_wire_expr() -> Column:
+    """The tx wire line as a column expression over a tx-shaped frame.
+    Every field is sentinel-coalesced so the line always has 9 fields."""
     parts = [F.lit("tx")]
     for c in _WIRE_COLS:
         col = F.col(c)
-        if c in ("acctnum", "startts"):
-            col = F.coalesce(col.cast("string"), F.lit("NaN"))
-        parts.append(col.cast("string"))
-    return tx.select(F.concat_ws("|", *parts).alias("value"))
+        parts.append(_str(col) if c in _TX_STR_COLS else _num(col))
+    return F.concat_ws("|", *parts)
 
 
-def wire_to_tx(lines: DataFrame, value_col: str = "value") -> DataFrame:
+def tx_to_wire(tx: DataFrame) -> DataFrame:
+    """Producer encode: one wire line per tx record (column ``value``)."""
+    return tx.select(tx_wire_expr().alias("value"))
+
+
+def _tx_decode_cols(f: Column, prefix: str = "") -> list[Column]:
+    cols = []
+    for i, c in enumerate(_WIRE_COLS, start=1):
+        parse = _parse_str if c in _TX_STR_COLS else _parse_long
+        cols.append(parse(f.getItem(i)).alias(prefix + c))
+    return cols
+
+
+def wire_to_tx(
+    lines: DataFrame, value_col: str = "value", delim: str = "|"
+) -> DataFrame:
     """Consumer decode: wire lines -> typed tx frame. Line-local codegen
-    (split + casts); ``NaN`` numerics decode to NULL the way the
-    reference's toPostgresObject drops them. Non-tx-typed lines are
-    dropped (other entry types ride other queues)."""
-    f = F.split(F.col(value_col), r"\|")
+    (split + casts); sentinel fields decode to NULL the way the
+    reference's toPostgresObject drops NaN. Non-tx-typed lines are
+    dropped (other entry types ride other queues). ``delim='&'`` decodes
+    an alert-embedded entry (entries.js:228)."""
+    import re as _re
 
-    def num(i: int):
-        v = f.getItem(i)
-        return F.when(v == "NaN", F.lit(None).cast("long")).otherwise(
-            v.cast("long")
-        )
+    f = F.split(F.col(value_col), _re.escape(delim))
+    return lines.where(f.getItem(0) == "tx").select(*_tx_decode_cols(f))
 
-    return (
-        lines.where(f.getItem(0) == "tx")
-        .select(
-            f.getItem(1).alias("server"),
-            f.getItem(2).alias("service"),
-            f.getItem(3).alias("logid"),
-            num(4).alias("acctnum"),
-            num(5).alias("startts"),
-            num(6).alias("endts"),
-            num(7).alias("elapsed"),
-            f.getItem(8).alias("toplevel"),
-        )
+
+# ---------------------------------------------------------------------------
+# st codec (entries.js:66-73).
+# ---------------------------------------------------------------------------
+
+
+def st_to_wire(st: DataFrame) -> DataFrame:
+    """StatEntry encode: ``st|timestamp|server|service|nf(tpm,2)|
+    nf(average)|nf(per75)|nf(per95)``."""
+    return st.select(
+        F.concat_ws(
+            "|",
+            F.lit("st"),
+            _num(F.col("timestamp")),
+            _str(F.col("server")),
+            _str(F.col("service")),
+            nf(F.col("tpm"), 2),
+            nf(F.col("average"), 1),
+            nf(F.col("per75"), 1),
+            nf(F.col("per95"), 1),
+        ).alias("value")
     )
+
+
+def wire_to_st(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    f = F.split(F.col(value_col), r"\|")
+    return lines.where(f.getItem(0) == "st").select(
+        _parse_long(f.getItem(1)).alias("timestamp"),
+        _parse_str(f.getItem(2)).alias("server"),
+        _parse_str(f.getItem(3)).alias("service"),
+        _parse_double(f.getItem(4)).alias("tpm"),
+        _parse_double(f.getItem(5)).alias("average"),
+        _parse_double(f.getItem(6)).alias("per75"),
+        _parse_double(f.getItem(7)).alias("per95"),
+    )
+
+
+def st_wire_oracle_select(decimals_tpm: int = 2) -> str:
+    """DuckDB replay of st encode→decode over an ``st`` CTE: the lossy
+    quantization a consumer observes (integer-valued stats survive
+    losslessly; anything fractional lands on the nf grid)."""
+    # TRY_CAST replays parseFloat('undefined') -> NULL (nf never renders
+    # the literal 'NaN', so no NaN-vs-NULL ambiguity)
+    cols = [
+        "timestamp", "server", "service",
+        f"TRY_CAST({nf_sql('tpm', decimals_tpm)} AS DOUBLE) AS tpm",
+        f"TRY_CAST({nf_sql('average', 1)} AS DOUBLE) AS average",
+        f"TRY_CAST({nf_sql('per75', 1)} AS DOUBLE) AS per75",
+        f"TRY_CAST({nf_sql('per95', 1)} AS DOUBLE) AS per95",
+    ]
+    return "SELECT " + ", ".join(cols) + " FROM st"
+
+
+# ---------------------------------------------------------------------------
+# fs codec (entries.js:88-147) — nested ':' sub-tuples per metric.
+# ---------------------------------------------------------------------------
+
+_FS_METRICS = ("average", "per75", "per95")
+
+
+def _fs_subtuple(m: str, raw_signal: bool) -> Column:
+    """``nf(m):nf(mAvg):nf(mLB):nf(mUB):signal`` — the signal rendered raw
+    for `average`, through nf for per75/per95 (entries.js:117 quirk)."""
+    sig = F.col(f"{m}signal")
+    sig_s = _num(sig) if raw_signal else nf(sig.cast("double"), 1)
+    return F.concat_ws(
+        ":",
+        nf(F.col(m), 1),
+        nf(F.col(f"{m}avg"), 1),
+        nf(F.col(f"{m}lb"), 1),
+        nf(F.col(f"{m}ub"), 1),
+        sig_s,
+    )
+
+
+def fs_to_wire(fs: DataFrame) -> DataFrame:
+    """FullStatEntry encode (entries.js:117)."""
+    return fs.select(
+        F.concat_ws(
+            "|",
+            F.lit("fs"),
+            _num(F.col("timestamp")),
+            _str(F.col("server")),
+            _str(F.col("service")),
+            _num(F.col("lag")),
+            nf(F.col("tpm"), 2),
+            _fs_subtuple("average", raw_signal=True),
+            _fs_subtuple("per75", raw_signal=False),
+            _fs_subtuple("per95", raw_signal=False),
+        ).alias("value")
+    )
+
+
+def wire_to_fs(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """FullStatEntry decode: outer split on ``|``, per-metric sub-tuple
+    split on ``:`` (entries.js:181-185), parseFloat/parseInt casts."""
+    f = F.split(F.col(value_col), r"\|")
+    cols = [
+        _parse_long(f.getItem(1)).alias("timestamp"),
+        _parse_str(f.getItem(2)).alias("server"),
+        _parse_str(f.getItem(3)).alias("service"),
+        _parse_double(f.getItem(5)).alias("tpm"),
+        _parse_int(f.getItem(4)).alias("lag"),
+    ]
+    for i, m in enumerate(_FS_METRICS):
+        sub = F.split(f.getItem(6 + i), ":")
+        cols += [
+            _parse_double(sub.getItem(0)).alias(m),
+            _parse_double(sub.getItem(1)).alias(f"{m}avg"),
+            _parse_double(sub.getItem(2)).alias(f"{m}lb"),
+            _parse_double(sub.getItem(3)).alias(f"{m}ub"),
+            _parse_int(sub.getItem(4)).alias(f"{m}signal"),
+        ]
+    return lines.where(f.getItem(0) == "fs").select(*cols)
+
+
+def fs_wire_oracle_select(fs_cte: str = "fs") -> str:
+    """DuckDB replay of fs encode→decode over an fs-shaped CTE: nf
+    quantization on every float, identity on ints/strings (parseInt of
+    both the raw and the nf-rendered signal recovers the integer)."""
+    # TRY_CAST replays parseFloat('undefined') -> NULL (nf never renders
+    # the literal 'NaN', so no NaN-vs-NULL ambiguity)
+    cols = ["timestamp", "server", "service", "lag"]
+    cols.append(f"TRY_CAST({nf_sql('tpm', 2)} AS DOUBLE) AS tpm")
+    for m in _FS_METRICS:
+        for c in (m, f"{m}avg", f"{m}lb", f"{m}ub"):
+            cols.append(f"TRY_CAST({nf_sql(c, 1)} AS DOUBLE) AS {c}")
+        cols.append(f"{m}signal")
+    return "SELECT " + ", ".join(cols) + f" FROM {fs_cte}"
+
+
+# ---------------------------------------------------------------------------
+# al codec (entries.js:203-231) — embedded entry with pipe -> '&' escape.
+# ---------------------------------------------------------------------------
+
+
+def al_to_wire(al: DataFrame, entry_col: str = "entry") -> DataFrame:
+    """AlertEntry encode: the embedded entry (an already-encoded wire
+    line in ``entry_col``) has its pipes escaped to ``&`` so the outer
+    pipe split can't tear it (entries.js:210-215)."""
+    return al.select(
+        F.concat_ws(
+            "|",
+            F.lit("al"),
+            _num(F.col("alerttimestamp")),
+            _num(F.col("entrytimestamp")),
+            _str(F.col("server")),
+            _str(F.col("service")),
+            _str(F.col("cause")),
+            F.regexp_replace(F.col(entry_col), r"\|", "&"),
+        ).alias("value")
+    )
+
+
+def wire_to_al(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """AlertEntry decode. ``entry`` stays ``&``-escaped, as the reference
+    stores it — decode it with ``wire_to_tx(..., delim='&')`` (or the
+    matching entry type), mirroring getEntryFromCSV(entry, '&')."""
+    f = F.split(F.col(value_col), r"\|")
+    return lines.where(f.getItem(0) == "al").select(
+        _parse_long(f.getItem(1)).alias("alerttimestamp"),
+        _parse_long(f.getItem(2)).alias("entrytimestamp"),
+        _parse_str(f.getItem(3)).alias("server"),
+        _parse_str(f.getItem(4)).alias("service"),
+        _parse_str(f.getItem(5)).alias("cause"),
+        f.getItem(6).alias("entry"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# jx codec (entries.js:246-311).
+# ---------------------------------------------------------------------------
+
+_JX_COLS = (
+    "timestamp", "server",
+    "ds_inuse_nodes", "ds_active_nodes", "ds_available_nodes",
+    "heap_used", "heap_committed", "heap_max",
+    "meta_used", "meta_committed", "meta_max",
+    "sys_load", "class_cnt", "thread_cnt", "daemon_thread_cnt",
+    "bean_pool_available", "bean_pool_current", "bean_pool_max",
+)
+
+
+def jx_to_wire(jmx: DataFrame) -> DataFrame:
+    """JmxEntry encode: 19 raw-rendered fields (entries.js:307); the one
+    double (sys_load) rides its shortest decimal form, ints as digits."""
+    parts = [F.lit("jx")]
+    for c in _JX_COLS:
+        parts.append(_str(F.col(c)) if c == "server" else _num(F.col(c)))
+    return jmx.select(F.concat_ws("|", *parts).alias("value"))
+
+
+def wire_to_jx(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    f = F.split(F.col(value_col), r"\|")
+    cols = []
+    for i, c in enumerate(_JX_COLS, start=1):
+        v = f.getItem(i)
+        if c == "server":
+            cols.append(_parse_str(v).alias(c))
+        elif c == "sys_load":
+            cols.append(_parse_double(v).alias(c))
+        else:
+            cols.append(_parse_long(v).alias(c))
+    return lines.where(f.getItem(0) == "jx").select(*cols)
 
 
 def socket_tx_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
@@ -101,23 +401,68 @@ def socket_tx_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     return tx.withColumn("endtime", F.timestamp_millis(F.col("endts")))
 
 
+# ---------------------------------------------------------------------------
+# Graded gates.
+# ---------------------------------------------------------------------------
+
 # deterministic at-least-once replay rule for the graded gate: every tx
-# whose 60-bit logid hash ends in 7 is delivered twice
+# whose 60-bit hash of the WIRE logid field ends in 7 is delivered twice
 _REPLAY_MOD = 10
 _REPLAY_REM = 7
 
 
+def _tx_null_injected(tx: DataFrame) -> DataFrame:
+    """tx plus 8 hostile rows: the first fully-populated record repeated
+    with each wire column NULLed in turn — so the graded gate proves every
+    field's sentinel keeps wire positions (the round-4 concat_ws defect
+    class), not just the fixture's acctnum/startts nulls."""
+    seed = (
+        tx.where(F.col("acctnum").isNotNull() & F.col("startts").isNotNull())
+        .orderBy(F.col("logid").cast("long"))
+        .limit(1)
+    )
+    injected = None
+    for c in _WIRE_COLS:
+        typ = "string" if c in _TX_STR_COLS else "long"
+        row = seed.withColumn(c, F.lit(None).cast(typ))
+        injected = row if injected is None else injected.unionByName(row)
+    return tx.unionByName(injected)
+
+
+_TX_NULL_INJECT_SQL = """
+, seed AS (
+    SELECT * FROM tx
+    WHERE acctnum IS NOT NULL AND startts IS NOT NULL
+    ORDER BY CAST(logid AS BIGINT) LIMIT 1
+), txa AS (
+    SELECT * FROM tx
+    UNION ALL
+    SELECT CASE WHEN k = 'server' THEN NULL ELSE server END AS server,
+           CASE WHEN k = 'service' THEN NULL ELSE service END AS service,
+           CASE WHEN k = 'logid' THEN NULL ELSE logid END AS logid,
+           CASE WHEN k = 'acctnum' THEN NULL ELSE acctnum END AS acctnum,
+           CASE WHEN k = 'startts' THEN NULL ELSE startts END AS startts,
+           CASE WHEN k = 'endts' THEN NULL ELSE endts END AS endts,
+           CASE WHEN k = 'elapsed' THEN NULL ELSE elapsed END AS elapsed,
+           CASE WHEN k = 'toplevel' THEN NULL ELSE toplevel END AS toplevel
+    FROM seed CROSS JOIN (VALUES ('server'), ('service'), ('logid'),
+        ('acctnum'), ('startts'), ('endts'), ('elapsed'), ('toplevel')
+    ) AS sel(k)
+)"""
+
+
 def queue_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graded S3/S4 codec + at-least-once gate: tx -> wire encode -> a
-    deterministic duplicate replay (hash(logid) % 10 == 7 delivered twice,
-    the consumer-ack crash-replay hazard) -> consumer decode ->
-    per-record delivery accounting + exactly-once projection. Output is
-    one row per UNIQUE tx with its delivery count; the oracle recomputes
-    both from the raw stream, so a codec bug (field order, NaN handling,
-    type cast) or a broken dedup breaks the value hash."""
+    """Graded S3/S4 codec + at-least-once gate: tx (plus the NULL-injected
+    hostile rows) -> wire encode -> a deterministic duplicate replay
+    (hash(wire logid field) % 10 == 7 delivered twice, the consumer-ack
+    crash-replay hazard) -> consumer decode -> per-record delivery
+    accounting + exactly-once projection. Output is one row per UNIQUE tx
+    with its delivery count; the oracle recomputes both from the raw
+    stream, so a codec bug (field order, sentinel handling, type cast) or
+    a broken dedup breaks the value hash."""
     from apmbackend_spark.sources.tx import load_tx
 
-    tx = load_tx(spark, sf_dir).drop("endtime")
+    tx = _tx_null_injected(load_tx(spark, sf_dir).drop("endtime"))
     wire = tx_to_wire(tx)
     replay = wire.where(
         F.pmod(hash64(F.split(F.col("value"), r"\|").getItem(3)), F.lit(_REPLAY_MOD))
@@ -131,12 +476,78 @@ def queue_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queue_roundtrip_oracle_sql() -> str:
-    """Appends to TX_CTE: the decoded frame must equal tx verbatim, with
-    delivery counts from the same hash-replay rule."""
-    h = hash64_sql("logid")
-    return f"""
+    """Appends to TX_CTE: the decoded frame must equal the injected tx
+    verbatim, with delivery counts from the same hash-replay rule over the
+    WIRE rendering of logid (NULL rides as the 'undefined' sentinel)."""
+    h = hash64_sql(f"coalesce(logid, '{_NULL_STR}')")
+    return f"""{_TX_NULL_INJECT_SQL}
 SELECT server, service, logid, acctnum, startts, endts, elapsed, toplevel,
        CAST(CASE WHEN {h} % {_REPLAY_MOD} = {_REPLAY_REM} THEN 2 ELSE 1 END AS BIGINT)
            AS n_deliveries
+FROM txa
+"""
+
+
+def wire_fs_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded fs codec gate: the z_score stage's FullStatEntry output
+    through encode -> decode — what the db_insert consumer would see on
+    the insert queue. Exercises the nested ':' sub-tuples, the nf
+    fixed-point quantization, and the raw-vs-nf signal asymmetry. The
+    oracle replays the same quantization over the same fs computation, so
+    any drift in sub-tuple order, nf rounding, or parse casts breaks the
+    value hash."""
+    from apmbackend_spark.operators import window_stats as ws
+    from apmbackend_spark.operators import zscore as zs
+    from apmbackend_spark.sources.tx import load_tx
+
+    tx = load_tx(spark, sf_dir)
+    st = zs.st_from_window_stats(ws.window_stats(tx))
+    fs = zs.zscore_window(st, lags=(60,), threshold=3.0)
+    return wire_to_fs(fs_to_wire(fs))
+
+
+def wire_al_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded al codec gate: every tx wrapped as an AlertEntry carrying
+    its own encoded line as the embedded entry (the reference wraps the
+    triggering entry's toCSVString() the same way,
+    stream_check_alert_conditions.js) -> al encode (pipe -> '&' escape)
+    -> al decode -> NESTED entry decode at delimiter '&' -> flat row of
+    outer alert fields + the recovered inner tx. Identity round-trip by
+    construction, so the oracle is the plain projection — any escaping or
+    nested-split defect shears the inner fields and breaks the hash."""
+    from apmbackend_spark.sources.tx import load_tx
+
+    tx = load_tx(spark, sf_dir).drop("endtime")
+    al = tx.select(
+        (F.col("endts") + F.lit(60000)).alias("alerttimestamp"),
+        F.coalesce(F.col("startts"), F.col("endts")).alias("entrytimestamp"),
+        "server",
+        "service",
+        F.concat_ws(",", F.col("toplevel"), F.col("service")).alias("cause"),
+        tx_wire_expr().alias("entry"),
+    )
+    decoded = wire_to_al(al_to_wire(al))
+    nested = _tx_decode_cols(F.split(F.col("entry"), "&"), prefix="e_")
+    return decoded.select(
+        "alerttimestamp",
+        "entrytimestamp",
+        "server",
+        "service",
+        "cause",
+        *nested,
+    )
+
+
+def wire_al_roundtrip_oracle_sql() -> str:
+    """Appends to TX_CTE: the al wrap/unwrap is lossless, so the oracle is
+    the direct projection of the alert construction."""
+    return """
+SELECT endts + 60000 AS alerttimestamp,
+       coalesce(startts, endts) AS entrytimestamp,
+       server, service,
+       toplevel || ',' || service AS cause,
+       server AS e_server, service AS e_service, logid AS e_logid,
+       acctnum AS e_acctnum, startts AS e_startts, endts AS e_endts,
+       elapsed AS e_elapsed, toplevel AS e_toplevel
 FROM tx
 """

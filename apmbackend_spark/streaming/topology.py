@@ -51,9 +51,11 @@ def _fs_handoff_schema(metrics=METRICS) -> str:
     return ", ".join(parts)
 
 
-def _run_stage(stream_df, path: str, ckpt: str, timeout_s: int) -> None:
+def _run_stage(
+    stream_df, path: str, ckpt: str, timeout_s: int, fmt: str = "parquet"
+) -> None:
     q = (
-        stream_df.writeStream.format("parquet")
+        stream_df.writeStream.format(fmt)
         .option("path", path)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
@@ -81,14 +83,28 @@ def run_apm_topology(
     watermark: str = "60 seconds",
     timeout_s: int = 300,
     endts_before: int | None = None,
+    wire: bool = False,
 ) -> dict[str, str]:
     """Drain the full four-stage pipeline over everything in ``events_dir``;
     returns the handoff directory per stage ('tx', 'st', 'fs', 'al').
     ``endts_before`` optionally bounds stage 1 to tx with endts below it (a
     stateless stream filter — used by the graded gate to keep the drained
-    volume span-bounded)."""
+    volume span-bounded).
+
+    ``wire=True`` runs every inter-stage handoff THROUGH the reference's
+    queue wire protocol (sources/queue.py): each producer stage encodes its
+    records to pipe-delimited entry lines and sinks them as text, and the
+    consumer stage decodes the line stream — exactly the
+    transactions -> stats -> z_score -> db_insert queue legs of the
+    reference's 4-process topology (config/apm_config.json:87-114), with
+    the parquet handoff directory standing in for the broker. The codecs
+    are pure column projections, so the streaming plans are unchanged
+    apart from the encode/decode expressions riding the sink/source."""
+    from apmbackend_spark.sources import queue as qu
+
     cfg = alert_cfg or AlertConfig()
     dirs = {name: f"{work_dir}/{name}" for name in ("tx", "st", "fs", "al")}
+    fmt = "text" if wire else "parquet"
 
     # stage 1 — parse: raw events -> normalized tx records
     tx = tx_stream(spark, events_dir)
@@ -98,14 +114,16 @@ def run_apm_topology(
         "logid", "server", "service", "acctnum",
         "startts", "endts", "elapsed", "toplevel",
     )
-    _run_stage(tx, dirs["tx"], f"{work_dir}/ckpt_tx", timeout_s)
+    if wire:
+        tx = qu.tx_to_wire(tx)
+    _run_stage(tx, dirs["tx"], f"{work_dir}/ckpt_tx", timeout_s, fmt)
 
     # stage 2 — calc_stats: sliding-window st records (watermark-closed only)
-    tx_in = (
-        spark.readStream.schema(TX_HANDOFF_SCHEMA)
-        .parquet(dirs["tx"])
-        .withColumn("endtime", F.timestamp_millis(F.col("endts")))
-    )
+    if wire:
+        tx_in = qu.wire_to_tx(spark.readStream.text(dirs["tx"]))
+    else:
+        tx_in = spark.readStream.schema(TX_HANDOFF_SCHEMA).parquet(dirs["tx"])
+    tx_in = tx_in.withColumn("endtime", F.timestamp_millis(F.col("endts")))
     st = window_stats_stream(tx_in, watermark=watermark).select(
         F.col("win_start").alias("timestamp"),
         "server",
@@ -115,18 +133,31 @@ def run_apm_topology(
         F.round(F.col("p75"), 0).alias("per75"),
         F.round(F.col("p95"), 0).alias("per95"),
     )
-    _run_stage(st, dirs["st"], f"{work_dir}/ckpt_st", timeout_s)
+    # the st wire form is lossless here: the stat metrics are round(.., 0)
+    # integer-valued and tpm is a <=2-decimal decimal, so nf's fixed-point
+    # rendering parses back to the identical doubles
+    if wire:
+        st = qu.st_to_wire(st)
+    _run_stage(st, dirs["st"], f"{work_dir}/ckpt_st", timeout_s, fmt)
 
     # stage 3 — calc_z_score: per-key recursive detector with store-backed
     # history
-    st_in = spark.readStream.schema(ST_HANDOFF_SCHEMA).parquet(dirs["st"])
+    if wire:
+        st_in = qu.wire_to_st(spark.readStream.text(dirs["st"]))
+    else:
+        st_in = spark.readStream.schema(ST_HANDOFF_SCHEMA).parquet(dirs["st"])
     fs = zscore_stateful(
         st_in, lags=lags, threshold=threshold, influence=influence
     )
-    _run_stage(fs, dirs["fs"], f"{work_dir}/ckpt_fs", timeout_s)
+    if wire:
+        fs = qu.fs_to_wire(fs)
+    _run_stage(fs, dirs["fs"], f"{work_dir}/ckpt_fs", timeout_s, fmt)
 
     # stage 4 — process_alerts: predicates + debounce + cooldown
-    fs_in = spark.readStream.schema(_fs_handoff_schema()).parquet(dirs["fs"])
+    if wire:
+        fs_in = qu.wire_to_fs(spark.readStream.text(dirs["fs"]))
+    else:
+        fs_in = spark.readStream.schema(_fs_handoff_schema()).parquet(dirs["fs"])
     al = alerts_stateful(fs_in, cfg)
     _run_stage(al, dirs["al"], f"{work_dir}/ckpt_al", timeout_s)
 
@@ -142,10 +173,15 @@ def stream_topology_gate(
     watermark: str = "60 seconds",
     slice_ms: int | None = 48 * 3600 * 1000,
     shuffle_partitions: int = 8,
+    wire: bool = False,
 ) -> "DataFrame":
     """Driver-gradeable batch/stream parity query: drain the full
     availableNow topology over the fixture's events and return the
-    fs-stage sink as a batch DataFrame.
+    fs-stage sink as a batch DataFrame. With ``wire=True`` every stage
+    handoff rides the queue wire protocol (see run_apm_topology) and the
+    returned frame is the DECODED fs line sink — what the db_insert
+    consumer reads off the insert queue (nf-quantized floats, recovered
+    signal ints).
 
     Determinism contract (what makes this hash-gradeable): append-mode
     emission is windows whose end <= final watermark = max(event time) -
@@ -202,9 +238,14 @@ def stream_topology_gate(
             influence=influence,
             watermark=watermark,
             endts_before=endts_before,
+            wire=wire,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if wire:
+        from apmbackend_spark.sources import queue as qu
+
+        return qu.wire_to_fs(spark.read.text(dirs["fs"]))
     return spark.read.schema(_fs_handoff_schema()).parquet(dirs["fs"])
 
 

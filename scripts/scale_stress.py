@@ -170,6 +170,10 @@ def docs_timings(spark, sf_dir: str) -> dict[str, float]:
         "video_features",
         lambda: mm.video_features(mm.synth_y4m_media(spark, docs)),
     )
+    t.timed(
+        "video_frame_sample",
+        lambda: mm.video_frame_sample(mm.synth_y4m_media(spark, docs)),
+    )
     return t.out
 
 
@@ -208,7 +212,36 @@ def chain_timings(spark, sf_dir: str) -> dict[str, float]:
     from apmbackend_spark.operators.correlation import incident_windows
 
     t.timed("incident_windows", lambda: incident_windows(load_tx(spark, sf_dir)))
+
+    from apmbackend_spark.sources import queue as qu
+
+    # wire codec + at-least-once accounting: pure codegen projections over
+    # the tx scan, so the shape claim is ~linear in events
+    t.timed("queue_roundtrip", lambda: qu.queue_roundtrip_gate(spark, sf_dir))
     return t.out
+
+
+def stateful_timings(spark, sf_dir: str, k: int) -> None:
+    """Bounded-state z-score drain scaled by SERIES LENGTH (slice_ms x k on
+    the 30-day fixture, no tiling needed): per-key state is O(lag) values
+    regardless of slice, so the claim under test is ~linear wall time in
+    drained grid rows with no state blowup."""
+    from apmbackend_spark.streaming import topology as topo
+
+    t = _Timer(spark)
+    t.timed(
+        "zscore_stateful_1x",
+        lambda: topo.zscore_stateful_drain_gate(spark, sf_dir),
+    )
+    base = t.out["zscore_stateful_1x"]
+    t.timed(
+        f"zscore_stateful_{k}x",
+        lambda: topo.zscore_stateful_drain_gate(
+            spark, sf_dir, slice_ms=topo.ZS_DRAIN_SLICE_MS * k
+        ),
+    )
+    big = t.out[f"zscore_stateful_{k}x"]
+    _report({"zscore_stateful": base}, {"zscore_stateful": big}, k)
 
 
 def _report(base: dict[str, float], big: dict[str, float], k: int) -> None:
@@ -241,6 +274,10 @@ def main() -> None:
         print(f"timing {k}x ...", flush=True)
         big = chain_timings(spark, scaled_dir)
         _report(base, big, k)
+
+    if mode in ("stateful", "all"):
+        print(f"stateful drain 1x vs {k}x slice ...", flush=True)
+        stateful_timings(spark, sf_dir, k)
 
     if mode in ("docs", "all"):
         print(f"tiling documents {k}x into {scaled_dir} ...", flush=True)

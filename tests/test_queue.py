@@ -188,5 +188,159 @@ def test_queue_roundtrip_gate_counts(spark):
         F.sum((F.col("n_deliveries") == 2).cast("long")).alias("dups"),
     ).collect()[0]
     n_tx = load_tx(spark, SF_DIR).count()
-    assert agg["n"] == n_tx          # exactly-once projection
+    assert agg["n"] == n_tx + 8      # exactly-once + the 8 NULL-injected rows
     assert 0 < agg["dups"] < n_tx    # the replay rule fired on a subset
+
+
+# ---------------------------------------------------------------------------
+# Round-5: full entry-family codecs (st/fs/al/jx) + NULL field positions.
+# ---------------------------------------------------------------------------
+
+
+def test_tx_wire_null_fields_keep_positions(spark):
+    # the round-4 defect class: a NULL in ANY column must not shift later
+    # fields (concat_ws alone silently drops NULL columns). Every line has
+    # exactly 9 fields and every field round-trips to NULL.
+    from apmbackend_spark.sources.queue import _WIRE_COLS, _tx_null_injected
+
+    tx = load_tx(spark, SF_DIR).drop("endtime")
+    hostile = _tx_null_injected(tx).subtract(tx)  # just the 8 injected rows
+    lines = tx_to_wire(hostile).collect()
+    assert len(lines) == 8
+    for r in lines:
+        assert len(r["value"].split("|")) == 9, r["value"]
+    back = sorted(map(tuple, wire_to_tx(tx_to_wire(hostile)).collect()), key=str)
+    want = sorted(map(tuple, hostile.select(*_WIRE_COLS).collect()), key=str)
+    assert back == want
+    # one row per column carries exactly one NULL
+    assert sorted(sum(v is None for v in row) for row in back) == [1] * 8
+
+
+def test_nf_matches_js_tofixed(spark):
+    # nf == ES Number.toFixed: sign first, round-half-away-from-zero on
+    # the magnitude; missing/NaN -> literal 'undefined'
+    from apmbackend_spark.sources.queue import nf
+
+    cases = [
+        (123.0, "123.0"), (2.25, "2.3"), (2.75, "2.8"), (-2.25, "-2.3"),
+        (0.0, "0.0"), (-0.04, "-0.0"), (0.05, "0.1"), (1.45, "1.5"),
+        (None, "undefined"), (float("nan"), "undefined"), (99.96, "100.0"),
+    ]
+    # 1.45 is stored as 1.45000000000000004..., ABOVE the decimal tie, so
+    # exact-value rounding gives "1.5" (JS (1.45).toFixed(1) == "1.5" for
+    # the same reason; the .25/.75 binary-exact quarters are the real ties)
+    df = spark.createDataFrame([(v,) for v, _ in cases], "x double")
+    got = [r["s"] for r in df.select(nf(F.col("x"), 1).alias("s")).collect()]
+    assert got == [want for _, want in cases]
+    # and the DuckDB twin renders identical strings
+    import duckdb
+
+    from apmbackend_spark.sources.queue import nf_sql
+
+    vals = ", ".join(
+        "(NULL)" if v is None else f"(CAST('nan' AS DOUBLE))" if v != v else f"({v!r})"
+        for v, _ in cases
+    )
+    rows = duckdb.sql(
+        f"SELECT {nf_sql('x', 1)} FROM (VALUES {vals}) AS t(x)"
+    ).fetchall()
+    assert [r[0] for r in rows] == [want for _, want in cases]
+
+
+def test_st_wire_roundtrip(spark):
+    from apmbackend_spark.sources.queue import st_to_wire, wire_to_st
+
+    st = spark.createDataFrame(
+        [
+            (1000, "srv0", "click", 12.0, 345.0, 400.0, 500.0),
+            (2000, "srv1", None, None, 2.25, None, 0.0),
+            (3000, None, "S:purchase", 0.5, -1.5, 1.45, 99.96),
+        ],
+        "timestamp long, server string, service string, tpm double, "
+        "average double, per75 double, per95 double",
+    )
+    lines = [r["value"] for r in st_to_wire(st).collect()]
+    assert all(len(l.split("|")) == 8 for l in lines)
+    assert "st|1000|srv0|click|12.00|345.0|400.0|500.0" in lines
+    assert "st|2000|srv1|undefined|undefined|2.3|undefined|0.0" in lines
+    back = sorted(map(tuple, wire_to_st(st_to_wire(st)).collect()))
+    # quantization: integer-valued stats survive; fractional land on grid
+    assert back[0] == (1000, "srv0", "click", 12.0, 345.0, 400.0, 500.0)
+    assert back[1] == (2000, "srv1", None, None, 2.3, None, 0.0)
+    assert back[2] == (3000, None, "S:purchase", 0.5, -1.5, 1.5, 100.0)
+
+
+def test_fs_wire_roundtrip_subtuples(spark):
+    from apmbackend_spark.sources.queue import fs_to_wire, wire_to_fs
+
+    cols = "timestamp long, server string, service string, tpm double, lag int"
+    for m in ("average", "per75", "per95"):
+        cols += f", {m} double, {m}avg double, {m}lb double, {m}ub double, {m}signal int"
+    fs = spark.createDataFrame(
+        [
+            (
+                1000, "srv0", "click", 12.0, 60,
+                100.0, 90.5, 80.0, 101.0, 1,
+                110.0, None, None, None, 0,
+                120.0, 115.25, 100.0, 130.5, -1,
+            )
+        ],
+        cols,
+    )
+    line = fs_to_wire(fs).collect()[0]["value"]
+    # header | avg-subtuple | per75-subtuple | per95-subtuple
+    assert line == (
+        "fs|1000|srv0|click|60|12.00"
+        "|100.0:90.5:80.0:101.0:1"          # averageSignal rendered RAW
+        "|110.0:undefined:undefined:undefined:0.0"  # per75Signal through nf
+        "|120.0:115.3:100.0:130.5:-1.0"
+    )
+    back = wire_to_fs(fs_to_wire(fs)).collect()[0]
+    assert (back["lag"], back["tpm"]) == (60, 12.0)
+    assert (back["averagesignal"], back["per75signal"], back["per95signal"]) == (1, 0, -1)
+    assert back["per75avg"] is None and back["per95avg"] == 115.3
+
+
+def test_al_wire_escape_and_nested_decode(spark):
+    from apmbackend_spark.sources.queue import (
+        al_to_wire,
+        wire_al_roundtrip_gate,
+        wire_to_al,
+    )
+
+    al = spark.createDataFrame(
+        [(5000, 4000, "srv0", "click", "tpm,elapsed", "tx|srv0|click|42|NaN|1|2|3|N")],
+        "alerttimestamp long, entrytimestamp long, server string, "
+        "service string, cause string, entry string",
+    )
+    line = al_to_wire(al).collect()[0]["value"]
+    # outer fields pipe-delimited; embedded entry pipes escaped to &
+    assert line == "al|5000|4000|srv0|click|tpm,elapsed|tx&srv0&click&42&NaN&1&2&3&N"
+    dec = wire_to_al(al_to_wire(al)).collect()[0]
+    assert dec["entry"] == "tx&srv0&click&42&NaN&1&2&3&N"  # stays escaped
+    nested = wire_to_tx(
+        wire_to_al(al_to_wire(al)), value_col="entry", delim="&"
+    ).collect()[0]
+    assert (nested["logid"], nested["acctnum"], nested["elapsed"]) == ("42", None, 3)
+    # the graded gate round-trips the fixture identically
+    out = wire_al_roundtrip_gate(spark, SF_DIR)
+    tx = load_tx(spark, SF_DIR)
+    assert out.count() == tx.count()
+    mism = out.where(
+        (F.col("e_server") != F.col("server"))
+        | (F.col("e_service") != F.col("service"))
+        | (F.col("alerttimestamp") != F.col("e_endts") + 60000)
+    )
+    assert mism.count() == 0
+
+
+def test_jx_wire_roundtrip(spark):
+    from apmbackend_spark.sources.jmx import jmx_poll_synthetic
+    from apmbackend_spark.sources.queue import jx_to_wire, wire_to_jx
+
+    jmx = jmx_poll_synthetic(spark)
+    lines = jx_to_wire(jmx).collect()
+    assert all(len(r["value"].split("|")) == 19 for r in lines)
+    back = sorted(map(tuple, wire_to_jx(jx_to_wire(jmx)).collect()))
+    want = sorted(map(tuple, jmx.collect()))
+    assert back == want
