@@ -775,14 +775,21 @@ GROUP BY media_id, w, h
 # ---------------------------------------------------------------------------
 
 Y4M_FPS = 25  # F25:1 -> 40 ms per frame
+# Synthetic-stream geometry: w in 16..23, h in 12..17, 3..6 frames. The
+# SQL oracles interpolate BOTH the formulas and their range() upper bounds
+# from these constants, so widening the generator can never silently
+# truncate the oracle's frame/pixel enumeration.
+Y4M_W_BASE, Y4M_W_MOD = 16, 8
+Y4M_H_BASE, Y4M_H_MOD = 12, 6
+Y4M_N_BASE, Y4M_N_MOD = 3, 4
 
 
 def _y4m_dims(media_id: int) -> tuple[int, int]:
-    return 16 + media_id % 8, 12 + media_id % 6  # w in 16..23, h in 12..17
+    return Y4M_W_BASE + media_id % Y4M_W_MOD, Y4M_H_BASE + media_id % Y4M_H_MOD
 
 
 def _y4m_frames(media_id: int) -> int:
-    return 3 + media_id % 4  # 3..6 frames
+    return Y4M_N_BASE + media_id % Y4M_N_MOD
 
 
 def _y4m_plane_val(media_id: int, p: int, f: int, x: int, y: int) -> int:
@@ -929,15 +936,16 @@ def video_features_oracle_sql() -> str:
     return f"""
 WITH ids AS (
     SELECT doc_id AS media_id,
-           16 + doc_id % 8 AS w, 12 + doc_id % 6 AS h,
-           3 + doc_id % 4 AS n
+           {Y4M_W_BASE} + doc_id % {Y4M_W_MOD} AS w,
+           {Y4M_H_BASE} + doc_id % {Y4M_H_MOD} AS h,
+           {Y4M_N_BASE} + doc_id % {Y4M_N_MOD} AS n
     FROM documents
 ), cells AS (
     SELECT media_id, w, h, n, f.range AS f, x.range AS x, y.range AS y
     FROM ids
-    JOIN range(7) f ON f.range < n
-    JOIN range(24) x ON x.range < w
-    JOIN range(18) y ON y.range < h
+    JOIN range({Y4M_N_BASE} + {Y4M_N_MOD}) f ON f.range < n
+    JOIN range({Y4M_W_BASE} + {Y4M_W_MOD}) x ON x.range < w
+    JOIN range({Y4M_H_BASE} + {Y4M_H_MOD}) y ON y.range < h
 ), vals AS (
     SELECT media_id, w, h, n,
            (media_id * 7 + f * 13 + x * 3 + y * 5) % 256 AS yv,
@@ -1002,20 +1010,21 @@ def video_frame_sample_oracle_sql(every_ms: int = 80) -> str:
     return f"""
 WITH ids AS (
     SELECT doc_id AS media_id,
-           16 + doc_id % 8 AS w, 12 + doc_id % 6 AS h,
-           3 + doc_id % 4 AS n
+           {Y4M_W_BASE} + doc_id % {Y4M_W_MOD} AS w,
+           {Y4M_H_BASE} + doc_id % {Y4M_H_MOD} AS h,
+           {Y4M_N_BASE} + doc_id % {Y4M_N_MOD} AS n
     FROM documents
 ), frames AS (
     SELECT media_id, w, h, f.range AS f,
            f.range * 1000 // {Y4M_FPS} AS t_ms
-    FROM ids JOIN range(7) f ON f.range < n
+    FROM ids JOIN range({Y4M_N_BASE} + {Y4M_N_MOD}) f ON f.range < n
     WHERE (f.range * 1000 // {Y4M_FPS}) % {int(every_ms)} = 0
 ), cells AS (
     SELECT media_id, w, h, f, t_ms,
            (media_id * 7 + f * 13 + x.range * 3 + y.range * 5) % 256 AS yv
     FROM frames
-    JOIN range(24) x ON x.range < w
-    JOIN range(18) y ON y.range < h
+    JOIN range({Y4M_W_BASE} + {Y4M_W_MOD}) x ON x.range < w
+    JOIN range({Y4M_H_BASE} + {Y4M_H_MOD}) y ON y.range < h
 )
 SELECT media_id, CAST(f AS INT) AS frame_idx, CAST(t_ms AS BIGINT) AS t_ms,
        CAST(SUM(yv) AS BIGINT) AS y_sum,
