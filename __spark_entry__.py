@@ -167,8 +167,11 @@ def _q_zscore_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact reference semantics incl. influence damping (recursive state:
     # output feeds its own history) over the dense steady-state grid —
     # unit-tested against a step-by-step simulation in tests/test_zscore.py.
+    # The compact grid is materialized first (localCheckpoint): fusing the
+    # grid-build plan under the Python-heavy grouped scan costs ~2x in
+    # AQE-stage interactions, while the checkpoint is 14 MB at sf0.1.
     return zs.zscore_recursive(
-        _dense_st(spark, sf_dir),
+        _dense_st(spark, sf_dir).localCheckpoint(),
         lags=ZSCORE_LAGS,
         threshold=ZSCORE_THRESHOLD,
         influence=0.1,

@@ -328,8 +328,14 @@ def alert_debounce(
     missing = [c for c in needed if c not in cols]
     if missing:
         raise ValueError(f"debounce input missing columns {missing}")
+    # pinned-count repartition: the groups are bytes-small but the frames
+    # are wide, and AQE's byte-based coalescing otherwise collapses the
+    # grouping exchange to one partition, serializing every key through a
+    # single Python worker (same fix as zscore_recursive)
+    inp = candidates_and_quiet.select(*needed)
+    n_parts = max(inp.sparkSession.sparkContext.defaultParallelism, 32)
     return (
-        candidates_and_quiet.select(*needed)
+        inp.repartition(n_parts, "server", "service", "lag")
         .groupBy("server", "service", "lag")
         .applyInPandas(fn, schema=schema)
     )
@@ -375,8 +381,12 @@ def alert_cooldown(triggered: DataFrame, cfg: AlertConfig) -> DataFrame:
             }
         )
 
+    # alert volume is tiny by here; the pinned repartition only keeps the
+    # handful of service groups off a single AQE-coalesced worker
+    inp = triggered.select("timestamp", "server", "service", "lag", "cause")
+    n_parts = max(inp.sparkSession.sparkContext.defaultParallelism, 32)
     return (
-        triggered.select("timestamp", "server", "service", "lag", "cause")
+        inp.repartition(n_parts, "service")
         .groupBy("service")
         .applyInPandas(fn, schema=schema)
     )

@@ -588,92 +588,130 @@ def zscore_step(lag, threshold, influence, new_value, history):
     return infl_value, avg, lb, ub, signal
 
 
-def _zscore_series_exact(xs, lag, threshold, influence):
-    """Exact scan of one metric series: per step, a bit-for-bit replay of
-    ``zscore_step`` (left-to-right ``sum()`` over the window's non-null
-    values, variance as the mean of squared deviations, the variance-0 =>
-    undefined-sd quirk, influence damping into the FIFO history).
+def _zscore_series_exact(xs, lag, threshold, influence, block=1024):
+    """Exact scan of one metric series: bit-for-bit the reference's
+    per-step arithmetic (``zscore_step``: left-to-right ``sum()`` over the
+    window's non-null values, variance as the mean of squared deviations,
+    the variance-0 => undefined-sd quirk, influence damping into the FIFO
+    history).
 
     A rolling-sums O(1) form was tried and REVERTED: incremental
     add/subtract leaves ~1e-10 residue once a damped (non-integer) append
-    cycles through the sums, which defeats the reference's variance-0
-    quirk (util_methods.js:44-48 — constant series must NEVER signal) and
-    fabricates spurious signals/bounds. Exactness wins; the cost is
-    bounded by an O(1) fast path for the dominant case — a constant
-    integer-valued window (the zero-filled dense grid is mostly long
-    constant runs): nn copies of integer c left-fold to exactly nn*c, so
-    avg == c, every deviation is exactly 0, variance is exactly 0 and the
-    quirk fires — no O(lag) pass needed. Non-constant (or non-integer)
-    windows pay the O(lag) replay; those occur only around real activity
-    and for `lag` steps after a damped append."""
-    import math
-    from collections import Counter
+    cycles through the sums, which defeats the variance-0 quirk
+    (util_methods.js:44-48 — constant series must NEVER signal) and
+    fabricates spurious signals/bounds.
 
+    Exactness is instead vectorized: blocks of steps are evaluated as 2D
+    sliding windows over the history, with row-wise ``np.cumsum`` (a
+    strictly sequential accumulation, so its last column is bitwise Python
+    ``sum()``'s left-fold; NaN slots are zero-padded, and adding +0.0 is
+    an exact IEEE no-op for the non-negative partial sums here). The
+    recursion bites only at a DAMPED append (a fired signal with a defined
+    previous value whose damped value differs from the raw one): rows
+    computed after it assumed the raw value, so the block is cut there,
+    the damped value is written into the history, and the block loop
+    simply restarts at the next step — the 2D windows re-read the
+    finalized history, damped values included, so no scalar fallback is
+    needed. Block size adapts (doubling on damp-free blocks, reset on
+    damping) so signal-dense stretches waste at most a small block per
+    signal. The property/bitwise tests in test_zscore.py guard the
+    equivalence, including across block boundaries."""
     import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
 
     n = len(xs)
-    # appended-value series (NaN = null); the window at step i is the view
-    # h[i-lag:i] — identical contents to the reference's FIFO history
-    h = np.empty(n, dtype=np.float64)
-    cnt: Counter = Counter()  # multiset of the window's non-null values
-    nn = 0  # non-null count in the window
-    # numpy outputs (NaN = undefined): pandas renders a None-list as NaN
-    # anyway, so this is the same result with none of the object-dtype
-    # conversion cost on the 2×len(st) output rows
+    if isinstance(xs, np.ndarray):
+        x_arr = xs  # NaN = null; read-only here (h below is a copy)
+    else:
+        x_arr = np.array(
+            [np.nan if v is None else float(v) for v in xs], dtype=np.float64
+        )
+    h = x_arr.copy()  # appended-value history; diverges only at damped idx
     avg_o = np.full(n, np.nan)
     lb_o = np.full(n, np.nan)
     ub_o = np.full(n, np.nan)
     sig_o = np.zeros(n, dtype=np.int32)
-    for i in range(n):
-        x = xs[i]
-        append_val = x
-        if i >= lag and nn > 0:
-            c = next(iter(cnt)) if len(cnt) == 1 else None
-            if c is not None and c.is_integer() and abs(c) * nn < 2.0**53:
-                # constant integer window: avg = fl(fl(nn*c)/nn) == c and
-                # var == 0 exactly => sd undefined (quirk), signal 0.
-                # (+ 0.0 matches reference sum()'s 0-start, which turns a
-                # window of -0.0 into avg 0.0)
-                avg_o[i] = c + 0.0
+    if n <= lag:
+        return avg_o, lb_o, ub_o, sig_o
+
+    # exact O(1)-per-step non-null window counts from one prefix sum:
+    # damping never changes null-ness (a signal requires x non-null), so
+    # the raw series' counts stay valid for h throughout
+    nncum = np.concatenate(([0], np.cumsum(~np.isnan(x_arr), dtype=np.int64)))
+
+    # preallocated per-block work buffers: the 2D cumsums are the hot loop,
+    # and fresh allocations per block dominate otherwise
+    bufA = np.empty((min(block, n - lag), lag))
+    bufB = np.empty((min(block, n - lag), lag))
+
+    blk = min(16, block)
+    i = lag
+    while i < n:
+        e = min(i + blk, n)
+        b = e - i
+        # windows for steps [i, e): window of step s is h[s-lag:s]
+        seg = h[i - lag : e - 1]
+        W = sliding_window_view(seg, lag)
+        nn = nncum[i:e] - nncum[i - lag : e - lag]
+        has = nn > 0
+        A, B = bufA[:b], bufB[:b]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if np.isnan(seg).any():
+                nanmask = np.isnan(W)
+                Z = np.where(nanmask, 0.0, W)
+                np.cumsum(Z, axis=1, out=A)
+                S = A[:, -1].copy()
+                avg = S / nn
+                D = np.where(nanmask, 0.0, W - avg[:, None])
+                np.multiply(D, D, out=B)
             else:
-                # zscore_step replay, numpy-vectorized within the window:
-                # np.cumsum is a strictly sequential accumulation, so its
-                # last element is bitwise Python sum()'s left-fold (the
-                # property/bitwise tests in test_zscore.py guard this)
-                w = h[i - lag : i]
-                if nn == lag:
-                    vals = w  # no nulls — the dense-grid common case
-                else:
-                    vals = w[~np.isnan(w)]
-                avg = np.cumsum(vals)[-1] / nn
-                # (v-avg)*(v-avg), NOT **2 — see zscore_step
-                d = vals - avg
-                var = np.cumsum(d * d)[-1] / nn
-                sd = math.sqrt(var) if var != 0 else None  # quirk
-                avg_o[i] = avg
-                if sd is not None:
-                    lb_o[i] = avg - threshold * sd
-                    ub_o[i] = avg + threshold * sd
-                    if x is not None and abs(x - avg) > threshold * sd:
-                        sig_o[i] = 1 if x > avg else -1
-                        prev = h[i - 1]
-                        if prev == prev:  # non-null
-                            append_val = influence * x + (1 - influence) * prev
-        if append_val is None:
-            h[i] = np.nan
+                # fully non-null stretch: zero-padding is a no-op, skip
+                # the 2D masks/copies entirely
+                np.cumsum(W, axis=1, out=A)
+                S = A[:, -1].copy()
+                avg = S / nn
+                np.subtract(W, avg[:, None], out=B)
+                np.multiply(B, B, out=B)
+            np.cumsum(B, axis=1, out=A)
+            msq = A[:, -1] / nn
+            sd = np.sqrt(msq)
+            quirk = has & (msq != 0)  # variance-0 quirk: 0 => sd undefined
+            xs_b = x_arr[i:e]
+            lb = avg - threshold * sd
+            ub = avg + threshold * sd
+            hot = quirk & ~np.isnan(xs_b) & (np.abs(xs_b - avg) > threshold * sd)
+        sig = np.where(hot, np.where(xs_b > avg, 1, -1), 0).astype(np.int32)
+
+        # first DAMPING append bounds how far the block's rows are valid:
+        # later rows assumed the raw value at that position. A signal damps
+        # only when prev is non-null and the damped value differs bitwise
+        # from the raw one (equal-value appends leave the history as-is).
+        cut = e
+        damped_val = None
+        for s_off in np.nonzero(sig)[0]:
+            s = i + int(s_off)
+            prev = h[s - 1]
+            if prev != prev:
+                continue
+            x = x_arr[s]
+            a = influence * x + (1 - influence) * prev
+            if a != x:
+                cut = s
+                damped_val = a
+                break
+        good = slice(i, cut + 1 if damped_val is not None else cut)
+        g = slice(0, good.stop - i)
+        avg_o[good] = np.where(has[g], avg[g], np.nan)
+        lb_o[good] = np.where(quirk[g], lb[g], np.nan)
+        ub_o[good] = np.where(quirk[g], ub[g], np.nan)
+        sig_o[good] = sig[g]
+        if damped_val is None:
+            i = e
+            blk = min(blk * 2, block)
         else:
-            append_val = float(append_val)
-            h[i] = append_val
-            nn += 1
-            cnt[append_val] += 1
-        if i >= lag:
-            old = h[i - lag]
-            if old == old:
-                nn -= 1
-                old = float(old)
-                cnt[old] -= 1
-                if not cnt[old]:
-                    del cnt[old]
+            h[cut] = damped_val
+            i = cut + 1
+            blk = min(16, block)
     return avg_o, lb_o, ub_o, sig_o
 
 
@@ -698,12 +736,9 @@ def zscore_recursive_py(
     rows = rows.sort_values("timestamp", ignore_index=True)
     n = len(rows)
     base = rows[["timestamp", "server", "service", "tpm"]]
-    # None-lists (not NaN arrays) for the scan: the loop's null semantics
-    # are identity checks, and NaN would poison the rolling sums
-    metric_vals = {
-        m: [None if pd.isna(v) else float(v) for v in rows[m].tolist()]
-        for m in metrics
-    }
+    # NaN-as-null float arrays feed the scan directly (it is numpy-native;
+    # a per-value None-list conversion here costs millions of pd.isna
+    # calls per key at scale)
     metric_np = {m: rows[m].to_numpy(dtype="float64") for m in metrics}
 
     # One applyInPandas group == one (server, service) key, so the settings
@@ -727,7 +762,7 @@ def zscore_recursive_py(
         }
         for m in metrics:
             avg_o, lb_o, ub_o, sig_o = _zscore_series_exact(
-                metric_vals[m], lag, t_eff, i_eff
+                metric_np[m], lag, t_eff, i_eff
             )
             data[m] = metric_np[m]
             data[f"{m}avg"] = avg_o
@@ -781,4 +816,17 @@ def zscore_recursive(
     # Grouped by (server, service) ONLY — a lag fan-out before the shuffle
     # was tried and is a net loss: it multiplies the Arrow transfer volume
     # by len(lags) while the per-group Python scan total stays the same.
-    return st.groupBy("server", "service").applyInPandas(fn, schema=schema)
+    #
+    # The explicit pinned-count repartition matters: the groups are BYTES-
+    # small but COMPUTE-heavy, so AQE's byte-based partition coalescing
+    # collapses the grouping exchange to ONE partition and serializes every
+    # key through a single Python worker (measured 8.6 s -> 1.4 s at sf0.1
+    # for the same work). A user repartition with an explicit count is
+    # exempt from AQE coalescing, and because it hash-partitions on exactly
+    # the grouping keys, applyInPandas adds no further exchange on top.
+    n_parts = max(st.sparkSession.sparkContext.defaultParallelism, 32)
+    return (
+        st.repartition(n_parts, "server", "service")
+        .groupBy("server", "service")
+        .applyInPandas(fn, schema=schema)
+    )

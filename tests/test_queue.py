@@ -344,3 +344,26 @@ def test_jx_wire_roundtrip(spark):
     back = sorted(map(tuple, wire_to_jx(jx_to_wire(jmx)).collect()))
     want = sorted(map(tuple, jmx.collect()))
     assert back == want
+
+
+def test_wire_decode_composes_over_kafka_frame(spark):
+    # the documented "two-line swap to format('kafka')": a broker row is
+    # (key binary, value binary, topic, partition, offset, ...); the codec
+    # must compose over value.cast('string') without schema assumptions.
+    # No broker exists in the sandbox, so the frame is mocked with the
+    # exact kafka source column shape.
+    kafka_like = spark.createDataFrame(
+        [
+            (None, b"tx|srv1|click|42|NaN|900|1000|100|N", "apm.tx", 0, 7, 1000),
+            (b"k2", b"st|1000|srv0|click|1.40|345.0|400.0|500.0", "apm.tx", 0, 8, 1001),
+            (None, b"tx|srv2|S:purchase|43|100000007|NaN|2000|50|Y", "apm.tx", 1, 3, 1002),
+        ],
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp long",
+    )
+    lines = kafka_like.select(F.col("value").cast("string").alias("value"))
+    rows = {r["logid"]: r for r in wire_to_tx(lines).collect()}
+    # non-tx lines on the topic are dropped; fields land typed
+    assert set(rows) == {"42", "43"}
+    assert rows["42"]["acctnum"] is None and rows["42"]["startts"] == 900
+    assert rows["43"]["startts"] is None and rows["43"]["toplevel"] == "Y"

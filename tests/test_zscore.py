@@ -287,23 +287,26 @@ def test_incremental_scan_matches_step_loop_property():
     @example(xs=[1426.0, 2351.0, 500.0, None, None], lag=2, influence=0.1)
     def check(xs, lag, influence):
         threshold = 3.0
-        avg_o, lb_o, ub_o, sig_o = _zscore_series_exact(
-            xs, lag, threshold, influence
-        )
-        hist = []
-        for i, x in enumerate(xs):
-            appended, avg, lb, ub, signal = zscore_step(
-                lag, threshold, influence, x, hist
+        # block=7 forces the vectorized/scalar hand-off every few steps —
+        # the block boundary logic must be invisible
+        for block in (4096, 7):
+            avg_o, lb_o, ub_o, sig_o = _zscore_series_exact(
+                xs, lag, threshold, influence, block=block
             )
-            hist.append(appended)
-            if len(hist) > lag:
-                hist.pop(0)
-            assert sig_o[i] == signal, (i, xs, lag)
-            for got, want in ((avg_o[i], avg), (lb_o[i], lb), (ub_o[i], ub)):
-                if want is None:
-                    assert math.isnan(got), (i, xs, lag)
-                else:
-                    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-9)
+            hist = []
+            for i, x in enumerate(xs):
+                appended, avg, lb, ub, signal = zscore_step(
+                    lag, threshold, influence, x, hist
+                )
+                hist.append(appended)
+                if len(hist) > lag:
+                    hist.pop(0)
+                assert sig_o[i] == signal, (i, xs, lag, block)
+                for got, want in ((avg_o[i], avg), (lb_o[i], lb), (ub_o[i], ub)):
+                    if want is None:
+                        assert math.isnan(got), (i, xs, lag, block)
+                    else:
+                        assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-9)
 
     check()
 
