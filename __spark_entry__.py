@@ -776,10 +776,14 @@ FROM tx
             f"({stream_topo_sql}) AS fs_sink"
         ),
         # fs wire codec over the z_score stage's batch output: nested ':'
-        # sub-tuples + nf fixed-point + the raw-vs-nf signal asymmetry.
+        # sub-tuples + nf fixed-point + the raw-vs-nf signal asymmetry
+        # (24 h-sliced base like every z-score gate).
         "wire_fs_roundtrip": (
             TX_CTE
-            + window_stats_oracle_ctes()
+            + ", tx_sliced AS ("
+            + zf.tx_sliced_sql(qu.WIRE_FS_SLICE_MS)
+            + ")"
+            + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
             + zs.ST_ORACLE_CTE
             + ", fs AS ("
             + zs.zscore_oracle_select(lags=(60,), threshold=ZSCORE_THRESHOLD)

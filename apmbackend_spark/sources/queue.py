@@ -488,6 +488,9 @@ FROM txa
 """
 
 
+WIRE_FS_SLICE_MS = 24 * 3600 * 1000
+
+
 def wire_fs_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded fs codec gate: the z_score stage's FullStatEntry output
     through encode -> decode — what the db_insert consumer would see on
@@ -495,13 +498,21 @@ def wire_fs_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point quantization, and the raw-vs-nf signal asymmetry. The
     oracle replays the same quantization over the same fs computation, so
     any drift in sub-tuple order, nf rounding, or parse casts breaks the
-    value hash."""
+    value hash. Like the z-score gates, the input is sliced to the first
+    24 h IN-PLAN (the codec coverage is per-line; a 30-day fs base would
+    add cost, not semantics)."""
     from apmbackend_spark.operators import window_stats as ws
     from apmbackend_spark.operators import zscore as zs
     from apmbackend_spark.sources.tx import load_tx
 
     tx = load_tx(spark, sf_dir)
-    st = zs.st_from_window_stats(ws.window_stats(tx))
+    lo = tx.agg(F.min("endts").alias("__lo"))
+    sliced = (
+        tx.crossJoin(F.broadcast(lo))
+        .where(F.col("endts") < F.col("__lo") + F.lit(WIRE_FS_SLICE_MS))
+        .drop("__lo")
+    )
+    st = zs.st_from_window_stats(ws.window_stats(sliced))
     fs = zs.zscore_window(st, lags=(60,), threshold=3.0)
     return wire_to_fs(fs_to_wire(fs))
 
