@@ -341,9 +341,16 @@ def parse_logs_chunked(
             [{c: r.get(c) for c in cols} for r in rows], columns=cols
         )
 
-    scanned = cdf.groupBy("path", "off").applyInPandas(
-        scan, schema="path string, " + _CHUNK_SCHEMA
-    ).persist()
+    # pinned repartition: chunk groups are bytes-tiny but parse-heavy, so
+    # AQE byte-coalescing would serialize the per-chunk scans (the
+    # zscore_recursive AQE lesson)
+    n_parts = max(cdf.sparkSession.sparkContext.defaultParallelism, 32)
+    scanned = (
+        cdf.repartition(n_parts, "path", "off")
+        .groupBy("path", "off")
+        .applyInPandas(scan, schema="path string, " + _CHUNK_SCHEMA)
+        .persist()
+    )
 
     tx = scanned.where(F.col("rectype") == "tx")
     # cross-chunk pairing repair: leftover starts + kill markers + unmatched

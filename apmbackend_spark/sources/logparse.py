@@ -321,7 +321,16 @@ def parse_logs(
         ]
         return pd.DataFrame([{c: r.get(c) for c in cols} for r in rows], columns=cols)
 
-    return raw.groupBy("path").applyInPandas(fn, schema=PARSED_SCHEMA)
+    # pinned-count repartition on the grouping key: parse cost tracks line
+    # count, not file bytes, so AQE's byte-based coalescing would otherwise
+    # collapse small-but-parse-heavy file groups onto one Python worker
+    # (the zscore_recursive AQE lesson)
+    n_parts = max(raw.sparkSession.sparkContext.defaultParallelism, 32)
+    return (
+        raw.repartition(n_parts, "path")
+        .groupBy("path")
+        .applyInPandas(fn, schema=PARSED_SCHEMA)
+    )
 
 
 def enrich_tx(parsed: DataFrame) -> DataFrame:
