@@ -88,7 +88,17 @@ def window_stats(
             F.sequence(F.col("_bucket") - F.lit(int(n_win - 1)), F.col("_bucket"))
         ).alias("_wb"),
     )
-    agg = exploded.groupBy("server", "service", "_wb").agg(
+    # Pinned-count repartition on the merge keys: the per-window merge
+    # (flatten + exact-percentile sort over collect_list arrays) is
+    # compute-heavy but its input is bytes-small at bench scale, so AQE's
+    # byte-based coalescing would serialize it onto one reduce task. The
+    # explicit REPARTITION_BY_NUM exchange is exempt from coalescing and
+    # carries the same rows the ENSURE_REQUIREMENTS exchange would
+    # (partial agg cannot shrink collect_list payloads anyway).
+    n_parts = max(tx.sparkSession.sparkContext.defaultParallelism, 32)
+    agg = exploded.repartition(n_parts, "server", "service", "_wb").groupBy(
+        "server", "service", "_wb"
+    ).agg(
         F.sum("_bcnt").alias("cnt"),
         F.sum("_bsum").alias("_sum"),
         F.sort_array(F.flatten(F.collect_list("_barr"))).alias("_arr"),

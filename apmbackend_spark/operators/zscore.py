@@ -179,6 +179,16 @@ def _zscore_window_over(
     """The cumulative-sum z-score plan over an arbitrary partitioning key
     (shared by the global and time-chunked forms); `extra_cols` pass
     through to the output unchanged."""
+    # Pinned-count repartition on the window keys: st rows are bytes-tiny
+    # but the chained window functions (and whatever rides after them —
+    # wire codecs, alert scans) are compute-heavy, so AQE's byte-based
+    # coalescing would collapse the ENSURE_REQUIREMENTS exchange to ONE
+    # partition and serialize the whole tail of the plan (the grouped-map
+    # AQE lesson, JVM edition). REPARTITION_BY_NUM is exempt from
+    # coalescing and hashpartitioning(partition_cols, n) satisfies the
+    # window's required distribution, so no second exchange appears.
+    n_parts = max(st.sparkSession.sparkContext.defaultParallelism, 32)
+    st = st.repartition(n_parts, *partition_cols)
     wcum = (
         Window.partitionBy(*partition_cols)
         .orderBy("timestamp")
