@@ -328,7 +328,12 @@ def zscore_stateful_drain_gate(
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     src, out = os.path.join(work, "src"), os.path.join(work, "out")
 
-    st = st_zerofill_dense(load_tx(spark, sf_dir), slice_ms=int(slice_ms))
+    # The dense-grid chain (winstats + zero-fill) would otherwise recompute
+    # once for the bounds probe and once PER delivery filter below; pin the
+    # small materialized grid so the chain runs exactly once.
+    st = st_zerofill_dense(
+        load_tx(spark, sf_dir), slice_ms=int(slice_ms)
+    ).localCheckpoint()
     lo, hi = st.agg(F.min("timestamp"), F.max("timestamp")).collect()[0]
     lo, hi = int(lo), int(hi) + 1
     step = max((hi - lo) // int(n_deliveries), 1)
