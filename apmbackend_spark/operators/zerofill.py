@@ -40,7 +40,12 @@ def st_zerofill(tx: DataFrame, slice_ms: int = SLICE_MS) -> DataFrame:
         .where(F.col("endts") < F.col("__lo") + F.lit(slice_ms))
         .drop("__lo")
     )
-    st = st_from_window_stats(window_stats(sliced))
+    # The st seam is referenced three times below (key dimension, grid,
+    # join probe); column pruning makes the three subtrees non-canonical so
+    # ReuseExchange never fires and the whole tx->winstats chain would
+    # compute three times in one plan. Materialize the compact seam once —
+    # st is the steady-state emission, orders of magnitude smaller than tx.
+    st = st_from_window_stats(window_stats(sliced)).localCheckpoint()
     # "keys it has ever seen": a key emits zero-rows only from its first
     # observed window onward (stream_calc_stats.js:159-202 iterates the
     # grown-so-far key set, never future members)
@@ -137,9 +142,12 @@ def st_zerofill_dense(
             .where(F.col("endts") < F.col("__lo") + F.lit(slice_ms))
             .drop("__lo")
         )
+    # Same three-way seam reference as `st_zerofill` (key_starts, end,
+    # join probe): pin the compact winstats emission so the upstream chain
+    # runs once per plan instead of three times.
     st = st_from_window_stats(
         window_stats(sliced, slide=f"{slide_ms // 1000} seconds")
-    )
+    ).localCheckpoint()
     key_starts = st.groupBy("server", "service").agg(
         F.min("timestamp").alias("__t0k")
     )

@@ -126,7 +126,16 @@ def test_zscore_single_data_shuffle(spark):
         if "hashpartitioning" in line and "__chunk" in line
     ]
     assert len(chunk_exchanges) == 1, chunk_exchanges
+    # ... and that exchange must be the PINNED form: AQE's byte-based
+    # coalescing would collapse the bytes-small/compute-heavy window input
+    # to one partition and serialize the whole chain (REPARTITION_BY_NUM
+    # is exempt from coalescing; ENSURE_REQUIREMENTS is not).
+    assert "REPARTITION_BY_NUM" in chunk_exchanges[0], chunk_exchanges
     assert "BatchEvalPython" not in p
+    # the dense-grid input must ride the materialized winstats seam: a
+    # parquet scan in THIS plan means the tx -> winstats chain is being
+    # recomputed per seam reference (it appears 3x in the zero-fill)
+    assert "Scan parquet" not in p
 
 
 def test_ann_bruteforce_broadcasts_corpus(spark):
@@ -281,6 +290,26 @@ def test_window_stats_approx_pins_to_exact(spark):
     # and its plan must be sketch-mergeable: no collect_list anywhere
     p = plan(window_stats_approx(tx))
     assert "collect_list" not in p
+
+
+def test_window_stats_merge_exchange_pinned_against_aqe(spark):
+    """The per-window merge (flatten + exact-percentile sort over
+    collect_list payloads) is compute-heavy on a bytes-small input, so its
+    exchange must be the coalescing-exempt REPARTITION_BY_NUM form — an
+    ENSURE_REQUIREMENTS exchange here gets AQE-collapsed to one partition
+    and the whole merge runs serially."""
+    import __spark_entry__ as e
+
+    p = plan(e.queries()["window_stats"](spark, SF_SMOKE))
+    merge_exchanges = [
+        line
+        for line in p.splitlines()
+        if "hashpartitioning" in line and "_wb" in line
+    ]
+    assert merge_exchanges, "expected a window-bucket merge exchange"
+    assert any("REPARTITION_BY_NUM" in line for line in merge_exchanges), (
+        merge_exchanges
+    )
 
 
 def test_props_rollup_prunes_scan_and_stays_jvm(spark):
