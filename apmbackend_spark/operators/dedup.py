@@ -565,11 +565,14 @@ def dedup_incremental(
     index a deployment materializes bucketed by its key (fingerprint /
     band — ``_band_index`` IS that index), so per-delivery cost is
     shuffle ∝ batch size against a pre-bucketed table, never a corpus
-    rescan. In this single-table rendering both sides derive from one
-    signature aggregate and Catalyst's ReuseExchange computes it once.
+    rescan. In this single-table rendering the signature and band frames
+    are materialized once (localCheckpoint) before the batch/corpus
+    split: the differing filters make the two sides non-canonical
+    subtrees, so without the pin each side would recompute the full
+    tokenize/minhash pass over all documents.
     """
     fp = hash64(F.concat_ws(" ", tokens(F.col("text"))))
-    fps = documents.select("doc_id", fp.alias("fingerprint"))
+    fps = documents.select("doc_id", fp.alias("fingerprint")).localCheckpoint()
     is_batch = (F.col("doc_id") % batch_mod) == 0
     exact = (
         fps.where(is_batch)
@@ -582,7 +585,7 @@ def dedup_incremental(
         .groupBy("doc_id")
         .agg(F.min("c_id").alias("exact_dup"))
     )
-    bi = _band_index(documents, bands, rows_per_band)
+    bi = _band_index(documents, bands, rows_per_band).localCheckpoint()
     near = (
         bi.where(is_batch)
         .join(

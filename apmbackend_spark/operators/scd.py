@@ -71,31 +71,45 @@ def scd2_merge(
     in_snap = F.col(f"s.{key}").isNotNull()
     changed = in_cur & in_snap & ~same
 
+    # ONE pass over the merge join: each joined row explodes into its 0-2
+    # output versions (carry XOR close+open, or open-only for new keys).
+    # Filtered per-leg selects would instantiate the full-outer join once
+    # PER LEG — three joins and three source scans in every merge plan
+    # (Catalyst treats each DataFrame reference as its own subtree and the
+    # legs' differing projections defeat exchange reuse).
+    def _ver(side, valid_from, valid_to, is_current):
+        return F.struct(
+            F.col(f"{side}.{key}").alias(key),
+            *[F.col(f"{side}.{a}").alias(a) for a in attrs],
+            valid_from.cast("long").alias("valid_from"),
+            valid_to.cast("long").alias("valid_to"),
+            is_current.cast("boolean").alias("is_current"),
+        )
+
     # leg 1: current rows with no news (absent from snapshot) or unchanged
-    carried = joined.where(in_cur & (~in_snap | same)).select(
-        F.col(f"c.{key}").alias(key),
-        *[F.col(f"c.{a}").alias(a) for a in attrs],
-        F.col("c.valid_from").alias("valid_from"),
-        F.col("c.valid_to").alias("valid_to"),
-        F.col("c.is_current").alias("is_current"),
+    carried = _ver(
+        "c", F.col("c.valid_from"), F.col("c.valid_to"), F.col("c.is_current")
     )
     # leg 2: changed rows -> close the old version at effective_ms
-    closed = joined.where(changed).select(
-        F.col(f"c.{key}").alias(key),
-        *[F.col(f"c.{a}").alias(a) for a in attrs],
-        F.col("c.valid_from").alias("valid_from"),
-        F.lit(effective_ms).cast("long").alias("valid_to"),
-        F.lit(False).alias("is_current"),
+    closed = _ver(
+        "c", F.col("c.valid_from"), F.lit(effective_ms), F.lit(False)
     )
     # leg 3: changed or brand-new keys -> open a version at effective_ms
-    opened = joined.where(changed | (in_snap & ~in_cur)).select(
-        F.col(f"s.{key}").alias(key),
-        *[F.col(f"s.{a}").alias(a) for a in attrs],
-        F.lit(effective_ms).cast("long").alias("valid_from"),
-        F.lit(None).cast("long").alias("valid_to"),
-        F.lit(True).alias("is_current"),
+    opened = _ver("s", F.lit(effective_ms), F.lit(None), F.lit(True))
+    versions = (
+        joined.select(
+            F.explode(
+                F.array(
+                    F.when(in_cur & (~in_snap | same), carried),
+                    F.when(changed, closed),
+                    F.when(changed | (in_snap & ~in_cur), opened),
+                )
+            ).alias("__v")
+        )
+        .where(F.col("__v").isNotNull())
+        .select("__v.*")
     )
-    return hist.unionByName(carried).unionByName(closed).unionByName(opened)
+    return hist.unionByName(versions)
 
 
 # ---------------------------------------------------------------------------

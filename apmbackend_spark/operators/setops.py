@@ -70,21 +70,30 @@ def account_coverage(
     """Partition the account universe of two services into a_only / b_only /
     both via the three set operations (EXCEPT each way + INTERSECT),
     labeled and unioned into one result — the "which purchasers hit
-    errors" coverage question. Each leg reduces to distinct acctnums
-    before the anti/semi join, so shuffle volume is ∝ distinct accounts."""
-    a = (
-        tx.where((F.col("service") == service_a) & F.col("acctnum").isNotNull())
-        .select("acctnum")
+    errors" coverage question (EXCEPT/INTERSECT set semantics).
+
+    Compiled as ONE pass: a literal `a.subtract(b) UNION b.subtract(a)
+    UNION a.intersect(b)` instantiates each side's scan three times (six
+    source scans and three distinct-shuffles per plan); the equivalent
+    presence-flag aggregation reads the source once and shuffles one row
+    per distinct account, with map-side combine."""
+    flagged = (
+        tx.where(
+            F.col("acctnum").isNotNull()
+            & F.col("service").isin(service_a, service_b)
+        )
+        .groupBy("acctnum")
+        .agg(
+            F.max(F.col("service") == service_a).alias("in_a"),
+            F.max(F.col("service") == service_b).alias("in_b"),
+        )
     )
-    b = (
-        tx.where((F.col("service") == service_b) & F.col("acctnum").isNotNull())
-        .select("acctnum")
-    )
-    # subtract/intersect = SQL EXCEPT/INTERSECT (distinct set semantics)
-    return (
-        a.subtract(b).select(F.lit("a_only").alias("op"), "acctnum")
-        .unionAll(b.subtract(a).select(F.lit("b_only").alias("op"), "acctnum"))
-        .unionAll(a.intersect(b).select(F.lit("both").alias("op"), "acctnum"))
+    return flagged.select(
+        F.when(F.col("in_a") & ~F.col("in_b"), F.lit("a_only"))
+        .when(F.col("in_b") & ~F.col("in_a"), F.lit("b_only"))
+        .otherwise(F.lit("both"))
+        .alias("op"),
+        "acctnum",
     )
 
 

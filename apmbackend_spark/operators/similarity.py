@@ -161,8 +161,14 @@ def ann_ivf(
     )
 
     # Corpus bucketed by list; score only candidates in probed lists.
-    av = ivf_assign(embeddings, n_lists_mod).select("vec_id", "list_id").join(
-        vecs, "vec_id"
+    # The bucketed index is the write-once artifact of a real IVF build —
+    # materialize it so the corpus assignment pass (centroid scoring over
+    # every vector) runs once rather than once per downstream reference.
+    av = (
+        ivf_assign(embeddings, n_lists_mod)
+        .select("vec_id", "list_id")
+        .join(vecs, "vec_id")
+        .localCheckpoint()
     )
     scored = (
         probes.join(av.withColumnRenamed("vec_id", "cand_id"), "list_id")
@@ -485,7 +491,15 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.3) -> DataFram
     by cosine >= threshold."""
     assigned = ivf_assign(embeddings)
     vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("v"))
-    av = assigned.join(vecs, "vec_id").select("vec_id", "list_id", "v")
+    # Materialize the IVF index frame once: the self-join below references
+    # it twice, and each reference would otherwise recompute the full
+    # centroid-assignment scoring pass (this IS the "build the index, then
+    # query it" shape of a real IVF store).
+    av = (
+        assigned.join(vecs, "vec_id")
+        .select("vec_id", "list_id", "v")
+        .localCheckpoint()
+    )
     a = av.alias("a")
     b = av.alias("b")
     return (

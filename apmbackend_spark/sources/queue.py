@@ -421,12 +421,21 @@ def _tx_null_injected(tx: DataFrame) -> DataFrame:
         .orderBy(F.col("logid").cast("long"))
         .limit(1)
     )
-    injected = None
+    # One seed row exploded across the column keys, each nulled by CASE —
+    # the same shape as the oracle's UNNEST+CASE CTE. A per-column union
+    # of `seed.withColumn(c, NULL)` legs would instantiate the seed's
+    # global sort-limit subtree once PER COLUMN (8 extra source scans in
+    # every consumer plan).
+    injected = seed.select(
+        "*",
+        F.explode(F.array(*[F.lit(c) for c in _WIRE_COLS])).alias("__k"),
+    )
     for c in _WIRE_COLS:
-        typ = "string" if c in _TX_STR_COLS else "long"
-        row = seed.withColumn(c, F.lit(None).cast(typ))
-        injected = row if injected is None else injected.unionByName(row)
-    return tx.unionByName(injected)
+        injected = injected.withColumn(
+            c,
+            F.when(F.col("__k") == c, F.lit(None)).otherwise(F.col(c)),
+        )
+    return tx.unionByName(injected.drop("__k"))
 
 
 _TX_NULL_INJECT_SQL = """
@@ -463,7 +472,10 @@ def queue_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apmbackend_spark.sources.tx import load_tx
 
     tx = _tx_null_injected(load_tx(spark, sf_dir).drop("endtime"))
-    wire = tx_to_wire(tx)
+    # The wire seam is consumed twice (replay filter + delivered union);
+    # materialize the compact line frame once so the encode chain and the
+    # source scan run once, not per reference.
+    wire = tx_to_wire(tx).localCheckpoint()
     replay = wire.where(
         F.pmod(hash64(F.split(F.col("value"), r"\|").getItem(3)), F.lit(_REPLAY_MOD))
         == F.lit(_REPLAY_REM)
