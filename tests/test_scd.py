@@ -62,3 +62,58 @@ def test_null_transitions_version_correctly(spark):
     assert [r["seg"] for r in v[1]] == [None, "A"]
     assert [r["seg"] for r in v[2]] == ["B", None]
     assert all(len(vs) == 2 for vs in v.values())
+
+
+def test_merge_matches_naive_reference_on_randomized_delivery(spark):
+    """Differential guard for the single-pass explode form of scd2_merge:
+    a seeded randomized dim + delivery (churn, absent keys, new keys,
+    NULL attr transitions) must produce exactly the rows of the naive
+    per-leg reference computed in plain Python."""
+    import random
+
+    rng = random.Random(0x5CD)
+    segs = ["A", "B", "C", None]
+    dim = [
+        (k, rng.choice(segs), float(rng.randint(0, 5)))
+        for k in range(1, 61)
+    ]
+    # delivery: ~1/3 changed, ~1/4 absent, some brand-new keys, and NULL
+    # flips in both directions
+    snap = []
+    for k, seg, bal in dim:
+        r = rng.random()
+        if r < 0.25:
+            continue  # absent -> carried
+        if r < 0.60:
+            snap.append((k, rng.choice(segs), float(rng.randint(0, 5))))
+        else:
+            snap.append((k, seg, bal))  # unchanged delivery
+    snap += [(1000 + k, rng.choice(segs), float(k)) for k in range(7)]
+
+    t0, t1 = 0, 777
+    out = scd2_merge(
+        scd2_init(_snap(spark, dim), t0), _snap(spark, snap), "k",
+        ["seg", "bal"], t1,
+    ).collect()
+
+    # naive reference over the same inputs
+    snap_by_k = {k: (seg, bal) for k, seg, bal in snap}
+    expect = set()
+    for k, seg, bal in dim:
+        if k not in snap_by_k or snap_by_k[k] == (seg, bal):
+            expect.add((k, seg, bal, t0, None, True))
+        else:
+            expect.add((k, seg, bal, t0, t1, False))
+            nseg, nbal = snap_by_k[k]
+            expect.add((k, nseg, nbal, t1, None, True))
+    dim_keys = {k for k, _, _ in dim}
+    for k, (seg, bal) in snap_by_k.items():
+        if k not in dim_keys:
+            expect.add((k, seg, bal, t1, None, True))
+
+    got = {
+        (r["k"], r["seg"], r["bal"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in out
+    }
+    assert got == expect
