@@ -555,19 +555,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_span_dup": phase6["doc_span_dup"],
             "queue_roundtrip": round4["queue_roundtrip"],
             "stream_topology": core["stream_topology"],
+            # late round-5 change: the drain gate now pins its grid seam,
+            # so its r4 row grades superseded code — window it (jmx_poll,
+            # unchanged all round, overflows to make room)
+            "zscore_stateful": round4["zscore_stateful"],
         }
         | round5_new
         | round4_extra
     )
     stale = (
         {k: v for k, v in core.items() if k not in round5}
-        | apm_extra
+        | {k: v for k, v in apm_extra.items() if k != "jmx_poll"}
         | {
             k: phase6[k]
             for k in (
-                "dedup_incremental", "audio_features", "lang_id",
+                # ann_ivf + embedding_neardup replace audio/image_features
+                # here: their r4 rows grade the PRE-rewrite code (the IVF
+                # index seam was materialized late round 5), and
+                # changed-code gates outrank stale-unchanged ones; the two
+                # displaced multimodal gates are unchanged since r3,
+                # property-test-pinned, and re-run in the judge's overflow
+                # sweep.
+                "dedup_incremental", "ann_ivf", "lang_id",
                 "doc_keywords", "domain_stats", "corpus_mixture",
-                "image_features",
+                "embedding_neardup",
             )
         }
         | {
@@ -582,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     assert len(window) == 50, f"grading window holds {len(window)}, want 50"
     overflow = (
         {k: v for k, v in round4.items() if k not in window}
+        | {k: v for k, v in apm_extra.items() if k not in window}
         | {k: v for k, v in late_extra.items() if k not in window}
         | relational
         | {k: v for k, v in phase6.items() if k not in window}
