@@ -43,6 +43,9 @@ from apmbackend_spark.operators import skew as sk
 from apmbackend_spark.operators import langid as lid
 from apmbackend_spark.operators import scd
 from apmbackend_spark.operators import semistruct as ss
+from apmbackend_spark.operators import robust as rb
+from apmbackend_spark.operators import profile as pf
+from apmbackend_spark.operators import layout as ly
 from apmbackend_spark.streaming import topology as topo
 
 ZSCORE_LAGS = (60, 360)
@@ -524,6 +527,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # AlertEntry codec: pipe->'&' embedded-entry escape + nested
         # entry decode at delimiter '&'
         "wire_al_roundtrip": _q_wire_al_roundtrip,
+        # robust complement of the z-score family: median/MAD outlier
+        # profile, second-pass median computed INSIDE the group row via
+        # higher-order array fns (one shuffle, no rejoin)
+        "mad_outliers": lambda s, d: rb.mad_outliers(load_table(s, d, "events")),
+        # ingest-QA column profiling: nulls/distincts/typed ranges in one
+        # map-side-combinable pass, long-format pivot after aggregation
+        # (deterministically dirtied view so the null path is graded)
+        "table_profile": lambda s, d: pf.table_profile(load_table(s, d, "events")),
+        # Morton-curve clustering keys + per-Z-bucket extents of BOTH
+        # dimensions — the multi-column data-skipping layout, graded
+        "zorder_layout": lambda s, d: ly.zorder_layout(load_table(s, d, "events")),
+        # EXACT-count per-stratum sampling (ceil(n/5) of every (lang,
+        # source) stratum, salted-hash order): the mixture/holdout
+        # guarantee Bernoulli corpus_sample cannot give
+        "stratified_sample": lambda s, d: ts.stratified_sample(docs(s, d)),
+        # directional Broder containment |A∩B|/|A|: snippet-inside-page
+        # dedup that symmetric Jaccard is structurally blind to
+        "containment_pairs": lambda s, d: dd.containment_pairs(docs(s, d)),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -577,17 +598,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # property-test-pinned, and re-run in the judge's overflow
                 # sweep.
                 "dedup_incremental", "ann_ivf", "lang_id",
-                "doc_keywords", "domain_stats", "corpus_mixture",
-                "embedding_neardup",
+                "doc_keywords", "domain_stats", "embedding_neardup",
             )
         }
-        | {
-            k: late_extra[k]
-            for k in (
-                "incident_windows", "scd2_customer", "stream_corpus_dedup",
-                "jsonl_ingest",
-            )
-        }
+        # The 5 NEW round-5 gates (mad_outliers..containment_pairs,
+        # declared in round5_new) displace the 5 least-stale stale rows —
+        # corpus_mixture and the four r3-graded late_extra entries
+        # (incident_windows, scd2_customer, stream_corpus_dedup,
+        # jsonl_ingest): never-driver-graded gates outrank stale-but-green
+        # ones, and every displaced gate keeps its green r3 row and is
+        # re-run in the judge's overflow sweep.
     )
     window = round5 | stale
     assert len(window) == 50, f"grading window holds {len(window)}, want 50"
@@ -804,6 +824,11 @@ FROM tx
         ),
         # al codec: pipe->'&' embedded-entry escape + nested decode.
         "wire_al_roundtrip": TX_CTE + qu.wire_al_roundtrip_oracle_sql(),
+        "mad_outliers": rb.mad_outliers_oracle_sql(),
+        "table_profile": pf.table_profile_oracle_sql(),
+        "zorder_layout": ly.zorder_layout_oracle_sql(),
+        "stratified_sample": ts.stratified_sample_oracle_sql(),
+        "containment_pairs": dd.containment_pairs_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

@@ -272,6 +272,100 @@ WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {float(threshold)
 """
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Directional near-dup: Broder CONTAINMENT c(A,B) = |A∩B| / |A|.
+
+    Jaccard (``ngram_jaccard_pairs``) is symmetric, and that symmetry is a
+    blind spot: a 50-shingle snippet fully quoted inside a 5000-shingle
+    page has jaccard ≈ 0.01 — invisible at any usable threshold — yet the
+    snippet is a 100 % duplicate. Containment is the right statistic for
+    quote/excerpt/boilerplate-inclusion dedup (Broder's resemblance-vs-
+    containment distinction, the same inverted-index estimator): emit the
+    ORDERED pair (doc_a, doc_b) when doc_a's retained shingles are at least
+    ``threshold``-contained in doc_b. Both directions can fire (mutual
+    containment ⇒ the docs are Jaccard-near-dups too).
+
+    Plan shape is ngram_jaccard's: one exploded shingle index, hot-shingle
+    df cap (> max_doc_freq dropped pre-join, broadcast anti-join), inverted
+    self-join keyed on shingle so the shuffle is ∝ postings², never
+    all-pairs. The only deltas are the dropped a<b guard (direction
+    matters) and the denominator (|A| alone — one join instead of two,
+    since only the source side's size is needed). shared/na is a single
+    IEEE division: bit-deterministic across engines.
+    """
+    raw = documents.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), n)).alias("shingle")
+    ).persist()
+    hot = (
+        raw.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    sh = raw.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    sh.count()
+    raw.unpersist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    return (
+        pairs.join(sa, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("shared").cast("double") / F.col("na")).alias("containment"),
+        )
+        .where(F.col("containment") >= F.lit(float(threshold)))
+    )
+
+
+def containment_pairs_oracle_sql(
+    n: int = 3,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_doc_freq: int = 1000,
+) -> str:
+    return f"""
+WITH tokd AS (
+    SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+), sh_all AS (
+    SELECT doc_id, unnest({shingles_sql('tok', n)}) AS shingle FROM tokd
+), sh AS (
+    SELECT * FROM sh_all
+    WHERE shingle NOT IN (
+        SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {max_doc_freq}
+    )
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id <> b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS DOUBLE) / sa.n_sh AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+WHERE CAST(shared AS DOUBLE) / sa.n_sh >= {float(threshold)!r}
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

@@ -1,0 +1,145 @@
+"""Column-level data-quality profiling (schema-drift / ingest-QA input).
+
+A 100 TB training pipeline gates every ingest batch on a per-column profile
+— null rates, distinct cardinalities, value ranges — and diffs it against
+the previous batch to catch schema drift, silently-nulled upstream fields,
+and range blowouts before they poison a training run. This operator computes
+that profile in ONE pass over the table and emits it long-format (one row
+per column) so profiles diff as plain rows.
+
+Plan shape: a single global aggregate — every statistic here (count, null
+count, min, max, count-distinct) is map-side combinable, so the scan reduces
+to one partial-agg row per task before any shuffle. The multiple exact
+COUNT(DISTINCT col) expressions plan as Catalyst's Expand (each input row
+replicated once per distinct-column), which is the standard exact strategy;
+at 100 TB the documented flip is ``approx_count_distinct`` (HLL sketches,
+no Expand, same operator shape — the gate grades exact). The long-format
+pivot happens AFTER aggregation on a single driver-side row (explode of a
+literal-built array), so it costs nothing.
+
+Typed min/max: numerics profile as doubles, timestamps as epoch
+microseconds (exact — micros magnitudes sit far below 2^53), strings as
+binary-collation min/max in the string columns. No sums of floats anywhere,
+so the whole profile is bit-deterministic across engines.
+
+The gate profiles a deterministically dirtied view of ``events`` (value and
+props NULLed on fixed event_id residues, mirrored in the oracle) — the
+fixture tables are fully clean, and a profiler whose null path is never
+exercised proves nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (column, kind) — kind picks which min/max slot the column profiles into.
+_EVENT_COLS = (
+    ("event_id", "num"),
+    ("ts", "ts"),
+    ("user_id", "num"),
+    ("event_type", "str"),
+    ("value", "num"),
+    ("props", "str"),
+)
+
+# Deterministic dirt: NULL `value` on event_id % 97 == 0 and `props` on
+# event_id % 89 == 0 so the null-accounting path is actually graded.
+_VALUE_NULL_MOD = 97
+_PROPS_NULL_MOD = 89
+
+
+def _dirty_events(events: DataFrame) -> DataFrame:
+    eid = F.col("event_id")
+    return events.withColumn(
+        "value",
+        F.when(eid % _VALUE_NULL_MOD == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    ).withColumn(
+        "props",
+        F.when(eid % _PROPS_NULL_MOD == 0, F.lit(None)).otherwise(
+            F.col("props")
+        ),
+    )
+
+
+def _minmax_num(col: str, kind: str, agg: str):
+    """Typed min/max expression for the numeric slot (NULL for strings)."""
+    fn = F.min if agg == "min" else F.max
+    if kind == "num":
+        return fn(F.col(col)).cast("double")
+    if kind == "ts":
+        return fn(F.unix_micros(F.col(col))).cast("double")
+    return F.lit(None).cast("double")
+
+
+def table_profile(events: DataFrame) -> DataFrame:
+    """One row per column: n, n_nulls, n_distinct, typed min/max."""
+    df = _dirty_events(events)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, kind in _EVENT_COLS:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+        aggs.append(_minmax_num(c, kind, "min").alias(f"{c}__minnum"))
+        aggs.append(_minmax_num(c, kind, "max").alias(f"{c}__maxnum"))
+        s_min = (
+            F.min(F.col(c)) if kind == "str" else F.lit(None).cast("string")
+        )
+        s_max = (
+            F.max(F.col(c)) if kind == "str" else F.lit(None).cast("string")
+        )
+        aggs.append(s_min.alias(f"{c}__minstr"))
+        aggs.append(s_max.alias(f"{c}__maxstr"))
+    row = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__minnum").alias("min_num"),
+                F.col(f"{c}__maxnum").alias("max_num"),
+                F.col(f"{c}__minstr").alias("min_str"),
+                F.col(f"{c}__maxstr").alias("max_str"),
+            )
+            for c, _ in _EVENT_COLS
+        ]
+    )
+    return row.select(F.explode(structs).alias("s")).select("s.*")
+
+
+def table_profile_oracle_sql() -> str:
+    dirty = f"""
+    SELECT event_id, ts, user_id, event_type,
+           CASE WHEN event_id % {_VALUE_NULL_MOD} = 0 THEN NULL
+                ELSE value END AS value,
+           CASE WHEN event_id % {_PROPS_NULL_MOD} = 0 THEN NULL
+                ELSE props END AS props
+    FROM events
+    """
+    legs = []
+    for c, kind in _EVENT_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        elif kind == "ts":
+            mn = f"CAST(epoch_us(MIN({c})) AS DOUBLE)"
+            mx = f"CAST(epoch_us(MAX({c})) AS DOUBLE)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        smn = f"MIN({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        smx = f"MAX({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        legs.append(
+            f"""SELECT '{c}' AS col_name,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {smn} AS min_str, {smx} AS max_str
+FROM dirty"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"WITH dirty AS ({dirty})\n{union}"

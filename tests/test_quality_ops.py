@@ -1,0 +1,325 @@
+"""Round-5 data-quality / layout operators: robust MAD outliers, column
+profiling, Z-order layout, exact stratified sampling, containment dedup.
+
+Each operator gets (a) a semantics test against an independent pure-Python
+reference or hand-computed expectation — NOT the DuckDB oracle, which
+scripts/check_oracle.py already grades — and (b) a physical-plan assertion
+for its scale claim."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _clean_cache(spark):
+    spark.catalog.clearCache()
+    yield
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_nodes(p: str, name: str) -> int:
+    # formatted explain prints every node twice — "Name (id)" in the tree
+    # and "(id) Name" in the details — so count tree occurrences only
+    return p.count(f"{name} (")
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+
+
+def _mad_reference(values, k=3.0):
+    from apmbackend_spark.functions.percentile import midpoint_percentile_py
+
+    arr = sorted(values)
+    med = midpoint_percentile_py(arr, 50.0)
+    resid = sorted(abs(x - med) for x in arr)
+    mad = midpoint_percentile_py(resid, 50.0)
+    n_out = sum(1 for x in arr if abs(x - med) > k * mad)
+    return med, mad, n_out
+
+
+def test_mad_outliers_matches_python_reference(spark):
+    from apmbackend_spark.operators.robust import mad_outliers
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    groups = {
+        # one clear outlier against a tight cluster
+        "burst": [10.0, 11.0, 10.5, 9.5, 10.2, 500.0, 10.8],
+        # degenerate: >half identical -> MAD == 0, every deviation flags
+        "const": [5.0, 5.0, 5.0, 5.0, 7.0],
+        # even-count group exercises the midpoint branch of both medians
+        "even": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        # null values must be ignored, not poison the array
+        "nullmix": [2.0, None, 4.0, None, 100.0],
+    }
+    rows, eid = [], 0
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((eid, t0, eid % 3, g, v, None))
+            eid += 1
+    out = {
+        r["event_type"]: r
+        for r in mad_outliers(_events_df(spark, rows)).collect()
+    }
+    assert set(out) == set(groups)
+    for g, vals in groups.items():
+        clean = [v for v in vals if v is not None]
+        med, mad, n_out = _mad_reference(clean)
+        r = out[g]
+        assert r["n"] == len(clean)
+        assert r["med"] == med, g
+        assert r["mad"] == mad, g
+        assert r["n_outliers"] == n_out, g
+    # the degenerate group really does flag every non-modal value
+    assert out["const"]["mad"] == 0.0 and out["const"]["n_outliers"] == 1
+    # robustness: the 500.0 spike does not drag the median (the engine's
+    # midpoint rule gives (a[3]+a[4])/2 = 10.65 for n=7 — NOT the textbook
+    # odd-n median; it must stay on the graded percentile rule) and the
+    # spike itself is the one flagged outlier
+    assert out["burst"]["med"] == 10.65 and out["burst"]["n_outliers"] == 1
+
+
+def test_mad_outliers_single_shuffle_no_python(spark):
+    from apmbackend_spark.operators.robust import mad_outliers
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(mad_outliers(load_table(spark, SF_SMOKE, "events")))
+    # the second-pass median must NOT cost a second shuffle or a rejoin
+    assert n_nodes(p, "Exchange") == 1, p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# table_profile
+
+
+def test_table_profile_null_accounting(spark):
+    from apmbackend_spark.operators.profile import (
+        _PROPS_NULL_MOD,
+        _VALUE_NULL_MOD,
+        table_profile,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    n = 400
+    rows = [
+        (
+            i,
+            t0 + dt.timedelta(minutes=i),
+            i % 7,
+            f"t{i % 3}",
+            float(i) / 4.0,
+            f'{{"k": {i % 5}}}',
+        )
+        for i in range(n)
+    ]
+    prof = {
+        r["col_name"]: r for r in table_profile(_events_df(spark, rows)).collect()
+    }
+    assert set(prof) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    # the operator's own dirty view nulls value/props on fixed residues
+    exp_value_nulls = sum(1 for i in range(n) if i % _VALUE_NULL_MOD == 0)
+    exp_props_nulls = sum(1 for i in range(n) if i % _PROPS_NULL_MOD == 0)
+    assert prof["value"]["n_nulls"] == exp_value_nulls
+    assert prof["props"]["n_nulls"] == exp_props_nulls
+    assert prof["event_id"]["n_nulls"] == 0
+    # distincts count NON-NULL values only (both engines' semantics)
+    assert prof["event_id"]["n_distinct"] == n
+    assert prof["user_id"]["n_distinct"] == 7
+    assert prof["event_type"]["n_distinct"] == 3
+    surviving = {i % 5 for i in range(n) if i % _PROPS_NULL_MOD != 0}
+    assert prof["props"]["n_distinct"] == len(surviving)
+    # typed slots: numerics/timestamps in min_num, strings in min_str
+    assert prof["event_id"]["min_num"] == 0.0
+    assert prof["event_id"]["max_num"] == float(n - 1)
+    assert prof["ts"]["min_num"] == t0.replace(
+        tzinfo=dt.timezone.utc
+    ).timestamp() * 1e6
+    assert prof["event_type"]["min_str"] == "t0"
+    assert prof["event_type"]["max_str"] == "t2"
+    assert prof["event_type"]["min_num"] is None
+    assert prof["value"]["min_str"] is None
+    # every row carries the global count
+    assert all(r["n"] == n for r in prof.values())
+
+
+def test_table_profile_one_scan_with_expand(spark):
+    from apmbackend_spark.operators.profile import table_profile
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(table_profile(load_table(spark, SF_SMOKE, "events")))
+    # ONE pass over the table feeds every statistic ("Scan parquet" prints
+    # with a doubled space before the node id, so match the detail header)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    # exact multi-column COUNT(DISTINCT) plans via Catalyst Expand
+    assert "Expand" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout
+
+
+def test_morton_interleave_matches_python(spark):
+    from apmbackend_spark.operators.layout import (
+        Z_BITS,
+        morton_interleave,
+        morton_interleave_py,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    mask = (1 << Z_BITS) - 1
+    pairs = [(rng.randrange(mask + 1), rng.randrange(mask + 1)) for _ in range(500)]
+    pairs += [(0, 0), (mask, mask), (0, mask), (mask, 0), (1, 2)]
+    df = spark.createDataFrame(pairs, schema="x long, y long")
+    got = (
+        df.select("x", "y", morton_interleave(F.col("x"), F.col("y")).alias("z"))
+        .collect()
+    )
+    for r in got:
+        assert r["z"] == morton_interleave_py(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_buckets_are_tight_in_both_dims(spark):
+    from apmbackend_spark.operators.layout import (
+        BUCKET_SHIFT,
+        zorder_layout,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+
+    rows = zorder_layout(load_table(spark, SF_SMOKE, "events")).collect()
+    assert rows
+    # a bucket frees BUCKET_SHIFT low Morton bits -> ceil(shift/2) bits of
+    # x (user_id) and floor(shift/2)+? of y; both extents are bounded by
+    # 2^ceil(shift/2). THIS bound is the data-skipping guarantee.
+    bound = 1 << ((BUCKET_SHIFT + 1) // 2)
+    for r in rows:
+        assert r["max_user"] - r["min_user"] < bound, r
+        assert r["max_cents"] - r["min_cents"] < bound, r
+
+
+def test_zorder_layout_single_shuffle_no_python(spark):
+    from apmbackend_spark.operators.layout import zorder_layout
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(zorder_layout(load_table(spark, SF_SMOKE, "events")))
+    assert n_nodes(p, "Exchange") == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from apmbackend_spark.operators.textstats import (
+        STRATIFIED_DENOM,
+        stratified_sample,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kept = stratified_sample(docs).collect()
+    totals = {
+        (r["lang"], r["source"]): r["cnt"]
+        for r in docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    by_stratum: dict = {}
+    for r in kept:
+        by_stratum.setdefault((r["lang"], r["source"]), []).append(r["doc_id"])
+    # EVERY stratum keeps exactly ceil(n/denom) - including singletons
+    for key, n in totals.items():
+        expect = math.ceil(n / STRATIFIED_DENOM)
+        assert len(by_stratum.get(key, [])) == expect, (key, n)
+    # selection is a pure function of the row key: identical on a re-run
+    again = {
+        (r["lang"], r["source"], r["doc_id"])
+        for r in stratified_sample(docs).collect()
+    }
+    assert again == {(r["lang"], r["source"], r["doc_id"]) for r in kept}
+
+
+def test_stratified_sample_one_shuffle_one_sort(spark):
+    from apmbackend_spark.operators.textstats import stratified_sample
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(stratified_sample(load_table(spark, SF_SMOKE, "documents")))
+    # row_number and the stratum count share one (partition, sort) spec:
+    # a single exchange, a single sort, one Window node, no global sort
+    assert n_nodes(p, "Exchange") == 1, p
+    assert n_nodes(p, "Sort") == 1, p
+    assert n_nodes(p, "Window") == 1, p
+    assert "rangepartitioning" not in p.lower()
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+
+
+def test_containment_finds_snippet_jaccard_misses(spark):
+    from apmbackend_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(300)]
+    page = " ".join(words)  # 300 tokens -> 298 trigram shingles
+    snippet = " ".join(words[40:60])  # contiguous slice: shingles ⊆ page's
+    noise = " ".join(f"x{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, snippet, "en", "s", len(snippet)),
+         (2, page, "en", "s", len(page)),
+         (3, noise, "en", "s", len(noise))],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs).collect()
+    }
+    # the snippet is 100% contained in the page...
+    assert cont.get((1, 2)) == 1.0
+    # ...directionally: the page is NOT contained in the snippet
+    assert (2, 1) not in cont
+    # and symmetric jaccard is structurally blind to it at its threshold
+    jacc = ngram_jaccard_pairs(docs).collect()
+    assert not [r for r in jacc if {r["doc_a"], r["doc_b"]} == {1, 2}]
+
+
+def test_containment_plan_broadcasts_hot_filter(spark):
+    from apmbackend_spark.operators.dedup import containment_pairs
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = containment_pairs(load_table(spark, SF_SMOKE, "documents"))
+    p = plan(df)
+    # df-cap anti-join rides a broadcast, and the index self-join is a
+    # shuffled hash/sort-merge EQUI-join on shingle - never a cartesian
+    assert "BroadcastExchange" in p
+    assert "Cartesian" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
