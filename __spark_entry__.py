@@ -545,6 +545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # directional Broder containment |A∩B|/|A|: snippet-inside-page
         # dedup that symmetric Jaccard is structurally blind to
         "containment_pairs": lambda s, d: dd.containment_pairs(docs(s, d)),
+        # PageRank centrality over the LSH candidate graph (canonical-doc
+        # selection): iterative, yet bit-exact across engines via
+        # neighbor-ordered left-fold sums; edge list localCheckpoint-pinned
+        "dup_pagerank": lambda s, d: dd.dup_pagerank(docs(s, d)),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -598,13 +602,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # property-test-pinned, and re-run in the judge's overflow
                 # sweep.
                 "dedup_incremental", "ann_ivf", "lang_id",
-                "doc_keywords", "domain_stats", "embedding_neardup",
+                "doc_keywords", "embedding_neardup",
             )
         }
-        # The 5 NEW round-5 gates (mad_outliers..containment_pairs,
-        # declared in round5_new) displace the 5 least-stale stale rows —
-        # corpus_mixture and the four r3-graded late_extra entries
-        # (incident_windows, scd2_customer, stream_corpus_dedup,
+        # The 6 NEW round-5 gates (mad_outliers..dup_pagerank, declared in
+        # round5_new) displace the 6 least-stale stale rows —
+        # domain_stats, corpus_mixture and the four r3-graded late_extra
+        # entries (incident_windows, scd2_customer, stream_corpus_dedup,
         # jsonl_ingest): never-driver-graded gates outrank stale-but-green
         # ones, and every displaced gate keeps its green r3 row and is
         # re-run in the judge's overflow sweep.
@@ -829,6 +833,7 @@ FROM tx
         "zorder_layout": ly.zorder_layout_oracle_sql(),
         "stratified_sample": ts.stratified_sample_oracle_sql(),
         "containment_pairs": dd.containment_pairs_oracle_sql(),
+        "dup_pagerank": dd.dup_pagerank_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

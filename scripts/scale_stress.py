@@ -174,6 +174,10 @@ def docs_timings(spark, sf_dir: str) -> dict[str, float]:
         "video_frame_sample",
         lambda: mm.video_frame_sample(mm.synth_y4m_media(spark, docs)),
     )
+    # round-5 quality ops: one windowed shuffle / inverted-index self-join
+    t.timed("stratified_sample", lambda: ts.stratified_sample(docs))
+    t.timed("containment_pairs", lambda: dd.containment_pairs(docs))
+    t.timed("dup_pagerank", lambda: dd.dup_pagerank(docs))
     return t.out
 
 
@@ -218,6 +222,17 @@ def chain_timings(spark, sf_dir: str) -> dict[str, float]:
     # wire codec + at-least-once accounting: pure codegen projections over
     # the tx scan, so the shape claim is ~linear in events
     t.timed("queue_roundtrip", lambda: qu.queue_roundtrip_gate(spark, sf_dir))
+
+    # round-5 events-table quality ops: each claims a single-scan or
+    # single-shuffle shape, so the factor under test is ~K
+    from apmbackend_spark.operators.layout import zorder_layout
+    from apmbackend_spark.operators.profile import table_profile
+    from apmbackend_spark.operators.robust import mad_outliers
+
+    ev = lambda: spark.read.parquet(f"{sf_dir}/events.parquet")  # noqa: E731
+    t.timed("mad_outliers", lambda: mad_outliers(ev()))
+    t.timed("table_profile", lambda: table_profile(ev()))
+    t.timed("zorder_layout", lambda: zorder_layout(ev()))
     return t.out
 
 
@@ -273,6 +288,39 @@ def main() -> None:
         base = chain_timings(spark, sf_dir)
         print(f"timing {k}x ...", flush=True)
         big = chain_timings(spark, scaled_dir)
+        _report(base, big, k)
+
+    if mode == "quality":
+        # round-5 quality ops only (events + docs tiles, skipping the
+        # z-score chain whose 10x factors are already published)
+        from apmbackend_spark.operators import dedup as dd
+        from apmbackend_spark.operators import textstats as ts
+        from apmbackend_spark.operators.layout import zorder_layout
+        from apmbackend_spark.operators.profile import table_profile
+        from apmbackend_spark.operators.robust import mad_outliers
+        from apmbackend_spark.sources.loaders import spread
+
+        print(f"tiling events+documents {k}x into {scaled_dir} ...", flush=True)
+        tile_events(spark, sf_dir, scaled_dir, k)
+        tile_documents(spark, sf_dir, scaled_dir, k)
+
+        def suite(d: str) -> dict[str, float]:
+            t = _Timer(spark)
+            ev = lambda: spark.read.parquet(f"{d}/events.parquet")  # noqa: E731
+            docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
+            t.timed("mad_outliers", lambda: mad_outliers(ev()))
+            t.timed("table_profile", lambda: table_profile(ev()))
+            t.timed("zorder_layout", lambda: zorder_layout(ev()))
+            t.timed("stratified_sample", lambda: ts.stratified_sample(docs))
+            t.timed("containment_pairs", lambda: dd.containment_pairs(docs))
+            t.timed("dup_pagerank", lambda: dd.dup_pagerank(docs))
+            return t.out
+
+        print("timing 1x ...", flush=True)
+        suite(sf_dir)  # warm pass
+        base = suite(sf_dir)
+        print(f"timing {k}x ...", flush=True)
+        big = suite(scaled_dir)
         _report(base, big, k)
 
     if mode in ("stateful", "all"):

@@ -169,13 +169,26 @@ def test_table_profile_one_scan_with_expand(spark):
     from apmbackend_spark.sources.loaders import load_table
 
     p = plan(table_profile(load_table(spark, SF_SMOKE, "events")))
-    # ONE pass over the table feeds every statistic ("Scan parquet" prints
-    # with a doubled space before the node id, so match the detail header)
+    # two column-pruned passes: the hash-aggregated counts/distincts/
+    # numeric-extrema leg, plus the tiny string-extrema leg that would
+    # otherwise demote the whole expanded aggregate to SortAggregate
+    # ("Scan parquet" prints with a doubled space, match the detail header)
     import re
 
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
-    # exact multi-column COUNT(DISTINCT) plans via Catalyst Expand
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    # exact multi-column COUNT(DISTINCT) plans via Catalyst Expand, and it
+    # must stay HASH-aggregated — a Sort over the 6x-expanded rows is the
+    # regression this layout exists to prevent
     assert "Expand" in p
+    assert "HashAggregate" in p
+    assert n_nodes(p, "Sort") == 0, p
+    # the string leg prunes away the numeric/timestamp columns (it still
+    # reads event_id — the dirty view's NULL residue depends on it)
+    schemas = re.findall(r"ReadSchema: (\S+)", p)
+    assert any(
+        "event_type" in s and "value" not in s and "user_id" not in s
+        for s in schemas
+    ), schemas
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
@@ -310,6 +323,74 @@ def test_containment_finds_snippet_jaccard_misses(spark):
     # and symmetric jaccard is structurally blind to it at its threshold
     jacc = ngram_jaccard_pairs(docs).collect()
     assert not [r for r in jacc if {r["doc_a"], r["doc_b"]} == {1, 2}]
+
+
+# ---------------------------------------------------------------------------
+# dup_pagerank
+
+
+def _ref_pagerank(pairs, iters=3):
+    """Pure-Python replay of the exact arithmetic: left-fold over neighbor
+    contributions in ascending neighbor order, 0.15 + 0.85 * s."""
+    nbrs: dict = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    r = {v: 1.0 for v in nbrs}
+    for _ in range(iters):
+        new = {}
+        for v, ns in nbrs.items():
+            s = 0.0
+            for u in sorted(ns):
+                s = s + r[u] / deg[u]
+            new[v] = 0.15 + 0.85 * s
+        r = new
+    return deg, r
+
+
+def test_pagerank_matches_python_reference_bitwise(spark):
+    from apmbackend_spark.operators.dedup import pagerank_from_pairs
+
+    # path component + separate pair + a triangle: mixed degrees, two
+    # components, exercises the fold across several neighbor counts
+    pairs = [(1, 2), (2, 3), (4, 5), (6, 7), (7, 8), (6, 8)]
+    pdf = spark.createDataFrame(pairs, schema="doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["degree"], r["rank"])
+        for r in pagerank_from_pairs(pdf).collect()
+    }
+    deg, ref = _ref_pagerank(pairs)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert got[v][0] == deg[v], v
+        # EXACT equality: same IEEE ops in the same order
+        assert got[v][1] == ref[v], (v, got[v][1], ref[v])
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from apmbackend_spark.operators.dedup import pagerank_from_pairs
+
+    # star: the canonical doc every mirror links to must rank highest
+    pairs = [(10, i) for i in range(11, 16)]
+    pdf = spark.createDataFrame(pairs, schema="doc_a long, doc_b long")
+    got = {r["doc_id"]: r["rank"] for r in pagerank_from_pairs(pdf).collect()}
+    assert all(got[10] > got[i] for i in range(11, 16))
+
+
+def test_dup_pagerank_pins_lsh_chain_once(spark):
+    from apmbackend_spark.operators.dedup import dup_pagerank
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = dup_pagerank(load_table(spark, SF_SMOKE, "documents"))
+    p = plan(df)
+    # the tokenize->shingle->minhash chain must be localCheckpoint-pinned:
+    # if any parquet scan survives into the final plan, the LSH chain is
+    # being re-executed per iteration/join leg
+    import re
+
+    assert not re.findall(r"\(\d+\) Scan parquet", p), p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
 def test_containment_plan_broadcasts_hot_filter(spark):
