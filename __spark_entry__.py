@@ -549,6 +549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # selection): iterative, yet bit-exact across engines via
         # neighbor-ordered left-fold sums; edge list localCheckpoint-pinned
         "dup_pagerank": lambda s, d: dd.dup_pagerank(docs(s, d)),
+        # sign-random-projection LSH over embeddings: angle-native banding
+        # (collision prob depends only on the pair's angle, no Voronoi
+        # boundary misses), integer-only projections, hot-bucket capped
+        "srp_neardup": lambda s, d: sim.srp_neardup(embs(s, d)),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -602,16 +606,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # property-test-pinned, and re-run in the judge's overflow
                 # sweep.
                 "dedup_incremental", "ann_ivf", "lang_id",
-                "doc_keywords", "embedding_neardup",
+                "embedding_neardup",
             )
         }
-        # The 6 NEW round-5 gates (mad_outliers..dup_pagerank, declared in
-        # round5_new) displace the 6 least-stale stale rows —
-        # domain_stats, corpus_mixture and the four r3-graded late_extra
-        # entries (incident_windows, scd2_customer, stream_corpus_dedup,
-        # jsonl_ingest): never-driver-graded gates outrank stale-but-green
-        # ones, and every displaced gate keeps its green r3 row and is
-        # re-run in the judge's overflow sweep.
+        # The 7 NEW round-5 gates (mad_outliers..srp_neardup, declared in
+        # round5_new) displace the 7 least-stale stale rows —
+        # doc_keywords, domain_stats, corpus_mixture and the four
+        # r3-graded late_extra entries (incident_windows, scd2_customer,
+        # stream_corpus_dedup, jsonl_ingest): never-driver-graded gates
+        # outrank stale-but-green ones, and every displaced gate keeps its
+        # green r3 row and is re-run in the judge's overflow sweep.
     )
     window = round5 | stale
     assert len(window) == 50, f"grading window holds {len(window)}, want 50"
@@ -834,6 +838,7 @@ FROM tx
         "stratified_sample": ts.stratified_sample_oracle_sql(),
         "containment_pairs": dd.containment_pairs_oracle_sql(),
         "dup_pagerank": dd.dup_pagerank_oracle_sql(),
+        "srp_neardup": sim.srp_neardup_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

@@ -620,3 +620,138 @@ SELECT vec_id,
        END AS recon_err
 FROM q
 """
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection (SRP) LSH near-dup — the angle-preserving blocker.
+# ---------------------------------------------------------------------------
+
+SRP_BANDS = 4
+SRP_BAND_BITS = 4
+SRP_MAX_BUCKET = 1000
+SRP_DIM = 64
+
+
+def _srp_signs(n_bits: int = SRP_BANDS * SRP_BAND_BITS, dim: int = SRP_DIM):
+    """Deterministic Rademacher (+/-1) hyperplanes from md5 — shared
+    verbatim by the Spark plan and the DuckDB oracle as literal arrays.
+    Rademacher entries are a valid SRP family (Achlioptas-style sparse/sign
+    projections preserve angles like Gaussians) and keep every dot product
+    an exact INTEGER sum over the quantized vectors."""
+    import hashlib
+
+    planes = []
+    for i in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"srp:{i}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[:2], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def srp_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    max_bucket: int = SRP_MAX_BUCKET,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH banding (Charikar simhash for
+    vectors): 16 sign bits from deterministic +/-1 hyperplanes, banded
+    4x4, candidates = vectors agreeing on at least one whole band, then
+    exact-cosine verification at ``threshold``.
+
+    This is the angle-native complement to ``embedding_neardup``'s IVF
+    blocker: IVF recall degrades for points near Voronoi boundaries (two
+    near-dups can straddle adjacent lists and never be compared), while
+    SRP collision probability depends ONLY on the pair's angle —
+    (1 - theta/pi)^bits per band, no partition geometry in the way. A
+    production pipeline runs band-OR SRP when it must bound the miss
+    probability analytically.
+
+    Determinism: hyperplane entries are +/-1 literals, so every projection
+    is an exact integer fold over the quantized vector (no float dot); sign
+    bits, band keys and the bucket join are pure integer ops; the only
+    floats are the final verification cosines (integer sums -> one sqrt /
+    divide each, the module's standard contract).
+
+    Scale shape: the signature pass is ONE stateless codegen scan (zero
+    shuffle — the 16 folds ride the scan); banding explodes exactly
+    SRP_BANDS rows per vector; over-popular buckets (all-zeros vectors,
+    degenerate corpora) are capped at ``max_bucket`` via a broadcast
+    anti-join BEFORE the self-join, the same hot-key discipline as the
+    shingle df cap, so the candidate shuffle is sum(bucket^2) with bounded
+    buckets, never all-pairs.
+    """
+    planes = _srp_signs()
+    v = _quantize(F.col("embedding"))
+    vecs = embeddings.select("vec_id", v.alias("v"))
+    dots = [
+        _dot(F.col("v"), F.array(*[F.lit(s) for s in row])) for row in planes
+    ]
+    bits = [F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) for d in dots]
+    band_vals = []
+    for b in range(SRP_BANDS):
+        bv = F.lit(0)
+        for j in range(SRP_BAND_BITS):
+            bv = bv + F.shiftleft(bits[b * SRP_BAND_BITS + j], j)
+        # disambiguate band values across band positions (same trick as
+        # the minhash band fold): key = value * bands + band index
+        band_vals.append((bv * SRP_BANDS + b).cast("long"))
+    banded = vecs.select(
+        "vec_id", "v", F.explode(F.array(*band_vals)).alias("bucket")
+    ).localCheckpoint()  # signature scan feeds the cap agg AND both join sides
+    hot = (
+        banded.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select("bucket")
+    )
+    cold = banded.join(F.broadcast(hot), "bucket", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+        .distinct()  # a pair can collide in several bands
+        .where(F.col("sim") >= F.lit(float(threshold)))
+    )
+
+
+def srp_neardup_oracle_sql(
+    threshold: float = 0.3, max_bucket: int = SRP_MAX_BUCKET
+) -> str:
+    planes = _srp_signs()
+    dot_exprs = []
+    for row in planes:
+        lit = "[" + ", ".join(str(s) for s in row) + "]"
+        dot_exprs.append(_dot_sql("v", lit))
+    bit_exprs = [f"(CASE WHEN ({d}) >= 0 THEN 1 ELSE 0 END)" for d in dot_exprs]
+    band_exprs = []
+    for b in range(SRP_BANDS):
+        terms = " + ".join(
+            f"({bit_exprs[b * SRP_BAND_BITS + j]} * {1 << j})"
+            for j in range(SRP_BAND_BITS)
+        )
+        band_exprs.append(f"CAST((({terms}) * {SRP_BANDS} + {b}) AS BIGINT)")
+    bands_list = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+), banded AS (
+    SELECT vec_id, v, unnest({bands_list}) AS bucket FROM qz
+), cold AS (
+    SELECT * FROM banded
+    WHERE bucket NOT IN (
+        SELECT bucket FROM banded GROUP BY bucket HAVING COUNT(*) > {max_bucket}
+    )
+), cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cosine_sql('a.v', 'b.v')} AS sim
+    FROM cold a JOIN cold b USING (bucket)
+    WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, sim FROM cand WHERE sim >= {float(threshold)!r}
+"""

@@ -71,6 +71,41 @@ def tile_events(spark, sf_dir: str, out_dir: str, k: int) -> str:
     return out_dir
 
 
+def tile_embeddings(spark, sf_dir: str, out_dir: str, k: int) -> str:
+    """K copies of embeddings, vec_id-offset; each copy's vectors are
+    dimension-ROLLED by the copy index (a cyclic permutation — preserves
+    every norm, pairwise angle and near-dup structure WITHIN a copy while
+    decorrelating copies from each other): a 10x corpus with constant
+    near-dup rate, not a 100x pair blowup."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    dim = len(emb.first()["embedding"])
+    copies = []
+    for i in range(k):
+        r = i % dim
+        rolled = (
+            F.col("embedding")
+            if r == 0
+            else F.concat(
+                F.slice(F.col("embedding"), r + 1, dim - r),
+                F.slice(F.col("embedding"), 1, r),
+            )
+        )
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * int(n))).alias("vec_id"),
+                rolled.alias("embedding"),
+                "label",
+            )
+        )
+    tiled = copies[0]
+    for c in copies[1:]:
+        tiled = tiled.unionAll(c)
+    dest = os.path.join(out_dir, "embeddings.parquet")
+    tiled.repartition(32).write.mode("overwrite").parquet(dest)
+    return out_dir
+
+
 class _Timer:
     """Shared timing harness: noop-sink force + cache isolation between
     measurements (one definition so the events and docs suites cannot
@@ -300,9 +335,13 @@ def main() -> None:
         from apmbackend_spark.operators.robust import mad_outliers
         from apmbackend_spark.sources.loaders import spread
 
-        print(f"tiling events+documents {k}x into {scaled_dir} ...", flush=True)
+        print(
+            f"tiling events+documents+embeddings {k}x into {scaled_dir} ...",
+            flush=True,
+        )
         tile_events(spark, sf_dir, scaled_dir, k)
         tile_documents(spark, sf_dir, scaled_dir, k)
+        tile_embeddings(spark, sf_dir, scaled_dir, k)
 
         def suite(d: str) -> dict[str, float]:
             t = _Timer(spark)
@@ -314,6 +353,10 @@ def main() -> None:
             t.timed("stratified_sample", lambda: ts.stratified_sample(docs))
             t.timed("containment_pairs", lambda: dd.containment_pairs(docs))
             t.timed("dup_pagerank", lambda: dd.dup_pagerank(docs))
+            from apmbackend_spark.operators import similarity as sim
+
+            embs = spread(spark.read.parquet(f"{d}/embeddings.parquet"))
+            t.timed("srp_neardup", lambda: sim.srp_neardup(embs))
             return t.out
 
         print("timing 1x ...", flush=True)

@@ -393,6 +393,69 @@ def test_dup_pagerank_pins_lsh_chain_once(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+# ---------------------------------------------------------------------------
+# srp_neardup
+
+
+def _srp_sig_py(vec):
+    """Pure-Python signature replay: quantize, +/-1 projections, sign bits."""
+    from apmbackend_spark.operators.similarity import QUANT, _srp_signs
+
+    q = [round(x * QUANT) for x in vec]
+    dots = [sum(s * x for s, x in zip(row, q)) for row in _srp_signs()]
+    return [1 if d >= 0 else 0 for d in dots], dots
+
+
+def test_srp_exact_duplicates_always_collide(spark):
+    from apmbackend_spark.operators.similarity import srp_neardup
+
+    import random
+
+    rng = random.Random(11)
+    base = [rng.uniform(-0.5, 0.5) for _ in range(64)]
+    other = [rng.uniform(-0.5, 0.5) for _ in range(64)]
+    # identical vectors have identical signatures -> collide in EVERY band
+    rows = [(1, base, 0), (2, list(base), 0), (3, other, 1)]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    )
+    pairs = {(r["vec_a"], r["vec_b"]): r["sim"] for r in srp_neardup(df).collect()}
+    assert pairs.get((1, 2)) == 1.0
+
+
+def test_srp_antipodal_vectors_never_collide(spark):
+    from apmbackend_spark.operators.similarity import srp_neardup
+
+    import random
+
+    rng = random.Random(13)
+    base = [rng.uniform(-0.5, 0.5) for _ in range(64)]
+    _, dots = _srp_sig_py(base)
+    assert all(d != 0 for d in dots)  # no sign ties -> -v flips EVERY bit
+    rows = [(1, base, 0), (2, [-x for x in base], 0)]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    )
+    # opposite vectors disagree on every sign bit: no band collision, so
+    # the blocker never even scores the pair (cos = -1 anyway)
+    assert srp_neardup(df, threshold=-2.0).collect() == []
+
+
+def test_srp_plan_pins_signature_scan_and_broadcasts_cap(spark):
+    from apmbackend_spark.operators.similarity import srp_neardup
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(srp_neardup(load_table(spark, SF_SMOKE, "embeddings")))
+    import re
+
+    # the 16-fold signature scan is localCheckpoint-pinned: it must not
+    # re-run for the cap aggregate and each self-join side
+    assert not re.findall(r"\(\d+\) Scan parquet", p), p
+    assert "BroadcastExchange" in p
+    assert "Cartesian" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_containment_plan_broadcasts_hot_filter(spark):
     from apmbackend_spark.operators.dedup import containment_pairs
     from apmbackend_spark.sources.loaders import load_table
