@@ -553,6 +553,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (collision prob depends only on the pair's angle, no Voronoi
         # boundary misses), integer-only projections, hot-bucket capped
         "srp_neardup": lambda s, d: sim.srp_neardup(embs(s, d)),
+        # the BPE TRAINER loop itself (Sennrich): 6 argmax merges over the
+        # distinct-pretoken frame, canonical non-overlapping merge
+        # application via boundary-guarded two-pass replace; fully
+        # discrete (no floats), oracle = 6 unrolled MATERIALIZED CTEs
+        "bpe_train": lambda s, d: ts.bpe_train(docs(s, d)),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -605,12 +610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # displaced multimodal gates are unchanged since r3,
                 # property-test-pinned, and re-run in the judge's overflow
                 # sweep.
-                "dedup_incremental", "ann_ivf", "lang_id",
-                "embedding_neardup",
+                "dedup_incremental", "ann_ivf", "embedding_neardup",
             )
         }
-        # The 7 NEW round-5 gates (mad_outliers..srp_neardup, declared in
-        # round5_new) displace the 7 least-stale stale rows —
+        # The 8 NEW round-5 gates (mad_outliers..bpe_train, declared in
+        # round5_new) displace the 8 least-stale stale rows — lang_id,
         # doc_keywords, domain_stats, corpus_mixture and the four
         # r3-graded late_extra entries (incident_windows, scd2_customer,
         # stream_corpus_dedup, jsonl_ingest): never-driver-graded gates
@@ -839,6 +843,7 @@ FROM tx
         "containment_pairs": dd.containment_pairs_oracle_sql(),
         "dup_pagerank": dd.dup_pagerank_oracle_sql(),
         "srp_neardup": sim.srp_neardup_oracle_sql(),
+        "bpe_train": ts.bpe_train_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

@@ -985,3 +985,169 @@ SELECT doc_id,
        {hash64_sql('clean')} AS clean_fp
 FROM scrubbed
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-table training (the iterative trainer itself).
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 6
+# GPT-2's space marker: pretokens can CARRY a leading space (the " ?" in
+# BPE_PRETOKEN_RE), and the symbol-sequence encoding below uses ' ' as the
+# symbol separator, so the in-token space is remapped to this marker first.
+# (Collision caveat: an input that already contains "Ġ" would alias with
+# the marker — the pretokenizer's ASCII classes make that impossible for
+# the fixture corpus, and GPT-2 itself has the same property.)
+BPE_SPACE_MARKER = "Ġ"  # Ġ
+
+
+def _bpe_apply_merge(seq, pair, merged):
+    """Canonical one-merge application on a space-separated symbol string:
+    boundary-guarded, non-overlapping, leftmost-first — TWO replace passes.
+
+    One pass is not enough: consecutive occurrences share their separator
+    space (" a b a b " — the second " a b " starts at the space the first
+    one consumed), so a single left-to-right non-overlapping replace merges
+    only the odd members of such a chain. After pass one every survivor is
+    flanked by freshly merged neighbors (or chain ends), hence isolated
+    with both spaces intact, and pass two merges them all. Property-tested
+    against a symbol-list reference implementation in test_quality_ops.
+    Replacements can never create a false occurrence: symbols are
+    space-free by construction, and a merged symbol is a single token the
+    guard spaces no longer split.
+    """
+    wrapped = F.concat(F.lit(" "), seq, F.lit(" "))
+    search = F.concat(F.lit(" "), pair, F.lit(" "))
+    repl = F.concat(F.lit(" "), merged, F.lit(" "))
+    once = F.replace(wrapped, search, repl)
+    return F.trim(F.replace(once, search, repl))
+
+
+def bpe_train(documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
+    """Train a BPE merge TABLE (step, pair, n) over the corpus — the
+    Sennrich trainer loop itself, not just its counting step: per
+    iteration, count adjacent symbol pairs over DISTINCT pretokens
+    weighted by corpus frequency, take the argmax (count DESC, pair ASC
+    tie-break — fully discrete, no floats anywhere), apply the merge to
+    the vocabulary, repeat.
+
+    Scale shape: the expensive part (corpus scan -> pretoken frequency) is
+    ONE pass, after which every iteration runs on the DISTINCT-pretoken
+    frame — vocabulary-bounded, sub-linear in corpus bytes, the same
+    Sennrich trick ``bpe_pair_counts`` documents. Each iteration is one
+    map-side-combinable pair rollup plus a TakeOrdered(1) argmax; the only
+    driver traffic is that single (pair, count) row per merge — the same
+    per-iteration scalar pattern as k-means counters and the CC
+    convergence check. The evolving vocab is localCheckpoint-pinned per
+    round (flat plans, no re-derivation of the corpus scan).
+
+    Reference anchor: this is the training-side complement of the engine's
+    tokenizer-fertility accounting (``doc_token_counts``/``bpe_pair_counts``);
+    the merge table is what a byte-level tokenizer ships as merges.txt.
+    """
+    from apmbackend_spark.functions.text import bpe_tokens
+
+    spark = documents.sparkSession
+    pretok = documents.select(F.explode(bpe_tokens(F.col("text"))).alias("w"))
+    freq = pretok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # char-split into a space-separated symbol string, space -> Ġ first
+    seq0 = F.trim(
+        F.regexp_replace(
+            F.replace(F.col("w"), F.lit(" "), F.lit(BPE_SPACE_MARKER)),
+            "(.)",
+            "$1 ",
+        )
+    )
+    vocab = freq.select(seq0.alias("seq"), "freq").localCheckpoint()
+
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, int(n_merges) + 1):
+        arr = F.split(F.col("seq"), " ")
+        idx = F.when(
+            F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat(
+                        F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+                    ),
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        merges.append((step, pair, n))
+        merged = pair.replace(" ", "")
+        vocab = vocab.select(
+            _bpe_apply_merge(F.col("seq"), F.lit(pair), F.lit(merged)).alias(
+                "seq"
+            ),
+            "freq",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, schema="step int, pair string, n long"
+    )
+
+
+def bpe_train_oracle_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    from apmbackend_spark.functions.text import bpe_tokens_sql
+
+    def pairs_cte(seq_cte: str) -> str:
+        return f"""(
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+            SELECT freq, unnest(list_transform(
+                range(1, greatest(len(a) - 1, 0) + 1),
+                i -> a[i] || ' ' || a[i + 1]
+            )) AS pair
+            FROM (SELECT string_split(seq, ' ') AS a, freq FROM {seq_cte})
+        ) GROUP BY pair)"""
+
+    def apply_cte(seq_cte: str, best_cte: str) -> str:
+        search = f"(' ' || (SELECT pair FROM {best_cte}) || ' ')"
+        repl = f"(' ' || (SELECT replace(pair, ' ', '') FROM {best_cte}) || ' ')"
+        once = f"replace(' ' || seq || ' ', {search}, {repl})"
+        return (
+            f"SELECT trim(replace({once}, {search}, {repl})) AS seq, freq "
+            f"FROM {seq_cte}"
+        )
+
+    # MATERIALIZED is load-bearing: DuckDB inlines a plain CTE at every
+    # reference, and seq_i is referenced by BOTH b_(i+1) and seq_(i+1) (and
+    # each replace references b_i's scalar subqueries twice) — the inlined
+    # chain re-derives the whole corpus scan exponentially many times and
+    # the 6-merge oracle never finishes. Materializing each stage pins the
+    # chain to linear work, mirroring the Spark side's localCheckpoint.
+    ctes = [
+        f"""pretok AS (
+    SELECT unnest({bpe_tokens_sql('text')}) AS w FROM documents
+), freq AS (
+    SELECT w, COUNT(*) AS freq FROM pretok GROUP BY w
+), seq_0 AS MATERIALIZED (
+    SELECT trim(regexp_replace(replace(w, ' ', '{BPE_SPACE_MARKER}'),
+                               '(.)', '\\1 ', 'g')) AS seq, freq
+    FROM freq
+)"""
+    ]
+    selects = []
+    for i in range(1, int(n_merges) + 1):
+        ctes.append(
+            f"b_{i} AS MATERIALIZED (SELECT pair, n FROM {pairs_cte(f'seq_{i - 1}')} "
+            f"ORDER BY n DESC, pair ASC LIMIT 1)"
+        )
+        selects.append(f"SELECT CAST({i} AS INT) AS step, pair, n FROM b_{i}")
+        if i < int(n_merges):
+            ctes.append(
+                f"seq_{i} AS MATERIALIZED ({apply_cte(f'seq_{i - 1}', f'b_{i}')})"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

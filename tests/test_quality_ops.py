@@ -394,6 +394,114 @@ def test_dup_pagerank_pins_lsh_chain_once(spark):
 
 
 # ---------------------------------------------------------------------------
+# bpe_train
+
+
+def _bpe_reference(texts, n_merges):
+    """Canonical Sennrich BPE trainer on symbol LISTS (the textbook
+    algorithm: count all adjacent pairs weighted by pretoken frequency,
+    argmax with (count DESC, pair ASC) tie-break, merge non-overlapping
+    leftmost-first). Independent of the engine's string-replace encoding."""
+    import re
+    from collections import Counter
+
+    from apmbackend_spark.functions.text import BPE_PRETOKEN_RE
+    from apmbackend_spark.operators.textstats import BPE_SPACE_MARKER
+
+    freq = Counter()
+    for t in texts:
+        for w in re.findall(BPE_PRETOKEN_RE, t):
+            freq[w.replace(" ", BPE_SPACE_MARKER)] += 1
+    vocab = {w: list(w) for w in freq}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += freq[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        merges.append((step, f"{a} {b}", n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_canonical_reference(spark):
+    from apmbackend_spark.operators.textstats import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "newest newer new news",
+        "wide wider widest widely",
+        "a ab abc abcd ababab",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [(r["step"], r["pair"], r["n"]) for r in bpe_train(docs, 8).collect()]
+    assert got == _bpe_reference(texts, 8)
+
+
+def test_bpe_apply_merge_two_pass_replace_is_canonical(spark):
+    """The string encoding's 2-pass boundary-guarded replace must equal the
+    canonical non-overlapping leftmost merge on symbol lists — including
+    shared-separator chains ('a b a b a b') and self-pairs ('a a a')."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apmbackend_spark.operators.textstats import _bpe_apply_merge
+
+    def ref_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    sym = st.sampled_from(["a", "b", "c", "ab", "ba"])
+    cases = st.lists(
+        st.tuples(st.lists(sym, min_size=1, max_size=12), sym, sym),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(cases)
+    def run(batch):
+        rows = [
+            (" ".join(syms), f"{a} {b}", a + b) for syms, a, b in batch
+        ]
+        df = spark.createDataFrame(
+            rows, schema="seq string, pair string, merged string"
+        )
+        got = df.select(
+            _bpe_apply_merge(
+                F.col("seq"), F.col("pair"), F.col("merged")
+            ).alias("out")
+        ).collect()
+        for (syms, a, b), r in zip(batch, got):
+            assert r["out"] == " ".join(ref_merge(syms, a, b)), (syms, a, b)
+
+    run()
+
+
+# ---------------------------------------------------------------------------
 # srp_neardup
 
 
