@@ -558,6 +558,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # application via boundary-guarded two-pass replace; fully
         # discrete (no floats), oracle = 6 unrolled MATERIALIZED CTEs
         "bpe_train": lambda s, d: ts.bpe_train(docs(s, d)),
+        # top principal direction via power iteration: corpus-sized
+        # reduction confined to the exact INTEGER Gram matrix (order-free),
+        # float steps on the 64-row frame as ordered folds shared with the
+        # oracle — an iterative spectral op under the exact value gate
+        "power_iter_pca": lambda s, d: sim.power_iter_pca(embs(s, d)),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -610,16 +615,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # displaced multimodal gates are unchanged since r3,
                 # property-test-pinned, and re-run in the judge's overflow
                 # sweep.
-                "dedup_incremental", "ann_ivf", "embedding_neardup",
+                "ann_ivf", "embedding_neardup",
             )
         }
-        # The 8 NEW round-5 gates (mad_outliers..bpe_train, declared in
-        # round5_new) displace the 8 least-stale stale rows — lang_id,
-        # doc_keywords, domain_stats, corpus_mixture and the four
-        # r3-graded late_extra entries (incident_windows, scd2_customer,
-        # stream_corpus_dedup, jsonl_ingest): never-driver-graded gates
-        # outrank stale-but-green ones, and every displaced gate keeps its
-        # green r3 row and is re-run in the judge's overflow sweep.
+        # The 9 NEW round-5 gates (mad_outliers..power_iter_pca, declared
+        # in round5_new) displace the 9 least-stale stale rows —
+        # dedup_incremental, lang_id, doc_keywords, domain_stats,
+        # corpus_mixture and the four r3-graded late_extra entries
+        # (incident_windows, scd2_customer, stream_corpus_dedup,
+        # jsonl_ingest): never-driver-graded gates outrank stale-but-green
+        # ones, and every displaced gate keeps its green r3 row and is
+        # re-run in the judge's overflow sweep. ann_ivf/embedding_neardup
+        # stay: their code changed late round 5 (the IVF index seam).
     )
     window = round5 | stale
     assert len(window) == 50, f"grading window holds {len(window)}, want 50"
@@ -844,6 +851,7 @@ FROM tx
         "dup_pagerank": dd.dup_pagerank_oracle_sql(),
         "srp_neardup": sim.srp_neardup_oracle_sql(),
         "bpe_train": ts.bpe_train_oracle_sql(),
+        "power_iter_pca": sim.power_iter_pca_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

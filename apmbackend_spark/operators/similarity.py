@@ -755,3 +755,152 @@ WITH qz AS (
 )
 SELECT vec_a, vec_b, sim FROM cand WHERE sim >= {float(threshold)!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA: top principal direction of the embedding corpus.
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+
+
+def power_iter_pca(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding corpus via
+    power iteration on the Gram matrix — the spectral statistic an
+    embedding-pipeline QA pass watches (a collapsing encoder shows up as
+    the top component swallowing the spectrum long before downstream evals
+    notice).
+
+    Two-stage determinism design, and the reason this iterative float
+    algorithm can sit under the exact value-hash gate:
+
+    1. The Gram matrix G = sum_v v v^T is accumulated over QUANTIZED
+       integer vectors, so every G entry is an exact INTEGER sum —
+       arbitrary aggregation order, arbitrary parallelism, same bits
+       (dim 64, |q| <= 2e4 -> entries < N * 4e8, inside int64/2^53 up to
+       corpus scale; the module contract). All corpus-sized reduction
+       happens HERE, where order cannot matter.
+    2. The 3 power steps w <- normalize(G w) then run on one 64-row frame:
+       each component is a LEFT FOLD over the 64 G-row entries in index
+       order, and the norm is the same ordered fold — deterministic IEEE
+       sequences shared with the oracle, never an unordered float SUM.
+
+    Scale shape: stage 1 is a posexplode to (i, j, qi*qj) partial-summed
+    map-side — the simple outer-product form, dim^2-bounded output (64x64
+    rows regardless of corpus size; for dim in the thousands the documented
+    flip is block-wise Gram accumulation over mapInArrow batches, same
+    integer contract). Stage 2 touches 64 rows; its per-iteration cost is
+    independent of N. The iteration count is fixed (3): QA wants a stable
+    direction estimate, not 1e-9 convergence, and a fixed count keeps the
+    oracle a finite CTE unroll.
+
+    Output: (i, gram_diag, w) — dimension index, the exact integer Gram
+    diagonal (per-dimension second moment), and the iterated direction
+    component (unit vector up to the shared normalization sequence).
+    """
+    vecs = embeddings.select(_quantize(F.col("embedding")).alias("v"))
+    # stage 1: exact integer Gram via posexplode x index-transform
+    rows = vecs.select(F.posexplode(F.col("v")).alias("i", "vi"), F.col("v"))
+    g = (
+        rows.select(
+            "i",
+            F.explode(
+                F.transform(
+                    F.col("v"),
+                    lambda vj, j: F.struct(
+                        j.alias("j"), (F.col("vi") * vj).alias("p")
+                    ),
+                )
+            ).alias("e"),
+        )
+        .groupBy("i", F.col("e.j").alias("j"))
+        .agg(F.sum("e.p").alias("g"))
+    )
+    # one array row per i, entries in j order (sort_array on (j, g) structs)
+    grows = g.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "g"))), lambda s: s["g"]
+        ).alias("grow")
+    ).localCheckpoint()  # integer Gram: computed once, reused per iteration
+
+    dim = grows.count()
+    w = [1.0] * dim  # driver-held 64 doubles; all N-sized work stayed in G
+    for _ in range(int(iters)):
+        warr = F.array(*[F.lit(x) for x in w])
+        gw = grows.select(
+            "i",
+            F.aggregate(
+                F.zip_with(
+                    F.col("grow"), warr, lambda gij, wj: gij.cast("double") * wj
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("y"),
+        )
+        comp = {r["i"]: r["y"] for r in gw.collect()}
+        y = [comp[i] for i in range(dim)]
+        import math
+
+        norm = 0.0
+        for x in y:  # same ordered fold as the oracle's list_reduce
+            norm = norm + x * x
+        # math.sqrt is the correctly-rounded IEEE sqrt (same bits as the
+        # oracle's sqrt()); `** 0.5` is pow() and carries no such guarantee
+        norm = math.sqrt(norm)
+        w = [x / norm for x in y]
+    return grows.select(
+        F.col("i").cast("int").alias("i"),
+        F.element_at(F.col("grow"), F.col("i") + 1).alias("gram_diag"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in w]), F.col("i") + 1
+        ).alias("w"),
+    )
+
+
+def power_iter_pca_oracle_sql(iters: int = PCA_ITERS) -> str:
+    dot_w = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(grow, (SELECT w FROM {wsrc})), "
+        "p -> CAST(p[1] AS DOUBLE) * p[2])), (a, b) -> a + b)"
+    )
+    ctes = [
+        """qz AS (
+    SELECT {q} AS v FROM embeddings
+), cells AS (
+    SELECT i, j, SUM(vi * vj) AS g FROM (
+        SELECT ui.i AS i, ui.vi AS vi, uj.j AS j, uj.vj AS vj
+        FROM qz,
+             LATERAL (SELECT unnest(v) AS vi,
+                             generate_subscripts(v, 1) AS i) ui,
+             LATERAL (SELECT unnest(v) AS vj,
+                             generate_subscripts(v, 1) AS j) uj
+    ) GROUP BY i, j
+), grows AS MATERIALIZED (
+    SELECT i, list(g ORDER BY j) AS grow FROM cells GROUP BY i
+), w_0 AS (
+    SELECT list_transform(range(1, (SELECT MAX(i) FROM grows) + 1),
+                          x -> CAST(1.0 AS DOUBLE)) AS w
+)""".replace("{q}", QUANTIZE_SQL)
+    ]
+    for k in range(1, int(iters) + 1):
+        y = dot_w.format(wsrc=f"w_{k - 1}")
+        ctes.append(
+            f"""y_{k} AS MATERIALIZED (
+    SELECT list({y} ORDER BY i) AS y FROM grows
+), w_{k} AS MATERIALIZED (
+    SELECT list_transform(y, x -> x / sqrt(
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(y, e -> e * e)), (a, b) -> a + b))) AS w
+    FROM y_{k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(i - 1 AS INT) AS i,
+       CAST(grow[i] AS BIGINT) AS gram_diag,
+       (SELECT w FROM w_{int(iters)})[i] AS w
+FROM grows
+"""
+    )

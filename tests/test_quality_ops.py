@@ -293,6 +293,50 @@ def test_stratified_sample_one_shuffle_one_sort(spark):
 
 
 # ---------------------------------------------------------------------------
+# power_iter_pca
+
+
+def test_power_iter_pca_converges_to_dominant_eigvec(spark):
+    import numpy as np
+
+    from apmbackend_spark.operators.similarity import power_iter_pca
+
+    rng = np.random.default_rng(5)
+    direction = rng.normal(size=64)
+    direction /= np.linalg.norm(direction)
+    # strong rank-1 signal + small noise -> clear spectral gap
+    vecs = [
+        (i, (direction * rng.normal(3.0, 0.5) + rng.normal(0, 0.05, 64))
+            .astype("float32").tolist(), 0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        vecs, schema="vec_id long, embedding array<float>, label int"
+    )
+    rows = sorted(power_iter_pca(df).collect(), key=lambda r: r["i"])
+    w = np.array([r["w"] for r in rows])
+    # Gram diagonal is the exact integer second moment of the quantized col
+    q = np.array([[round(x * 10_000) for x in v] for _, v, _ in vecs], dtype=object)
+    for r in rows:
+        assert r["gram_diag"] == int(sum(int(x) * int(x) for x in q[:, r["i"]]))
+    # after 3 iterations the direction aligns with the planted component
+    cos = abs(float(np.dot(w, direction)) / float(np.linalg.norm(w)))
+    assert cos > 0.99, cos
+
+
+def test_power_iter_pca_is_bitwise_deterministic(spark):
+    from apmbackend_spark.operators.similarity import power_iter_pca
+    from apmbackend_spark.sources.loaders import load_table
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    a = {r["i"]: r["w"] for r in power_iter_pca(embs).collect()}
+    b = {r["i"]: r["w"] for r in power_iter_pca(embs.repartition(13)).collect()}
+    # identical BITS under a different partitioning: the corpus reduction
+    # is integer and the float steps are a fixed driver-side sequence
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
 # containment_pairs
 
 
