@@ -563,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # float steps on the 64-row frame as ordered folds shared with the
         # oracle — an iterative spectral op under the exact value gate
         "power_iter_pca": lambda s, d: sim.power_iter_pca(embs(s, d)),
+        # batch-over-batch distribution drift (days 1-15 vs 16+): per-dim
+        # L1 distance over key-ordered folds, both halves from ONE scan
+        "profile_drift": lambda s, d: pf.profile_drift(load_table(s, d, "events")),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -604,7 +607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     stale = (
         {k: v for k, v in core.items() if k not in round5}
-        | {k: v for k, v in apm_extra.items() if k != "jmx_poll"}
+        | {
+            k: v
+            for k, v in apm_extra.items()
+            if k not in ("jmx_poll", "apdex")
+        }
         | {
             k: phase6[k]
             for k in (
@@ -618,15 +625,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "ann_ivf", "embedding_neardup",
             )
         }
-        # The 9 NEW round-5 gates (mad_outliers..power_iter_pca, declared
-        # in round5_new) displace the 9 least-stale stale rows —
-        # dedup_incremental, lang_id, doc_keywords, domain_stats,
-        # corpus_mixture and the four r3-graded late_extra entries
-        # (incident_windows, scd2_customer, stream_corpus_dedup,
-        # jsonl_ingest): never-driver-graded gates outrank stale-but-green
-        # ones, and every displaced gate keeps its green r3 row and is
-        # re-run in the judge's overflow sweep. ann_ivf/embedding_neardup
-        # stay: their code changed late round 5 (the IVF index seam).
+        # The 10 NEW round-5 gates (mad_outliers..profile_drift, declared
+        # in round5_new) displace the 10 least-stale/lowest-risk stale
+        # rows — dedup_incremental, lang_id, doc_keywords, domain_stats,
+        # corpus_mixture, apdex (trivial unchanged rollup) and the four
+        # r3-graded late_extra entries (incident_windows, scd2_customer,
+        # stream_corpus_dedup, jsonl_ingest): never-driver-graded gates
+        # outrank stale-but-green ones, and every displaced gate keeps its
+        # green r2/r3 row and is re-run in the judge's overflow sweep.
+        # ann_ivf/embedding_neardup stay: their code changed late round 5
+        # (the IVF index seam); so do the z-score family rows (zscore.py
+        # was rewritten this round) and the zerofill/window_stats rows
+        # (exchange pins + seam materialization).
     )
     window = round5 | stale
     assert len(window) == 50, f"grading window holds {len(window)}, want 50"
@@ -852,6 +862,7 @@ FROM tx
         "srp_neardup": sim.srp_neardup_oracle_sql(),
         "bpe_train": ts.bpe_train_oracle_sql(),
         "power_iter_pca": sim.power_iter_pca_oracle_sql(),
+        "profile_drift": pf.profile_drift_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

@@ -30,7 +30,7 @@ exercised proves nothing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # (column, kind) — kind picks which min/max slot the column profiles into.
@@ -154,3 +154,125 @@ FROM dirty"""
         )
     union = "\nUNION ALL\n".join(legs)
     return f"WITH dirty AS ({dirty})\n{union}"
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between two ingest periods (batch-over-batch QA).
+# ---------------------------------------------------------------------------
+
+DRIFT_SPLIT_DAY = 16  # period A: day-of-month < 16, period B: >= 16
+DRIFT_VALUE_BIN = 50.0  # fixed-width value bins (0-490 range -> 10 bins)
+
+
+def profile_drift(events: DataFrame) -> DataFrame:
+    """Distribution drift between two halves of the table (days 1-15 vs
+    16+): per tracked dimension, the L1 (total-variation x2) distance
+    between the two periods' key distributions, plus both row counts.
+
+    This is the batch-over-batch gate a production ingest runs on top of
+    ``table_profile``: a silent upstream change (a client version skewing
+    event_type mix, a unit change scaling value) shows up as L1 drift long
+    before model metrics move. Tracked dimensions: the categorical
+    event_type, and value quantized into fixed-width bins (floor(v/50) —
+    integer keys, no rounding-mode drift).
+
+    Determinism: per-key rates are single exact divisions (int/int); the
+    L1 sum folds |p_a - p_b| over keys IN KEY ORDER (array_sort +
+    F.aggregate / list ORDER BY + list_reduce) — the engine's standard
+    ordered-fold contract for cross-key float sums.
+
+    Scale shape: one conditional-count aggregate keyed on (dim, key) —
+    map-side combinable, key cardinality bounded (categories + 10 bins) —
+    then a per-dim fold over that tiny key frame. The period predicate is
+    a pushable column expression, so both "halves" come from the SAME
+    single scan (no two-pass read).
+    """
+    day = F.dayofmonth(F.col("ts"))
+    in_a = day < F.lit(int(DRIFT_SPLIT_DAY))
+    dims = F.array(
+        F.struct(
+            F.lit("event_type").alias("dim"),
+            F.col("event_type").alias("key"),
+        ),
+        F.struct(
+            F.lit("value_bin").alias("dim"),
+            F.floor(F.col("value") / F.lit(DRIFT_VALUE_BIN))
+            .cast("string")
+            .alias("key"),
+        ),
+    )
+    keyed = events.select(in_a.alias("in_a"), F.explode(dims).alias("d")).select(
+        "in_a", F.col("d.dim").alias("dim"), F.col("d.key").alias("key")
+    )
+    counts = keyed.groupBy("dim", "key").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("ca"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("cb"),
+    )
+    w_tot = Window.partitionBy("dim")
+    rated = counts.select(
+        "dim",
+        "key",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_tot).alias("na"),
+        F.sum("cb").over(w_tot).alias("nb"),
+    )
+    diffs = rated.select(
+        "dim",
+        "na",
+        "nb",
+        F.struct(
+            "key",
+            (
+                F.abs(
+                    F.col("ca").cast("double") / F.col("na").cast("double")
+                    - F.col("cb").cast("double") / F.col("nb").cast("double")
+                )
+            ).alias("d"),
+        ).alias("kd"),
+    )
+    return diffs.groupBy("dim").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.aggregate(
+            F.array_sort(F.collect_list("kd")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["d"],
+        ).alias("l1"),
+    )
+
+
+def profile_drift_oracle_sql() -> str:
+    return f"""
+WITH keyed AS (
+    SELECT (date_part('day', ts) < {int(DRIFT_SPLIT_DAY)}) AS in_a,
+           dim, key
+    FROM events, LATERAL (
+        VALUES ('event_type', event_type),
+               ('value_bin', CAST(CAST(floor(value / {DRIFT_VALUE_BIN!r}) AS BIGINT) AS VARCHAR))
+    ) AS t(dim, key)
+), counts AS (
+    SELECT dim, key,
+           COUNT(*) FILTER (WHERE in_a) AS ca,
+           COUNT(*) FILTER (WHERE NOT in_a) AS cb
+    FROM keyed GROUP BY dim, key
+), rated AS (
+    SELECT dim, key, ca, cb,
+           SUM(ca) OVER (PARTITION BY dim) AS na,
+           SUM(cb) OVER (PARTITION BY dim) AS nb
+    FROM counts
+)
+SELECT dim,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       COUNT(*) AS n_keys,
+       list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+               list(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                        - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                    ORDER BY key)),
+           (a, b) -> a + b) AS l1
+FROM rated
+GROUP BY dim
+"""

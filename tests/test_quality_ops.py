@@ -293,6 +293,47 @@ def test_stratified_sample_one_shuffle_one_sort(spark):
 
 
 # ---------------------------------------------------------------------------
+# profile_drift
+
+
+def test_profile_drift_detects_planted_mix_shift(spark):
+    from apmbackend_spark.operators.profile import profile_drift
+
+    t_a = dt.datetime(2024, 1, 5)
+    t_b = dt.datetime(2024, 1, 25)
+    rows = []
+    eid = 0
+    # period A: 100 "click" + 100 "view"; period B: 180 "click" + 20 "view"
+    for period, t0, mix in [
+        ("a", t_a, [("click", 100), ("view", 100)]),
+        ("b", t_b, [("click", 180), ("view", 20)]),
+    ]:
+        for et, n in mix:
+            for _ in range(n):
+                rows.append((eid, t0, eid % 5, et, 10.0, None))
+                eid += 1
+    out = {r["dim"]: r for r in profile_drift(_events_df(spark, rows)).collect()}
+    et = out["event_type"]
+    assert (et["n_a"], et["n_b"]) == (200, 200)
+    # L1 = |0.5-0.9| + |0.5-0.1| = 0.8 exactly (rates are exact divisions)
+    assert et["l1"] == 0.8
+    # identical value distributions -> zero drift on the value_bin dim
+    assert out["value_bin"]["l1"] == 0.0
+
+
+def test_profile_drift_single_scan(spark):
+    from apmbackend_spark.operators.profile import profile_drift
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(profile_drift(load_table(spark, SF_SMOKE, "events")))
+    import re
+
+    # both periods come from one pass: exactly one parquet scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
 # power_iter_pca
 
 
