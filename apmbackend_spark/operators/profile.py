@@ -217,6 +217,11 @@ def profile_drift(events: DataFrame) -> DataFrame:
         F.sum("ca").over(w_tot).alias("na"),
         F.sum("cb").over(w_tot).alias("nb"),
     )
+    # try_divide, not `/`: under ANSI mode (Spark 4 default) a plain
+    # division THROWS on an EMPTY comparison period (found by the pinned
+    # unit test); NULL rates -> NULL l1 is the contract ("no comparison
+    # possible"), mirrored as an explicit CASE in the oracle because
+    # DuckDB's IEEE double division would yield inf instead.
     diffs = rated.select(
         "dim",
         "na",
@@ -225,8 +230,12 @@ def profile_drift(events: DataFrame) -> DataFrame:
             "key",
             (
                 F.abs(
-                    F.col("ca").cast("double") / F.col("na").cast("double")
-                    - F.col("cb").cast("double") / F.col("nb").cast("double")
+                    F.try_divide(
+                        F.col("ca").cast("double"), F.col("na").cast("double")
+                    )
+                    - F.try_divide(
+                        F.col("cb").cast("double"), F.col("nb").cast("double")
+                    )
                 )
             ).alias("d"),
         ).alias("kd"),
@@ -269,8 +278,11 @@ SELECT dim,
        COUNT(*) AS n_keys,
        list_reduce(
            list_prepend(CAST(0.0 AS DOUBLE),
-               list(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
-                        - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+               list(abs(
+                   (CASE WHEN na = 0 THEN NULL
+                         ELSE CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) END)
+                 - (CASE WHEN nb = 0 THEN NULL
+                         ELSE CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) END))
                     ORDER BY key)),
            (a, b) -> a + b) AS l1
 FROM rated

@@ -321,6 +321,19 @@ def test_profile_drift_detects_planted_mix_shift(spark):
     assert out["value_bin"]["l1"] == 0.0
 
 
+def test_profile_drift_empty_period_yields_null_l1(spark):
+    from apmbackend_spark.operators.profile import profile_drift
+
+    # all rows in period A: rates against the empty period divide by zero
+    # -> NULL l1 (pinned: a null drift score reads as "no comparison
+    # possible", never as a fake 0.0 "no drift")
+    t_a = dt.datetime(2024, 1, 3)
+    rows = [(i, t_a, i % 3, "click", 10.0, None) for i in range(50)]
+    out = {r["dim"]: r for r in profile_drift(_events_df(spark, rows)).collect()}
+    assert out["event_type"]["n_b"] == 0
+    assert out["event_type"]["l1"] is None
+
+
 def test_profile_drift_single_scan(spark):
     from apmbackend_spark.operators.profile import profile_drift
     from apmbackend_spark.sources.loaders import load_table
