@@ -847,6 +847,13 @@ def power_iter_pca(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
         # math.sqrt is the correctly-rounded IEEE sqrt (same bits as the
         # oracle's sqrt()); `** 0.5` is pow() and carries no such guarantee
         norm = math.sqrt(norm)
+        if norm == 0.0:
+            # degenerate all-zero corpus: Gw == 0 and Python float division
+            # would raise ZeroDivisionError at the driver — freeze the
+            # (zero) direction instead; the gate corpus can't hit this but
+            # an operator must not crash on its boundary input
+            w = y
+            break
         w = [x / norm for x in y]
     return grows.select(
         F.col("i").cast("int").alias("i"),

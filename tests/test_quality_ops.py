@@ -378,6 +378,18 @@ def test_power_iter_pca_converges_to_dominant_eigvec(spark):
     assert cos > 0.99, cos
 
 
+def test_power_iter_pca_survives_all_zero_corpus(spark):
+    from apmbackend_spark.operators.similarity import power_iter_pca
+
+    df = spark.createDataFrame(
+        [(i, [0.0] * 64, 0) for i in range(5)],
+        schema="vec_id long, embedding array<float>, label int",
+    )
+    rows = power_iter_pca(df).collect()  # must not ZeroDivisionError
+    assert len(rows) == 64
+    assert all(r["gram_diag"] == 0 and r["w"] == 0.0 for r in rows)
+
+
 def test_power_iter_pca_is_bitwise_deterministic(spark):
     from apmbackend_spark.operators.similarity import power_iter_pca
     from apmbackend_spark.sources.loaders import load_table
