@@ -566,6 +566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-over-batch distribution drift (days 1-15 vs 16+): per-dim
         # L1 distance over key-ordered folds, both halves from ONE scan
         "profile_drift": lambda s, d: pf.profile_drift(load_table(s, d, "events")),
+        # tokenizer fertility under the TRAINED table: apply the 6 merges
+        # to the vocab, broadcast the (pretoken -> token count) dim, one
+        # per-doc sum — closes the train -> apply -> count loop
+        "bpe_encode": lambda s, d: ts.bpe_encode(docs(s, d)),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -610,7 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | {
             k: v
             for k, v in apm_extra.items()
-            if k not in ("jmx_poll", "apdex")
+            if k not in ("jmx_poll", "apdex", "top_services")
         }
         | {
             k: phase6[k]
@@ -625,10 +629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "ann_ivf", "embedding_neardup",
             )
         }
-        # The 10 NEW round-5 gates (mad_outliers..profile_drift, declared
-        # in round5_new) displace the 10 least-stale/lowest-risk stale
+        # The 11 NEW round-5 gates (mad_outliers..bpe_encode, declared
+        # in round5_new) displace the 11 least-stale/lowest-risk stale
         # rows — dedup_incremental, lang_id, doc_keywords, domain_stats,
-        # corpus_mixture, apdex (trivial unchanged rollup) and the four
+        # corpus_mixture, apdex + top_services (trivial unchanged
+        # rollups) and the four
         # r3-graded late_extra entries (incident_windows, scd2_customer,
         # stream_corpus_dedup, jsonl_ingest): never-driver-graded gates
         # outrank stale-but-green ones, and every displaced gate keeps its
@@ -863,6 +868,7 @@ FROM tx
         "bpe_train": ts.bpe_train_oracle_sql(),
         "power_iter_pca": sim.power_iter_pca_oracle_sql(),
         "profile_drift": pf.profile_drift_oracle_sql(),
+        "bpe_encode": ts.bpe_encode_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

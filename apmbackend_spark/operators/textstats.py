@@ -1045,9 +1045,18 @@ def bpe_train(documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFra
     tokenizer-fertility accounting (``doc_token_counts``/``bpe_pair_counts``);
     the merge table is what a byte-level tokenizer ships as merges.txt.
     """
+    merges, _ = _bpe_train_frames(documents, n_merges)
+    return documents.sparkSession.createDataFrame(
+        merges, schema="step int, pair string, n long"
+    )
+
+
+def _bpe_train_frames(documents: DataFrame, n_merges: int):
+    """The trainer loop, returning (merges list, final vocab DataFrame with
+    (w, seq, freq)) so ``bpe_encode`` can apply the trained table without
+    re-deriving it."""
     from apmbackend_spark.functions.text import bpe_tokens
 
-    spark = documents.sparkSession
     pretok = documents.select(F.explode(bpe_tokens(F.col("text"))).alias("w"))
     freq = pretok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     # char-split into a space-separated symbol string, space -> Ġ first
@@ -1058,7 +1067,7 @@ def bpe_train(documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFra
             "$1 ",
         )
     )
-    vocab = freq.select(seq0.alias("seq"), "freq").localCheckpoint()
+    vocab = freq.select("w", seq0.alias("seq"), "freq").localCheckpoint()
 
     merges: list[tuple[int, str, int]] = []
     for step in range(1, int(n_merges) + 1):
@@ -1090,17 +1099,56 @@ def bpe_train(documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFra
         merges.append((step, pair, n))
         merged = pair.replace(" ", "")
         vocab = vocab.select(
+            "w",
             _bpe_apply_merge(F.col("seq"), F.lit(pair), F.lit(merged)).alias(
                 "seq"
             ),
             "freq",
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges, schema="step int, pair string, n long"
+    return merges, vocab
+
+
+def bpe_encode(
+    documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES
+) -> DataFrame:
+    """ENCODE the corpus with the trained merge table: per document, the
+    pretoken count and the token count under the n_merges-trained
+    tokenizer — the fertility measurement that closes the tokenizer loop
+    (train -> apply -> count). A rising tokens/pretokens ratio on new data
+    is the standard signal that a tokenizer no longer fits its corpus.
+
+    Scale shape: training and application both live on the
+    distinct-pretoken frame; the per-document pass is one explode plus a
+    BROADCAST join against the (w -> token count) dim — vocabulary-sized,
+    tiny — then a map-side-combinable per-doc sum. Text bytes never
+    shuffle. All-integer outputs (the fertility division is the
+    consumer's, keeping the gate float-free).
+    """
+    _, vocab = _bpe_train_frames(documents, n_merges)
+    from apmbackend_spark.functions.text import bpe_tokens
+
+    dim = vocab.select(
+        "w", F.size(F.split(F.col("seq"), " ")).cast("long").alias("n_tok")
+    )
+    per = documents.select(
+        "doc_id", F.explode(bpe_tokens(F.col("text"))).alias("w")
+    )
+    return (
+        per.join(F.broadcast(dim), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretok"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
     )
 
 
-def bpe_train_oracle_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+def _bpe_chain_ctes(n_merges: int, final_apply: bool):
+    """Shared CTE chain for the trainer/encoder oracles: returns (ctes
+    list, last_seq_cte_name). ``final_apply`` also applies the LAST merge
+    (the trainer's output needs only the argmaxes; the encoder needs the
+    fully-merged vocabulary). Every seq CTE carries ``w`` so the encoder
+    can join back per document."""
     from apmbackend_spark.functions.text import bpe_tokens_sql
 
     def pairs_cte(seq_cte: str) -> str:
@@ -1118,7 +1166,7 @@ def bpe_train_oracle_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
         repl = f"(' ' || (SELECT replace(pair, ' ', '') FROM {best_cte}) || ' ')"
         once = f"replace(' ' || seq || ' ', {search}, {repl})"
         return (
-            f"SELECT trim(replace({once}, {search}, {repl})) AS seq, freq "
+            f"SELECT w, trim(replace({once}, {search}, {repl})) AS seq, freq "
             f"FROM {seq_cte}"
         )
 
@@ -1134,20 +1182,54 @@ def bpe_train_oracle_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
 ), freq AS (
     SELECT w, COUNT(*) AS freq FROM pretok GROUP BY w
 ), seq_0 AS MATERIALIZED (
-    SELECT trim(regexp_replace(replace(w, ' ', '{BPE_SPACE_MARKER}'),
+    SELECT w, trim(regexp_replace(replace(w, ' ', '{BPE_SPACE_MARKER}'),
                                '(.)', '\\1 ', 'g')) AS seq, freq
     FROM freq
 )"""
     ]
-    selects = []
+    last = "seq_0"
     for i in range(1, int(n_merges) + 1):
         ctes.append(
             f"b_{i} AS MATERIALIZED (SELECT pair, n FROM {pairs_cte(f'seq_{i - 1}')} "
             f"ORDER BY n DESC, pair ASC LIMIT 1)"
         )
-        selects.append(f"SELECT CAST({i} AS INT) AS step, pair, n FROM b_{i}")
-        if i < int(n_merges):
+        if i < int(n_merges) or final_apply:
             ctes.append(
                 f"seq_{i} AS MATERIALIZED ({apply_cte(f'seq_{i - 1}', f'b_{i}')})"
             )
+            last = f"seq_{i}"
+    return ctes, last
+
+
+def bpe_train_oracle_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    ctes, _ = _bpe_chain_ctes(n_merges, final_apply=False)
+    selects = [
+        f"SELECT CAST({i} AS INT) AS step, pair, n FROM b_{i}"
+        for i in range(1, int(n_merges) + 1)
+    ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_encode_oracle_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    from apmbackend_spark.functions.text import bpe_tokens_sql
+
+    ctes, last = _bpe_chain_ctes(n_merges, final_apply=True)
+    ctes.append(
+        f"dim AS (SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) "
+        f"AS n_tok FROM {last})"
+    )
+    ctes.append(
+        f"per AS (SELECT doc_id, unnest({bpe_tokens_sql('text')}) AS w "
+        "FROM documents)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id,
+       COUNT(*) AS n_pretok,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM per JOIN dim USING (w)
+GROUP BY doc_id
+"""
+    )

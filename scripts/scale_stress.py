@@ -358,6 +358,7 @@ def main() -> None:
             embs = spread(spark.read.parquet(f"{d}/embeddings.parquet"))
             t.timed("srp_neardup", lambda: sim.srp_neardup(embs))
             t.timed("bpe_train", lambda: ts.bpe_train(docs))
+            t.timed("bpe_encode", lambda: ts.bpe_encode(docs))
             t.timed("power_iter_pca", lambda: sim.power_iter_pca(embs))
             return t.out
 

@@ -564,6 +564,56 @@ def test_bpe_train_matches_canonical_reference(spark):
     assert got == _bpe_reference(texts, 8)
 
 
+def test_bpe_encode_matches_canonical_fertility(spark):
+    import re
+    from collections import Counter
+
+    from apmbackend_spark.functions.text import BPE_PRETOKEN_RE
+    from apmbackend_spark.operators.textstats import (
+        BPE_SPACE_MARKER,
+        bpe_encode,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "newest newer new news",
+        "wide wider widest widely",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # rebuild the reference vocab after 8 merges and count per doc
+    merges = _bpe_reference(texts, 8)
+    vocab: dict = {}
+    freq: Counter = Counter()
+    for t in texts:
+        for w in re.findall(BPE_PRETOKEN_RE, t):
+            w2 = w.replace(" ", BPE_SPACE_MARKER)
+            freq[w2] += 1
+            vocab.setdefault(w2, list(w2))
+    for _, pair, _ in merges:
+        a, b = pair.split(" ")
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    got = {
+        r["doc_id"]: (r["n_pretok"], r["n_tokens"])
+        for r in bpe_encode(docs, 8).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = [w.replace(" ", BPE_SPACE_MARKER) for w in re.findall(BPE_PRETOKEN_RE, t)]
+        expect = (len(ws), sum(len(vocab[w]) for w in ws))
+        assert got[i] == expect, (i, got[i], expect)
+
+
 def test_bpe_apply_merge_two_pass_replace_is_canonical(spark):
     """The string encoding's 2-pass boundary-guarded replace must equal the
     canonical non-overlapping leftmost merge on symbol lists — including
