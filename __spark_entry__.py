@@ -46,6 +46,7 @@ from apmbackend_spark.operators import semistruct as ss
 from apmbackend_spark.operators import robust as rb
 from apmbackend_spark.operators import profile as pf
 from apmbackend_spark.operators import layout as ly
+from apmbackend_spark.operators import cdc
 from apmbackend_spark.streaming import topology as topo
 
 ZSCORE_LAGS = (60, 360)
@@ -570,6 +571,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the vocab, broadcast the (pretoken -> token count) dim, one
         # per-doc sum — closes the train -> apply -> count loop
         "bpe_encode": lambda s, d: ts.bpe_encode(docs(s, d)),
+        # snapshot-diff changelog (insert/delete/update + old/new values):
+        # ONE full-outer hash join, null-safe codegen comparisons, both
+        # snapshot scans pruned to key + compared columns
+        "cdc_diff": lambda s, d: cdc.cdc_orders(load_table(s, d, "orders")),
+        # Delta-OPTIMIZE-style small-file bin packing: per-partition
+        # window cumsum quantized to target bytes — the file listing is a
+        # DataFrame, never a driver loop; pinned repartition vs AQE
+        "compaction_bins": lambda s, d: ly.compaction_bins(
+            load_table(s, d, "documents")
+        ),
+        # first-order Markov transition mining: one user_id shuffle for
+        # the lead window, pair counts map-side-combinable, top-k rank on
+        # the tiny |types|^2 frame
+        "event_transitions": lambda s, d: sess.event_transitions(
+            load_table(s, d, "events")
+        ),
+        # crawl-frontier URL dedup: fragment/case/www/utm/param-order
+        # canonicalization as pure codegen regexp + array HOFs, one agg
+        "url_canonical": lambda s, d: ts.url_canonical(
+            load_table(s, d, "documents")
+        ),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -610,11 +632,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | round4_extra
     )
     stale = (
-        {k: v for k, v in core.items() if k not in round5}
+        # gauge_asof joins the displaced set (asof.py untouched since its
+        # green r3 row) to make room for the 4 late-round-5 gates below.
+        {k: v for k, v in core.items() if k not in round5 and k != "gauge_asof"}
         | {
             k: v
             for k, v in apm_extra.items()
-            if k not in ("jmx_poll", "apdex", "top_services")
+            # service_cube / jmx_rollup / props_rollup displaced late
+            # round 5 (trivial unchanged rollups with green r2/r3 rows,
+            # re-run in the judge's overflow sweep) by the 4 new gates
+            # cdc_diff / compaction_bins / event_transitions /
+            # url_canonical — never-driver-graded gates outrank
+            # stale-but-green ones.
+            if k not in (
+                "jmx_poll", "apdex", "top_services",
+                "service_cube", "jmx_rollup", "props_rollup",
+            )
         }
         | {
             k: phase6[k]
@@ -646,7 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = round5 | stale
     assert len(window) == 50, f"grading window holds {len(window)}, want 50"
     overflow = (
-        {k: v for k, v in round4.items() if k not in window}
+        {k: v for k, v in core.items() if k not in window}
+        | {k: v for k, v in round4.items() if k not in window}
         | {k: v for k, v in apm_extra.items() if k not in window}
         | {k: v for k, v in late_extra.items() if k not in window}
         | relational
@@ -869,6 +903,10 @@ FROM tx
         "power_iter_pca": sim.power_iter_pca_oracle_sql(),
         "profile_drift": pf.profile_drift_oracle_sql(),
         "bpe_encode": ts.bpe_encode_oracle_sql(),
+        "cdc_diff": cdc.cdc_orders_oracle_sql(),
+        "compaction_bins": ly.compaction_bins_oracle_sql(),
+        "event_transitions": sess.event_transitions_oracle_sql(),
+        "url_canonical": ts.url_canonical_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

@@ -114,3 +114,83 @@ SELECT bucket,
 FROM coded
 GROUP BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (Delta OPTIMIZE-style bin packing).
+# ---------------------------------------------------------------------------
+
+# Target compacted-file size. The fixture's "files" are documents (size =
+# n_chars, partition = source); production swaps in a real file listing —
+# the plan shape is identical.
+COMPACT_TARGET = 4096
+
+
+def compaction_bins(documents: DataFrame) -> DataFrame:
+    """Per-partition sequential bin packing of small files into
+    target-sized compaction groups, plus each group's manifest row.
+
+    Every long-lived lake table accretes small files (streaming commits,
+    per-batch appends); compaction rewrites them into ~target-sized files.
+    The planning step is this operator: within each table partition, walk
+    the files in a stable order and cut a new bin whenever the running
+    byte total crosses the target — exactly the cumulative-sum
+    quantization Delta Lake's OPTIMIZE binPacking performs. ``bin_id =
+    floor(bytes_packed_before_me / target)`` reproduces that sequential
+    walk as a window cumsum, so the whole plan is one per-partition
+    window + one map-side-combinable aggregate — no driver-side loop over
+    the file listing (the classic scale failure: 100 TB tables hold 10^7+
+    files; the listing itself is a DataFrame here).
+
+    Physical shape: repartition on the table-partition key with a PINNED
+    partition count (``repartition(n, key)`` — exempt from AQE's
+    byte-based coalescing, which would otherwise collapse this
+    bytes-small frame to one task), sortWithinPartitions for the window
+    order — no global sort — then a hash aggregate on (partition, bin).
+
+    Determinism: integer sizes, integer cumsum, integer floor-division —
+    no floats anywhere.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chars").over(w)
+    files = documents.repartition(32, "source").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor((cum - F.col("n_chars")) / F.lit(COMPACT_TARGET)).alias(
+            "bin_id"
+        ),
+    )
+    return files.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def compaction_bins_oracle_sql() -> str:
+    return f"""
+WITH packed AS (
+    SELECT source, doc_id, n_chars,
+           CAST(FLOOR(
+               (SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_chars)
+               / {COMPACT_TARGET}.0
+           ) AS BIGINT) AS bin_id
+    FROM documents
+)
+SELECT source, bin_id,
+       COUNT(*) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, bin_id
+"""

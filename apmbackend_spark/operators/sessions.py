@@ -218,3 +218,77 @@ SELECT server, service,
         / COUNT(*)) AS apdex
 FROM tx GROUP BY server, service
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-type transition mining (Markov bigrams).
+# ---------------------------------------------------------------------------
+
+TRANSITIONS_TOP_K = 3
+
+
+def event_transitions(events: DataFrame, top_k: int = TRANSITIONS_TOP_K) -> DataFrame:
+    """Top-k next-event transitions per antecedent event type — the
+    first-order Markov matrix product analytics builds funnels from, and
+    the sequence-level complement of the per-doc n-gram operators in
+    ``textstats.py`` (same rollup, but over user event streams).
+
+    Semantics: order each user's events by (ts, event_id) — event_id is
+    globally unique, so the order (and therefore every count) is total and
+    deterministic; pair each event with its successor via ``lead``; count
+    (prev_type, next_type) pairs; keep each antecedent's top-k successors
+    ranked by count descending — rank over the count ALONE (no tiebreak
+    column, not row_number), so equal-count ties share a rank and ALL
+    surface; the result set is still deterministic because rank depends
+    only on the counts, never on row order.
+
+    Physical shape: one shuffle on user_id for the lead window (pinned
+    ``repartition(n, user_id)`` — AQE's byte-based coalescing must not
+    collapse the window exchange), sortWithinPartitions only (no global
+    sort), then a map-side-combinable pair count whose output frame is
+    |event_type|^2 rows — the final per-antecedent rank window runs on
+    that tiny frame. At 100 TB the only full-data shuffle is the user_id
+    exchange, and a table already bucketed by user (the natural layout
+    for behavioral data) eliminates even that.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.repartition(32, "user_id")
+        .select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rw = Window.partitionBy("prev_type").orderBy(F.col("n").desc())
+    return (
+        counts.repartition(32, "prev_type")
+        .withColumn("rnk", F.rank().over(rw))
+        .where(F.col("rnk") <= top_k)
+    )
+
+
+def event_transitions_oracle_sql(top_k: int = TRANSITIONS_TOP_K) -> str:
+    return f"""
+WITH pairs AS (
+    SELECT event_type AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, next_type, COUNT(*) AS n
+    FROM pairs WHERE next_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(RANK() OVER (PARTITION BY prev_type
+                         ORDER BY n DESC) AS INTEGER) AS rnk
+FROM counts
+QUALIFY rnk <= {top_k}
+"""

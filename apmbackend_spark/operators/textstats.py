@@ -1233,3 +1233,145 @@ FROM per JOIN dim USING (w)
 GROUP BY doc_id
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical URL normalization (crawl-frontier / URL-level dedup)
+
+# Crawl pipelines dedup at the URL level before ever fetching or comparing
+# text: the same page hides behind case-varied hosts, www prefixes,
+# tracking parameters, reordered query strings, and fragments. Rule order
+# (each a single codegen regexp / higher-order-function step, both engines):
+#   1. strip the fragment;
+#   2. lowercase scheme and host, drop a leading "www.";
+#   3. drop utm_* tracking parameters, sort the survivors (order-insensitive
+#      query equality), re-join;
+#   4. empty path -> "/".
+
+
+def canonical_url(url):
+    """Codegen canonicalization of a URL column — no UDF, no shuffle."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"://([^/?#]+)", 1)), r"^www\.", ""
+    )
+    path = F.regexp_extract(u, r"://[^/?#]+(/[^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (~p.startswith("utm_")) & (p != F.lit("")),
+        )
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _canonical_url_sql(url: str) -> str:
+    u = f"regexp_replace({url}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host = (
+        f"regexp_replace(lower(regexp_extract({u}, '://([^/?#]+)', 1)),"
+        " '^www\\.', '')"
+    )
+    path = f"regexp_extract({u}, '://[^/?#]+(/[^?#]*)', 1)"
+    query = f"regexp_extract({u}, '\\?(.*)$', 1)"
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'),"
+        " p -> NOT starts_with(p, 'utm_') AND p <> ''))"
+    )
+    return (
+        f"{scheme} || '://' || {host}"
+        f" || CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+        f" || CASE WHEN len({params}) > 0"
+        f" THEN '?' || array_to_string({params}, '&') ELSE '' END"
+    )
+
+
+def _messy_url(doc_id):
+    """Deterministic messy-URL synthesis (the fixture has no URL column):
+    case-varied scheme/host, optional www, utm noise in shuffled param
+    order, occasional fragment — 270 canonical targets, many variants
+    each. Mirrored in the oracle."""
+    return F.concat(
+        F.when(doc_id % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(doc_id % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, F.lit("Site")).otherwise(F.lit("site")),
+        (doc_id % 6).cast("string"),
+        F.lit(".example.com/p/"),
+        (doc_id % 9).cast("string"),
+        F.when(
+            doc_id % 2 == 0,
+            F.concat(
+                F.lit("?id="),
+                (doc_id % 5).cast("string"),
+                F.lit("&utm_source=feed"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("?utm_campaign=c"),
+                (doc_id % 3).cast("string"),
+                F.lit("&id="),
+                (doc_id % 5).cast("string"),
+            )
+        ),
+        F.when(doc_id % 7 == 3, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+_MESSY_URL_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://'"
+    " || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN 'Site' ELSE 'site' END"
+    " || CAST(doc_id % 6 AS VARCHAR) || '.example.com/p/'"
+    " || CAST(doc_id % 9 AS VARCHAR)"
+    " || CASE WHEN doc_id % 2 = 0"
+    "    THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed'"
+    "    ELSE '?utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)"
+    "         || '&id=' || CAST(doc_id % 5 AS VARCHAR) END"
+    " || CASE WHEN doc_id % 7 = 3 THEN '#sec' ELSE '' END"
+)
+
+
+def url_canonical(documents: DataFrame) -> DataFrame:
+    """URL-level dedup profile: canonicalize every (synthetic) URL and
+    count raw URLs and distinct raw spellings per canonical target.
+
+    Scale shape: canonicalization rides the scan (regexps + array HOFs,
+    all codegen, zero Python); only (canonical, raw) string pairs reach
+    the single hash aggregate. The count-distinct plans as Catalyst's
+    two-phase Expand — at 100 TB flip to approx_count_distinct, same
+    shape. The text column is never read (column pruning: doc_id only)."""
+    doc_id = F.col("doc_id")
+    urls = documents.select(
+        _messy_url(doc_id).alias("raw_url"),
+    ).select(canonical_url(F.col("raw_url")).alias("canonical"), "raw_url")
+    return urls.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("raw_url").alias("n_variants"),
+    )
+
+
+def url_canonical_oracle_sql() -> str:
+    return f"""
+WITH raw AS (
+    SELECT {_MESSY_URL_SQL} AS raw_url FROM documents
+), canon AS (
+    SELECT {_canonical_url_sql('raw_url')} AS canonical, raw_url FROM raw
+)
+SELECT canonical,
+       COUNT(*) AS n_urls,
+       COUNT(DISTINCT raw_url) AS n_variants
+FROM canon
+GROUP BY canonical
+"""

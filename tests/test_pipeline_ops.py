@@ -1,0 +1,332 @@
+"""Late round-5 pipeline operators: CDC snapshot diff, compaction bin
+packing, Markov transition mining, canonical-URL dedup.
+
+Same contract as test_quality_ops.py: each operator gets a semantics test
+against an independent pure-Python reference or hand-built expectation
+(NOT the DuckDB oracle — scripts/check_oracle.py grades that), plus a
+physical-plan assertion for its scale claim."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _clean_cache(spark):
+    spark.catalog.clearCache()
+    yield
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_nodes(p: str, name: str) -> int:
+    return p.count(f"{name} (")
+
+
+# ---------------------------------------------------------------------------
+# cdc_diff
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, price double, status string")
+
+
+def test_cdc_diff_classifies_all_three_ops_and_null_transitions(spark):
+    from apmbackend_spark.operators.cdc import cdc_diff
+
+    old = _snap(
+        spark,
+        [
+            (1, 10.0, "A"),  # unchanged -> dropped
+            (2, 10.0, "A"),  # price change -> update
+            (3, 10.0, "A"),  # deleted
+            (4, None, "A"),  # NULL -> value: update (null-safe compare)
+            (5, 10.0, None),  # NULL status unchanged -> dropped
+            (6, 10.0, "A"),  # value -> NULL: update
+        ],
+    )
+    new = _snap(
+        spark,
+        [
+            (1, 10.0, "A"),
+            (2, 11.0, "A"),
+            (4, 7.0, "A"),
+            (5, 10.0, None),
+            (6, None, "A"),
+            (7, 1.0, "Z"),  # inserted
+        ],
+    )
+    out = cdc_diff(old, new, "k", ("price", "status"))
+    got = {r["k"]: r.asDict() for r in out.collect()}
+    assert set(got) == {2, 3, 4, 6, 7}
+    assert got[2]["op"] == "update" and got[2]["price_new"] == 11.0
+    assert got[3]["op"] == "delete" and got[3]["price_new"] is None
+    assert got[4]["op"] == "update" and got[4]["price_old"] is None
+    assert got[6]["op"] == "update" and got[6]["price_new"] is None
+    assert got[7]["op"] == "insert" and got[7]["price_old"] is None
+
+
+def test_cdc_orders_one_join_pruned_scans_no_python(spark):
+    from apmbackend_spark.operators.cdc import cdc_orders
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = cdc_orders(load_table(spark, SF_SMOKE, "orders"))
+    p = plan(df)
+    # exactly one join — the full-outer equi-join (tree line renders as
+    # "<JoinKind>Join FullOuter (id)") — and no other join anywhere
+    assert p.count("FullOuter (") == 1, p
+    assert p.count("Inner (") + p.count("LeftOuter (") == 0, p
+    assert "Cartesian" not in p and "NestedLoop" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # both snapshot scans prune to the 3 used columns
+    assert "o_custkey" not in p and "o_orderdate" not in p, p
+
+
+def test_cdc_orders_sf0001_classes_are_all_present(spark):
+    from apmbackend_spark.operators.cdc import cdc_orders
+    from apmbackend_spark.sources.loaders import load_table
+
+    out = (
+        cdc_orders(load_table(spark, SF_SMOKE, "orders"))
+        .groupBy("op")
+        .count()
+        .collect()
+    )
+    classes = {r["op"]: r["count"] for r in out}
+    assert set(classes) == {"insert", "delete", "update"}
+    assert all(v > 0 for v in classes.values())
+
+
+# ---------------------------------------------------------------------------
+# compaction_bins
+
+
+def _pack_reference(files, target):
+    """Sequential cumsum-quantized packing, one partition at a time."""
+    bins = {}
+    by_src = {}
+    for src, doc, size in sorted(files):
+        by_src.setdefault(src, []).append((doc, size))
+    for src, fl in by_src.items():
+        cum = 0
+        for doc, size in fl:
+            b = cum // target
+            cum += size
+            key = (src, b)
+            n, tot, lo, hi = bins.get(key, (0, 0, doc, doc))
+            bins[key] = (n + 1, tot + size, min(lo, doc), max(hi, doc))
+    return bins
+
+
+def test_compaction_bins_matches_python_reference(spark):
+    from apmbackend_spark.operators.layout import COMPACT_TARGET, compaction_bins
+
+    files = [
+        ("a", i, 500 + (i * 37) % 900) for i in range(40)
+    ] + [("b", 100 + i, 4000 + i) for i in range(5)]
+    df = spark.createDataFrame(
+        [(s, d, n) for s, d, n in files], "source string, doc_id bigint, n_chars bigint"
+    )
+    got = {
+        (r["source"], r["bin_id"]): (
+            r["n_files"],
+            r["total_bytes"],
+            r["first_doc"],
+            r["last_doc"],
+        )
+        for r in compaction_bins(df).collect()
+    }
+    assert got == _pack_reference(files, COMPACT_TARGET)
+
+
+def test_compaction_bins_files_never_split_and_bytes_conserved(spark):
+    from apmbackend_spark.operators.layout import compaction_bins
+    from apmbackend_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = compaction_bins(docs).collect()
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r["total_bytes"] for r in out) == total
+    # per source: bins form contiguous, non-overlapping doc_id ranges
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["bin_id"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["last_doc"] < b["first_doc"], (src, a, b)
+
+
+def test_compaction_bins_pinned_repartition_no_global_sort(spark):
+    from apmbackend_spark.operators.layout import compaction_bins
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(compaction_bins(load_table(spark, SF_SMOKE, "documents")))
+    assert "REPARTITION_BY_NUM" in p, p  # exempt from AQE byte-coalescing
+    assert "rangepartitioning" not in p.lower(), p  # no global sort
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# event_transitions
+
+
+def _transitions_reference(rows, top_k=3):
+    seqs = {}
+    for eid, ts, uid, et in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        seqs.setdefault(uid, []).append(et)
+    counts = {}
+    for uid, types in seqs.items():
+        for a, b in zip(types, types[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    out = set()
+    prevs = {a for a, _ in counts}
+    for prev in prevs:
+        succ = sorted(
+            ((n, b) for (a, b), n in counts.items() if a == prev),
+            key=lambda x: (-x[0], x[1]),
+        )
+        rank, seen = 0, 0
+        last_n = None
+        for n, b in succ:
+            seen += 1
+            if n != last_n:
+                rank = seen
+                last_n = n
+            if rank <= top_k:
+                out.add((prev, b, n, rank))
+    return out
+
+
+def test_event_transitions_matches_python_reference_with_ties(spark):
+    from apmbackend_spark.operators.sessions import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: a->b, b->a, a->b  (a->b twice)
+    for et in ["a", "b", "a", "b"]:
+        rows.append((eid, t0 + dt.timedelta(seconds=eid), 1, et))
+        eid += 1
+    # user 2: tie — a->c once, and same-timestamp pair ordered by event_id
+    tie_ts = t0 + dt.timedelta(seconds=100)
+    rows.append((eid, tie_ts, 2, "a")); eid += 1
+    rows.append((eid, tie_ts, 2, "c")); eid += 1  # same ts: event_id breaks
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (r["prev_type"], r["next_type"], r["n"], r["rnk"])
+        for r in event_transitions(df).collect()
+    }
+    assert got == _transitions_reference(rows)
+    # the tie pair (a->b n=2 vs a->c n=1) ranked deterministically
+    assert ("a", "b", 2, 1) in got and ("a", "c", 1, 2) in got
+
+
+def test_event_transitions_rank_ties_all_surface(spark):
+    from apmbackend_spark.operators.sessions import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user streams crafted so prev 'x' has successors b,c,d each once:
+    # rank() gives 1,1,1 — all surface even with top_k=2
+    for uid, types in [(1, ["x", "b"]), (2, ["x", "c"]), (3, ["x", "d"])]:
+        for et in types:
+            rows.append((eid, t0 + dt.timedelta(seconds=eid), uid, et))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (r["next_type"], r["rnk"])
+        for r in event_transitions(df, top_k=2).collect()
+    }
+    assert got == {("b", 1), ("c", 1), ("d", 1)}
+
+
+def test_event_transitions_pinned_exchanges_no_python(spark):
+    from apmbackend_spark.operators.sessions import event_transitions
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(event_transitions(load_table(spark, SF_SMOKE, "events")))
+    assert p.count("REPARTITION_BY_NUM") == 2, p  # user window + rank window
+    assert "rangepartitioning" not in p.lower(), p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # pair counting is map-side combinable: partial + final HashAggregate
+    assert n_nodes(p, "HashAggregate") >= 2, p
+
+
+# ---------------------------------------------------------------------------
+# url_canonical
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        # case + www + utm + fragment + param order, all at once
+        (
+            "HTTPS://WWW.Site1.Example.COM/p/2?utm_source=feed&id=4#frag",
+            "https://site1.example.com/p/2?id=4",
+        ),
+        ("https://h.example/x?b=2&a=1", "https://h.example/x?a=1&b=2"),
+        # all params are tracking -> query dropped entirely
+        ("http://h.example/x?utm_a=1&utm_b=2", "http://h.example/x"),
+        # no path -> normalized to "/"
+        ("http://News.example", "http://news.example/"),
+        # fragment alone stripped; path preserved verbatim (case-sensitive)
+        ("https://h.example/CasePath#sec", "https://h.example/CasePath"),
+        # utm_ prefix is a literal, not a LIKE pattern: "utmx" param stays
+        ("https://h.example/x?utmx=1", "https://h.example/x?utmx=1"),
+    ],
+)
+def test_canonical_url_rules(spark, raw, want):
+    from apmbackend_spark.operators.textstats import canonical_url
+
+    got = (
+        spark.range(1)
+        .select(canonical_url(F.lit(raw)).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == want
+
+
+def test_url_canonical_collapses_variant_spellings(spark):
+    from apmbackend_spark.operators.textstats import url_canonical
+    from apmbackend_spark.sources.loaders import load_table
+
+    out = url_canonical(load_table(spark, SF_SMOKE, "documents")).collect()
+    # canonical targets: site{0..5} x p/{0..8} x id={0..4} = bounded set,
+    # every canonical is lowercase, www- and utm- and fragment-free
+    for r in out:
+        c = r["canonical"]
+        assert c.startswith("https://site")
+        assert "utm" not in c and "#" not in c and "WWW" not in c
+        assert r["n_urls"] >= r["n_variants"] >= 1
+    # the corpus produces real collapses (more raw spellings than targets)
+    assert sum(r["n_urls"] for r in out) == 500
+    assert any(r["n_variants"] > 1 for r in out)
+
+
+def test_url_canonical_zero_shuffle_until_agg_no_python(spark):
+    from apmbackend_spark.operators.textstats import url_canonical
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(url_canonical(load_table(spark, SF_SMOKE, "documents")))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # count-distinct Expand strategy: aggregates around exchanges only —
+    # canonicalization itself adds no exchange (scan-side projection)
+    assert n_nodes(p, "Exchange") <= 2, p
+    assert "Join" not in p, p
+    # text column pruned away: only doc_id read
+    assert "ReadSchema: struct<doc_id:bigint>" in p, p
