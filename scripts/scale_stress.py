@@ -213,6 +213,11 @@ def docs_timings(spark, sf_dir: str) -> dict[str, float]:
     t.timed("stratified_sample", lambda: ts.stratified_sample(docs))
     t.timed("containment_pairs", lambda: dd.containment_pairs(docs))
     t.timed("dup_pagerank", lambda: dd.dup_pagerank(docs))
+    # late round-5: per-partition window packing / codegen URL collapse
+    from apmbackend_spark.operators.layout import compaction_bins
+
+    t.timed("compaction_bins", lambda: compaction_bins(docs))
+    t.timed("url_canonical", lambda: ts.url_canonical(docs))
     return t.out
 
 
@@ -268,6 +273,32 @@ def chain_timings(spark, sf_dir: str) -> dict[str, float]:
     t.timed("mad_outliers", lambda: mad_outliers(ev()))
     t.timed("table_profile", lambda: table_profile(ev()))
     t.timed("zorder_layout", lambda: zorder_layout(ev()))
+    # late round-5: one user_id shuffle + tiny rank frame / one full-outer
+    # join on the key — both claim ~K scaling
+    from apmbackend_spark.operators.cdc import cdc_diff
+    from apmbackend_spark.operators.sessions import event_transitions
+
+    t.timed("event_transitions", lambda: event_transitions(ev()))
+
+    def _cdc_events():
+        # snapshot diff stressed on the TILED table: the graded gate runs
+        # on orders (not tiled here); same operator, same plan shape, key
+        # = event_id, compared columns value/event_type with mod-derived
+        # mutations so all three op classes appear at every K
+        e_ = ev()
+        old = e_.where(F.col("event_id") % 13 != 0)
+        new = e_.where(F.col("event_id") % 11 != 0).select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 5 == 0, F.col("value") + F.lit(1.0)
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+            "event_type",
+        )
+        return cdc_diff(old, new, "event_id", ("value", "event_type"))
+
+    t.timed("cdc_diff", _cdc_events)
     return t.out
 
 
