@@ -592,6 +592,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": lambda s, d: ts.url_canonical(
             load_table(s, d, "documents")
         ),
+        # ordered funnel conversion: per-user (ts, event_id)-sorted left
+        # fold advancing a stage pointer — ONE shuffle, codegen aggregate
+        # HOF, no join-per-step; oracle = list_prepend+list_reduce replay
+        "funnel_steps": lambda s, d: sess.funnel_steps(
+            load_table(s, d, "events")
+        ),
+        # percentile clipping profile: exact midpoint p05/p95 bounds,
+        # clip counts and integer-cents clipped total computed IN-ROW
+        # (one shuffle, no rejoin — the mad_outliers discipline)
+        "winsorize": lambda s, d: rb.winsorize(load_table(s, d, "events")),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -644,9 +654,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # cdc_diff / compaction_bins / event_transitions /
             # url_canonical — never-driver-graded gates outrank
             # stale-but-green ones.
+            # ...and dpp_week_rollup / merge_upsert_day for funnel_steps /
+            # winsorize (partitioned.py untouched since their green r2
+            # rows; daily_slice_rollup stays as the refreshed
+            # representative of the partitioned-lake family)
             if k not in (
                 "jmx_poll", "apdex", "top_services",
                 "service_cube", "jmx_rollup", "props_rollup",
+                "dpp_week_rollup", "merge_upsert_day",
             )
         }
         | {
@@ -907,6 +922,8 @@ FROM tx
         "compaction_bins": ly.compaction_bins_oracle_sql(),
         "event_transitions": sess.event_transitions_oracle_sql(),
         "url_canonical": ts.url_canonical_oracle_sql(),
+        "funnel_steps": sess.funnel_steps_oracle_sql(),
+        "winsorize": rb.winsorize_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

@@ -103,3 +103,90 @@ SELECT event_type, day,
            AS n_outliers
 FROM m2
 """
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (percentile clipping) — the feature-prep complement.
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 5.0
+WINSOR_HI = 95.0
+
+
+def winsorize(
+    events: DataFrame, lo: float = WINSOR_LO, hi: float = WINSOR_HI
+) -> DataFrame:
+    """Per-group winsorization profile: clip ``value`` to the group's exact
+    [p_lo, p_hi] midpoint percentiles and report the clip bounds, how many
+    rows hit each side, and the exact clipped total.
+
+    This is the standard robust feature-prep step (cap tails before
+    normalization so one sensor glitch cannot dominate a scaler) — the
+    forward transform whose detection-side sibling is ``mad_outliers``.
+
+    Plan shape: the same ONE-shuffle discipline as mad_outliers — group
+    collect, then bounds AND every derived statistic computed inside the
+    per-group row with higher-order functions (transform → aggregate), so
+    there is no join back onto the raw rows. The clipped SUM is folded in
+    integer cents (engine fixed-point rule: floor(v*100 + 0.5)) — exact
+    integer addition is order-free, so the total is bit-identical across
+    engines with no float-sum ordering contract needed.
+
+    Scale: exact percentiles need the group multiset (same bound and same
+    documented ``percentile_approx`` flip as mad_outliers); everything
+    after the collect is O(group) in-row codegen.
+    """
+    g = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("value")).alias("arr"))
+    )
+    g = g.withColumn("p_lo", midpoint_percentile(F.col("arr"), lo)).withColumn(
+        "p_hi", midpoint_percentile(F.col("arr"), hi)
+    )
+    plo, phi = F.col("p_lo"), F.col("p_hi")
+    clip_cents = F.transform(
+        F.col("arr"),
+        lambda v: F.floor(
+            F.least(F.greatest(v, plo), phi) * F.lit(100.0) + F.lit(0.5)
+        ),
+    )
+    return g.select(
+        "event_type",
+        "p_lo",
+        "p_hi",
+        F.size(F.filter(F.col("arr"), lambda v: v < plo)).alias("n_low"),
+        F.size(F.filter(F.col("arr"), lambda v: v > phi)).alias("n_high"),
+        F.aggregate(
+            clip_cents, F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("sum_cents"),
+    )
+
+
+def winsorize_oracle_sql(lo: float = WINSOR_LO, hi: float = WINSOR_HI) -> str:
+    p_lo = midpoint_percentile_sql("arr", lo)
+    p_hi = midpoint_percentile_sql("arr", hi)
+    return f"""
+WITH g AS (
+    SELECT event_type, list_sort(list(value)) AS arr
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+), b AS (
+    SELECT event_type, arr, {p_lo} AS p_lo, {p_hi} AS p_hi FROM g
+)
+SELECT event_type, p_lo, p_hi,
+       CAST(len(list_filter(arr, v -> v < p_lo)) AS INTEGER) AS n_low,
+       CAST(len(list_filter(arr, v -> v > p_hi)) AS INTEGER) AS n_high,
+       list_reduce(
+           list_prepend(
+               CAST(0 AS BIGINT),
+               list_transform(
+                   arr,
+                   v -> CAST(floor(LEAST(GREATEST(v, p_lo), p_hi) * 100.0
+                                   + 0.5) AS BIGINT)
+               )
+           ),
+           (a, x) -> a + x
+       ) AS sum_cents
+FROM b
+"""

@@ -292,3 +292,119 @@ SELECT prev_type, next_type, n,
 FROM counts
 QUALIFY rnk <= {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion (sequential-pattern matching per user).
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_steps(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
+    """Per-user funnel conversion: how far each user advanced through an
+    ORDERED step sequence (each step must occur strictly after the match
+    of the previous one), with the timestamp of each completed step.
+
+    This is the sequential-dependency query a naive SQL translation gets
+    wrong (three MIN(CASE...) aggregates ignore ordering) and the one
+    behind every conversion dashboard. Semantics: sort each user's events
+    by (ts, event_id) — a total, deterministic order — and fold left,
+    advancing a stage pointer on the first event matching the next step.
+
+    Physical shape: ONE shuffle (groupBy user_id with a partial-merged
+    collect_list); the fold itself is a codegen higher-order ``aggregate``
+    over the in-row array — no Python, no second pass, no join per step
+    (a step-per-join plan would shuffle k times). The per-user event list
+    must fit in one aggregation buffer — the same bound as any per-entity
+    sequence operator; for unbounded histories the documented flip is the
+    sessionized fold via ``applyInPandasWithState`` (streaming/stateful.py
+    pattern), identical per-step semantics.
+
+    Output: user_id, stage reached (0..len(steps)), and t1..tk epoch-
+    microsecond timestamps of each completed step (NULL past the stage).
+    """
+    from functools import reduce as _reduce  # noqa: F401
+
+    k = len(steps)
+    elems = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("ty"),
+            )
+        )
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        *[F.lit(None).cast("long").alias(f"t{i+1}") for i in range(k)],
+    )
+
+    def merge(acc, x):
+        w = None
+        for i, s in enumerate(steps):
+            cond = (acc["stage"] == i) & (x["ty"] == F.lit(s))
+            new = F.struct(
+                F.lit(i + 1).cast("int").alias("stage"),
+                *[
+                    (x["ts_us"] if j == i else acc[f"t{j+1}"]).alias(
+                        f"t{j+1}"
+                    )
+                    for j in range(k)
+                ],
+            )
+            w = F.when(cond, new) if w is None else w.when(cond, new)
+        return w.otherwise(acc)
+
+    folded = (
+        events.groupBy("user_id")
+        .agg(elems.alias("xs"))
+        .select("user_id", F.aggregate(F.col("xs"), init, merge).alias("f"))
+    )
+    return folded.select(
+        "user_id",
+        F.col("f.stage").alias("stage"),
+        *[F.col(f"f.t{i+1}").alias(f"t{i+1}") for i in range(k)],
+    )
+
+
+def funnel_steps_oracle_sql(steps=FUNNEL_STEPS) -> str:
+    k = len(steps)
+    tfields = ", ".join(
+        f"t{i+1} := CAST(NULL AS BIGINT)" for i in range(k)
+    )
+    elem = (
+        "struct_pack(stage := CAST(NULL AS INTEGER), "
+        + tfields
+        + ", ts_us := epoch_us(ts), ty := event_type)"
+    )
+    init = (
+        "struct_pack(stage := 0, "
+        + tfields
+        + ", ts_us := CAST(NULL AS BIGINT), ty := CAST(NULL AS VARCHAR))"
+    )
+    branches = []
+    for i, s in enumerate(steps):
+        sets = ", ".join(
+            f"t{j+1} := " + ("x.ts_us" if j == i else f"acc.t{j+1}")
+            for j in range(k)
+        )
+        branches.append(
+            f"WHEN acc.stage = {i} AND x.ty = '{s}' THEN "
+            f"struct_pack(stage := {i+1}, {sets}, "
+            "ts_us := CAST(NULL AS BIGINT), ty := CAST(NULL AS VARCHAR))"
+        )
+    case = "CASE " + " ".join(branches) + " ELSE acc END"
+    touts = ", ".join(f"f.t{i+1} AS t{i+1}" for i in range(k))
+    return f"""
+WITH seq AS (
+    SELECT user_id, list({elem} ORDER BY ts, event_id) AS xs
+    FROM events GROUP BY user_id
+), folded AS (
+    SELECT user_id,
+           list_reduce(list_prepend({init}, xs), (acc, x) -> {case}) AS f
+    FROM seq
+)
+SELECT user_id, f.stage AS stage, {touts} FROM folded
+"""

@@ -330,3 +330,137 @@ def test_url_canonical_zero_shuffle_until_agg_no_python(spark):
     assert "Join" not in p, p
     # text column pruned away: only doc_id read
     assert "ReadSchema: struct<doc_id:bigint>" in p, p
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps
+
+
+def _funnel_reference(rows, steps):
+    seqs = {}
+    for eid, ts, uid, et in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        seqs.setdefault(uid, []).append((ts, et))
+    out = {}
+    for uid, evs in seqs.items():
+        stage, times = 0, [None] * len(steps)
+        for ts, et in evs:
+            if stage < len(steps) and et == steps[stage]:
+                times[stage] = int(ts.timestamp() * 1_000_000)
+                stage += 1
+        out[uid] = (stage, *times)
+    return out
+
+
+def test_funnel_steps_order_matters_and_matches_reference(spark):
+    from apmbackend_spark.operators.sessions import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+    steps = ("view", "click", "purchase")
+    rows, eid = [], 0
+
+    def add(uid, et, sec):
+        nonlocal eid
+        rows.append((eid, t0 + dt.timedelta(seconds=sec), uid, et))
+        eid += 1
+
+    # user 1: full conversion in order
+    add(1, "view", 0); add(1, "click", 10); add(1, "purchase", 20)
+    # user 2: purchase BEFORE view — must not count; stalls at stage 1
+    add(2, "purchase", 0); add(2, "view", 10)
+    # user 3: no funnel events at all
+    add(3, "error", 0)
+    # user 4: repeated views then click — first view's ts is kept
+    add(4, "view", 0); add(4, "view", 5); add(4, "click", 9)
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        r["user_id"]: (r["stage"], r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(df, steps).collect()
+    }
+    assert got == _funnel_reference(rows, steps)
+    assert got[1][0] == 3 and got[2][0] == 1 and got[3][0] == 0
+    # user 4 kept the FIRST view timestamp
+    assert got[4][1] == int(t0.timestamp() * 1_000_000)
+
+
+def test_funnel_steps_same_timestamp_breaks_by_event_id(spark):
+    from apmbackend_spark.operators.sessions import funnel_steps
+
+    ts = dt.datetime(2024, 1, 1)
+    # view and click share a timestamp; event_id order makes click come
+    # AFTER view, so the funnel advances through both
+    df = spark.createDataFrame(
+        [(10, ts, 1, "view"), (11, ts, 1, "click")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    row = funnel_steps(df).collect()[0]
+    assert row["stage"] == 2
+    # reversed ids: click sorts first, funnel only reaches stage 1
+    df2 = spark.createDataFrame(
+        [(11, ts, 1, "view"), (10, ts, 1, "click")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    assert funnel_steps(df2).collect()[0]["stage"] == 1
+
+
+def test_funnel_steps_one_shuffle_no_python_no_join(spark):
+    from apmbackend_spark.operators.sessions import funnel_steps
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(funnel_steps(load_table(spark, SF_SMOKE, "events")))
+    assert n_nodes(p, "Exchange") == 1, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# winsorize
+
+
+def test_winsorize_matches_python_reference(spark):
+    from apmbackend_spark.functions.percentile import midpoint_percentile_py
+    from apmbackend_spark.operators.robust import winsorize
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0, -50.0, 7.5, 8.25, 9.0]
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "t", v, None) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    r = winsorize(df).collect()[0]
+    s = sorted(vals)
+    p_lo = midpoint_percentile_py(s, 5.0)
+    p_hi = midpoint_percentile_py(s, 95.0)
+    assert (r["p_lo"], r["p_hi"]) == (p_lo, p_hi)
+    assert r["n_low"] == sum(1 for v in vals if v < p_lo)
+    assert r["n_high"] == sum(1 for v in vals if v > p_hi)
+    import math
+
+    assert r["sum_cents"] == sum(
+        math.floor(min(max(v, p_lo), p_hi) * 100.0 + 0.5) for v in vals
+    )
+
+
+def test_winsorize_clip_bounds_cover_all_rows(spark):
+    from apmbackend_spark.operators.robust import winsorize
+    from apmbackend_spark.sources.loaders import load_table
+
+    out = winsorize(load_table(spark, SF_SMOKE, "events")).collect()
+    assert len(out) == 5  # one row per event_type
+    for r in out:
+        assert r["p_lo"] <= r["p_hi"]
+        assert r["n_low"] >= 0 and r["n_high"] >= 0
+        # clipping 5% tails: each side holds under ~6% of the group
+        # (fixture groups are ~200 rows; midpoint rule rounds)
+
+
+def test_winsorize_one_shuffle_in_row_stats_no_rejoin(spark):
+    from apmbackend_spark.operators.robust import winsorize
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(winsorize(load_table(spark, SF_SMOKE, "events")))
+    assert n_nodes(p, "Exchange") == 1, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
