@@ -602,6 +602,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clip counts and integer-cents clipped total computed IN-ROW
         # (one shuffle, no rejoin — the mad_outliers discipline)
         "winsorize": lambda s, d: rb.winsorize(load_table(s, d, "events")),
+        # count-min-sketch heavy hitters: sketch shuffle bounded at
+        # depth x width rows regardless of key cardinality, md5-derived
+        # hash rows replayed exactly in DuckDB, one-sided error graded
+        # (est >= exact with the overestimate as an output column)
+        "heavy_hitters_cms": lambda s, d: pf.heavy_hitters_cms(
+            load_table(s, d, "events")
+        ),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -658,10 +665,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # winsorize (partitioned.py untouched since their green r2
             # rows; daily_slice_rollup stays as the refreshed
             # representative of the partitioned-lake family)
+            # ...and account_coverage for heavy_hitters_cms (setops.py
+            # untouched since its green r2 row)
             if k not in (
                 "jmx_poll", "apdex", "top_services",
                 "service_cube", "jmx_rollup", "props_rollup",
-                "dpp_week_rollup", "merge_upsert_day",
+                "dpp_week_rollup", "merge_upsert_day", "account_coverage",
             )
         }
         | {
@@ -924,6 +933,7 @@ FROM tx
         "url_canonical": ts.url_canonical_oracle_sql(),
         "funnel_steps": sess.funnel_steps_oracle_sql(),
         "winsorize": rb.winsorize_oracle_sql(),
+        "heavy_hitters_cms": pf.heavy_hitters_cms_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

@@ -288,3 +288,140 @@ SELECT dim,
 FROM rated
 GROUP BY dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (bounded-memory frequency estimation).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 64  # counters per row — deliberately small so the fixture
+# actually exercises collisions (overestimates are part of the gate)
+CMS_HOT_FACTOR = 1.2  # heavy hitter: estimate > factor * (n / n_keys)
+
+
+def heavy_hitters_cms(events: DataFrame) -> DataFrame:
+    """Heavy-hitter detection through a count-min sketch, with the exact
+    count alongside so the sketch's one-sided error (est >= exact, always)
+    is itself graded.
+
+    Why a sketch when a groupBy gives exact counts: the skew-handling
+    split (``skew.py``) needs the HOT KEY SET before it can salt, and at
+    100 TB with billions of distinct keys the exact pre-aggregation is
+    itself the skewed shuffle you were trying to avoid. The CMS pass
+    shuffles a frame bounded at depth x width rows (here 4 x 64) NO
+    MATTER the key cardinality — each task map-side-combines its
+    (seed, bucket) counts, so the sketch costs one scan plus a
+    constant-size exchange; the hot-key probe then broadcasts the sketch.
+
+    Determinism: the d hash rows come from the engine's md5-derived
+    60-bit hash (``functions/text.hash64``) with the seed concatenated
+    into the key — identical in DuckDB, so buckets, counters, and every
+    estimate replay exactly. All integers; no floats anywhere except the
+    final threshold compare (one multiply of exact ints).
+
+    Output: each key whose estimate exceeds ``CMS_HOT_FACTOR`` x the mean
+    key load, with est (CMS estimate), exact_n, and the overestimate —
+    collision error made visible and hash-graded.
+    """
+    from apmbackend_spark.functions.text import hash64
+
+    seeds = F.array(*[F.lit(s) for s in range(CMS_DEPTH)])
+    keyed = events.select(F.col("user_id").alias("key"))
+    hashed = keyed.select(
+        "key", F.explode(seeds).alias("seed")
+    ).select(
+        "seed",
+        (
+            hash64(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("seed").cast("string"),
+                    F.lit(":"),
+                    F.col("key").cast("string"),
+                )
+            )
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    sketch = hashed.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+
+    exact = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select(
+        "key", "exact_n", F.explode(seeds).alias("seed")
+    ).select(
+        "key",
+        "exact_n",
+        "seed",
+        (
+            hash64(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("seed").cast("string"),
+                    F.lit(":"),
+                    F.col("key").cast("string"),
+                )
+            )
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("counter").alias("est"))
+    )
+    totals = keyed.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("key").alias("__k"),
+    )
+    return (
+        est.crossJoin(F.broadcast(totals))
+        .where(
+            F.col("est").cast("double")
+            > F.lit(CMS_HOT_FACTOR)
+            * (F.col("__n").cast("double") / F.col("__k").cast("double"))
+        )
+        .select(
+            "key",
+            "est",
+            "exact_n",
+            (F.col("est") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
+
+
+def heavy_hitters_cms_oracle_sql() -> str:
+    from apmbackend_spark.functions.text import hash64_sql
+
+    seeds = ", ".join(f"({s})" for s in range(CMS_DEPTH))
+    h = hash64_sql("'cms' || CAST(s.seed AS VARCHAR) || ':' || CAST(key AS VARCHAR)")
+    return f"""
+WITH seeds(seed) AS (VALUES {seeds}),
+keyed AS (SELECT user_id AS key FROM events),
+hashed AS (
+    SELECT s.seed, ({h}) % {CMS_WIDTH} AS bucket
+    FROM keyed CROSS JOIN seeds s
+),
+sketch AS (
+    SELECT seed, bucket, COUNT(*) AS counter FROM hashed GROUP BY seed, bucket
+),
+exact AS (SELECT key, COUNT(*) AS exact_n FROM keyed GROUP BY key),
+probes AS (
+    SELECT key, exact_n, s.seed, ({h}) % {CMS_WIDTH} AS bucket
+    FROM exact CROSS JOIN seeds s
+),
+est AS (
+    SELECT p.key, p.exact_n, MIN(sk.counter) AS est
+    FROM probes p JOIN sketch sk ON p.seed = sk.seed AND p.bucket = sk.bucket
+    GROUP BY p.key, p.exact_n
+),
+totals AS (
+    SELECT COUNT(*) AS n, COUNT(DISTINCT key) AS k FROM keyed
+)
+SELECT e.key, e.est, e.exact_n, e.est - e.exact_n AS overestimate
+FROM est e, totals t
+WHERE CAST(e.est AS DOUBLE)
+      > {CMS_HOT_FACTOR} * (CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE))
+"""

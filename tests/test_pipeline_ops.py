@@ -464,3 +464,79 @@ def test_winsorize_one_shuffle_in_row_stats_no_rejoin(spark):
     assert n_nodes(p, "Exchange") == 1, p
     assert "Join" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_cms
+
+
+def _cms_reference(keys, depth, width, factor):
+    import hashlib
+
+    def h(seed, key):
+        md = hashlib.md5(f"cms{seed}:{key}".encode()).hexdigest()
+        return int(md[:15], 16) % width
+
+    sketch = {}
+    for k in keys:
+        for s in range(depth):
+            b = (s, h(s, k))
+            sketch[b] = sketch.get(b, 0) + 1
+    exact = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+    n, u = len(keys), len(exact)
+    out = {}
+    for k, xn in exact.items():
+        est = min(sketch[(s, h(s, k))] for s in range(depth))
+        if est > factor * (n / u):
+            out[k] = (est, xn, est - xn)
+    return out
+
+
+def test_heavy_hitters_cms_matches_python_reference(spark):
+    from apmbackend_spark.operators.profile import (
+        CMS_DEPTH,
+        CMS_HOT_FACTOR,
+        CMS_WIDTH,
+        heavy_hitters_cms,
+    )
+
+    # skewed key stream: key 7 dominates, a mid key, many singletons
+    keys = [7] * 50 + [13] * 20 + list(range(100, 140))
+    rows = [
+        (i, dt.datetime(2024, 1, 1), k, "t", 1.0, None)
+        for i, k in enumerate(keys)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["key"]: (r["est"], r["exact_n"], r["overestimate"])
+        for r in heavy_hitters_cms(df).collect()
+    }
+    assert got == _cms_reference(keys, CMS_DEPTH, CMS_WIDTH, CMS_HOT_FACTOR)
+    assert 7 in got and got[7][1] == 50
+
+
+def test_heavy_hitters_cms_estimate_never_undercounts(spark):
+    from apmbackend_spark.operators.profile import heavy_hitters_cms
+    from apmbackend_spark.sources.loaders import load_table
+
+    out = heavy_hitters_cms(load_table(spark, SF_SMOKE, "events")).collect()
+    assert len(out) >= 1
+    for r in out:
+        assert r["est"] >= r["exact_n"]  # CMS error is one-sided
+        assert r["overestimate"] == r["est"] - r["exact_n"]
+
+
+def test_heavy_hitters_cms_sketch_broadcast_no_python(spark):
+    from apmbackend_spark.operators.profile import heavy_hitters_cms
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(heavy_hitters_cms(load_table(spark, SF_SMOKE, "events")))
+    assert "BroadcastExchange" in p, p  # sketch + totals broadcast
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p, p  # probe join must not shuffle-sort
