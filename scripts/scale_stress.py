@@ -299,6 +299,14 @@ def chain_timings(spark, sf_dir: str) -> dict[str, float]:
         return cdc_diff(old, new, "event_id", ("value", "event_type"))
 
     t.timed("cdc_diff", _cdc_events)
+
+    from apmbackend_spark.operators.profile import heavy_hitters_cms
+    from apmbackend_spark.operators.robust import winsorize
+    from apmbackend_spark.operators.sessions import funnel_steps
+
+    t.timed("funnel_steps", lambda: funnel_steps(ev()))
+    t.timed("winsorize", lambda: winsorize(ev()))
+    t.timed("heavy_hitters_cms", lambda: heavy_hitters_cms(ev()))
     return t.out
 
 
