@@ -609,6 +609,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": lambda s, d: pf.heavy_hitters_cms(
             load_table(s, d, "events")
         ),
+        # STREAMING funnel: per-user stage pointer in the state store
+        # across 3 time-cut deliveries (cuts land mid-sequence, so the
+        # cross-batch carry is forced); graded against the SAME oracle as
+        # the batch operator — the two forms must agree exactly
+        "stream_funnel": lambda s, d: topo.stream_funnel_gate(s, d),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -671,6 +676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "jmx_poll", "apdex", "top_services",
                 "service_cube", "jmx_rollup", "props_rollup",
                 "dpp_week_rollup", "merge_upsert_day", "account_coverage",
+                # displaced for stream_funnel (logparse's log_extract path
+                # unchanged since its green r3 row; log_sessions, whose
+                # code DID change this round, stays windowed)
+                "log_extract",
             )
         }
         | {
@@ -934,6 +943,7 @@ FROM tx
         "funnel_steps": sess.funnel_steps_oracle_sql(),
         "winsorize": rb.winsorize_oracle_sql(),
         "heavy_hitters_cms": pf.heavy_hitters_cms_oracle_sql(),
+        "stream_funnel": sess.funnel_steps_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

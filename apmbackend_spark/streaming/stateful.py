@@ -576,3 +576,82 @@ def zscore_tws(
         outputMode="append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: per-user sequential-pattern state machine.
+# ---------------------------------------------------------------------------
+
+
+def funnel_stateful(
+    events_stream: DataFrame, steps: tuple[str, ...]
+) -> DataFrame:
+    """The streaming form of ``operators/sessions.funnel_steps`` — the
+    documented flip for unbounded per-user histories: instead of
+    collecting a user's whole event list into one aggregation buffer, the
+    funnel's stage pointer and step timestamps live in the STATE STORE
+    and each micro-batch advances them over just that batch's rows.
+
+    State per user: (stage, t1..tk, n_seen) — O(k), independent of
+    history length; per-task input is one micro-batch. Batch rows are
+    folded in (ts_us, event_id) order, the same total order as the batch
+    operator, so on time-cut deliveries the two forms agree exactly.
+
+    Each batch emits the user's post-batch funnel row tagged with the
+    cumulative ``n_seen``; a key's final row is its max-``n_seen`` one
+    (strictly increasing across the batches that contain the key, so the
+    argmax is unique and deterministic).
+    """
+    k = len(steps)
+    out_schema = (
+        "user_id long, stage int, "
+        + ", ".join(f"t{i+1} long" for i in range(k))
+        + ", n_seen long"
+    )
+    state_schema = StructType(
+        [StructField("stage", IntegerType())]
+        + [StructField(f"t{i+1}", LongType()) for i in range(k)]
+        + [StructField("n_seen", LongType())]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            stored = state.get
+            stage = int(stored[0])
+            times = [
+                None if stored[1 + i] is None else int(stored[1 + i])
+                for i in range(k)
+            ]
+            n_seen = int(stored[1 + k])
+        else:
+            stage, times, n_seen = 0, [None] * k, 0
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        n_seen += len(rows)
+        if stage < k:
+            for ty, tus in zip(rows["event_type"], rows["ts_us"]):
+                if ty == steps[stage]:
+                    times[stage] = int(tus)
+                    stage += 1
+                    if stage == k:
+                        break
+        state.update((stage, *times, n_seen))
+        out = {"user_id": pd.Series([uid], dtype="int64")}
+        out["stage"] = pd.Series([stage], dtype="int32")
+        for i in range(k):
+            out[f"t{i+1}"] = pd.Series([times[i]], dtype="Int64")
+        out["n_seen"] = pd.Series([n_seen], dtype="int64")
+        yield pd.DataFrame(out)
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

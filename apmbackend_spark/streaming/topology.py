@@ -606,3 +606,93 @@ SELECT * FROM sessions
 WHERE session_end <= (SELECT MAX(endts) FROM tx_sliced) - {SESSIONS_GATE_WATERMARK_MS}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel gate: cross-batch sequential-pattern state.
+# ---------------------------------------------------------------------------
+
+EVENTS_STREAM_SCHEMA = (
+    "user_id long, event_id long, event_type string, ts_us long"
+)
+
+
+def stream_funnel_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    n_deliveries: int = 3,
+    shuffle_partitions: int = 8,
+    timeout_s: int = 300,
+) -> "DataFrame":
+    """Graded BOUNDED-STATE form of the ordered funnel
+    (``operators/sessions.funnel_steps``): the events table arrives as
+    ``n_deliveries`` time-consecutive parquet deliveries (one micro-batch
+    each); ``funnel_stateful`` advances each user's stage pointer with its
+    (stage, t1..tk) state persisted in the STATE STORE across batches.
+    The time cuts land mid-sequence — a user whose 'view' sits in batch 1
+    and 'click' in batch 2 converts ONLY if the cross-batch state carry
+    works — and the final per-user rows are graded against the SAME
+    DuckDB oracle as the batch operator (the two forms must agree
+    exactly).
+
+    The final row per user is the max-``n_seen`` emission (unique:
+    n_seen strictly increases across the batches containing the key).
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from apmbackend_spark.streaming.stateful import funnel_stateful
+
+    work = tempfile.mkdtemp(prefix="apm_funnel_gate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src, out = os.path.join(work, "src"), os.path.join(work, "out")
+
+    from apmbackend_spark.sources.loaders import load_table
+
+    # load_table, not a bare read: the fixture's ts must come back as
+    # TIMESTAMP (a vanilla driver session infers TIMESTAMP_NTZ, on which
+    # unix_micros does not resolve)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .localCheckpoint()  # one scan for the bounds probe + all deliveries
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    lo, hi = int(lo), int(hi) + 1
+    step = max((hi - lo) // int(n_deliveries), 1)
+    bounds = [lo + j * step for j in range(int(n_deliveries))] + [hi]
+    _write_time_deliveries(ev, src, "ts_us", bounds)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    folded = funnel_stateful(stream, steps)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        _run_stage(folded, out, os.path.join(work, "ck"), timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    k = len(steps)
+    emitted = spark.read.parquet(out)
+    final = emitted.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("stage", *[f"t{i+1}" for i in range(k)]), F.col("n_seen")
+        ).alias("f")
+    )
+    return final.select(
+        "user_id",
+        F.col("f.stage").alias("stage"),
+        *[F.col(f"f.t{i+1}").alias(f"t{i+1}") for i in range(k)],
+    )

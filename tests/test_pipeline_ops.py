@@ -540,3 +540,64 @@ def test_heavy_hitters_cms_sketch_broadcast_no_python(spark):
     assert "BroadcastExchange" in p, p  # sketch + totals broadcast
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p, p  # probe join must not shuffle-sort
+
+
+# ---------------------------------------------------------------------------
+# stream_funnel (cross-batch stateful funnel)
+
+
+def test_stream_funnel_state_carries_across_mid_sequence_cut(spark, tmp_path):
+    """A user's 'view' lands in delivery 1 and 'click'/'purchase' in
+    delivery 2: conversion REQUIRES the state-store carry. A second user
+    converts entirely inside delivery 1 (the no-carry control)."""
+    import datetime as dt
+
+    from apmbackend_spark.streaming.topology import stream_funnel_gate
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view early (delivery 1), click+purchase late (delivery 2+)
+        (0, t0 + dt.timedelta(hours=0), 1, "view", 1.0, None),
+        (1, t0 + dt.timedelta(hours=20), 1, "click", 1.0, None),
+        (2, t0 + dt.timedelta(hours=28), 1, "purchase", 1.0, None),
+        # user 2: full conversion inside the first third of the range
+        (3, t0 + dt.timedelta(hours=1), 2, "view", 1.0, None),
+        (4, t0 + dt.timedelta(hours=2), 2, "click", 1.0, None),
+        (5, t0 + dt.timedelta(hours=3), 2, "purchase", 1.0, None),
+        # user 3: stalls at stage 1 — its click precedes its view
+        (6, t0 + dt.timedelta(hours=5), 3, "click", 1.0, None),
+        (7, t0 + dt.timedelta(hours=25), 3, "view", 1.0, None),
+        # pad the time range so the 3 time cuts split the sequences
+        (8, t0 + dt.timedelta(hours=30), 4, "error", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r["user_id"]: (r["stage"], r["t1"], r["t2"], r["t3"])
+        for r in stream_funnel_gate(spark, sf, n_deliveries=3).collect()
+    }
+    us = lambda h: int((t0 + dt.timedelta(hours=h)).timestamp() * 1_000_000)
+    assert got[1] == (3, us(0), us(20), us(28))  # cross-batch conversion
+    assert got[2] == (3, us(1), us(2), us(3))
+    assert got[3] == (1, us(25), None, None)
+    assert got[4] == (0, None, None, None)
+
+
+def test_stream_funnel_matches_batch_operator_on_fixture(spark):
+    from apmbackend_spark.operators.sessions import funnel_steps
+    from apmbackend_spark.sources.loaders import load_table
+    from apmbackend_spark.streaming.topology import stream_funnel_gate
+
+    batch = {
+        tuple(r)
+        for r in funnel_steps(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    stream = {
+        tuple(r) for r in stream_funnel_gate(spark, SF_SMOKE).collect()
+    }
+    assert batch == stream
