@@ -47,6 +47,7 @@ from apmbackend_spark.operators import robust as rb
 from apmbackend_spark.operators import profile as pf
 from apmbackend_spark.operators import layout as ly
 from apmbackend_spark.operators import cdc
+from apmbackend_spark.operators import seasonal as sea
 from apmbackend_spark.streaming import topology as topo
 
 ZSCORE_LAGS = (60, 360)
@@ -614,6 +615,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-batch carry is forced); graded against the SAME oracle as
         # the batch operator — the two forms must agree exactly
         "stream_funnel": lambda s, d: topo.stream_funnel_gate(s, d),
+        # hour-of-day seasonal baseline scoring: the time-of-day anomaly
+        # model the trailing-window z-score is blind to; bounded broadcast
+        # baseline (|series| x 24), integer-cents sufficient statistics
+        "seasonal_baseline": lambda s, d: sea.seasonal_baseline(
+            load_table(s, d, "events")
+        ),
+        # Theil-Sen robust trend per series: O(H^2) pair stage confined to
+        # the bounded hourly grid (time-span-sized, volume-independent),
+        # medians on the graded midpoint rule
+        "trend_slopes": lambda s, d: sea.trend_slopes(
+            load_table(s, d, "events")
+        ),
+        # mergeable power-of-two histogram sketch quantiles: bit-length
+        # binning (no libm log), fixed |groups| x 64 sketch frame, the
+        # documented scale flip for the exact-percentile family
+        "hist_quantiles": lambda s, d: pf.hist_quantiles(
+            load_table(s, d, "events")
+        ),
+        # recency-weighted feature-store counters: dyadic-exact 2^-age
+        # decay folded as scaled integers (order-free), one combinable agg
+        "decayed_counts": lambda s, d: sess.decayed_counts(
+            load_table(s, d, "events")
+        ),
+        # incremental materialized-view maintenance: base rollup + signed
+        # changelog delta; the oracle recomputes directly from the new
+        # snapshot, so the gate proves increment == recompute
+        "rollup_incremental": lambda s, d: cdc.rollup_incremental(
+            load_table(s, d, "orders")
+        ),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -656,7 +686,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stale = (
         # gauge_asof joins the displaced set (asof.py untouched since its
         # green r3 row) to make room for the 4 late-round-5 gates below.
-        {k: v for k, v in core.items() if k not in round5 and k != "gauge_asof"}
+        # correlate/acct_enrich displaced for seasonal_baseline /
+        # trend_slopes (correlation.py untouched this round, green r2
+        # rows, judge overflow re-runs them).
+        {
+            k: v
+            for k, v in core.items()
+            if k not in round5
+            and k not in ("gauge_asof", "correlate", "acct_enrich")
+        }
         | {
             k: v
             for k, v in apm_extra.items()
@@ -680,6 +718,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # unchanged since its green r3 row; log_sessions, whose
                 # code DID change this round, stays windowed)
                 "log_extract",
+                # displaced for hist_quantiles / decayed_counts /
+                # rollup_incremental: bucketing.py, skew.py and the
+                # daily-slice path of partitioned.py are untouched this
+                # round and all three keep green driver rows
+                "bucketed_enrich", "skew_salted_join", "daily_slice_rollup",
             )
         }
         | {
@@ -944,6 +987,11 @@ FROM tx
         "winsorize": rb.winsorize_oracle_sql(),
         "heavy_hitters_cms": pf.heavy_hitters_cms_oracle_sql(),
         "stream_funnel": sess.funnel_steps_oracle_sql(),
+        "seasonal_baseline": sea.seasonal_baseline_oracle_sql(),
+        "trend_slopes": sea.trend_slopes_oracle_sql(),
+        "hist_quantiles": pf.hist_quantiles_oracle_sql(),
+        "decayed_counts": sess.decayed_counts_oracle_sql(),
+        "rollup_incremental": cdc.rollup_incremental_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

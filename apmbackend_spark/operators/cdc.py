@@ -91,6 +91,7 @@ def _new_snapshot(orders: DataFrame) -> DataFrame:
     key = F.col("o_orderkey")
     return orders.where(key % NEW_DROP_MOD != 0).select(
         "o_orderkey",
+        "o_custkey",
         # +1..+7 integer bump: exact in IEEE doubles, never zero, so every
         # bumped key really is an update in both engines.
         F.when(
@@ -145,4 +146,108 @@ FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
 WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-aggregate maintenance: apply the changelog to a
+# base rollup instead of rescanning the fact table.
+# ---------------------------------------------------------------------------
+
+def _order_cents(col: str) -> F.Column:
+    # engine-wide fixed-point rule: exact integer cents, order-free sums
+    return F.floor(F.col(col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+def rollup_incremental(orders: DataFrame) -> DataFrame:
+    """Maintain the per-customer (n_orders, total_cents) rollup across a
+    snapshot transition INCREMENTALLY: base aggregate over the old
+    snapshot, plus a signed delta computed from the *changed keys only*
+    (insert -> +new, delete -> -old, update -> new-old), merged by one
+    union + re-aggregate. The oracle recomputes the same rollup directly
+    from the new snapshot — so the gate IS the differential proof that
+    changelog application equals full recomputation.
+
+    Scale shape: this is the materialized-view pattern a 100 TB lake needs
+    — the base rollup is a stored table, and per cycle only the delta
+    (changelog-sized, here derived in-plan via the cdc full-outer join)
+    shuffles; nothing rescans history. All quantities are exact integer
+    counts/cents, so the merge is order-free and bit-deterministic.
+    """
+    old = _old_snapshot(orders).select(
+        "o_orderkey", "o_custkey", _order_cents("o_totalprice").alias("c")
+    )
+    new = _new_snapshot(orders).select(
+        "o_orderkey", "o_custkey", _order_cents("o_totalprice").alias("c")
+    )
+    base = old.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum("c").alias("total_cents")
+    )
+    o = old.select(
+        F.col("o_orderkey").alias("__ok"),
+        F.col("o_custkey").alias("ck_o"),
+        F.col("c").alias("c_o"),
+    )
+    n = new.select(
+        F.col("o_orderkey").alias("__nk"),
+        F.col("o_custkey").alias("ck_n"),
+        F.col("c").alias("c_n"),
+    )
+    changed = (
+        F.col("__ok").isNull()
+        | F.col("__nk").isNull()
+        | ~F.col("c_o").eqNullSafe(F.col("c_n"))
+    )
+    delta = (
+        o.join(n, o["__ok"] == n["__nk"], "full_outer")
+        .where(changed)
+        .select(
+            F.coalesce(F.col("ck_o"), F.col("ck_n")).alias("o_custkey"),
+            (
+                F.when(F.col("__nk").isNotNull(), 1)
+                .otherwise(0)
+                - F.when(F.col("__ok").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("c_n"), F.lit(0).cast("long"))
+                - F.coalesce(F.col("c_o"), F.lit(0).cast("long"))
+            ).alias("total_cents"),
+        )
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+def rollup_incremental_oracle_sql() -> str:
+    # Direct recomputation over the new snapshot — deliberately NOT the
+    # incremental path, so the gate proves base+delta == recompute.
+    return f"""
+WITH new_snap AS (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % {PRICE_BUMP_MOD} = 0
+                THEN o_totalprice
+                     + CAST(o_orderkey % 7 + 1 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % {NEW_DROP_MOD} <> 0
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM new_snap
+GROUP BY o_custkey
 """

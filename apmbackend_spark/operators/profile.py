@@ -425,3 +425,157 @@ FROM est e, totals t
 WHERE CAST(e.est AS DOUBLE)
       > {CMS_HOT_FACTOR} * (CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE))
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram-sketch quantiles: the mergeable scale path for percentiles.
+# ---------------------------------------------------------------------------
+# The engine's exact midpoint percentile (functions/percentile.py, reference
+# util_methods.js:112-142) needs each group's full multiset — fine for
+# traffic-bounded windows, unusable for an unbounded 100 TB column. The
+# standard fix is a fixed-shape mergeable sketch: bucket values into
+# power-of-two bins (floor(log2(cents)), computed as bit-length so the
+# binning is pure INTEGER arithmetic — no log() call whose libm rounding
+# could differ across engines), count per bin, and read quantiles back by
+# linear interpolation inside the target bin. The sketch is a (|groups| x
+# <=64)-row frame regardless of input volume, every stage is map-side
+# combinable, and two sketches merge by adding counts — the streaming /
+# multi-day rollup shape. Relative error is bounded by the bin ratio (2x
+# worst case; the pytest guard asserts the measured bound against the exact
+# percentile).
+
+HIST_QS = (50.0, 95.0, 99.0)
+
+
+def _hist_est(arr, n, q: float):
+    """Interpolated quantile from the sorted (bin, cnt) array: fold keeps
+    (cum, est), fills est in the first bin where cum reaches ceil(q*n)."""
+    target = F.ceil(F.lit(q / 100.0) * n.cast("double")).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("est"),
+    )
+
+    def step(acc, x):
+        lo = x["lo"].cast("double")
+        frac = (target - acc["cum"]).cast("double") / x["cnt"].cast("double")
+        return F.struct(
+            (acc["cum"] + x["cnt"]).alias("cum"),
+            F.coalesce(
+                acc["est"],
+                F.when(acc["cum"] + x["cnt"] >= target, lo + lo * frac),
+            ).alias("est"),
+        )
+
+    # est is in cents: /100.0 back to value units (one extra double op,
+    # identical on both engines).
+    return F.aggregate(arr, init, step)["est"] / F.lit(100.0)
+
+
+def hist_quantiles(events: DataFrame) -> DataFrame:
+    """Per event_type: n plus sketched p50/p95/p99 of `value`.
+
+    Bin index = bit_length(cents) - 1 via the binary-string length (Spark
+    `bin()` and DuckDB `bin()` render identically); non-positive cents
+    clamp to 1 so the sketch is total on dirty inputs.
+    """
+    cents = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long"),
+    )
+    binned = (
+        events.where(F.col("value").isNotNull())
+        .select("event_type", (F.length(F.bin(cents)) - 1).alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # lo = 2^bin as an exact integer (shiftleft, never pow()): carried in
+    # the element struct because the HOF lambda can't take a literal shift
+    binned = binned.withColumn(
+        "lo", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT))")
+    )
+    g = binned.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("bin"), F.col("cnt"), F.col("lo"))
+            )
+        ).alias("arr"),
+    )
+    n = F.col("n")
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        *[
+            _hist_est(F.col("arr"), n, q).alias(f"q{int(q)}")
+            for q in HIST_QS
+        ],
+    )
+
+
+def _hist_est_sql(q: float) -> str:
+    # DuckDB list_reduce has no init value: prepend a zero accumulator of
+    # the SAME struct type as the transformed elements (the funnel_steps
+    # unified-struct pattern) and fold left-to-right over the sorted bins.
+    # The lambda body MUST be a whole-struct CASE, not one struct_pack
+    # with per-field conditionals: DuckDB 1.0 mis-resolves `a.<field>`
+    # references inside a bare struct_pack lambda body (a.cum reads the
+    # NEW cum — verified probe), while the funnel-style CASE-of-structs
+    # form evaluates the accumulator correctly.
+    target = f"CAST(ceil({q / 100.0!r} * CAST(n AS DOUBLE)) AS BIGINT)"
+    lo = "CAST(x.lo AS DOUBLE)"
+    return f"""
+        list_reduce(
+            list_prepend(
+                struct_pack(cum := CAST(0 AS BIGINT),
+                            est := CAST(NULL AS DOUBLE),
+                            cnt := CAST(0 AS BIGINT),
+                            lo := CAST(0 AS BIGINT)),
+                list_transform(
+                    arr,
+                    e -> struct_pack(cum := e.cnt,
+                                     est := CAST(NULL AS DOUBLE),
+                                     cnt := e.cnt, lo := e.lo)
+                )
+            ),
+            (a, x) -> CASE
+                WHEN a.est IS NULL AND a.cum + x.cnt >= {target}
+                THEN struct_pack(
+                        cum := a.cum + x.cnt,
+                        est := {lo} + {lo}
+                               * (CAST({target} - a.cum AS DOUBLE)
+                                  / CAST(x.cnt AS DOUBLE)),
+                        cnt := CAST(0 AS BIGINT), lo := CAST(0 AS BIGINT))
+                ELSE struct_pack(
+                        cum := a.cum + x.cnt, est := a.est,
+                        cnt := CAST(0 AS BIGINT), lo := CAST(0 AS BIGINT))
+            END
+        ).est / 100.0"""
+
+
+def hist_quantiles_oracle_sql() -> str:
+    ests = ",\n       ".join(
+        f"({_hist_est_sql(q)}) AS q{int(q)}" for q in HIST_QS
+    )
+    return f"""
+WITH binned AS (
+    SELECT event_type,
+           length(bin(GREATEST(
+               CAST(1 AS BIGINT),
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT)))) - 1 AS bin,
+           COUNT(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+), g AS (
+    SELECT event_type,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           list_sort(list({{'bin': CAST(bin AS BIGINT),
+                            'cnt': CAST(cnt AS BIGINT),
+                            'lo': CAST(1::BIGINT << CAST(bin AS INT)
+                                       AS BIGINT)}})) AS arr
+    FROM binned GROUP BY event_type
+)
+SELECT event_type, n,
+       {ests}
+FROM g
+"""

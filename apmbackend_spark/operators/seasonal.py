@@ -1,0 +1,307 @@
+"""Seasonal baseline anomaly scoring + robust trend estimation.
+
+The reference's z-score cascade (``z_score.js``, ``util_methods.js:30-60``)
+models "normal" as the trailing ``lag`` intervals — blind to *time-of-day*
+structure: a 9 AM traffic surge that happens every day re-alarms every
+morning. The standard APM fix is a seasonal baseline: learn per
+(series, hour-of-day) statistics from a training span, then score later
+intervals against the hour's own history. ``seasonal_baseline`` is that
+operator, built with the engine's established determinism discipline:
+
+* per-row values are quantized to integer cents (``floor(v*100 + 0.5)``,
+  the fixed-point rule shared with ``winsorize``/``topology_wire``), so
+  every aggregate is an order-free exact integer sum — no float-summation
+  ordering contract is needed between engines;
+* mean/variance come from the (n, Σc, Σc²) sufficient statistics; the
+  final mean/σ/z are a short fixed sequence of IEEE double ops (casts,
+  one subtraction per term, one division, one sqrt) written identically
+  in the Spark plan and the DuckDB oracle — bit-identical by construction;
+* a zero-variance baseline yields z = NULL, the engine-wide rendering of
+  the reference's "constant series never signal" quirk
+  (``util_methods.js:44-48``).
+
+Plan shape: ONE scan of events feeds both halves (the split is a pure
+filter), each half is a map-side-combinable groupBy on low-cardinality
+keys, and the baseline frame — bounded at |series| × 24 rows *regardless
+of data volume* — broadcast-joins onto the scored intervals. No sort, no
+window, no Python. At 100 TB the only full-data stage is the first
+partial aggregate.
+
+``trend_slopes`` is the second robust complement: Theil–Sen (median of
+pairwise slopes) over the per-hour interval counts, the estimator of
+drift that a single outlier interval cannot drag (its breakdown point is
+~29 %, vs 0 % for OLS). The all-pairs stage is O(H²) in the number of
+*hour buckets* — bounded by the time span, independent of event volume —
+so the quadratic piece never touches raw data. Medians reuse the graded
+midpoint-percentile rule (``functions/percentile.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apmbackend_spark.functions.percentile import (
+    midpoint_percentile,
+    midpoint_percentile_sql,
+)
+
+# Train on the first three weeks of the fixture month, score the rest.
+BASELINE_LAST_DAY = 21
+# |z| above this flags the interval (classic 3-sigma rule).
+Z_FLAG = 3.0
+
+_CENTS = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+
+
+def _cents(col: str = "value") -> F.Column:
+    return F.floor(F.col(col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+def seasonal_baseline(events: DataFrame) -> DataFrame:
+    """Hour-of-day baseline scoring: per (event_type, day, hour) interval
+    in the scoring span, the z of its mean value against the same
+    (event_type, hour) baseline learned from days 1..BASELINE_LAST_DAY.
+
+    Output: event_type, day, hour, n_obs, mean_cents, base_n, base_mean,
+    base_sd, z (NULL when the baseline is absent or has zero variance),
+    anomalous.
+    """
+    ev = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.dayofmonth("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+        _cents().alias("c"),
+    )
+    base = (
+        ev.where(F.col("day") <= BASELINE_LAST_DAY)
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count("*").alias("base_n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+    )
+    # All-double sufficient-statistic algebra (cast BEFORE multiplying so
+    # the Σc·Σc product can never hit int64 overflow at scale); clamp the
+    # catastrophic-cancellation residue at 0 so sqrt never sees -1e-10.
+    nd = F.col("base_n").cast("double")
+    sd_ = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    var = F.greatest(nd * s2d - sd_ * sd_, F.lit(0.0)) / (nd * nd)
+    base = base.select(
+        "event_type",
+        "hour",
+        "base_n",
+        (sd_ / nd).alias("base_mean"),
+        F.sqrt(var).alias("base_sd"),
+    )
+    score = (
+        ev.where(F.col("day") > BASELINE_LAST_DAY)
+        .groupBy("event_type", "day", "hour")
+        .agg(F.count("*").alias("n_obs"), F.sum("c").alias("sc"))
+        .select(
+            "event_type",
+            "day",
+            "hour",
+            "n_obs",
+            (F.col("sc").cast("double") / F.col("n_obs").cast("double")).alias(
+                "mean_cents"
+            ),
+        )
+    )
+    j = score.join(F.broadcast(base), ["event_type", "hour"], "left")
+    z = F.when(
+        F.col("base_sd") > F.lit(0.0),
+        (F.col("mean_cents") - F.col("base_mean")) / F.col("base_sd"),
+    )  # missing or zero-variance baseline -> NULL (never signals)
+    return j.select(
+        "event_type",
+        "day",
+        "hour",
+        "n_obs",
+        "mean_cents",
+        "base_n",
+        "base_mean",
+        "base_sd",
+        z.alias("z"),
+        (z.isNotNull() & (F.abs(z) > F.lit(Z_FLAG))).alias("anomalous"),
+    )
+
+
+def seasonal_baseline_oracle_sql() -> str:
+    return f"""
+WITH ev AS (
+    SELECT event_type,
+           EXTRACT(day FROM ts) AS day,
+           EXTRACT(hour FROM ts) AS hour,
+           {_CENTS} AS c
+    FROM events WHERE value IS NOT NULL
+), base AS (
+    SELECT event_type, hour,
+           COUNT(*) AS base_n,
+           CAST(SUM(c) AS DOUBLE) AS s,
+           CAST(SUM(c * c) AS DOUBLE) AS s2
+    FROM ev WHERE day <= {BASELINE_LAST_DAY}
+    GROUP BY 1, 2
+), basest AS (
+    SELECT event_type, hour, base_n,
+           s / CAST(base_n AS DOUBLE) AS base_mean,
+           sqrt(GREATEST(CAST(base_n AS DOUBLE) * s2 - s * s, 0.0)
+                / (CAST(base_n AS DOUBLE) * CAST(base_n AS DOUBLE)))
+               AS base_sd
+    FROM base
+), score AS (
+    SELECT event_type, day, hour,
+           COUNT(*) AS n_obs,
+           CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cents
+    FROM ev WHERE day > {BASELINE_LAST_DAY}
+    GROUP BY 1, 2, 3
+)
+SELECT s.event_type,
+       CAST(s.day AS INT) AS day,
+       CAST(s.hour AS INT) AS hour,
+       s.n_obs,
+       s.mean_cents,
+       b.base_n,
+       b.base_mean,
+       b.base_sd,
+       CASE WHEN b.base_sd > 0.0
+            THEN (s.mean_cents - b.base_mean) / b.base_sd END AS z,
+       CASE WHEN b.base_sd > 0.0
+            THEN abs((s.mean_cents - b.base_mean) / b.base_sd) > {Z_FLAG!r}
+            ELSE FALSE END AS anomalous
+FROM score s LEFT JOIN basest b USING (event_type, hour)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend over the hourly interval series.
+# ---------------------------------------------------------------------------
+
+# Fixed epoch-hour anchor (2024-01-01 00:00 UTC) so the intercept has a
+# defined origin and the slope arithmetic stays in small integers.
+ANCHOR_HOUR = 1_704_067_200 // 3600
+
+
+def trend_slopes(events: DataFrame) -> DataFrame:
+    """Per event_type: Theil–Sen trend of the hourly event-count series.
+
+    slope = median over all hour pairs (h1 < h2) of (c2-c1)/(h2-h1)
+    [events/hour²]; intercept = median of (c_i - slope * h_i) at the
+    ANCHOR_HOUR origin (Siegel-style residual median).
+
+    Plan: raw rows reduce to the bounded (event_type, hour) grid first
+    (ONE map-side-combinable shuffle); the O(H²) pair stage and both
+    medians run on the grid only. The grid seam is localCheckpoint-pinned
+    so the self-join's two consumers share one computed aggregate instead
+    of re-scanning events twice (the doc_span_dup lesson).
+    """
+    hourly = (
+        events.groupBy(
+            "event_type",
+            # integer DIV, not `/`: double division of epoch micros rounds
+            # at the 2^53 boundary and can truncate to the wrong hour
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "event_type",
+            (F.col("hr") - F.lit(ANCHOR_HOUR)).alias("h"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = hourly.select(
+        F.col("event_type").alias("et"),
+        F.col("h").alias("h1"),
+        F.col("cnt").alias("c1"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("et"),
+        F.col("h").alias("h2"),
+        F.col("cnt").alias("c2"),
+    )
+    slopes = (
+        a.join(b, "et")
+        .where(F.col("h1") < F.col("h2"))
+        .select(
+            F.col("et").alias("event_type"),
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / (F.col("h2") - F.col("h1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    med_slope = (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.array_sort(F.collect_list("slope")).alias("arr"),
+        )
+        .select(
+            "event_type",
+            "n_pairs",
+            midpoint_percentile(F.col("arr"), 50.0).alias("slope_per_hour"),
+        )
+    )
+    resid = hourly.join(F.broadcast(med_slope), "event_type").select(
+        "event_type",
+        "n_pairs",
+        "slope_per_hour",
+        (
+            F.col("cnt").cast("double")
+            - F.col("slope_per_hour") * F.col("h").cast("double")
+        ).alias("r"),
+    )
+    return (
+        resid.groupBy("event_type", "n_pairs", "slope_per_hour")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.array_sort(F.collect_list("r")).alias("arr"),
+        )
+        .select(
+            "event_type",
+            F.col("n_points").cast("long").alias("n_points"),
+            "n_pairs",
+            "slope_per_hour",
+            midpoint_percentile(F.col("arr"), 50.0).alias("intercept"),
+        )
+    )
+
+
+def trend_slopes_oracle_sql() -> str:
+    med = midpoint_percentile_sql("arr", 50.0)
+    return f"""
+WITH hourly AS (
+    SELECT event_type,
+           epoch_us(ts) // 3600000000 - {ANCHOR_HOUR} AS h,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+), slopes AS (
+    SELECT a.event_type,
+           CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
+    FROM hourly a JOIN hourly b
+      ON a.event_type = b.event_type AND a.h < b.h
+), med AS (
+    SELECT event_type, n_pairs, {med} AS slope_per_hour
+    FROM (
+        SELECT event_type, COUNT(*) AS n_pairs,
+               list_sort(list(slope)) AS arr
+        FROM slopes GROUP BY event_type
+    )
+), resid AS (
+    SELECT h.event_type, m.n_pairs, m.slope_per_hour,
+           CAST(h.cnt AS DOUBLE)
+               - m.slope_per_hour * CAST(h.h AS DOUBLE) AS r
+    FROM hourly h JOIN med m USING (event_type)
+)
+SELECT event_type, n_points, n_pairs, slope_per_hour, {med} AS intercept
+FROM (
+    SELECT event_type, n_pairs, slope_per_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           list_sort(list(r)) AS arr
+    FROM resid GROUP BY 1, 2, 3
+)
+"""

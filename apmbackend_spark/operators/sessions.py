@@ -408,3 +408,79 @@ WITH seq AS (
 )
 SELECT user_id, f.stage AS stage, {touts} FROM folded
 """
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed engagement counters (feature-store shape).
+# ---------------------------------------------------------------------------
+
+# Scoring instant: fixed one tick past the fixture month (a literal, not
+# max(ts) — a data-derived as-of would need a driver-side scalar or a
+# global aggregate broadcast; a serving pipeline scores at a KNOWN time).
+DECAY_ASOF = "2024-01-31 00:00:00"
+DECAY_ASOF_US = 1_706_659_200_000_000  # epoch micros of the above, UTC
+# Dyadic-exact decay: half-life = 1 day on whole-day ages, so every weight
+# is 2^-age — an exact power of two. Weights are folded as the SCALED
+# integer 2^(DECAY_SCALE - age) and divided back once at the end: integer
+# sums are order-free, so the result is bit-identical across engines with
+# no float-summation contract (the engine-wide cents discipline, applied
+# to exponential decay).
+DECAY_SCALE = 40  # ages beyond this floor at weight 2^-DECAY_SCALE (~9e-13)
+
+
+def decayed_counts(events: DataFrame) -> DataFrame:
+    """Per (user_id, event_type): n_events, last-seen epoch-ms, and the
+    exponentially decayed event count at DECAY_ASOF (half-life 1 day).
+
+    decayed = Σ 2^-min(age_days, DECAY_SCALE)   [age floored to whole days]
+
+    Plan: ONE map-side-combinable groupBy — count, max, and an integer sum
+    — over a single scan; this is the classic feature-store aggregation
+    (recency-weighted engagement) and stays a single partial-agg shuffle
+    at any scale. The scaled sum is a BIGINT: worst case every event at
+    age 0 needs n * 2^40, i.e. ~8M rows per (user, type) before overflow;
+    the documented 100 TB flip is summing as DECIMAL(38,0) (same plan).
+    """
+    w = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"{DECAY_SCALE} - CAST(LEAST(CAST(({DECAY_ASOF_US} - unix_micros(ts))"
+        f" div 86400000000 AS INT), {DECAY_SCALE}) AS INT))"
+    )
+    return (
+        events.where(F.col("ts") <= F.to_timestamp(F.lit(DECAY_ASOF)))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_millis(F.max("ts")).alias("last_seen_ms"),
+            F.sum(w).alias("sw"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "n_events",
+            "last_seen_ms",
+            (
+                F.col("sw").cast("double")
+                / F.lit(float(1 << DECAY_SCALE))
+            ).alias("decayed"),
+        )
+    )
+
+
+def decayed_counts_oracle_sql() -> str:
+    age = f"(({DECAY_ASOF_US} - epoch_us(ts)) // 86400000000)"
+    return f"""
+WITH w AS (
+    SELECT user_id, event_type, ts,
+           CAST(1 AS BIGINT) << CAST(
+               {DECAY_SCALE} - LEAST({age}, {DECAY_SCALE}) AS INT) AS wt
+    FROM events
+    WHERE ts <= TIMESTAMP '{DECAY_ASOF}'
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       epoch_ms(MAX(ts)) AS last_seen_ms,
+       CAST(SUM(wt) AS DOUBLE) / {float(1 << DECAY_SCALE)!r} AS decayed
+FROM w
+GROUP BY user_id, event_type
+"""

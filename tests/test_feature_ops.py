@@ -1,0 +1,337 @@
+"""Round-5 feature/serving operators: seasonal baseline scoring, Theil–Sen
+trends, histogram-sketch quantiles, decayed counters, incremental rollup
+maintenance.
+
+Same contract as test_pipeline_ops.py: semantics against an independent
+pure-Python reference or an in-Spark differential (NOT the DuckDB oracle —
+scripts/check_oracle.py grades that), plus a physical-plan assertion per
+scale claim."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _ts(day: int, hour: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour, minute, 0)
+
+
+def _events(spark, rows):
+    # (event_id, ts, user_id, event_type, value)
+    return spark.createDataFrame(
+        [r + ("{}",) for r in rows],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_baseline
+
+
+def test_seasonal_baseline_matches_hand_computation(spark):
+    from apmbackend_spark.operators.seasonal import seasonal_baseline
+
+    rows = []
+    eid = 0
+    # baseline: hour 9 of days 1..4 for type 'a' -> values 10, 12, 10, 12
+    for day, v in ((1, 10.0), (2, 12.0), (3, 10.0), (4, 12.0)):
+        rows.append((eid := eid + 1, _ts(day, 9), 1, "a", v))
+    # scoring: day 25 hour 9, two obs mean 20 -> z = (2000-1100)/100 = 9
+    rows.append((eid := eid + 1, _ts(25, 9), 1, "a", 20.0))
+    rows.append((eid := eid + 1, _ts(25, 9, 30), 1, "a", 20.0))
+    # scoring hour with NO baseline -> z NULL, not anomalous
+    rows.append((eid := eid + 1, _ts(25, 10), 1, "a", 99.0))
+    out = {
+        (r["event_type"], r["day"], r["hour"]): r.asDict()
+        for r in seasonal_baseline(_events(spark, rows)).collect()
+    }
+    hit = out[("a", 25, 9)]
+    # baseline cents: mean 1100, sd = 100 (pop stddev of 1000/1200 x2)
+    assert hit["base_n"] == 4
+    assert hit["base_mean"] == 1100.0
+    assert hit["base_sd"] == 100.0
+    assert hit["mean_cents"] == 2000.0
+    assert hit["z"] == 9.0
+    assert hit["anomalous"] is True
+    miss = out[("a", 25, 10)]
+    assert miss["z"] is None and miss["anomalous"] is False
+
+
+def test_seasonal_baseline_zero_variance_never_signals(spark):
+    from apmbackend_spark.operators.seasonal import seasonal_baseline
+
+    rows = [
+        (1, _ts(1, 9), 1, "a", 10.0),
+        (2, _ts(2, 9), 1, "a", 10.0),
+        (3, _ts(25, 9), 1, "a", 10000.0),  # wild deviation
+    ]
+    [r] = seasonal_baseline(_events(spark, rows)).collect()
+    # constant baseline -> sd 0 -> the reference variance-0 quirk: never signal
+    assert r["base_sd"] == 0.0
+    assert r["z"] is None
+    assert r["anomalous"] is False
+
+
+def test_seasonal_baseline_broadcasts_baseline_no_python(spark):
+    from apmbackend_spark.operators.seasonal import seasonal_baseline
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = seasonal_baseline(load_table(spark, SF_SMOKE, "events"))
+    p = plan(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p and "BatchEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# trend_slopes
+
+
+def test_trend_slopes_matches_python_reference_and_resists_outlier(spark):
+    from apmbackend_spark.functions.percentile import midpoint_percentile_py
+    from apmbackend_spark.operators.seasonal import trend_slopes
+
+    # hourly counts: 1,2,3,...,12 events in hours 0..11 of day 1 (slope 1
+    # per hour), plus one wild 80-event outlier hour at hour 13.
+    rows = []
+    eid = 0
+    counts = {h: h + 1 for h in range(12)}
+    counts[13] = 80
+    for h, c in counts.items():
+        for i in range(c):
+            rows.append((eid := eid + 1, _ts(1, h, i % 60), 1, "a", 1.0))
+    out = {r["event_type"]: r.asDict() for r in trend_slopes(_events(spark, rows)).collect()}
+    got = out["a"]
+
+    # independent reference: all pair slopes, midpoint-rule median
+    hs = sorted(counts)
+    slopes = sorted(
+        (counts[h2] - counts[h1]) / (h2 - h1)
+        for i, h1 in enumerate(hs)
+        for h2 in hs[i + 1 :]
+    )
+    want_slope = midpoint_percentile_py(slopes, 50.0)
+    assert got["n_pairs"] == len(slopes)
+    assert got["n_points"] == len(hs)
+    assert got["slope_per_hour"] == want_slope
+    # robustness: the outlier hour cannot drag the slope far from 1
+    assert 0.8 <= got["slope_per_hour"] <= 1.5
+    # intercept: median residual at the anchor origin
+    anchor_h = [
+        int((_ts(1, h) - dt.datetime(2024, 1, 1)).total_seconds() // 3600)
+        for h in hs
+    ]
+    resid = sorted(
+        counts[h] - want_slope * ah for h, ah in zip(hs, anchor_h)
+    )
+    assert got["intercept"] == midpoint_percentile_py(resid, 50.0)
+
+
+def test_trend_slopes_pairs_on_grid_no_cartesian_no_python(spark):
+    from apmbackend_spark.operators.seasonal import trend_slopes
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = trend_slopes(load_table(spark, SF_SMOKE, "events"))
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "Python" not in p and "BatchEvalPython" not in p
+    # the pair join consumes the checkpointed GRID, not the raw table:
+    # no parquet scan may appear upstream of the join
+    assert p.count("Scan parquet") == 0, p
+
+
+# ---------------------------------------------------------------------------
+# hist_quantiles
+
+
+def test_hist_quantiles_lands_in_the_exact_quantiles_bin(spark):
+    from apmbackend_spark.operators.profile import HIST_QS, hist_quantiles
+    from apmbackend_spark.sources.loaders import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    got = {r["event_type"]: r.asDict() for r in hist_quantiles(events).collect()}
+    vals = (
+        events.where(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in vals:
+        by_type.setdefault(r["event_type"], []).append(
+            max(1, math.floor(r["value"] * 100.0 + 0.5))
+        )
+    for et, cents in by_type.items():
+        cents.sort()
+        assert got[et]["n"] == len(cents)
+        for q in HIST_QS:
+            # the exact rank-q value's power-of-two bin [lo, 2lo] must
+            # contain the sketch estimate: that IS the sketch's error bound
+            exact = cents[math.ceil(q / 100.0 * len(cents)) - 1]
+            lo = 1 << (exact.bit_length() - 1)
+            est_cents = got[et][f"q{int(q)}"] * 100.0
+            assert lo <= est_cents <= 2 * lo, (et, q, exact, est_cents)
+
+
+def test_hist_quantiles_interpolates_exactly_on_tiny_case(spark):
+    from apmbackend_spark.operators.profile import hist_quantiles
+
+    # cents: 100 (bin 6, lo=64), 300 x3 (bin 8, lo=256)  n=4
+    rows = [
+        (1, _ts(1, 0), 1, "a", 1.0),
+        (2, _ts(1, 1), 1, "a", 3.0),
+        (3, _ts(1, 2), 1, "a", 3.0),
+        (4, _ts(1, 3), 1, "a", 3.0),
+    ]
+    [r] = hist_quantiles(_events(spark, rows)).collect()
+    # q50: target ceil(.5*4)=2 -> bin 8 after cum 1: est=256+256*(2-1)/3
+    assert r["q50"] == (256 + 256 * (2 - 1) / 3) / 100.0
+    # q99: target 4 -> est = 256 + 256*(4-1)/3 = 512 (bin top)
+    assert r["q99"] == 5.12
+
+
+def test_hist_quantiles_single_scan_single_wide_agg_no_python(spark):
+    from apmbackend_spark.operators.profile import hist_quantiles
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = hist_quantiles(load_table(spark, SF_SMOKE, "events"))
+    p = plan(df)
+    # one scan detail block == one parquet scan in the plan
+    assert p.count("InMemoryFileIndex") == 1, p
+    assert "Python" not in p and "BatchEvalPython" not in p
+    assert "Exchange" in p  # exactly the two grouped aggs
+    assert "CartesianProduct" not in p and "Join" not in p
+
+
+# ---------------------------------------------------------------------------
+# decayed_counts
+
+
+def test_decayed_counts_matches_python_reference(spark):
+    from apmbackend_spark.operators.sessions import (
+        DECAY_ASOF_US,
+        DECAY_SCALE,
+        decayed_counts,
+    )
+
+    asof = dt.datetime(2024, 1, 31)
+    rows = [
+        (1, asof - dt.timedelta(hours=1), 7, "a", 1.0),     # age 0
+        (2, asof - dt.timedelta(days=1), 7, "a", 1.0),      # age 1
+        (3, asof - dt.timedelta(days=2, hours=3), 7, "a", 1.0),  # age 2
+        (4, asof - dt.timedelta(days=10), 7, "b", 1.0),     # age 10
+        (5, asof + dt.timedelta(hours=1), 7, "a", 1.0),     # future: dropped
+    ]
+    out = {
+        (r["user_id"], r["event_type"]): r.asDict()
+        for r in decayed_counts(_events(spark, rows)).collect()
+    }
+    a = out[(7, "a")]
+    assert a["n_events"] == 3
+    assert a["decayed"] == 1.0 + 0.5 + 0.25
+    assert a["last_seen_ms"] == int(
+        (asof - dt.timedelta(hours=1)).replace(tzinfo=dt.timezone.utc).timestamp() * 1000
+    )
+    b = out[(7, "b")]
+    assert b["decayed"] == 2.0**-10
+    assert DECAY_ASOF_US == int(asof.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert DECAY_SCALE >= 30  # fixture ages (<=30d) never hit the cap
+
+
+def test_decayed_counts_age_cap_floors_not_throws(spark):
+    from apmbackend_spark.operators.sessions import DECAY_SCALE, decayed_counts
+
+    rows = [(1, dt.datetime(2014, 1, 1), 1, "a", 1.0)]  # ~10 years old
+    [r] = decayed_counts(_events(spark, rows)).collect()
+    assert r["decayed"] == 2.0**-DECAY_SCALE
+
+
+def test_decayed_counts_one_combinable_agg_no_python(spark):
+    from apmbackend_spark.operators.sessions import decayed_counts
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = decayed_counts(load_table(spark, SF_SMOKE, "events"))
+    p = plan(df)
+    assert p.count("InMemoryFileIndex") == 1
+    assert "Python" not in p
+    # partial + final hash aggregate around ONE exchange
+    assert p.count("HashAggregate (") == 2, p
+    # the as-of cutoff reaches the scan as a pushed filter
+    assert "PushedFilters: [IsNotNull(ts), LessThanOrEqual(ts," in p, p
+
+
+# ---------------------------------------------------------------------------
+# rollup_incremental
+
+
+def test_rollup_incremental_equals_direct_recompute(spark):
+    """The in-Spark differential: base + changelog delta must equal the
+    direct aggregate over the new snapshot, row for row."""
+    from apmbackend_spark.operators.cdc import (
+        _new_snapshot,
+        _order_cents,
+        rollup_incremental,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    inc = {
+        r["o_custkey"]: (r["n_orders"], r["total_cents"])
+        for r in rollup_incremental(orders).collect()
+    }
+    direct = {
+        r["o_custkey"]: (r["n_orders"], r["total_cents"])
+        for r in _new_snapshot(orders)
+        .select("o_custkey", _order_cents("o_totalprice").alias("c"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("c").alias("total_cents"),
+        )
+        .collect()
+    }
+    assert inc == direct
+    assert len(inc) > 0
+
+
+def test_rollup_incremental_handles_vanished_customer(spark):
+    """A customer whose only order is deleted must vanish from the rollup
+    (n drops to 0 -> filtered), not linger as a zero row."""
+    from apmbackend_spark.operators.cdc import NEW_DROP_MOD, OLD_DROP_MOD, rollup_incremental
+
+    # orderkey 11 survives the old snapshot (11 % 13 != 0) but is dropped
+    # from the new one (11 % 11 == 0); custkey 999 has no other orders.
+    rows = [
+        (11, 999, "O", 10.0, dt.datetime(1995, 1, 1), "1-URGENT"),
+        (24, 500, "O", 20.0, dt.datetime(1995, 1, 2), "1-URGENT"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {r["o_custkey"]: r.asDict() for r in rollup_incremental(orders).collect()}
+    assert 999 not in out
+    assert out[500]["n_orders"] == 1 and out[500]["total_cents"] == 2000
+
+
+def test_rollup_incremental_no_cartesian_no_python(spark):
+    from apmbackend_spark.operators.cdc import rollup_incremental
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(rollup_incremental(load_table(spark, SF_SMOKE, "orders")))
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+    assert "FullOuter (" in p  # the changelog derivation join
