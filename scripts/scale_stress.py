@@ -71,6 +71,63 @@ def tile_events(spark, sf_dir: str, out_dir: str, k: int) -> str:
     return out_dir
 
 
+def tile_events_dense(spark, sf_dir: str, out_dir: str, k: int) -> str:
+    """K copies of events with the SAME timestamps (event_id offset only):
+    row volume grows Kx while the time span — and with it every
+    span-bounded structure (hour-of-day baseline frame, hourly trend
+    grid, day partitions) — stays fixed. The densification shape a
+    traffic increase produces, vs tile_events' retention-growth shape."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * int(n))).alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(k)
+    ]
+    tiled = copies[0]
+    for c in copies[1:]:
+        tiled = tiled.unionAll(c)
+    dest = os.path.join(out_dir, "events.parquet")
+    tiled.repartition(32).write.mode("overwrite").parquet(dest)
+    return out_dir
+
+
+def tile_orders(spark, sf_dir: str, out_dir: str, k: int) -> str:
+    """K copies of orders, order- and cust-key offset: Kx keys, constant
+    per-customer group size — the customer-base-growth shape."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    max_ok, max_ck = od.agg(
+        F.max("o_orderkey"), F.max("o_custkey")
+    ).first()
+    copies = [
+        od.select(
+            (F.col("o_orderkey") + F.lit(i * (int(max_ok) + 1))).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.lit(i * (int(max_ck) + 1))).alias(
+                "o_custkey"
+            ),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        for i in range(k)
+    ]
+    tiled = copies[0]
+    for c in copies[1:]:
+        tiled = tiled.unionAll(c)
+    dest = os.path.join(out_dir, "orders.parquet")
+    tiled.repartition(32).write.mode("overwrite").parquet(dest)
+    return out_dir
+
+
 def tile_embeddings(spark, sf_dir: str, out_dir: str, k: int) -> str:
     """K copies of embeddings, vec_id-offset; each copy's vectors are
     dimension-ROLLED by the copy index (a cyclic permutation — preserves
@@ -399,6 +456,45 @@ def main() -> None:
             t.timed("bpe_train", lambda: ts.bpe_train(docs))
             t.timed("bpe_encode", lambda: ts.bpe_encode(docs))
             t.timed("power_iter_pca", lambda: sim.power_iter_pca(embs))
+            return t.out
+
+        print("timing 1x ...", flush=True)
+        suite(sf_dir)  # warm pass
+        base = suite(sf_dir)
+        print(f"timing {k}x ...", flush=True)
+        big = suite(scaled_dir)
+        _report(base, big, k)
+
+    if mode == "features":
+        # round-5 feature/serving ops. Events are tiled DENSE (same time
+        # span, Kx rows) — the honest test of the volume-independent-grid
+        # claims: seasonal's baseline frame and trend's hourly grid must
+        # stay FIXED while row volume grows, so near-linear factors mean
+        # "only the combinable first pass touches the new data".
+        from apmbackend_spark.operators.cdc import rollup_incremental
+        from apmbackend_spark.operators.profile import hist_quantiles
+        from apmbackend_spark.operators.seasonal import (
+            seasonal_baseline,
+            trend_slopes,
+        )
+        from apmbackend_spark.operators.sessions import decayed_counts
+
+        print(
+            f"tiling events (dense) + orders {k}x into {scaled_dir} ...",
+            flush=True,
+        )
+        tile_events_dense(spark, sf_dir, scaled_dir, k)
+        tile_orders(spark, sf_dir, scaled_dir, k)
+
+        def suite(d: str) -> dict[str, float]:
+            t = _Timer(spark)
+            ev = lambda: spark.read.parquet(f"{d}/events.parquet")  # noqa: E731
+            od = lambda: spark.read.parquet(f"{d}/orders.parquet")  # noqa: E731
+            t.timed("seasonal_baseline", lambda: seasonal_baseline(ev()))
+            t.timed("trend_slopes", lambda: trend_slopes(ev()))
+            t.timed("hist_quantiles", lambda: hist_quantiles(ev()))
+            t.timed("decayed_counts", lambda: decayed_counts(ev()))
+            t.timed("rollup_incremental", lambda: rollup_incremental(od()))
             return t.out
 
         print("timing 1x ...", flush=True)
