@@ -18,7 +18,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_GAP_MINUTES = 5.0
@@ -483,4 +483,151 @@ SELECT user_id, event_type,
        CAST(SUM(wt) AS DOUBLE) / {float(1 << DECAY_SCALE)!r} AS decayed
 FROM w
 GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention analysis.
+# ---------------------------------------------------------------------------
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen day (their
+    cohort), then per (cohort_day, day-offset) distinct-active-user counts
+    and the retention rate against the cohort's size.
+
+    Plan shape: two distinct-aggregates and one equi-join, ALL partitioned
+    on user_id — the (user, day) activity grid and the per-user first-day
+    frame co-partition, so the join adds no third shuffle; the final
+    (cohort_day, offset) rollup is map-side combinable and bounded by
+    days², not users. Exact integer counts + one final division: bitwise
+    deterministic.
+    """
+    active = (
+        events.select(
+            "user_id", F.to_date("ts").alias("day")
+        ).distinct()
+    )
+    first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    grid = (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        grid.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+def retention_cohorts_oracle_sql() -> str:
+    return """
+WITH active AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+), sizes AS (
+    SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+    FROM first GROUP BY cohort_day
+), grid AS (
+    SELECT f.cohort_day,
+           CAST(a.day - f.cohort_day AS INT) AS offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT g.cohort_day, g.offset, g.n_active, s.cohort_size,
+       CAST(g.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+           AS retention
+FROM grid g JOIN sizes s USING (cohort_day)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution.
+# ---------------------------------------------------------------------------
+
+ATTR_CONVERSION = "purchase"
+ATTR_TOUCH_TYPES = ("click", "view")
+
+
+def session_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    most recent PRECEDING touch event (click/view) of the same user —
+    the standard marketing-attribution join, expressed as one carry-
+    forward window instead of an as-of join.
+
+    Plan shape: ONE shuffle (user_id), one ordered window with
+    `last(_, ignorenulls)` over rows(-inf, -1) — no self-join, no range
+    join. The (ts, event_id) total order makes ties deterministic.
+    Output timestamps are epoch-ms BIGINTs (engine-portable hashing).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin(*ATTR_TOUCH_TYPES),
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+        ),
+    )
+    enriched = events.withColumn(
+        "last_touch", F.last(touch, ignorenulls=True).over(w)
+    )
+    conv = enriched.where(F.col("event_type") == ATTR_CONVERSION)
+    lt = F.col("last_touch")
+    return conv.select(
+        "user_id",
+        F.col("event_id").alias("conversion_id"),
+        F.unix_millis("ts").alias("conversion_ms"),
+        lt["event_id"].alias("touch_id"),
+        lt["event_type"].alias("touch_type"),
+        F.unix_millis(lt["ts"]).alias("touch_ms"),
+        (F.unix_millis("ts") - F.unix_millis(lt["ts"])).alias("gap_ms"),
+    )
+
+
+def session_attribution_oracle_sql() -> str:
+    touches = ", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)
+    return f"""
+WITH enriched AS (
+    SELECT user_id, event_id, event_type, ts,
+           last_value(
+               CASE WHEN event_type IN ({touches})
+                    THEN struct_pack(ts := ts, event_id := event_id,
+                                     event_type := event_type) END
+               IGNORE NULLS
+           ) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS last_touch
+    FROM events
+)
+SELECT user_id,
+       event_id AS conversion_id,
+       epoch_ms(ts) AS conversion_ms,
+       last_touch.event_id AS touch_id,
+       last_touch.event_type AS touch_type,
+       epoch_ms(last_touch.ts) AS touch_ms,
+       epoch_ms(ts) - epoch_ms(last_touch.ts) AS gap_ms
+FROM enriched
+WHERE event_type = '{ATTR_CONVERSION}'
 """

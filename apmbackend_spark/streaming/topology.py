@@ -696,3 +696,107 @@ def stream_funnel_gate(
         F.col("f.stage").alias("stage"),
         *[F.col(f"f.t{i+1}").alias(f"t{i+1}") for i in range(k)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming decayed-counter gate: exact integer state across micro-batches.
+# ---------------------------------------------------------------------------
+
+
+def stream_decayed_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    n_deliveries: int = 3,
+    shuffle_partitions: int = 8,
+) -> "DataFrame":
+    """Graded STREAMING form of ``operators/sessions.decayed_counts``: the
+    events table arrives as ``n_deliveries`` time-consecutive deliveries
+    (one micro-batch each) and a streaming aggregation maintains each
+    (user_id, event_type) counter incrementally in the state store — the
+    serving-side shape where engagement features update as traffic lands,
+    instead of a nightly batch rescan.
+
+    The dyadic-integer design is what makes this gradeable at all: each
+    batch adds exact powers of two into a BIGINT state slot, so the merged
+    cross-batch state is bit-identical to the one-shot batch aggregate —
+    the gate grades against the SAME DuckDB oracle as the batch operator.
+    Every per-key time cut lands mid-history (users span the whole month),
+    so two of three deliveries MERGE into existing state rather than
+    creating it.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from apmbackend_spark.operators.sessions import (
+        DECAY_ASOF_US,
+        DECAY_SCALE,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+
+    work = tempfile.mkdtemp(prefix="apm_decayed_gate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src, out = os.path.join(work, "src"), os.path.join(work, "out")
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .localCheckpoint()  # one scan: bounds probe + all deliveries
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    lo, hi = int(lo), int(hi) + 1
+    step = max((hi - lo) // int(n_deliveries), 1)
+    bounds = [lo + j * step for j in range(int(n_deliveries))] + [hi]
+    _write_time_deliveries(ev, src, "ts_us", bounds)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    w = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {DECAY_SCALE} - CAST(LEAST("
+        f"({DECAY_ASOF_US} - ts_us) div 86400000000, {DECAY_SCALE}) AS INT))"
+    )
+    counters = (
+        stream.where(F.col("ts_us") <= F.lit(DECAY_ASOF_US))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts_us").alias("max_us"),
+            F.sum(w).alias("sw"),
+        )
+    )
+
+    def sink(df, _bid):
+        df.write.mode("overwrite").parquet(out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            counters.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    final = spark.read.parquet(out)
+    return final.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.expr("max_us div 1000").alias("last_seen_ms"),
+        (
+            F.col("sw").cast("double") / F.lit(float(1 << DECAY_SCALE))
+        ).alias("decayed"),
+    )

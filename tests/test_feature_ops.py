@@ -335,3 +335,138 @@ def test_rollup_incremental_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in p
     assert "Python" not in p
     assert "FullOuter (" in p  # the changelog derivation join
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts
+
+
+def test_retention_cohorts_matches_hand_computation(spark):
+    from apmbackend_spark.operators.sessions import retention_cohorts
+
+    rows = [
+        # cohort day 1: users 1, 2
+        (1, _ts(1, 9), 1, "view", 1.0),
+        (2, _ts(1, 10), 2, "view", 1.0),
+        # user 1 returns day 2 and 3 (twice -> still one active row)
+        (3, _ts(2, 9), 1, "click", 1.0),
+        (4, _ts(3, 9), 1, "click", 1.0),
+        (5, _ts(3, 10), 1, "view", 1.0),
+        # cohort day 2: user 3, returns day 3
+        (6, _ts(2, 12), 3, "view", 1.0),
+        (7, _ts(3, 12), 3, "view", 1.0),
+    ]
+    got = {
+        (str(r["cohort_day"]), r["offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in retention_cohorts(_events(spark, rows)).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert got[("2024-01-02", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-02", 1)] == (1, 1, 1.0)
+    assert len(got) == 5
+
+
+def test_retention_cohorts_offset_zero_equals_cohort_size(spark):
+    from apmbackend_spark.operators.sessions import retention_cohorts
+    from apmbackend_spark.sources.loaders import load_table
+
+    out = retention_cohorts(load_table(spark, SF_SMOKE, "events"))
+    day0 = out.where(F.col("offset") == 0).collect()
+    assert len(day0) > 0
+    for r in day0:
+        assert r["n_active"] == r["cohort_size"]
+        assert r["retention"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# session_attribution
+
+
+def test_session_attribution_last_touch_semantics(spark):
+    from apmbackend_spark.operators.sessions import session_attribution
+
+    rows = [
+        (1, _ts(1, 9, 0), 1, "purchase", 1.0),   # no preceding touch
+        (2, _ts(1, 10, 0), 1, "view", 1.0),
+        (3, _ts(1, 10, 30), 1, "error", 1.0),    # not a touch type
+        (4, _ts(1, 11, 0), 1, "purchase", 1.0),  # -> view @10:00 (id 2)
+        (5, _ts(1, 12, 0), 1, "click", 1.0),
+        (6, _ts(1, 12, 0), 1, "purchase", 1.0),  # tie: click id 5 < 6 precedes
+    ]
+    got = {r["conversion_id"]: r.asDict() for r in session_attribution(_events(spark, rows)).collect()}
+    assert got[1]["touch_id"] is None and got[1]["touch_type"] is None
+    assert got[4]["touch_id"] == 2 and got[4]["touch_type"] == "view"
+    assert got[4]["gap_ms"] == 3600_000
+    # same-timestamp touch sorts BEFORE the conversion by event_id
+    assert got[6]["touch_id"] == 5 and got[6]["gap_ms"] == 0
+
+
+def test_session_attribution_one_window_no_join_no_python(spark):
+    from apmbackend_spark.operators.sessions import session_attribution
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(session_attribution(load_table(spark, SF_SMOKE, "events")))
+    assert "Join" not in p, p
+    assert "Python" not in p
+    assert p.count("Window (") == 1, p
+    assert p.count("InMemoryFileIndex") == 1
+
+
+# ---------------------------------------------------------------------------
+# schema_merge_ingest
+
+
+def test_schema_merge_ingest_roundtrips_both_generations(spark):
+    from apmbackend_spark.sources.evolution import SPLIT_DATE, schema_merge_ingest
+    from apmbackend_spark.sources.loaders import load_table
+
+    out = schema_merge_ingest(spark, SF_SMOKE)
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    want = {}
+    split = dt.datetime.fromisoformat(SPLIT_DATE)
+    for r in orders:
+        pre = r["o_orderdate"].replace(tzinfo=None) < split
+        want[r["o_orderkey"]] = (
+            1 if pre else 2,
+            r["o_custkey"],
+            r["o_totalprice"],
+            None if pre else r["o_orderpriority"],
+            pre,
+        )
+    got = {
+        r["o_orderkey"]: (
+            r["gen"], r["o_custkey"], r["o_totalprice"],
+            r["o_orderpriority"], r["pre_evolution"],
+        )
+        for r in out.collect()
+    }
+    assert got == want  # nothing lost, nothing invented, NULLs exact
+
+
+# ---------------------------------------------------------------------------
+# stream_decayed
+
+
+def test_stream_decayed_equals_batch_operator(spark):
+    """Cross-batch state-store merge must be bit-identical to the one-shot
+    batch aggregate (the dyadic-integer claim, checked in-Spark)."""
+    from apmbackend_spark.operators.sessions import decayed_counts
+    from apmbackend_spark.sources.loaders import load_table
+    from apmbackend_spark.streaming.topology import stream_decayed_gate
+
+    streamed = {
+        (r["user_id"], r["event_type"]): (
+            r["n_events"], r["last_seen_ms"], r["decayed"]
+        )
+        for r in stream_decayed_gate(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r["user_id"], r["event_type"]): (
+            r["n_events"], r["last_seen_ms"], r["decayed"]
+        )
+        for r in decayed_counts(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
