@@ -486,6 +486,11 @@ def main() -> None:
         tile_events_dense(spark, sf_dir, scaled_dir, k)
         tile_orders(spark, sf_dir, scaled_dir, k)
 
+        from apmbackend_spark.operators.sessions import (
+            retention_cohorts,
+            session_attribution,
+        )
+
         def suite(d: str) -> dict[str, float]:
             t = _Timer(spark)
             ev = lambda: spark.read.parquet(f"{d}/events.parquet")  # noqa: E731
@@ -495,6 +500,10 @@ def main() -> None:
             t.timed("hist_quantiles", lambda: hist_quantiles(ev()))
             t.timed("decayed_counts", lambda: decayed_counts(ev()))
             t.timed("rollup_incremental", lambda: rollup_incremental(od()))
+            t.timed("retention_cohorts", lambda: retention_cohorts(ev()))
+            t.timed(
+                "session_attribution", lambda: session_attribution(ev())
+            )
             return t.out
 
         print("timing 1x ...", flush=True)
