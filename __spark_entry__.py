@@ -663,6 +663,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # across 3 time-cut deliveries; dyadic weights make cross-batch
         # state bit-identical to the batch aggregate (same oracle)
         "stream_decayed": lambda s, d: topo.stream_decayed_gate(s, d),
+        # declarative DQ rule suite: whole suite evaluated in ONE
+        # map-side-combinable pass (conditional counts + bracketing keys),
+        # long-format pivot after aggregation; deterministically dirtied
+        # so every rule's failure path is graded
+        "dq_rules": lambda s, d: pf.dq_rules(load_table(s, d, "events")),
+        # native pivot surface: day x event_type matrix with a pinned
+        # value list (single pass, no distinct-values pre-query)
+        "pivot_matrix": lambda s, d: pf.pivot_matrix(
+            load_table(s, d, "events")
+        ),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -718,6 +728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             and k not in (
                 "gauge_asof", "correlate", "acct_enrich",
                 "ordered_release", "db_fanin",
+                # displaced for dq_rules: tx.py is byte-identical to its
+                # r4-green state (checked via git diff 086e972..HEAD)
+                "tx_normalize",
             )
         }
         | {
@@ -753,6 +766,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # unchanged (this round only APPENDED new operators to
                 # sessions.py) and both keep green early-round rows
                 "sessionize", "service_rollup",
+                # displaced for pivot_matrix: zerofill.py's round-5 change
+                # (the st seam localCheckpoint) is graded through SIX other
+                # windowed consumers of the same chain (zscore family,
+                # alerts, zscore_stateful, st_zerofill_dense)
+                "st_zerofill",
             )
         }
         | {
@@ -1028,6 +1046,8 @@ FROM tx
         # the streaming form must equal the batch aggregate bit-for-bit:
         # graded against the SAME oracle
         "stream_decayed": sess.decayed_counts_oracle_sql(),
+        "dq_rules": pf.dq_rules_oracle_sql(),
+        "pivot_matrix": pf.pivot_matrix_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

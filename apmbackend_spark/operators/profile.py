@@ -579,3 +579,206 @@ SELECT event_type, n,
        {ests}
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality rule audit (expectation-suite shape).
+# ---------------------------------------------------------------------------
+# A production ingest gates every batch on a rule suite ("value is
+# non-negative", "timestamp inside the load window", "enum in its domain",
+# ...) and wants, per rule: how many rows violate it, the violation rate,
+# and bracketing example keys for triage. This operator evaluates the WHOLE
+# suite in ONE pass: each rule contributes a conditional count + min/max
+# violating key to a single map-side-combinable aggregate row, which then
+# pivots long-format (one row per rule) driver-cheaply — the table_profile
+# discipline applied to rule checking. Rules are data, not code forks: the
+# suite is a literal list of (name, violation-predicate) pairs rendered
+# into both engines.
+
+_KNOWN_TYPES = ("click", "view", "purchase", "signup", "error")
+
+# Deterministic dirt (the fixture is clean; an auditor whose failure path
+# is never exercised proves nothing) — mirrored in the oracle.
+_DQ_NEG_MOD = 101  # value flipped negative
+_DQ_BIG_MOD = 103  # value inflated out of range
+_DQ_TYPE_MOD = 107  # event_type replaced with an unknown label
+_DQ_USER_MOD = 109  # user_id NULLed
+
+DQ_VALUE_MAX = 500.0
+
+
+def _dq_dirty(events: DataFrame) -> DataFrame:
+    eid = F.col("event_id")
+    return events.select(
+        "event_id",
+        "ts",
+        F.when(eid % _DQ_USER_MOD == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ).alias("user_id"),
+        F.when(eid % _DQ_TYPE_MOD == 0, F.lit("__bogus__")).otherwise(
+            F.col("event_type")
+        ).alias("event_type"),
+        F.when(eid % _DQ_NEG_MOD == 0, -F.col("value"))
+        .when(eid % _DQ_BIG_MOD == 0, F.col("value") + F.lit(10_000.0))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        "props",
+    )
+
+
+def _dq_rules_spark() -> list[tuple[str, F.Column]]:
+    ts = F.col("ts")
+    return [
+        ("value_non_negative", F.col("value") < 0),
+        ("value_in_range", F.col("value") > F.lit(DQ_VALUE_MAX)),
+        ("user_id_present", F.col("user_id").isNull()),
+        ("event_type_in_domain", ~F.col("event_type").isin(*_KNOWN_TYPES)),
+        (
+            "ts_in_load_window",
+            (ts < F.lit("2024-01-01").cast("timestamp"))
+            | (ts >= F.lit("2024-02-01").cast("timestamp")),
+        ),
+    ]
+
+
+def _dq_rules_sql() -> list[tuple[str, str]]:
+    known = ", ".join(f"'{t}'" for t in _KNOWN_TYPES)
+    return [
+        ("value_non_negative", "value < 0"),
+        ("value_in_range", f"value > {DQ_VALUE_MAX!r}"),
+        ("user_id_present", "user_id IS NULL"),
+        (
+            "event_type_in_domain",
+            f"event_type NOT IN ({known})",
+        ),
+        (
+            "ts_in_load_window",
+            "(ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2024-02-01')",
+        ),
+    ]
+
+
+def dq_rules(events: DataFrame) -> DataFrame:
+    """Evaluate the rule suite over the (deterministically dirtied) events
+    batch: one row per rule with n_violations, violation rate, and the
+    min/max violating event_id.
+
+    NULL semantics: a rule fires only where its predicate is TRUE —
+    NULL-valued predicates (e.g. `value < 0` on a NULL value) do not
+    count, matching SQL filter semantics in both engines.
+    """
+    d = _dq_dirty(events)
+    aggs = []
+    for name, bad in _dq_rules_spark():
+        aggs += [
+            F.count(F.when(bad, 1)).alias(f"{name}__n"),
+            F.min(F.when(bad, F.col("event_id"))).alias(f"{name}__min"),
+            F.max(F.when(bad, F.col("event_id"))).alias(f"{name}__max"),
+        ]
+    wide = d.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"{name}__n").alias("n_violations"),
+                F.col(f"{name}__min").alias("first_bad_id"),
+                F.col(f"{name}__max").alias("last_bad_id"),
+            )
+            for name, _ in _dq_rules_spark()
+        ]
+    )
+    long = wide.select(
+        F.col("__total"), F.explode(entries).alias("e")
+    )
+    return long.select(
+        F.col("e.rule").alias("rule"),
+        F.col("e.n_violations").cast("long").alias("n_violations"),
+        F.col("e.first_bad_id").alias("first_bad_id"),
+        F.col("e.last_bad_id").alias("last_bad_id"),
+        (
+            F.col("e.n_violations").cast("double")
+            / F.col("__total").cast("double")
+        ).alias("violation_rate"),
+    )
+
+
+def dq_rules_oracle_sql() -> str:
+    known = ", ".join(f"'{t}'" for t in _KNOWN_TYPES)
+    rule_rows = ",\n    ".join(
+        f"""struct_pack(
+        rule := '{name}',
+        n_violations := CAST(COUNT(*) FILTER ({bad}) AS BIGINT),
+        first_bad_id := MIN(event_id) FILTER ({bad}),
+        last_bad_id := MAX(event_id) FILTER ({bad}))"""
+        for name, bad in _dq_rules_sql()
+    )
+    return f"""
+WITH d AS (
+    SELECT event_id, ts,
+           CASE WHEN event_id % {_DQ_USER_MOD} = 0 THEN NULL
+                ELSE user_id END AS user_id,
+           CASE WHEN event_id % {_DQ_TYPE_MOD} = 0 THEN '__bogus__'
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % {_DQ_NEG_MOD} = 0 THEN -value
+                WHEN event_id % {_DQ_BIG_MOD} = 0 THEN value + 10000.0
+                ELSE value END AS value
+    FROM events
+), wide AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS total,
+           [{rule_rows}] AS entries
+    FROM d
+)
+SELECT e.rule AS rule,
+       e.n_violations AS n_violations,
+       e.first_bad_id AS first_bad_id,
+       e.last_bad_id AS last_bad_id,
+       CAST(e.n_violations AS DOUBLE) / CAST(total AS DOUBLE)
+           AS violation_rate
+FROM wide, unnest(entries) AS t(e)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivoted activity matrix (the relational pivot surface).
+# ---------------------------------------------------------------------------
+
+
+def pivot_matrix(events: DataFrame) -> DataFrame:
+    """day × event_type count matrix via Spark's native pivot: one
+    map-side-combinable aggregate (the type list is pinned, so Spark
+    plans a single pass — no distinct-values pre-query), wide columns
+    named by type, plus a row total.
+
+    Scale: identical cost to the long-format groupBy; the pivot is a
+    projection shape, not an extra shuffle.
+    """
+    wide = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_KNOWN_TYPES))
+        .count()
+    )
+    total = sum((F.coalesce(F.col(t), F.lit(0)) for t in _KNOWN_TYPES), F.lit(0))
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in _KNOWN_TYPES
+        ],
+        total.cast("long").alias("total"),
+    )
+
+
+def pivot_matrix_oracle_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _KNOWN_TYPES
+    )
+    return f"""
+SELECT CAST(ts AS DATE) AS day,
+       {cols},
+       CAST(COUNT(*) FILTER (event_type IN
+            ({", ".join(f"'{t}'" for t in _KNOWN_TYPES)})) AS BIGINT)
+           AS total
+FROM events
+GROUP BY 1
+"""

@@ -470,3 +470,111 @@ def test_stream_decayed_equals_batch_operator(spark):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+# ---------------------------------------------------------------------------
+# dq_rules
+
+
+def test_dq_rules_matches_python_replay(spark):
+    from apmbackend_spark.operators.profile import (
+        _DQ_BIG_MOD,
+        _DQ_NEG_MOD,
+        _DQ_TYPE_MOD,
+        _DQ_USER_MOD,
+        _KNOWN_TYPES,
+        DQ_VALUE_MAX,
+        dq_rules,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    rows = events.select("event_id", "ts", "user_id", "event_type", "value").collect()
+    total = len(rows)
+    # pure-python replay of dirt + rules
+    window_lo = dt.datetime(2024, 1, 1)
+    window_hi = dt.datetime(2024, 2, 1)
+    viol: dict[str, list[int]] = {k: [] for k in (
+        "value_non_negative", "value_in_range", "user_id_present",
+        "event_type_in_domain", "ts_in_load_window")}
+    for r in rows:
+        eid = r["event_id"]
+        user = None if eid % _DQ_USER_MOD == 0 else r["user_id"]
+        etype = "__bogus__" if eid % _DQ_TYPE_MOD == 0 else r["event_type"]
+        if eid % _DQ_NEG_MOD == 0:
+            val = -r["value"]
+        elif eid % _DQ_BIG_MOD == 0:
+            val = r["value"] + 10_000.0
+        else:
+            val = r["value"]
+        ts = r["ts"].replace(tzinfo=None)
+        if val is not None and val < 0:
+            viol["value_non_negative"].append(eid)
+        if val is not None and val > DQ_VALUE_MAX:
+            viol["value_in_range"].append(eid)
+        if user is None:
+            viol["user_id_present"].append(eid)
+        if etype not in _KNOWN_TYPES:
+            viol["event_type_in_domain"].append(eid)
+        if ts < window_lo or ts >= window_hi:
+            viol["ts_in_load_window"].append(eid)
+
+    got = {r["rule"]: r.asDict() for r in dq_rules(events).collect()}
+    assert set(got) == set(viol)
+    for rule, ids in viol.items():
+        g = got[rule]
+        assert g["n_violations"] == len(ids), rule
+        assert g["first_bad_id"] == (min(ids) if ids else None), rule
+        assert g["last_bad_id"] == (max(ids) if ids else None), rule
+        assert g["violation_rate"] == len(ids) / total
+    # the dirt must actually exercise the failure paths
+    assert sum(len(v) for v in viol.values()) > 0
+
+
+def test_dq_rules_single_pass_no_python(spark):
+    from apmbackend_spark.operators.profile import dq_rules
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(dq_rules(load_table(spark, SF_SMOKE, "events")))
+    assert p.count("InMemoryFileIndex") == 1
+    assert "Python" not in p
+    assert "Join" not in p  # suite evaluated in one aggregate, no legs
+
+
+# ---------------------------------------------------------------------------
+# pivot_matrix
+
+
+def test_pivot_matrix_matches_python_replay(spark):
+    from apmbackend_spark.operators.profile import _KNOWN_TYPES, pivot_matrix
+    from apmbackend_spark.sources.loaders import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    rows = events.select("ts", "event_type").collect()
+    want: dict = {}
+    for r in rows:
+        day = r["ts"].date()
+        want.setdefault(day, {t: 0 for t in _KNOWN_TYPES})
+        if r["event_type"] in _KNOWN_TYPES:
+            want[day][r["event_type"]] += 1
+    got = {r["day"]: r.asDict() for r in pivot_matrix(events).collect()}
+    assert set(got) == set(want)
+    for day, counts in want.items():
+        g = got[day]
+        for t in _KNOWN_TYPES:
+            assert g[t] == counts[t], (day, t)
+        assert g["total"] == sum(counts.values())
+
+
+def test_pivot_matrix_single_pass_pinned_values(spark):
+    from apmbackend_spark.operators.profile import pivot_matrix
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(pivot_matrix(load_table(spark, SF_SMOKE, "events")))
+    # pinned pivot values -> NO distinct-values pre-query (one scan);
+    # Spark's pivot is two aggregate pairs, where only the FIRST exchange
+    # sees raw rows — the second carries the bounded (day, type) grid
+    assert p.count("InMemoryFileIndex") == 1
+    assert p.count("HashAggregate (") == 4, p
+    assert p.count("Exchange (") == 2, p
+    assert "Python" not in p
