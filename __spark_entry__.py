@@ -673,6 +673,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_matrix": lambda s, d: pf.pivot_matrix(
             load_table(s, d, "events")
         ),
+        # cross-table referential-integrity audit: one anti-join per
+        # declared FK relationship over deterministically thinned parents
+        "fk_integrity": lambda s, d: pf.fk_integrity(
+            load_table(s, d, "orders"),
+            load_table(s, d, "customer"),
+            load_table(s, d, "lineitem"),
+        ),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -731,6 +738,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # displaced for dq_rules: tx.py is byte-identical to its
                 # r4-green state (checked via git diff 086e972..HEAD)
                 "tx_normalize",
+                # displaced for fk_integrity: the z-score family's round-5
+                # change is graded through SEVEN other windowed members
+                # (zscore, zscore_chunked, zscore_recursive,
+                # zscore_stateful, alerts, alert_candidates,
+                # st_zerofill_dense); the override cascade itself is
+                # untouched since its green row
+                "zscore_override",
             )
         }
         | {
@@ -1048,6 +1062,7 @@ FROM tx
         "stream_decayed": sess.decayed_counts_oracle_sql(),
         "dq_rules": pf.dq_rules_oracle_sql(),
         "pivot_matrix": pf.pivot_matrix_oracle_sql(),
+        "fk_integrity": pf.fk_integrity_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

@@ -782,3 +782,119 @@ SELECT CAST(ts AS DATE) AS day,
 FROM events
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-table referential-integrity audit (the join-shaped DQ class).
+# ---------------------------------------------------------------------------
+# dq_rules covers row-local expectations; the other half of an ingest gate
+# is CROSS-table: does every fact row still have its dimension parent after
+# this load? Orphaned foreign keys (a customer purge racing the order load,
+# a partial dimension refresh) silently turn inner-join analytics into row
+# loss. This operator audits each declared relationship with ONE anti-join
+# and emits a per-relationship summary row.
+#
+# Deterministic dirt: the parent sides drop fixed key residues (the
+# fixture is referentially clean end-to-end; an integrity auditor whose
+# orphan path is never exercised proves nothing) — mirrored in the oracle.
+
+_FK_CUST_DROP_MOD = 31  # customers dropped -> orders orphans
+_FK_ORD_DROP_MOD = 37  # orders dropped -> lineitem orphans
+
+
+def _fk_leg(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str, rel: str
+) -> DataFrame:
+    orphans = child.join(
+        parent.select(F.col(pk).alias("__pk")),
+        child[fk] == F.col("__pk"),
+        "left_anti",
+    )
+    tot = child.agg(F.count(F.lit(1)).alias("n_child"))
+    orp = orphans.agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.min(F.col(fk)).alias("first_orphan_key"),
+        F.max(F.col(fk)).alias("last_orphan_key"),
+    )
+    return (
+        tot.crossJoin(orp)  # two single-row aggregates
+        .select(
+            F.lit(rel).alias("rel"),
+            F.col("n_child").cast("long").alias("n_child"),
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+            "first_orphan_key",
+            "last_orphan_key",
+            (
+                F.lit(1.0)
+                - F.col("n_orphans").cast("double")
+                / F.col("n_child").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+def fk_integrity(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Audit orders→customer and lineitem→orders referential integrity
+    against deterministically thinned parent views: one row per
+    relationship with orphan counts, bracketing orphan keys, and
+    coverage.
+
+    Plan shape: one LEFT ANTI join per relationship, child scans pruned
+    to the FK column, parent scans to the PK; the per-leg rollups are
+    single-row aggregates, so the union is driver-cheap. At 100 TB each
+    anti-join is one shuffle per side (zero-exchange when child and
+    parent are bucketed on the key, the cdc_diff posture).
+    """
+    cust_thin = customer.where(
+        F.col("c_custkey") % _FK_CUST_DROP_MOD != 0
+    )
+    ord_thin = orders.where(F.col("o_orderkey") % _FK_ORD_DROP_MOD != 0)
+    legs = [
+        _fk_leg(
+            orders.select("o_custkey"),
+            "o_custkey",
+            cust_thin,
+            "c_custkey",
+            "orders.o_custkey -> customer.c_custkey",
+        ),
+        _fk_leg(
+            lineitem.select("l_orderkey"),
+            "l_orderkey",
+            ord_thin,
+            "o_orderkey",
+            "lineitem.l_orderkey -> orders.o_orderkey",
+        ),
+    ]
+    return legs[0].unionByName(legs[1])
+
+
+def fk_integrity_oracle_sql() -> str:
+    def leg(child, fk, parent_sql, rel):
+        return f"""
+SELECT '{rel}' AS rel,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child,
+       CAST(COUNT(*) AS BIGINT) AS n_orphans,
+       MIN({fk}) AS first_orphan_key,
+       MAX({fk}) AS last_orphan_key,
+       1.0 - CAST(COUNT(*) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM {child}) AS DOUBLE) AS coverage
+FROM {child} c
+WHERE NOT EXISTS (SELECT 1 FROM ({parent_sql}) p WHERE p.pk = c.{fk})"""
+
+    cust = (
+        "SELECT c_custkey AS pk FROM customer "
+        f"WHERE c_custkey % {_FK_CUST_DROP_MOD} <> 0"
+    )
+    ords = (
+        "SELECT o_orderkey AS pk FROM orders "
+        f"WHERE o_orderkey % {_FK_ORD_DROP_MOD} <> 0"
+    )
+    return (
+        leg("orders", "o_custkey", cust,
+            "orders.o_custkey -> customer.c_custkey")
+        + "\nUNION ALL\n"
+        + leg("lineitem", "l_orderkey", ords,
+              "lineitem.l_orderkey -> orders.o_orderkey")
+    )

@@ -578,3 +578,59 @@ def test_pivot_matrix_single_pass_pinned_values(spark):
     assert p.count("HashAggregate (") == 4, p
     assert p.count("Exchange (") == 2, p
     assert "Python" not in p
+
+
+# ---------------------------------------------------------------------------
+# fk_integrity
+
+
+def test_fk_integrity_matches_python_replay(spark):
+    from apmbackend_spark.operators.profile import (
+        _FK_CUST_DROP_MOD,
+        _FK_ORD_DROP_MOD,
+        fk_integrity,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    got = {r["rel"]: r.asDict() for r in fk_integrity(orders, customer, lineitem).collect()}
+
+    custs = {r["c_custkey"] for r in customer.collect()
+             if r["c_custkey"] % _FK_CUST_DROP_MOD != 0}
+    o_rows = [r["o_custkey"] for r in orders.select("o_custkey").collect()]
+    o_orph = sorted(k for k in o_rows if k not in custs)
+    ords = {r["o_orderkey"] for r in orders.collect()
+            if r["o_orderkey"] % _FK_ORD_DROP_MOD != 0}
+    l_rows = [r["l_orderkey"] for r in lineitem.select("l_orderkey").collect()]
+    l_orph = sorted(k for k in l_rows if k not in ords)
+
+    g1 = got["orders.o_custkey -> customer.c_custkey"]
+    assert g1["n_child"] == len(o_rows)
+    assert g1["n_orphans"] == len(o_orph)
+    assert g1["first_orphan_key"] == (o_orph[0] if o_orph else None)
+    assert g1["last_orphan_key"] == (o_orph[-1] if o_orph else None)
+    assert g1["coverage"] == 1.0 - len(o_orph) / len(o_rows)
+    g2 = got["lineitem.l_orderkey -> orders.o_orderkey"]
+    assert g2["n_orphans"] == len(l_orph)
+    assert g2["n_child"] == len(l_rows)
+    # the thinning must actually create orphans on both legs
+    assert g1["n_orphans"] > 0 and g2["n_orphans"] > 0
+
+
+def test_fk_integrity_anti_joins_pruned_no_python(spark):
+    from apmbackend_spark.operators.profile import fk_integrity
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(
+        fk_integrity(
+            load_table(spark, SF_SMOKE, "orders"),
+            load_table(spark, SF_SMOKE, "customer"),
+            load_table(spark, SF_SMOKE, "lineitem"),
+        )
+    )
+    assert p.count("LeftAnti") >= 2, p
+    assert "Python" not in p
+    # child scans prune to the FK column only
+    assert "ReadSchema: struct<l_orderkey:bigint>" in p, p
