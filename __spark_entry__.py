@@ -680,6 +680,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "customer"),
             load_table(s, d, "lineitem"),
         ),
+        # maximal-overlap interval union (incident coalescing): prefix-max
+        # island detection in one per-key window, tie order pinned
+        "interval_union": lambda s, d: co.interval_union(
+            load_table(s, d, "events")
+        ),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -745,6 +750,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # st_zerofill_dense); the override cascade itself is
                 # untouched since its green row
                 "zscore_override",
+                # displaced for interval_union: the alert predicate chain
+                # (F1-F3/F6) runs end-to-end INSIDE the windowed `alerts`
+                # gate (debounce+cooldown consume the candidates frame)
+                "alert_candidates",
             )
         }
         | {
@@ -1063,6 +1072,7 @@ FROM tx
         "dq_rules": pf.dq_rules_oracle_sql(),
         "pivot_matrix": pf.pivot_matrix_oracle_sql(),
         "fk_integrity": pf.fk_integrity_oracle_sql(),
+        "interval_union": co.interval_union_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

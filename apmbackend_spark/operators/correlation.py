@@ -480,3 +480,121 @@ SELECT logid, server, ts AS endts, prev_ts, next_ts,
        END AS heap_interp
 FROM c WHERE is_tx = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Maximal-overlap interval union (incident coalescing).
+# ---------------------------------------------------------------------------
+
+# Deterministic incident derivation from the fixture: high-value events
+# open an interval of cents*IU_MS_PER_CENT ms (exact integers end to end).
+# Tuned so BOTH driver SFs exercise merged AND singleton islands
+# (sf0.001: 300 islands / 389 intervals; sf0.01: 392 / 3665).
+IU_VALUE_MIN = 50.0
+IU_MS_PER_CENT = 800
+
+
+def interval_union(events: DataFrame) -> DataFrame:
+    """Merge overlapping/chained intervals per event_type into maximal
+    islands — the 'coalesce incidents' primitive behind uptime math,
+    maintenance-window dedup, and on-call paging (N raw alarms -> one
+    incident). Distinct from gap sessionization (points + fixed gap) and
+    from the containment join (interval x point): here the inputs
+    themselves are intervals and the union is by actual overlap chains.
+
+    Algorithm: per key, order intervals by (start, event_id); an interval
+    starts a new island iff its start exceeds the running max of all
+    previous ends (a prefix max is order-insensitive within equal starts,
+    so ties cannot flip membership); island id = running count of starts.
+    Within an island coverage is contiguous by construction, so
+    covered_ms = island_end - island_start exactly.
+
+    Plan shape: ONE shuffle (the per-key window) then a map-side
+    combinable rollup on (key, island). No global sort, no join. The
+    streaming flip is session_window with a per-row dynamic gap.
+    """
+    from pyspark.sql import Window
+
+    iv = events.where(F.col("value") > F.lit(IU_VALUE_MIN)).select(
+        "event_type",
+        "event_id",
+        F.unix_millis("ts").alias("start_ms"),
+        (
+            F.unix_millis("ts")
+            + F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+            * F.lit(IU_MS_PER_CENT)
+        ).alias("end_ms"),
+    )
+    w = Window.partitionBy("event_type").orderBy("start_ms", "event_id")
+    prev_max_end = F.max("end_ms").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(
+            prev_max_end.isNull() | (F.col("start_ms") > prev_max_end),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("event_type", "island")
+        .agg(
+            F.min("start_ms").alias("island_start_ms"),
+            F.max("end_ms").alias("island_end_ms"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .select(
+            "event_type",
+            F.col("island").cast("long").alias("island"),
+            "island_start_ms",
+            "island_end_ms",
+            "n_intervals",
+            (F.col("island_end_ms") - F.col("island_start_ms")).alias(
+                "covered_ms"
+            ),
+        )
+    )
+
+
+def interval_union_oracle_sql() -> str:
+    return f"""
+WITH iv AS (
+    SELECT event_type, event_id,
+           epoch_ms(ts) AS start_ms,
+           epoch_ms(ts)
+               + CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                 * {IU_MS_PER_CENT}
+               AS end_ms
+    FROM events WHERE value > {IU_VALUE_MIN!r}
+), flagged AS (
+    SELECT event_type, event_id, start_ms, end_ms,
+           CASE WHEN MAX(end_ms) OVER w IS NULL
+                     OR start_ms > MAX(end_ms) OVER w
+                THEN 1 ELSE 0 END AS is_new
+    FROM iv
+    WINDOW w AS (PARTITION BY event_type ORDER BY start_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), islands AS (
+    -- the SAME (start_ms, event_id) tie order as the flag pass: a tied
+    -- pair can carry (is_new 1, 0), and a different cumsum order would
+    -- shift which row opens the island
+    SELECT event_type, start_ms, end_ms,
+           SUM(is_new) OVER (PARTITION BY event_type
+                             ORDER BY start_ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+)
+SELECT event_type,
+       CAST(island AS BIGINT) AS island,
+       MIN(start_ms) AS island_start_ms,
+       MAX(end_ms) AS island_end_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       MAX(end_ms) - MIN(start_ms) AS covered_ms
+FROM islands
+GROUP BY event_type, island
+"""

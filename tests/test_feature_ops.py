@@ -634,3 +634,67 @@ def test_fk_integrity_anti_joins_pruned_no_python(spark):
     assert "Python" not in p
     # child scans prune to the FK column only
     assert "ReadSchema: struct<l_orderkey:bigint>" in p, p
+
+
+# ---------------------------------------------------------------------------
+# interval_union
+
+
+def test_interval_union_merges_chains_and_touching_intervals(spark):
+    from apmbackend_spark.operators.correlation import (
+        IU_MS_PER_CENT,
+        interval_union,
+    )
+
+    # value 60 -> cents 6000 -> length 6000*IU_MS_PER_CENT ms
+    length_ms = 6000 * IU_MS_PER_CENT
+    base = _ts(1, 0)
+
+    def at(ms_offset, eid, etype="a", value=60.0):
+        return (
+            eid,
+            base + dt.timedelta(milliseconds=ms_offset),
+            1,
+            etype,
+            value,
+        )
+
+    rows = [
+        # chain: A overlaps B, B overlaps C (A does NOT overlap C) -> one island
+        at(0, 1),
+        at(length_ms - 1000, 2),
+        at(2 * (length_ms - 1000), 3),
+        # touching: starts exactly at previous end -> merges (closed bound)
+        at(3 * length_ms, 4),
+        at(4 * length_ms, 5),
+        # isolated
+        at(10 * length_ms, 6),
+        # below the value floor: never becomes an interval
+        at(20 * length_ms, 7, value=10.0),
+        # second key: ignored by key 'a' islands
+        at(500, 8, etype="b"),
+    ]
+    out = {(r["event_type"], r["island"]): r.asDict()
+           for r in interval_union(_events(spark, rows)).collect()}
+    a = sorted(k for k in out if k[0] == "a")
+    assert len(a) == 3
+    chain = out[a[0]]
+    assert chain["n_intervals"] == 3
+    assert chain["covered_ms"] == 2 * (length_ms - 1000) + length_ms
+    touch = out[a[1]]
+    assert touch["n_intervals"] == 2
+    assert touch["covered_ms"] == 2 * length_ms
+    lone = out[a[2]]
+    assert lone["n_intervals"] == 1 and lone["covered_ms"] == length_ms
+    assert len([k for k in out if k[0] == "b"]) == 1
+
+
+def test_interval_union_one_window_shuffle_no_join_no_python(spark):
+    from apmbackend_spark.operators.correlation import interval_union
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(interval_union(load_table(spark, SF_SMOKE, "events")))
+    assert "Join" not in p
+    assert "Python" not in p
+    assert p.count("Window (") <= 2  # flag pass + island cumsum, same order
+    assert p.count("Exchange (") == 1, p  # ONE key shuffle feeds both
