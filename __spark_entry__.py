@@ -685,6 +685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_union": lambda s, d: co.interval_union(
             load_table(s, d, "events")
         ),
+        # hashing-trick vectorizer: fixed-dim signed token vectors with NO
+        # vocabulary pass; one combinable (doc, bucket) agg, in-row dense
+        # assembly, md5 hash replayed in the oracle
+        "feature_hashing": lambda s, d: ts.feature_hashing(docs(s, d)),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -754,6 +758,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # (F1-F3/F6) runs end-to-end INSIDE the windowed `alerts`
                 # gate (debounce+cooldown consume the candidates frame)
                 "alert_candidates",
+                # displaced for feature_hashing: the chunked z-score plan
+                # is the family DEFAULT — the windowed `zscore` gate (and
+                # alerts/stateful) grade the same code path; the explicit
+                # zscore_chunked gate keeps its green row
+                "zscore_chunked",
             )
         }
         | {
@@ -1073,6 +1082,7 @@ FROM tx
         "pivot_matrix": pf.pivot_matrix_oracle_sql(),
         "fk_integrity": pf.fk_integrity_oracle_sql(),
         "interval_union": co.interval_union_oracle_sql(),
+        "feature_hashing": ts.feature_hashing_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

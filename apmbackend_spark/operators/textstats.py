@@ -1375,3 +1375,110 @@ SELECT canonical,
 FROM canon
 GROUP BY canonical
 """
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing-trick vectorizer).
+# ---------------------------------------------------------------------------
+
+FH_DIM = 32  # feature dimension (power of two; gate-sized on purpose)
+
+
+def feature_hashing(documents: DataFrame) -> DataFrame:
+    """Hash each document's token counts into a fixed FH_DIM-dimensional
+    signed vector (Weinberger et al.'s hashing trick): bucket =
+    hash(token) mod D, sign from an independent hash, so the vectorizer
+    needs NO vocabulary pass, no dictionary broadcast, and the dimension
+    is fixed whatever the corpus — the standard way to featurize text at
+    a scale where a fitted vocabulary is itself a big-data object.
+
+    Output per doc: the dense vector rendered canonically as a ','-joined
+    string (engine-portable — the driver hash treats it as one value),
+    plus nnz and the L1 norm. All arithmetic is exact integer counts; the
+    md5-derived hash64 is replayed identically in the oracle.
+
+    Plan shape: token explode -> ONE (doc_id, bucket) combinable
+    aggregate -> per-doc map assembly in-row (sequence/transform HOFs,
+    no join). Docs with zero tokens vanish (no rows to hash) — consistent
+    in both engines by construction.
+    """
+    from apmbackend_spark.functions.text import hash64, tokens
+
+    D = FH_DIM
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id",
+        (hash64(F.col("tok")) % F.lit(D)).cast("int").alias("bucket"),
+        F.when(
+            hash64(F.concat(F.lit("s:"), F.col("tok"))) % 2 == 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sign"),
+    )
+    g = hashed.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("val"))
+    m = g.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("val")))
+        ).alias("m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(D - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return m.select(
+        "doc_id",
+        F.array_join(
+            F.transform(vec, lambda x: x.cast("string")), ","
+        ).alias("vec_str"),
+        F.size(F.filter(vec, lambda x: x != 0)).cast("long").alias("nnz"),
+        F.aggregate(
+            vec, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("l1"),
+    )
+
+
+def feature_hashing_oracle_sql() -> str:
+    from apmbackend_spark.functions.text import hash64_sql, tokens_sql
+
+    D = FH_DIM
+    return f"""
+WITH t AS (
+    SELECT doc_id, unnest({tokens_sql("text")}) AS tok FROM documents
+), h AS (
+    SELECT doc_id,
+           CAST({hash64_sql("tok")} % {D} AS INT) AS bucket,
+           CASE WHEN {hash64_sql("('s:' || tok)")} % 2 = 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sign
+    FROM t
+), g AS (
+    SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val
+    FROM h GROUP BY 1, 2
+), m AS (
+    SELECT doc_id,
+           map_from_entries(list(struct_pack(k := bucket, v := val))) AS mp
+    FROM g GROUP BY doc_id
+), d AS (
+    SELECT doc_id,
+           list_transform(
+               range(0, {D}),
+               i -> COALESCE(element_at(mp, CAST(i AS INT))[1],
+                             CAST(0 AS BIGINT))
+           ) AS vec
+    FROM m
+)
+SELECT doc_id,
+       array_to_string(list_transform(vec, x -> CAST(x AS VARCHAR)), ',')
+           AS vec_str,
+       CAST(len(list_filter(vec, x -> x <> 0)) AS BIGINT) AS nnz,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(vec, x -> abs(x))),
+           (a, x) -> a + x
+       ) AS l1
+FROM d
+"""

@@ -698,3 +698,59 @@ def test_interval_union_one_window_shuffle_no_join_no_python(spark):
     assert "Python" not in p
     assert p.count("Window (") <= 2  # flag pass + island cumsum, same order
     assert p.count("Exchange (") == 1, p  # ONE key shuffle feeds both
+
+
+# ---------------------------------------------------------------------------
+# feature_hashing
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def test_feature_hashing_matches_python_replay(spark):
+    import hashlib
+
+    from apmbackend_spark.operators.textstats import FH_DIM, feature_hashing
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [
+        (1, "the cat sat on the mat", "en", "web", 22),
+        (2, "THE the The", "en", "web", 11),      # case folds -> one token x3
+        (3, "", "en", "web", 0),                  # no tokens -> no output row
+        (4, "x1 y-2 x1", "en", "web", 9),         # punct split, repeats
+    ]
+    out = {r["doc_id"]: r.asDict() for r in feature_hashing(_docs(spark, rows)).collect()}
+    assert 3 not in out
+
+    import re
+
+    for doc_id, text, *_ in rows:
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        if not toks:
+            continue
+        vec = [0] * FH_DIM
+        for t in toks:
+            sign = 1 if h64("s:" + t) % 2 == 0 else -1
+            vec[h64(t) % FH_DIM] += sign
+        g = out[doc_id]
+        assert g["vec_str"] == ",".join(str(v) for v in vec), doc_id
+        assert g["nnz"] == sum(1 for v in vec if v != 0)
+        assert g["l1"] == sum(abs(v) for v in vec)
+
+
+def test_feature_hashing_dimension_fixed_and_combinable_plan(spark):
+    from apmbackend_spark.operators.textstats import FH_DIM, feature_hashing
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = feature_hashing(load_table(spark, SF_SMOKE, "documents"))
+    rows = df.collect()
+    assert all(len(r["vec_str"].split(",")) == FH_DIM for r in rows)
+    p = plan(df)
+    assert "Python" not in p
+    assert "Join" not in p  # no vocabulary broadcast, no dictionary pass
+    assert p.count("InMemoryFileIndex") == 1
