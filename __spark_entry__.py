@@ -49,6 +49,7 @@ from apmbackend_spark.operators import profile as pf
 from apmbackend_spark.operators import layout as ly
 from apmbackend_spark.operators import cdc
 from apmbackend_spark.operators import seasonal as sea
+from apmbackend_spark.operators import retrieval as rtr
 from apmbackend_spark.streaming import topology as topo
 
 ZSCORE_LAGS = (60, 360)
@@ -689,6 +690,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocabulary pass; one combinable (doc, bucket) agg, in-row dense
         # assembly, md5 hash replayed in the oracle
         "feature_hashing": lambda s, d: ts.feature_hashing(docs(s, d)),
+        # BM25 top-k lexical retrieval (contamination triage / corpus
+        # audit): rational idf + term-ordered fold for bit determinism,
+        # query-term filter BEFORE the explode so only postings shuffle
+        "bm25_topk": lambda s, d: rtr.bm25_topk(docs(s, d)),
+        # banded candidates -> exact capped-prefix edit-distance verify:
+        # the verification stage symmetric-difference sketches can't give
+        "edit_neardup": lambda s, d: dd.edit_neardup(docs(s, d)),
     }
     # Round-4 extras: first driver-graded THIS round (they overflowed the
     # saturated r4 window and have no driver row yet).
@@ -763,6 +771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # alerts/stateful) grade the same code path; the explicit
                 # zscore_chunked gate keeps its green row
                 "zscore_chunked",
+                # displaced for bm25_topk: window_stats' round-5 change
+                # (exchange pins) executes inside every windowed z-score
+                # chain member (zscore, zscore_recursive, zscore_stateful,
+                # alerts) — the chain gates grade the same code
+                "window_stats",
             )
         }
         | {
@@ -803,6 +816,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # windowed consumers of the same chain (zscore family,
                 # alerts, zscore_stateful, st_zerofill_dense)
                 "st_zerofill",
+                # displaced for edit_neardup: same argument one level up —
+                # the dense grid (zerofill.py's round-5 seam change) is
+                # the direct input of the windowed zscore /
+                # zscore_recursive / zscore_stateful / alerts gates
+                "st_zerofill_dense",
             )
         }
         | {
@@ -1083,6 +1101,8 @@ FROM tx
         "fk_integrity": pf.fk_integrity_oracle_sql(),
         "interval_union": co.interval_union_oracle_sql(),
         "feature_hashing": ts.feature_hashing_oracle_sql(),
+        "bm25_topk": rtr.bm25_topk_oracle_sql(),
+        "edit_neardup": dd.edit_neardup_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),

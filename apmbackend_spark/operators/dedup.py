@@ -1199,3 +1199,96 @@ SELECT doc_id,
 FROM marked
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance-verified near-dup (banded candidates -> exact DP verify)
+# ---------------------------------------------------------------------------
+
+EDIT_PREFIX_CAP = 240
+EDIT_SIM_THRESHOLD = 0.6
+
+
+def edit_neardup(
+    documents: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    prefix_cap: int = EDIT_PREFIX_CAP,
+    threshold: float = EDIT_SIM_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs verified by EXACT capped-prefix edit distance:
+    (doc_a, doc_b, lev, edit_sim) for banded candidates with
+    edit_sim >= threshold.
+
+    Why another verifier: every sketch verifier in this family (jaccard,
+    simhash Hamming, minhash agreement) measures SET overlap and is blind
+    to ORDER — "a b c d" vs "d c b a" are identical shingle-free token
+    sets. Levenshtein is the standard order-sensitive confirmation for
+    fuzzy dedup; unit-cost DP semantics are identical in Spark
+    (``F.levenshtein``) and DuckDB (``levenshtein``), verified by test.
+
+    edit_sim = 1 - lev / greatest(len_a, len_b, 1) on ``prefix_cap``-char
+    prefixes. The cap bounds the O(n*m) DP per pair — at corpus scale a
+    pair of 100 KB docs would cost 1e10 cell updates; 240-char prefixes
+    decide near-dup status for templated/mirrored text (the dominant dup
+    class) at 57.6k cells. Documented flip for full-fidelity audits: run
+    the uncapped distance only on pairs this gate already confirmed.
+
+    Scale shape: candidates come from the SAME MinHash band index as
+    ``minhash_lsh_pairs`` (shuffle ∝ bands x |docs|, never all-pairs); the
+    pair list is small, so the two text joins-back ride hash joins on
+    doc_id, and the DP runs once per CANDIDATE, not per pair of documents.
+    No Python — levenshtein is a JVM codegen expression.
+    """
+    pairs = minhash_lsh_pairs(documents, bands, rows_per_band)
+    txt = documents.select(
+        "doc_id", F.substring(F.col("text"), 1, int(prefix_cap)).alias("t")
+    )
+    ta = txt.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    tb = txt.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    lev = F.levenshtein(F.col("t_a"), F.col("t_b"))
+    denom = F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("lev"),
+            (
+                F.lit(1.0) - lev.cast("double") / denom.cast("double")
+            ).alias("edit_sim"),
+        )
+        .where(F.col("edit_sim") >= F.lit(float(threshold)))
+    )
+
+
+def edit_neardup_oracle_sql(
+    bands: int = 4,
+    rows_per_band: int = 2,
+    prefix_cap: int = EDIT_PREFIX_CAP,
+    threshold: float = EDIT_SIM_THRESHOLD,
+) -> str:
+    return f"""
+WITH {_band_index_ctes(bands, rows_per_band)},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM exploded a JOIN exploded b USING (band)
+    WHERE a.doc_id < b.doc_id
+),
+txt AS (
+    SELECT doc_id, substr(text, 1, {int(prefix_cap)}) AS t FROM documents
+),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS lev,
+           1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE)
+               / CAST(greatest(length(ta.t), length(tb.t), 1) AS DOUBLE)
+               AS edit_sim
+    FROM cand c
+    JOIN txt ta ON ta.doc_id = c.doc_a
+    JOIN txt tb ON tb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, lev, edit_sim FROM scored
+WHERE edit_sim >= {float(threshold)}
+"""
