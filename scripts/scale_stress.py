@@ -275,6 +275,12 @@ def docs_timings(spark, sf_dir: str) -> dict[str, float]:
 
     t.timed("compaction_bins", lambda: compaction_bins(docs))
     t.timed("url_canonical", lambda: ts.url_canonical(docs))
+    # retrieval + order-sensitive verify: postings-only tf shuffle /
+    # banded candidates + capped DP — both claim ~K scaling
+    from apmbackend_spark.operators.retrieval import bm25_topk
+
+    t.timed("bm25_topk", lambda: bm25_topk(docs))
+    t.timed("edit_neardup", lambda: dd.edit_neardup(docs))
     return t.out
 
 
