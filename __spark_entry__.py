@@ -50,6 +50,7 @@ from apmbackend_spark.operators import layout as ly
 from apmbackend_spark.operators import cdc
 from apmbackend_spark.operators import seasonal as sea
 from apmbackend_spark.operators import retrieval as rtr
+from apmbackend_spark.operators import webtext as wt
 from apmbackend_spark.streaming import topology as topo
 
 ZSCORE_LAGS = (60, 360)
@@ -364,6 +365,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE merge-iteration pair counting: Sennrich distinct-pretoken
         # weighting, vocabulary-bounded explode (tokenizer training step)
         "bpe_pair_counts": lambda s, d: ts.bpe_pair_counts(docs(s, d)),
+        # HTML -> text extraction (web-crawl corpus prep): deterministic
+        # page wrapper (the synth-then-process multimodal pattern), then
+        # script/style drop + tag strip + entity decode + ws collapse as
+        # ONE codegen scan; cleaned text value-checked via fingerprint
+        "html_strip": lambda s, d: wt.html_strip(wt.synth_html(docs(s, d))),
     }
     relational = {
         # runtime Bloom-filter join: might_contain predicate injected into
@@ -925,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": lid.domain_stats_oracle_sql(),
         "corpus_mixture": prep.corpus_mixture_oracle_sql(),
         "bpe_pair_counts": ts.bpe_pair_counts_oracle_sql(),
+        "html_strip": wt.html_strip_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),
