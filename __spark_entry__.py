@@ -370,6 +370,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # script/style drop + tag strip + entity decode + ws collapse as
         # ONE codegen scan; cleaned text value-checked via fingerprint
         "html_strip": lambda s, d: wt.html_strip(wt.synth_html(docs(s, d))),
+        # time-series similarity search (the retrieved EDBT'19 shape):
+        # 24-dim hour-of-day PAA profile per series, hour-ordered fold
+        # distance to the broadcast fleet-mean probe, anomaly-ranked
+        "series_similarity": lambda s, d: sea.series_similarity(
+            load_tx(s, d)
+        ),
     }
     relational = {
         # runtime Bloom-filter join: might_contain predicate injected into
@@ -932,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture": prep.corpus_mixture_oracle_sql(),
         "bpe_pair_counts": ts.bpe_pair_counts_oracle_sql(),
         "html_strip": wt.html_strip_oracle_sql(),
+        "series_similarity": TX_CTE + sea.series_similarity_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

@@ -305,3 +305,124 @@ FROM (
     FROM resid GROUP BY 1, 2, 3
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-series profile similarity (distributed similarity search over the
+# per-key hour-of-day shape — EDBT'19 "Time Series Similarity Search for
+# Streaming Data in Distributed Systems" is the retrieved-paper shape:
+# dimensionality-reduce each series to a fixed-length representation, then
+# distance-rank against a probe).
+# ---------------------------------------------------------------------------
+
+SERIES_HOURS = 24
+
+
+def series_similarity(tx: DataFrame) -> DataFrame:
+    """Rank every (server, service) series by the Euclidean distance of its
+    hour-of-day traffic profile from the fleet-mean profile: the "which
+    series behave unlike the fleet" similarity search (rank 1 = most
+    anomalous shape; invert the ordering for nearest-neighbor retrieval).
+
+    Representation: each series is reduced to a fixed 24-dim PAA-style
+    vector (events per hour-of-day over the whole span) — the classic
+    dimensionality reduction that makes series comparable regardless of
+    length. The probe is the fleet-mean vector.
+
+    Bit-determinism: hour buckets and per-hour counts are pure integer
+    arithmetic; the probe is (integer hour total) / (integer key count) —
+    one exactly-rounded division; the squared-diff sum folds in HOUR ORDER
+    via F.aggregate over sequence(0,23) (list_reduce over list(... ORDER
+    BY hour) in the oracle) — never an unordered float SUM; sqrt is an
+    exactly-rounded IEEE op. Same discipline as dup_pagerank/bm25_topk.
+
+    Scale shape: ONE shuffle to (server, service, hour) partial counts
+    (map-side combinable), one key-level rollup into an in-row 24-entry
+    map (no zero-fill join — coalesce at fold time), per-hour totals and
+    the key count broadcast as single-row dims. The final rank windows
+    over |series| rows with no partition key — bounded output by
+    definition of the operator; at fleet scales beyond one task's sort,
+    the documented flip is a distance-threshold filter or orderBy+limit
+    top-k, same semantics minus the dense rank column.
+    """
+    hour = F.expr("(endts % 86400000) div 3600000").cast("int")
+    hourly = tx.groupBy("server", "service", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vecs = hourly.groupBy("server", "service").agg(
+        F.map_from_entries(F.collect_list(F.struct("hour", "cnt"))).alias("m"),
+        F.sum("cnt").alias("n_events"),
+    )
+    totals = hourly.groupBy("hour").agg(F.sum("cnt").alias("tot"))
+    tot_map = totals.agg(
+        F.map_from_entries(F.collect_list(F.struct("hour", "tot"))).alias("tm")
+    )
+    nk = vecs.agg(F.count(F.lit(1)).alias("nk"))
+
+    def diff(h):
+        mine = F.coalesce(F.element_at(F.col("m"), h), F.lit(0)).cast("double")
+        fleet = F.coalesce(F.element_at(F.col("tm"), h), F.lit(0)).cast(
+            "double"
+        ) / F.col("nk").cast("double")
+        return mine - fleet
+
+    dist = F.sqrt(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(SERIES_HOURS - 1)),
+            F.lit(0.0),
+            lambda acc, h: acc + diff(h) * diff(h),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("dist").desc(), F.col("server").asc(), F.col("service").asc()
+    )
+    return (
+        vecs.crossJoin(F.broadcast(tot_map))
+        .crossJoin(F.broadcast(nk))
+        .select("server", "service", "n_events", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def series_similarity_oracle_sql() -> str:
+    return f"""
+, hourly AS (
+    SELECT server, service,
+           CAST((endts % 86400000) // 3600000 AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tx GROUP BY server, service, hour
+),
+keys AS (SELECT DISTINCT server, service FROM hourly),
+grid AS (
+    SELECT k.server, k.service, CAST(t.h AS INT) AS hour,
+           COALESCE(hh.cnt, 0) AS cnt
+    FROM keys k
+    CROSS JOIN (SELECT unnest(range(0, {SERIES_HOURS})) AS h) t
+    LEFT JOIN hourly hh
+      ON hh.server = k.server AND hh.service = k.service AND hh.hour = t.h
+),
+tot AS (
+    SELECT hour, CAST(SUM(cnt) AS BIGINT) AS tot FROM grid GROUP BY hour
+),
+nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM keys),
+diffs AS (
+    SELECT g.server, g.service, g.hour, g.cnt,
+           (CAST(g.cnt AS DOUBLE) - CAST(t.tot AS DOUBLE) / CAST(n.nk AS DOUBLE))
+               AS d
+    FROM grid g JOIN tot t USING (hour) CROSS JOIN nk n
+),
+scored AS (
+    SELECT server, service,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           sqrt(list_reduce(list_prepend(0.0, list(d * d ORDER BY hour)),
+                            (a, b) -> a + b)) AS dist
+    FROM diffs GROUP BY server, service
+)
+SELECT server, service, n_events, dist,
+       CAST(row_number() OVER (
+           ORDER BY dist DESC, server ASC, service ASC
+       ) AS INT) AS rank
+FROM scored
+"""

@@ -754,3 +754,78 @@ def test_feature_hashing_dimension_fixed_and_combinable_plan(spark):
     assert "Python" not in p
     assert "Join" not in p  # no vocabulary broadcast, no dictionary pass
     assert p.count("InMemoryFileIndex") == 1
+
+
+# ---------------------------------------------------------------------------
+# series_similarity (hour-of-day profile distance vs the fleet mean)
+
+
+def _tx_df_series(spark, rows):
+    # (server, service, endts_ms) minimal tx shape for the profile op
+    return spark.createDataFrame(
+        [(s, sv, ts) for s, sv, ts in rows],
+        schema="server string, service string, endts long",
+    )
+
+
+def _series_reference(rows):
+    from collections import defaultdict
+
+    hourly = defaultdict(int)
+    for s, sv, ts in rows:
+        hourly[(s, sv, (ts % 86400000) // 3600000)] += 1
+    keys = sorted({(s, sv) for s, sv, _ in rows})
+    tot = defaultdict(int)
+    for (s, sv, h), c in hourly.items():
+        tot[h] += c
+    nk = len(keys)
+    out = []
+    for s, sv in keys:
+        acc = 0.0
+        for h in range(24):  # hour-order left fold — the gate contract
+            d = float(hourly.get((s, sv, h), 0)) - float(tot.get(h, 0)) / float(nk)
+            acc = acc + d * d
+        n_ev = sum(c for (ks, kv, _), c in hourly.items() if (ks, kv) == (s, sv))
+        out.append((s, sv, n_ev, math.sqrt(acc)))
+    out.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return [(s, sv, n, d, i + 1) for i, (s, sv, n, d) in enumerate(out)]
+
+
+def test_series_similarity_matches_python_reference(spark):
+    from apmbackend_spark.operators.seasonal import series_similarity
+
+    H = 3_600_000
+    rows = (
+        # srv0/a: flat traffic, hours 0-5
+        [("srv0", "a", h * H + 7) for h in range(6) for _ in range(4)]
+        # srv1/a: spiky — everything in hour 3
+        + [("srv1", "a", 3 * H + 11) for _ in range(24)]
+        # srv0/b: moderate, hours 2-4 (second day: hour buckets wrap)
+        + [("srv0", "b", (26 + k) * H + 5) for k in range(3) for _ in range(5)]
+    )
+    got = [
+        (r["server"], r["service"], r["n_events"], r["dist"], r["rank"])
+        for r in series_similarity(_tx_df_series(spark, rows))
+        .orderBy("rank")
+        .collect()
+    ]
+    want = _series_reference(rows)
+    assert [(g[0], g[1], g[2], g[4]) for g in got] == [
+        (w[0], w[1], w[2], w[4]) for w in want
+    ]
+    for g, w in zip(got, want):
+        assert g[3] == w[3], (g, w)  # bit-exact: same fold order, IEEE ops
+
+
+def test_series_similarity_plan_broadcasts_probe(spark):
+    from apmbackend_spark.operators.seasonal import series_similarity
+
+    df = series_similarity(
+        _tx_df_series(spark, [("srv0", "a", 100), ("srv1", "b", 4_000_000)])
+    )
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in p
+    # fleet totals + key count ride broadcast single-row dims
+    assert p.count("BroadcastExchange") >= 2
