@@ -10,6 +10,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from apmbackend_spark.sources.tx import TX_CTE, load_tx
 from apmbackend_spark.operators.window_stats import (
@@ -375,6 +376,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distance to the broadcast fleet-mean probe, anomaly-ranked
         "series_similarity": lambda s, d: sea.series_similarity(
             load_tx(s, d)
+        ),
+        # direction-agnostic nearest-sample temporal join with tolerance
+        # (merge_asof 'nearest'): both carry directions ride ONE
+        # (server)-sorted exchange; gauges sparsified to every 3rd minute
+        # so both directions and tolerance nulls are exercised
+        "nearest_event_join": lambda s, d: co.nearest_event_join(
+            load_tx(s, d),
+            zf.jmx_gauges(load_tx(s, d)).where(
+                F.col("timestamp") % 180000 == 0
+            ),
         ),
     }
     relational = {
@@ -939,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": ts.bpe_pair_counts_oracle_sql(),
         "html_strip": wt.html_strip_oracle_sql(),
         "series_similarity": TX_CTE + sea.series_similarity_oracle_sql(),
+        "nearest_event_join": TX_CTE + co.nearest_event_join_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

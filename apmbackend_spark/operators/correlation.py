@@ -598,3 +598,136 @@ SELECT event_type,
 FROM islands
 GROUP BY event_type, island
 """
+
+
+# ---------------------------------------------------------------------------
+# Nearest-event temporal join (direction-agnostic as-of with tolerance)
+# ---------------------------------------------------------------------------
+
+NEAREST_TOL_MS = 100_000
+
+
+def nearest_event_join(
+    tx: DataFrame, gauges: DataFrame, tol_ms: int = NEAREST_TOL_MS
+) -> DataFrame:
+    """Each tx picks the NEAREST gauge sample on its server within
+    ``tol_ms`` — earlier OR later (pandas ``merge_asof(direction=
+    'nearest')`` semantics; ties at equal distance resolve BACKWARD).
+    ``gauge_asof`` above answers "what was the box doing at-or-before";
+    this is the sensor-alignment variant for sparse/irregular collectors
+    where the closest sample may be the next one.
+
+    Scale shape — the same union + carry pattern as ``gauge_asof``, run in
+    BOTH directions over one (server)-partitioned sort: `last(ignorenulls)`
+    over (-inf, 0] carries the latest earlier gauge, `first(ignorenulls)`
+    over [0, +inf) carries the next later one, and a codegen CASE picks the
+    closer side then applies the tolerance. Both windows share the same
+    (partition, order) spec, hence ONE exchange and one sort — never an
+    inequality join (|tx| x |gauges| blowup, broadcast-nested-loop plan).
+    A gauge at exactly the tx timestamp sorts ahead of the tx row (is_tx
+    tiebreak), so it is the backward candidate at distance 0 in both
+    engines.
+    """
+    g = gauges.select(
+        "server",
+        F.col("timestamp").alias("ts"),
+        F.lit(0).alias("is_tx"),
+        F.lit(None).cast("string").alias("logid"),
+        F.col("timestamp").alias("g_ts"),
+        F.col("heapused").alias("g_heap"),
+    )
+    t = tx.select(
+        "server",
+        F.col("endts").alias("ts"),
+        F.lit(1).alias("is_tx"),
+        "logid",
+        F.lit(None).cast("long").alias("g_ts"),
+        F.lit(None).cast("long").alias("g_heap"),
+    )
+    from pyspark.sql import Window
+
+    base = Window.partitionBy("server").orderBy("ts", "is_tx", "logid")
+    wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, Window.unboundedFollowing)
+    u = g.unionAll(t)
+    carried = u.select(
+        "server",
+        "ts",
+        "is_tx",
+        "logid",
+        F.last("g_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.last("g_heap", ignorenulls=True).over(wb).alias("b_heap"),
+        F.first("g_ts", ignorenulls=True).over(wf).alias("f_ts"),
+        F.first("g_heap", ignorenulls=True).over(wf).alias("f_heap"),
+    ).where(F.col("is_tx") == 1)
+    d_b = F.col("ts") - F.col("b_ts")
+    d_f = F.col("f_ts") - F.col("ts")
+    pick_b = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (d_b <= d_f)
+    )
+    n_ts = F.when(pick_b, F.col("b_ts")).otherwise(F.col("f_ts"))
+    n_heap = F.when(pick_b, F.col("b_heap")).otherwise(F.col("f_heap"))
+    n_dist = F.when(pick_b, d_b).otherwise(d_f)
+    n_dir = F.when(pick_b, F.lit("b")).otherwise(F.lit("f"))
+    within = n_ts.isNotNull() & (n_dist <= F.lit(int(tol_ms)))
+    return carried.select(
+        "logid",
+        "server",
+        F.col("ts").alias("endts"),
+        F.when(within, n_ts).alias("gauge_ts"),
+        F.when(within, n_heap).alias("heapused"),
+        F.when(within, n_dist).alias("dist_ms"),
+        F.when(within, n_dir).alias("direction"),
+    )
+
+
+def nearest_event_join_oracle_sql(tol_ms: int = NEAREST_TOL_MS) -> str:
+    """Two native ASOF joins (backward >=, forward <=) + the same
+    closer-side CASE. jx formulas mirror zerofill.jmx_gauges; the gate
+    sparsifies to every third minute so both directions and tolerance
+    nulls are exercised."""
+    return f"""
+, jx AS (
+    SELECT (endts - endts % 60000) AS timestamp, server,
+           CAST(100000000 + SUM(elapsed) * 1000 AS BIGINT) AS heapused
+    FROM tx GROUP BY 1, 2
+),
+jx3 AS (SELECT * FROM jx WHERE timestamp % 180000 = 0),
+bwd AS (
+    SELECT t.logid, t.server, t.endts,
+           g.timestamp AS b_ts, g.heapused AS b_heap
+    FROM tx t ASOF LEFT JOIN jx3 g
+      ON t.server = g.server AND t.endts >= g.timestamp
+),
+fwd AS (
+    SELECT t.logid, t.server, t.endts,
+           g.timestamp AS f_ts, g.heapused AS f_heap
+    FROM tx t ASOF LEFT JOIN jx3 g
+      ON t.server = g.server AND t.endts <= g.timestamp
+),
+joined AS (
+    SELECT b.logid, b.server, b.endts, b.b_ts, b.b_heap, f.f_ts, f.f_heap,
+           (b.b_ts IS NOT NULL AND
+            (f.f_ts IS NULL OR (b.endts - b.b_ts) <= (f.f_ts - b.endts)))
+               AS pick_b
+    FROM bwd b JOIN fwd f ON b.logid = f.logid AND b.server = f.server
+),
+picked AS (
+    SELECT logid, server, endts,
+           CASE WHEN pick_b THEN b_ts ELSE f_ts END AS n_ts,
+           CASE WHEN pick_b THEN b_heap ELSE f_heap END AS n_heap,
+           CASE WHEN pick_b THEN endts - b_ts ELSE f_ts - endts END AS n_dist,
+           CASE WHEN pick_b THEN 'b' ELSE 'f' END AS n_dir
+    FROM joined
+)
+SELECT logid, server, endts,
+       CASE WHEN n_ts IS NOT NULL AND n_dist <= {int(tol_ms)} THEN n_ts END
+           AS gauge_ts,
+       CASE WHEN n_ts IS NOT NULL AND n_dist <= {int(tol_ms)} THEN n_heap END
+           AS heapused,
+       CASE WHEN n_ts IS NOT NULL AND n_dist <= {int(tol_ms)} THEN n_dist END
+           AS dist_ms,
+       CASE WHEN n_ts IS NOT NULL AND n_dist <= {int(tol_ms)} THEN n_dir END
+           AS direction
+FROM picked
+"""

@@ -90,3 +90,75 @@ class TestGaugeInterpolate:
         assert got["c"]["heap_interp"] == 2000.0 and got["c"]["next_ts"] is None
         assert got["d"]["heap_interp"] == 1000.0 and got["d"]["prev_ts"] is None
         assert got["e"]["heap_interp"] is None
+
+
+# ---------------------------------------------------------------------------
+# nearest_event_join (direction-agnostic, tolerance-bounded)
+
+
+def test_nearest_event_join_semantics(spark):
+    from apmbackend_spark.operators.correlation import nearest_event_join
+
+    gauges = spark.createDataFrame(
+        [("s1", 1000, 10), ("s1", 2000, 20), ("s2", 5000, 50)],
+        "server string, timestamp long, heapused long",
+    )
+    tx = spark.createDataFrame(
+        [
+            ("a", "s1", 1200),  # nearer backward (200 vs 800) -> b
+            ("b", "s1", 1900),  # nearer forward (100 vs 900) -> f
+            ("c", "s1", 1500),  # exact tie (500/500) -> backward wins
+            ("d", "s1", 2000),  # gauge AT ts -> backward, dist 0
+            ("e", "s1", 900),   # before first: forward only, dist 100
+            ("f", "s1", 2600),  # beyond tol=500 on both sides -> NULL
+            ("g", "s2", 5400),  # other server's gauge
+            ("h", "s3", 5000),  # no gauges on server -> NULL
+        ],
+        "logid string, server string, endts long",
+    )
+    got = {
+        r["logid"]: r
+        for r in nearest_event_join(tx, gauges, tol_ms=500).collect()
+    }
+    assert (got["a"]["gauge_ts"], got["a"]["direction"], got["a"]["dist_ms"]) == (1000, "b", 200)
+    assert (got["b"]["gauge_ts"], got["b"]["direction"], got["b"]["dist_ms"]) == (2000, "f", 100)
+    assert (got["c"]["gauge_ts"], got["c"]["direction"]) == (1000, "b")
+    assert (got["d"]["gauge_ts"], got["d"]["direction"], got["d"]["dist_ms"]) == (2000, "b", 0)
+    assert (got["e"]["gauge_ts"], got["e"]["direction"], got["e"]["dist_ms"]) == (1000, "f", 100)
+    assert got["f"]["gauge_ts"] is None and got["f"]["direction"] is None
+    assert (got["g"]["gauge_ts"], got["g"]["heapused"]) == (5000, 50)
+    assert got["h"]["gauge_ts"] is None
+    assert len(got) == 8  # left semantics: every tx survives
+
+
+def test_nearest_event_join_single_exchange_no_range_join(spark):
+    # on the real fixture (multi-partition, so distributions aren't
+    # trivially satisfied): both carry directions share ONE server-keyed
+    # window exchange, and there is never an inequality join
+    import re
+
+    from apmbackend_spark.operators.correlation import nearest_event_join
+    from apmbackend_spark.operators.zerofill import jmx_gauges
+    from apmbackend_spark.sources.tx import load_tx
+    from tests.conftest import SF_SMOKE
+
+    tx = load_tx(spark, SF_SMOKE)
+    df = nearest_event_join(
+        tx, jmx_gauges(tx).where(F.col("timestamp") % 180000 == 0)
+    )
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    keys = [
+        m.group(1) for m in re.finditer(r"hashpartitioning\(([^)]*)\)", p)
+    ]
+    # a window exchange keyed on server ALONE (last token = numPartitions);
+    # the gauges rollup's (server, minute) exchange is a different spec
+    server_only = [
+        k
+        for k in keys
+        if len(k.split(",")) == 2 and k.split(",")[0].strip().startswith("server")
+    ]
+    assert len(server_only) == 1  # one shared window exchange, not two
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
