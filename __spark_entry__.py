@@ -377,6 +377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_similarity": lambda s, d: sea.series_similarity(
             load_tx(s, d)
         ),
+        # triangle count + clustering coefficient over the LSH candidate
+        # graph: separates clique-like mirror clusters from drift chains;
+        # degree-ordered orientation bounds wedges at O(m^1.5)
+        "dup_triangles": lambda s, d: dd.dup_triangles(docs(s, d)),
         # direction-agnostic nearest-sample temporal join with tolerance
         # (merge_asof 'nearest'): both carry directions ride ONE
         # (server)-sorted exchange; gauges sparsified to every 3rd minute
@@ -951,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         "html_strip": wt.html_strip_oracle_sql(),
         "series_similarity": TX_CTE + sea.series_similarity_oracle_sql(),
         "nearest_event_join": TX_CTE + co.nearest_event_join_oracle_sql(),
+        "dup_triangles": dd.dup_triangles_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

@@ -1292,3 +1292,162 @@ scored AS (
 SELECT doc_a, doc_b, lev, edit_sim FROM scored
 WHERE edit_sim >= {float(threshold)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient over the candidate graph
+# ---------------------------------------------------------------------------
+
+# orientation key = degree * ORD_BASE + doc_id: a total order by (degree,
+# doc_id) packed into one BIGINT so the wedge inequality and the closing
+# join compare a single column. Safe while doc_id < ORD_BASE (fixtures top
+# out at 5k docs; production would widen the base or pack a struct).
+ORD_BASE = 10_000_000
+
+
+def dup_triangles(
+    documents: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Per-document triangle count + local clustering coefficient over the
+    MinHash-LSH candidate graph: (doc_id, degree, triangles, clustering).
+
+    Why: components (``dedup_clusters``) say WHICH docs hang together;
+    triangle density says HOW. A mirror/template cluster is a near-clique
+    (clustering ~1); a drift chain (A~B~C but A!~C, e.g. successive
+    revisions) is triangle-free. The coefficient separates "delete all
+    but one" candidates from "keep the endpoints" chains before any
+    destructive dedup action.
+
+    Exact, integer, and scalable via DEGREE-ORDERED ORIENTATION (the
+    standard distributed-triangle trick): every undirected edge is
+    directed from its lower-(degree, id) endpoint to the higher one, and
+    wedges are built only from each node's OUT-neighbors, so wedge volume
+    is sum(out_deg^2) <= O(m^1.5) regardless of hot nodes — a plain
+    edge-edge self-join would blow up quadratically on a viral template's
+    star. The closing check is one more equi-join on the packed
+    orientation key. Clustering = 2*T / (deg*(deg-1)) — exact integers
+    into one exactly-rounded double division, bit-equal across engines.
+    """
+    edges = minhash_lsh_pairs(documents, bands, rows_per_band)
+    # localCheckpoint: edges feed degree, orientation and the closing join;
+    # recomputing the band-index chain three times would triple the
+    # expensive scan (the dedup_clusters/dup_pagerank precedent)
+    edges = edges.localCheckpoint()
+    deg = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(edges.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("degree") * F.lit(ORD_BASE) + F.col("doc_a")).alias("ord_a"),
+    )
+    db = deg.select(
+        F.col("doc_id").alias("doc_b"),
+        (F.col("degree") * F.lit(ORD_BASE) + F.col("doc_b")).alias("ord_b"),
+    )
+    keyed = edges.join(da, "doc_a").join(db, "doc_b")
+    oriented = keyed.select(
+        F.when(F.col("ord_a") < F.col("ord_b"), F.col("ord_a"))
+        .otherwise(F.col("ord_b"))
+        .alias("src"),
+        F.when(F.col("ord_a") < F.col("ord_b"), F.col("ord_b"))
+        .otherwise(F.col("ord_a"))
+        .alias("dst"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(o2, F.col("o1.src") == F.col("o2.src")).where(
+        F.col("o1.dst") < F.col("o2.dst")
+    )
+    closing = oriented.select(
+        F.col("src").alias("c_src"), F.col("dst").alias("c_dst")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("o1.dst") == F.col("c_src"))
+        & (F.col("o2.dst") == F.col("c_dst")),
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    per_node = (
+        tri.select(F.col("u").alias("o"))
+        .unionAll(tri.select(F.col("v").alias("o")))
+        .unionAll(tri.select(F.col("w").alias("o")))
+        .groupBy("o")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(
+            per_node,
+            (F.col("degree") * F.lit(ORD_BASE) + F.col("doc_id"))
+            == F.col("o"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                (F.coalesce(F.col("triangles"), F.lit(0)) * F.lit(2)).cast(
+                    "double"
+                )
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+def dup_triangles_oracle_sql(bands: int = 4, rows_per_band: int = 2) -> str:
+    return f"""
+WITH {_band_index_ctes(bands, rows_per_band)},
+edges AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM exploded a JOIN exploded b USING (band)
+    WHERE a.doc_id < b.doc_id
+),
+deg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM edges
+        UNION ALL SELECT doc_b FROM edges
+    ) GROUP BY doc_id
+),
+oriented AS (
+    SELECT least(da.degree * {ORD_BASE} + e.doc_a,
+                 db.degree * {ORD_BASE} + e.doc_b) AS src,
+           greatest(da.degree * {ORD_BASE} + e.doc_a,
+                    db.degree * {ORD_BASE} + e.doc_b) AS dst
+    FROM edges e
+    JOIN deg da ON da.doc_id = e.doc_a
+    JOIN deg db ON db.doc_id = e.doc_b
+),
+tri AS (
+    SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+    FROM oriented o1
+    JOIN oriented o2 ON o1.src = o2.src AND o1.dst < o2.dst
+    JOIN oriented c ON c.src = o1.dst AND c.dst = o2.dst
+),
+per_node AS (
+    SELECT o, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        SELECT u AS o FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    ) GROUP BY o
+)
+SELECT d.doc_id, d.degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2 THEN
+           CAST(COALESCE(p.triangles, 0) * 2 AS DOUBLE)
+             / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+       ELSE 0.0 END AS clustering
+FROM deg d
+LEFT JOIN per_node p ON p.o = d.degree * {ORD_BASE} + d.doc_id
+"""

@@ -323,3 +323,75 @@ def test_bpe_pair_counts_single_char_pretoken_emits_no_pair(spark):
     got = {r["pair"]: r["n"] for r in bpe_pair_counts(df).collect()}
     # pretokens: 'a', ' ,', ' b', ' .', ' a' — the bare 'a' contributes none
     assert got == {" ,": 1, " .": 1, " a": 1, " b": 1}
+
+
+# ---------------------------------------------------------------------------
+# dup_triangles (clustering coefficient over the candidate graph)
+
+
+def test_dup_triangles_matches_python_reference(spark):
+    from itertools import combinations
+
+    from apmbackend_spark.operators.dedup import (
+        dup_triangles,
+        minhash_lsh_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a warm windowsill nearby every single afternoon"
+    )
+    texts = [
+        base,                    # 0: near-identical trio -> clique
+        base + " indeed",        # 1: suffix-only deltas keep jaccard ~0.95
+        base + " truly",         # 2
+        "completely different words about spark shuffles and parquet "
+        "files that share nothing with the animal corpus at all here",  # 3
+        "another unrelated document talking about benchmark harnesses "
+        "and oracle twins with zero overlap whatsoever in shingles",    # 4
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", f"s{i}", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    edges = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    # python reference: exact triangles per node over the same edge set
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                tri[n] += 1
+    got = {r["doc_id"]: r for r in dup_triangles(docs).collect()}
+    assert set(got) == set(adj)
+    for n in adj:
+        deg = len(adj[n])
+        assert got[n]["degree"] == deg
+        assert got[n]["triangles"] == tri[n]
+        want_cc = (2.0 * tri[n]) / (deg * (deg - 1)) if deg >= 2 else 0.0
+        assert got[n]["clustering"] == want_cc
+    # the mirror trio must actually close a triangle for the test to bite
+    assert (0, 1) in edges and (0, 2) in edges
+    if (1, 2) in edges:
+        assert got[0]["triangles"] >= 1
+
+
+def test_dup_triangles_orientation_no_cartesian(spark):
+    from apmbackend_spark.operators.dedup import dup_triangles
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words alpha beta gamma delta", "en", "s", 40)
+         for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df = dup_triangles(docs)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
