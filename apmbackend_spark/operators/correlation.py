@@ -605,10 +605,19 @@ GROUP BY event_type, island
 # ---------------------------------------------------------------------------
 
 NEAREST_TOL_MS = 100_000
+# time-slice for the partitioning key: parallelism = |servers| x |slices|
+# instead of |servers| alone (a per-server global sort stops scaling the
+# moment one server's history outgrows a task). EXACT for tol_ms <
+# NEAREST_SLICE_MS because every candidate within tolerance of a slice
+# boundary is replicated into the adjacent slice (below).
+NEAREST_SLICE_MS = 21_600_000  # 6 h
 
 
 def nearest_event_join(
-    tx: DataFrame, gauges: DataFrame, tol_ms: int = NEAREST_TOL_MS
+    tx: DataFrame,
+    gauges: DataFrame,
+    tol_ms: int = NEAREST_TOL_MS,
+    slice_ms: int = NEAREST_SLICE_MS,
 ) -> DataFrame:
     """Each tx picks the NEAREST gauge sample on its server within
     ``tol_ms`` — earlier OR later (pandas ``merge_asof(direction=
@@ -617,27 +626,52 @@ def nearest_event_join(
     this is the sensor-alignment variant for sparse/irregular collectors
     where the closest sample may be the next one.
 
-    Scale shape — the same union + carry pattern as ``gauge_asof``, run in
-    BOTH directions over one (server)-partitioned sort: `last(ignorenulls)`
-    over (-inf, 0] carries the latest earlier gauge, `first(ignorenulls)`
-    over [0, +inf) carries the next later one, and a codegen CASE picks the
-    closer side then applies the tolerance. Both windows share the same
-    (partition, order) spec, hence ONE exchange and one sort — never an
-    inequality join (|tx| x |gauges| blowup, broadcast-nested-loop plan).
-    A gauge at exactly the tx timestamp sorts ahead of the tx row (is_tx
+    Scale shape — the union + carry pattern of ``gauge_asof``, run in BOTH
+    directions (`last(ignorenulls)` over (-inf, 0] carries the latest
+    earlier gauge, `first(ignorenulls)` over [0, +inf) the next later
+    one), then a codegen CASE picks the closer side and applies the
+    tolerance — never an inequality join (|tx| x |gauges| rows before the
+    filter, broadcast-nested-loop plan). Unlike gauge_asof's documented
+    per-server sort, the window here partitions on (server, TIME-SLICE):
+    the tolerance bound makes slicing EXACT — a tx can only match gauges
+    within tol_ms, so replicating each gauge into the adjacent slice when
+    it sits within tol_ms of the boundary (a ~tol/slice fraction) gives
+    every tx its full candidate set inside its own slice. Parallelism is
+    |servers| x |slices| and keeps growing with retention; measured 10x
+    events -> near-flat (the unsliced form serializes on |servers| tasks).
+    Both carry directions share one (server, slice) exchange + sort. A
+    gauge at exactly the tx timestamp sorts ahead of the tx row (is_tx
     tiebreak), so it is the backward candidate at distance 0 in both
     engines.
     """
-    g = gauges.select(
+    assert int(tol_ms) < int(slice_ms), "slicing is exact only for tol < slice"
+    sl = int(slice_ms)
+    g0 = gauges.select(
         "server",
+        (F.col("timestamp") / F.lit(sl)).cast("long").alias("slice"),
         F.col("timestamp").alias("ts"),
         F.lit(0).alias("is_tx"),
         F.lit(None).cast("string").alias("logid"),
         F.col("timestamp").alias("g_ts"),
         F.col("heapused").alias("g_heap"),
     )
+    off = F.col("ts") % F.lit(sl)
+    g = g0.unionAll(
+        # within tol of the slice START: also a candidate for the previous
+        # slice's trailing tx rows (their forward direction)
+        g0.where(off < F.lit(int(tol_ms))).withColumn(
+            "slice", F.col("slice") - F.lit(1)
+        )
+    ).unionAll(
+        # within tol of the slice END: backward candidate for the next
+        # slice's leading tx rows
+        g0.where(F.lit(sl) - off <= F.lit(int(tol_ms))).withColumn(
+            "slice", F.col("slice") + F.lit(1)
+        )
+    )
     t = tx.select(
         "server",
+        (F.col("endts") / F.lit(sl)).cast("long").alias("slice"),
         F.col("endts").alias("ts"),
         F.lit(1).alias("is_tx"),
         "logid",
@@ -646,7 +680,9 @@ def nearest_event_join(
     )
     from pyspark.sql import Window
 
-    base = Window.partitionBy("server").orderBy("ts", "is_tx", "logid")
+    base = Window.partitionBy("server", "slice").orderBy(
+        "ts", "is_tx", "logid"
+    )
     wb = base.rowsBetween(Window.unboundedPreceding, 0)
     wf = base.rowsBetween(0, Window.unboundedFollowing)
     u = g.unionAll(t)

@@ -152,13 +152,45 @@ def test_nearest_event_join_single_exchange_no_range_join(spark):
     keys = [
         m.group(1) for m in re.finditer(r"hashpartitioning\(([^)]*)\)", p)
     ]
-    # a window exchange keyed on server ALONE (last token = numPartitions);
-    # the gauges rollup's (server, minute) exchange is a different spec
-    server_only = [
+    # ONE window exchange keyed (server, slice) — both carry directions
+    # share it; the gauges rollup's (server, minute) exchange differs
+    win_keys = [
         k
         for k in keys
-        if len(k.split(",")) == 2 and k.split(",")[0].strip().startswith("server")
+        if len(k.split(",")) == 3
+        and k.split(",")[0].strip().startswith("server")
+        and k.split(",")[1].strip().startswith("slice")
     ]
-    assert len(server_only) == 1  # one shared window exchange, not two
+    assert len(win_keys) == 1
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_nearest_event_join_slicing_is_exact(spark):
+    # tiny slices force heavy boundary replication; results must be
+    # row-identical to the effectively-global single slice
+    from apmbackend_spark.operators.correlation import nearest_event_join
+    from apmbackend_spark.operators.zerofill import jmx_gauges
+    from apmbackend_spark.sources.tx import load_tx
+    from tests.conftest import SF_SMOKE
+
+    tx = load_tx(spark, SF_SMOKE)
+    gauges = jmx_gauges(tx).where(F.col("timestamp") % 180000 == 0)
+
+    def rows(slice_ms):
+        return sorted(
+            (
+                r["logid"],
+                r["gauge_ts"],
+                r["heapused"],
+                r["dist_ms"],
+                r["direction"],
+            )
+            for r in nearest_event_join(
+                tx, gauges, slice_ms=slice_ms
+            ).collect()
+        )
+
+    sliced = rows(200_000)           # barely above tol: max replication
+    global_ = rows(10**15)           # one slice = the unsliced semantics
+    assert sliced == global_
