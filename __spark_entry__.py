@@ -377,6 +377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_similarity": lambda s, d: sea.series_similarity(
             load_tx(s, d)
         ),
+        # the gauge_asof docstring's 100 TB flip made real: same as-of
+        # semantics, window on (server, time-slice) with a one-gauge
+        # carry-in per slice; graded against the SAME ASOF-join oracle
+        "gauge_asof_sliced": lambda s, d: co.gauge_asof_sliced(
+            load_tx(s, d), zf.jmx_gauges(load_tx(s, d))
+        ),
         # triangle count + clustering coefficient over the LSH candidate
         # graph: separates clique-like mirror clusters from drift chains;
         # degree-ordered orientation bounds wedges at O(m^1.5)
@@ -956,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "series_similarity": TX_CTE + sea.series_similarity_oracle_sql(),
         "nearest_event_join": TX_CTE + co.nearest_event_join_oracle_sql(),
         "dup_triangles": dd.dup_triangles_oracle_sql(),
+        "gauge_asof_sliced": TX_CTE + co.GAUGE_ASOF_ORACLE,
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

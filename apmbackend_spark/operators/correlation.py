@@ -767,3 +767,161 @@ SELECT logid, server, endts,
            AS direction
 FROM picked
 """
+
+
+# ---------------------------------------------------------------------------
+# Sliced as-of join (the gauge_asof docstring's "one-gauge carry into each
+# slice" flip, implemented and graded)
+# ---------------------------------------------------------------------------
+
+ASOF_SLICE_MS = 21_600_000  # 6 h
+
+
+def gauge_asof_sliced(
+    tx: DataFrame, gauges: DataFrame, slice_ms: int = ASOF_SLICE_MS
+) -> DataFrame:
+    """``gauge_asof`` semantics (latest gauge at-or-before, same columns,
+    same tie rule) with the window partitioned on (server, TIME-SLICE)
+    instead of server alone — the documented 100 TB mitigation for the
+    per-server history sort, made real and hash-graded against the SAME
+    oracle as ``gauge_asof``.
+
+    Backward-only lookback is unbounded, so unlike ``nearest_event_join``
+    a tolerance replication can't seed the slices. Instead, a CARRY-IN
+    pass does: (1) per (server, slice) keep the latest gauge (one
+    max_by-shaped rollup, map-side combinable); (2) for every slice a tx
+    occupies, pick the latest summary from any STRICTLY EARLIER slice —
+    a per-server ordered window over |slices| summary rows, trivially
+    small; (3) inject that one gauge row into the slice (original ts, so
+    it sorts first) and run the usual union + last(ignorenulls) window
+    inside (server, slice). Every tx then sees all same-slice gauges
+    before it plus the only earlier gauge that can win. Exact for any
+    gauge spacing, including slices with no gauges at all (the carry
+    window runs over the summary+marker union, so carries cross empty
+    slices). Parallelism |servers| x |slices| like the nearest join.
+    """
+    sl = int(slice_ms)
+    g_sl = (F.col("timestamp") / F.lit(sl)).cast("long")
+    t_sl = (F.col("endts") / F.lit(sl)).cast("long")
+    # (1) latest gauge per (server, slice) — max_by via struct max (ts is
+    # the leading struct field, unique per (server, minute))
+    summary = (
+        gauges.select(
+            "server",
+            g_sl.alias("slice"),
+            F.struct(
+                F.col("timestamp").alias("ts"),
+                F.col("heapused").alias("heapused"),
+                F.col("threadcnt").alias("threadcnt"),
+            ).alias("g"),
+        )
+        .groupBy("server", "slice")
+        .agg(F.max("g").alias("g"))
+    )
+    # (2) carry-in per tx-occupied slice: latest summary strictly earlier.
+    # Union summary rows (kind 0) with tx slice markers (kind 1); a
+    # per-server window ordered by (slice, kind) rows (-inf, -1] sees all
+    # summaries of earlier slices AND the same slice's summary — keep the
+    # carry only when it is from a strictly earlier slice (the same-slice
+    # gauge is already inside the slice).
+    markers = (
+        tx.select("server", t_sl.alias("slice"))
+        .distinct()
+        .select("server", "slice", F.lit(1).alias("kind"),
+                F.lit(None).cast(
+                    "struct<ts:long,heapused:long,threadcnt:int>"
+                ).alias("g"))
+    )
+    summ = summary.select("server", "slice", F.lit(0).alias("kind"), "g")
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("server")
+        .orderBy("slice", "kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = (
+        summ.unionAll(markers)
+        .select(
+            "server",
+            "slice",
+            "kind",
+            F.last("g", ignorenulls=True).over(wc).alias("cg"),
+            F.last(
+                F.when(F.col("kind") == 0, F.col("slice")), ignorenulls=True
+            )
+            .over(wc)
+            .alias("cg_slice"),
+        )
+        .where(
+            (F.col("kind") == 1)
+            & F.col("cg").isNotNull()
+            & (F.col("cg_slice") < F.col("slice"))
+        )
+        .select(
+            "server",
+            "slice",
+            F.col("cg.ts").alias("ts"),
+            F.col("cg.heapused").alias("heapused"),
+            F.col("cg.threadcnt").alias("threadcnt"),
+        )
+    )
+    # (3) in-slice union + backward carry window (gauge_asof's comparator)
+    def g_rows(df):
+        return df.select(
+            "server",
+            (F.col("ts") / F.lit(sl)).cast("long").alias("slice")
+            if "slice" not in df.columns
+            else F.col("slice"),
+            F.col("ts"),
+            F.lit(0).alias("is_tx"),
+            F.lit(None).cast("string").alias("logid"),
+            F.lit(None).cast("long").alias("elapsed"),
+            F.col("ts").alias("gauge_ts"),
+            "heapused",
+            "threadcnt",
+        )
+
+    g_in = g_rows(
+        gauges.select(
+            "server", g_sl.alias("slice"), F.col("timestamp").alias("ts"),
+            "heapused", "threadcnt",
+        )
+    )
+    g_carry = g_rows(carried)
+    t_in = tx.select(
+        "server",
+        t_sl.alias("slice"),
+        F.col("endts").alias("ts"),
+        F.lit(1).alias("is_tx"),
+        "logid",
+        "elapsed",
+        F.lit(None).cast("long").alias("gauge_ts"),
+        F.lit(None).cast("long").alias("heapused"),
+        F.lit(None).cast("int").alias("threadcnt"),
+    )
+    w = (
+        Window.partitionBy("server", "slice")
+        .orderBy("ts", "is_tx", "logid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = g_in.unionAll(g_carry).unionAll(t_in)
+    out = u.select(
+        "server",
+        "ts",
+        "is_tx",
+        "logid",
+        "elapsed",
+        F.last("gauge_ts", ignorenulls=True).over(w).alias("gauge_ts"),
+        F.last("heapused", ignorenulls=True).over(w).alias("heapused"),
+        F.last("threadcnt", ignorenulls=True).over(w).alias("threadcnt"),
+    )
+    return out.where(F.col("is_tx") == 1).select(
+        "logid",
+        "server",
+        F.col("ts").alias("endts"),
+        "elapsed",
+        "gauge_ts",
+        "heapused",
+        "threadcnt",
+    )
