@@ -680,11 +680,27 @@ def nearest_event_join(
     )
     from pyspark.sql import Window
 
-    base = Window.partitionBy("server", "slice").orderBy(
-        "ts", "is_tx", "logid"
+    wb = (
+        Window.partitionBy("server", "slice")
+        .orderBy("ts", "is_tx", "logid")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wb = base.rowsBetween(Window.unboundedPreceding, 0)
-    wf = base.rowsBetween(0, Window.unboundedFollowing)
+    # forward carry = RUNNING last() over the REVERSED sort, not first()
+    # over an unbounded-FOLLOWING frame: Spark evaluates running
+    # (preceding..current) frames in one streaming pass per partition,
+    # while UnboundedFollowingWindowFunctionFrame re-aggregates the
+    # remaining rows PER ROW — measured O(n^2): 89 s at sf0.1 on one
+    # slice vs ~2 s for this form (the gauge_interpolate lesson). Tie
+    # rule preserved: at equal ts the reverse sort (is_tx DESC) places
+    # the gauge AFTER the tx row, so an at-ts gauge is excluded from the
+    # tx's reversed running frame — it stays backward-only.
+    wf = (
+        Window.partitionBy("server", "slice")
+        .orderBy(
+            F.col("ts").desc(), F.col("is_tx").desc(), F.col("logid").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     u = g.unionAll(t)
     carried = u.select(
         "server",
@@ -693,8 +709,8 @@ def nearest_event_join(
         "logid",
         F.last("g_ts", ignorenulls=True).over(wb).alias("b_ts"),
         F.last("g_heap", ignorenulls=True).over(wb).alias("b_heap"),
-        F.first("g_ts", ignorenulls=True).over(wf).alias("f_ts"),
-        F.first("g_heap", ignorenulls=True).over(wf).alias("f_heap"),
+        F.last("g_ts", ignorenulls=True).over(wf).alias("f_ts"),
+        F.last("g_heap", ignorenulls=True).over(wf).alias("f_heap"),
     ).where(F.col("is_tx") == 1)
     d_b = F.col("ts") - F.col("b_ts")
     d_f = F.col("f_ts") - F.col("ts")
