@@ -377,6 +377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_similarity": lambda s, d: sea.series_similarity(
             load_tx(s, d)
         ),
+        # privacy audit (the pii_scrub sibling): k-anonymity ladder +
+        # l-diversity floor from ONE map-side-combinable class rollup;
+        # ladder rows aggregate the tiny class frame, never the raw scan
+        "k_anonymity": lambda s, d: pf.k_anonymity(
+            load_table(s, d, "events")
+        ),
         # the gauge_asof docstring's 100 TB flip made real: same as-of
         # semantics, window on (server, time-slice) with a one-gauge
         # carry-in per slice; graded against the SAME ASOF-join oracle
@@ -963,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_event_join": TX_CTE + co.nearest_event_join_oracle_sql(),
         "dup_triangles": dd.dup_triangles_oracle_sql(),
         "gauge_asof_sliced": TX_CTE + co.GAUGE_ASOF_ORACLE,
+        "k_anonymity": pf.k_anonymity_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

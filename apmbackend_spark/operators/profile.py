@@ -898,3 +898,109 @@ WHERE NOT EXISTS (SELECT 1 FROM ({parent_sql}) p WHERE p.pk = c.{fk})"""
         + leg("lineitem", "l_orderkey", ords,
               "lineitem.l_orderkey -> orders.o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+K_ANON_LADDER = (2, 5, 10, 25)
+K_ANON_USER_BUCKETS = 101
+
+
+def k_anonymity(
+    events: DataFrame, ladder: tuple[int, ...] = K_ANON_LADDER
+) -> DataFrame:
+    """Privacy-audit profile before a data release: for each k in the
+    ladder, how many quasi-identifier equivalence classes (and what
+    fraction of records) fall below k-anonymity, plus the global
+    l-diversity floor. ``pii_scrub`` removes direct identifiers; this
+    measures the RE-IDENTIFICATION surface that remains — the released
+    quasi-identifiers here are (event_type, day, user-bucket), the
+    sensitive attribute is the integer-rounded amount.
+
+    One map-side-combinable rollup builds the class frame (size +
+    distinct-sensitive per class); every ladder row is then a conditional
+    aggregate over that TINY frame (|classes| rows, bounded by the QI
+    domain, never by event volume) crossed with the broadcast ladder.
+    All counts integer; the record fraction is one exactly-rounded
+    division.
+    """
+    day = F.expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)")
+    classes = (
+        events.select(
+            "event_type",
+            day.alias("day"),
+            (F.col("user_id") % F.lit(K_ANON_USER_BUCKETS)).alias("ubucket"),
+            F.round(F.col("value"), 0).cast("long").alias("sens"),
+        )
+        .groupBy("event_type", "day", "ubucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("sens").alias("l_div"),
+        )
+    )
+    lad = events.sparkSession.createDataFrame(
+        [(int(k),) for k in ladder], "k int"
+    )
+    return (
+        classes.crossJoin(F.broadcast(lad))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("n_rows") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below"),
+            F.sum(
+                F.when(F.col("n_rows") < F.col("k"), F.col("n_rows")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("records_below"),
+            F.sum("n_rows").alias("n_records"),
+            F.min("n_rows").alias("min_class_size"),
+            F.min("l_div").alias("min_l_diversity"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "classes_below",
+            "records_below",
+            (
+                F.col("records_below").cast("double")
+                / F.col("n_records").cast("double")
+            ).alias("frac_records_below"),
+            "min_class_size",
+            "min_l_diversity",
+        )
+    )
+
+
+def k_anonymity_oracle_sql(ladder: tuple[int, ...] = K_ANON_LADDER) -> str:
+    lvals = ", ".join(f"({int(k)})" for k in ladder)
+    return f"""
+WITH classes AS (
+    SELECT event_type,
+           CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+           user_id % {K_ANON_USER_BUCKETS} AS ubucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CAST(round(value, 0) AS BIGINT)) AS BIGINT)
+               AS l_div
+    FROM events
+    GROUP BY event_type, day, ubucket
+),
+ladder(k) AS (VALUES {lvals})
+SELECT k,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n_rows < k THEN 1 ELSE 0 END) AS BIGINT)
+           AS classes_below,
+       CAST(SUM(CASE WHEN n_rows < k THEN n_rows ELSE 0 END) AS BIGINT)
+           AS records_below,
+       CAST(SUM(CASE WHEN n_rows < k THEN n_rows ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(n_rows) AS DOUBLE) AS frac_records_below,
+       CAST(MIN(n_rows) AS BIGINT) AS min_class_size,
+       CAST(MIN(l_div) AS BIGINT) AS min_l_diversity
+FROM classes CROSS JOIN ladder
+GROUP BY k
+"""

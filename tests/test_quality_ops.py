@@ -735,3 +735,68 @@ def test_containment_plan_broadcasts_hot_filter(spark):
     assert "BroadcastExchange" in p
     assert "Cartesian" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity
+
+
+def test_k_anonymity_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from apmbackend_spark.operators.profile import (
+        K_ANON_USER_BUCKETS,
+        k_anonymity,
+    )
+
+    rows = []
+    eid = 0
+    # three days, two types, controlled class sizes via user_id choices
+    for day in range(3):
+        for utype, users in (("view", [1, 1, 1, 2]), ("buy", [3])):
+            for u in users:
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2026, 1, 1 + day, 12, 0, 0),
+                        u,
+                        utype,
+                        float(eid % 4) + 0.4,  # sensitive: rounds to 0..4
+                        "{}",
+                    )
+                )
+                eid += 1
+    ev = _events_df(spark, rows)
+    got = {r["k"]: r for r in k_anonymity(ev).collect()}
+
+    classes = defaultdict(lambda: [0, set()])
+    for i, (e, ts, u, t, v, _p) in enumerate(rows):
+        key = (t, (int(ts.timestamp() * 1000)) // 86400000,
+               u % K_ANON_USER_BUCKETS)
+        classes[key][0] += 1
+        classes[key][1].add(round(v))
+    sizes = [c[0] for c in classes.values()]
+    ldivs = [len(c[1]) for c in classes.values()]
+    total = sum(sizes)
+    for k in (2, 5, 10, 25):
+        r = got[k]
+        below = [s for s in sizes if s < k]
+        assert r["n_classes"] == len(sizes)
+        assert r["classes_below"] == len(below)
+        assert r["records_below"] == sum(below)
+        assert r["frac_records_below"] == sum(below) / total
+        assert r["min_class_size"] == min(sizes)
+        assert r["min_l_diversity"] == min(ldivs)
+
+
+def test_k_anonymity_ladder_rollup_rides_tiny_class_frame(spark):
+    from apmbackend_spark.operators.profile import k_anonymity
+
+    ev = _events_df(
+        spark, [(1, dt.datetime(2026, 1, 1), 1, "view", 1.0, "{}")]
+    )
+    p = plan(k_anonymity(ev))
+    # the ladder joins the aggregated class frame via broadcast — the raw
+    # scan is never crossed with the ladder
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
