@@ -245,3 +245,74 @@ def test_gauge_asof_sliced_carry_crosses_empty_slices(spark):
     assert got["a"] == (100, 10)
     assert got["b"] == (100, 10)
     assert got["c"] == (None, None)  # before any gauge
+
+
+# ---------------------------------------------------------------------------
+# nearest_event_join property test vs a brute-force reference
+
+
+def _nearest_bruteforce(txs, gauges, tol):
+    """O(n*m) literal re-derivation: nearest gauge by distance, ties
+    backward, gauge-at-ts counts backward, tolerance inclusive."""
+    out = {}
+    for logid, server, ts in txs:
+        best = None  # (dist, dir_rank, g_ts, heap); dir_rank: b=0, f=1
+        for gs, gts, heap in gauges:
+            if gs != server:
+                continue
+            if gts <= ts:
+                cand = (ts - gts, 0, gts, heap)
+            else:
+                cand = (gts - ts, 1, gts, heap)
+            if cand[0] > tol:
+                continue
+            if best is None or (cand[0], cand[1]) < (best[0], best[1]):
+                best = cand
+        if best is None:
+            out[logid] = (None, None, None, None)
+        else:
+            out[logid] = (best[2], best[3], best[0], "b" if best[1] == 0 else "f")
+    return out
+
+
+def test_nearest_event_join_property_vs_bruteforce(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apmbackend_spark.operators.correlation import nearest_event_join
+
+    ts_strategy = st.integers(min_value=0, max_value=5000)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        tx_ts=st.lists(ts_strategy, min_size=1, max_size=8),
+        g_ts=st.lists(ts_strategy, min_size=0, max_size=6, unique=True),
+        tol=st.integers(min_value=1, max_value=1500),
+        slice_ms=st.sampled_from([1600, 2000, 10**12]),
+    )
+    def check(tx_ts, g_ts, tol, slice_ms):
+        if tol >= slice_ms:
+            return
+        txs = [(f"t{i}", "s1", ts) for i, ts in enumerate(tx_ts)]
+        gauges = [("s1", ts, ts * 10 + 1) for ts in g_ts]
+        tx_df = spark.createDataFrame(
+            txs, "logid string, server string, endts long"
+        )
+        g_df = spark.createDataFrame(
+            gauges, "server string, timestamp long, heapused long"
+        )
+        got = {
+            r["logid"]: (
+                r["gauge_ts"],
+                r["heapused"],
+                r["dist_ms"],
+                r["direction"],
+            )
+            for r in nearest_event_join(
+                tx_df, g_df, tol_ms=tol, slice_ms=slice_ms
+            ).collect()
+        }
+        want = _nearest_bruteforce(txs, gauges, tol)
+        assert got == want
+
+    check()
