@@ -415,6 +415,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_semijoin": rel.q4_priority_semijoin,
         "parts_never_shipped": rel.parts_never_shipped,
         "q18_large_volume_customers": rel.q18_large_volume_customers,
+        # Q7: two-nation trading volume — nation dim broadcast TWICE
+        # (pre-filtered), one fact sort-merge join, codegen year
+        "q7_volume_shipping": rel.q7_volume_shipping,
+        # Q14: promo revenue share — conditional aggregate over ONE
+        # broadcast-joined month scan, two integer sums one division
+        "q14_promo_effect": rel.q14_promo_effect,
+        # Q19: OR-of-ANDs bracketed revenue — one broadcast hash join +
+        # codegen disjunction, never three unioned scans
+        "q19_bracketed_revenue": rel.q19_bracketed_revenue,
     }
     apm_extra = {
         # P2-P5/U5/U9 as a codegen line-extraction scan (no Python, no
@@ -1018,6 +1027,9 @@ def oracle_sql() -> dict[str, str]:
         "q4_priority_semijoin": rel.Q4_ORACLE,
         "parts_never_shipped": rel.PARTS_NEVER_SHIPPED_ORACLE,
         "q18_large_volume_customers": rel.Q18_ORACLE,
+        "q7_volume_shipping": rel.Q7_ORACLE,
+        "q14_promo_effect": rel.Q14_ORACLE,
+        "q19_bracketed_revenue": rel.Q19_ORACLE,
         "media_stats": """
 WITH media AS (
     SELECT doc_id AS media_id,

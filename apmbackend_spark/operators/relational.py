@@ -454,3 +454,214 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '{BLOOM_PRIORITY}'
 GROUP BY l.l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Q7-shaped: volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_18"
+Q7_NATION_B = "NATION_19"
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: shipped revenue between two trading nations, both
+    directions, per ship year — supplier nation ≠ customer nation, the
+    (A→B, B→A) pair filter.
+
+    Plan shape: nation is a broadcast dim applied TWICE (suppliers and
+    customers get independent broadcast joins, each pre-filtered to the
+    two nations — the filter prunes before either join, so the fact
+    shuffle carries only trading-pair rows); lineitem→orders is the one
+    sort-merge join; the year grouping is a codegen date_part. Revenue is
+    integer-cents summed exactly.
+    """
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+    )
+    rev = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            rev.alias("rev_c"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (F.sum("rev_c").cast("double") / 10_000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q7_ORACLE = f"""
+SELECT s_nat AS supp_nation, c_nat AS cust_nation, l_year,
+       CAST(SUM(rev_c) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM (
+    SELECT ns.n_name AS s_nat, nc.n_name AS c_nat,
+           CAST(date_part('year', l.l_shipdate) AS INT) AS l_year,
+           CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000, 0) AS BIGINT) AS rev_c
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+      AND nc.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+      AND ns.n_name <> nc.n_name
+)
+GROUP BY s_nat, c_nat, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14-shaped: promotion revenue share
+# ---------------------------------------------------------------------------
+
+Q14_MONTH_START = "1997-03-01 00:00:00"
+Q14_MONTH_END = "1997-04-01 00:00:00"
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: share of one month's revenue from PROMO parts —
+    a conditional aggregate over one broadcast-joined scan (part is the
+    dim). Both the promo numerator and the total ride ONE pass; the
+    month predicate reaches the lineitem scan. The percentage is two
+    exact integer-cent sums into one division."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q14_MONTH_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_MONTH_END).cast("timestamp"))
+    )
+    rev = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000
+    )
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = joined.select(
+        rev.alias("rev_c"),
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)).alias(
+            "promo_c"
+        ),
+    ).agg(
+        F.sum("promo_c").alias("promo_c"),
+        F.sum("rev_c").alias("total_c"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0)
+            * (F.col("promo_c").cast("double") / F.col("total_c").cast("double"))
+        ).alias("promo_pct"),
+        (F.col("total_c").cast("double") / 10_000.0).alias("total_revenue"),
+        "n_items",
+    )
+
+
+Q14_ORACLE = f"""
+SELECT 100.0 * (CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN rev_c ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(rev_c) AS DOUBLE)) AS promo_pct,
+       CAST(SUM(rev_c) AS DOUBLE) / 10000.0 AS total_revenue,
+       COUNT(*) AS n_items
+FROM (
+    SELECT l_partkey,
+           CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000, 0) AS BIGINT) AS rev_c
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q14_MONTH_START}'
+      AND l_shipdate < TIMESTAMP '{Q14_MONTH_END}'
+) l2
+JOIN part p ON l2.l_partkey = p.p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19-shaped: discounted revenue for bracketed brand/size/quantity bands
+# ---------------------------------------------------------------------------
+
+
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue from three disjunctive (brand, size band,
+    quantity band) predicates — the classic OR-of-ANDs that must become
+    ONE broadcast hash join with the disjunction evaluated as a codegen
+    filter after the join, NOT three scans unioned. (The fixture lacks
+    l_shipmode/l_shipinstruct; the published shape's per-branch brand +
+    p_size range + l_quantity range survives unchanged.)"""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000
+    )
+    return (
+        j.where(band)
+        .select(rev.alias("rev_c"))
+        .agg(
+            (F.sum("rev_c").cast("double") / 10_000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q19_ORACLE = """
+SELECT CAST(SUM(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""

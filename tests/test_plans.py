@@ -495,3 +495,37 @@ def test_charlm_score_model_broadcast_shared_pretri(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
     assert "BroadcastHashJoin" in executed or "BroadcastNestedLoopJoin" in executed
+
+
+def test_q7_broadcasts_nation_dims_no_cartesian(spark):
+    from apmbackend_spark.operators.relational import q7_volume_shipping
+
+    p = plan(q7_volume_shipping(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    # supplier-side and customer-side nation lookups each broadcast
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_q14_single_pass_conditional_aggregate(spark):
+    from apmbackend_spark.operators.relational import q14_promo_effect
+
+    p = plan(q14_promo_effect(spark, SF_SMOKE))
+    # part is the broadcast dim; the month window reaches the scan
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters" in p and "l_shipdate" in p
+    # numerator and total share one aggregate: exactly one final
+    # single-group HashAggregate pair, no self-join/union of scans
+    assert "Union" not in p
+
+
+def test_q19_disjunction_stays_one_join(spark):
+    import re
+
+    from apmbackend_spark.operators.relational import q19_bracketed_revenue
+
+    p = plan(q19_bracketed_revenue(spark, SF_SMOKE))
+    assert "Union" not in p  # OR-of-ANDs must not become 3 unioned scans
+    # formatted explain prints each node twice (tree + details): count
+    # detail headers — exactly ONE join, disjunction inside its condition
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1
+    assert "CartesianProduct" not in p
