@@ -424,6 +424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Q19: OR-of-ANDs bracketed revenue — one broadcast hash join +
         # codegen disjunction, never three unioned scans
         "q19_bracketed_revenue": rel.q19_bracketed_revenue,
+        # Q13: order-count distribution incl. the zero-order customers a
+        # naive inner join drops (COUNT(col) null rule over LEFT join)
+        "q13_customer_distribution": rel.q13_customer_distribution,
     }
     apm_extra = {
         # P2-P5/U5/U9 as a codegen line-extraction scan (no Python, no
@@ -1030,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": rel.Q7_ORACLE,
         "q14_promo_effect": rel.Q14_ORACLE,
         "q19_bracketed_revenue": rel.Q19_ORACLE,
+        "q13_customer_distribution": rel.Q13_ORACLE,
         "media_stats": """
 WITH media AS (
     SELECT doc_id AS media_id,

@@ -665,3 +665,45 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
        AND l.l_quantity BETWEEN 20 AND 30)
 """
+
+
+# ---------------------------------------------------------------------------
+# Q13-shaped: customer distribution by order count
+# ---------------------------------------------------------------------------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: how many customers placed exactly N orders —
+    including N=0, the part a naive inner-join rollup silently drops.
+
+    Two aggregates around one LEFT OUTER join: per-customer order count
+    (counting o_orderkey so unmatched customers count 0, the COUNT(col)
+    null rule), then the distribution rollup. Both shuffles shrink the
+    data (customers, then |distinct counts| rows); the join is
+    sort-merge on the natural key. The published Q13 filters comments —
+    the fixture has none, so the shape is the unfiltered distribution."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""

@@ -100,3 +100,61 @@ def test_plan_is_single_stage_no_shuffle_no_python(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in p
     assert "codegen id" in p  # the strip chain runs inside codegen
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: the strip pipeline vs a pure-Python re-derivation
+
+
+def _strip_reference(html: str) -> tuple[str, int, int]:
+    import re as _re
+
+    no_script = _re.sub(
+        r"<(script|style)[^>]*>.*?</(script|style)>", " ", html, flags=_re.S
+    )
+    n_tags = len(_re.findall(r"<[^>]*>", no_script))
+    no_tags = _re.sub(r"<[^>]*>", " ", no_script)
+    n_entities = len(_re.findall(r"&(amp|lt|gt|quot|#39|nbsp);", no_tags))
+    decoded = no_tags
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        decoded = decoded.replace(ent, ch)
+    clean = _re.sub(r"\s+", " ", decoded).strip()
+    return clean, n_tags, n_entities
+
+
+def test_html_strip_property_vs_python_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    piece = st.sampled_from(
+        [
+            "word", " ", "  ", "\n", "<b>", "</b>", "<p class='x'>", "<br>",
+            "&amp;", "&lt;", "&amp;lt;", "&nbsp;", "&copy;", "&#39;",
+            "<script>var a = '<div>' && b < 9;</script>",
+            "<style>p { x: '<'; }</style>",
+            "<", ">", "&", "tail",
+        ]
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(parts=st.lists(piece, min_size=0, max_size=12))
+    def check(parts):
+        html = "".join(parts)
+        df = spark.createDataFrame([(html,)], "html string")
+        from pyspark.sql import functions as F2
+
+        clean, n_tags, n_entities = _strip_expr(F2.col("html"))
+        row = df.select(
+            clean.alias("c"), n_tags.alias("t"), n_entities.alias("e")
+        ).first()
+        want_c, want_t, want_e = _strip_reference(html)
+        assert (row["c"], row["t"], row["e"]) == (want_c, want_t, want_e)
+
+    check()
