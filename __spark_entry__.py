@@ -377,6 +377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_similarity": lambda s, d: sea.series_similarity(
             load_tx(s, d)
         ),
+        # Broder similarity estimation from signatures alone (the score
+        # the band index lacks, without ngram_jaccard's text re-join);
+        # est = agree/32, dyadic-exact across engines
+        "minhash_est_pairs": lambda s, d: dd.minhash_est_pairs(docs(s, d)),
         # privacy audit (the pii_scrub sibling): k-anonymity ladder +
         # l-diversity floor from ONE map-side-combinable class rollup;
         # ladder rows aggregate the tiny class frame, never the raw scan
@@ -982,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_triangles": dd.dup_triangles_oracle_sql(),
         "gauge_asof_sliced": TX_CTE + co.GAUGE_ASOF_ORACLE,
         "k_anonymity": pf.k_anonymity_oracle_sql(),
+        "minhash_est_pairs": dd.minhash_est_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

@@ -1451,3 +1451,107 @@ SELECT d.doc_id, d.degree,
 FROM deg d
 LEFT JOIN per_node p ON p.o = d.degree * {ORD_BASE} + d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHash similarity ESTIMATION (signature agreement over banded candidates)
+# ---------------------------------------------------------------------------
+
+EST_K = 32  # estimator hashes; 1/32 granularity, /32 is a dyadic-exact div
+
+
+def _signatures(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) minhash signature frame — same generator
+    family as the band index (one shingle explode + one groupBy)."""
+    sh = documents.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("s")
+    )
+    hv = sh.select("doc_id", _base_hash40(F.col("s")).alias("h"))
+    aggs = []
+    for i in range(k):
+        a, b = _mh_params(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_PRIME)).alias(
+                f"mh{i}"
+            )
+        )
+    return hv.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_est_pairs(
+    documents: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    est_k: int = EST_K,
+) -> DataFrame:
+    """(doc_a, doc_b, agree, est_sim): Broder's estimator Pr[mh_a == mh_b]
+    = J(A,B), evaluated as the agreement fraction over ``est_k``
+    independent minhashes — the sketch-only similarity SCORE for the
+    pairs the 8-hash band index surfaces as candidates.
+
+    Where it fits: ``minhash_lsh`` yields candidates with no score;
+    ``ngram_jaccard`` scores exactly but must re-join the shingle index.
+    The estimator scores from the SIGNATURES alone — at corpus scale the
+    signature frame is k longs per doc (the materialized dedup index),
+    so scoring needs no second pass over text. 1/32 granularity, with
+    est_sim = agree/32 a dyadic-exact double (bit-equal across engines;
+    integer agreement count, one exact division).
+
+    Plan: signature build is one explode + one combinable groupBy;
+    candidates ride the banded self-join (never all-pairs); scoring is
+    two hash joins on doc_id and a 32-term codegen sum.
+    """
+    sig = _signatures(documents, est_k)
+    pairs = minhash_lsh_pairs(documents, bands, rows_per_band)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(est_k)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(est_k)],
+    )
+    agree = None
+    for i in range(est_k):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        agree = term if agree is None else agree + term
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("long").alias("agree"),
+            (agree.cast("double") / F.lit(float(est_k))).alias("est_sim"),
+        )
+    )
+
+
+def minhash_est_oracle_sql(
+    bands: int = 4, rows_per_band: int = 2, est_k: int = EST_K
+) -> str:
+    mh_exprs = []
+    for i in range(est_k):
+        a, b = _mh_params(i)
+        mh_exprs.append(f"MIN(({a} * h + {b}) % {MH_PRIME}) AS mh{i}")
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(est_k)
+    )
+    return f"""
+WITH {_band_index_ctes(bands, rows_per_band)},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM exploded a JOIN exploded b USING (band)
+    WHERE a.doc_id < b.doc_id
+),
+sig32 AS (
+    SELECT doc_id, {", ".join(mh_exprs)} FROM hv GROUP BY doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({agree} AS BIGINT) AS agree,
+       CAST({agree} AS DOUBLE) / {float(est_k)} AS est_sim
+FROM cand c
+JOIN sig32 sa ON sa.doc_id = c.doc_a
+JOIN sig32 sb ON sb.doc_id = c.doc_b
+"""

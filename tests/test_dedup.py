@@ -395,3 +395,46 @@ def test_dup_triangles_orientation_no_cartesian(spark):
     )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# minhash_est_pairs (Broder agreement estimator)
+
+
+def test_minhash_est_tracks_exact_jaccard(spark):
+    from apmbackend_spark.operators.dedup import (
+        minhash_est_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    )
+    texts = [
+        base,
+        base + " twenty",          # near-identical -> jaccard ~0.9+
+        base.replace("one two three four five six ", "")
+        + " other tail words entirely",  # moderate overlap
+        "nothing shared with the number corpus in any shingle at all",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    est = {
+        (r["doc_a"], r["doc_b"]): (r["agree"], r["est_sim"])
+        for r in minhash_est_pairs(docs).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert (0, 1) in est
+    for pair, (agree, sim) in est.items():
+        assert sim == agree / 32.0  # dyadic-exact score
+        if pair in exact:
+            # unbiased estimator with 32 samples: allow a generous band
+            assert abs(sim - exact[pair]) < 0.35, (pair, sim, exact[pair])
+    # the near-identical pair must score clearly high
+    assert est[(0, 1)][1] >= 0.6
