@@ -377,6 +377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_similarity": lambda s, d: sea.series_similarity(
             load_tx(s, d)
         ),
+        # product quantization: per-subspace codebooks, integer-exact
+        # encode (m codes per vector), ADC top-k where candidates
+        # contribute ONLY their codes — never the raw embedding
+        "pq_encode": lambda s, d: sim.pq_encode(embs(s, d)),
+        "pq_search": lambda s, d: sim.pq_search(embs(s, d)),
         # Broder similarity estimation from signatures alone (the score
         # the band index lacks, without ngram_jaccard's text re-join);
         # est = agree/32, dyadic-exact across engines
@@ -987,6 +992,8 @@ def oracle_sql() -> dict[str, str]:
         "gauge_asof_sliced": TX_CTE + co.GAUGE_ASOF_ORACLE,
         "k_anonymity": pf.k_anonymity_oracle_sql(),
         "minhash_est_pairs": dd.minhash_est_oracle_sql(),
+        "pq_encode": sim.pq_encode_oracle_sql(),
+        "pq_search": sim.pq_search_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

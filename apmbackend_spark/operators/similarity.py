@@ -911,3 +911,240 @@ SELECT CAST(i - 1 AS INT) AS i,
 FROM grows
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebooks, integer-exact encode, and
+# asymmetric-distance (ADC) top-k search over CODES, not vectors.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4            # subspaces (64-dim fixture -> 16 dims each)
+PQ_CODES_MOD = 50   # deterministic codebook sample (vec_id % mod == 0)
+
+
+def _pq_subs(v: Column, dims: int, m: int) -> Column:
+    """array of m subvectors (each dims/m longs) from a quantized vector."""
+    step = dims // m
+    return F.array(
+        *[F.slice(v, s * step + 1, step) for s in range(m)]
+    )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between quantized subvectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_codebook(embeddings: DataFrame, dims: int, m: int, mod: int) -> DataFrame:
+    """(sub, code_id, centv): per-subspace codebook from the deterministic
+    corpus sample — the same seeding rule as the IVF coarse quantizer."""
+    return (
+        embeddings.where(F.col("vec_id") % mod == 0)
+        .select(
+            F.col("vec_id").alias("code_id"),
+            F.posexplode(
+                _pq_subs(_quantize(F.col("embedding")), dims, m)
+            ).alias("sub", "centv"),
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, dims: int = 64, m: int = PQ_M, mod: int = PQ_CODES_MOD
+) -> DataFrame:
+    """(vec_id, codes, sq_err): each vector compressed to m codebook ids
+    (nearest codeword per subspace by exact integer squared L2; ties to
+    the lower code_id) plus the total quantization error.
+
+    This is the index-build half of PQ (Jegou et al., public literature):
+    64 floats become m small ints. Everything stays integer — quantized
+    subvectors, squared distances, the error sum — so the gate hashes
+    exactly. Scale: codebook is m x |codes| tiny rows broadcast; encode
+    is one scan + per-(vec, sub) argmin window; codes shuffle, vectors
+    never do after the scan."""
+    from pyspark.sql import Window
+
+    subs = embeddings.select(
+        "vec_id",
+        F.posexplode(_pq_subs(_quantize(F.col("embedding")), dims, m)).alias(
+            "sub", "subv"
+        ),
+    )
+    cb = _pq_codebook(embeddings, dims, m, mod)
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("d"), F.asc("code_id")
+    )
+    best = (
+        subs.join(F.broadcast(cb), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "code_id",
+            _sqdist(F.col("subv"), F.col("centv")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    # codes render as a canonical '-'-joined string (the feature_hashing
+    # precedent): engine-portable hashing without list-type coercion risk
+    return best.groupBy("vec_id").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code_id"))),
+                lambda s: s["code_id"].cast("string"),
+            ),
+        ).alias("codes"),
+        F.sum("d").alias("sq_err"),
+    )
+
+
+def pq_search(
+    embeddings: DataFrame,
+    dims: int = 64,
+    m: int = PQ_M,
+    mod: int = PQ_CODES_MOD,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k: (query_id, cand_id, adc_dist, rank) — approximate
+    nearest neighbors where the CANDIDATE side contributes only its m
+    codes. Per query, a distance TABLE (query subvector -> every
+    codeword, m x |codes| integer cells) is built once and broadcast;
+    each candidate's approximate distance is the sum of m table lookups
+    joined on (sub, code). That is the PQ contract at 100 TB: the scan
+    over the corpus touches m small ints per vector, never the raw
+    embedding — memory traffic drops by dims*4/m bytes per candidate —
+    while the exact-integer arithmetic keeps the result hash-gradeable.
+    Ties break on cand_id; self-matches excluded."""
+    from pyspark.sql import Window
+
+    enc = pq_encode(embeddings, dims, m, mod).select(
+        F.col("vec_id").alias("cand_id"),
+        F.posexplode(
+            F.transform(
+                F.split(F.col("codes"), "-"), lambda x: x.cast("long")
+            )
+        ).alias("sub", "code_id"),
+    )
+    cb = _pq_codebook(embeddings, dims, m, mod)
+    qsubs = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(_pq_subs(_quantize(F.col("embedding")), dims, m)).alias(
+            "sub", "subv"
+        ),
+    )
+    table = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code_id",
+        _sqdist(F.col("subv"), F.col("centv")).alias("qd"),
+    )
+    scored = (
+        enc.join(F.broadcast(table), ["sub", "code_id"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("qd").alias("adc_dist"), F.count(F.lit(1)).alias("n_sub"))
+        # a candidate scores only when every subspace contributed (the
+        # self-exclusion cannot drop rows mid-sum, but guard explicitly)
+        .where(F.col("n_sub") == m)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "cand_id", "adc_dist", "rank")
+    )
+
+
+def _pq_subs_sql(vexpr: str, dims: int, m: int) -> str:
+    step = dims // m
+    parts = ", ".join(
+        f"({vexpr})[{s * step + 1}:{(s + 1) * step}]" for s in range(m)
+    )
+    return f"[{parts}]"
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _pq_ctes(dims: int, m: int, mod: int) -> str:
+    return f"""qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+),
+subs AS (
+    SELECT vec_id, CAST(t.s - 1 AS INT) AS sub,
+           ({_pq_subs_sql('v', dims, m)})[t.s] AS subv
+    FROM qz, LATERAL unnest(range(1, {m + 1})) AS t(s)
+),
+cb AS (
+    SELECT vec_id AS code_id, sub, subv AS centv
+    FROM subs WHERE vec_id % {mod} = 0
+),
+best AS (
+    SELECT vec_id, sub, code_id, d FROM (
+        SELECT s.vec_id, s.sub, c.code_id,
+               CAST({_sqdist_sql('s.subv', 'c.centv')} AS BIGINT) AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.sub ORDER BY {_sqdist_sql('s.subv', 'c.centv')} ASC, c.code_id ASC
+               ) AS rn
+        FROM subs s JOIN cb c USING (sub)
+    ) WHERE rn = 1
+)"""
+
+
+def pq_encode_oracle_sql(
+    dims: int = 64, m: int = PQ_M, mod: int = PQ_CODES_MOD
+) -> str:
+    return f"""
+WITH {_pq_ctes(dims, m, mod)}
+SELECT vec_id,
+       string_agg(CAST(code_id AS VARCHAR), '-' ORDER BY sub) AS codes,
+       CAST(SUM(d) AS BIGINT) AS sq_err
+FROM best GROUP BY vec_id
+"""
+
+
+def pq_search_oracle_sql(
+    dims: int = 64,
+    m: int = PQ_M,
+    mod: int = PQ_CODES_MOD,
+    n_queries: int = 10,
+    k: int = 5,
+) -> str:
+    return f"""
+WITH {_pq_ctes(dims, m, mod)},
+qtable AS (
+    SELECT s.vec_id AS query_id, s.sub, c.code_id,
+           CAST({_sqdist_sql('s.subv', 'c.centv')} AS BIGINT) AS qd
+    FROM subs s JOIN cb c USING (sub)
+    WHERE s.vec_id < {n_queries}
+),
+scored AS (
+    SELECT t.query_id, b.vec_id AS cand_id,
+           CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+    FROM best b
+    JOIN qtable t ON t.sub = b.sub AND t.code_id = b.code_id
+    WHERE b.vec_id <> t.query_id
+    GROUP BY t.query_id, b.vec_id
+    HAVING COUNT(*) = {m}
+),
+ranked AS (
+    SELECT query_id, cand_id, adc_dist,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC
+           ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+"""

@@ -829,3 +829,79 @@ def test_series_similarity_plan_broadcasts_probe(spark):
     assert "CartesianProduct" not in p
     # fleet totals + key count ride broadcast single-row dims
     assert p.count("BroadcastExchange") >= 2
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+
+
+def _pq_reference(vecs, dims, m, mod):
+    """Literal PQ: quantize (round*1e4), slice, argmin per subspace."""
+    step = dims // m
+    q = {
+        vid: [round(x * 10_000) for x in v] for vid, v in vecs
+    }
+    cb = {vid: q[vid] for vid, _ in vecs if vid % mod == 0}
+
+    def sub(v, s):
+        return v[s * step:(s + 1) * step]
+
+    enc = {}
+    for vid, _ in vecs:
+        codes, err = [], 0
+        for s in range(m):
+            best = None
+            for cid in sorted(cb):
+                d = sum((a - b) ** 2 for a, b in zip(sub(q[vid], s), sub(cb[cid], s)))
+                if best is None or (d, cid) < best:
+                    best = (d, cid)
+            codes.append(best[1])
+            err += best[0]
+        enc[vid] = ("-".join(str(c) for c in codes), err)
+    return enc
+
+
+def test_pq_encode_matches_python_reference(spark):
+    import random
+
+    from apmbackend_spark.operators.similarity import pq_encode
+
+    rng = random.Random(7)
+    dims, m, mod = 8, 4, 3
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(dims)]) for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # float32 storage: re-read the values the engine actually sees
+    stored = {
+        r["vec_id"]: list(r["embedding"]) for r in df.select("vec_id", "embedding").collect()
+    }
+    want = _pq_reference(sorted(stored.items()), dims, m, mod)
+    got = {
+        r["vec_id"]: (r["codes"], r["sq_err"])
+        for r in pq_encode(df, dims=dims, m=m, mod=mod).collect()
+    }
+    assert got == want
+
+
+def test_pq_search_candidates_never_carry_vectors(spark):
+    # the ADC join's candidate side is (cand_id, sub, code_id) — assert no
+    # exchange ships an embedding/subvector column
+    import re
+
+    from apmbackend_spark.operators.similarity import pq_search
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    df = pq_search(embs)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in p
+    # the final (query, cand) aggregate exchange must be codes-only
+    for mch in re.finditer(r"hashpartitioning\(([^)]*)\)", p):
+        keys = mch.group(1)
+        if "query_id" in keys and "cand_id" in keys:
+            assert "embedding" not in keys and "subv" not in keys
