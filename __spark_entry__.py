@@ -382,6 +382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contribute ONLY their codes — never the raw embedding
         "pq_encode": lambda s, d: sim.pq_encode(embs(s, d)),
         "pq_search": lambda s, d: sim.pq_search(embs(s, d)),
+        # two-stage serving shape: ADC shortlist -> EXACT cosine rerank
+        # touching only |queries| x shortlist full vectors
+        "pq_rerank": lambda s, d: sim.pq_rerank(embs(s, d)),
         # Broder similarity estimation from signatures alone (the score
         # the band index lacks, without ngram_jaccard's text re-join);
         # est = agree/32, dyadic-exact across engines
@@ -994,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_est_pairs": dd.minhash_est_oracle_sql(),
         "pq_encode": sim.pq_encode_oracle_sql(),
         "pq_search": sim.pq_search_oracle_sql(),
+        "pq_rerank": sim.pq_rerank_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

@@ -1148,3 +1148,104 @@ ranked AS (
 )
 SELECT query_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}
 """
+
+
+PQ_RERANK_SHORTLIST = 20
+
+
+def pq_rerank(
+    embeddings: DataFrame,
+    dims: int = 64,
+    m: int = PQ_M,
+    mod: int = PQ_CODES_MOD,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = PQ_RERANK_SHORTLIST,
+) -> DataFrame:
+    """Two-stage retrieval, the production ANN serving shape: the ADC
+    code-only pass shortlists ``shortlist`` candidates per query, then
+    EXACT cosine reranks just those — so the expensive full-vector
+    arithmetic touches |queries| x shortlist rows, never the corpus.
+    (ADC distance orders by quantized L2; the rerank restores the exact
+    cosine metric and repairs quantization inversions inside the
+    shortlist.) Output matches ann_bruteforce's shape for side-by-side
+    recall checks."""
+    from pyspark.sql import Window
+
+    short = pq_search(
+        embeddings, dims, m, mod, n_queries, k=int(shortlist)
+    ).select("query_id", "cand_id")
+    qv = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _quantize(F.col("embedding")).alias("qv"),
+    )
+    cv = embeddings.select(
+        F.col("vec_id").alias("cand_id"),
+        _quantize(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
+def pq_rerank_oracle_sql(
+    dims: int = 64,
+    m: int = PQ_M,
+    mod: int = PQ_CODES_MOD,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = PQ_RERANK_SHORTLIST,
+) -> str:
+    return f"""
+WITH {_pq_ctes(dims, m, mod)},
+qtable AS (
+    SELECT s.vec_id AS query_id, s.sub, c.code_id,
+           CAST({_sqdist_sql('s.subv', 'c.centv')} AS BIGINT) AS qd
+    FROM subs s JOIN cb c USING (sub)
+    WHERE s.vec_id < {n_queries}
+),
+adc AS (
+    SELECT t.query_id, b.vec_id AS cand_id,
+           CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+    FROM best b
+    JOIN qtable t ON t.sub = b.sub AND t.code_id = b.code_id
+    WHERE b.vec_id <> t.query_id
+    GROUP BY t.query_id, b.vec_id
+    HAVING COUNT(*) = {m}
+),
+short AS (
+    SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC
+               ) AS srn
+        FROM adc
+    ) WHERE srn <= {int(shortlist)}
+),
+rer AS (
+    SELECT s.query_id, s.cand_id, {cosine_sql('q.v', 'c.v')} AS sim
+    FROM short s
+    JOIN qz q ON q.vec_id = s.query_id
+    JOIN qz c ON c.vec_id = s.cand_id
+)
+SELECT query_id, cand_id, sim,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, cand_id ASC
+       ) AS INT) AS rank
+FROM rer
+QUALIFY rank <= {int(k)}
+"""

@@ -905,3 +905,36 @@ def test_pq_search_candidates_never_carry_vectors(spark):
         keys = mch.group(1)
         if "query_id" in keys and "cand_id" in keys:
             assert "embedding" not in keys and "subv" not in keys
+
+
+def test_pq_rerank_equals_bruteforce_at_full_shortlist(spark):
+    # mechanism equivalence: with shortlist >= corpus the ADC stage prunes
+    # nothing, so the exact rerank must reproduce ann_bruteforce's top-k
+    # bit-for-bit (same cosine arithmetic, same tie rule). At the default
+    # 20/500 shortlist recall on the near-RANDOM fixture embeddings is
+    # fixture-limited (quantized L2 vs cosine on unnormalized uniform
+    # noise) — the equivalence property is the implementation check.
+    from apmbackend_spark.operators.similarity import (
+        ann_bruteforce,
+        pq_rerank,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    exact = sorted(
+        (r["query_id"], r["cand_id"], r["sim"], r["rank"])
+        for r in ann_bruteforce(embs, k=5).collect()
+    )
+    full = sorted(
+        (r["query_id"], r["cand_id"], r["sim"], r["rank"])
+        for r in pq_rerank(embs, k=5, shortlist=10_000).collect()
+    )
+    assert full == exact
+    # and at the serving shortlist, reranked sims are the EXACT cosine
+    # (identical doubles) wherever bruteforce scored the same pair
+    exact_sims = {(q, c): s for q, c, s, _ in exact}
+    for r in pq_rerank(embs, k=5).collect():
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_sims:
+            assert r["sim"] == exact_sims[key]
