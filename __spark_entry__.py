@@ -385,6 +385,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-stage serving shape: ADC shortlist -> EXACT cosine rerank
         # touching only |queries| x shortlist full vectors
         "pq_rerank": lambda s, d: sim.pq_rerank(embs(s, d)),
+        # the index-quality evaluation itself, graded: recall@k of
+        # ivf / pq_adc / pq_rerank vs exact bruteforce (integer counts,
+        # one division — even the evaluation is hash-gradeable)
+        "ann_recall_report": lambda s, d: sim.ann_recall_report(embs(s, d)),
         # Broder similarity estimation from signatures alone (the score
         # the band index lacks, without ngram_jaccard's text re-join);
         # est = agree/32, dyadic-exact across engines
@@ -998,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": sim.pq_encode_oracle_sql(),
         "pq_search": sim.pq_search_oracle_sql(),
         "pq_rerank": sim.pq_rerank_oracle_sql(),
+        "ann_recall_report": sim.ann_recall_report_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),

@@ -1249,3 +1249,74 @@ SELECT query_id, cand_id, sim,
 FROM rer
 QUALIFY rank <= {int(k)}
 """
+
+
+def ann_recall_report(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """(method, hits, total, recall) for every approximate index against
+    the exact bruteforce top-k — the evaluation report a platform runs to
+    pick index parameters before committing a corpus-scale build. Methods:
+    ivf (coarse-quantizer probing), pq_adc (code-only asymmetric
+    distance), pq_rerank (ADC shortlist + exact rerank).
+
+    Deterministic end to end: every method is itself deterministic, hits
+    and totals are integer counts, recall is one exactly-rounded
+    division — so even the EVALUATION is value-hash-gradeable. Scale: the
+    ground-truth join keys are (query_id, cand_id) pairs — |queries| x k
+    rows per side, trivially small whatever the corpus; the cost is the
+    constituent searches, each already scale-shaped."""
+    bf = ann_bruteforce(embeddings, n_queries, k).select(
+        "query_id", "cand_id"
+    )
+    methods = [
+        ("ivf", ann_ivf(embeddings, n_queries, k)),
+        ("pq_adc", pq_search(embeddings, n_queries=n_queries, k=k)),
+        ("pq_rerank", pq_rerank(embeddings, n_queries=n_queries, k=k)),
+    ]
+    out = None
+    for name, df in methods:
+        got = df.select("query_id", "cand_id")
+        row = (
+            got.join(bf, ["query_id", "cand_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .crossJoin(F.broadcast(bf.agg(F.count(F.lit(1)).alias("total"))))
+            .select(
+                F.lit(name).alias("method"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("total").cast("long").alias("total"),
+                (
+                    F.col("hits").cast("double") / F.col("total").cast("double")
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def ann_recall_report_oracle_sql(n_queries: int = 10, k: int = 5) -> str:
+    bf = ann_bruteforce_oracle_sql(n_queries, k)
+    ivf = ann_ivf_oracle_sql(n_queries, k)
+    pq = pq_search_oracle_sql(n_queries=n_queries, k=k)
+    rr = pq_rerank_oracle_sql(n_queries=n_queries, k=k)
+
+    def leg(name: str, sql: str) -> str:
+        return f"""
+SELECT '{name}' AS method,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bf) AS total,
+       CAST(COUNT(*) AS DOUBLE)
+           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM bf) AS recall
+FROM ({sql}) m
+WHERE EXISTS (SELECT 1 FROM bf
+              WHERE bf.query_id = m.query_id AND bf.cand_id = m.cand_id)
+"""
+
+    return f"""
+WITH bf AS ({bf})
+{leg('ivf', ivf)}
+UNION ALL
+{leg('pq_adc', pq)}
+UNION ALL
+{leg('pq_rerank', rr)}
+"""
