@@ -834,12 +834,17 @@ def gauge_asof_sliced(
         .groupBy("server", "slice")
         .agg(F.max("g").alias("g"))
     )
-    # (2) carry-in per tx-occupied slice: latest summary strictly earlier.
-    # Union summary rows (kind 0) with tx slice markers (kind 1); a
-    # per-server window ordered by (slice, kind) rows (-inf, -1] sees all
-    # summaries of earlier slices AND the same slice's summary — keep the
-    # carry only when it is from a strictly earlier slice (the same-slice
-    # gauge is already inside the slice).
+    # (2) carry-in per tx-occupied slice: latest summary from a STRICTLY
+    # EARLIER slice. Union summary rows (kind 0) with tx slice markers
+    # (kind 1); a per-server RANGE frame over `slice` with upper bound -1
+    # excludes every same-slice row by construction, so the carry is
+    # always the newest earlier-slice summary — and it is ALWAYS injected.
+    # (A rows-frame + "drop when the same slice has a gauge" filter is
+    # wrong: a tx that precedes its slice's first gauge would lose the
+    # carry and resolve to NULL instead of the previous slice's gauge.)
+    # Injecting alongside same-slice gauges is harmless: the in-slice
+    # backward window picks the latest at-or-before, and the carry's ts
+    # is strictly below every same-slice ts.
     markers = (
         tx.select("server", t_sl.alias("slice"))
         .distinct()
@@ -853,8 +858,8 @@ def gauge_asof_sliced(
 
     wc = (
         Window.partitionBy("server")
-        .orderBy("slice", "kind")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy("slice")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     carried = (
         summ.unionAll(markers)
@@ -863,17 +868,8 @@ def gauge_asof_sliced(
             "slice",
             "kind",
             F.last("g", ignorenulls=True).over(wc).alias("cg"),
-            F.last(
-                F.when(F.col("kind") == 0, F.col("slice")), ignorenulls=True
-            )
-            .over(wc)
-            .alias("cg_slice"),
         )
-        .where(
-            (F.col("kind") == 1)
-            & F.col("cg").isNotNull()
-            & (F.col("cg_slice") < F.col("slice"))
-        )
+        .where((F.col("kind") == 1) & F.col("cg").isNotNull())
         .select(
             "server",
             "slice",

@@ -1460,16 +1460,18 @@ LEFT JOIN per_node p ON p.o = d.degree * {ORD_BASE} + d.doc_id
 EST_K = 32  # estimator hashes; 1/32 granularity, /32 is a dyadic-exact div
 
 
-def _signatures(documents: DataFrame, k: int) -> DataFrame:
+def _signatures(documents: DataFrame, k: int, offset: int = 0) -> DataFrame:
     """(doc_id, mh0..mh{k-1}) minhash signature frame — same generator
-    family as the band index (one shingle explode + one groupBy)."""
+    family as the band index (one shingle explode + one groupBy).
+    ``offset`` shifts the hash-function indices so an estimator can use
+    functions DISJOINT from the ones that formed the LSH bands."""
     sh = documents.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("s")
     )
     hv = sh.select("doc_id", _base_hash40(F.col("s")).alias("h"))
     aggs = []
     for i in range(k):
-        a, b = _mh_params(i)
+        a, b = _mh_params(i + offset)
         aggs.append(
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_PRIME)).alias(
                 f"mh{i}"
@@ -1500,8 +1502,16 @@ def minhash_est_pairs(
     Plan: signature build is one explode + one combinable groupBy;
     candidates ride the banded self-join (never all-pairs); scoring is
     two hash joins on doc_id and a 32-term codegen sum.
+
+    Estimator independence: the estimator's hash-function family is
+    OFFSET past the ``bands * rows_per_band`` functions that formed the
+    LSH bands. Without the offset, every banded candidate agrees on at
+    least one whole band of the estimator's own hashes (the selection
+    event), biasing est_sim upward; with disjoint functions the
+    agreement fraction is an unbiased Broder estimate of J(A,B)
+    conditional on candidacy.
     """
-    sig = _signatures(documents, est_k)
+    sig = _signatures(documents, est_k, offset=bands * rows_per_band)
     pairs = minhash_lsh_pairs(documents, bands, rows_per_band)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -1532,7 +1542,7 @@ def minhash_est_oracle_sql(
 ) -> str:
     mh_exprs = []
     for i in range(est_k):
-        a, b = _mh_params(i)
+        a, b = _mh_params(i + bands * rows_per_band)
         mh_exprs.append(f"MIN(({a} * h + {b}) % {MH_PRIME}) AS mh{i}")
     agree = " + ".join(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"

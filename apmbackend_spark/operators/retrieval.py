@@ -11,10 +11,14 @@ standard lexical ranker.
 Bit-determinism across engines (the exact value gate hashes doubles):
 
 - idf uses the RATIONAL form ``(N - df + 0.5) / (df + 0.5)`` — the classic
-  BM25 idf without the ``ln``. ln is monotone so per-term orderings agree
-  with the textbook form, while +, -, * and / are exactly-rounded IEEE754
+  BM25 idf without the ``ln``. +, -, * and / are exactly-rounded IEEE754
   ops that produce identical bits in Spark and DuckDB (``ln`` would not —
   the judge-facing precedent is the log-free idf in ``doc_keywords``).
+  CAVEAT: ln's monotonicity only preserves PER-TERM orderings; the
+  document score is a SUM across terms, and summing raw rational idf
+  weights rare terms far more heavily than log-idf does, so MULTI-TERM
+  rankings can differ from textbook BM25. This is a determinism trade,
+  not an equivalence — do not treat the output as reference BM25 order.
 - the per-(query, doc) score is a LEFT FOLD over per-term contributions in
   term order (array_sort + F.aggregate here, list(... ORDER BY term) +
   list_reduce in the oracle) — never an unordered float SUM(), whose

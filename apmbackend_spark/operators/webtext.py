@@ -35,6 +35,9 @@ from ..functions.text import hash64, hash64_sql
 SCRIPT_STYLE_RE = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
 TAG_RE = "<[^>]*>"
 ENTITY_RE = "&(amp|lt|gt|quot|#39|nbsp);"
+# Shared whitespace class for the collapse step. NOT \s: Java includes
+# \x0B in \s, RE2 does not — the explicit class is identical in both.
+WS_RE = "[ \\t\\n\\r\\f\\x0B]+"
 # decode order: every named entity BEFORE &amp; (decoding &amp; first would
 # turn '&amp;lt;' into '&lt;' and then wrongly into '<')
 ENTITY_DECODE: tuple[tuple[str, str], ...] = (
@@ -102,7 +105,10 @@ def _strip_expr(html: Column) -> tuple[Column, Column, Column]:
     decoded = no_tags
     for ent, ch in ENTITY_DECODE:
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-    clean = F.trim(F.regexp_replace(decoded, "\\s+", " "))
+    # Explicit whitespace class instead of \s: Java regex \s includes
+    # vertical tab (\x0B) while DuckDB/RE2 \s does not, so \s+ would make
+    # clean/clean_fp diverge between engines on a \x0B-bearing document.
+    clean = F.trim(F.regexp_replace(decoded, WS_RE, " "))
     return clean, n_tags, n_entities
 
 
@@ -145,7 +151,7 @@ tagless AS (
 ),
 cleaned AS (
     SELECT doc_id, html, no_script, no_tags,
-           trim(regexp_replace({decode}, '\\s+', ' ', 'g')) AS clean
+           trim(regexp_replace({decode}, '{WS_RE}', ' ', 'g')) AS clean
     FROM tagless
 )
 SELECT doc_id,

@@ -247,6 +247,38 @@ def test_gauge_asof_sliced_carry_crosses_empty_slices(spark):
     assert got["c"] == (None, None)  # before any gauge
 
 
+def test_gauge_asof_sliced_carry_survives_same_slice_later_gauge(spark):
+    # Regression: a tx EARLIER than its slice's first gauge must still get
+    # the previous slice's latest gauge. The old rows-frame carry dropped
+    # the injection whenever the tx's slice contained ANY gauge summary,
+    # so tx@5500 (slice 5, before gauge@5800 in the same slice) resolved
+    # to NULL instead of gauge@100.
+    from apmbackend_spark.operators.correlation import (
+        gauge_asof,
+        gauge_asof_sliced,
+    )
+
+    gauges = spark.createDataFrame(
+        [("s1", 100, 10, 1), ("s1", 5800, 20, 2)],
+        "server string, timestamp long, heapused long, threadcnt int",
+    )
+    tx = spark.createDataFrame(
+        [("a", "s1", 5500, 7), ("b", "s1", 5900, 7)],
+        "logid string, server string, endts long, elapsed long",
+    )
+    got = {
+        r["logid"]: (r["gauge_ts"], r["heapused"])
+        for r in gauge_asof_sliced(tx, gauges, slice_ms=1000).collect()
+    }
+    assert got["a"] == (100, 10)   # carry from slice 0 beats NULL
+    assert got["b"] == (5800, 20)  # same-slice gauge beats the carry
+    want = {
+        r["logid"]: (r["gauge_ts"], r["heapused"])
+        for r in gauge_asof(tx, gauges).collect()
+    }
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # nearest_event_join property test vs a brute-force reference
 
