@@ -914,12 +914,15 @@ FROM grows
 
 
 # ---------------------------------------------------------------------------
-# Product quantization (PQ): subspace codebooks, integer-exact encode, and
-# asymmetric-distance (ADC) top-k search over CODES, not vectors.
+# Product quantization (PQ): TRAINED subspace codebooks (per-subspace Lloyd
+# k-means, the kmeans_train pattern made integer-exact), integer-exact
+# encode, and asymmetric-distance (ADC) top-k search over CODES, not
+# vectors.
 # ---------------------------------------------------------------------------
 
-PQ_M = 4            # subspaces (64-dim fixture -> 16 dims each)
-PQ_CODES_MOD = 50   # deterministic codebook sample (vec_id % mod == 0)
+PQ_M = 8             # subspaces (64-dim fixture -> 8 dims each)
+PQ_CODES_MOD = 10    # deterministic codebook seed (vec_id % mod == 0)
+PQ_TRAIN_ITERS = 3   # Lloyd rounds per subspace
 
 
 def _pq_subs(v: Column, dims: int, m: int) -> Column:
@@ -939,55 +942,125 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_codebook(embeddings: DataFrame, dims: int, m: int, mod: int) -> DataFrame:
-    """(sub, code_id, centv): per-subspace codebook from the deterministic
-    corpus sample — the same seeding rule as the IVF coarse quantizer."""
-    return (
-        embeddings.where(F.col("vec_id") % mod == 0)
-        .select(
-            F.col("vec_id").alias("code_id"),
-            F.posexplode(
-                _pq_subs(_quantize(F.col("embedding")), dims, m)
-            ).alias("sub", "centv"),
-        )
-    )
-
-
-def pq_encode(
-    embeddings: DataFrame, dims: int = 64, m: int = PQ_M, mod: int = PQ_CODES_MOD
-) -> DataFrame:
-    """(vec_id, codes, sq_err): each vector compressed to m codebook ids
-    (nearest codeword per subspace by exact integer squared L2; ties to
-    the lower code_id) plus the total quantization error.
-
-    This is the index-build half of PQ (Jegou et al., public literature):
-    64 floats become m small ints. Everything stays integer — quantized
-    subvectors, squared distances, the error sum — so the gate hashes
-    exactly. Scale: codebook is m x |codes| tiny rows broadcast; encode
-    is one scan + per-(vec, sub) argmin window; codes shuffle, vectors
-    never do after the scan."""
-    from pyspark.sql import Window
-
-    subs = embeddings.select(
+def _pq_subs_frame(embeddings: DataFrame, dims: int, m: int) -> DataFrame:
+    """(vec_id, sub, subv): one row per quantized subvector."""
+    return embeddings.select(
         "vec_id",
         F.posexplode(_pq_subs(_quantize(F.col("embedding")), dims, m)).alias(
             "sub", "subv"
         ),
     )
-    cb = _pq_codebook(embeddings, dims, m, mod)
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.asc("d"), F.asc("code_id")
+
+
+def _pq_codebook(
+    embeddings: DataFrame,
+    dims: int,
+    m: int,
+    mod: int,
+    iters: int = PQ_TRAIN_ITERS,
+) -> DataFrame:
+    """(sub, code_id, centv): per-subspace codebooks, SEEDED from the
+    deterministic corpus sample (the IVF coarse-quantizer rule) then
+    TRAINED with ``iters`` Lloyd rounds per subspace.
+
+    Untrained sample codewords quantize the corpus so poorly that the ADC
+    shortlist misses nearly every true neighbor (measured recall 0.06 on
+    the fixture); three Lloyd rounds lift pq_rerank recall past IVF's.
+    The loop is bit-exact across engines: assignment is the exact integer
+    squared-L2 argmin (ties to the lower code_id), the centroid update is
+    floor(SUM/COUNT) per dimension — integer sums, one exactly-rounded
+    double division, floor — exactly the ``kmeans_train`` oracle
+    arithmetic, so the DuckDB twin unrolls the same rounds. Codewords
+    that attract no members drop out (standard Lloyd shrinkage).
+
+    Scale: each round is one broadcast join of the (vec, sub) frame
+    against the tiny codebook + two map-side-combinable aggregates —
+    the canonical distributed k-means step, no driver-side data. The
+    per-round codebook is localCheckpoint-pinned (m x |codes| rows) so
+    lineage doesn't re-run the prefix chain per consumer."""
+    subs = _pq_subs_frame(embeddings, dims, m)
+    cb = subs.where(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("code_id"), "sub", F.col("subv").alias("centv")
     )
+    for _ in range(int(iters)):
+        # ASSIGN: argmin codeword per (vec, sub). min over a (d, code_id,
+        # subv) struct = lexicographic argmin with the tie rule, and it is
+        # map-side combinable ((d, code_id) is unique per group, so the
+        # carried subv never participates in the comparison).
+        assigned = (
+            subs.join(F.broadcast(cb), "sub")
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min(
+                    F.struct(
+                        _sqdist(F.col("subv"), F.col("centv")).alias("d"),
+                        F.col("code_id").alias("code_id"),
+                        F.col("subv").alias("subv"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "sub",
+                F.col("b.code_id").alias("code_id"),
+                F.posexplode(F.col("b.subv")).alias("pos", "val"),
+            )
+        )
+        # UPDATE: per-dim floored mean (kmeans_train arithmetic).
+        cb = (
+            assigned.groupBy("sub", "code_id", "pos")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cd")
+            )
+            .groupBy("sub", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cd"))),
+                    lambda s: s["cd"],
+                ).alias("centv")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cb
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    dims: int = 64,
+    m: int = PQ_M,
+    mod: int = PQ_CODES_MOD,
+    iters: int = PQ_TRAIN_ITERS,
+) -> DataFrame:
+    """(vec_id, codes, sq_err): each vector compressed to m codebook ids
+    (nearest TRAINED codeword per subspace by exact integer squared L2;
+    ties to the lower code_id) plus the total quantization error.
+
+    This is the index-build half of PQ (Jegou et al., public literature):
+    64 floats become m small ints. Everything stays integer — quantized
+    subvectors, squared distances, the error sum — so the gate hashes
+    exactly. Scale: codebook is m x |codes| tiny rows broadcast; encode
+    is one scan + a map-side-combinable per-(vec, sub) struct-min argmin;
+    codes shuffle, vectors never do after the scan."""
+    subs = _pq_subs_frame(embeddings, dims, m)
+    cb = _pq_codebook(embeddings, dims, m, mod, iters)
     best = (
         subs.join(F.broadcast(cb), "sub")
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min(
+                F.struct(
+                    _sqdist(F.col("subv"), F.col("centv")).alias("d"),
+                    F.col("code_id").alias("code_id"),
+                )
+            ).alias("b")
+        )
         .select(
             "vec_id",
             "sub",
-            "code_id",
-            _sqdist(F.col("subv"), F.col("centv")).alias("d"),
+            F.col("b.code_id").alias("code_id"),
+            F.col("b.d").alias("d"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
     )
     # codes render as a canonical '-'-joined string (the feature_hashing
     # precedent): engine-portable hashing without list-type coercion risk
@@ -1010,6 +1083,7 @@ def pq_search(
     mod: int = PQ_CODES_MOD,
     n_queries: int = 10,
     k: int = 5,
+    iters: int = PQ_TRAIN_ITERS,
 ) -> DataFrame:
     """ADC top-k: (query_id, cand_id, adc_dist, rank) — approximate
     nearest neighbors where the CANDIDATE side contributes only its m
@@ -1023,7 +1097,7 @@ def pq_search(
     Ties break on cand_id; self-matches excluded."""
     from pyspark.sql import Window
 
-    enc = pq_encode(embeddings, dims, m, mod).select(
+    enc = pq_encode(embeddings, dims, m, mod, iters).select(
         F.col("vec_id").alias("cand_id"),
         F.posexplode(
             F.transform(
@@ -1031,13 +1105,10 @@ def pq_search(
             )
         ).alias("sub", "code_id"),
     )
-    cb = _pq_codebook(embeddings, dims, m, mod)
-    qsubs = embeddings.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode(_pq_subs(_quantize(F.col("embedding")), dims, m)).alias(
-            "sub", "subv"
-        ),
-    )
+    cb = _pq_codebook(embeddings, dims, m, mod, iters)
+    qsubs = _pq_subs_frame(
+        embeddings.where(F.col("vec_id") < n_queries), dims, m
+    ).withColumnRenamed("vec_id", "query_id")
     table = qsubs.join(F.broadcast(cb), "sub").select(
         "query_id",
         "sub",
@@ -1078,20 +1149,58 @@ def _sqdist_sql(a: str, b: str) -> str:
     )
 
 
-def _pq_ctes(dims: int, m: int, mod: int) -> str:
-    return f"""qz AS (
+def _pq_ctes(
+    dims: int, m: int, mod: int, iters: int = PQ_TRAIN_ITERS
+) -> str:
+    """Oracle twin of the trained-PQ pipeline: the per-subspace Lloyd
+    rounds unrolled into chained MATERIALIZED CTEs (cb_0 is the seed
+    codebook; each round adds asg_i/cb_i with the floor(SUM/COUNT)
+    centroid arithmetic shared with kmeans_train), final codebook aliased
+    ``cb`` for the encode/search legs."""
+    ctes = [
+        f"""qz AS MATERIALIZED (
     SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
-),
-subs AS (
+)""",
+        f"""subs AS MATERIALIZED (
     SELECT vec_id, CAST(t.s - 1 AS INT) AS sub,
            ({_pq_subs_sql('v', dims, m)})[t.s] AS subv
     FROM qz, LATERAL unnest(range(1, {m + 1})) AS t(s)
-),
-cb AS (
+)""",
+        f"""cb_0 AS (
     SELECT vec_id AS code_id, sub, subv AS centv
     FROM subs WHERE vec_id % {mod} = 0
-),
-best AS (
+)""",
+    ]
+    for i in range(1, int(iters) + 1):
+        ctes.append(
+            f"""asg_{i} AS MATERIALIZED (
+    SELECT vec_id, sub, code_id, subv FROM (
+        SELECT s.vec_id, s.sub, c.code_id, s.subv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.sub
+                   ORDER BY {_sqdist_sql('s.subv', 'c.centv')} ASC, c.code_id ASC
+               ) AS rn
+        FROM subs s JOIN cb_{i - 1} c USING (sub)
+    ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""cb_{i} AS MATERIALIZED (
+    SELECT sub, code_id, list(cd ORDER BY pos) AS centv FROM (
+        SELECT sub, code_id, t.pos,
+               CAST(floor(CAST(SUM(subv[t.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+        FROM asg_{i}, LATERAL unnest(generate_series(1, len(subv))) AS t(pos)
+        GROUP BY 1, 2, 3
+    ) GROUP BY sub, code_id
+)"""
+        )
+    ctes.append(
+        f"""cb AS (
+    SELECT sub, code_id, centv FROM cb_{int(iters)}
+)"""
+    )
+    ctes.append(
+        f"""best AS MATERIALIZED (
     SELECT vec_id, sub, code_id, d FROM (
         SELECT s.vec_id, s.sub, c.code_id,
                CAST({_sqdist_sql('s.subv', 'c.centv')} AS BIGINT) AS d,
@@ -1101,13 +1210,18 @@ best AS (
         FROM subs s JOIN cb c USING (sub)
     ) WHERE rn = 1
 )"""
+    )
+    return ",\n".join(ctes)
 
 
 def pq_encode_oracle_sql(
-    dims: int = 64, m: int = PQ_M, mod: int = PQ_CODES_MOD
+    dims: int = 64,
+    m: int = PQ_M,
+    mod: int = PQ_CODES_MOD,
+    iters: int = PQ_TRAIN_ITERS,
 ) -> str:
     return f"""
-WITH {_pq_ctes(dims, m, mod)}
+WITH {_pq_ctes(dims, m, mod, iters)}
 SELECT vec_id,
        string_agg(CAST(code_id AS VARCHAR), '-' ORDER BY sub) AS codes,
        CAST(SUM(d) AS BIGINT) AS sq_err
@@ -1121,9 +1235,10 @@ def pq_search_oracle_sql(
     mod: int = PQ_CODES_MOD,
     n_queries: int = 10,
     k: int = 5,
+    iters: int = PQ_TRAIN_ITERS,
 ) -> str:
     return f"""
-WITH {_pq_ctes(dims, m, mod)},
+WITH {_pq_ctes(dims, m, mod, iters)},
 qtable AS (
     SELECT s.vec_id AS query_id, s.sub, c.code_id,
            CAST({_sqdist_sql('s.subv', 'c.centv')} AS BIGINT) AS qd
@@ -1150,7 +1265,7 @@ SELECT query_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}
 """
 
 
-PQ_RERANK_SHORTLIST = 20
+PQ_RERANK_SHORTLIST = 40
 
 
 def pq_rerank(
@@ -1161,6 +1276,7 @@ def pq_rerank(
     n_queries: int = 10,
     k: int = 5,
     shortlist: int = PQ_RERANK_SHORTLIST,
+    iters: int = PQ_TRAIN_ITERS,
 ) -> DataFrame:
     """Two-stage retrieval, the production ANN serving shape: the ADC
     code-only pass shortlists ``shortlist`` candidates per query, then
@@ -1173,7 +1289,7 @@ def pq_rerank(
     from pyspark.sql import Window
 
     short = pq_search(
-        embeddings, dims, m, mod, n_queries, k=int(shortlist)
+        embeddings, dims, m, mod, n_queries, k=int(shortlist), iters=iters
     ).select("query_id", "cand_id")
     qv = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -1209,9 +1325,10 @@ def pq_rerank_oracle_sql(
     n_queries: int = 10,
     k: int = 5,
     shortlist: int = PQ_RERANK_SHORTLIST,
+    iters: int = PQ_TRAIN_ITERS,
 ) -> str:
     return f"""
-WITH {_pq_ctes(dims, m, mod)},
+WITH {_pq_ctes(dims, m, mod, iters)},
 qtable AS (
     SELECT s.vec_id AS query_id, s.sub, c.code_id,
            CAST({_sqdist_sql('s.subv', 'c.centv')} AS BIGINT) AS qd

@@ -835,28 +835,53 @@ def test_series_similarity_plan_broadcasts_probe(spark):
 # product quantization
 
 
-def _pq_reference(vecs, dims, m, mod):
-    """Literal PQ: quantize (round*1e4), slice, argmin per subspace."""
+def _pq_reference(vecs, dims, m, mod, iters=0):
+    """Literal trained PQ: quantize (round*1e4), slice, per-subspace Lloyd
+    (argmin assign, floor-mean update, empty codewords dropped), argmin
+    encode against the final codebook."""
+    import math
+
     step = dims // m
     q = {
         vid: [round(x * 10_000) for x in v] for vid, v in vecs
     }
-    cb = {vid: q[vid] for vid, _ in vecs if vid % mod == 0}
 
     def sub(v, s):
         return v[s * step:(s + 1) * step]
+
+    def argmin(subv, cbs):
+        best = None
+        for cid in sorted(cbs):
+            d = sum((a - b) ** 2 for a, b in zip(subv, cbs[cid]))
+            if best is None or (d, cid) < best:
+                best = (d, cid)
+        return best  # (d, code_id)
+
+    # per-subspace codebooks: seed then Lloyd
+    books = []
+    for s in range(m):
+        cbs = {vid: sub(q[vid], s) for vid, _ in vecs if vid % mod == 0}
+        for _ in range(iters):
+            members = {}
+            for vid, _ in vecs:
+                _, cid = argmin(sub(q[vid], s), cbs)
+                members.setdefault(cid, []).append(sub(q[vid], s))
+            cbs = {
+                cid: [
+                    math.floor(sum(col) / len(vs))
+                    for col in zip(*vs)
+                ]
+                for cid, vs in members.items()
+            }
+        books.append(cbs)
 
     enc = {}
     for vid, _ in vecs:
         codes, err = [], 0
         for s in range(m):
-            best = None
-            for cid in sorted(cb):
-                d = sum((a - b) ** 2 for a, b in zip(sub(q[vid], s), sub(cb[cid], s)))
-                if best is None or (d, cid) < best:
-                    best = (d, cid)
-            codes.append(best[1])
-            err += best[0]
+            d, cid = argmin(sub(q[vid], s), books[s])
+            codes.append(cid)
+            err += d
         enc[vid] = ("-".join(str(c) for c in codes), err)
     return enc
 
@@ -877,12 +902,13 @@ def test_pq_encode_matches_python_reference(spark):
     stored = {
         r["vec_id"]: list(r["embedding"]) for r in df.select("vec_id", "embedding").collect()
     }
-    want = _pq_reference(sorted(stored.items()), dims, m, mod)
-    got = {
-        r["vec_id"]: (r["codes"], r["sq_err"])
-        for r in pq_encode(df, dims=dims, m=m, mod=mod).collect()
-    }
-    assert got == want
+    for iters in (0, 2):  # seeded codebook AND the trained path
+        want = _pq_reference(sorted(stored.items()), dims, m, mod, iters)
+        got = {
+            r["vec_id"]: (r["codes"], r["sq_err"])
+            for r in pq_encode(df, dims=dims, m=m, mod=mod, iters=iters).collect()
+        }
+        assert got == want, f"iters={iters}"
 
 
 def test_pq_search_candidates_never_carry_vectors(spark):
