@@ -393,6 +393,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the band index lacks, without ngram_jaccard's text re-join);
         # est = agree/32, dyadic-exact across engines
         "minhash_est_pairs": lambda s, d: dd.minhash_est_pairs(docs(s, d)),
+        # EXACT substring dedup (ExactSubstr semantics): maximal duplicated
+        # token spans at ARBITRARY boundaries — every k-token window
+        # fingerprinted in-row, occurrence-counted, merged into islands;
+        # catches the straddling duplicates chunk-aligned doc_span_dup
+        # structurally misses
+        "span_exact_dedup": lambda s, d: dd.span_exact_dedup(docs(s, d)),
         # privacy audit (the pii_scrub sibling): k-anonymity ladder +
         # l-diversity floor from ONE map-side-combinable class rollup;
         # ladder rows aggregate the tiny class frame, never the raw scan
@@ -1004,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_rerank": sim.pq_rerank_oracle_sql(),
         "ann_recall_report": sim.ann_recall_report_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
+        "span_exact_dedup": dd.span_exact_dedup_oracle_sql(),
         "token_spans": pk.token_spans_oracle_sql(),
         "token_pack": pk.token_pack_oracle_sql(),
         "corpus_prepare": prep.corpus_prepare_oracle_sql(),

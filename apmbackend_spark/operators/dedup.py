@@ -174,6 +174,121 @@ FROM base b LEFT JOIN dup d USING (doc_id)
 """
 
 
+SPAN_EXACT_K = 16
+
+
+def span_exact_dedup(documents: DataFrame, k: int = SPAN_EXACT_K) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len): MAXIMAL duplicated token
+    spans at ARBITRARY boundaries — ExactSubstr semantics (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"), the real
+    span-level scrub ``doc_span_dup`` only approximates with aligned
+    chunk fingerprints (a duplicate straddling a chunk boundary never
+    matches any aligned chunk; every k-token window here catches it).
+
+    Semantics: a k-token window starting at 0-based token position s
+    covers tokens [s, s+k-1]; it is DUPLICATED iff its exact token
+    content occurs at >= 2 (doc, position) sites in the corpus (cross-doc
+    mirrors AND within-doc repetition both count, as in ExactSubstr).
+    Per document, duplicated windows whose coverage overlaps or touches
+    merge into maximal spans (one row per span) — the token ranges a
+    span-level scrub would cut.
+
+    Scale shape (the suffix-array replacement that distributes): window
+    fingerprints are computed IN-ROW from the token array (one codegen
+    scan — text never shuffles; the explode ships (doc_id, s, fp) rows,
+    ~8B keys like doc_span_dup's chunks). The occurrence count is one
+    map-side-combinable groupBy on fp; the join back is keyed on fp with
+    fan-out bounded by total window count (never pairwise); span merging
+    is one per-doc window over the DUPLICATED starts only (a tiny
+    fraction of the corpus). Window count is |tokens| per doc vs
+    |tokens|/c chunks — the k× explode factor is the price of exactness;
+    at 100 TB run it per-shard or behind the doc_span_dup prefilter."""
+    kk = int(k)
+    tok = tokens(F.col("text"))
+    base = documents.select("doc_id", tok.alias("tok"))
+    idx = F.when(
+        F.size("tok") >= kk,
+        F.sequence(F.lit(1), F.size("tok") - (kk - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id", "tok", F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        (F.col("i") - 1).cast("int").alias("s"),
+        hash64(F.concat_ws(" ", F.slice(F.col("tok"), F.col("i"), kk))).alias(
+            "fp"
+        ),
+    )
+    # one tokenize+hash scan, two consumers (occurrence rollup + join
+    # back) — materialize the compact key frame, never the text (the
+    # doc_span_dup localCheckpoint rationale).
+    grams = grams.localCheckpoint()
+    dup = (
+        grams.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("fp")
+    )
+    starts = grams.join(dup, "fp").select("doc_id", "s")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("s")
+    isl = starts.select(
+        "doc_id",
+        "s",
+        F.sum(
+            F.when(
+                F.lag("s").over(w).isNull()
+                | (F.col("s") > F.lag("s").over(w) + kk),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("s").cast("int").alias("span_start"),
+        (F.max("s") + kk - 1).cast("int").alias("span_end"),
+        (F.max("s") + kk - F.min("s")).cast("long").alias("span_len"),
+    ).select("doc_id", "span_start", "span_end", "span_len")
+
+
+def span_exact_dedup_oracle_sql(k: int = SPAN_EXACT_K) -> str:
+    kk = int(k)
+    fp = hash64_sql(f"array_to_string(tok[t.s + 1 : t.s + {kk}], ' ')")
+    return f"""
+WITH tokd AS (
+    SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+), grams AS MATERIALIZED (
+    SELECT doc_id, CAST(t.s AS INT) AS s, {fp} AS fp
+    FROM tokd,
+         LATERAL unnest(range(0, greatest(len(tok) - {kk} + 1, 0))) AS t(s)
+), dup AS (
+    SELECT fp FROM grams GROUP BY fp HAVING COUNT(*) >= 2
+), starts AS (
+    SELECT g.doc_id, g.s FROM grams g JOIN dup USING (fp)
+), isl AS (
+    SELECT doc_id, s,
+           SUM(CASE WHEN prev IS NULL OR s > prev + {kk} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM (
+        SELECT doc_id, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+        FROM starts
+    )
+)
+SELECT doc_id,
+       CAST(MIN(s) AS INT) AS span_start,
+       CAST(MAX(s) + {kk} - 1 AS INT) AS span_end,
+       CAST(MAX(s) + {kk} - MIN(s) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup pairs
 # ---------------------------------------------------------------------------

@@ -438,3 +438,70 @@ def test_minhash_est_tracks_exact_jaccard(spark):
             assert abs(sim - exact[pair]) < 0.35, (pair, sim, exact[pair])
     # the near-identical pair must score clearly high
     assert est[(0, 1)][1] >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# span_exact_dedup (ExactSubstr semantics: arbitrary-boundary spans)
+
+
+def test_span_exact_catches_chunk_straddling_duplicate(spark):
+    # A 20-token duplicate run placed at DIFFERENT offsets in two docs:
+    # every chunk_tokens=20 ALIGNED chunk mixes duplicate with unique
+    # context, so doc_span_dup reports zero dup chunks — the documented
+    # blind spot — while the window-exact operator recovers the exact
+    # token range of the shared run in both docs.
+    from apmbackend_spark.operators.dedup import doc_span_dup, span_exact_dedup
+
+    dup_run = " ".join(f"shared{i}" for i in range(20))
+    doc_a = " ".join(f"ua{i}" for i in range(10)) + " " + dup_run + " " + \
+        " ".join(f"va{i}" for i in range(10))
+    doc_b = " ".join(f"wb{i}" for i in range(5)) + " " + dup_run + " " + \
+        " ".join(f"xb{i}" for i in range(15))
+    docs = _docs(spark, [(1, doc_a), (2, doc_b)])
+
+    chunked = {
+        r["doc_id"]: r["n_dup_chunks"]
+        for r in doc_span_dup(docs, chunk_tokens=20).collect()
+    }
+    assert chunked == {1: 0, 2: 0}  # the approximation misses it entirely
+
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in span_exact_dedup(docs, k=16).collect()
+    }
+    # doc 1: run occupies tokens [10, 29]; doc 2: [5, 24]
+    assert spans == {1: (10, 29, 20), 2: (5, 24, 20)}
+
+
+def test_span_exact_merges_overlap_and_counts_within_doc(spark):
+    from apmbackend_spark.operators.dedup import span_exact_dedup
+
+    # within-doc repetition: the same 4-token phrase twice in ONE doc is
+    # >= 2 occurrence sites, so both sites are duplicated spans
+    phrase = "alpha beta gamma delta"
+    doc = phrase + " filler1 filler2 filler3 filler4 " + phrase
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in span_exact_dedup(_docs(spark, [(1, doc)]), k=4).collect()
+    )
+    assert spans == [(0, 3), (8, 11)]
+
+    # overlapping duplicated windows merge into ONE maximal span: a
+    # 6-token shared run with k=4 yields starts {s, s+1, s+2} -> one span
+    run = "p q r s t u"
+    docs = _docs(spark, [(1, f"a1 b1 {run} c1"), (2, f"{run} z2 y2 x2")])
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in span_exact_dedup(docs, k=4).collect()
+    }
+    assert spans == {1: (2, 7, 6), 2: (0, 5, 6)}
+
+
+def test_span_exact_no_dups_empty_and_short_docs(spark):
+    from apmbackend_spark.operators.dedup import span_exact_dedup
+
+    docs = _docs(
+        spark,
+        [(1, "one two three"), (2, "four five six seven"), (3, "")],
+    )
+    assert span_exact_dedup(docs, k=4).count() == 0
