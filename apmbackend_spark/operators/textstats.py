@@ -1023,38 +1023,68 @@ def _bpe_apply_merge(seq, pair, merged):
     return F.trim(F.replace(once, search, repl))
 
 
-def bpe_train(documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
-    """Train a BPE merge TABLE (step, pair, n) over the corpus — the
-    Sennrich trainer loop itself, not just its counting step: per
-    iteration, count adjacent symbol pairs over DISTINCT pretokens
-    weighted by corpus frequency, take the argmax (count DESC, pair ASC
-    tie-break — fully discrete, no floats anywhere), apply the merge to
-    the vocabulary, repeat.
+BPE_BATCH = 8  # max merges selected per Spark job (1 = pure sequential)
 
-    Scale shape: the expensive part (corpus scan -> pretoken frequency) is
-    ONE pass, after which every iteration runs on the DISTINCT-pretoken
+
+def bpe_train(
+    documents: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    batch: int = BPE_BATCH,
+) -> DataFrame:
+    """Train a BPE merge TABLE (step, pair, n) over the corpus — the
+    Sennrich trainer loop itself, not just its counting step: count
+    adjacent symbol pairs over DISTINCT pretokens weighted by corpus
+    frequency, take the argmax (count DESC, pair ASC tie-break — fully
+    discrete, no floats anywhere), apply the merge to the vocabulary,
+    repeat.
+
+    BATCHED selection (the production form — one job per merge would be
+    32k sequential jobs for a real tokenizer): each job selects up to
+    ``batch`` merges, provably IDENTICAL to the one-at-a-time sequence.
+    The job computes pair counts plus, for the head of the candidate
+    list, the max count of any symbol TRIPLE containing the candidate
+    (as left or right sub-pair). The driver accepts a PREFIX of the
+    (count DESC, pair ASC)-sorted candidates that is mutually
+    symbol-disjoint, stopping at the first candidate whose count does
+    not STRICTLY exceed the running triple bound M of already-accepted
+    merges. Why that equals sequential: (a) mutually-disjoint merges
+    leave each other's counts untouched and commute under application;
+    (b) applying an accepted merge can only create/raise pairs that
+    CONTAIN its merged symbol, and any such pair's count is bounded by
+    some triple count containing the accepted pair — i.e. by M; so while
+    the next candidate's exact count beats M it beats every merge-created
+    pair too; (c) a candidate SHARING a symbol with an accepted merge may
+    have had its count reduced, so the prefix stops there (never
+    skip-and-continue — a reduced-count candidate might still outrank the
+    next disjoint one). Replay-verified equal to batch=1 in
+    test_quality_ops (fixture corpus + adversarial chains).
+
+    Scale shape: the expensive part (corpus scan -> pretoken frequency)
+    is ONE pass, after which every job runs on the DISTINCT-pretoken
     frame — vocabulary-bounded, sub-linear in corpus bytes, the same
-    Sennrich trick ``bpe_pair_counts`` documents. Each iteration is one
-    map-side-combinable pair rollup plus a TakeOrdered(1) argmax; the only
-    driver traffic is that single (pair, count) row per merge — the same
-    per-iteration scalar pattern as k-means counters and the CC
-    convergence check. The evolving vocab is localCheckpoint-pinned per
-    round (flat plans, no re-derivation of the corpus scan).
+    Sennrich trick ``bpe_pair_counts`` documents. Each job is two
+    map-side-combinable rollups (pairs + candidate-filtered triples);
+    driver traffic is the <= ~3*batch candidate/bound rows per job; all
+    accepted merges apply to the vocab in ONE chained-expression pass.
+    The evolving vocab is localCheckpoint-pinned per round (flat plans,
+    no re-derivation of the corpus scan).
 
     Reference anchor: this is the training-side complement of the engine's
     tokenizer-fertility accounting (``doc_token_counts``/``bpe_pair_counts``);
     the merge table is what a byte-level tokenizer ships as merges.txt.
     """
-    merges, _ = _bpe_train_frames(documents, n_merges)
+    merges, _, _ = _bpe_train_frames(documents, n_merges, batch)
     return documents.sparkSession.createDataFrame(
         merges, schema="step int, pair string, n long"
     )
 
 
-def _bpe_train_frames(documents: DataFrame, n_merges: int):
+def _bpe_train_frames(
+    documents: DataFrame, n_merges: int, batch: int = BPE_BATCH
+):
     """The trainer loop, returning (merges list, final vocab DataFrame with
-    (w, seq, freq)) so ``bpe_encode`` can apply the trained table without
-    re-deriving it."""
+    (w, seq, freq), n_selection_jobs) so ``bpe_encode`` can apply the
+    trained table without re-deriving it."""
     from apmbackend_spark.functions.text import bpe_tokens
 
     pretok = documents.select(F.explode(bpe_tokens(F.col("text"))).alias("w"))
@@ -1070,42 +1100,120 @@ def _bpe_train_frames(documents: DataFrame, n_merges: int):
     vocab = freq.select("w", seq0.alias("seq"), "freq").localCheckpoint()
 
     merges: list[tuple[int, str, int]] = []
-    for step in range(1, int(n_merges) + 1):
-        arr = F.split(F.col("seq"), " ")
-        idx = F.when(
-            F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
-        ).otherwise(F.array().cast("array<int>"))
-        pairs = vocab.select(
-            "freq",
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.concat(
-                        F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
-                    ),
-                )
-            ).alias("pair"),
-        )
-        best = (
-            pairs.groupBy("pair")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("pair").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best:
+    n_jobs = 0
+    while len(merges) < int(n_merges):
+        want = int(n_merges) - len(merges)
+        head = _bpe_select_batch(vocab, min(int(batch), want))
+        n_jobs += 1
+        if not head:
             break
-        pair, n = best[0]["pair"], int(best[0]["n"])
-        merges.append((step, pair, n))
-        merged = pair.replace(" ", "")
-        vocab = vocab.select(
-            "w",
-            _bpe_apply_merge(F.col("seq"), F.lit(pair), F.lit(merged)).alias(
-                "seq"
-            ),
-            "freq",
-        ).localCheckpoint(eager=False)
-    return merges, vocab
+        expr = F.col("seq")
+        for pair, n in head:
+            merges.append((len(merges) + 1, pair, n))
+            expr = _bpe_apply_merge(
+                expr, F.lit(pair), F.lit(pair.replace(" ", ""))
+            )
+        vocab = vocab.select("w", expr.alias("seq"), "freq").localCheckpoint(
+            eager=False
+        )
+    return merges, vocab, n_jobs
+
+
+def _bpe_select_batch(vocab: DataFrame, batch: int) -> list[tuple[str, int]]:
+    """One selection job: exact pair counts + triple bounds for the
+    candidate head, then the driver-side prefix-acceptance walk described
+    in ``bpe_train``. Returns [(pair, n), ...] in merge order."""
+    arr = F.split(F.col("seq"), " ")
+    pair_idx = F.when(
+        F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.transform(
+                pair_idx,
+                lambda i: F.concat(
+                    F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+                ),
+            )
+        ).alias("pair"),
+    )
+    # head of the candidate list: batch disjoint accepts need at most
+    # batch entries, +1 to know the count that ends the prefix
+    cands = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(int(batch) * 2 + 1)
+        .collect()
+    )
+    if not cands:
+        return []
+    if int(batch) <= 1 or len(cands) == 1:
+        return [(cands[0]["pair"], int(cands[0]["n"]))]
+    # triple bounds for the head candidates: max count of any symbol
+    # triple whose left or right sub-pair is a candidate
+    cand_pairs = [r["pair"] for r in cands]
+    tri_idx = F.when(
+        F.size(arr) >= 3, F.sequence(F.lit(1), F.size(arr) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tris = vocab.select(
+        "freq",
+        F.explode(
+            F.transform(
+                tri_idx,
+                lambda i: F.struct(
+                    F.concat(
+                        F.element_at(arr, i),
+                        F.lit(" "),
+                        F.element_at(arr, i + 1),
+                    ).alias("p12"),
+                    F.concat(
+                        F.element_at(arr, i + 1),
+                        F.lit(" "),
+                        F.element_at(arr, i + 2),
+                    ).alias("p23"),
+                    F.concat(
+                        F.element_at(arr, i),
+                        F.lit(" "),
+                        F.element_at(arr, i + 1),
+                        F.lit(" "),
+                        F.element_at(arr, i + 2),
+                    ).alias("trip"),
+                ),
+            )
+        ).alias("t"),
+    ).where(
+        F.col("t.p12").isin(cand_pairs) | F.col("t.p23").isin(cand_pairs)
+    )
+    tcounts = tris.groupBy("t.trip", "t.p12", "t.p23").agg(
+        F.sum("freq").alias("tn")
+    )
+    bound_rows = (
+        tcounts.select(F.col("p12").alias("pair"), "tn")
+        .unionAll(tcounts.select(F.col("p23").alias("pair"), "tn"))
+        .groupBy("pair")
+        .agg(F.max("tn").alias("bound"))
+        .collect()
+    )
+    bounds = {r["pair"]: int(r["bound"]) for r in bound_rows}
+    accepted: list[tuple[str, int]] = []
+    used: set[str] = set()
+    m_bound = -1  # best possible merge-created pair count so far
+    for r in cands:
+        pair, n = r["pair"], int(r["n"])
+        if accepted:
+            if n <= m_bound:
+                break  # a merge-created pair could outrank this candidate
+            syms = set(pair.split(" "))
+            if syms & used:
+                break  # count may have dropped; never skip-and-continue
+        accepted.append((pair, n))
+        used.update(pair.split(" "))
+        m_bound = max(m_bound, bounds.get(pair, 0))
+        if len(accepted) >= int(batch):
+            break
+    return accepted
 
 
 def bpe_encode(
@@ -1124,7 +1232,7 @@ def bpe_encode(
     shuffle. All-integer outputs (the fertility division is the
     consumer's, keeping the gate float-free).
     """
-    _, vocab = _bpe_train_frames(documents, n_merges)
+    _, vocab, _ = _bpe_train_frames(documents, n_merges)
     from apmbackend_spark.functions.text import bpe_tokens
 
     dim = vocab.select(

@@ -800,3 +800,46 @@ def test_k_anonymity_ladder_rollup_rides_tiny_class_frame(spark):
     # scan is never crossed with the ladder
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_bpe_batched_equals_sequential_adversarial(spark):
+    # Batched selection must replay the one-merge-per-job sequence exactly,
+    # including the cases that punish naive top-k: (a) merge-created pairs
+    # that outrank the original runner-up (the triple bound must stop the
+    # prefix), (b) runner-ups sharing a symbol with the winner (count may
+    # have dropped -> prefix must stop, never skip), (c) overlap chains.
+    from apmbackend_spark.operators.textstats import bpe_train
+
+    corpora = [
+        # (w,xy) dominance: after merging (x y), "w xy" (90) beats "a b"
+        ["wxy " * 90 + "xy " * 10 + "ab " * 85],
+        # shared-symbol runner-up + ties
+        ["wxy " * 50 + "de " * 50, "xyw " * 30],
+        # overlap chains (the two-pass replace shape)
+        ["ababab abab ab " * 20, "aaaa aaa aa " * 15],
+        # many independent pairs (the batch actually packs)
+        ["ab " * 9, "cd " * 8, "ef " * 7, "gh " * 6, "ij " * 5, "kl " * 4],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            schema="doc_id long, text string, lang string, source string, n_chars long",
+        )
+        seq = [(r["step"], r["pair"], r["n"])
+               for r in bpe_train(docs, 10, batch=1).collect()]
+        bat = [(r["step"], r["pair"], r["n"])
+               for r in bpe_train(docs, 10, batch=8).collect()]
+        assert bat == seq, texts[0][:40]
+        assert seq == _bpe_reference(texts, 10), texts[0][:40]
+
+
+def test_bpe_batching_reduces_jobs_on_fixture(spark):
+    from apmbackend_spark.operators.textstats import _bpe_train_frames
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    seq_merges, _, seq_jobs = _bpe_train_frames(docs, 6, batch=1)
+    bat_merges, _, bat_jobs = _bpe_train_frames(docs, 6, batch=8)
+    assert bat_merges == seq_merges        # replay-identical on the fixture
+    assert seq_jobs == 6 and bat_jobs < 6  # and measurably fewer jobs
