@@ -425,6 +425,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("timestamp") % 180000 == 0
             ),
         ),
+        # STREAMING nearest join: the same semantics decided incrementally
+        # — latest-gauge carry + tolerance-bounded pending-tx buffer in
+        # the state store across 3 forced micro-batch cuts; graded against
+        # the SAME double-ASOF oracle as the batch gate
+        "stream_nearest": lambda s, d: topo.stream_nearest_gate(s, d),
     }
     relational = {
         # runtime Bloom-filter join: might_contain predicate injected into
@@ -1001,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         "html_strip": wt.html_strip_oracle_sql(),
         "series_similarity": TX_CTE + sea.series_similarity_oracle_sql(),
         "nearest_event_join": TX_CTE + co.nearest_event_join_oracle_sql(),
+        "stream_nearest": TX_CTE + co.nearest_event_join_oracle_sql(),
         "dup_triangles": dd.dup_triangles_oracle_sql(),
         "gauge_asof_sliced": TX_CTE + co.GAUGE_ASOF_ORACLE,
         "k_anonymity": pf.k_anonymity_oracle_sql(),

@@ -655,3 +655,157 @@ def funnel_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming nearest-event join (direction-agnostic as-of with tolerance) —
+# the stateful port of operators/correlation.py::nearest_event_join.
+# ---------------------------------------------------------------------------
+
+NEAREST_OUT_SCHEMA = (
+    "logid string, server string, endts long, gauge_ts long, "
+    "heapused long, dist_ms long, direction string"
+)
+
+
+def nearest_stateful(
+    rows_stream: DataFrame, tol_ms: int = 100_000
+) -> DataFrame:
+    """Streaming form of the nearest-gauge temporal join: tx rows pick the
+    NEAREST gauge on their server within ``tol_ms``, earlier OR later,
+    ties backward — EXACTLY the batch operator's semantics
+    (``nearest_event_join``; reference anchor: the entry/exit correlator's
+    gauge alignment, correlate_logs.js), decided incrementally.
+
+    Input: ONE time-ordered stream per server of
+    (server, ts, kind, logid, g_heap) rows — kind 0 = gauge, 1 = tx,
+    2 = end-of-stream marker. Deliveries must be time-consecutive (the
+    gate cuts on ts), so within a key later batches never rewind time.
+
+    State per server: the latest gauge (backward candidate) plus a PENDING
+    buffer of tx rows whose nearest gauge is not yet provable. A pending
+    tx resolves the moment its outcome is certain, whichever batch that
+    lands in:
+
+      * a GAUGE at g resolves every pending exactly (forward distance
+        known; pick backward iff d_b <= d_f, then the tolerance gate);
+      * any later row at time c proves a pending with backward distance
+        d_b once c - t >= d_b (every future forward candidate is at
+        least that far, and ties go backward), and proves a gaugeless /
+        distant pending null once c - t > tol (no in-tolerance forward
+        can exist; a nearer-but-out-of-tol backward already blocks —
+        the batch operator's pick-then-null rule);
+      * the end marker (ts = +inf) flushes the rest backward-or-null.
+
+    The pending buffer is bounded by the tolerance window (every pending
+    older than tol resolves at the next row), so state is O(tx rate x
+    tol) per key regardless of stream length — the 100 TB shape. Same
+    oracle as the batch gate; the drain gate forces cross-batch carries
+    by cutting deliveries mid-stream.
+
+    A gauge at exactly a tx's ts sorts before it (kind asc), making it
+    the backward candidate at distance 0 in both engines — the batch
+    comparator's tie rule.
+    """
+    from pyspark.sql.types import StringType
+
+    tol = int(tol_ms)
+    state_schema = StructType(
+        [
+            StructField("b_ts", LongType(), True),
+            StructField("b_heap", LongType(), True),
+            StructField("p_logid", ArrayType(StringType(), True), True),
+            StructField("p_ts", ArrayType(LongType(), True), True),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (server,) = key
+        if state.exists:
+            b_ts, b_heap, p_logid, p_ts = state.get
+            pend = list(zip(list(p_logid or []), list(p_ts or [])))
+        else:
+            b_ts, b_heap, pend = None, None, []
+
+        out: list[tuple] = []
+
+        def emit(logid, t, g_ts, g_heap, dist, dirn):
+            out.append((logid, server, t, g_ts, g_heap, dist, dirn))
+
+        def emit_backward_or_null(logid, t):
+            if b_ts is not None and (t - b_ts) <= tol:
+                emit(logid, t, b_ts, b_heap, t - b_ts, "b")
+            else:
+                emit(logid, t, None, None, None, None)
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "kind", "logid"])
+        for ts, kind, logid, g_heap in zip(
+            rows["ts"].tolist(),
+            rows["kind"].tolist(),
+            rows["logid"].tolist(),
+            rows["g_heap"].tolist(),
+        ):
+            ts, kind = int(ts), int(kind)
+            if kind == 0:  # gauge: resolves EVERY pending exactly
+                for pl, pt in pend:
+                    d_f = ts - pt
+                    d_b = None if b_ts is None else pt - b_ts
+                    if d_b is not None and d_b <= d_f:
+                        emit_backward_or_null(pl, pt)
+                    elif d_f <= tol:
+                        emit(pl, pt, ts, int(g_heap), d_f, "f")
+                    else:
+                        emit(pl, pt, None, None, None, None)
+                pend = []
+                b_ts, b_heap = ts, int(g_heap)
+            else:  # tx or end marker: time has advanced to ts
+                keep = []
+                for pl, pt in pend:
+                    df_min = ts - pt
+                    d_b = None if b_ts is None else pt - b_ts
+                    if d_b is not None and d_b <= df_min:
+                        emit_backward_or_null(pl, pt)  # backward wins ties
+                    elif df_min > tol:
+                        emit(pl, pt, None, None, None, None)
+                    else:
+                        keep.append((pl, pt))
+                pend = keep
+                if kind == 1:
+                    pend.append((logid, ts))
+                else:  # end marker: no future gauges exist
+                    for pl, pt in pend:
+                        emit_backward_or_null(pl, pt)
+                    pend = []
+
+        state.update(
+            (
+                b_ts,
+                b_heap,
+                [pl for pl, _ in pend],
+                [pt for _, pt in pend],
+            )
+        )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "logid",
+                "server",
+                "endts",
+                "gauge_ts",
+                "heapused",
+                "dist_ms",
+                "direction",
+            ],
+        )
+
+    return rows_stream.groupBy("server").applyInPandasWithState(
+        fn,
+        outputStructType=NEAREST_OUT_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -800,3 +800,110 @@ def stream_decayed_gate(
             F.col("sw").cast("double") / F.lit(float(1 << DECAY_SCALE))
         ).alias("decayed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming nearest-event join drain gate (the last batch-only join family
+# ported to a stateful form).
+# ---------------------------------------------------------------------------
+
+NEAREST_STREAM_SCHEMA = (
+    "server string, ts long, kind int, logid string, g_heap long"
+)
+
+
+def stream_nearest_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    tol_ms: int = 100_000,
+    n_deliveries: int = 3,
+    shuffle_partitions: int = 8,
+    timeout_s: int = 300,
+) -> "DataFrame":
+    """Graded STREAMING form of the nearest-gauge temporal join.
+
+    The batch gate (``nearest_event_join``) windows over (server,
+    time-slice); here the same semantics run incrementally: gauges and tx
+    arrive interleaved as ``n_deliveries`` time-consecutive parquet
+    deliveries (one micro-batch each), and ``nearest_stateful`` carries
+    the latest gauge plus the tolerance-bounded pending-tx buffer through
+    the state store across batches. Delivery cuts land mid-stream, so
+    both cross-batch carries are genuinely forced: a tx whose backward
+    gauge arrived in an earlier batch, AND a pending tx whose resolving
+    forward gauge arrives in a LATER batch. A final end-marker row per
+    server (the stream's closure signal) flushes trailing pendings
+    backward-or-null.
+
+    Graded against the SAME DuckDB double-ASOF oracle as the batch gate —
+    the stream and batch forms must agree value-for-value (gauges
+    sparsified to every 3rd minute so both directions and tolerance
+    nulls are exercised)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from apmbackend_spark.operators.zerofill import jmx_gauges
+    from apmbackend_spark.sources.tx import load_tx
+    from apmbackend_spark.streaming.stateful import (
+        NEAREST_OUT_SCHEMA,
+        nearest_stateful,
+    )
+
+    work = tempfile.mkdtemp(prefix="apm_nearest_gate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src, out = os.path.join(work, "src"), os.path.join(work, "out")
+
+    tx = load_tx(spark, sf_dir)
+    g = jmx_gauges(tx).where(F.col("timestamp") % 180000 == 0)
+    rows = (
+        g.select(
+            "server",
+            F.col("timestamp").alias("ts"),
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("string").alias("logid"),
+            F.col("heapused").cast("long").alias("g_heap"),
+        )
+        .unionAll(
+            tx.select(
+                "server",
+                F.col("endts").alias("ts"),
+                F.lit(1).alias("kind"),
+                "logid",
+                F.lit(None).cast("long").alias("g_heap"),
+            )
+        )
+        .localCheckpoint()
+    )
+    lo, hi = rows.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo, hi = int(lo), int(hi)
+    markers = (
+        rows.select("server")
+        .distinct()
+        .select(
+            "server",
+            F.lit(hi + 1).alias("ts"),
+            F.lit(2).alias("kind"),
+            F.lit(None).cast("string").alias("logid"),
+            F.lit(None).cast("long").alias("g_heap"),
+        )
+    )
+    # markers ride the LAST delivery (ts = hi + 1 < last bound hi + 2)
+    full = rows.unionAll(markers)
+    step = max((hi + 2 - lo) // int(n_deliveries), 1)
+    bounds = [lo + k * step for k in range(int(n_deliveries))] + [hi + 2]
+    _write_time_deliveries(full, src, "ts", bounds)
+
+    stream = (
+        spark.readStream.schema(NEAREST_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = nearest_stateful(stream, tol_ms=tol_ms)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        _run_stage(joined, out, os.path.join(work, "ck"), timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.schema(NEAREST_OUT_SCHEMA).parquet(out)

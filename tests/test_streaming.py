@@ -824,3 +824,72 @@ def test_stream_sessions_merges_across_micro_batches(spark, tmpdir):
     hi_wm = int(sliced.agg(F.max("endts")).collect()[0][0]) - SESSIONS_GATE_WATERMARK_MS
     if big["session_end"] <= hi_wm:  # emitted only if watermark-closed
         assert out[key] == big["n_events"]
+
+
+def test_nearest_stateful_cross_batch_resolutions(spark, tmpdir):
+    # Forces every resolution path ACROSS batch boundaries: (a) a pending
+    # tx whose winning FORWARD gauge arrives in a later batch, (b) a
+    # backward carry from an earlier batch, (c) a tie (d_b == d_f) going
+    # backward, (d) an out-of-tolerance tx resolved null by time passing,
+    # (e) trailing pendings flushed by the end marker.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.streaming.stateful import (
+        NEAREST_OUT_SCHEMA,
+        nearest_stateful,
+    )
+    from apmbackend_spark.streaming.topology import (
+        NEAREST_STREAM_SCHEMA,
+        _run_stage,
+        _write_time_deliveries,
+    )
+
+    tol = 1000
+    rows = [
+        # batch 1: [0, 5000)
+        ("s1", 1000, 0, None, 10),     # gauge A
+        ("s1", 1600, 1, "tie", None),  # d_b=600; gauge B at 2200: d_f=600 tie -> backward A
+        ("s1", 1900, 1, "fwd", None),  # d_b=900; gauge B: d_f=300 -> forward B (cross-batch? no, B in b2)
+        ("s2", 1000, 1, "null2", None),  # no gauge on s2 ever within tol -> nulls
+        # batch 2: [5000, 8000)  (gauge B lands here -> 'fwd' resolves cross-batch... see bounds)
+        ("s1", 2200, 0, None, 20),     # gauge B  (batch depends on bounds below)
+        ("s1", 6000, 1, "bwd", None),  # d_b=3800 > tol; no later gauge -> nulls
+        ("s1", 7500, 1, "tail", None), # pends into the marker flush -> nulls (d_b big)
+        # batch 3: [8000, 10002): markers only (written below)
+    ]
+    # bounds chosen so gauge B (2200) is in the SECOND delivery: tie/fwd
+    # pend across the first cut and resolve from state in batch 2.
+    bounds = [0, 2000, 8000, 10002]
+    df = spark.createDataFrame(rows, NEAREST_STREAM_SCHEMA)
+    markers = (
+        df.select("server").distinct()
+        .select("server", F.lit(10001).alias("ts"), F.lit(2).alias("kind"),
+                F.lit(None).cast("string").alias("logid"),
+                F.lit(None).cast("long").alias("g_heap"))
+    )
+    work = str(tmpdir)
+    src, out = os.path.join(work, "src"), os.path.join(work, "out")
+    _write_time_deliveries(df.unionAll(markers), src, "ts", bounds)
+
+    stream = (
+        spark.readStream.schema(NEAREST_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _run_stage(
+        nearest_stateful(stream, tol_ms=tol),
+        out, os.path.join(work, "ck"), 120,
+    )
+    got = {
+        r["logid"]: (r["gauge_ts"], r["heapused"], r["dist_ms"], r["direction"])
+        for r in spark.read.schema(NEAREST_OUT_SCHEMA).parquet(out).collect()
+    }
+    assert got == {
+        "tie": (1000, 10, 600, "b"),    # tie resolves backward, cross-batch
+        "fwd": (2200, 20, 300, "f"),    # forward gauge from a LATER batch
+        "null2": (None, None, None, None),
+        "bwd": (None, None, None, None),  # nearest (backward) out of tol
+        "tail": (None, None, None, None),  # marker flush
+    }
