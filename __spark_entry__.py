@@ -351,6 +351,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": lambda s, d: mm.image_features(
             mm.synth_png_media(s, docs(s, d))
         ),
+        # SECOND real image container: 24-bit BI_RGB BMP — stdlib header
+        # parse, 4-byte row padding, BGR order, both bottom-up and
+        # top-down orientations on the graded path
+        "bmp_features": lambda s, d: mm.bmp_features(
+            mm.synth_bmp_media(s, docs(s, d))
+        ),
         # Cavnar-Trenkle char-trigram language ID: single codegen scan,
         # profile maps evaluated in-expression (no explode/join/shuffle)
         "lang_id": lambda s, d: lid.lang_id(docs(s, d)),
@@ -1054,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": mm.media_features_oracle_sql(),
         "audio_features": mm.audio_features_oracle_sql(),
         "image_features": mm.image_features_oracle_sql(),
+        "bmp_features": mm.bmp_features_oracle_sql(),
         "media_resize": mm.media_resize_oracle_sql(),
         "media_frame_sample": mm.media_frame_sample_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,

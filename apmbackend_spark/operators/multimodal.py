@@ -1032,3 +1032,195 @@ SELECT media_id, CAST(f AS INT) AS frame_idx, CAST(t_ms AS BIGINT) AS t_ms,
 FROM cells
 GROUP BY media_id, f, t_ms, w, h
 """
+
+
+# ---------------------------------------------------------------------------
+# SECOND real image container: BMP (Windows DIB, 24-bit BI_RGB) — stdlib
+# only, end-to-end real like the PNG path. The format details a genuine
+# decoder must honor and a fake one trips over: 4-byte row padding, BGR
+# byte order, and BOTTOM-UP row storage (positive biHeight) vs top-down
+# (negative biHeight) — the synthetic corpus alternates orientations so
+# both branches are graded. Features are exact integer channel sums, so
+# the DuckDB oracle regenerates them from the deterministic pattern with
+# range joins — the same real-decode grading design as PNG/WAV/Y4M. The
+# PIL-gated branch elsewhere still covers compressed formats (JPEG) in
+# rich environments.
+# ---------------------------------------------------------------------------
+
+
+def _bmp_dims(media_id: int) -> tuple[int, int]:
+    # w in 5..16 so the row stride padding (w*3 mod 4) varies over all
+    # four padding widths; h in 5..13
+    return 5 + media_id % 12, 5 + media_id % 9
+
+
+def _bmp_pixel(media_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic RGB pattern (distinct from the PNG one), mirrored
+    exactly by the SQL oracle."""
+    return (
+        (media_id * 5 + x * 7 + y * 3) % 256,
+        (media_id + x * 11 + y * 5) % 256,
+        (media_id * 7 + x + y * 13) % 256,
+    )
+
+
+def encode_bmp(
+    pixels: list[tuple[int, int, int]], w: int, h: int, top_down: bool
+) -> bytes:
+    """Spec-compliant 24-bit uncompressed BMP encoder: BITMAPFILEHEADER +
+    BITMAPINFOHEADER (biHeight negative for top-down), BGR byte order,
+    rows padded to 4-byte boundaries, bottom-up row order unless
+    ``top_down``."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for y in rows:
+        line = bytearray()
+        for x in range(w):
+            r, g, b = pixels[y * w + x]
+            line += bytes((b, g, r))
+        line += bytes(stride - len(line))
+        img += line
+    info = struct.pack(
+        "<IiihhIIiiII",
+        40, w, (-h if top_down else h), 1, 24, 0, len(img), 2835, 2835, 0, 0,
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(img), 0, 0, 14 + 40
+    )
+    return header + info + bytes(img)
+
+
+def decode_bmp(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Real stdlib-only BMP decoder for 24-bit BI_RGB DIBs: file/info
+    header parse, signed-height orientation, per-row 4-byte padding, BGR
+    order. Returns (width, height, pixels row-major top-down). Hard
+    errors on malformed input."""
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature")
+    _, fsize, _, _, offset = struct.unpack("<2sIHHI", content[:14])
+    (
+        hsize, w, h_signed, planes, bpp, comp, img_size, _, _, _, _
+    ) = struct.unpack("<IiihhIIiiII", content[14:54])
+    if hsize != 40 or planes != 1:
+        raise ValueError("unsupported DIB header")
+    if bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP variant (need 24-bit BI_RGB)")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    stride = (w * 3 + 3) & ~3
+    if offset + stride * h > len(content):
+        raise ValueError("truncated BMP: pixel array short")
+    pixels: list[tuple[int, int, int]] = [(0, 0, 0)] * (w * h)
+    for row in range(h):
+        y = row if top_down else h - 1 - row
+        base = offset + row * stride
+        for x in range(w):
+            b = content[base + x * 3]
+            g = content[base + x * 3 + 1]
+            r = content[base + x * 3 + 2]
+            pixels[y * w + x] = (r, g, b)
+    return w, h, pixels
+
+
+def _bmp_bytes(media_id: int) -> bytes:
+    w, h = _bmp_dims(media_id)
+    pixels = [_bmp_pixel(media_id, x, y) for y in range(h) for x in range(w)]
+    return encode_bmp(pixels, w, h, top_down=bool(media_id % 2))
+
+
+def synth_bmp_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """One real BMP per document (orientation alternating by id) — encoded
+    executor-side in mapInPandas (bytes never visit the driver)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_bmp_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        fn, schema="media_id long, content binary"
+    )
+
+
+def bmp_features(media: DataFrame) -> DataFrame:
+    """REAL BMP decode + features via mapInPandas: header parse, padding,
+    orientation, BGR->RGB, then exact integer channel sums and a Rec.601
+    mean luma (one exactly-rounded division) — the image_features contract
+    over the second container."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, px = decode_bmp(bytes(r.content))
+                sum_r = sum(p[0] for p in px)
+                sum_g = sum(p[1] for p in px)
+                sum_b = sum(p[2] for p in px)
+                n = w * h
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": n,
+                        "sum_r": sum_r,
+                        "sum_g": sum_g,
+                        "sum_b": sum_b,
+                        "mean_luma": (sum_r * 299 + sum_g * 587 + sum_b * 114)
+                        / (1000 * n),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        schema=(
+            "media_id long, width int, height int, n_pixels long, "
+            "sum_r long, sum_g long, sum_b long, mean_luma double"
+        ),
+    )
+
+
+def bmp_features_oracle_sql() -> str:
+    """Exact twin: regenerate the BMP pixel pattern with two range joins
+    and fold the same integer sums (identical final double division).
+    Orientation/padding are decoder concerns only — the pixel SET is
+    orientation-invariant, which is exactly what the sums grade."""
+    return """
+WITH ids AS (
+    SELECT doc_id AS media_id,
+           5 + doc_id % 12 AS w, 5 + doc_id % 9 AS h
+    FROM documents
+), px AS (
+    SELECT media_id, w, h,
+           (media_id * 5 + x.range * 7 + y.range * 3) % 256 AS r,
+           (media_id + x.range * 11 + y.range * 5) % 256 AS g,
+           (media_id * 7 + x.range + y.range * 13) % 256 AS b
+    FROM ids
+    JOIN range(16) x ON x.range < w
+    JOIN range(13) y ON y.range < h
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) * 299 + SUM(g) * 587 + SUM(b) * 114 AS DOUBLE)
+         / CAST(1000 * w * h AS DOUBLE) AS mean_luma
+FROM px
+GROUP BY media_id, w, h
+"""

@@ -211,3 +211,69 @@ class TestY4MVideo:
             assert (r["width"], r["height"], r["n_frames"]) == (w, h, n)
             assert r["y_sum"] == want_y
             assert r["duration_ms"] == n * 40
+
+
+# ---------------------------------------------------------------------------
+# BMP (second real image container)
+
+
+def test_bmp_roundtrip_both_orientations_and_padding():
+    from apmbackend_spark.operators.multimodal import (
+        _bmp_dims,
+        _bmp_pixel,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # widths 5..16 cover all four stride paddings; both row orders
+    for mid in range(24):
+        w, h = _bmp_dims(mid)
+        px = [_bmp_pixel(mid, x, y) for y in range(h) for x in range(w)]
+        for td in (False, True):
+            got = decode_bmp(encode_bmp(px, w, h, top_down=td))
+            assert got == (w, h, px), (mid, td)
+
+
+def test_bmp_decoder_rejects_malformed():
+    import pytest
+
+    from apmbackend_spark.operators.multimodal import (
+        _bmp_bytes,
+        decode_bmp,
+    )
+
+    good = _bmp_bytes(7)
+    with pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:-8])
+    # flip bpp to 32 in the info header (offset 14+14=28, '<h')
+    import struct
+
+    bad = bytearray(good)
+    bad[28:30] = struct.pack("<h", 32)
+    with pytest.raises(ValueError, match="variant"):
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_features_matches_reference_sums(spark):
+    from apmbackend_spark.operators.multimodal import (
+        _bmp_dims,
+        _bmp_pixel,
+        bmp_features,
+        synth_bmp_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in bmp_features(synth_bmp_media(spark, docs)).collect()
+    }
+    for mid in range(12):
+        w, h = _bmp_dims(mid)
+        px = [_bmp_pixel(mid, x, y) for y in range(h) for x in range(w)]
+        want = (w, h, sum(p[0] for p in px), sum(p[1] for p in px),
+                sum(p[2] for p in px))
+        assert got[mid] == want
