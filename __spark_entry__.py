@@ -795,155 +795,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": lambda s, d: ts.pii_scrub(docs(s, d)),
     }
     # Window strategy (the driver grades the FIRST 50 queries in dict
-    # order). Round 5 window = (a) the 3 new wire gates, (b) the 2 never-
-    # driver-graded r4 extras, (c) every gate whose code round 5 touched —
-    # zscore_recursive (exact-replay scan + reference-arithmetic oracle),
-    # alerts (same z-score family), doc_span_dup (localCheckpoint share),
-    # queue_roundtrip (sentinel codec + NULL injection), stream_topology
-    # (topology.py wire parameterization) — and (d) the 40 STALEST driver
-    # rows: gates last graded in rounds 2-3 (core rest, apm_extra, the
-    # r3-windowed phase-6 set, late_extra head). Everything r4-green and
-    # untouched overflows; its CORRECTNESS_r04 row stands and the judge
-    # re-runs overflow via scripts/check_oracle.py.
-    round5 = (
-        {
-            "zscore_recursive": core["zscore_recursive"],
-            "alerts": core["alerts"],
-            "doc_span_dup": phase6["doc_span_dup"],
-            "queue_roundtrip": round4["queue_roundtrip"],
-            "stream_topology": core["stream_topology"],
-            # late round-5 change: the drain gate now pins its grid seam,
-            # so its r4 row grades superseded code — window it (jmx_poll,
-            # unchanged all round, overflows to make room)
-            "zscore_stateful": round4["zscore_stateful"],
-        }
+    # order). Round 6 window, explicit by name:
+    #   (a) the 18 never-driver-graded gates — the 15 the round-5 verdict
+    #       ordered rotated in (pq family + recall report, TPC-H Q7/13/14/
+    #       19, nearest_event_join, gauge_asof_sliced, dup_triangles,
+    #       html_strip, k_anonymity, minhash_est_pairs, series_similarity)
+    #       plus the 3 NEW round-6 gates (span_exact_dedup, stream_nearest,
+    #       bmp_features);
+    #   (b) bpe_train / bpe_encode — their green r5 rows grade the
+    #       pre-batching trainer, and round 6 rewrote the selection loop;
+    #   (c) the 30 STALEST driver rows (all last graded round 3): the core
+    #       reference gates, the apm_extra surface, the r3 late_extra
+    #       streaming/lake gates and the r3 phase-6 text/multimodal set.
+    # Everything else overflows with a green r4/r5 row standing (the
+    # judge's overflow sweep re-runs them); the 14 r3 rows left out
+    # (trivial rollups service_cube/jmx_rollup/props_rollup/apdex/
+    # top_services/account_coverage, and gates whose files changed only in
+    # functions OTHER than theirs — gauge_interpolate, embed_quantize,
+    # dedup_incremental, doc_chunks, doc_fingerprint, line_dedup,
+    # url_domains, corpus_mixture) are the lowest-risk residue: each is
+    # either a trivial unchanged rollup or double-covered by a windowed
+    # sibling on the same code path.
+    all_q = (
+        phase6
+        | relational
+        | apm_extra
+        | late_extra
+        | core
+        | round4
         | round5_new
         | round4_extra
     )
-    stale = (
-        # gauge_asof joins the displaced set (asof.py untouched since its
-        # green r3 row) to make room for the 4 late-round-5 gates below.
-        # correlate/acct_enrich displaced for seasonal_baseline /
-        # trend_slopes (correlation.py untouched this round, green r2
-        # rows, judge overflow re-runs them).
-        {
-            k: v
-            for k, v in core.items()
-            if k not in round5
-            # ordered_release / db_fanin displaced for retention_cohorts /
-            # session_attribution (ordering.py untouched all round, green
-            # early rows, judge overflow re-runs them)
-            and k not in (
-                "gauge_asof", "correlate", "acct_enrich",
-                "ordered_release", "db_fanin",
-                # displaced for dq_rules: tx.py is byte-identical to its
-                # r4-green state (checked via git diff 086e972..HEAD)
-                "tx_normalize",
-                # displaced for fk_integrity: the z-score family's round-5
-                # change is graded through SEVEN other windowed members
-                # (zscore, zscore_chunked, zscore_recursive,
-                # zscore_stateful, alerts, alert_candidates,
-                # st_zerofill_dense); the override cascade itself is
-                # untouched since its green row
-                "zscore_override",
-                # displaced for interval_union: the alert predicate chain
-                # (F1-F3/F6) runs end-to-end INSIDE the windowed `alerts`
-                # gate (debounce+cooldown consume the candidates frame)
-                "alert_candidates",
-                # displaced for feature_hashing: the chunked z-score plan
-                # is the family DEFAULT — the windowed `zscore` gate (and
-                # alerts/stateful) grade the same code path; the explicit
-                # zscore_chunked gate keeps its green row
-                "zscore_chunked",
-                # displaced for bm25_topk: window_stats' round-5 change
-                # (exchange pins) executes inside every windowed z-score
-                # chain member (zscore, zscore_recursive, zscore_stateful,
-                # alerts) — the chain gates grade the same code
-                "window_stats",
-            )
-        }
-        | {
-            k: v
-            for k, v in apm_extra.items()
-            # service_cube / jmx_rollup / props_rollup displaced late
-            # round 5 (trivial unchanged rollups with green r2/r3 rows,
-            # re-run in the judge's overflow sweep) by the 4 new gates
-            # cdc_diff / compaction_bins / event_transitions /
-            # url_canonical — never-driver-graded gates outrank
-            # stale-but-green ones.
-            # ...and dpp_week_rollup / merge_upsert_day for funnel_steps /
-            # winsorize (partitioned.py untouched since their green r2
-            # rows; daily_slice_rollup stays as the refreshed
-            # representative of the partitioned-lake family)
-            # ...and account_coverage for heavy_hitters_cms (setops.py
-            # untouched since its green r2 row)
-            if k not in (
-                "jmx_poll", "apdex", "top_services",
-                "service_cube", "jmx_rollup", "props_rollup",
-                "dpp_week_rollup", "merge_upsert_day", "account_coverage",
-                # displaced for stream_funnel (logparse's log_extract path
-                # unchanged since its green r3 row; log_sessions, whose
-                # code DID change this round, stays windowed)
-                "log_extract",
-                # displaced for hist_quantiles / decayed_counts /
-                # rollup_incremental: bucketing.py, skew.py and the
-                # daily-slice path of partitioned.py are untouched this
-                # round and all three keep green driver rows
-                "bucketed_enrich", "skew_salted_join", "daily_slice_rollup",
-                # displaced for schema_merge_ingest / stream_decayed:
-                # sessionize's and service_rollup's own code paths are
-                # unchanged (this round only APPENDED new operators to
-                # sessions.py) and both keep green early-round rows
-                "sessionize", "service_rollup",
-                # displaced for pivot_matrix: zerofill.py's round-5 change
-                # (the st seam localCheckpoint) is graded through SIX other
-                # windowed consumers of the same chain (zscore family,
-                # alerts, zscore_stateful, st_zerofill_dense)
-                "st_zerofill",
-                # displaced for edit_neardup: same argument one level up —
-                # the dense grid (zerofill.py's round-5 seam change) is
-                # the direct input of the windowed zscore /
-                # zscore_recursive / zscore_stateful / alerts gates
-                "st_zerofill_dense",
-            )
-        }
-        | {
-            k: phase6[k]
-            for k in (
-                # ann_ivf + embedding_neardup replace audio/image_features
-                # here: their r4 rows grade the PRE-rewrite code (the IVF
-                # index seam was materialized late round 5), and
-                # changed-code gates outrank stale-unchanged ones; the two
-                # displaced multimodal gates are unchanged since r3,
-                # property-test-pinned, and re-run in the judge's overflow
-                # sweep.
-                "ann_ivf", "embedding_neardup",
-            )
-        }
-        # The 11 NEW round-5 gates (mad_outliers..bpe_encode, declared
-        # in round5_new) displace the 11 least-stale/lowest-risk stale
-        # rows — dedup_incremental, lang_id, doc_keywords, domain_stats,
-        # corpus_mixture, apdex + top_services (trivial unchanged
-        # rollups) and the four
-        # r3-graded late_extra entries (incident_windows, scd2_customer,
-        # stream_corpus_dedup, jsonl_ingest): never-driver-graded gates
-        # outrank stale-but-green ones, and every displaced gate keeps its
-        # green r2/r3 row and is re-run in the judge's overflow sweep.
-        # ann_ivf/embedding_neardup stay: their code changed late round 5
-        # (the IVF index seam); so do the z-score family rows (zscore.py
-        # was rewritten this round) and the zerofill/window_stats rows
-        # (exchange pins + seam materialization).
-    )
-    window = round5 | stale
+    R6_WINDOW = [
+        # (a) never driver-graded
+        "pq_encode",
+        "pq_search",
+        "pq_rerank",
+        "ann_recall_report",
+        "q7_volume_shipping",
+        "q13_customer_distribution",
+        "q14_promo_effect",
+        "q19_bracketed_revenue",
+        "nearest_event_join",
+        "gauge_asof_sliced",
+        "dup_triangles",
+        "html_strip",
+        "k_anonymity",
+        "minhash_est_pairs",
+        "series_similarity",
+        "span_exact_dedup",
+        "stream_nearest",
+        "bmp_features",
+        # (b) round-6-rewritten code with stale green rows
+        "bpe_train",
+        "bpe_encode",
+        # (c) the 30 stalest rows (round 3)
+        "tx_normalize",
+        "window_stats",
+        "zscore_chunked",
+        "zscore_override",
+        "alert_candidates",
+        "correlate",
+        "acct_enrich",
+        "gauge_asof",
+        "ordered_release",
+        "db_fanin",
+        "jmx_poll",
+        "log_extract",
+        "sessionize",
+        "service_rollup",
+        "st_zerofill",
+        "st_zerofill_dense",
+        "bucketed_enrich",
+        "skew_salted_join",
+        "daily_slice_rollup",
+        "dpp_week_rollup",
+        "merge_upsert_day",
+        "incident_windows",
+        "scd2_customer",
+        "stream_corpus_dedup",
+        "jsonl_ingest",
+        "lang_id",
+        "doc_keywords",
+        "domain_stats",
+        "audio_features",
+        "image_features",
+    ]
+    window = {k: all_q[k] for k in R6_WINDOW}
     assert len(window) == 50, f"grading window holds {len(window)}, want 50"
-    overflow = (
-        {k: v for k, v in core.items() if k not in window}
-        | {k: v for k, v in round4.items() if k not in window}
-        | {k: v for k, v in apm_extra.items() if k not in window}
-        | {k: v for k, v in late_extra.items() if k not in window}
-        | relational
-        | {k: v for k, v in phase6.items() if k not in window}
-    )
+    overflow = {k: v for k, v in all_q.items() if k not in window}
     return window | overflow
 
 
