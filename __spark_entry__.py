@@ -388,6 +388,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contribute ONLY their codes — never the raw embedding
         "pq_encode": lambda s, d: sim.pq_encode(embs(s, d)),
         "pq_search": lambda s, d: sim.pq_search(embs(s, d)),
+        # IVF-PQ composition (FAISS IndexIVFPQ shape): coarse quantizer
+        # prunes to nprobe lists, PQ codes trained/evaluated on coarse
+        # RESIDUALS — integer-exact end to end, so even the composed
+        # index is hash-graded
+        "ivfpq_search": lambda s, d: sim.ivfpq_search(embs(s, d)),
+        # ...and its serving form: ADC shortlist inside the probed lists,
+        # exact cosine rerank (measured recall 0.74 vs ivf's 0.76 probe
+        # ceiling at a 40-candidate exact budget)
+        "ivfpq_rerank": lambda s, d: sim.ivfpq_rerank(embs(s, d)),
         # two-stage serving shape: ADC shortlist -> EXACT cosine rerank
         # touching only |queries| x shortlist full vectors
         "pq_rerank": lambda s, d: sim.pq_rerank(embs(s, d)),
@@ -796,12 +805,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Window strategy (the driver grades the FIRST 50 queries in dict
     # order). Round 6 window, explicit by name:
-    #   (a) the 18 never-driver-graded gates — the 15 the round-5 verdict
+    #   (a) the 20 never-driver-graded gates — the 15 the round-5 verdict
     #       ordered rotated in (pq family + recall report, TPC-H Q7/13/14/
     #       19, nearest_event_join, gauge_asof_sliced, dup_triangles,
     #       html_strip, k_anonymity, minhash_est_pairs, series_similarity)
-    #       plus the 3 NEW round-6 gates (span_exact_dedup, stream_nearest,
-    #       bmp_features);
+    #       plus the 5 NEW round-6 gates (span_exact_dedup, stream_nearest,
+    #       bmp_features, ivfpq_search, ivfpq_rerank);
     #   (b) bpe_train / bpe_encode — their green r5 rows grade the
     #       pre-batching trainer, and round 6 rewrote the selection loop;
     #   (c) the 30 STALEST driver rows (all last graded round 3): the core
@@ -846,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_exact_dedup",
         "stream_nearest",
         "bmp_features",
+        "ivfpq_search",
+        "ivfpq_rerank",
         # (b) round-6-rewritten code with stale green rows
         "bpe_train",
         "bpe_encode",
@@ -875,9 +886,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer",
         "stream_corpus_dedup",
         "jsonl_ingest",
-        "lang_id",
+        # lang_id yields its slot to the new ivfpq_rerank gate (r3 green
+        # row stands; one-scan codegen op, doc_keywords stays as the
+        # langid-family representative)
         "doc_keywords",
-        "domain_stats",
+        # domain_stats yields its slot to the new ivfpq_search gate (r3
+        # green row stands; trivial profile rollup, siblings windowed)
         "audio_features",
         "image_features",
     ]
@@ -960,6 +974,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": sim.pq_encode_oracle_sql(),
         "pq_search": sim.pq_search_oracle_sql(),
         "pq_rerank": sim.pq_rerank_oracle_sql(),
+        "ivfpq_search": sim.ivfpq_search_oracle_sql(),
+        "ivfpq_rerank": sim.ivfpq_rerank_oracle_sql(),
         "ann_recall_report": sim.ann_recall_report_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "span_exact_dedup": dd.span_exact_dedup_oracle_sql(),

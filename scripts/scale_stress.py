@@ -128,6 +128,43 @@ def tile_orders(spark, sf_dir: str, out_dir: str, k: int) -> str:
     return out_dir
 
 
+def tile_lineitem(spark, sf_dir: str, out_dir: str, k: int) -> str:
+    """K copies of lineitem with l_orderkey offset by the SAME span as
+    tile_orders (max_o_orderkey + 1), so the lineitem->orders join fan
+    stays consistent at every K; part/supplier keys unchanged (dims stay
+    1x — the broadcast-dim story under test)."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (max_ok,) = od.agg(F.max("o_orderkey")).first()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rest = [c for c in li.columns if c != "l_orderkey"]
+    copies = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * (int(max_ok) + 1))).alias(
+                "l_orderkey"
+            ),
+            *rest,
+        )
+        for i in range(k)
+    ]
+    tiled = copies[0]
+    for c in copies[1:]:
+        tiled = tiled.unionAll(c)
+    dest = os.path.join(out_dir, "lineitem.parquet")
+    tiled.repartition(32).write.mode("overwrite").parquet(dest)
+    return out_dir
+
+
+def link_static_tables(sf_dir: str, out_dir: str, tables=(
+    "nation", "region", "supplier", "customer", "part",
+)) -> None:
+    """Symlink the untiled dimension tables into the scaled dir so
+    load_table resolves every relation (dims stay 1x by design)."""
+    for t in tables:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+
+
 def tile_embeddings(spark, sf_dir: str, out_dir: str, k: int) -> str:
     """K copies of embeddings, vec_id-offset; each copy's vectors are
     dimension-ROLLED by the copy index (a cyclic permutation — preserves
@@ -425,6 +462,69 @@ def main() -> None:
         base = chain_timings(spark, sf_dir)
         print(f"timing {k}x ...", flush=True)
         big = chain_timings(spark, scaled_dir)
+        _report(base, big, k)
+
+    if mode == "r6":
+        # round-6 measured rows: the 7 gates the r5 verdict flagged as
+        # missing from the measured table (TPC-H Q7/13/14/19,
+        # ann_recall_report, pq_rerank, k_anonymity) plus the round-6
+        # additions (span_exact_dedup, stream_nearest, bmp_features) and
+        # the rewritten bpe trainer.
+        print(
+            f"tiling events+documents+embeddings+orders+lineitem {k}x "
+            f"into {scaled_dir} ...",
+            flush=True,
+        )
+        tile_events(spark, sf_dir, scaled_dir, k)
+        tile_documents(spark, sf_dir, scaled_dir, k)
+        tile_embeddings(spark, sf_dir, scaled_dir, k)
+        tile_orders(spark, sf_dir, scaled_dir, k)
+        tile_lineitem(spark, sf_dir, scaled_dir, k)
+        link_static_tables(sf_dir, scaled_dir)
+
+        def suite(d: str, kk: int) -> dict[str, float]:
+            from apmbackend_spark.operators import dedup as dd
+            from apmbackend_spark.operators import multimodal as mm
+            from apmbackend_spark.operators import relational as rel
+            from apmbackend_spark.operators import similarity as sim
+            from apmbackend_spark.operators import textstats as ts
+            from apmbackend_spark.operators.profile import k_anonymity
+            from apmbackend_spark.sources.loaders import spread
+            from apmbackend_spark.streaming import topology as topo
+
+            t = _Timer(spark)
+            t.timed("q7_volume_shipping", lambda: rel.q7_volume_shipping(spark, d))
+            t.timed("q13_customer_distribution", lambda: rel.q13_customer_distribution(spark, d))
+            t.timed("q14_promo_effect", lambda: rel.q14_promo_effect(spark, d))
+            t.timed("q19_bracketed_revenue", lambda: rel.q19_bracketed_revenue(spark, d))
+            ev = lambda: spark.read.parquet(f"{d}/events.parquet")  # noqa: E731
+            t.timed("k_anonymity", lambda: k_anonymity(ev()))
+            embs = spread(spark.read.parquet(f"{d}/embeddings.parquet"))
+            # codebook size held CONSTANT across K (sample mod scaled with
+            # the corpus) — the production shape: a trained fixed-size
+            # artifact. ann_recall_report runs as-graded (defaults), so its
+            # codebook/list count grows with the corpus; its factor folds
+            # that in.
+            mod = sim.PQ_CODES_MOD * kk
+            t.timed("pq_encode", lambda: sim.pq_encode(embs, mod=mod))
+            t.timed("pq_search", lambda: sim.pq_search(embs, mod=mod))
+            t.timed("pq_rerank", lambda: sim.pq_rerank(embs, mod=mod))
+            t.timed("ann_recall_report", lambda: sim.ann_recall_report(embs))
+            docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
+            t.timed("span_exact_dedup", lambda: dd.span_exact_dedup(docs))
+            t.timed(
+                "bmp_features",
+                lambda: mm.bmp_features(mm.synth_bmp_media(spark, docs)),
+            )
+            t.timed("bpe_train", lambda: ts.bpe_train(docs))
+            t.timed("stream_nearest", lambda: topo.stream_nearest_gate(spark, d))
+            return t.out
+
+        print("timing 1x ...", flush=True)
+        suite(sf_dir, 1)  # warm pass
+        base = suite(sf_dir, 1)
+        print(f"timing {k}x ...", flush=True)
+        big = suite(scaled_dir, k)
         _report(base, big, k)
 
     if mode == "quality":

@@ -964,3 +964,48 @@ def test_pq_rerank_equals_bruteforce_at_full_shortlist(spark):
         key = (r["query_id"], r["cand_id"])
         if key in exact_sims:
             assert r["sim"] == exact_sims[key]
+
+
+def test_ivfpq_candidates_never_carry_vectors(spark):
+    # the residual-ADC join's candidate side is (cand_id, list_id, sub,
+    # code_id) — no exchange may ship an embedding/residual column
+    import re
+
+    from apmbackend_spark.operators.similarity import ivfpq_search
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    df = ivfpq_search(embs)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for mch in re.finditer(r"hashpartitioning\(([^)]*)\)", p):
+        keys = mch.group(1)
+        if "query_id" in keys and "cand_id" in keys:
+            assert "embedding" not in keys and "subv" not in keys
+
+
+def test_ivfpq_rerank_equals_ivf_at_full_budget(spark):
+    # with shortlist >= corpus and nprobe >= n_lists the composed index
+    # prunes nothing: the exact rerank must reproduce ann_ivf at full
+    # probe (== bruteforce ordering over all candidates)
+    from apmbackend_spark.operators.similarity import (
+        ann_bruteforce,
+        ivfpq_rerank,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    exact = sorted(
+        (r["query_id"], r["cand_id"], r["sim"], r["rank"])
+        for r in ann_bruteforce(embs, k=5).collect()
+    )
+    full = sorted(
+        (r["query_id"], r["cand_id"], r["sim"], r["rank"])
+        for r in ivfpq_rerank(
+            embs, k=5, nprobe=10_000, shortlist=10_000
+        ).collect()
+    )
+    assert full == exact
