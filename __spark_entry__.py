@@ -469,6 +469,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Q13: order-count distribution incl. the zero-order customers a
         # naive inner join drops (COUNT(col) null rule over LEFT join)
         "q13_customer_distribution": rel.q13_customer_distribution,
+        # Q10: returned-item revenue ranking — quarter filter prunes the
+        # ORDERS scan before the fact join, top-20 windows the rollup
+        "q10_returned_items": rel.q10_returned_items,
+        # Q12 shape over the fixture's columns: shipping-delay bands x
+        # priority CASE-sums in ONE combinable rollup (no scan per band)
+        "q12_delay_bands": rel.q12_delay_bands,
+        # Q16 shape: distinct realized (part, supplier) pairs from
+        # lineitem (no partsupp in the fixture), variety per part class
+        "q16_supplier_variety": rel.q16_supplier_variety,
+        # Q22 shape: above-average-balance customers with NO orders
+        # (anti-join), averages compared in integer cents
+        "q22_idle_customers": rel.q22_idle_customers,
     }
     apm_extra = {
         # P2-P5/U5/U9 as a codegen line-extraction scan (no Python, no
@@ -1031,6 +1043,10 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_effect": rel.Q14_ORACLE,
         "q19_bracketed_revenue": rel.Q19_ORACLE,
         "q13_customer_distribution": rel.Q13_ORACLE,
+        "q10_returned_items": rel.Q10_ORACLE,
+        "q12_delay_bands": rel.Q12_ORACLE,
+        "q16_supplier_variety": rel.Q16_ORACLE,
+        "q22_idle_customers": rel.Q22_ORACLE,
         "media_stats": """
 WITH media AS (
     SELECT doc_id AS media_id,

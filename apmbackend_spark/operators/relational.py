@@ -707,3 +707,265 @@ FROM (
 )
 GROUP BY c_count
 """
+
+
+# ---------------------------------------------------------------------------
+# Q10-shaped: returned-item revenue ranking (top lossy customers)
+# ---------------------------------------------------------------------------
+
+Q10_QTR_START = "1997-01-01 00:00:00"
+Q10_QTR_END = "1997-04-01 00:00:00"
+Q10_TOP = 20
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to RETURNED items (l_returnflag =
+    'R') for orders placed in one quarter, per customer with their
+    nation, top 20 by lost revenue.
+
+    Plan shape: the quarter predicate prunes the ORDERS scan before the
+    lineitem join (orders is the smaller fact — it broadcasts after the
+    filter at fixture scale and stays the build side at any scale);
+    nation broadcasts onto the customer dim; the per-customer rollup is
+    one combinable integer-cent sum; the top-20 is a window over the
+    already-aggregated customer frame. Ties break on c_custkey."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q10_QTR_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_QTR_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000
+    )
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("rev_c"), F.count(F.lit(1)).alias("n_items"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = per_cust.join(
+        cust, per_cust["o_custkey"] == cust["c_custkey"]
+    ).join(
+        F.broadcast(nat),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    # top-k via orderBy+limit => TakeOrderedAndProject (per-partition local
+    # top-k, driver merges k*#parts rows); the ranking window then only
+    # ever sees k rows — the Q3 pattern, never a global unpartitioned
+    # window over all customers.
+    topk = joined.orderBy(F.desc("rev_c"), F.asc("c_custkey")).limit(Q10_TOP)
+    w = Window.orderBy(F.desc("rev_c"), F.asc("c_custkey"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            (F.col("rev_c").cast("double") / 10_000.0).alias("lost_revenue"),
+            F.col("n_items").cast("long").alias("n_items"),
+        )
+    )
+
+
+Q10_ORACLE = f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev_c DESC, c_custkey ASC) AS INT) AS rank,
+       c_custkey, c_name, nation, lost_revenue, n_items
+FROM (
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_c,
+           CAST(SUM(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS lost_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{Q10_QTR_START}'
+      AND o.o_orderdate < TIMESTAMP '{Q10_QTR_END}'
+    GROUP BY 1, 2, 3
+)
+QUALIFY rank <= {Q10_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12-shaped: shipping-delay bands x order priority split
+# ---------------------------------------------------------------------------
+
+
+def q12_delay_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: the published query counts high- vs low-priority
+    orders per ship mode for late shipments; the fixture has no
+    l_shipmode/l_commitdate, so the SHAPE is kept over what it does
+    have — shipping DELAY bands (days between o_orderdate and
+    l_shipdate: <30, 30-59, >=60) with the same CASE-sum priority split
+    (1-URGENT/2-HIGH vs the rest).
+
+    Plan: one lineitem->orders join (orders projected to key + date +
+    priority), the band and both priority counters computed as codegen
+    CASE aggregates in ONE combinable rollup — never one scan per band."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay < 30, "lt30")
+        .when(delay < 60, "d30_59")
+        .otherwise("ge60")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(band.alias("delay_band"), high.alias("hi"))
+        .groupBy("delay_band")
+        .agg(
+            F.sum(F.col("hi").cast("long")).alias("high_line_count"),
+            F.sum((~F.col("hi")).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT delay_band,
+       CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30 THEN 'lt30'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 60 THEN 'd30_59'
+                ELSE 'ge60' END AS delay_band,
+           o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+GROUP BY delay_band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16-shaped: supplier variety per part class
+# ---------------------------------------------------------------------------
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: how many DISTINCT suppliers serve each (brand,
+    type, size) part class — the published query walks partsupp; the
+    fixture has no partsupp, so the realized part-supplier relation is
+    recovered from lineitem (distinct (l_partkey, l_suppkey) pairs, the
+    pairs that actually shipped).
+
+    Plan: the distinct pair projection shrinks lineitem to at most
+    |parts| x |suppliers| rows BEFORE the broadcast part join; the
+    count-distinct rolls up the already-distinct pairs with a combinable
+    count. Ordered output (supplier_cnt DESC, then class) is left to the
+    consumer — the gate hashes rows order-free."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22-shaped: idle high-balance customers per nation
+# ---------------------------------------------------------------------------
+
+Q22_CUTOFF = "1999-01-01 00:00:00"
+
+
+def q22_idle_customers(
+    spark: SparkSession, sf_dir: str, cutoff: str = Q22_CUTOFF
+) -> DataFrame:
+    """TPC-H Q22-shaped: customers with ABOVE-AVERAGE account balance who
+    placed NO orders since ``cutoff`` (the published "have not placed
+    orders for 7 years" dormancy rule — every fixture customer has SOME
+    order, so never-ordered would be vacuous) — per country. The
+    published query derives the country from the phone prefix and
+    averages over positive balances; the fixture has no phone, so the
+    nation key is the country and the positive-balance average rule is
+    kept.
+
+    Plan: the global average is one tiny aggregate crossed in via
+    broadcast (integer-cent sum / count, exact); the dormancy test is a
+    LEFT ANTI join against the cutoff-filtered orders (the filter prunes
+    the anti side's scan); the rollup is per-nation combinable sums. The
+    acctbal comparison happens in integer cents on both engines, so the
+    boundary customer can't flip on a float ulp."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        _cents(F.col("c_acctbal")).alias("bal_c"),
+    )
+    avg_pos = (
+        cust.where(F.col("bal_c") > 0)
+        .agg(
+            F.sum("bal_c").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select((F.col("s").cast("double") / F.col("n")).alias("avg_c"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp"))
+        .select("o_custkey")
+    )
+    idle = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return (
+        idle.crossJoin(F.broadcast(avg_pos))
+        .where(F.col("bal_c").cast("double") > F.col("avg_c"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c").cast("double") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+Q22_ORACLE = f"""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+FROM (
+    SELECT c_custkey, c_nationkey,
+           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+    FROM customer
+) c
+WHERE CAST(bal_c AS DOUBLE) > (
+    SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*)
+    FROM customer WHERE round(c_acctbal * 100, 0) > 0
+)
+AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+GROUP BY c_nationkey
+"""
