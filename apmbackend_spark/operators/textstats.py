@@ -1003,24 +1003,60 @@ BPE_SPACE_MARKER = "Ġ"  # Ġ
 
 def _bpe_apply_merge(seq, pair, merged):
     """Canonical one-merge application on a space-separated symbol string:
-    boundary-guarded, non-overlapping, leftmost-first — TWO replace passes.
+    non-overlapping, leftmost-first — the textbook Sennrich scan, as a
+    codegen LEFT FOLD over the symbol array.
 
-    One pass is not enough: consecutive occurrences share their separator
-    space (" a b a b " — the second " a b " starts at the space the first
-    one consumed), so a single left-to-right non-overlapping replace merges
-    only the odd members of such a chain. After pass one every survivor is
-    flanked by freshly merged neighbors (or chain ends), hence isolated
-    with both spaces intact, and pass two merges them all. Property-tested
-    against a symbol-list reference implementation in test_quality_ops.
-    Replacements can never create a false occurrence: symbols are
-    space-free by construction, and a merged symbol is a single token the
-    guard spaces no longer split.
-    """
-    wrapped = F.concat(F.lit(" "), seq, F.lit(" "))
-    search = F.concat(F.lit(" "), pair, F.lit(" "))
-    repl = F.concat(F.lit(" "), merged, F.lit(" "))
-    once = F.replace(wrapped, search, repl)
-    return F.trim(F.replace(once, search, repl))
+    (The previous two-pass string-replace rendering was NOT canonical for
+    SELF-pair merges: on an odd run "a a a a a" a replace scan pairs
+    (0,1),(3,4) — "aa a aa" — while leftmost-greedy pairing is
+    (0,1),(2,3) — "aa aa a". The hypothesis property test caught it.)
+
+    Fold state = (emitted symbols, one pending carry): each symbol either
+    completes the pair with the carry (emit the merged symbol, clear the
+    carry — so the next symbol starts fresh, which IS the non-overlap
+    rule), or flushes the carry and becomes the new one. Pretokens are
+    word-length, so the per-row fold is tiny; everything stays in
+    whole-stage codegen. Property-tested against a symbol-list reference
+    implementation in test_quality_ops; the DuckDB oracle renders the
+    identical fold with list_reduce."""
+    a_sym = F.split(pair, " ").getItem(0)
+    b_sym = F.split(pair, " ").getItem(1)
+    arr = F.split(seq, " ")
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(st, s):
+        return (
+            F.when(
+                st["carry"].isNull(),
+                F.struct(st["acc"].alias("acc"), s.alias("carry")),
+            )
+            .when(
+                (st["carry"] == a_sym) & (s == b_sym),
+                F.struct(
+                    F.concat(st["acc"], F.array(merged)).alias("acc"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(st["acc"], F.array(st["carry"])).alias("acc"),
+                    s.alias("carry"),
+                )
+            )
+        )
+
+    def finish(st):
+        return F.concat_ws(
+            " ",
+            F.when(st["carry"].isNull(), st["acc"]).otherwise(
+                F.concat(st["acc"], F.array(st["carry"]))
+            ),
+        )
+
+    return F.aggregate(arr, init, step, finish)
 
 
 BPE_BATCH = 8  # max merges selected per Spark job (1 = pure sequential)
@@ -1270,13 +1306,39 @@ def _bpe_chain_ctes(n_merges: int, final_apply: bool):
         ) GROUP BY pair)"""
 
     def apply_cte(seq_cte: str, best_cte: str) -> str:
-        search = f"(' ' || (SELECT pair FROM {best_cte}) || ' ')"
-        repl = f"(' ' || (SELECT replace(pair, ' ', '') FROM {best_cte}) || ' ')"
-        once = f"replace(' ' || seq || ' ', {search}, {repl})"
-        return (
-            f"SELECT w, trim(replace({once}, {search}, {repl})) AS seq, freq "
-            f"FROM {seq_cte}"
-        )
+        # Canonical leftmost non-overlapping merge as a SCALAR string
+        # fold: elements are ' '||symbol, the accumulator is the
+        # space-prefixed output string, and a step merges iff the
+        # accumulator's LAST token equals the pair's left symbol and the
+        # incoming element is the right one. Equivalent to the Spark
+        # side's carry-struct fold: a just-merged token is pa+pb which
+        # can never equal pa (pb nonempty), so a merged token never
+        # re-merges as the left side — the non-overlap rule — while any
+        # ORIGINAL pa token, including one right after a merge, remains
+        # eligible — the leftmost-greedy rule. (A struct-accumulator
+        # list_reduce rendering mis-executed on DuckDB 1.0 — dropped row
+        # prefixes under vectorization — hence the scalar form.) The best
+        # pair rides a LEFT JOIN ON TRUE so an empty best leaves the
+        # vocabulary untouched (NULL comparisons fall to the else
+        # branch).
+        fold = """list_reduce(
+            list_transform(string_split(seq, ' '), s -> ' ' || s),
+            (acc, x) -> CASE
+                WHEN ends_with(acc, ' ' || pa) AND x = ' ' || pb
+                    THEN left(acc, length(acc) - length(pa) - 1)
+                         || ' ' || pm
+                ELSE acc || x
+            END
+        )"""
+        return f"""
+    SELECT w, trim({fold}) AS seq, freq
+    FROM {seq_cte}
+    LEFT JOIN (
+        SELECT string_split(pair, ' ')[1] AS pa,
+               string_split(pair, ' ')[2] AS pb,
+               replace(pair, ' ', '') AS pm
+        FROM {best_cte}
+    ) ON TRUE"""
 
     # MATERIALIZED is load-bearing: DuckDB inlines a plain CTE at every
     # reference, and seq_i is referenced by BOTH b_(i+1) and seq_(i+1) (and
