@@ -1396,7 +1396,10 @@ QUALIFY rank <= {int(k)}
 
 
 def ann_recall_report(
-    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    pq_mod: int = PQ_CODES_MOD,
 ) -> DataFrame:
     """(method, hits, total, recall) for every approximate index against
     the exact bruteforce top-k — the evaluation report a platform runs to
@@ -1415,13 +1418,26 @@ def ann_recall_report(
     )
     methods = [
         ("ivf", ann_ivf(embeddings, n_queries, k)),
-        ("ivfpq", ivfpq_search(embeddings, n_queries=n_queries, k=k)),
+        (
+            "ivfpq",
+            ivfpq_search(
+                embeddings, n_queries=n_queries, k=k, pq_mod=pq_mod
+            ),
+        ),
         (
             "ivfpq_rerank",
-            ivfpq_rerank(embeddings, n_queries=n_queries, k=k),
+            ivfpq_rerank(
+                embeddings, n_queries=n_queries, k=k, pq_mod=pq_mod
+            ),
         ),
-        ("pq_adc", pq_search(embeddings, n_queries=n_queries, k=k)),
-        ("pq_rerank", pq_rerank(embeddings, n_queries=n_queries, k=k)),
+        (
+            "pq_adc",
+            pq_search(embeddings, mod=pq_mod, n_queries=n_queries, k=k),
+        ),
+        (
+            "pq_rerank",
+            pq_rerank(embeddings, mod=pq_mod, n_queries=n_queries, k=k),
+        ),
     ]
     out = None
     for name, df in methods:

@@ -502,14 +502,19 @@ def main() -> None:
             embs = spread(spark.read.parquet(f"{d}/embeddings.parquet"))
             # codebook size held CONSTANT across K (sample mod scaled with
             # the corpus) — the production shape: a trained fixed-size
-            # artifact. ann_recall_report runs as-graded (defaults), so its
-            # codebook/list count grows with the corpus; its factor folds
-            # that in.
+            # artifact (a corpus-growing codebook makes the Lloyd/encode
+            # joins quadratic-ish in K and is not what anyone deploys).
             mod = sim.PQ_CODES_MOD * kk
             t.timed("pq_encode", lambda: sim.pq_encode(embs, mod=mod))
             t.timed("pq_search", lambda: sim.pq_search(embs, mod=mod))
             t.timed("pq_rerank", lambda: sim.pq_rerank(embs, mod=mod))
-            t.timed("ann_recall_report", lambda: sim.ann_recall_report(embs))
+            t.timed(
+                "ivfpq_search", lambda: sim.ivfpq_search(embs, pq_mod=mod)
+            )
+            t.timed(
+                "ann_recall_report",
+                lambda: sim.ann_recall_report(embs, pq_mod=mod),
+            )
             docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
             t.timed("span_exact_dedup", lambda: dd.span_exact_dedup(docs))
             t.timed(
@@ -520,8 +525,21 @@ def main() -> None:
             t.timed("stream_nearest", lambda: topo.stream_nearest_gate(spark, d))
             return t.out
 
+        # cheap warm pass (codegen/session startup), not the full suite:
+        # the streaming gate alone costs minutes per pass
+        from apmbackend_spark.operators import relational as _rel
+        from apmbackend_spark.operators import similarity as _sim
+        from apmbackend_spark.sources.loaders import spread as _spread
+
+        _t = _Timer(spark)
+        _t.timed("warm_q7", lambda: _rel.q7_volume_shipping(spark, sf_dir))
+        _t.timed(
+            "warm_pq",
+            lambda: _sim.pq_encode(
+                _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+            ),
+        )
         print("timing 1x ...", flush=True)
-        suite(sf_dir, 1)  # warm pass
         base = suite(sf_dir, 1)
         print(f"timing {k}x ...", flush=True)
         big = suite(scaled_dir, k)
