@@ -289,6 +289,134 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def span_scrub(documents: DataFrame, k: int = SPAN_EXACT_K) -> DataFrame:
+    """(doc_id, n_tokens, n_cut, n_kept, scrub_fp): the ExactSubstr
+    DEDUPLICATION itself — every duplicated k-token window occurrence is
+    CUT except the corpus-canonical one (the lexicographically smallest
+    (doc_id, position) site), and each document is rebuilt from its
+    surviving tokens. ``span_exact_dedup`` reports the spans; this
+    applies them — the operation a training-data pipeline actually runs
+    (Lee et al.: keep one copy of each duplicated substring).
+
+    The scrubbed text is value-checked by fingerprint (hash64 of the
+    space-joined kept tokens), so the gate proves the exact surviving
+    token sequence, not just counts.
+
+    Scale shape: the window fingerprints and the (fp -> occurrence count,
+    canonical site) rollup are the ``span_exact_dedup`` plan (in-row
+    hashing, text never shuffles, combinable aggregates). Cut starts ship
+    as (doc_id, s) pairs and collect into ONE per-doc array (bounded by
+    the doc's window count); the rebuild is an in-row nested-HOF filter —
+    a token survives iff no cut window covers its position. One extra
+    join against the doc token arrays; no pairwise stage anywhere."""
+    kk = int(k)
+    tok = tokens(F.col("text"))
+    base = documents.select("doc_id", tok.alias("tok"))
+    idx = F.when(
+        F.size("tok") >= kk,
+        F.sequence(F.lit(1), F.size("tok") - (kk - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id", "tok", F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        (F.col("i") - 1).cast("int").alias("s"),
+        hash64(F.concat_ws(" ", F.slice(F.col("tok"), F.col("i"), kk))).alias(
+            "fp"
+        ),
+    ).localCheckpoint()
+    occ = (
+        grams.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "s")).alias("canon"),
+        )
+        .where(F.col("n_occ") >= 2)
+        .select("fp", "canon")
+    )
+    cuts = (
+        grams.join(occ, "fp")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("s") == F.col("canon.s"))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("cut_s"))
+    )
+    joined = base.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        "tok",
+        F.coalesce(F.col("cut_s"), F.array().cast("array<int>")).alias(
+            "cut_s"
+        ),
+    )
+    pos = F.when(
+        F.size("tok") > 0, F.sequence(F.lit(0), F.size("tok") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.transform(
+        F.filter(
+            pos,
+            lambda i: ~F.exists(
+                F.col("cut_s"),
+                lambda s: (i - s >= 0) & (i - s <= kk - 1),
+            ),
+        ),
+        lambda i: F.element_at(F.col("tok"), i + 1),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("tok").cast("long").alias("n_tokens"),
+        (F.size("tok") - F.size(kept)).cast("long").alias("n_cut"),
+        F.size(kept).cast("long").alias("n_kept"),
+        hash64(F.concat_ws(" ", kept)).alias("scrub_fp"),
+    )
+
+
+def span_scrub_oracle_sql(k: int = SPAN_EXACT_K) -> str:
+    kk = int(k)
+    fp = hash64_sql(f"array_to_string(tok[t.s + 1 : t.s + {kk}], ' ')")
+    kept = f"""list_transform(
+        list_filter(range(0, len(tok)),
+            i -> len(list_filter(cut_s,
+                     s -> i - s >= 0 AND i - s <= {kk - 1})) = 0),
+        i -> tok[i + 1])"""
+    return f"""
+WITH tokd AS MATERIALIZED (
+    SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+), grams AS MATERIALIZED (
+    SELECT doc_id, CAST(t.s AS INT) AS s, {fp} AS fp
+    FROM tokd,
+         LATERAL unnest(range(0, greatest(len(tok) - {kk} + 1, 0))) AS t(s)
+), occ AS (
+    SELECT fp, doc_id AS c_doc, s AS c_s FROM (
+        SELECT fp, doc_id, s,
+               COUNT(*) OVER (PARTITION BY fp) AS n_occ,
+               ROW_NUMBER() OVER (
+                   PARTITION BY fp ORDER BY doc_id, s
+               ) AS rn
+        FROM grams
+    ) WHERE n_occ >= 2 AND rn = 1
+), cuts AS (
+    SELECT g.doc_id, list(g.s) AS cut_s
+    FROM grams g JOIN occ o USING (fp)
+    WHERE NOT (g.doc_id = o.c_doc AND g.s = o.c_s)
+    GROUP BY g.doc_id
+), rebuilt AS (
+    SELECT d.doc_id, d.tok,
+           COALESCE(c.cut_s, CAST([] AS INT[])) AS cut_s
+    FROM tokd d LEFT JOIN cuts c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(tok) AS BIGINT) AS n_tokens,
+       CAST(len(tok) - len({kept}) AS BIGINT) AS n_cut,
+       CAST(len({kept}) AS BIGINT) AS n_kept,
+       {hash64_sql(f"COALESCE(array_to_string({kept}, ' '), '')")} AS scrub_fp
+FROM rebuilt
+"""
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup pairs
 # ---------------------------------------------------------------------------

@@ -505,3 +505,50 @@ def test_span_exact_no_dups_empty_and_short_docs(spark):
         [(1, "one two three"), (2, "four five six seven"), (3, "")],
     )
     assert span_exact_dedup(docs, k=4).count() == 0
+
+
+def test_span_scrub_keeps_canonical_copy_only(spark):
+    from apmbackend_spark.operators.dedup import span_scrub
+
+    run = " ".join(f"s{i}" for i in range(6))  # 6 shared tokens
+    docs = _docs(
+        spark,
+        [
+            (1, f"a1 b1 {run} c1"),        # canonical (lowest doc_id)
+            (2, f"{run} z2 y2 x2"),        # duplicate -> cut
+            (3, "plain unique text here"),  # untouched
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_cut"], r["n_kept"])
+        for r in span_scrub(docs, k=4).collect()
+    }
+    # doc 1 keeps everything (it owns the canonical window sites)
+    assert got[1] == (9, 0, 9)
+    # doc 2 loses exactly the 6-token duplicated run
+    assert got[2] == (9, 6, 3)
+    assert got[3] == (4, 0, 4)
+
+    # the scrubbed fingerprint proves the surviving SEQUENCE: doc 2's
+    # survivors are its unique tail
+    from apmbackend_spark.functions.text import hash64
+
+    from pyspark.sql import functions as F
+
+    want_fp = (
+        spark.range(1)
+        .select(hash64(F.lit("z2 y2 x2")).alias("fp"))
+        .first()["fp"]
+    )
+    [r2] = [r for r in span_scrub(docs, k=4).collect() if r["doc_id"] == 2]
+    assert r2["scrub_fp"] == want_fp
+
+
+def test_span_scrub_within_doc_repetition_keeps_first(spark):
+    from apmbackend_spark.operators.dedup import span_scrub
+
+    phrase = "alpha beta gamma delta"
+    doc = phrase + " mid1 mid2 " + phrase
+    [r] = span_scrub(_docs(spark, [(1, doc)]), k=4).collect()
+    # second occurrence cut, first kept
+    assert (r["n_tokens"], r["n_cut"], r["n_kept"]) == (10, 4, 6)
