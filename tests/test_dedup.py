@@ -552,3 +552,81 @@ def test_span_scrub_within_doc_repetition_keeps_first(spark):
     [r] = span_scrub(_docs(spark, [(1, doc)]), k=4).collect()
     # second occurrence cut, first kept
     assert (r["n_tokens"], r["n_cut"], r["n_kept"]) == (10, 4, 6)
+
+
+def test_span_family_matches_python_reference_on_random_corpora(spark):
+    # differential property: spans and scrub counts vs a literal Python
+    # re-derivation on small random corpora with heavy shared runs
+    import random
+
+    from apmbackend_spark.operators.dedup import span_exact_dedup, span_scrub
+
+    def ref(docs_tokens, k):
+        # window occurrences
+        occ = {}
+        for did, toks in docs_tokens.items():
+            for s in range(max(len(toks) - k + 1, 0)):
+                occ.setdefault(tuple(toks[s:s + k]), []).append((did, s))
+        dup_sites = {
+            g: sorted(sites) for g, sites in occ.items() if len(sites) >= 2
+        }
+        # spans: merged islands of dup starts per doc
+        spans = {}
+        starts = {}
+        for sites in dup_sites.values():
+            for did, s in sites:
+                starts.setdefault(did, set()).add(s)
+        for did, ss in starts.items():
+            ss = sorted(ss)
+            cur = [ss[0], ss[0] + k - 1]
+            out = []
+            for s in ss[1:]:
+                if s <= cur[1] + 1:
+                    cur[1] = s + k - 1
+                else:
+                    out.append(tuple(cur))
+                    cur = [s, s + k - 1]
+            out.append(tuple(cur))
+            spans[did] = out
+        # scrub: cut all dup sites except the canonical min one
+        cutpos = {}
+        for sites in dup_sites.values():
+            canon = sites[0]
+            for did, s in sites:
+                if (did, s) != canon:
+                    cutpos.setdefault(did, set()).update(
+                        range(s, s + k)
+                    )
+        scrub = {}
+        for did, toks in docs_tokens.items():
+            cut = cutpos.get(did, set())
+            kept = [t for i, t in enumerate(toks) if i not in cut]
+            scrub[did] = (len(toks), len(toks) - len(kept), len(kept))
+        return spans, scrub
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(8)]
+    shared = [rng.choice(vocab) for _ in range(7)]
+    docs_tokens = {}
+    for did in range(1, 9):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+        if did % 2 == 0:  # half the docs embed the shared run somewhere
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + shared + toks[at:]
+        docs_tokens[did] = toks
+    k = 4
+    docs = _docs(
+        spark, [(d, " ".join(t)) for d, t in docs_tokens.items()]
+    )
+    want_spans, want_scrub = ref(docs_tokens, k)
+    got_spans = {}
+    for r in span_exact_dedup(docs, k=k).collect():
+        got_spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert {d: sorted(v) for d, v in got_spans.items()} == want_spans
+    got_scrub = {
+        r["doc_id"]: (r["n_tokens"], r["n_cut"], r["n_kept"])
+        for r in span_scrub(docs, k=k).collect()
+    }
+    assert got_scrub == want_scrub
