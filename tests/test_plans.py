@@ -529,3 +529,49 @@ def test_q19_disjunction_stays_one_join(spark):
     # detail headers — exactly ONE join, disjunction inside its condition
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1
     assert "CartesianProduct" not in p
+
+
+def test_q10_prunes_orders_and_takeordered_topk(spark):
+    from apmbackend_spark.operators.relational import q10_returned_items
+
+    p = plan(q10_returned_items(spark, SF_SMOKE))
+    # the quarter window and the returnflag filter both reach their scans
+    assert "PushedFilters" in p and "o_orderdate" in p
+    assert "l_returnflag" in p
+    # top-20 via TakeOrderedAndProject, never a global unpartitioned
+    # window over all customers
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q12_one_rollup_no_union(spark):
+    from apmbackend_spark.operators.relational import q12_delay_bands
+
+    p = plan(q12_delay_bands(spark, SF_SMOKE))
+    # both priority counters and all three bands ride ONE aggregate —
+    # never a scan/union per band
+    assert "Union" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q16_distinct_pairs_before_broadcast_join(spark):
+    from apmbackend_spark.operators.relational import q16_supplier_variety
+
+    p = plan(q16_supplier_variety(spark, SF_SMOKE))
+    # part is the broadcast dim; lineitem is pruned to the two key cols
+    assert "BroadcastHashJoin" in p
+    assert "ReadSchema" in p
+    import re
+
+    m = re.search(r"ReadSchema: struct<l_partkey[^>]*>", p)
+    assert m and "l_extendedprice" not in m.group(0), p[:500]
+
+
+def test_q22_anti_join_with_pruned_orders(spark):
+    from apmbackend_spark.operators.relational import q22_idle_customers
+
+    p = plan(q22_idle_customers(spark, SF_SMOKE))
+    # dormancy = LEFT ANTI against the cutoff-filtered orders scan
+    assert "LeftAnti" in p
+    assert "PushedFilters" in p and "o_orderdate" in p
+    assert "CartesianProduct" not in p
