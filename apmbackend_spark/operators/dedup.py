@@ -374,7 +374,11 @@ def span_scrub(documents: DataFrame, k: int = SPAN_EXACT_K) -> DataFrame:
     )
 
 
-def span_scrub_oracle_sql(k: int = SPAN_EXACT_K) -> str:
+def span_scrub_oracle_sql(
+    k: int = SPAN_EXACT_K, src: str = "documents"
+) -> str:
+    """``src`` names the relation/CTE to scrub — the composed
+    corpus-prepare oracle points it at the filter-survivor CTE."""
     kk = int(k)
     fp = hash64_sql(f"array_to_string(tok[t.s + 1 : t.s + {kk}], ' ')")
     kept = f"""list_transform(
@@ -384,7 +388,7 @@ def span_scrub_oracle_sql(k: int = SPAN_EXACT_K) -> str:
         i -> tok[i + 1])"""
     return f"""
 WITH tokd AS MATERIALIZED (
-    SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+    SELECT doc_id, {tokens_sql('text')} AS tok FROM {src}
 ), grams AS MATERIALIZED (
     SELECT doc_id, CAST(t.s AS INT) AS s, {fp} AS fp
     FROM tokd,

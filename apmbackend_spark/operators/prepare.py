@@ -244,3 +244,98 @@ FROM cum c
 JOIN documents d USING (doc_id)
 JOIN scrub s USING (doc_id)
 """
+
+
+def corpus_prepare_exact(
+    documents: DataFrame,
+    k: int | None = None,
+    budget: int = 2048,
+) -> DataFrame:
+    """End-to-end prep with EXACT substring dedup in the chain — the
+    ExactSubstr pipeline (filter -> span-level scrub -> pack):
+
+        quality filter (textstats.corpus_filter)
+          -> span_scrub over the SURVIVORS (every duplicated k-token
+             window cut except its canonical site — dedup.span_scrub)
+          -> sequence packing of the SCRUBBED token counts
+
+    One row per surviving document: (doc_id, source, n_raw, n_cut,
+    n_kept, scrub_fp, start_offset, seq_id). Semantics contracts:
+    duplication (and each span's canonical site) is decided WITHIN the
+    filter-surviving corpus — you scrub what you keep, so a duplicate
+    whose canonical copy was quality-filtered away keeps its best
+    surviving site; packing runs over n_kept (the scrubbed corpus is
+    what gets tokenized downstream) in doc_id order, so sequence
+    addresses are a pure function of (corpus, config).
+
+    Scale shape: the constituent operators' own shapes, composed with no
+    new shuffle — the filter is one scan, span_scrub ships only
+    (doc_id, pos, fp) keys, and packing consumes the scrub's already-
+    computed n_kept so the surviving text is never re-tokenized."""
+    from apmbackend_spark.operators.dedup import SPAN_EXACT_K, span_scrub
+
+    kk = int(SPAN_EXACT_K if k is None else k)
+    filt = (
+        corpus_filter(documents).where(F.col("keep")).select("doc_id")
+    )
+    survivors = documents.join(filt, "doc_id")
+    scrub = span_scrub(survivors, k=kk)
+    counts = scrub.select("doc_id", F.col("n_kept").alias("n_tokens"))
+    packed = token_pack(documents, budget, counts=counts)
+    return (
+        packed.join(
+            scrub.select(
+                "doc_id",
+                F.col("n_tokens").alias("n_raw"),
+                "n_cut",
+                "scrub_fp",
+            ),
+            "doc_id",
+        )
+        .join(survivors.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_raw",
+            "n_cut",
+            F.col("n_tokens").alias("n_kept"),
+            "scrub_fp",
+            "start_offset",
+            "seq_id",
+        )
+    )
+
+
+def corpus_prepare_exact_oracle_sql(
+    k: int | None = None, budget: int = 2048
+) -> str:
+    from apmbackend_spark.operators.dedup import (
+        SPAN_EXACT_K,
+        span_scrub_oracle_sql,
+    )
+
+    kk = int(SPAN_EXACT_K if k is None else k)
+    return f"""
+WITH cfilt AS ({corpus_filter_oracle_sql()}),
+survivors AS (
+    SELECT d.* FROM documents d JOIN cfilt f USING (doc_id) WHERE f.keep
+),
+sscrub AS ({span_scrub_oracle_sql(kk, src='survivors')}),
+cum AS (
+    SELECT doc_id, n_kept,
+           CAST(COALESCE(SUM(n_kept) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM sscrub
+)
+SELECT s.doc_id, d.source,
+       s.n_tokens AS n_raw,
+       s.n_cut,
+       s.n_kept,
+       s.scrub_fp,
+       c.start_offset,
+       c.start_offset // {int(budget)} AS seq_id
+FROM sscrub s
+JOIN cum c USING (doc_id)
+JOIN survivors d USING (doc_id)
+"""

@@ -180,3 +180,42 @@ def test_doc_span_dup_flags_shared_boilerplate(spark):
     assert out[3]["n_chunks"] == 1 and out[3]["n_dup_chunks"] == 1
     assert out[4]["n_chunks"] == 0 and out[4]["dup_fraction"] == 0.0
     assert out[1]["dup_fraction"] == 1.0 and out[2]["dup_fraction"] == 0.5
+
+
+def test_corpus_prepare_exact_scrubs_duplicate_and_packs_kept(spark):
+    # two quality-passing docs share a 6-token run; the canonical copy
+    # (lower doc_id) survives intact, the other is cut; packing runs over
+    # the SCRUBBED counts so start offsets reflect n_kept
+    from apmbackend_spark.operators.prepare import corpus_prepare_exact
+
+    run = "the shared run of tokens here"  # 6 tokens, stopword-heavy
+    # fillers pass the quality filter (stopword-rich prose) and share no
+    # 4-gram with each other or the run, so the run is the ONLY duplicate
+    filler1 = (
+        "the quick fox is in a big field and the dog sleeps for hours "
+        "on the warm mat with a bone today now"
+    )  # 23 tokens
+    filler2 = (
+        "a small bird flew to the old tree and sang with the wind in "
+        "its wings for a long while at dusk"
+    )  # 22 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler1} {run}", "en", "src0", 100),
+            (2, f"{run} {filler2}", "en", "src0", 100),
+            (3, "zz", "en", "src0", 2),  # fails the filter -> absent
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in corpus_prepare_exact(docs, k=4, budget=16).collect()
+    }
+    assert sorted(out) == [1, 2]  # the filtered doc never reaches scrub
+    assert out[1]["n_raw"] == 29 and out[1]["n_cut"] == 0
+    assert out[1]["n_kept"] == 29  # canonical copy survives intact
+    assert out[2]["n_raw"] == 28 and out[2]["n_cut"] == 6
+    assert out[2]["n_kept"] == 22  # exactly the shared run cut
+    # packing over KEPT counts in doc_id order
+    assert out[1]["start_offset"] == 0 and out[1]["seq_id"] == 0
+    assert out[2]["start_offset"] == 29 and out[2]["seq_id"] == 29 // 16
