@@ -893,3 +893,89 @@ def test_nearest_stateful_cross_batch_resolutions(spark, tmpdir):
         "bwd": (None, None, None, None),  # nearest (backward) out of tol
         "tail": (None, None, None, None),  # marker flush
     }
+
+
+def test_nearest_stateful_resumes_from_checkpoint_across_query_restarts(
+    spark, tmpdir
+):
+    """S7 resume for the nearest join: query 1 drains delivery 1 (tx rows
+    left PENDING in state awaiting a possible closer forward gauge and
+    the latest-gauge carry stored); a brand-new query on the same
+    checkpoint drains delivery 2 whose gauge must resolve those pendings
+    from RESTORED state. Output must match the batch operator exactly —
+    state loss would null the cross-restart resolutions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.operators.correlation import nearest_event_join
+    from apmbackend_spark.streaming.stateful import (
+        NEAREST_OUT_SCHEMA,
+        nearest_stateful,
+    )
+    from apmbackend_spark.streaming.topology import NEAREST_STREAM_SCHEMA
+
+    tol = 1000
+    d1 = [  # gauge at 100; tx at 700 pends (d_b=600, a closer forward could come)
+        ("s1", 100, 0, None, 10),
+        ("s1", 700, 1, "cross", None),
+        ("s1", 750, 1, "cross2", None),
+    ]
+    d2 = [  # gauge at 1000 resolves both forward (d_f=300/250 < d_b)
+        ("s1", 1000, 0, None, 20),
+        ("s1", 1600, 1, "late", None),   # backward to the NEW gauge
+        ("s1", 9000, 2, None, None),     # end marker flush
+    ]
+    src, out, ck = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/ck"
+
+    def deliver(rows):
+        spark.createDataFrame(rows, NEAREST_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(NEAREST_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            nearest_stateful(stream, tol_ms=tol)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    deliver(d1)
+    drain()
+    assert spark.read.schema(NEAREST_OUT_SCHEMA).parquet(out).count() == 0
+    deliver(d2)
+    drain()  # NEW query object, same checkpoint
+
+    got = {
+        r["logid"]: (r["gauge_ts"], r["heapused"], r["dist_ms"], r["direction"])
+        for r in spark.read.schema(NEAREST_OUT_SCHEMA).parquet(out).collect()
+    }
+    assert got == {
+        "cross": (1000, 20, 300, "f"),   # resolved ACROSS the restart
+        "cross2": (1000, 20, 250, "f"),
+        "late": (1000, 20, 600, "b"),
+    }
+    # and the batch operator agrees value-for-value
+    tx = spark.createDataFrame(
+        [("cross", "s1", 700, 1), ("cross2", "s1", 750, 1), ("late", "s1", 1600, 1)],
+        "logid string, server string, endts long, elapsed long",
+    )
+    g = spark.createDataFrame(
+        [("s1", 100, 10), ("s1", 1000, 20)],
+        "server string, timestamp long, heapused long",
+    )
+    want = {
+        r["logid"]: (r["gauge_ts"], r["heapused"], r["dist_ms"], r["direction"])
+        for r in nearest_event_join(tx, g, tol_ms=tol).collect()
+    }
+    assert got == want
