@@ -951,7 +951,10 @@ def q22_idle_customers(
     )
 
 
-Q22_ORACLE = f"""
+def q22_oracle_sql(cutoff: str = Q22_CUTOFF) -> str:
+    """Oracle builder taking the same ``cutoff`` as the operator, so a
+    non-default cutoff run grades against a matching oracle."""
+    return f"""
 SELECT c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS numcust,
        CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS totacctbal
@@ -966,6 +969,9 @@ WHERE CAST(bal_c AS DOUBLE) > (
     FROM customer WHERE round(c_acctbal * 100, 0) > 0
 )
 AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-                AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+                AND o.o_orderdate >= TIMESTAMP '{cutoff}')
 GROUP BY c_nationkey
 """
+
+
+Q22_ORACLE = q22_oracle_sql()

@@ -1092,8 +1092,13 @@ def bpe_train(
     pair too; (c) a candidate SHARING a symbol with an accepted merge may
     have had its count reduced, so the prefix stops there (never
     skip-and-continue — a reduced-count candidate might still outrank the
-    next disjoint one). Replay-verified equal to batch=1 in
-    test_quality_ops (fixture corpus + adversarial chains).
+    next disjoint one); (d) a candidate containing an accepted merge's
+    MERGED string as one of its symbols (possible only if that string
+    pre-exists via a different derivation) may have had its count RAISED,
+    so the merged form taints the used-set and stops the prefix too.
+    Replay-verified equal to batch=1 in test_quality_ops (fixture corpus
+    + adversarial chains); the (c)/(d) stop rules are additionally
+    unit-tested directly on ``_accept_prefix``.
 
     Scale shape: the expensive part (corpus scan -> pretoken frequency)
     is ONE pass, after which every job runs on the DISTINCT-pretoken
@@ -1233,21 +1238,49 @@ def _bpe_select_batch(vocab: DataFrame, batch: int) -> list[tuple[str, int]]:
         .collect()
     )
     bounds = {r["pair"]: int(r["bound"]) for r in bound_rows}
+    return _accept_prefix(
+        [(r["pair"], int(r["n"])) for r in cands], bounds, int(batch)
+    )
+
+
+def _accept_prefix(
+    cands: list[tuple[str, int]],
+    bounds: dict[str, int],
+    batch: int,
+) -> list[tuple[str, int]]:
+    """Driver-side prefix-acceptance walk over the (count DESC, pair ASC)
+    sorted candidate head — pure so the stop rules are unit-testable
+    without a Spark job (``tests/test_quality_ops.py``)."""
     accepted: list[tuple[str, int]] = []
     used: set[str] = set()
     m_bound = -1  # best possible merge-created pair count so far
-    for r in cands:
-        pair, n = r["pair"], int(r["n"])
+    for pair, n in cands:
         if accepted:
             if n <= m_bound:
                 break  # a merge-created pair could outrank this candidate
             syms = set(pair.split(" "))
             if syms & used:
-                break  # count may have dropped; never skip-and-continue
+                # Count may have DROPPED (shares a constituent symbol of
+                # an accepted merge) or may have been RAISED (contains an
+                # accepted merge's MERGED symbol, which can pre-exist as
+                # a symbol via a different derivation — e.g. accept
+                # ('a','b') while 'ab' is already a vocabulary symbol).
+                # Either way the collected count is stale; never
+                # skip-and-continue.
+                break
         accepted.append((pair, n))
         used.update(pair.split(" "))
+        # The merged symbol the accepted pair CREATES also taints later
+        # candidates: a candidate containing it would have its count
+        # raised by applying this merge, so its collected (pre-merge)
+        # count understates the sequential trainer's view. (No reachable
+        # corpus state has been found where the merged string pre-exists
+        # as a live symbol next to another — 260k-trial search — but the
+        # guard is pure insurance: stopping early is always correct, at
+        # worst one extra job.)
+        used.add(pair.replace(" ", ""))
         m_bound = max(m_bound, bounds.get(pair, 0))
-        if len(accepted) >= int(batch):
+        if len(accepted) >= batch:
             break
     return accepted
 

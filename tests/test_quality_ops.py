@@ -819,6 +819,11 @@ def test_bpe_batched_equals_sequential_adversarial(spark):
         ["ababab abab ab " * 20, "aaaa aaa aa " * 15],
         # many independent pairs (the batch actually packs)
         ["ab " * 9, "cd " * 8, "ef " * 7, "gh " * 6, "ij " * 5, "kl " * 4],
+        # merged-string collision stress: two-letter alphabet with heavy
+        # repetition maximizes the chance a pair's merged form collides
+        # with an existing symbol (the _accept_prefix (d) stop rule)
+        ["abab " * 40 + "aba " * 25 + "bab " * 20 + "ab " * 15 + "ba " * 10],
+        ["aaaa aab abaa baba abba " * 12, "ababab bababa " * 9],
     ]
     for texts in corpora:
         docs = spark.createDataFrame(
@@ -831,6 +836,47 @@ def test_bpe_batched_equals_sequential_adversarial(spark):
                for r in bpe_train(docs, 10, batch=8).collect()]
         assert bat == seq, texts[0][:40]
         assert seq == _bpe_reference(texts, 10), texts[0][:40]
+
+
+def test_bpe_accept_prefix_stop_rules():
+    # Direct unit tests of the driver-side prefix walk — no Spark job.
+    # Candidates arrive (count DESC, pair ASC)-sorted, as collected.
+    from apmbackend_spark.operators.textstats import _accept_prefix
+
+    # (a) triple bound stops the prefix: a merge-created pair could
+    # outrank the next candidate
+    got = _accept_prefix(
+        [("w xy", 90), ("a b", 85)], {"w xy": 90, "a b": 0}, 8
+    )
+    assert got == [("w xy", 90)]
+    # (c) shared constituent symbol stops the prefix (count may have
+    # dropped) — never skip-and-continue
+    got = _accept_prefix(
+        [("x y", 50), ("y w", 40), ("d e", 30)], {}, 8
+    )
+    assert got == [("x y", 50)]
+    # (d) the ADVICE case: a candidate containing an accepted merge's
+    # MERGED string ('ab' from accepting 'a b') has a stale count even
+    # though it shares no constituent symbol — must stop, not accept
+    got = _accept_prefix(
+        [("a b", 50), ("ab c", 40), ("d e", 30)], {}, 8
+    )
+    assert got == [("a b", 50)]
+    got = _accept_prefix(
+        [("a b", 50), ("x ab", 40)], {}, 8
+    )
+    assert got == [("a b", 50)]
+    # (d) does not over-fire: symbols merely CONCATENATING near the
+    # merged string are fine ('abc d' shares no symbol with {'a','b','ab'})
+    got = _accept_prefix(
+        [("a b", 50), ("abc d", 40)], {}, 8
+    )
+    assert got == [("a b", 50), ("abc d", 40)]
+    # disjoint pack up to batch, then stop
+    got = _accept_prefix(
+        [("a b", 9), ("c d", 8), ("e f", 7), ("g h", 6)], {}, 3
+    )
+    assert got == [("a b", 9), ("c d", 8), ("e f", 7)]
 
 
 def test_bpe_batching_reduces_jobs_on_fixture(spark):
