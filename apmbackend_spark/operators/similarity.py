@@ -123,6 +123,7 @@ def ann_ivf(
     k: int = 5,
     nprobe: int = 5,
     n_lists_mod: int = 50,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-probed top-k search — the scale path ann_bruteforce is the
     baseline for. Each query scores only the vectors assigned to its
@@ -137,7 +138,11 @@ def ann_ivf(
     dedup step is needed before the top-k window.
 
     Approximate by design: a true neighbor in an unprobed list is missed —
-    that is the IVF recall/cost trade, same contract as FAISS IndexIVF."""
+    that is the IVF recall/cost trade, same contract as FAISS IndexIVF.
+
+    ``assigned`` (vec_id, list_id) lets a caller that already holds the
+    coarse assignment (``ann_recall_report`` shares one across the ivf
+    and ivfpq legs) skip the corpus-wide assign pass."""
     from pyspark.sql import Window
 
     cent = embeddings.where(F.col("vec_id") % n_lists_mod == 0).select(
@@ -164,12 +169,15 @@ def ann_ivf(
     # The bucketed index is the write-once artifact of a real IVF build —
     # materialize it so the corpus assignment pass (centroid scoring over
     # every vector) runs once rather than once per downstream reference.
-    av = (
-        ivf_assign(embeddings, n_lists_mod)
-        .select("vec_id", "list_id")
-        .join(vecs, "vec_id")
-        .localCheckpoint()
-    )
+    if assigned is None:
+        av = (
+            ivf_assign(embeddings, n_lists_mod)
+            .select("vec_id", "list_id")
+            .join(vecs, "vec_id")
+            .localCheckpoint()
+        )
+    else:
+        av = assigned.select("vec_id", "list_id").join(vecs, "vec_id")
     scored = (
         probes.join(av.withColumnRenamed("vec_id", "cand_id"), "list_id")
         .where(F.col("query_id") != F.col("cand_id"))
@@ -1135,6 +1143,30 @@ def pq_encode(
     )
 
 
+def pq_codes_frame(
+    embeddings: DataFrame,
+    dims: int = 64,
+    m: int = PQ_M,
+    mod: int = PQ_CODES_MOD,
+    iters: int = PQ_TRAIN_ITERS,
+    cb: DataFrame | None = None,
+) -> DataFrame:
+    """(cand_id, sub, code_id): the serving-side code artifact — the
+    pq_encode output exploded back to one row per (vector, subspace).
+    Built exactly from pq_encode so the codes are identical by
+    construction; callers that run several searches over one index
+    (``ann_recall_report``) compute this once, ``localCheckpoint`` it,
+    and pass it as ``enc`` instead of re-encoding the corpus per leg."""
+    return pq_encode(embeddings, dims, m, mod, iters, cb=cb).select(
+        F.col("vec_id").alias("cand_id"),
+        F.posexplode(
+            F.transform(
+                F.split(F.col("codes"), "-"), lambda x: x.cast("long")
+            )
+        ).alias("sub", "code_id"),
+    )
+
+
 def pq_search(
     embeddings: DataFrame,
     dims: int = 64,
@@ -1144,6 +1176,7 @@ def pq_search(
     k: int = 5,
     iters: int = PQ_TRAIN_ITERS,
     cb: DataFrame | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: (query_id, cand_id, adc_dist, rank) — approximate
     nearest neighbors where the CANDIDATE side contributes only its m
@@ -1159,14 +1192,8 @@ def pq_search(
 
     if cb is None:
         cb = _pq_codebook(embeddings, dims, m, mod, iters)
-    enc = pq_encode(embeddings, dims, m, mod, iters, cb=cb).select(
-        F.col("vec_id").alias("cand_id"),
-        F.posexplode(
-            F.transform(
-                F.split(F.col("codes"), "-"), lambda x: x.cast("long")
-            )
-        ).alias("sub", "code_id"),
-    )
+    if enc is None:
+        enc = pq_codes_frame(embeddings, dims, m, mod, iters, cb=cb)
     qsubs = _pq_subs_frame(
         embeddings.where(F.col("vec_id") < n_queries), dims, m
     ).withColumnRenamed("vec_id", "query_id")
@@ -1349,6 +1376,7 @@ def pq_rerank(
     shortlist: int = PQ_RERANK_SHORTLIST,
     iters: int = PQ_TRAIN_ITERS,
     cb: DataFrame | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage retrieval, the production ANN serving shape: the ADC
     code-only pass shortlists ``shortlist`` candidates per query, then
@@ -1362,7 +1390,7 @@ def pq_rerank(
 
     short = pq_search(
         embeddings, dims, m, mod, n_queries, k=int(shortlist), iters=iters,
-        cb=cb,
+        cb=cb, enc=enc,
     ).select("query_id", "cand_id")
     qv = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -1462,11 +1490,13 @@ def ann_recall_report(
     bf = ann_bruteforce(embeddings, n_queries, k).select(
         "query_id", "cand_id"
     )
-    # Train each codebook ONCE and share it across the legs (the
-    # production index-artifact shape): without sharing, the pq legs and
-    # the rerank legs' internal shortlist passes each retrain the same
-    # Lloyd rounds — ~6 redundant trainings per report.
-    pq_cb = _pq_codebook(embeddings, 64, PQ_M, pq_mod)
+    # Build every index artifact ONCE and share it across the legs (the
+    # production index-artifact shape): one coarse assignment feeds the
+    # ivf leg and both ivfpq legs, one trained codebook + one encoded
+    # corpus feed each pq family's search AND rerank leg. Without
+    # sharing, the legs re-derive ~6 Lloyd trainings, 3 corpus-wide
+    # coarse assigns, and 2 corpus encodes per report — the round-6
+    # verdict measured the redundancy at roughly half the gate's cost.
     vecs = embeddings.select(
         "vec_id", _quantize(F.col("embedding")).alias("v")
     )
@@ -1474,46 +1504,46 @@ def ann_recall_report(
         F.col("vec_id").alias("list_id"),
         _quantize(F.col("embedding")).alias("centv"),
     )
-    resid = (
-        _assign_step(vecs, cent)
-        .select("vec_id", "list_id")
-        .join(vecs, "vec_id")
-        .join(F.broadcast(cent), "list_id")
-        .select(
-            "vec_id",
-            F.zip_with("v", "centv", lambda a, b: a - b).alias("v"),
-        )
+    assigned = (
+        _assign_step(vecs, cent).select("vec_id", "list_id").localCheckpoint()
     )
-    ivfpq_cb = _pq_codebook_subs(
-        _pq_subs_frame_v(resid, 64, IVFPQ_M), pq_mod, PQ_TRAIN_ITERS,
-        64 // IVFPQ_M,
+    pq_cb = _pq_codebook(embeddings, 64, PQ_M, pq_mod)
+    pq_enc = pq_codes_frame(
+        embeddings, 64, PQ_M, pq_mod, cb=pq_cb
+    ).localCheckpoint()
+    _, _, _, ivfpq_cb, ivfpq_enc = _ivfpq_index(
+        embeddings, 64, IVFPQ_M, 50, pq_mod, PQ_TRAIN_ITERS,
+        assigned=assigned,
     )
+    ivfpq_enc = ivfpq_enc.localCheckpoint()
     methods = [
-        ("ivf", ann_ivf(embeddings, n_queries, k)),
+        ("ivf", ann_ivf(embeddings, n_queries, k, assigned=assigned)),
         (
             "ivfpq",
             ivfpq_search(
                 embeddings, n_queries=n_queries, k=k, pq_mod=pq_mod,
-                cb=ivfpq_cb,
+                cb=ivfpq_cb, assigned=assigned, enc=ivfpq_enc,
             ),
         ),
         (
             "ivfpq_rerank",
             ivfpq_rerank(
                 embeddings, n_queries=n_queries, k=k, pq_mod=pq_mod,
-                cb=ivfpq_cb,
+                cb=ivfpq_cb, assigned=assigned, enc=ivfpq_enc,
             ),
         ),
         (
             "pq_adc",
             pq_search(
-                embeddings, mod=pq_mod, n_queries=n_queries, k=k, cb=pq_cb
+                embeddings, mod=pq_mod, n_queries=n_queries, k=k,
+                cb=pq_cb, enc=pq_enc,
             ),
         ),
         (
             "pq_rerank",
             pq_rerank(
-                embeddings, mod=pq_mod, n_queries=n_queries, k=k, cb=pq_cb
+                embeddings, mod=pq_mod, n_queries=n_queries, k=k,
+                cb=pq_cb, enc=pq_enc,
             ),
         ),
     ]
@@ -1537,13 +1567,17 @@ def ann_recall_report(
     return out
 
 
-def ann_recall_report_oracle_sql(n_queries: int = 10, k: int = 5) -> str:
+def ann_recall_report_oracle_sql(
+    n_queries: int = 10, k: int = 5, pq_mod: int = PQ_CODES_MOD
+) -> str:
     bf = ann_bruteforce_oracle_sql(n_queries, k)
     ivf = ann_ivf_oracle_sql(n_queries, k)
-    ivfpq = ivfpq_search_oracle_sql(n_queries=n_queries, k=k)
-    ivfpq_rr = ivfpq_rerank_oracle_sql(n_queries=n_queries, k=k)
-    pq = pq_search_oracle_sql(n_queries=n_queries, k=k)
-    rr = pq_rerank_oracle_sql(n_queries=n_queries, k=k)
+    ivfpq = ivfpq_search_oracle_sql(pq_mod=pq_mod, n_queries=n_queries, k=k)
+    ivfpq_rr = ivfpq_rerank_oracle_sql(
+        pq_mod=pq_mod, n_queries=n_queries, k=k
+    )
+    pq = pq_search_oracle_sql(mod=pq_mod, n_queries=n_queries, k=k)
+    rr = pq_rerank_oracle_sql(mod=pq_mod, n_queries=n_queries, k=k)
 
     def leg(name: str, sql: str) -> str:
         return f"""
@@ -1585,6 +1619,76 @@ IVFPQ_NPROBE = 5
 IVFPQ_M = 16
 
 
+def _ivfpq_index(
+    embeddings: DataFrame,
+    dims: int,
+    m: int,
+    coarse_mod: int,
+    pq_mod: int,
+    iters: int,
+    cb: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    enc: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame | None, DataFrame, DataFrame]:
+    """Build (or complete, given partial artifacts) the IVF-PQ index:
+    returns (vecs, cent, assigned, cb, enc). Any artifact the caller
+    already holds is reused untouched — ``ann_recall_report`` shares one
+    coarse ``assigned`` across the ivf/ivfpq legs and one residual
+    ``enc`` across the ivfpq search/rerank legs instead of re-deriving
+    them per leg. When cb AND enc are both supplied, the corpus-wide
+    assign/residual passes are skipped entirely (assigned may be None);
+    the search side needs only cent + cb + enc."""
+    vecs = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    )
+    cent = embeddings.where(F.col("vec_id") % coarse_mod == 0).select(
+        F.col("vec_id").alias("list_id"),
+        _quantize(F.col("embedding")).alias("centv"),
+    )
+    if cb is None or enc is None:
+        if assigned is None:
+            assigned = _assign_step(vecs, cent).select("vec_id", "list_id")
+        # residual index artifact: (vec_id, residual vector) — used by
+        # BOTH codebook training and encode, so materialize it once.
+        resid = (
+            assigned.join(vecs, "vec_id")
+            .join(F.broadcast(cent), "list_id")
+            .select(
+                "vec_id",
+                F.zip_with("v", "centv", lambda a, b: a - b).alias("v"),
+            )
+            .localCheckpoint()
+        )
+        rsubs = _pq_subs_frame_v(resid, dims, m)
+        if cb is None:
+            cb = _pq_codebook_subs(rsubs, pq_mod, iters, dims // m)
+        if enc is None:
+            enc = (
+                rsubs.join(F.broadcast(cb), "sub")
+                .groupBy("vec_id", "sub")
+                .agg(
+                    F.min(
+                        F.struct(
+                            _sqdist(F.col("subv"), F.col("centv")).alias("d"),
+                            F.col("code_id").alias("code_id"),
+                        )
+                    ).alias("b")
+                )
+                .select(
+                    F.col("vec_id").alias("cand_id"),
+                    "sub",
+                    F.col("b.code_id").alias("code_id"),
+                )
+                .join(
+                    assigned.select(
+                        F.col("vec_id").alias("cand_id"), "list_id"
+                    ),
+                    "cand_id",
+                )
+            )
+    return vecs, cent, assigned, cb, enc
+
+
 def ivfpq_search(
     embeddings: DataFrame,
     dims: int = 64,
@@ -1596,6 +1700,8 @@ def ivfpq_search(
     nprobe: int = IVFPQ_NPROBE,
     iters: int = PQ_TRAIN_ITERS,
     cb: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, cand_id, adc_dist, rank): ADC top-k over the IVF-PQ
     index — the composition the round-5 verdict called out as missing.
@@ -1622,51 +1728,8 @@ def ivfpq_search(
     memory traffic."""
     from pyspark.sql import Window
 
-    vecs = embeddings.select(
-        "vec_id", _quantize(F.col("embedding")).alias("v")
-    )
-    cent = embeddings.where(F.col("vec_id") % coarse_mod == 0).select(
-        F.col("vec_id").alias("list_id"),
-        _quantize(F.col("embedding")).alias("centv"),
-    )
-    assigned = _assign_step(vecs, cent).select("vec_id", "list_id")
-    # residual index artifact: (vec_id, list_id, residual vector) — used by
-    # BOTH codebook training and encode, so materialize it once.
-    resid = (
-        assigned.join(vecs, "vec_id")
-        .join(F.broadcast(cent), "list_id")
-        .select(
-            "vec_id",
-            "list_id",
-            F.zip_with("v", "centv", lambda a, b: a - b).alias("v"),
-        )
-        .localCheckpoint()
-    )
-    rsubs = _pq_subs_frame_v(resid.select("vec_id", "v"), dims, m)
-    if cb is None:
-        cb = _pq_codebook_subs(rsubs, pq_mod, iters, dims // m)
-    enc = (
-        rsubs.join(F.broadcast(cb), "sub")
-        .groupBy("vec_id", "sub")
-        .agg(
-            F.min(
-                F.struct(
-                    _sqdist(F.col("subv"), F.col("centv")).alias("d"),
-                    F.col("code_id").alias("code_id"),
-                )
-            ).alias("b")
-        )
-        .select(
-            F.col("vec_id").alias("cand_id"),
-            "sub",
-            F.col("b.code_id").alias("code_id"),
-        )
-        .join(
-            assigned.select(
-                F.col("vec_id").alias("cand_id"), "list_id"
-            ),
-            "cand_id",
-        )
+    vecs, cent, assigned, cb, enc = _ivfpq_index(
+        embeddings, dims, m, coarse_mod, pq_mod, iters, cb, assigned, enc
     )
     # queries: nprobe nearest coarse lists by the SAME metric as the
     # corpus assignment (cosine), then one residual per probed list
@@ -1856,6 +1919,8 @@ def ivfpq_rerank(
     shortlist: int = IVFPQ_RERANK_SHORTLIST,
     iters: int = PQ_TRAIN_ITERS,
     cb: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """Full IVF-PQ serving shape: the codes-only ADC pass shortlists
     ``shortlist`` candidates per query inside the probed lists, then
@@ -1876,6 +1941,8 @@ def ivfpq_rerank(
         nprobe=nprobe,
         iters=iters,
         cb=cb,
+        assigned=assigned,
+        enc=enc,
     ).select("query_id", "cand_id")
     qv = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
