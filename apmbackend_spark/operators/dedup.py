@@ -304,11 +304,18 @@ def span_scrub(documents: DataFrame, k: int = SPAN_EXACT_K) -> DataFrame:
 
     Scale shape: the window fingerprints and the (fp -> occurrence count,
     canonical site) rollup are the ``span_exact_dedup`` plan (in-row
-    hashing, text never shuffles, combinable aggregates). Cut starts ship
-    as (doc_id, s) pairs and collect into ONE per-doc array (bounded by
-    the doc's window count); the rebuild is an in-row nested-HOF filter —
-    a token survives iff no cut window covers its position. One extra
-    join against the doc token arrays; no pairwise stage anywhere."""
+    hashing, text never shuffles, combinable aggregates). Cut starts are
+    first merged into coverage ISLANDS (the span_exact_dedup prefix-sum
+    window over the duplicated starts only — consecutive starts <= k
+    apart have contiguous coverage, so the union of their windows is one
+    [min_s, max_s+k-1] interval); the per-doc rebuild then filters token
+    positions against the few islands, O(|tokens| x |islands|), instead
+    of the raw cut-start list, O(|tokens| x |cuts|) — a long fully
+    duplicated document has |cuts| ~ |tokens| but exactly ONE island, so
+    the in-row cost stays linear where the naive form went quadratic
+    (the round-6 verdict's per-row hotspot). One extra per-doc sort over
+    the cut starts, no extra shuffle (the island groupBys reuse the
+    window's doc_id partitioning); no pairwise stage anywhere."""
     kk = int(k)
     tok = tokens(F.col("text"))
     base = documents.select("doc_id", tok.alias("tok"))
@@ -334,7 +341,9 @@ def span_scrub(documents: DataFrame, k: int = SPAN_EXACT_K) -> DataFrame:
         .where(F.col("n_occ") >= 2)
         .select("fp", "canon")
     )
-    cuts = (
+    from pyspark.sql import Window
+
+    cut_pts = (
         grams.join(occ, "fp")
         .where(
             ~(
@@ -342,15 +351,40 @@ def span_scrub(documents: DataFrame, k: int = SPAN_EXACT_K) -> DataFrame:
                 & (F.col("s") == F.col("canon.s"))
             )
         )
+        .select("doc_id", "s")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    isl = cut_pts.select(
+        "doc_id",
+        "s",
+        F.sum(
+            F.when(
+                F.lag("s").over(w).isNull()
+                | (F.col("s") > F.lag("s").over(w) + kk),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    cuts = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").cast("int").alias("a"),
+            (F.max("s") + kk - 1).cast("int").alias("b"),
+        )
         .groupBy("doc_id")
-        .agg(F.collect_list("s").alias("cut_s"))
+        .agg(F.collect_list(F.struct("a", "b")).alias("cut_iv"))
     )
     joined = base.join(cuts, "doc_id", "left").select(
         "doc_id",
         "tok",
-        F.coalesce(F.col("cut_s"), F.array().cast("array<int>")).alias(
-            "cut_s"
-        ),
+        F.coalesce(
+            F.col("cut_iv"),
+            F.array().cast("array<struct<a:int,b:int>>"),
+        ).alias("cut_iv"),
     )
     pos = F.when(
         F.size("tok") > 0, F.sequence(F.lit(0), F.size("tok") - 1)
@@ -359,8 +393,8 @@ def span_scrub(documents: DataFrame, k: int = SPAN_EXACT_K) -> DataFrame:
         F.filter(
             pos,
             lambda i: ~F.exists(
-                F.col("cut_s"),
-                lambda s: (i - s >= 0) & (i - s <= kk - 1),
+                F.col("cut_iv"),
+                lambda iv: (i >= iv["a"]) & (i <= iv["b"]),
             ),
         ),
         lambda i: F.element_at(F.col("tok"), i + 1),
