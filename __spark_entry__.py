@@ -409,6 +409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ivf / pq_adc / pq_rerank vs exact bruteforce (integer counts,
         # one division — even the evaluation is hash-gradeable)
         "ann_recall_report": lambda s, d: sim.ann_recall_report(embs(s, d)),
+        # recall-vs-budget CURVE for the two rerank serving tiers
+        # (shortlist = k x {1,4,16}) — the index-selection input the
+        # one-point report can't give; all index artifacts built once
+        # and shared across the 6 legs
+        "ann_budget_curve": lambda s, d: sim.ann_budget_curve(embs(s, d)),
         # Broder similarity estimation from signatures alone (the score
         # the band index lacks, without ngram_jaccard's text re-join);
         # est = agree/32, dyadic-exact across engines
@@ -1006,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_search": sim.ivfpq_search_oracle_sql(),
         "ivfpq_rerank": sim.ivfpq_rerank_oracle_sql(),
         "ann_recall_report": sim.ann_recall_report_oracle_sql(),
+        "ann_budget_curve": sim.ann_budget_curve_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "span_exact_dedup": dd.span_exact_dedup_oracle_sql(),
         "span_scrub": dd.span_scrub_oracle_sql(),

@@ -1605,6 +1605,148 @@ UNION ALL
 """
 
 
+ANN_BUDGET_MULTS = (1, 4, 16)
+
+
+def ann_budget_curve(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    pq_mod: int = PQ_CODES_MOD,
+    mults: tuple[int, ...] = ANN_BUDGET_MULTS,
+) -> DataFrame:
+    """(method, budget_x, shortlist, hits, total, recall): recall@k of
+    the two rerank serving tiers as a function of the exact-scoring
+    BUDGET — shortlist = k x {1x, 4x, 16x}. ``ann_recall_report`` grades
+    one operating point per tier; index selection at corpus scale needs
+    the curve (how much exact-rerank budget buys how much recall, and
+    where the ivfpq tier's nprobe ceiling flattens it). Same determinism
+    contract as the report: integer hits, one exactly-rounded division.
+
+    Scale shape: every index artifact (coarse assignment, both trained
+    codebooks, both encoded corpora) is built ONCE and shared across all
+    2 x |mults| legs — each additional budget point costs only an ADC
+    re-rank pass over the shared codes plus |queries| x shortlist exact
+    scorings, never another training or corpus encode."""
+    bf = ann_bruteforce(embeddings, n_queries, k).select(
+        "query_id", "cand_id"
+    )
+    vecs = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    )
+    cent = embeddings.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("list_id"),
+        _quantize(F.col("embedding")).alias("centv"),
+    )
+    assigned = (
+        _assign_step(vecs, cent).select("vec_id", "list_id").localCheckpoint()
+    )
+    pq_cb = _pq_codebook(embeddings, 64, PQ_M, pq_mod)
+    pq_enc = pq_codes_frame(
+        embeddings, 64, PQ_M, pq_mod, cb=pq_cb
+    ).localCheckpoint()
+    _, _, _, ivfpq_cb, ivfpq_enc = _ivfpq_index(
+        embeddings, 64, IVFPQ_M, 50, pq_mod, PQ_TRAIN_ITERS,
+        assigned=assigned,
+    )
+    ivfpq_enc = ivfpq_enc.localCheckpoint()
+    out = None
+    for mult in mults:
+        shortlist = int(k) * int(mult)
+        legs = [
+            (
+                "pq_rerank",
+                pq_rerank(
+                    embeddings, mod=pq_mod, n_queries=n_queries, k=k,
+                    shortlist=shortlist, cb=pq_cb, enc=pq_enc,
+                ),
+            ),
+            (
+                "ivfpq_rerank",
+                ivfpq_rerank(
+                    embeddings, pq_mod=pq_mod, n_queries=n_queries, k=k,
+                    shortlist=shortlist, cb=ivfpq_cb, assigned=assigned,
+                    enc=ivfpq_enc,
+                ),
+            ),
+        ]
+        for name, df in legs:
+            got = df.select("query_id", "cand_id")
+            row = (
+                got.join(bf, ["query_id", "cand_id"], "left_semi")
+                .agg(F.count(F.lit(1)).alias("hits"))
+                .crossJoin(
+                    F.broadcast(bf.agg(F.count(F.lit(1)).alias("total")))
+                )
+                .select(
+                    F.lit(name).alias("method"),
+                    F.lit(int(mult)).cast("int").alias("budget_x"),
+                    F.lit(shortlist).cast("long").alias("shortlist"),
+                    F.col("hits").cast("long").alias("hits"),
+                    F.col("total").cast("long").alias("total"),
+                    (
+                        F.col("hits").cast("double")
+                        / F.col("total").cast("double")
+                    ).alias("recall"),
+                )
+            )
+            out = row if out is None else out.unionAll(row)
+    return out
+
+
+def ann_budget_curve_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    pq_mod: int = PQ_CODES_MOD,
+    mults: tuple[int, ...] = ANN_BUDGET_MULTS,
+) -> str:
+    bf = ann_bruteforce_oracle_sql(n_queries, k)
+
+    def leg(name: str, mult: int, sql: str) -> str:
+        shortlist = int(k) * int(mult)
+        return f"""
+SELECT '{name}' AS method,
+       CAST({int(mult)} AS INT) AS budget_x,
+       CAST({shortlist} AS BIGINT) AS shortlist,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bf) AS total,
+       CAST(COUNT(*) AS DOUBLE)
+           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM bf) AS recall
+FROM ({sql}) m
+WHERE EXISTS (SELECT 1 FROM bf
+              WHERE bf.query_id = m.query_id AND bf.cand_id = m.cand_id)
+"""
+
+    legs = []
+    for mult in mults:
+        shortlist = int(k) * int(mult)
+        legs.append(
+            leg(
+                "pq_rerank",
+                mult,
+                pq_rerank_oracle_sql(
+                    mod=pq_mod, n_queries=n_queries, k=k,
+                    shortlist=shortlist,
+                ),
+            )
+        )
+        legs.append(
+            leg(
+                "ivfpq_rerank",
+                mult,
+                ivfpq_rerank_oracle_sql(
+                    pq_mod=pq_mod, n_queries=n_queries, k=k,
+                    shortlist=shortlist,
+                ),
+            )
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH bf AS ({bf})
+{union}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ composition: coarse quantizer restricts the search to nprobe
 # lists, PQ codes are trained and evaluated on coarse RESIDUALS (v minus

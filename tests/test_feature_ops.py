@@ -1009,3 +1009,45 @@ def test_ivfpq_rerank_equals_ivf_at_full_budget(spark):
         ).collect()
     )
     assert full == exact
+
+
+def test_ann_budget_curve_monotone_and_consistent(spark):
+    # recall@k can only grow with exact-scoring budget (a larger ADC
+    # shortlist is a superset of candidates entering the exact rerank),
+    # and each curve point must equal the directly-run rerank's recall
+    from apmbackend_spark.operators.similarity import (
+        ann_bruteforce,
+        ann_budget_curve,
+        pq_rerank,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    rows = ann_budget_curve(embs).collect()
+    assert len(rows) == 6
+    by_method = {}
+    for r in rows:
+        assert r["shortlist"] == 5 * r["budget_x"]
+        assert r["total"] == 50  # 10 queries x k=5 ground-truth pairs
+        by_method.setdefault(r["method"], []).append(
+            (r["budget_x"], r["hits"])
+        )
+    for method, pts in by_method.items():
+        hits = [h for _, h in sorted(pts)]
+        assert hits == sorted(hits), f"{method} recall not monotone: {hits}"
+    # spot-check one point against the standalone operator
+    bf = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_bruteforce(embs, k=5).collect()
+    }
+    direct = sum(
+        (r["query_id"], r["cand_id"]) in bf
+        for r in pq_rerank(embs, k=5, shortlist=20).collect()
+    )
+    [pq4] = [
+        r["hits"]
+        for r in rows
+        if r["method"] == "pq_rerank" and r["budget_x"] == 4
+    ]
+    assert pq4 == direct
