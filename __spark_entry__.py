@@ -41,6 +41,7 @@ from apmbackend_spark.sources import jsonl
 from apmbackend_spark.sources import evolution as evo
 from apmbackend_spark.sources import logchunk as lc
 from apmbackend_spark.sources import queue as qu
+from apmbackend_spark.sources import broker as brk
 from apmbackend_spark.operators import skew as sk
 from apmbackend_spark.operators import langid as lid
 from apmbackend_spark.operators import scd
@@ -414,6 +415,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-point report can't give; all index artifacts built once
         # and shared across the 6 legs
         "ann_budget_curve": lambda s, d: sim.ann_budget_curve(embs(s, d)),
+        # REAL broker ack/redelivery semantics over an in-process TCP
+        # mini-broker: consumer session 1 crashes with a deterministic
+        # ack-loss set, session 2 receives exactly the broker's unacked
+        # set again, a third session must see an empty queue — the
+        # queue.js redelivery contract, value-hash graded
+        "broker_redelivery": lambda s, d: brk.broker_redelivery_gate(s, d),
         # Broder similarity estimation from signatures alone (the score
         # the band index lacks, without ngram_jaccard's text re-join);
         # est = agree/32, dyadic-exact across engines
@@ -1208,6 +1215,7 @@ FROM tx
         "log_chunked": lc.log_chunked_oracle_sql(),
         "retention_sweep": TX_CTE + pt.retention_sweep_oracle_sql(),
         "queue_roundtrip": TX_CTE + qu.queue_roundtrip_oracle_sql(),
+        "broker_redelivery": TX_CTE + brk.broker_redelivery_oracle_sql(),
         "video_features": mm.video_features_oracle_sql(),
         "video_frame_sample": mm.video_frame_sample_oracle_sql(),
         # Bounded-state drain over the 12 h dense grid: zscore_step
