@@ -363,6 +363,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_features": lambda s, d: mm.bmp_features(
             mm.synth_bmp_media(s, docs(s, d))
         ),
+        # THIRD real image container, first with OUR OWN compression:
+        # GIF89a with a full variable-width LZW codec (9->12-bit growth,
+        # KwKwK case, 4096-entry CLEAR reset, sub-block framing) —
+        # palette indirection + distinct-index count grade the decoded
+        # stream itself
+        "gif_features": lambda s, d: mm.gif_features(
+            mm.synth_gif_media(s, docs(s, d))
+        ),
         # Cavnar-Trenkle char-trigram language ID: single codegen scan,
         # profile maps evaluated in-expression (no explode/join/shuffle)
         "lang_id": lambda s, d: lid.lang_id(docs(s, d)),
@@ -1061,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": mm.audio_features_oracle_sql(),
         "image_features": mm.image_features_oracle_sql(),
         "bmp_features": mm.bmp_features_oracle_sql(),
+        "gif_features": mm.gif_features_oracle_sql(),
         "media_resize": mm.media_resize_oracle_sql(),
         "media_frame_sample": mm.media_frame_sample_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,

@@ -1224,3 +1224,342 @@ SELECT media_id,
 FROM px
 GROUP BY media_id, w, h
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL image modality #3: GIF89a, end-to-end with no codec library — the
+# first COMPRESSED container on the stdlib-real path whose compression is
+# ours (PNG leans on zlib; GIF's variable-width LZW is implemented here in
+# full: 9->12-bit code growth, the KwKwK self-reference case, dictionary
+# reset via CLEAR at 4096 entries, LSB-first bit packing, 255-byte
+# sub-block framing). A wrong bit anywhere in the LZW loop corrupts the
+# decoded index stream and with it the graded channel sums.
+# ---------------------------------------------------------------------------
+
+_GIF_MCS = 8  # 256-entry palette -> LZW minimum code size 8
+
+
+def _gif_dims(media_id: int) -> tuple[int, int]:
+    # every 50th image is large enough (40x30) that the LZW code width
+    # actually GROWS past 9 bits inside the graded path, not only in unit
+    # tests; the rest stay small for gate speed
+    if media_id % 50 == 0:
+        return 40, 30
+    return 6 + media_id % 11, 4 + media_id % 7
+
+
+def _gif_index(media_id: int, x: int, y: int) -> int:
+    """Deterministic palette-index pattern (palette-based, unlike the
+    PNG/BMP truecolor patterns), mirrored exactly by the SQL oracle."""
+    return (media_id * 3 + x * 5 + y * 11) % 256
+
+
+def _gif_palette_rgb(media_id: int, i: int) -> tuple[int, int, int]:
+    """Palette entry i of image media_id — also replayed in the oracle, so
+    a decode that confuses index and color is caught."""
+    return (
+        (i * 7 + media_id) % 256,
+        (i * 5 + media_id * 3) % 256,
+        (i * 11 + media_id * 7) % 256,
+    )
+
+
+def _lzw_encode_gif(indices: list[int], mcs: int = _GIF_MCS) -> bytes:
+    """GIF-variant LZW: emit CLEAR, then greedy longest-match codes at the
+    current width; width grows when next_code == (1 << width) + 1 (one
+    append AFTER the decoder's (1 << width) boundary — the decoder's table
+    lags the encoder's by exactly one entry, so this is the pair that
+    stays in sync); CLEAR + full reset when the dictionary hits 4096.
+    Returns the packed bytes (LSB-first bit order), without sub-block
+    framing."""
+    clear = 1 << mcs
+    eoi = clear + 1
+
+    bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    bits.append((clear, width))
+    prev = b""
+    for k in indices:
+        kb = bytes([k])
+        if prev + kb in table:
+            prev += kb
+            continue
+        bits.append((table[prev], width))
+        if next_code == 4096:
+            bits.append((clear, width))
+            table, next_code, width = fresh()
+        else:
+            table[prev + kb] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        prev = kb
+    if prev:
+        bits.append((table[prev], width))
+    bits.append((eoi, width))
+    # LSB-first packing
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    for code, w in bits:
+        acc |= code << nacc
+        nacc += w
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int = _GIF_MCS) -> list[int]:
+    """The canonical GIF LZW decoder (the giflib/browser behavior): read
+    variable-width codes LSB-first; KwKwK case (code == next slot) emits
+    prev + prev[0]; width grows when the table reaches (1 << width); table
+    stops growing at 4096 until a CLEAR resets it. Hard errors on
+    out-of-range codes."""
+    clear = 1 << mcs
+    eoi = clear + 1
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = mcs + 1
+    prev: bytes | None = None
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    pos = 0
+    while True:
+        while nacc < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = fresh()
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return list(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK self-reference case
+        else:
+            raise ValueError(f"bad LZW code {code} (table {len(table)})")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(
+    indices: list[int],
+    palette: list[tuple[int, int, int]],
+    w: int,
+    h: int,
+) -> bytes:
+    """Spec-compliant GIF89a: header, logical screen descriptor with a
+    256-entry global color table, image descriptor (no local table, no
+    interlace), LZW-compressed index stream in <=255-byte sub-blocks,
+    trailer."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    # packed: global table flag=1, color resolution=7, sort=0, size=7
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(_GIF_MCS)
+    lzw = _lzw_encode_gif(indices)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(
+    content: bytes,
+) -> tuple[int, int, list[int], list[tuple[int, int, int]]]:
+    """Real stdlib-only GIF reader: header/LSD parse, global color table,
+    extension-block skipping, image descriptor, sub-block reassembly, full
+    LZW decode. Returns (width, height, indices row-major top-down,
+    palette). Hard errors on malformed or unsupported (interlaced / local
+    color table) input."""
+    import struct
+
+    if content[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF: bad signature")
+    sw, sh, packed, _bg, _par = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        for i in range(n):
+            palette.append(
+                tuple(content[pos + 3 * i : pos + 3 * i + 3])
+            )
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF trailer before any image data")
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack(
+            "<HHHHB", content[pos : pos + 9]
+        )
+        pos += 9
+        if ipacked & 0x80:
+            raise ValueError("local color tables unsupported")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIFs unsupported")
+        if not palette:
+            raise ValueError("no color table")
+        if w <= 0 or h <= 0 or w > sw or h > sh:
+            raise ValueError("bad image dimensions")
+        mcs = content[pos]
+        pos += 1
+        lzw = bytearray()
+        while content[pos] != 0:
+            n = content[pos]
+            lzw += content[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        indices = _lzw_decode_gif(bytes(lzw), mcs)
+        if len(indices) < w * h:
+            raise ValueError(
+                f"short index stream: {len(indices)} < {w * h}"
+            )
+        return w, h, indices[: w * h], palette
+    raise ValueError("no image descriptor found")
+
+
+def _gif_bytes(media_id: int) -> bytes:
+    w, h = _gif_dims(media_id)
+    indices = [
+        _gif_index(media_id, x, y) for y in range(h) for x in range(w)
+    ]
+    palette = [_gif_palette_rgb(media_id, i) for i in range(256)]
+    return encode_gif(indices, palette, w, h)
+
+
+def synth_gif_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """One real GIF89a per document — encoded executor-side in mapInPandas
+    (bytes never visit the driver)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_gif_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        fn, schema="media_id long, content binary"
+    )
+
+
+def gif_features(media: DataFrame) -> DataFrame:
+    """REAL GIF decode + features via mapInPandas: LZW decompress, palette
+    lookup, exact integer channel sums, a distinct-index count (grades the
+    index STREAM, not just dimensions), and the Rec.601 mean luma — the
+    image_features contract over the third container."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, idx, pal = decode_gif(bytes(r.content))
+                sum_r = sum(pal[i][0] for i in idx)
+                sum_g = sum(pal[i][1] for i in idx)
+                sum_b = sum(pal[i][2] for i in idx)
+                n = w * h
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": n,
+                        "n_distinct_idx": len(set(idx)),
+                        "sum_r": sum_r,
+                        "sum_g": sum_g,
+                        "sum_b": sum_b,
+                        "mean_luma": (sum_r * 299 + sum_g * 587 + sum_b * 114)
+                        / (1000 * n),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        schema=(
+            "media_id long, width int, height int, n_pixels long, "
+            "n_distinct_idx long, sum_r long, sum_g long, sum_b long, "
+            "mean_luma double"
+        ),
+    )
+
+
+def gif_features_oracle_sql() -> str:
+    """Exact twin: regenerate the index pattern with two range joins, map
+    indices to palette colors by the same formulas, fold identical integer
+    sums (and the distinct-index count) with the same final division."""
+    return """
+WITH ids AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 50 = 0 THEN 40 ELSE 6 + doc_id % 11 END AS w,
+           CASE WHEN doc_id % 50 = 0 THEN 30 ELSE 4 + doc_id % 7 END AS h
+    FROM documents
+), px AS (
+    SELECT media_id, w, h,
+           (media_id * 3 + x.range * 5 + y.range * 11) % 256 AS idx
+    FROM ids
+    JOIN range(40) x ON x.range < w
+    JOIN range(30) y ON y.range < h
+), colored AS (
+    SELECT media_id, w, h, idx,
+           (idx * 7 + media_id) % 256 AS r,
+           (idx * 5 + media_id * 3) % 256 AS g,
+           (idx * 11 + media_id * 7) % 256 AS b
+    FROM px
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(COUNT(DISTINCT idx) AS BIGINT) AS n_distinct_idx,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) * 299 + SUM(g) * 587 + SUM(b) * 114 AS DOUBLE)
+         / CAST(1000 * w * h AS DOUBLE) AS mean_luma
+FROM colored
+GROUP BY media_id, w, h
+"""

@@ -277,3 +277,185 @@ def test_bmp_features_matches_reference_sums(spark):
         want = (w, h, sum(p[0] for p in px), sum(p[1] for p in px),
                 sum(p[2] for p in px))
         assert got[mid] == want
+
+
+# ---------------------------------------------------------------------------
+# GIF89a: full LZW codec + container
+# ---------------------------------------------------------------------------
+
+
+def _lzw_codes(data, mcs=8):
+    """Tiny LSB-first code reader replaying the decoder's width schedule —
+    used to assert structural facts (width growth, CLEAR resets) about the
+    encoder's output, independent of the decoder under test."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    n_table = eoi + 1
+    acc = nacc = pos = 0
+    first_after_clear = True
+    codes = []
+    while True:
+        while nacc < width:
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        codes.append((code, width))
+        if code == eoi:
+            return codes
+        if code == clear:
+            width, n_table, first_after_clear = mcs + 1, eoi + 1, True
+            continue
+        if first_after_clear:
+            first_after_clear = False
+            continue
+        if n_table < 4096:
+            n_table += 1
+            if n_table == (1 << width) and width < 12:
+                width += 1
+
+
+def test_gif_lzw_roundtrip_adversarial_streams():
+    from apmbackend_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    streams = [
+        [0],
+        [7] * 1,
+        [5] * 300,                      # long single-symbol run (KwKwK chains)
+        [1, 1, 1, 1, 2, 2, 2, 2, 1, 1, 1, 1],
+        list(range(256)) * 4,           # steady dictionary growth
+        [(i * 37 + (i * i) % 251) % 256 for i in range(6000)],
+        [(i * 97) % 256 for i in range(5000)],
+        [0, 1] * 2500,                  # highly compressible long stream
+    ]
+    for s in streams:
+        assert _lzw_decode_gif(_lzw_encode_gif(s)) == s, s[:8]
+
+
+def test_gif_lzw_width_growth_and_clear_reset_happen():
+    from apmbackend_spark.operators.multimodal import _lzw_encode_gif
+
+    # incompressible stream long enough to fill the 4096-entry dictionary:
+    # the encoder MUST emit a mid-stream CLEAR and re-grow from 9 bits
+    s = [(i * 37 + (i * i) % 251) % 256 for i in range(6000)]
+    codes = _lzw_codes(_lzw_encode_gif(s))
+    clears = [i for i, (c, _) in enumerate(codes) if c == 256]
+    assert len(clears) >= 2, "no mid-stream CLEAR despite dictionary fill"
+    assert clears[0] == 0
+    widths = {w for _, w in codes}
+    assert widths == {9, 10, 11, 12}, widths
+    # short stream: one leading CLEAR, 9-bit codes only
+    codes = _lzw_codes(_lzw_encode_gif([3, 1, 4, 1, 5]))
+    assert [c for c, _ in codes][0] == 256
+    assert {w for _, w in codes} == {9}
+
+
+def test_gif_container_roundtrip_and_structure():
+    from apmbackend_spark.operators.multimodal import (
+        _gif_bytes,
+        _gif_dims,
+        _gif_index,
+        _gif_palette_rgb,
+        decode_gif,
+    )
+
+    for mid in (0, 1, 7, 49, 50, 123, 999):
+        raw = _gif_bytes(mid)
+        assert raw[:6] == b"GIF89a" and raw[-1:] == b"\x3b"
+        w, h, idx, pal = decode_gif(raw)
+        assert (w, h) == _gif_dims(mid)
+        assert idx == [
+            _gif_index(mid, x, y) for y in range(h) for x in range(w)
+        ]
+        assert pal == [_gif_palette_rgb(mid, i) for i in range(256)]
+
+
+def test_gif_decoder_skips_extensions_and_rejects_malformed():
+    import pytest
+
+    from apmbackend_spark.operators.multimodal import (
+        _gif_bytes,
+        decode_gif,
+    )
+
+    raw = bytearray(_gif_bytes(3))
+    # splice a Graphic Control Extension before the image descriptor —
+    # a spec-real file layout the decoder must skip over
+    img_at = raw.index(0x2C, 13 + 768)
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    spliced = bytes(raw[:img_at]) + gce + bytes(raw[img_at:])
+    assert decode_gif(spliced)[:2] == decode_gif(bytes(raw))[:2]
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF" + bytes(100))
+    # interlace flag set -> unsupported, not silently wrong
+    bad = bytearray(_gif_bytes(3))
+    at = bad.index(0x2C, 13 + 768)
+    bad[at + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(bad))
+    # truncated LZW payload -> hard error
+    with pytest.raises(ValueError):
+        decode_gif(bytes(raw[: len(raw) // 2]))
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("PIL") is None,
+    reason="PIL not installed — cross-codec validation runs in rich envs",
+)
+def test_gif_encoder_readable_by_pil():
+    import io
+
+    from PIL import Image
+
+    from apmbackend_spark.operators.multimodal import (
+        _gif_bytes,
+        _gif_index,
+        _gif_palette_rgb,
+        decode_gif,
+    )
+
+    for mid in (2, 50, 77):
+        raw = _gif_bytes(mid)
+        img = Image.open(io.BytesIO(raw))
+        w, h, idx, pal = decode_gif(raw)
+        assert (img.width, img.height) == (w, h)
+        rgb = list(img.convert("RGB").getdata())
+        assert rgb == [pal[i] for i in idx]
+
+
+def test_gif_features_matches_reference_sums(spark):
+    from apmbackend_spark.operators.multimodal import (
+        _gif_dims,
+        _gif_index,
+        _gif_palette_rgb,
+        gif_features,
+        synth_gif_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 5, 50, 51)], "doc_id long"
+    )
+    got = {
+        r["media_id"]: (
+            r["width"], r["height"], r["n_distinct_idx"],
+            r["sum_r"], r["sum_g"], r["sum_b"],
+        )
+        for r in gif_features(synth_gif_media(spark, docs)).collect()
+    }
+    for mid in (0, 1, 5, 50, 51):
+        w, h = _gif_dims(mid)
+        idx = [_gif_index(mid, x, y) for y in range(h) for x in range(w)]
+        pal = [_gif_palette_rgb(mid, i) for i in range(256)]
+        want = (
+            w, h, len(set(idx)),
+            sum(pal[i][0] for i in idx),
+            sum(pal[i][1] for i in idx),
+            sum(pal[i][2] for i in idx),
+        )
+        assert got[mid] == want
