@@ -545,6 +545,81 @@ def main() -> None:
         big = suite(scaled_dir, k)
         _report(base, big, k)
 
+    if mode == "r7":
+        # round-7 measured rows: the 8 gates the r6 verdict flagged as
+        # missing from the measured table (span_scrub,
+        # corpus_prepare_exact, ivfpq_rerank, TPC-H Q10/Q12/Q16/Q22, the
+        # artifact-shared ann_recall_report re-run) plus the round-7
+        # additions (ann_budget_curve, broker_redelivery, gif_features).
+        print(
+            f"tiling events+documents+embeddings+orders+lineitem {k}x "
+            f"into {scaled_dir} ...",
+            flush=True,
+        )
+        tile_events(spark, sf_dir, scaled_dir, k)
+        tile_documents(spark, sf_dir, scaled_dir, k)
+        tile_embeddings(spark, sf_dir, scaled_dir, k)
+        tile_orders(spark, sf_dir, scaled_dir, k)
+        tile_lineitem(spark, sf_dir, scaled_dir, k)
+        link_static_tables(sf_dir, scaled_dir)
+
+        def suite(d: str, kk: int) -> dict[str, float]:
+            from apmbackend_spark.operators import dedup as dd
+            from apmbackend_spark.operators import multimodal as mm
+            from apmbackend_spark.operators import prepare as prep
+            from apmbackend_spark.operators import relational as rel
+            from apmbackend_spark.operators import similarity as sim
+            from apmbackend_spark.sources import broker as brk
+            from apmbackend_spark.sources.loaders import spread
+
+            t = _Timer(spark)
+            t.timed("q10_returned_items", lambda: rel.q10_returned_items(spark, d))
+            t.timed("q12_delay_bands", lambda: rel.q12_delay_bands(spark, d))
+            t.timed("q16_supplier_variety", lambda: rel.q16_supplier_variety(spark, d))
+            t.timed("q22_idle_customers", lambda: rel.q22_idle_customers(spark, d))
+            docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
+            t.timed("span_scrub", lambda: dd.span_scrub(docs))
+            t.timed("corpus_prepare_exact", lambda: prep.corpus_prepare_exact(docs))
+            t.timed(
+                "gif_features",
+                lambda: mm.gif_features(mm.synth_gif_media(spark, docs)),
+            )
+            embs = spread(spark.read.parquet(f"{d}/embeddings.parquet"))
+            # codebook size held CONSTANT across K (see the r6 note)
+            mod = sim.PQ_CODES_MOD * kk
+            t.timed("ivfpq_rerank", lambda: sim.ivfpq_rerank(embs, pq_mod=mod))
+            t.timed(
+                "ann_recall_report",
+                lambda: sim.ann_recall_report(embs, pq_mod=mod),
+            )
+            t.timed(
+                "ann_budget_curve",
+                lambda: sim.ann_budget_curve(embs, pq_mod=mod),
+            )
+            t.timed(
+                "broker_redelivery",
+                lambda: brk.broker_redelivery_gate(spark, d),
+            )
+            return t.out
+
+        from apmbackend_spark.operators import relational as _rel
+        from apmbackend_spark.operators import similarity as _sim
+        from apmbackend_spark.sources.loaders import spread as _spread
+
+        _t = _Timer(spark)
+        _t.timed("warm_q10", lambda: _rel.q10_returned_items(spark, sf_dir))
+        _t.timed(
+            "warm_pq",
+            lambda: _sim.pq_encode(
+                _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+            ),
+        )
+        print("timing 1x ...", flush=True)
+        base = suite(sf_dir, 1)
+        print(f"timing {k}x ...", flush=True)
+        big = suite(scaled_dir, k)
+        _report(base, big, k)
+
     if mode == "quality":
         # round-5 quality ops only (events + docs tiles, skipping the
         # z-score chain whose 10x factors are already published)
