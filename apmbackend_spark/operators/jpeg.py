@@ -1,0 +1,650 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF), end-to-end with no codec library —
+the fourth real image container on the stdlib path and the first with an
+entropy-coded bitstream (Huffman + run-length over DCT coefficients).
+
+Grading design: JPEG is LOSSY, so the PNG/BMP/GIF trick (oracle
+regenerates the pixel pattern) cannot hash pixels. But everything UP TO
+the inverse DCT is exact integer arithmetic: marker parse, DQT/DHT table
+builds, the Huffman bitstream decode (with 0xFF00 byte unstuffing), DC
+prediction, AC run-length/ZRL/EOB expansion, and dequantization. The
+graded gate therefore synthesizes images from a deterministic QUANTIZED
+COEFFICIENT pattern, and the feature extraction grades exact per-channel
+coefficient sums — a single wrong bit anywhere in the entropy decode
+corrupts them. The pixel path (de-zigzag, float IDCT, 4:2:0 upsample,
+YCbCr->RGB) is implemented and unit-tested (DC-only blocks decode to flat
+values exactly; PIL cross-validation is env-gated), just not value-hashed.
+
+The decoder is table-driven and spec-general (any valid DQT/DHT, 8-bit
+baseline, 4:4:4 or 4:2:0 sampling); the encoder uses fixed-length-code
+Huffman tables (legal per the spec — canonical tables built from the DHT
+bits/huffval lists like any other) so the tables themselves stay short.
+
+Scale shape: like the other media paths, encode/decode run executor-side
+in mapInPandas over Arrow batches; bytes never visit the driver."""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# ---------------------------------------------------------------------------
+# Tables (ours, fixed): quantization + fixed-length Huffman specs.
+# ---------------------------------------------------------------------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _qt_y(k: int) -> int:
+    """Luma quant table, zigzag order — deterministic, mirrored in SQL."""
+    return 1 + (k * 7) % 16
+
+
+def _qt_c(k: int) -> int:
+    """Chroma quant table, zigzag order."""
+    return 1 + (k * 5) % 12
+
+
+# DC: categories 0..11, all 4-bit codes (12 <= 16 codes of length 4).
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+# AC: EOB, (run 0..15, size 1..4), ZRL — 66 symbols, all 7-bit codes.
+_AC_VALS = [0x00] + [
+    (r << 4) | s for r in range(16) for s in range(1, 5)
+] + [0xF0]
+_AC_BITS = [0, 0, 0, 0, 0, 0, len(_AC_VALS)] + [0] * 9
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical construction
+    (Annex C): codes of each length assigned in huffval order, code
+    doubling between lengths."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture pattern (quantized coefficients) — mirrored by SQL.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_dims(media_id: int) -> tuple[int, int]:
+    # multiples of 16 so 4:2:0 MCUs tile exactly; small for gate speed
+    return 16 * (1 + media_id % 3), 16 * (1 + media_id % 2)
+
+
+def _jpeg_qcoef(media_id: int, comp: int, b: int, k: int) -> int:
+    """Quantized coefficient at zigzag index k of block b of component
+    comp (0=Y, 1=Cb, 2=Cr). Sparse ACs exercise run-length, ZRL (gaps can
+    exceed 16) and EOB paths; signs alternate."""
+    if k == 0:
+        return ((media_id + comp * 11 + b * 5) % 15) - 7
+    if (b * 7 + k * 3 + comp + media_id) % 11 != 0:
+        return 0
+    mag = 1 + (media_id + b * 3 + k * 5 + comp * 7) % 8
+    return -mag if (b + k + media_id) % 2 else mag
+
+
+def _n_blocks(w: int, h: int) -> tuple[int, int]:
+    """(luma blocks, chroma blocks per channel) under 4:2:0."""
+    n_mcu = (w // 16) * (h // 16)
+    return 4 * n_mcu, n_mcu
+
+
+# ---------------------------------------------------------------------------
+# Encoder.
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _value_bits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _encode_block(
+    bw: _BitWriter,
+    coefs: list[int],
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one block of 64 zigzag-order quantized coefficients;
+    returns the new DC predictor."""
+    diff = coefs[0] - pred
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(_value_bits(diff, s), s)
+    run = 0
+    for k in range(1, 64):
+        v = coefs[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(_value_bits(v, s), s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.put(code, ln)
+    return coefs[0]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(media_id: int) -> bytes:
+    """Spec-compliant baseline JFIF for the deterministic coefficient
+    pattern: SOI, APP0, two DQTs, SOF0 (3 components, 4:2:0), two DHTs
+    (DC + AC, shared by all components), SOS, entropy stream, EOI."""
+    w, h = _jpeg_dims(media_id)
+    n_mcu_x, n_mcu_y = w // 16, h // 16
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(_qt_y(k) for k in range(64)))
+    out += _seg(0xDB, bytes([0x01]) + bytes(_qt_c(k) for k in range(64)))
+    # SOF0: precision 8, h, w, 3 components; Y samples 2x2, C 1x1
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += _seg(0xC0, sof)
+    out += _seg(
+        0xC4,
+        bytes([0x00] + _DC_BITS) + bytes(_DC_VALS),
+    )
+    out += _seg(
+        0xC4,
+        bytes([0x10] + _AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    by = 0  # running luma block index
+    bc = 0  # running chroma block index (shared counter for Cb and Cr)
+    for _my in range(n_mcu_y):
+        for _mx in range(n_mcu_x):
+            for _ in range(4):  # Y blocks, 2x2 within the MCU
+                coefs = [_jpeg_qcoef(media_id, 0, by, k) for k in range(64)]
+                preds[0] = _encode_block(bw, coefs, preds[0], dc_codes, ac_codes)
+                by += 1
+            for comp in (1, 2):
+                coefs = [_jpeg_qcoef(media_id, comp, bc, k) for k in range(64)]
+                preds[comp] = _encode_block(
+                    bw, coefs, preds[comp], dc_codes, ac_codes
+                )
+            bc += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder.
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; hard errors on
+    unexpected markers or exhaustion."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(f"marker 0xFF{nxt:02x} inside scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+
+def _build_decode_table(
+    bits: list[int], vals: list[int]
+) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, from the canonical construction."""
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _canonical_codes(bits, vals).items()
+    }
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, s: int) -> int:
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def _decode_block(
+    br: _BitReader,
+    pred: int,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+) -> tuple[list[int], int]:
+    coefs = [0] * 64
+    s = _read_symbol(br, dc_tab)
+    diff = 0
+    if s:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | br.bit()
+        diff = _extend(v, s)
+    coefs[0] = pred + diff
+    k = 1
+    while k < 64:
+        sym = _read_symbol(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, s = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63 or s == 0:
+            raise ValueError("AC run past block end")
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | br.bit()
+        coefs[k] = _extend(v, s)
+        k += 1
+    return coefs, coefs[0]
+
+
+def decode_jpeg_coefficients(content: bytes):
+    """Real baseline JPEG entropy decode: marker walk (APPn/COM skipped),
+    DQT/DHT/SOF0/SOS parse, Huffman decode of the interleaved MCU stream
+    with DC prediction. Returns (w, h, comps) where comps[i] is a dict
+    with 'blocks' (list of 64-length QUANTIZED zigzag coefficient lists),
+    'quant' (the component's table, zigzag order), and 'sampling'
+    (h_factor, v_factor). Hard errors on progressive / 12-bit /
+    arithmetic-coded / restart-interval input."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS")
+        if pos + 2 > len(content):
+            raise ValueError("truncated segment header")
+        (ln,) = struct.unpack(">H", content[pos : pos + 2])
+        if pos + ln > len(content):
+            raise ValueError("truncated segment body")
+        seg = content[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                qtabs[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                if p + 17 > len(seg):
+                    raise ValueError("truncated DHT")
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                if p + 17 + n > len(seg):
+                    raise ValueError("truncated DHT values")
+                vals = list(seg[p + 17 : p + 17 + n])
+                htabs[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit baseline supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "sampling": (samp >> 4, samp & 0x0F), "tq": tq}
+                )
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            w, h, comps = frame
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cs] = (tabs >> 4, tabs & 0x0F)
+            hmax = max(c["sampling"][0] for c in comps)
+            vmax = max(c["sampling"][1] for c in comps)
+            n_mcu_x = -(-w // (8 * hmax))
+            n_mcu_y = -(-h // (8 * vmax))
+            br = _BitReader(content, pos + ln)
+            preds = {c["id"]: 0 for c in comps}
+            blocks: dict[int, list[list[int]]] = {c["id"]: [] for c in comps}
+            for _ in range(n_mcu_x * n_mcu_y):
+                for c in comps:
+                    dct_t, act_t = sel[c["id"]]
+                    dc_tab = htabs[(0, dct_t)]
+                    ac_tab = htabs[(1, act_t)]
+                    hf, vf = c["sampling"]
+                    for _b in range(hf * vf):
+                        coefs, preds[c["id"]] = _decode_block(
+                            br, preds[c["id"]], dc_tab, ac_tab
+                        )
+                        blocks[c["id"]].append(coefs)
+            return (
+                w,
+                h,
+                [
+                    {
+                        "blocks": blocks[c["id"]],
+                        "quant": qtabs[c["tq"]],
+                        "sampling": c["sampling"],
+                    }
+                    for c in comps
+                ],
+            )
+        pos += ln
+    raise ValueError("no SOS found")
+
+
+# ---------------------------------------------------------------------------
+# Pixel path (unit-tested; not value-hashed — IDCT is float).
+# ---------------------------------------------------------------------------
+
+
+def _idct8x8(block: list[int]) -> list[int]:
+    """Reference float 2-D IDCT (T.81 A.3.3) over a NATURAL-order
+    dequantized block; output level-shifted +128 and clamped to [0,255]."""
+    out = []
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv * block[v * 8 + u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            val = round(acc / 4) + 128
+            out.append(max(0, min(255, val)))
+    return out
+
+
+def decode_jpeg_pixels(content: bytes):
+    """Full decode to RGB: entropy decode -> dequantize -> de-zigzag ->
+    IDCT -> 4:2:0 nearest upsample -> YCbCr->RGB (JFIF full-range).
+    Returns (w, h, pixels row-major). Float IDCT, so unit-tested rather
+    than value-hashed."""
+    w, h, comps = decode_jpeg_coefficients(content)
+    hmax = max(c["sampling"][0] for c in comps)
+    vmax = max(c["sampling"][1] for c in comps)
+    n_mcu_x = -(-w // (8 * hmax))
+    planes = []
+    for c in comps:
+        hf, vf = c["sampling"]
+        pw, ph = n_mcu_x * 8 * hf, (-(-h // (8 * vmax))) * 8 * vf
+        plane = [0] * (pw * ph)
+        per_mcu = hf * vf
+        for bi, zz in enumerate(c["blocks"]):
+            deq = [zz[k] * c["quant"][k] for k in range(64)]
+            nat = [0] * 64
+            for k in range(64):
+                nat[ZIGZAG[k]] = deq[k]
+            px = _idct8x8(nat)
+            mcu, sub = divmod(bi, per_mcu)
+            mx, my = mcu % n_mcu_x, mcu // n_mcu_x
+            bx = mx * hf + sub % hf
+            by = my * vf + sub // hf
+            for y in range(8):
+                row = (by * 8 + y) * pw + bx * 8
+                plane[row : row + 8] = px[y * 8 : y * 8 + 8]
+        planes.append((plane, pw, ph, hf, vf))
+    out = []
+    for y in range(h):
+        for x in range(w):
+            vals = []
+            for plane, pw, _ph, hf, vf in planes:
+                sx = x * hf // hmax
+                sy = y * vf // vmax
+                vals.append(plane[sy * pw + sx])
+            if len(vals) == 1:
+                yy = vals[0]
+                out.append((yy, yy, yy))
+            else:
+                yy, cb, cr = vals
+                r = round(yy + 1.402 * (cr - 128))
+                g = round(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+                b = round(yy + 1.772 * (cb - 128))
+                out.append(
+                    tuple(max(0, min(255, v)) for v in (r, g, b))
+                )
+    return w, h, out
+
+
+# ---------------------------------------------------------------------------
+# Spark surface + graded gate.
+# ---------------------------------------------------------------------------
+
+
+def synth_jpeg_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """One real baseline JFIF per document — encoded executor-side in
+    mapInPandas (bytes never visit the driver)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [encode_jpeg(int(i)) for i in ids],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        fn, schema="media_id long, content binary"
+    )
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG entropy decode + exact coefficient features via
+    mapInPandas: per image, the DEQUANTIZED DC sums per channel, the
+    dequantized |AC| sums per channel, and the nonzero-AC count — every
+    one an integer produced by the Huffman/RLE/DC-prediction/dequantize
+    pipeline, so the hash grades the whole entropy layer bit-for-bit."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, comps = decode_jpeg_coefficients(bytes(r.content))
+                dc = [0, 0, 0]
+                ac = [0, 0, 0]
+                nz = 0
+                for ci, c in enumerate(comps):
+                    q = c["quant"]
+                    for zz in c["blocks"]:
+                        dc[ci] += zz[0] * q[0]
+                        for k in range(1, 64):
+                            if zz[k]:
+                                ac[ci] += abs(zz[k]) * q[k]
+                                nz += 1
+                n_y, n_c = len(comps[0]["blocks"]), len(comps[1]["blocks"])
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": w,
+                        "height": h,
+                        "n_blocks_y": n_y,
+                        "n_blocks_c": n_c,
+                        "sum_dc_y": dc[0],
+                        "sum_dc_cb": dc[1],
+                        "sum_dc_cr": dc[2],
+                        "sum_abs_ac_y": ac[0],
+                        "sum_abs_ac_cb": ac[1],
+                        "sum_abs_ac_cr": ac[2],
+                        "n_nonzero_ac": nz,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        schema=(
+            "media_id long, width int, height int, n_blocks_y long, "
+            "n_blocks_c long, sum_dc_y long, sum_dc_cb long, "
+            "sum_dc_cr long, sum_abs_ac_y long, sum_abs_ac_cb long, "
+            "sum_abs_ac_cr long, n_nonzero_ac long"
+        ),
+    )
+
+
+def jpeg_features_oracle_sql() -> str:
+    """Exact twin: regenerate the quantized-coefficient pattern per
+    (component, block, zigzag index) with range joins, dequantize with the
+    same table formulas, fold identical integer sums."""
+    return """
+WITH ids AS (
+    SELECT doc_id AS media_id,
+           16 * (1 + doc_id % 3) AS w,
+           16 * (1 + doc_id % 2) AS h
+    FROM documents
+), dims AS (
+    SELECT media_id, w, h,
+           4 * (w // 16) * (h // 16) AS nby,
+           (w // 16) * (h // 16) AS nbc
+    FROM ids
+), cells AS (
+    SELECT media_id, w, h, nby, nbc,
+           c.range AS comp, b.range AS b, k.range AS k,
+           CASE WHEN c.range = 0 THEN 1 + (k.range * 7) % 16
+                ELSE 1 + (k.range * 5) % 12 END AS q,
+           CASE
+             WHEN k.range = 0
+               THEN ((media_id + c.range * 11 + b.range * 5) % 15) - 7
+             WHEN (b.range * 7 + k.range * 3 + c.range + media_id) % 11 <> 0
+               THEN 0
+             ELSE (CASE WHEN (b.range + k.range + media_id) % 2 = 1
+                        THEN -1 ELSE 1 END)
+                  * (1 + (media_id + b.range * 3 + k.range * 5
+                          + c.range * 7) % 8)
+           END AS v
+    FROM dims
+    JOIN range(3) c ON TRUE
+    JOIN range(24) b ON b.range < CASE WHEN c.range = 0 THEN nby ELSE nbc END
+    JOIN range(64) k ON TRUE
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(nby AS BIGINT) AS n_blocks_y,
+       CAST(nbc AS BIGINT) AS n_blocks_c,
+       CAST(SUM(CASE WHEN comp = 0 AND k = 0 THEN v * q ELSE 0 END) AS BIGINT)
+           AS sum_dc_y,
+       CAST(SUM(CASE WHEN comp = 1 AND k = 0 THEN v * q ELSE 0 END) AS BIGINT)
+           AS sum_dc_cb,
+       CAST(SUM(CASE WHEN comp = 2 AND k = 0 THEN v * q ELSE 0 END) AS BIGINT)
+           AS sum_dc_cr,
+       CAST(SUM(CASE WHEN comp = 0 AND k > 0 THEN abs(v) * q ELSE 0 END)
+            AS BIGINT) AS sum_abs_ac_y,
+       CAST(SUM(CASE WHEN comp = 1 AND k > 0 THEN abs(v) * q ELSE 0 END)
+            AS BIGINT) AS sum_abs_ac_cb,
+       CAST(SUM(CASE WHEN comp = 2 AND k > 0 THEN abs(v) * q ELSE 0 END)
+            AS BIGINT) AS sum_abs_ac_cr,
+       CAST(SUM(CASE WHEN k > 0 AND v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nonzero_ac
+FROM cells
+GROUP BY media_id, w, h, nby, nbc
+"""

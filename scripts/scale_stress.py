@@ -584,6 +584,12 @@ def main() -> None:
                 "gif_features",
                 lambda: mm.gif_features(mm.synth_gif_media(spark, docs)),
             )
+            from apmbackend_spark.operators import jpeg as jp
+
+            t.timed(
+                "jpeg_features",
+                lambda: jp.jpeg_features(jp.synth_jpeg_media(spark, docs)),
+            )
             embs = spread(spark.read.parquet(f"{d}/embeddings.parquet"))
             # codebook size held CONSTANT across K (see the r6 note)
             mod = sim.PQ_CODES_MOD * kk
