@@ -1386,12 +1386,22 @@ def pq_rerank(
     cosine metric and repairs quantization inversions inside the
     shortlist.) Output matches ann_bruteforce's shape for side-by-side
     recall checks."""
-    from pyspark.sql import Window
-
     short = pq_search(
         embeddings, dims, m, mod, n_queries, k=int(shortlist), iters=iters,
         cb=cb, enc=enc,
     ).select("query_id", "cand_id")
+    return _exact_rerank(embeddings, short, n_queries, k)
+
+
+def _exact_rerank(
+    embeddings: DataFrame, short: DataFrame, n_queries: int, k: int
+) -> DataFrame:
+    """The shared second stage of pq_rerank / ivfpq_rerank /
+    ann_budget_curve: EXACT cosine over a (query_id, cand_id) shortlist —
+    |queries| x shortlist full-vector scorings, broadcast query side,
+    top-k window with the bruteforce tie rule."""
+    from pyspark.sql import Window
+
     qv = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         _quantize(F.col("embedding")).alias("qv"),
@@ -1625,9 +1635,11 @@ def ann_budget_curve(
 
     Scale shape: every index artifact (coarse assignment, both trained
     codebooks, both encoded corpora) is built ONCE and shared across all
-    2 x |mults| legs — each additional budget point costs only an ADC
-    re-rank pass over the shared codes plus |queries| x shortlist exact
-    scorings, never another training or corpus encode."""
+    2 x |mults| legs — and each family's ADC pass runs ONCE at the
+    LARGEST shortlist (the smaller budgets are rank-prefix cuts of the
+    same ranking, identical by construction to running the search at
+    that k), so each additional budget point costs only
+    |queries| x shortlist exact scorings."""
     bf = ann_bruteforce(embeddings, n_queries, k).select(
         "query_id", "cand_id"
     )
@@ -1650,28 +1662,29 @@ def ann_budget_curve(
         assigned=assigned,
     )
     ivfpq_enc = ivfpq_enc.localCheckpoint()
+    max_short = int(k) * int(max(mults))
+    pq_top = pq_search(
+        embeddings, mod=pq_mod, n_queries=n_queries, k=max_short,
+        cb=pq_cb, enc=pq_enc,
+    ).localCheckpoint()
+    ivfpq_top = ivfpq_search(
+        embeddings, pq_mod=pq_mod, n_queries=n_queries, k=max_short,
+        cb=ivfpq_cb, assigned=assigned, enc=ivfpq_enc,
+    ).localCheckpoint()
     out = None
     for mult in mults:
         shortlist = int(k) * int(mult)
         legs = [
-            (
-                "pq_rerank",
-                pq_rerank(
-                    embeddings, mod=pq_mod, n_queries=n_queries, k=k,
-                    shortlist=shortlist, cb=pq_cb, enc=pq_enc,
-                ),
-            ),
-            (
-                "ivfpq_rerank",
-                ivfpq_rerank(
-                    embeddings, pq_mod=pq_mod, n_queries=n_queries, k=k,
-                    shortlist=shortlist, cb=ivfpq_cb, assigned=assigned,
-                    enc=ivfpq_enc,
-                ),
-            ),
+            ("pq_rerank", pq_top),
+            ("ivfpq_rerank", ivfpq_top),
         ]
-        for name, df in legs:
-            got = df.select("query_id", "cand_id")
+        for name, top in legs:
+            short = top.where(F.col("rank") <= shortlist).select(
+                "query_id", "cand_id"
+            )
+            got = _exact_rerank(embeddings, short, n_queries, k).select(
+                "query_id", "cand_id"
+            )
             row = (
                 got.join(bf, ["query_id", "cand_id"], "left_semi")
                 .agg(F.count(F.lit(1)).alias("hits"))
@@ -2070,8 +2083,6 @@ def ivfpq_rerank(
     rerank closes to the IVF probe ceiling (0.74 vs ivf 0.76 at a
     40-candidate exact-scoring budget vs ivf's ~250) — compression with
     almost no recall loss, which is the IVF-PQ contract."""
-    from pyspark.sql import Window
-
     short = ivfpq_search(
         embeddings,
         dims,
@@ -2086,31 +2097,7 @@ def ivfpq_rerank(
         assigned=assigned,
         enc=enc,
     ).select("query_id", "cand_id")
-    qv = embeddings.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        _quantize(F.col("embedding")).alias("qv"),
-    )
-    cv = embeddings.select(
-        F.col("vec_id").alias("cand_id"),
-        _quantize(F.col("embedding")).alias("cv"),
-    )
-    scored = (
-        short.join(F.broadcast(qv), "query_id")
-        .join(cv, "cand_id")
-        .select(
-            "query_id",
-            "cand_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("cand_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= int(k))
-        .select("query_id", "cand_id", "sim", "rank")
-    )
+    return _exact_rerank(embeddings, short, n_queries, k)
 
 
 def ivfpq_rerank_oracle_sql(
