@@ -1760,6 +1760,137 @@ WITH bf AS ({bf})
 """
 
 
+IVF_PROBE_CURVE = (1, 5, 25)
+
+
+def ivf_probe_curve(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists_mod: int = 50,
+    nprobes: tuple[int, ...] = IVF_PROBE_CURVE,
+) -> DataFrame:
+    """(method, nprobe, hits, total, recall): recall@k of the IVF index
+    as a function of how many coarse lists each query probes — the OTHER
+    index-selection axis (``ann_budget_curve`` sweeps the exact-rerank
+    budget; this sweeps the probe ceiling that budget converges to).
+
+    Scale shape: the per-query centroid ranking is computed ONCE
+    (broadcast centroids); every candidate inside the LARGEST probe set
+    is scored once, tagged with its list's probe rank; each smaller
+    nprobe is then a probe-rank filter + top-k over that one scored
+    frame — identical by construction to running ann_ivf at that nprobe,
+    at one scan's cost for the whole curve."""
+    from pyspark.sql import Window
+
+    bf = ann_bruteforce(embeddings, n_queries, k).select(
+        "query_id", "cand_id"
+    )
+    max_probe = int(max(nprobes))
+    cent = embeddings.where(F.col("vec_id") % n_lists_mod == 0).select(
+        F.col("vec_id").alias("list_id"),
+        _quantize(F.col("embedding")).alias("centv"),
+    )
+    vecs = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    )
+    q = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("psim"), F.asc("list_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "list_id",
+            cosine(F.col("qv"), F.col("centv")).alias("psim"),
+        )
+        .withColumn("prn", F.row_number().over(probe_w))
+        .where(F.col("prn") <= max_probe)
+        .select("query_id", "qv", "list_id", "prn")
+    )
+    av = (
+        ivf_assign(embeddings, n_lists_mod)
+        .select("vec_id", "list_id")
+        .join(vecs, "vec_id")
+        .localCheckpoint()
+    )
+    scored = (
+        probes.join(av.withColumnRenamed("vec_id", "cand_id"), "list_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "prn",
+            cosine(F.col("qv"), F.col("v")).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("cand_id")
+    )
+    out = None
+    for m in nprobes:
+        got = (
+            scored.where(F.col("prn") <= int(m))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select("query_id", "cand_id")
+        )
+        row = (
+            got.join(bf, ["query_id", "cand_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .crossJoin(
+                F.broadcast(bf.agg(F.count(F.lit(1)).alias("total")))
+            )
+            .select(
+                F.lit("ivf").alias("method"),
+                F.lit(int(m)).cast("int").alias("nprobe"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("total").cast("long").alias("total"),
+                (
+                    F.col("hits").cast("double")
+                    / F.col("total").cast("double")
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def ivf_probe_curve_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists_mod: int = 50,
+    nprobes: tuple[int, ...] = IVF_PROBE_CURVE,
+) -> str:
+    bf = ann_bruteforce_oracle_sql(n_queries, k)
+    legs = []
+    for m in nprobes:
+        sql = ann_ivf_oracle_sql(n_queries, k, int(m), n_lists_mod)
+        legs.append(
+            f"""
+SELECT 'ivf' AS method,
+       CAST({int(m)} AS INT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bf) AS total,
+       CAST(COUNT(*) AS DOUBLE)
+           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM bf) AS recall
+FROM ({sql}) s
+WHERE EXISTS (SELECT 1 FROM bf
+              WHERE bf.query_id = s.query_id AND bf.cand_id = s.cand_id)
+"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH bf AS ({bf})
+{union}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ composition: coarse quantizer restricts the search to nprobe
 # lists, PQ codes are trained and evaluated on coarse RESIDUALS (v minus

@@ -1051,3 +1051,33 @@ def test_ann_budget_curve_monotone_and_consistent(spark):
         if r["method"] == "pq_rerank" and r["budget_x"] == 4
     ]
     assert pq4 == direct
+
+
+def test_ivf_probe_curve_monotone_and_matches_ann_ivf(spark):
+    # recall grows with nprobe (larger probe sets are supersets), and
+    # each point equals a directly-run ann_ivf at that nprobe — proof the
+    # single-pass probe-rank-cut formulation is exactly the per-nprobe
+    # search
+    from apmbackend_spark.operators.similarity import (
+        ann_bruteforce,
+        ann_ivf,
+        ivf_probe_curve,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    rows = {r["nprobe"]: r["hits"] for r in ivf_probe_curve(embs).collect()}
+    assert list(rows) == [1, 5, 25]
+    hits = [rows[m] for m in (1, 5, 25)]
+    assert hits == sorted(hits)
+    bf = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_bruteforce(embs, k=5).collect()
+    }
+    for m in (1, 25):
+        direct = sum(
+            (r["query_id"], r["cand_id"]) in bf
+            for r in ann_ivf(embs, k=5, nprobe=m).collect()
+        )
+        assert rows[m] == direct, m
