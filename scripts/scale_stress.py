@@ -602,6 +602,7 @@ def main() -> None:
                 "ann_budget_curve",
                 lambda: sim.ann_budget_curve(embs, pq_mod=mod),
             )
+            t.timed("ivf_probe_curve", lambda: sim.ivf_probe_curve(embs))
             t.timed(
                 "broker_redelivery",
                 lambda: brk.broker_redelivery_gate(spark, d),
