@@ -124,6 +124,11 @@ class MiniBroker:
                             # connection (all the ACKs) is processed
                             wfile.write(f"PEND {self.pending()}\n")
                             wfile.flush()
+                        elif line == "COUNT":
+                            with self._lock:
+                                n = len(self._msgs)
+                            wfile.write(f"COUNT {n}\n")
+                            wfile.flush()
                         elif line == "QUIT":
                             break
                 except (OSError, ValueError):
@@ -132,6 +137,10 @@ class MiniBroker:
     def pending(self) -> int:
         with self._lock:
             return sum(1 for t, _ in self._msgs if t not in self._acked)
+
+    def message_count(self) -> int:
+        with self._lock:
+            return len(self._msgs)
 
     def close(self) -> None:
         self._stop = True
@@ -249,6 +258,16 @@ def broker_redelivery_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broker = MiniBroker()
     try:
         wire.foreachPartition(_publish_partition(broker.port))
+        # a Spark task retry would re-run a partition's publishes; the
+        # count check turns that rare nondeterminism into a clear error
+        # instead of a downstream hash mismatch
+        n_wire = wire.count()
+        n_pub = broker.message_count()
+        if n_pub != n_wire:
+            raise RuntimeError(
+                f"published {n_pub} != {n_wire} wire lines "
+                "(task retry double-publish?)"
+            )
         n1, pend1 = _consume_session(
             broker.port,
             os.path.join(work, "session1.txt"),
