@@ -169,3 +169,56 @@ def test_jpeg_features_matches_reference_sums(spark):
             if _jpeg_qcoef(mid, ci, b, k)
         )
         assert got[mid] == (w, h, dc_y, ac_cb, nz)
+
+
+def test_jpeg_entropy_block_roundtrip_fuzz():
+    # fuzz the entropy layer directly: random sparse blocks (values within
+    # the size<=4 symbol range), chained DC prediction, byte stuffing
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apmbackend_spark.operators.jpeg import (
+        _AC_BITS,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_VALS,
+        _BitReader,
+        _BitWriter,
+        _build_decode_table,
+        _canonical_codes,
+        _decode_block,
+        _encode_block,
+    )
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    dc_tab = _build_decode_table(_DC_BITS, _DC_VALS)
+    ac_tab = _build_decode_table(_AC_BITS, _AC_VALS)
+
+    nz = st.integers(-15, 15).filter(lambda v: v != 0)
+    block = st.lists(
+        st.tuples(st.integers(1, 63), nz), max_size=12
+    ).map(
+        lambda pairs: [0] * 64
+    ) | st.builds(
+        lambda dc, pairs: [dc]
+        + [dict(pairs).get(k, 0) for k in range(1, 64)],
+        st.integers(-7, 7),
+        st.lists(st.tuples(st.integers(1, 63), nz), max_size=12),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(block, min_size=1, max_size=8))
+    def check(blocks):
+        bw = _BitWriter()
+        pred = 0
+        for b in blocks:
+            pred = _encode_block(bw, b, pred, dc_codes, ac_codes)
+        bw.flush()
+        br = _BitReader(bytes(bw.out), 0)
+        pred = 0
+        for b in blocks:
+            got, pred = _decode_block(br, pred, dc_tab, ac_tab)
+            assert got == b
+
+    check()

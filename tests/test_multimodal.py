@@ -459,3 +459,20 @@ def test_gif_features_matches_reference_sums(spark):
             sum(pal[i][2] for i in idx),
         )
         assert got[mid] == want
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apmbackend_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(0, 255), min_size=1, max_size=2000))
+    def check(stream):
+        assert _lzw_decode_gif(_lzw_encode_gif(stream)) == stream
+
+    check()
