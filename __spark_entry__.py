@@ -436,6 +436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one candidate-scoring pass at the largest probe set, smaller
         # probes as probe-rank cuts of the same scored frame
         "ivf_probe_curve": lambda s, d: sim.ivf_probe_curve(embs(s, d)),
+        # hybrid retrieval fusion (RRF): more-like-this BM25 lexical leg
+        # + exact-cosine semantic leg, merged by 1/(60+rank) — the
+        # calibration-free two-signal ranking a curation pipeline runs
+        # for near-dup triage and corpus audits
+        "hybrid_rrf": lambda s, d: rtr.hybrid_rrf(docs(s, d), embs(s, d)),
         # REAL broker ack/redelivery semantics over an in-process TCP
         # mini-broker: consumer session 1 crashes with a deterministic
         # ack-loss set, session 2 receives exactly the broker's unacked
@@ -905,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_features",
         "jpeg_features",
         "ivf_probe_curve",
+        "hybrid_rrf",
         # (b) round-7-touched code
         "bpe_train",
         "bpe_encode",
@@ -944,7 +950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters",
         "corpus_dedup",
         "minhash_lsh",
-        "ngram_jaccard",
+        # ngram_jaccard (r4, dedup.py) yields its slot to the new
+        # hybrid_rrf gate: four other dedup.py rows stay windowed
         "media_features",
         "media_frame_sample",
         "media_resize",
@@ -1038,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_report": sim.ann_recall_report_oracle_sql(),
         "ann_budget_curve": sim.ann_budget_curve_oracle_sql(),
         "ivf_probe_curve": sim.ivf_probe_curve_oracle_sql(),
+        "hybrid_rrf": rtr.hybrid_rrf_oracle_sql(),
         "doc_span_dup": dd.doc_span_dup_oracle_sql(),
         "span_exact_dedup": dd.span_exact_dedup_oracle_sql(),
         "span_scrub": dd.span_scrub_oracle_sql(),

@@ -232,3 +232,268 @@ ranked AS (
 )
 SELECT query_id, doc_id, n_terms, score, rank FROM ranked WHERE rank <= {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion: lexical (more-like-this BM25) + semantic (exact
+# cosine) rank lists merged by Reciprocal Rank Fusion (Cormack et al.,
+# public literature) — the standard way a curation pipeline combines the
+# two signals (near-dup triage, contamination review, "find me more like
+# this" corpus audits) without score calibration.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_LEG_DEPTH = 20
+RRF_QUERY_TERMS = 5
+
+
+def hybrid_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    leg_depth: int = RRF_LEG_DEPTH,
+    n_terms: int = RRF_QUERY_TERMS,
+) -> DataFrame:
+    """(query_id, cand_id, lex_rank, sem_rank, rrf, rank): top-k fusion of
+    a lexical and a semantic ranking for each query document (doc_id <
+    n_queries, the embeddings query convention — doc and vector ids share
+    the fixture id space).
+
+    * lexical leg: more-like-this BM25 — the query is the ``n_terms``
+      lexicographically-smallest distinct tokens of the query doc
+      (order-free definition, so Spark's array_distinct and DuckDB's
+      list_distinct need not agree on order), scored with the bm25_topk
+      arithmetic (rational idf, term-ordered fold), self excluded,
+      top ``leg_depth`` kept;
+    * semantic leg: exact cosine top ``leg_depth`` (ann_bruteforce);
+    * fusion: rrf = 1/(60+lex_rank) + 1/(60+sem_rank), absent legs
+      contribute 0 — integer-argument divisions and one fixed-order sum
+      of two doubles, so the score is bit-identical across engines.
+
+    Scale shape: the query-term set is tiny (n_queries x n_terms) and is
+    collected once to seed the postings filter — the corpus scan still
+    ships only matching postings, as in bm25_topk; the semantic leg is
+    the bruteforce baseline (swap in ann_ivf/pq_rerank for the indexed
+    path); fusion joins two |queries| x leg_depth frames."""
+    from apmbackend_spark.operators.similarity import ann_bruteforce
+
+    qdocs = documents.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(
+            F.array_sort(F.array_distinct(tokens(F.col("text")))),
+            1,
+            int(n_terms),
+        ).alias("qt"),
+    )
+    qdf = qdocs.select(
+        "query_id", F.explode("qt").alias("term")
+    )
+    # bounded driver collect: <= n_queries x n_terms strings, needed to
+    # seed the scan-level postings filter as a literal
+    all_terms = sorted(
+        {r["term"] for r in qdf.select("term").distinct().collect()}
+    )
+    term_lit = F.array(*[F.lit(t) for t in all_terms])
+    per_doc = documents.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("dl"),
+        F.filter(
+            tokens(F.col("text")),
+            lambda x: F.array_contains(term_lit, x),
+        ).alias("hits"),
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    tf = (
+        per_doc.where(F.size("hits") > 0)
+        .select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1 = F.lit(float(BM25_K1))
+    one_minus_b = F.lit(1.0 - BM25_B)
+    b = F.lit(float(BM25_B))
+    contrib = (
+        tf.join(F.broadcast(qdf), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            (
+                (
+                    (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+                )
+                / (F.col("df").cast("double") + F.lit(0.5))
+                * (
+                    (F.col("tf").cast("double") * F.lit(float(BM25_K1 + 1.0)))
+                    / (
+                        F.col("tf").cast("double")
+                        + k1
+                        * (
+                            one_minus_b
+                            + b
+                            * (
+                                F.col("dl").cast("double")
+                                / (
+                                    F.col("total_dl").cast("double")
+                                    / F.col("n_docs").cast("double")
+                                )
+                            )
+                        )
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    lex_scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(wl))
+        .where(F.col("lex_rank") <= int(leg_depth))
+        .select("query_id", F.col("doc_id").alias("cand_id"), "lex_rank")
+    )
+    sem = ann_bruteforce(embeddings, n_queries, int(leg_depth)).select(
+        "query_id", "cand_id", F.col("rank").alias("sem_rank")
+    )
+    fused = (
+        lex.join(sem, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("sem_rank")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("cand_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "cand_id", "lex_rank", "sem_rank", "rrf", "rank")
+    )
+
+
+def hybrid_rrf_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    leg_depth: int = RRF_LEG_DEPTH,
+    n_terms: int = RRF_QUERY_TERMS,
+) -> str:
+    from apmbackend_spark.operators.similarity import (
+        ann_bruteforce_oracle_sql,
+    )
+
+    sem = ann_bruteforce_oracle_sql(n_queries, int(leg_depth))
+    k1 = float(BM25_K1)
+    k1p1 = float(BM25_K1 + 1.0)
+    omb = float(1.0 - BM25_B)
+    bb = float(BM25_B)
+    return f"""
+WITH qdocs AS (
+    SELECT doc_id AS query_id,
+           list_sort(list_distinct({tokens_sql('text')}))[1:{int(n_terms)}]
+               AS qt
+    FROM documents WHERE doc_id < {n_queries}
+),
+qterms AS (
+    SELECT query_id, unnest(qt) AS term FROM qdocs
+),
+termset AS (
+    SELECT list(DISTINCT term) AS ts FROM qterms
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(len({tokens_sql('text')}) AS BIGINT) AS dl,
+           list_filter({tokens_sql('text')},
+                       x -> list_contains(ts, x)) AS hits
+    FROM documents CROSS JOIN termset
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_dl
+    FROM per_doc
+),
+tf AS (
+    SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(hits) AS term
+          FROM per_doc WHERE len(hits) > 0)
+    GROUP BY doc_id, dl, term
+),
+dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+contrib AS (
+    SELECT q.query_id, t.doc_id, t.term,
+           (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+             / (CAST(d.df AS DOUBLE) + 0.5)
+             * ((CAST(t.tf AS DOUBLE) * {k1p1})
+                / (CAST(t.tf AS DOUBLE)
+                   + {k1} * ({omb} + {bb} * (CAST(t.dl AS DOUBLE)
+                       / (CAST(s.total_dl AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE)))))) AS contrib
+    FROM tf t
+    JOIN qterms q USING (term)
+    JOIN dfreq d USING (term)
+    CROSS JOIN stats s
+    WHERE t.doc_id <> q.query_id
+),
+lex_scored AS (
+    SELECT query_id, doc_id,
+           list_reduce(
+               list_prepend(0.0, list(contrib ORDER BY term)),
+               (a, x) -> a + x) AS score
+    FROM contrib GROUP BY query_id, doc_id
+),
+lex AS (
+    SELECT query_id, doc_id AS cand_id, lex_rank FROM (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS BIGINT) AS lex_rank
+        FROM lex_scored
+    ) WHERE lex_rank <= {int(leg_depth)}
+),
+sem AS (
+    SELECT query_id, cand_id, CAST(rank AS BIGINT) AS sem_rank
+    FROM ({sem})
+),
+fused AS (
+    SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+           COALESCE(l.cand_id, s.cand_id) AS cand_id,
+           l.lex_rank, s.sem_rank,
+           COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+             + COALESCE(1.0 / (60 + s.sem_rank), 0.0) AS rrf
+    FROM lex l
+    FULL JOIN sem s ON l.query_id = s.query_id AND l.cand_id = s.cand_id
+)
+SELECT query_id, cand_id, lex_rank, sem_rank, rrf,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, cand_id ASC
+       ) AS INT) AS rank
+FROM fused
+QUALIFY rank <= {int(k)}
+"""

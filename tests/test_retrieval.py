@@ -214,3 +214,40 @@ def test_edit_neardup_plan_no_cartesian(spark):
     p = plan(edit_neardup(_docs_df(spark, NEARDUP_TEXTS)))
     assert "CartesianProduct" not in p
     assert "levenshtein" in p
+
+
+def test_hybrid_rrf_arithmetic_and_leg_consistency(spark):
+    from apmbackend_spark.operators.retrieval import hybrid_rrf
+    from apmbackend_spark.operators.similarity import ann_bruteforce
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    rows = hybrid_rrf(docs, embs).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        # the fused score is exactly the RRF formula over the leg ranks
+        want = 0.0
+        if r["lex_rank"] is not None:
+            want += 1.0 / (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            want += 1.0 / (60 + r["sem_rank"])
+        assert r["rrf"] == want
+        # no self-matches through either leg
+        assert r["cand_id"] != r["query_id"]
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        scores = [r["rrf"] for r in sorted(rs, key=lambda x: x["rank"])]
+        assert scores == sorted(scores, reverse=True)
+    # the semantic leg's ranks are the bruteforce ranks verbatim
+    bf = {
+        (r["query_id"], r["cand_id"]): r["rank"]
+        for r in ann_bruteforce(embs, k=20).collect()
+    }
+    for r in rows:
+        if r["sem_rank"] is not None:
+            assert bf[(r["query_id"], r["cand_id"])] == r["sem_rank"]
