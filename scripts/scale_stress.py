@@ -603,6 +603,11 @@ def main() -> None:
                 lambda: sim.ann_budget_curve(embs, pq_mod=mod),
             )
             t.timed("ivf_probe_curve", lambda: sim.ivf_probe_curve(embs))
+            from apmbackend_spark.operators import retrieval as rtr
+
+            t.timed(
+                "hybrid_rrf", lambda: rtr.hybrid_rrf(docs, embs)
+            )
             t.timed(
                 "broker_redelivery",
                 lambda: brk.broker_redelivery_gate(spark, d),
