@@ -575,3 +575,38 @@ def test_q22_anti_join_with_pruned_orders(spark):
     assert "LeftAnti" in p
     assert "PushedFilters" in p and "o_orderdate" in p
     assert "CartesianProduct" not in p
+
+
+def test_hybrid_rrf_postings_only_and_broadcast_dims(spark):
+    from apmbackend_spark.operators.retrieval import hybrid_rrf
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = hybrid_rrf(
+        load_table(spark, SF_SMOKE, "documents"),
+        load_table(spark, SF_SMOKE, "embeddings"),
+    )
+    p = plan(df)
+    # query-term dim, df rollup and corpus stats ride broadcasts; the only
+    # cross joins are broadcast-nested-loop of single-row stats
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # the lexical leg never explodes the full corpus token stream: the
+    # explode runs on the FILTERED hits array (generator input is `hits`,
+    # never a bare tokens/split of text)
+    gen_lines = [l for l in p.splitlines() if "Generate" in l]
+    assert gen_lines and all("hits" in l for l in gen_lines if "explode" in l)
+
+
+def test_ivf_probe_curve_single_scored_frame(spark):
+    from apmbackend_spark.operators.similarity import ivf_probe_curve
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = ivf_probe_curve(load_table(spark, SF_SMOKE, "embeddings"))
+    p = plan(df)
+    # the scored frame is checkpoint-pinned: the three probe points must
+    # reuse it (scan appears per leg) rather than re-deriving the
+    # crossJoin+argmin assignment — no corpus-wide assignment windows
+    # survive into the fused plan
+    assert "Scan ExistingRDD" in p
+    # centroid fan-outs are broadcast, never a shuffled cartesian
+    assert "CartesianProduct" not in p
