@@ -528,6 +528,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Q22 shape: above-average-balance customers with NO orders
         # (anti-join), averages compared in integer cents
         "q22_idle_customers": rel.q22_idle_customers,
+        # Q15 shape: revenue view + exact integer-cent max-equality (ties
+        # all return, per the spec)
+        "q15_top_supplier": rel.q15_top_supplier,
+        # Q17 shape: per-part correlated AVG as an integer
+        # cross-multiplication (5*qty*n < sum), scan+join pinned once
+        "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
+        # Q21 shape: the exists/not-exists waiting-supplier pair evaluated
+        # set-based (distinct supplier / distinct late-supplier per order)
+        "q21_waiting_suppliers": rel.q21_waiting_suppliers,
     }
     apm_extra = {
         # P2-P5/U5/U9 as a codegen line-extraction scan (no Python, no
@@ -1108,6 +1117,9 @@ def oracle_sql() -> dict[str, str]:
         "q12_delay_bands": rel.Q12_ORACLE,
         "q16_supplier_variety": rel.Q16_ORACLE,
         "q22_idle_customers": rel.Q22_ORACLE,
+        "q15_top_supplier": rel.Q15_ORACLE,
+        "q17_small_quantity_revenue": rel.Q17_ORACLE,
+        "q21_waiting_suppliers": rel.Q21_ORACLE,
         "media_stats": """
 WITH media AS (
     SELECT doc_id AS media_id,

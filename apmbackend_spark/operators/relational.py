@@ -975,3 +975,254 @@ GROUP BY c_nationkey
 
 
 Q22_ORACLE = q22_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q15-shaped: top supplier(s) by window revenue (view + max-equality)
+# ---------------------------------------------------------------------------
+
+Q15_START = "1996-01-01 00:00:00"
+Q15_END = "1996-04-01 00:00:00"
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: per-supplier revenue over one quarter's shipped
+    lineitems, returning the supplier(s) whose revenue EQUALS the maximum
+    (the published query's revenue-view + scalar-max correlated filter;
+    ties all return, as in the spec).
+
+    Exactness: revenue is an integer-cent sum, so the max-equality filter
+    compares exact integers — no float-max tie hazard. Plan shape: one
+    pruned lineitem scan -> combinable per-supplier rollup (10s-of-rows
+    frame at any scale: |suppliers|); the scalar max broadcasts back over
+    it; the supplier dim broadcasts onto the winners."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_c"))
+    mx = revenue.agg(F.max("rev_c").alias("max_c"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_c") == F.col("max_c"))
+        .join(
+            F.broadcast(supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c").cast("double") / 10_000.0).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+Q15_ORACLE = f"""
+WITH revenue AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+      AND l_shipdate < TIMESTAMP '{Q15_END}'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.rev_c AS DOUBLE) / 10000.0 AS total_revenue
+FROM revenue r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev_c = (SELECT MAX(rev_c) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17-shaped: small-quantity-order revenue (per-part avg correlated filter)
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#23"
+Q17_MAX_SIZE = 10
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: average yearly revenue lost if small-quantity
+    orders for one brand's small parts were not filled — lineitems whose
+    quantity is below 20% of the part's average ordered quantity (the
+    published per-part correlated AVG; the fixture has no p_container, so
+    the part class is brand + size bracket).
+
+    Exactness: ``qty < 0.2 * avg(qty)`` is evaluated as the integer
+    cross-multiplication ``5 * qty_c * n < sum_qty_c`` (n > 0), so the
+    correlated-average comparison never touches a float; the single
+    output division happens once. Plan shape: the part class broadcasts
+    onto the lineitem scan; the compact (part, qty, price) frame is
+    checkpoint-pinned and consumed by BOTH the per-part rollup and the
+    probe side, so the scan+join run once; the rollup rejoins broadcast
+    (|parts in class| rows)."""
+    parts = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == Q17_BRAND)
+        & (F.col("p_size") <= Q17_MAX_SIZE)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    hits = (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .select(
+            "l_partkey",
+            _cents(F.col("l_quantity")).alias("qty_c"),
+            _cents(F.col("l_extendedprice")).alias("ext_c"),
+        )
+        .localCheckpoint()
+    )
+    stats = hits.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    small = hits.join(F.broadcast(stats), "l_partkey").where(
+        F.lit(5) * F.col("qty_c") * F.col("n") < F.col("sum_qty_c")
+    )
+    return small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+        (
+            F.sum("ext_c").cast("double") / (7.0 * 100.0)
+        ).alias("avg_yearly"),
+    )
+
+
+Q17_ORACLE = f"""
+WITH hits AS (
+    SELECT l.l_partkey,
+           CAST(round(l.l_quantity * 100, 0) AS BIGINT) AS qty_c,
+           CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS ext_c
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = '{Q17_BRAND}' AND p.p_size <= {Q17_MAX_SIZE}
+),
+stats AS (
+    SELECT l_partkey,
+           CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM hits GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(h.ext_c) AS DOUBLE) / (7.0 * 100.0) AS avg_yearly
+FROM hits h
+JOIN stats s USING (l_partkey)
+WHERE 5 * h.qty_c * s.n < s.sum_qty_c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21-shaped: suppliers who kept multi-supplier orders waiting
+# ---------------------------------------------------------------------------
+
+Q21_LATE_DAYS = 60
+Q21_TOP = 20
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: for finalized ('F') orders involving MORE THAN
+    ONE supplier, count the lineitems whose supplier was the ONLY late
+    one on the order — the published exists/not-exists pair. The fixture
+    has no commit/receipt dates, so "late" is shipped more than
+    ``Q21_LATE_DAYS`` days after the order date.
+
+    The published per-lineitem form (l1 late, EXISTS another-supplier
+    lineitem, NOT EXISTS another-supplier LATE lineitem) is evaluated
+    set-based: per order, distinct-supplier and distinct-LATE-supplier
+    counts; a late l1 qualifies iff n_supp >= 2 and n_late_supp = 1
+    (l1's supplier is late, so a singleton late-set is exactly
+    {l1.supplier} — the two forms are equivalent, and the oracle renders
+    the identical set-based formulation). Plan shape: one orders-filtered
+    join pinned once for both the per-order rollup and the probe; the
+    per-order stats frame joins back on the order key; supplier dim
+    broadcasts; top-20 via TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate")
+                + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+            ).alias("late"),
+        )
+        .localCheckpoint()
+    )
+    ostats = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    qual = (
+        joined.where(F.col("late"))
+        .join(ostats, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    topk = (
+        qual.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(Q21_TOP)
+    )
+    w = Window.orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "s_suppkey",
+        "s_name",
+        F.col("numwait").cast("long").alias("numwait"),
+    )
+
+
+Q21_ORACLE = f"""
+WITH joined AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY AS late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+),
+ostats AS (
+    SELECT l_orderkey,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS BIGINT)
+               AS n_late_supp
+    FROM joined GROUP BY l_orderkey
+),
+qual AS (
+    SELECT j.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM joined j
+    JOIN ostats s USING (l_orderkey)
+    WHERE j.late AND s.n_supp >= 2 AND s.n_late_supp = 1
+    GROUP BY j.l_suppkey
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY numwait DESC, s_suppkey ASC) AS INT)
+           AS rank,
+       s.s_suppkey, s.s_name, q.numwait
+FROM qual q
+JOIN supplier s ON q.l_suppkey = s.s_suppkey
+QUALIFY rank <= {Q21_TOP}
+"""

@@ -610,3 +610,44 @@ def test_ivf_probe_curve_single_scored_frame(spark):
     assert "Scan ExistingRDD" in p
     # centroid fan-outs are broadcast, never a shuffled cartesian
     assert "CartesianProduct" not in p
+
+
+def test_q15_pushed_window_and_broadcast_max(spark):
+    from apmbackend_spark.operators.relational import q15_top_supplier
+
+    p = plan(q15_top_supplier(spark, SF_SMOKE))
+    # the quarter window reaches the lineitem scan; the scalar max and the
+    # supplier dim ride broadcasts (the only nested loop is the single-row
+    # max broadcast)
+    assert "PushedFilters" in p and "l_shipdate" in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q17_part_class_broadcast_and_pinned_hits(spark):
+    from apmbackend_spark.operators.relational import (
+        q17_small_quantity_revenue,
+    )
+
+    p = plan(q17_small_quantity_revenue(spark, SF_SMOKE))
+    # the compact hits frame is checkpoint-pinned (the part-class scan and
+    # broadcast join ran ONCE at pin time, so no parquet scan survives
+    # into this plan), and the per-part stats rejoin rides a broadcast
+    assert "Scan ExistingRDD" in p
+    assert "Scan parquet" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_pinned_join_and_takeordered(spark):
+    from apmbackend_spark.operators.relational import q21_waiting_suppliers
+
+    p = plan(q21_waiting_suppliers(spark, SF_SMOKE))
+    # the joined frame is pinned once for both the per-order stats and the
+    # probe (the status-filtered orders join ran at pin time — only the
+    # supplier dim still scans parquet, as a broadcast); top-20 via
+    # TakeOrderedAndProject
+    assert "Scan ExistingRDD" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
