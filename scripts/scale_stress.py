@@ -577,6 +577,15 @@ def main() -> None:
             t.timed("q12_delay_bands", lambda: rel.q12_delay_bands(spark, d))
             t.timed("q16_supplier_variety", lambda: rel.q16_supplier_variety(spark, d))
             t.timed("q22_idle_customers", lambda: rel.q22_idle_customers(spark, d))
+            t.timed("q15_top_supplier", lambda: rel.q15_top_supplier(spark, d))
+            t.timed(
+                "q17_small_quantity_revenue",
+                lambda: rel.q17_small_quantity_revenue(spark, d),
+            )
+            t.timed(
+                "q21_waiting_suppliers",
+                lambda: rel.q21_waiting_suppliers(spark, d),
+            )
             docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
             t.timed("span_scrub", lambda: dd.span_scrub(docs))
             t.timed("corpus_prepare_exact", lambda: prep.corpus_prepare_exact(docs))
