@@ -537,6 +537,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Q21 shape: the exists/not-exists waiting-supplier pair evaluated
         # set-based (distinct supplier / distinct late-supplier per order)
         "q21_waiting_suppliers": rel.q21_waiting_suppliers,
+        # Q2 shape: correlated MIN-cost supplier per part within a region
+        # (struct-MIN argmin, never a corpus window); realized unit price
+        # stands in for the missing ps_supplycost
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        # Q8 shape: national market share by year — both sums in ONE
+        # conditional rollup, share = one division per year row
+        "q8_market_share": rel.q8_market_share,
+        # Q9 shape: product-class profit by supplier nation x year in
+        # 10^-4 fixed point (cost modeled at 60% of retail)
+        "q9_product_profit": rel.q9_product_profit,
+        # Q11 shape: share-of-total threshold via integer
+        # cross-multiplication against the broadcast grand total
+        "q11_important_stock": rel.q11_important_stock,
+        # Q20 shape: dominant suppliers (supplied > half a part's yearly
+        # volume), the published semi-join chain realized over shipments
+        "q20_dominant_suppliers": rel.q20_dominant_suppliers,
     }
     apm_extra = {
         # P2-P5/U5/U9 as a codegen line-extraction scan (no Python, no
@@ -1120,6 +1136,11 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": rel.Q15_ORACLE,
         "q17_small_quantity_revenue": rel.Q17_ORACLE,
         "q21_waiting_suppliers": rel.Q21_ORACLE,
+        "q2_min_cost_supplier": rel.Q2_ORACLE,
+        "q8_market_share": rel.Q8_ORACLE,
+        "q9_product_profit": rel.Q9_ORACLE,
+        "q11_important_stock": rel.Q11_ORACLE,
+        "q20_dominant_suppliers": rel.Q20_ORACLE,
         "media_stats": """
 WITH media AS (
     SELECT doc_id AS media_id,

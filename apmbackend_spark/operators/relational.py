@@ -1226,3 +1226,531 @@ FROM qual q
 JOIN supplier s ON q.l_suppkey = s.s_suppkey
 QUALIFY rank <= {Q21_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Q2-shaped: min-cost supplier per part within a region
+# ---------------------------------------------------------------------------
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "STANDARD"
+Q2_MAX_SIZE = 15
+Q2_TOP = 100
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: for each part of one type/size class, the supplier
+    in one REGION offering it at the minimum cost (the published
+    correlated-MIN-per-part); top 100 by supplier account balance. The
+    fixture has no partsupp, so "cost" is the minimum realized unit price
+    of that (part, supplier)'s lineitems — round((extendedprice /
+    quantity) * 100): one exactly-rounded IEEE division with the same
+    literal shape in the oracle, then integer MINs and an integer-exact
+    per-part argmin (ties to the lower s_suppkey).
+
+    Plan shape: part class and the nation->region chain broadcast; the
+    (part, supplier) cost rollup is one combinable aggregate over the
+    pruned lineitem scan; the per-part argmin is a struct-MIN (map-side
+    combinable), never a window over the corpus; top-100 via
+    TakeOrderedAndProject."""
+    parts = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
+    ).select("p_partkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == Q2_REGION
+    ).select("r_regionkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(
+            (F.col("l_extendedprice") / F.col("l_quantity")) * F.lit(100), 0
+        )
+        .cast("long")
+        .alias("unit_c"),
+    )
+    rsupp = supp.select(F.col("s_suppkey").alias("rs_suppkey"))
+    cost = (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .join(
+            F.broadcast(rsupp),
+            li["l_suppkey"] == F.col("rs_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_c").alias("cost_c"))
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(
+            F.min(F.struct("cost_c", F.col("l_suppkey").alias("sk"))).alias(
+                "b"
+            )
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("b.sk").alias("s_suppkey"),
+            F.col("b.cost_c").alias("cost_c"),
+        )
+    )
+    return (
+        best.join(F.broadcast(supp), "s_suppkey")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("s_suppkey"), F.asc("p_partkey")
+        )
+        .limit(Q2_TOP)
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.col("n_name").alias("nation"),
+            (F.col("cost_c").cast("double") / 100.0).alias("min_cost"),
+        )
+    )
+
+
+Q2_ORACLE = f"""
+WITH supp AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q2_REGION}'
+),
+cost AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           CAST(MIN(CAST(round((l.l_extendedprice / l.l_quantity) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS cost_c
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supp s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_type = '{Q2_TYPE}' AND p.p_size <= {Q2_MAX_SIZE}
+    GROUP BY l.l_partkey, l.l_suppkey
+),
+best AS (
+    SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, cost_c FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY l_partkey ORDER BY cost_c ASC, l_suppkey ASC
+        ) AS rn FROM cost
+    ) WHERE rn = 1
+)
+SELECT b.p_partkey, b.s_suppkey, s.s_name, s.s_acctbal,
+       s.n_name AS nation,
+       CAST(b.cost_c AS DOUBLE) / 100.0 AS min_cost
+FROM best b JOIN supp s USING (s_suppkey)
+ORDER BY s.s_acctbal DESC, b.s_suppkey ASC, b.p_partkey ASC
+LIMIT {Q2_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8-shaped: national market share within a region by year
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_12"
+Q8_TYPE = "ECONOMY"
+Q8_START = "1996-01-01 00:00:00"
+Q8_END = "1998-01-01 00:00:00"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one supplier-nation's share of the volume sold to
+    customers of one REGION, for one part type, by order year. Share =
+    nation volume / total volume — both integer-cent sums, one division
+    per year row.
+
+    Plan shape: part class, customer->nation->region chain, and the
+    supplier-nation flag all broadcast onto the two-fact join
+    (lineitem x pruned orders); the per-year rollup carries BOTH sums in
+    one combinable pass (conditional sum for the nation numerator),
+    never a union of per-nation scans."""
+    parts = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == Q8_TYPE
+    ).select("p_partkey")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == Q8_REGION
+    ).select("r_regionkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("sn_name"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select(
+            "s_suppkey", (F.col("sn_name") == Q8_NATION).alias("is_nation")
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(Q8_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q8_END).cast("timestamp"))
+        )
+        .join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            10_000,
+        ).alias("vol_c"),
+    )
+    joined = (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("is_nation"), F.col("vol_c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nat_c"),
+            F.sum("vol_c").alias("tot_c"),
+        )
+        .select(
+            F.col("o_year").cast("int").alias("o_year"),
+            (F.col("nat_c").cast("double") / F.col("tot_c").cast("double"))
+            .alias("mkt_share"),
+            (F.col("tot_c").cast("double") / 10_000.0).alias("total_volume"),
+        )
+    )
+
+
+Q8_ORACLE = f"""
+WITH cust AS (
+    SELECT c.c_custkey FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q8_REGION}'
+),
+supp AS (
+    SELECT s.s_suppkey, n.n_name = '{Q8_NATION}' AS is_nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+joined AS (
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year, sp.is_nation,
+           CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000, 0)
+                AS BIGINT) AS vol_c
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN cust c ON o.o_custkey = c.c_custkey
+    JOIN supp sp ON l.l_suppkey = sp.s_suppkey
+    WHERE p.p_type = '{Q8_TYPE}'
+      AND o.o_orderdate >= TIMESTAMP '{Q8_START}'
+      AND o.o_orderdate < TIMESTAMP '{Q8_END}'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN is_nation THEN vol_c ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(vol_c) AS DOUBLE) AS mkt_share,
+       CAST(SUM(vol_c) AS DOUBLE) / 10000.0 AS total_volume
+FROM joined GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9-shaped: product-class profit by supplier nation x order year
+# ---------------------------------------------------------------------------
+
+Q9_NAME_PART = "widget"
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: profit on one product class (p_name contains a
+    token) grouped by supplier nation and order year. The fixture has no
+    ps_supplycost, so cost is modeled as 60% of the part's retail price
+    per unit: profit = extprice*(1-discount) - 0.6*retailprice*quantity —
+    evaluated entirely in 10^-4 fixed point (rev_4 - 60*retail_c*qty_i,
+    all integers), with ONE double division on output.
+
+    Plan shape: part class and nation dims broadcast; orders joins only
+    for the year; one combinable rollup per (nation, year)."""
+    parts = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q9_NAME_PART)
+    ).select(
+        "p_partkey", _cents(F.col("p_retailprice")).alias("retail_c")
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            10_000,
+        ).alias("rev_4"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty_i"),
+    )
+    profit = (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            "nation",
+            "o_year",
+            (
+                F.col("rev_4")
+                - F.lit(60) * F.col("retail_c") * F.col("qty_i")
+            ).alias("profit_4"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(F.sum("profit_4").alias("p4"))
+        .select(
+            "nation",
+            F.col("o_year").cast("int").alias("o_year"),
+            (F.col("p4").cast("double") / 10_000.0).alias("sum_profit"),
+        )
+    )
+
+
+Q9_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(
+           CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000, 0)
+                AS BIGINT)
+           - 60 * CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                * CAST(round(l.l_quantity, 0) AS BIGINT)
+       ) AS DOUBLE) / 10000.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%{Q9_NAME_PART}%'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11-shaped: important stock (share-of-total threshold)
+# ---------------------------------------------------------------------------
+
+Q11_NATION = "NATION_12"
+Q11_MEAN_MULT = 2  # keep parts whose value exceeds 2x the mean part value
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts representing a significant share of one
+    nation's supplied value. The fixture has no partsupp, so value is the
+    realized supplied value (sum of extendedprice) of the nation's
+    suppliers' lineitems per part. The published query scales its
+    fraction threshold by SF (a fixed fraction yields zero rows as the
+    part count grows); the scale-robust equivalent keeps parts above
+    ``Q11_MEAN_MULT`` x the MEAN part value, as the integer
+    cross-multiplication ``val_c * n_parts > MULT * total_c`` — the same
+    scalar-subquery-threshold shape, no float compare, non-empty at
+    every fixture SF (12 / 32 / 1227 rows at sf0.001/0.01/0.1).
+
+    Plan shape: nation-filtered supplier dim broadcasts; one combinable
+    per-part rollup; the grand total broadcasts back over it (single
+    row)."""
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == Q11_NATION
+    ).select("n_nationkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        _cents(F.col("l_extendedprice")).alias("ext_c"),
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum("ext_c").alias("val_c"))
+    )
+    total = per_part.agg(
+        F.sum("val_c").alias("total_c"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("val_c") * F.col("n_parts")
+            > F.lit(Q11_MEAN_MULT) * F.col("total_c")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("val_c").cast("double") / 100.0).alias("value"),
+        )
+    )
+
+
+Q11_ORACLE = f"""
+WITH per_part AS (
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS val_c
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = '{Q11_NATION}'
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey AS p_partkey,
+       CAST(val_c AS DOUBLE) / 100.0 AS value
+FROM per_part
+WHERE val_c * (SELECT COUNT(*) FROM per_part)
+      > {Q11_MEAN_MULT} * (SELECT SUM(val_c) FROM per_part)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20-shaped: dominant suppliers of a part class in a year
+# ---------------------------------------------------------------------------
+
+Q20_NAME_PART = "bolt"
+Q20_YEAR_START = "1997-01-01 00:00:00"
+Q20_YEAR_END = "1998-01-01 00:00:00"
+Q20_REGION = "EUROPE"
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers in one region who supplied MORE THAN
+    HALF of a part's total volume for a name-filtered part class in one
+    year (the published availqty > 0.5 * sum(l_quantity) threshold,
+    realized over shipped quantities since the fixture has no partsupp):
+    2 * qty(part, supplier) > qty(part) — integers throughout. Output is
+    the distinct qualifying suppliers (the published semi-join shape).
+
+    Plan shape: part class + region-filtered supplier dim broadcast; one
+    (part, supplier) rollup; the per-part total derives from the same
+    rollup (no second scan); the final distinct is over a tiny frame."""
+    parts = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q20_NAME_PART)
+    ).select("p_partkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == Q20_REGION
+    ).select("r_regionkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp"))
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty_i"),
+    )
+    # the (part, supplier) rollup feeds BOTH the per-part total and the
+    # probe side — pin it so the lineitem scan runs once, not per consumer
+    ps = (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty_i").alias("sq"))
+        .localCheckpoint()
+    )
+    ptot = ps.groupBy("l_partkey").agg(F.sum("sq").alias("pq"))
+    dom = (
+        ps.join(F.broadcast(ptot), "l_partkey")
+        .where(F.lit(2) * F.col("sq") > F.col("pq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return dom.join(
+        F.broadcast(supp), dom["l_suppkey"] == supp["s_suppkey"]
+    ).select("s_suppkey", "s_name")
+
+
+Q20_ORACLE = f"""
+WITH ps AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           CAST(SUM(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS sq
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%{Q20_NAME_PART}%'
+      AND l.l_shipdate >= TIMESTAMP '{Q20_YEAR_START}'
+      AND l.l_shipdate < TIMESTAMP '{Q20_YEAR_END}'
+    GROUP BY l.l_partkey, l.l_suppkey
+),
+ptot AS (
+    SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS pq FROM ps GROUP BY l_partkey
+),
+dom AS (
+    SELECT DISTINCT ps.l_suppkey
+    FROM ps JOIN ptot USING (l_partkey)
+    WHERE 2 * ps.sq > ptot.pq
+)
+SELECT s.s_suppkey, s.s_name
+FROM dom d
+JOIN supplier s ON d.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q20_REGION}'
+"""

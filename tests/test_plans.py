@@ -651,3 +651,60 @@ def test_q21_pinned_join_and_takeordered(spark):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_q2_argmin_no_window_and_takeordered(spark):
+    from apmbackend_spark.operators.relational import q2_min_cost_supplier
+
+    p = plan(q2_min_cost_supplier(spark, SF_SMOKE))
+    # the per-part argmin is a struct-MIN aggregate, never a row_number
+    # window over the corpus; the part-class and type filters reach the
+    # part scan; top-100 via TakeOrderedAndProject
+    assert "Window" not in p
+    assert "PushedFilters" in p and "p_type" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q8_single_conditional_rollup(spark):
+    from apmbackend_spark.operators.relational import q8_market_share
+
+    p = plan(q8_market_share(spark, SF_SMOKE))
+    # numerator and denominator ride ONE aggregate (conditional sum), not
+    # a union of per-nation scans; the date window reaches the orders scan
+    assert "Union" not in p
+    assert "o_orderdate" in p and "PushedFilters" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q9_broadcast_dims_name_filter_pushed(spark):
+    from apmbackend_spark.operators.relational import q9_product_profit
+
+    p = plan(q9_product_profit(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    # the name-token filter prunes the part scan (StringContains pushes)
+    assert "p_name" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q11_threshold_is_broadcast_scalar(spark):
+    from apmbackend_spark.operators.relational import q11_important_stock
+
+    p = plan(q11_important_stock(spark, SF_SMOKE))
+    # the grand total joins back as a broadcast single row (nested-loop
+    # broadcast is fine; a shuffled cartesian is not)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q20_rollup_pinned_once(spark):
+    from apmbackend_spark.operators.relational import q20_dominant_suppliers
+
+    p = plan(q20_dominant_suppliers(spark, SF_SMOKE))
+    # the (part, supplier) rollup is checkpoint-pinned: the per-part total
+    # and the probe side both read it, so the lineitem fact never scans in
+    # this plan at all (only the supplier/nation/region dims still do)
+    assert "Scan ExistingRDD" in p
+    scan_lines = [l for l in p.splitlines() if "Scan parquet" in l]
+    assert scan_lines and all("lineitem" not in l for l in scan_lines)
+    assert "CartesianProduct" not in p
