@@ -586,6 +586,22 @@ def main() -> None:
                 "q21_waiting_suppliers",
                 lambda: rel.q21_waiting_suppliers(spark, d),
             )
+            t.timed(
+                "q2_min_cost_supplier",
+                lambda: rel.q2_min_cost_supplier(spark, d),
+            )
+            t.timed("q8_market_share", lambda: rel.q8_market_share(spark, d))
+            t.timed(
+                "q9_product_profit", lambda: rel.q9_product_profit(spark, d)
+            )
+            t.timed(
+                "q11_important_stock",
+                lambda: rel.q11_important_stock(spark, d),
+            )
+            t.timed(
+                "q20_dominant_suppliers",
+                lambda: rel.q20_dominant_suppliers(spark, d),
+            )
             docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
             t.timed("span_scrub", lambda: dd.span_scrub(docs))
             t.timed("corpus_prepare_exact", lambda: prep.corpus_prepare_exact(docs))
