@@ -335,8 +335,20 @@ def decode_jpeg_coefficients(content: bytes):
     with DC prediction. Returns (w, h, comps) where comps[i] is a dict
     with 'blocks' (list of 64-length QUANTIZED zigzag coefficient lists),
     'quant' (the component's table, zigzag order), and 'sampling'
-    (h_factor, v_factor). Hard errors on progressive / 12-bit /
-    arithmetic-coded / restart-interval input."""
+    (h_factor, v_factor). Hard VALUEERRORS on progressive / 12-bit /
+    arithmetic-coded / restart-interval / truncated input — the boundary
+    below normalizes the raw index/unpack failures a byte-level parser
+    hits on arbitrary truncation points (exhaustive every-offset sweep in
+    tests), so callers can rely on one exception type."""
+    try:
+        return _decode_jpeg_coefficients(content)
+    except (IndexError, struct.error, ValueError) as e:
+        if isinstance(e, ValueError) and not isinstance(e, struct.error):
+            raise
+        raise ValueError(f"truncated or malformed JPEG: {e}") from e
+
+
+def _decode_jpeg_coefficients(content: bytes):
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2

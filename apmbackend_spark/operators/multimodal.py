@@ -1407,6 +1407,8 @@ def decode_gif(
 
     if content[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF: bad signature")
+    if len(content) < 13:
+        raise ValueError("truncated GIF: short logical screen descriptor")
     sw, sh, packed, _bg, _par = struct.unpack("<HHBBB", content[6:13])
     pos = 13
     palette: list[tuple[int, int, int]] = []
@@ -1424,12 +1426,16 @@ def decode_gif(
             raise ValueError("GIF trailer before any image data")
         if block == 0x21:  # extension: label + sub-blocks, skip
             pos += 1
-            while content[pos] != 0:
+            while pos < len(content) and content[pos] != 0:
                 pos += 1 + content[pos]
+            if pos >= len(content):
+                raise ValueError("truncated GIF extension block")
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 10 > len(content):
+            raise ValueError("truncated GIF: short image descriptor")
         left, top, w, h, ipacked = struct.unpack(
             "<HHHHB", content[pos : pos + 9]
         )
@@ -1445,10 +1451,14 @@ def decode_gif(
         mcs = content[pos]
         pos += 1
         lzw = bytearray()
-        while content[pos] != 0:
+        while pos < len(content) and content[pos] != 0:
             n = content[pos]
+            if pos + 1 + n > len(content):
+                raise ValueError("truncated GIF image sub-block")
             lzw += content[pos + 1 : pos + 1 + n]
             pos += 1 + n
+        if pos >= len(content):
+            raise ValueError("truncated GIF: missing block terminator")
         indices = _lzw_decode_gif(bytes(lzw), mcs)
         if len(indices) < w * h:
             raise ValueError(

@@ -1003,7 +1003,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _cents(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000
     )
-    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_c"))
+    # the rollup feeds BOTH the scalar max and the probe — pin it so the
+    # quarter-pruned lineitem scan runs once, not per consumer
+    revenue = (
+        li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_c")).localCheckpoint()
+    )
     mx = revenue.agg(F.max("rev_c").alias("max_c"))
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
@@ -1617,10 +1621,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         _cents(F.col("l_extendedprice")).alias("ext_c"),
     )
+    # the rollup feeds BOTH the grand total and the threshold probe — pin
+    # it so the supplier-filtered lineitem scan runs once, not per consumer
     per_part = (
         li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
         .groupBy("l_partkey")
         .agg(F.sum("ext_c").alias("val_c"))
+        .localCheckpoint()
     )
     total = per_part.agg(
         F.sum("val_c").alias("total_c"),

@@ -379,10 +379,12 @@ def hybrid_rrf(
             F.col("sem_rank").cast("long").alias("sem_rank"),
             (
                 F.coalesce(
-                    F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")),
+                    F.lit(0.0),
                 )
                 + F.coalesce(
-                    F.lit(1.0) / (F.lit(60) + F.col("sem_rank")), F.lit(0.0)
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")),
+                    F.lit(0.0),
                 )
             ).alias("rrf"),
         )
@@ -485,8 +487,8 @@ fused AS (
     SELECT COALESCE(l.query_id, s.query_id) AS query_id,
            COALESCE(l.cand_id, s.cand_id) AS cand_id,
            l.lex_rank, s.sem_rank,
-           COALESCE(1.0 / (60 + l.lex_rank), 0.0)
-             + COALESCE(1.0 / (60 + s.sem_rank), 0.0) AS rrf
+           COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + s.sem_rank), 0.0) AS rrf
     FROM lex l
     FULL JOIN sem s ON l.query_id = s.query_id AND l.cand_id = s.cand_id
 )

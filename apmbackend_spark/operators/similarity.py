@@ -1479,6 +1479,39 @@ QUALIFY rank <= {int(k)}
 """
 
 
+def _shared_index_artifacts(
+    embeddings: DataFrame, pq_mod: int
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Build every ANN evaluation index artifact ONCE, checkpoint-pinned
+    for multi-leg reuse (the production index-artifact shape): returns
+    (assigned, pq_cb, pq_enc, ivfpq_cb, ivfpq_enc). One coarse assignment
+    feeds the ivf leg and both ivfpq legs; one trained codebook + one
+    encoded corpus feed each pq family's search AND rerank leg. Shared by
+    ``ann_recall_report`` and ``ann_budget_curve`` — without it the legs
+    re-derive ~6 Lloyd trainings, 3 corpus-wide coarse assigns, and 2
+    corpus encodes per report (the round-6 verdict measured the
+    redundancy at roughly half the gate's cost)."""
+    vecs = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    )
+    cent = embeddings.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("list_id"),
+        _quantize(F.col("embedding")).alias("centv"),
+    )
+    assigned = (
+        _assign_step(vecs, cent).select("vec_id", "list_id").localCheckpoint()
+    )
+    pq_cb = _pq_codebook(embeddings, 64, PQ_M, pq_mod)
+    pq_enc = pq_codes_frame(
+        embeddings, 64, PQ_M, pq_mod, cb=pq_cb
+    ).localCheckpoint()
+    _, _, _, ivfpq_cb, ivfpq_enc = _ivfpq_index(
+        embeddings, 64, IVFPQ_M, 50, pq_mod, PQ_TRAIN_ITERS,
+        assigned=assigned,
+    )
+    return assigned, pq_cb, pq_enc, ivfpq_cb, ivfpq_enc.localCheckpoint()
+
+
 def ann_recall_report(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -1500,32 +1533,9 @@ def ann_recall_report(
     bf = ann_bruteforce(embeddings, n_queries, k).select(
         "query_id", "cand_id"
     )
-    # Build every index artifact ONCE and share it across the legs (the
-    # production index-artifact shape): one coarse assignment feeds the
-    # ivf leg and both ivfpq legs, one trained codebook + one encoded
-    # corpus feed each pq family's search AND rerank leg. Without
-    # sharing, the legs re-derive ~6 Lloyd trainings, 3 corpus-wide
-    # coarse assigns, and 2 corpus encodes per report — the round-6
-    # verdict measured the redundancy at roughly half the gate's cost.
-    vecs = embeddings.select(
-        "vec_id", _quantize(F.col("embedding")).alias("v")
+    assigned, pq_cb, pq_enc, ivfpq_cb, ivfpq_enc = _shared_index_artifacts(
+        embeddings, pq_mod
     )
-    cent = embeddings.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("list_id"),
-        _quantize(F.col("embedding")).alias("centv"),
-    )
-    assigned = (
-        _assign_step(vecs, cent).select("vec_id", "list_id").localCheckpoint()
-    )
-    pq_cb = _pq_codebook(embeddings, 64, PQ_M, pq_mod)
-    pq_enc = pq_codes_frame(
-        embeddings, 64, PQ_M, pq_mod, cb=pq_cb
-    ).localCheckpoint()
-    _, _, _, ivfpq_cb, ivfpq_enc = _ivfpq_index(
-        embeddings, 64, IVFPQ_M, 50, pq_mod, PQ_TRAIN_ITERS,
-        assigned=assigned,
-    )
-    ivfpq_enc = ivfpq_enc.localCheckpoint()
     methods = [
         ("ivf", ann_ivf(embeddings, n_queries, k, assigned=assigned)),
         (
@@ -1643,25 +1653,9 @@ def ann_budget_curve(
     bf = ann_bruteforce(embeddings, n_queries, k).select(
         "query_id", "cand_id"
     )
-    vecs = embeddings.select(
-        "vec_id", _quantize(F.col("embedding")).alias("v")
+    assigned, pq_cb, pq_enc, ivfpq_cb, ivfpq_enc = _shared_index_artifacts(
+        embeddings, pq_mod
     )
-    cent = embeddings.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("list_id"),
-        _quantize(F.col("embedding")).alias("centv"),
-    )
-    assigned = (
-        _assign_step(vecs, cent).select("vec_id", "list_id").localCheckpoint()
-    )
-    pq_cb = _pq_codebook(embeddings, 64, PQ_M, pq_mod)
-    pq_enc = pq_codes_frame(
-        embeddings, 64, PQ_M, pq_mod, cb=pq_cb
-    ).localCheckpoint()
-    _, _, _, ivfpq_cb, ivfpq_enc = _ivfpq_index(
-        embeddings, 64, IVFPQ_M, 50, pq_mod, PQ_TRAIN_ITERS,
-        assigned=assigned,
-    )
-    ivfpq_enc = ivfpq_enc.localCheckpoint()
     max_short = int(k) * int(max(mults))
     pq_top = pq_search(
         embeddings, mod=pq_mod, n_queries=n_queries, k=max_short,

@@ -159,13 +159,24 @@ def _publish_partition(port: int):
         first = True
         sock = None
         wfile = None
+        rfile = None
         for row in rows:
             if first:  # connect lazily so empty partitions open nothing
                 sock = socket.create_connection(("127.0.0.1", port), 30)
                 wfile = sock.makefile("w", encoding="utf-8", newline="\n")
+                rfile = sock.makefile("r", encoding="utf-8", newline="\n")
                 first = False
             wfile.write(f"PUB {row['value']}\n")
         if sock is not None:
+            # synchronous settlement barrier: the COUNT reply proves the
+            # broker consumed every PUB on this connection, so when
+            # foreachPartition returns, ALL publishes are in the queue —
+            # without it the gate's publish-count check could read the
+            # broker while late connections still sit in the accept
+            # backlog and raise spuriously
+            wfile.write("COUNT\n")
+            wfile.flush()
+            rfile.readline()
             wfile.write("QUIT\n")
             wfile.flush()
             sock.close()

@@ -222,3 +222,14 @@ def test_jpeg_entropy_block_roundtrip_fuzz():
             assert got == b
 
     check()
+
+
+def test_jpeg_every_truncation_offset_raises_valueerror():
+    # exhaustive hostile-input sweep: a cut at ANY byte offset must raise
+    # ValueError (the decode boundary normalizes raw index/unpack errors)
+    raw = encode_jpeg(4)
+    for cut in range(2, len(raw)):
+        try:
+            decode_jpeg_coefficients(raw[:cut])
+        except ValueError:
+            pass

@@ -476,3 +476,16 @@ def test_gif_lzw_roundtrip_fuzz():
         assert _lzw_decode_gif(_lzw_encode_gif(stream)) == stream
 
     check()
+
+
+def test_gif_every_truncation_offset_raises_valueerror():
+    # exhaustive hostile-input sweep: a cut at ANY byte offset must raise
+    # ValueError (never IndexError/struct.error escaping the parser)
+    from apmbackend_spark.operators.multimodal import _gif_bytes, decode_gif
+
+    raw = _gif_bytes(3)
+    for cut in range(1, len(raw)):
+        try:
+            decode_gif(raw[:cut])
+        except ValueError:
+            pass

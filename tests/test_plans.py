@@ -616,10 +616,13 @@ def test_q15_pushed_window_and_broadcast_max(spark):
     from apmbackend_spark.operators.relational import q15_top_supplier
 
     p = plan(q15_top_supplier(spark, SF_SMOKE))
-    # the quarter window reaches the lineitem scan; the scalar max and the
-    # supplier dim ride broadcasts (the only nested loop is the single-row
-    # max broadcast)
-    assert "PushedFilters" in p and "l_shipdate" in p
+    # the per-supplier rollup is checkpoint-pinned (the quarter-pruned
+    # lineitem scan ran ONCE at pin time): the scalar max and the probe
+    # both read the pinned frame, the max and supplier dim ride
+    # broadcasts, and the fact table never scans in this plan
+    assert "Scan ExistingRDD" in p
+    scan_lines = [l for l in p.splitlines() if "Scan parquet" in l]
+    assert all("lineitem" not in l for l in scan_lines)
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
 
