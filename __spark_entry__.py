@@ -331,6 +331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign_refined": lambda s, d: sim.ivf_assign_refined(embs(s, d)),
         "kmeans_train": lambda s, d: sim.kmeans_train(embs(s, d)),
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
+        "semantic_dedup": lambda s, d: sim.semantic_dedup(embs(s, d)),
+        "mmr_rerank": lambda s, d: sim.mmr_rerank(embs(s, d)),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
@@ -1090,6 +1092,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign_refined": sim.ivf_assign_refined_oracle_sql(),
         "kmeans_train": sim.kmeans_train_oracle_sql(),
         "embedding_neardup": sim.embedding_neardup_oracle_sql(),
+        "semantic_dedup": sim.semantic_dedup_oracle_sql(),
+        "mmr_rerank": sim.mmr_rerank_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("
         + zf.TX_SLICED_SQL

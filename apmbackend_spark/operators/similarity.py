@@ -548,6 +548,301 @@ WHERE a.vec_id < b.vec_id
 
 
 # ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup): cluster-bounded embedding dedup with
+# an explicit keep policy.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(
+    embeddings: DataFrame, tau: float = SEMDEDUP_TAU, n_lists_mod: int = 50
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    literature): cluster the embeddings, compare pairs ONLY within a
+    cluster, and from every semantic-duplicate neighborhood keep the
+    example FARTHEST from its cluster centroid (the paper's best-performing
+    keep policy — the most atypical member carries the most information).
+
+    Exact rule per document d in cluster L:
+        pruned(d) <=> exists d' in L, d' != d, cosine(d, d') >= tau,
+                      and d' OUTRANKS d in keep priority, where priority
+                      orders by (centroid_sim ASC, vec_id ASC) — lower
+                      similarity to centroid wins, vec_id breaks ties.
+    This is the upper-triangular sweep of the released SemDeDup pseudocode
+    rendered as one relational predicate: no iteration, no driver loop.
+    Output: every vector with its cluster, centroid_sim, and kept flag —
+    the downstream corpus filter is `WHERE kept`.
+
+    Beyond `embedding_neardup` (which only EMITS in-threshold pairs), this
+    gate makes the selection decision — which copy survives — and grades it.
+
+    Determinism: centroid_sim and the pairwise cosine are the integer-
+    quantized exact cosines of this module; the priority comparison and the
+    EXISTS are decided on bit-identical doubles, so kept is exact.
+
+    Scale shape (100 TB): identical blocking to `embedding_neardup` — the
+    pair join is keyed by list_id, so work is sum over clusters of |c|^2,
+    bounded by the coarse quantizer's cluster granularity (the SemDeDup
+    design point: k is chosen so clusters stay small). The assignment frame
+    is localCheckpoint-pinned because three consumers (both join sides and
+    the final flag join) would otherwise each re-run the full
+    centroid-assignment scoring pass. The EXISTS is a left-semi join (no
+    pair materialization past the filter), and the final flag join is a
+    broadcast of the pruned id set (strictly smaller than the corpus).
+    """
+    assigned = ivf_assign(embeddings, n_lists_mod)
+    vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("v"))
+    av = (
+        assigned.join(vecs, "vec_id")
+        .select("vec_id", "list_id", "centroid_sim", "v")
+        .localCheckpoint()
+    )
+    a = av.alias("a")
+    b = av.alias("b")
+    outranks = (F.col("a.centroid_sim") < F.col("b.centroid_sim")) | (
+        (F.col("a.centroid_sim") == F.col("b.centroid_sim"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    pruned = (
+        a.join(b, "list_id")
+        .where(
+            (F.col("a.vec_id") != F.col("b.vec_id"))
+            & outranks
+            & (cosine(F.col("a.v"), F.col("b.v")) >= F.lit(float(tau)))
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        av.join(
+            F.broadcast(pruned.withColumn("is_pruned", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "list_id",
+            "centroid_sim",
+            F.coalesce(F.col("is_pruned"), F.lit(False)).alias("pruned"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(
+    tau: float = SEMDEDUP_TAU, n_lists_mod: int = 50
+) -> str:
+    return f"""
+WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+), cent AS (
+    SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {n_lists_mod} = 0
+), scored AS (
+    SELECT q.vec_id, c.list_id, {cosine_sql('q.v', 'c.centv')} AS sim
+    FROM qz q CROSS JOIN cent c
+), assigned AS (
+    SELECT vec_id, list_id, sim AS centroid_sim FROM (
+        SELECT vec_id, list_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+), av AS (
+    SELECT a.vec_id, a.list_id, a.centroid_sim, q.v
+    FROM assigned a JOIN qz q USING (vec_id)
+), pruned AS (
+    SELECT DISTINCT b.vec_id
+    FROM av a JOIN av b USING (list_id)
+    WHERE a.vec_id <> b.vec_id
+      AND (a.centroid_sim < b.centroid_sim
+           OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
+      AND {cosine_sql('a.v', 'b.v')} >= {float(tau)!r}
+)
+SELECT av.vec_id, av.list_id, av.centroid_sim,
+       (p.vec_id IS NOT NULL) AS pruned
+FROM av LEFT JOIN pruned p ON av.vec_id = p.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (Carbonell & Goldstein 1998): relevance-vs-novelty
+# greedy selection over an exact shortlist.
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 20
+MMR_K = 5
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = MMR_K,
+    shortlist: int = MMR_SHORTLIST,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998,
+    public literature): from each query's exact top-`shortlist` cosine
+    candidates, greedily pick k results maximizing
+
+        mmr(d) = lam * rel(q, d) - (1 - lam) * max_{s in picked} sim(d, s)
+
+    — the standard diversity rerank a retrieval serving tier applies so
+    the k results aren't k near-copies of the same answer (directly
+    relevant after semantic_dedup flags what near-copies look like).
+    Step 1 has no picked set; the novelty term is COALESCE(max, 0.0) in
+    both engines, so step 1 ranks by lam * rel alone.
+
+    Determinism: rel and the pairwise sims are this module's exact
+    integer-quantized cosines; the MMR combination is two exactly-rounded
+    IEEE ops on bit-identical doubles with literal constants rendered
+    identically in both engines; the per-step novelty aggregate is MAX
+    (order-independent on doubles, unlike SUM); ties break on cand_id.
+
+    Scale shape (100 TB): the distributed phase is the shortlist build —
+    broadcast queries against the corpus scan with a per-query top-N
+    window (same plan as ann_bruteforce; swap in the IVF/PQ shortlist for
+    an indexed deployment). The greedy loop is k tiny rounds over
+    |Q| x shortlist rows: each round one MAX aggregate against the picked
+    set (<= k rows per query, broadcast), one argmax window, one anti
+    join. Frames are localCheckpoint-pinned per round — each round's
+    remaining/picked feed two consumers each, and the lineage would
+    otherwise double per iteration (the kmeans_train rationale).
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding")).alias("qv")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("cand_id"), _quantize(F.col("embedding")).alias("cv")
+    )
+    wrel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    rest = (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id", "cv", cosine(F.col("qv"), F.col("cv")).alias("rel")
+        )
+        .withColumn("rn", F.row_number().over(wrel))
+        .where(F.col("rn") <= int(shortlist))
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    spark = embeddings.sparkSession
+    picked = spark.createDataFrame(
+        [], "query_id long, step int, cand_id long, sv array<bigint>, "
+        "rel double, mmr_score double"
+    )
+    lam_c = F.lit(float(lam))
+    one_minus_lam = F.lit(1.0 - float(lam))
+    wpick = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr_score"), F.asc("cand_id")
+    )
+    for i in range(1, int(k) + 1):
+        ms = (
+            rest.join(
+                picked.select("query_id", F.col("sv")),
+                "query_id",
+                "left",
+            )
+            .groupBy("query_id", "cand_id", "rel", "cv")
+            .agg(
+                F.coalesce(
+                    F.max(cosine(F.col("cv"), F.col("sv"))), F.lit(0.0)
+                ).alias("msim")
+            )
+        )
+        new_pick = (
+            ms.withColumn(
+                "mmr_score", lam_c * F.col("rel") - one_minus_lam * F.col("msim")
+            )
+            .withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(i).cast("int").alias("step"),
+                "cand_id",
+                F.col("cv").alias("sv"),
+                "rel",
+                "mmr_score",
+            )
+        )
+        picked = picked.unionByName(new_pick).localCheckpoint(eager=False)
+        rest = rest.join(
+            new_pick.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        ).localCheckpoint(eager=False)
+    return picked.select("query_id", "step", "cand_id", "rel", "mmr_score")
+
+
+def mmr_rerank_oracle_sql(
+    n_queries: int = 10,
+    k: int = MMR_K,
+    shortlist: int = MMR_SHORTLIST,
+    lam: float = MMR_LAMBDA,
+) -> str:
+    """Oracle twin: the greedy loop unrolled into chained CTEs (pick_i /
+    picked_i per step), novelty as a MAX join against picked_{i-1}."""
+    lam_r = repr(float(lam))
+    oml_r = repr(1.0 - float(lam))
+    ctes = [
+        f"""WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+)""",
+        f"""cand AS (
+    SELECT query_id, cand_id, cv, rel FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.v AS cv,
+               {cosine_sql('q.v', 'c.v')} AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.v', 'c.v')} DESC, c.vec_id ASC
+               ) AS rn
+        FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {int(n_queries)}
+    ) WHERE rn <= {int(shortlist)}
+)""",
+    ]
+    for i in range(1, int(k) + 1):
+        prev = f"picked_{i - 1}"
+        if i == 1:
+            remaining = "SELECT c.query_id, c.cand_id, c.cv, c.rel, 0.0 AS msim FROM cand c"
+        else:
+            remaining = f"""SELECT c.query_id, c.cand_id, c.cv, c.rel,
+           COALESCE(m.ms, 0.0) AS msim
+    FROM cand c
+    LEFT JOIN (
+        SELECT c2.query_id, c2.cand_id,
+               MAX({cosine_sql('c2.cv', 'p.sv')}) AS ms
+        FROM cand c2 JOIN {prev} p USING (query_id)
+        GROUP BY c2.query_id, c2.cand_id
+    ) m ON c.query_id = m.query_id AND c.cand_id = m.cand_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM {prev} p2
+        WHERE p2.query_id = c.query_id AND p2.cand_id = c.cand_id
+    )"""
+        ctes.append(
+            f"""pick_{i} AS (
+    SELECT query_id, CAST({i} AS INT) AS step, cand_id, cv AS sv, rel,
+           mmr_score
+    FROM (
+        SELECT *, {lam_r} * rel - {oml_r} * msim AS mmr_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {lam_r} * rel - {oml_r} * msim DESC, cand_id ASC
+               ) AS rn
+        FROM ({remaining})
+    ) WHERE rn = 1
+)"""
+        )
+        union = "\nUNION ALL\n".join(
+            f"SELECT * FROM pick_{j}" for j in range(1, i + 1)
+        )
+        ctes.append(f"picked_{i} AS (\n{union}\n)")
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT query_id, step, cand_id, rel, mmr_score FROM picked_{int(k)}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 vector quantization (index-prep for the ANN family).
 # ---------------------------------------------------------------------------
 

@@ -1081,3 +1081,209 @@ def test_ivf_probe_curve_monotone_and_matches_ann_ivf(spark):
             for r in ann_ivf(embs, k=5, nprobe=m).collect()
         )
         assert rows[m] == direct, m
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+
+
+def _semdedup_reference(stored, mod, tau):
+    """Literal replay of the SemDeDup rule: seed-centroid assignment
+    (cosine argmax, list_id-asc ties), then prune d iff some same-cluster
+    d' with cosine >= tau outranks it under (centroid_sim ASC, vec_id ASC)."""
+    import math
+
+    q = {vid: [round(x * 10_000) for x in v] for vid, v in stored.items()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    cents = {vid: v for vid, v in q.items() if vid % mod == 0}
+    assign = {}
+    for vid, v in q.items():
+        best = max(
+            ((cos(v, cv), -lid) for lid, cv in cents.items()),
+            key=lambda t: (t[0], t[1]),
+        )
+        assign[vid] = (-best[1], best[0])  # (list_id, centroid_sim)
+
+    out = {}
+    for vid, (lid, csim) in assign.items():
+        pruned = any(
+            cos(q[vid], q[o]) >= tau
+            and (osim, o) < (csim, vid)
+            for o, (olid, osim) in assign.items()
+            if o != vid and olid == lid
+        )
+        out[vid] = (lid, csim, pruned)
+    return out
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    import random
+
+    from apmbackend_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    vecs = []
+    for i in range(18):
+        if i % 3 == 0:
+            v = [rng.uniform(-1, 1) for _ in range(8)]
+        else:  # near-copy of the previous anchor: guaranteed dup edges
+            v = [x + rng.uniform(-0.01, 0.01) for x in vecs[i - i % 3][1]]
+        vecs.append((i, v))
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    stored = {
+        r["vec_id"]: list(r["embedding"])
+        for r in df.select("vec_id", "embedding").collect()
+    }
+    want = _semdedup_reference(stored, mod=5, tau=0.9)
+    got = {
+        r["vec_id"]: (r["list_id"], r["centroid_sim"], r["pruned"])
+        for r in semantic_dedup(df, tau=0.9, n_lists_mod=5).collect()
+    }
+    assert set(got) == set(want)
+    for vid in got:
+        assert got[vid][0] == want[vid][0], vid
+        assert got[vid][1] == want[vid][1], vid  # bit-exact cosine
+        assert got[vid][2] == want[vid][2], vid
+    # the rule must actually fire on the planted near-copies
+    assert sum(1 for v in got.values() if v[2]) >= 6
+
+
+def test_semantic_dedup_keep_policy_and_bounds(spark):
+    # Per cluster the priority-minimal member is NEVER pruned (there is no
+    # one to outrank it), and tau > 1 prunes nothing (cosine <= 1).
+    from apmbackend_spark.operators.similarity import semantic_dedup
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    rows = semantic_dedup(embs).collect()
+    by_list = {}
+    for r in rows:
+        by_list.setdefault(r["list_id"], []).append(r)
+    for lid, members in by_list.items():
+        head = min(members, key=lambda r: (r["centroid_sim"], r["vec_id"]))
+        assert not head["pruned"], lid
+    assert all(not r["pruned"] for r in semantic_dedup(embs, tau=1.01).collect())
+
+
+def test_semantic_dedup_plan_semi_join_no_pair_materialization(spark):
+    # the EXISTS renders as a semi/anti-style shape: the pruned id set joins
+    # back as a BROADCAST, and no exchange re-partitions pair rows
+    from apmbackend_spark.operators.similarity import semantic_dedup
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    df = semantic_dedup(embs)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # pruned-id flag join
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank
+
+
+def _mmr_reference(stored, n_queries, k, shortlist, lam):
+    """Literal greedy MMR replay on the quantized vectors."""
+    import math
+
+    q = {vid: [round(x * 10_000) for x in v] for vid, v in stored.items()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    out = []
+    for qid in sorted(v for v in q if v < n_queries):
+        rel = {c: cos(q[qid], q[c]) for c in q if c != qid}
+        cands = sorted(rel, key=lambda c: (-rel[c], c))[:shortlist]
+        picked = []
+        for step in range(1, k + 1):
+            best = None
+            for c in cands:
+                if c in (p[0] for p in picked):
+                    continue
+                ms = max((cos(q[c], q[p]) for p, _ in picked), default=0.0)
+                score = lam * rel[c] - (1.0 - lam) * ms
+                if best is None or (-score, c) < (-best[1], best[0]):
+                    best = (c, score)
+            picked.append(best)
+            out.append((qid, step, best[0], rel[best[0]], best[1]))
+    return out
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    import random
+
+    from apmbackend_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(23)
+    vecs = []
+    for i in range(30):
+        if i >= 10 and i % 2 == 0:  # plant near-copies among candidates
+            v = [x + rng.uniform(-0.02, 0.02) for x in vecs[i - 1][1]]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(8)]
+        vecs.append((i, v))
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    stored = {
+        r["vec_id"]: list(r["embedding"])
+        for r in df.select("vec_id", "embedding").collect()
+    }
+    want = _mmr_reference(stored, n_queries=3, k=4, shortlist=8, lam=0.7)
+    got = [
+        (r["query_id"], r["step"], r["cand_id"], r["rel"], r["mmr_score"])
+        for r in mmr_rerank(df, n_queries=3, k=4, shortlist=8)
+        .orderBy("query_id", "step")
+        .collect()
+    ]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert g[3] == w[3] and g[4] == w[4], (g, w)  # bit-exact doubles
+
+
+def test_mmr_step1_is_pure_relevance_and_no_repeats(spark):
+    from apmbackend_spark.operators.similarity import ann_bruteforce, mmr_rerank
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    got = mmr_rerank(embs).collect()
+    top1 = {
+        r["query_id"]: r["cand_id"]
+        for r in ann_bruteforce(embs, k=1).collect()
+    }
+    for r in got:
+        if r["step"] == 1:
+            assert r["cand_id"] == top1[r["query_id"]], r
+    seen = {}
+    for r in got:
+        key = (r["query_id"], r["cand_id"])
+        assert key not in seen, key  # greedy never re-picks
+        seen[key] = True
+    # lam=1 degenerates to pure top-k relevance order
+    pure = mmr_rerank(embs, lam=1.0).collect()
+    topk = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in ann_bruteforce(embs, k=5).collect()
+    }
+    for r in pure:
+        assert topk[(r["query_id"], r["step"])] == r["cand_id"], r
