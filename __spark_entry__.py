@@ -33,6 +33,7 @@ from apmbackend_spark.operators import packing as pk
 from apmbackend_spark.operators import prepare as prep
 from apmbackend_spark.operators import sessions as sess
 from apmbackend_spark.operators import setops as so
+from apmbackend_spark.operators import selection as dsel
 from apmbackend_spark.sources.loaders import load_table, spread
 from apmbackend_spark.sources import jmx as jmxsrc
 from apmbackend_spark.sources import logparse as lp
@@ -333,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
         "semantic_dedup": lambda s, d: sim.semantic_dedup(embs(s, d)),
         "mmr_rerank": lambda s, d: sim.mmr_rerank(embs(s, d)),
+        "dsir_select": lambda s, d: dsel.dsir_select(docs(s, d)),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
@@ -1094,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": sim.embedding_neardup_oracle_sql(),
         "semantic_dedup": sim.semantic_dedup_oracle_sql(),
         "mmr_rerank": sim.mmr_rerank_oracle_sql(),
+        "dsir_select": dsel.dsir_select_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("
         + zf.TX_SLICED_SQL

@@ -1,0 +1,142 @@
+"""DSIR importance selection: fixed-point log2 exactness, a literal Python
+replay of the full operator, directionality, and plan hygiene."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+L2_FRAC = 16
+L2_SCALE = 1 << L2_FRAC
+_T61 = 1 << 61
+
+
+def _l2fix_py(x: int) -> int:
+    e = x.bit_length() - 1
+    m = (x << (30 - e)) if e <= 30 else (x >> (e - 30))
+    acc = 0
+    for _ in range(L2_FRAC):
+        m2 = m * m
+        if m2 >= _T61:
+            acc = acc * 2 + 1
+            m = m2 >> 31
+        else:
+            acc = acc * 2
+            m = m2 >> 30
+    return e * L2_SCALE + acc
+
+
+def test_log2fix_spark_and_duckdb_match_python_bit_for_bit(spark):
+    import duckdb
+
+    from apmbackend_spark.operators.selection import _with_log2fix, log2fix_sql
+
+    xs = (
+        [1, 2, 3, 5, 7, 9, 100, 511, 512, 513, 65535, 65536, 65537]
+        + [10**6, 10**9, 10**12, (1 << 40) + 12345, (1 << 52) + 987654321]
+    )
+    want = {x: _l2fix_py(x) for x in xs}
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got_spark = {
+        r["x"]: r["lx"] for r in _with_log2fix(df, "x", "lx").collect()
+    }
+    assert got_spark == want
+    con = duckdb.connect()
+    vals = ", ".join(f"({x})" for x in xs)
+    got_duck = dict(
+        con.sql(
+            f"SELECT x, {log2fix_sql('x')} AS lx FROM (VALUES {vals}) t(x)"
+        ).fetchall()
+    )
+    assert got_duck == want
+    # truncation bound: within 4 fixed-point ulps BELOW exact log2
+    for x, lx in want.items():
+        exact = math.log2(x) * L2_SCALE
+        assert 0 <= exact - lx < 4, (x, lx, exact)
+
+
+def _dsir_reference(docs, buckets, target_lang):
+    """Literal DSIR replay with the repo hash64 (md5 60-bit)."""
+    import hashlib
+    import re
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def grams(text):
+        t = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    db = {}  # (doc_id, bucket) -> c ; lang per doc
+    lang = {}
+    for did, lg, text in docs:
+        lang[did] = lg
+        for g in grams(text):
+            b = h64(g) % buckets
+            db[(did, b)] = db.get((did, b), 0) + 1
+    cr, ct = {}, {}
+    for (did, b), c in db.items():
+        cr[b] = cr.get(b, 0) + c
+        if lang[did] == target_lang:
+            ct[b] = ct.get(b, 0) + c
+    nr = sum(cr.values())
+    nt = sum(ct.values())
+    w = {
+        b: _l2fix_py(ct.get(b, 0) + 1)
+        - _l2fix_py(nt + buckets)
+        - _l2fix_py(cr[b] + 1)
+        + _l2fix_py(nr + buckets)
+        for b in cr
+    }
+    out = {}
+    for did, lg, _ in docs:
+        feats = [(b, c) for (d, b), c in db.items() if d == did]
+        n = sum(c for _, c in feats)
+        s = sum(c * w[b] for b, c in feats)
+        out[did] = (lg, n, s, s > 0)
+    return out
+
+
+def test_dsir_select_matches_python_reference(spark):
+    from apmbackend_spark.operators.selection import dsir_select
+
+    docs = [
+        (0, "en", "the cat sat on the mat and the dog barked"),
+        (1, "en", "a quick brown fox jumps over the lazy dog"),
+        (2, "en", "the cat and the dog are friends"),
+        (3, "fr", "le chat est sur le tapis et le chien aboie"),
+        (4, "fr", "un renard brun rapide saute par dessus le chien"),
+        (5, "de", "die katze sitzt auf der matte und der hund bellt"),
+        (6, "en", ""),  # zero-token doc
+    ]
+    df = spark.createDataFrame(
+        [(d, t, lg, "srcX", len(t)) for d, lg, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    want = _dsir_reference(docs, buckets=64, target_lang="en")
+    got = {
+        r["doc_id"]: (r["lang"], r["n_feats"], r["dsir_score"], r["selected"])
+        for r in dsir_select(df, buckets=64).collect()
+    }
+    assert got == want
+    # directionality: in-target docs score positive, out-of-target negative
+    assert all(got[d][3] for d in (0, 1, 2))
+    assert not any(got[d][3] for d in (3, 4, 5, 6))
+    assert got[6] == ("en", 0, 0, False)
+
+
+def test_dsir_select_plan_broadcast_model_no_python(spark):
+    from apmbackend_spark.operators.selection import dsir_select
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    df = dsir_select(load_table(spark, SF_SMOKE, "documents"))
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # weight table and totals ride broadcasts; per-doc agg is combinable
+    assert p.count("BroadcastExchange") >= 2
+    assert "partial_sum" in p
