@@ -911,11 +911,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       (every r5/r6 window deferred them as trivial-rollup or
     #       sibling-covered; four rounds stale is too old to keep
     #       deferring);
-    #   (d) 12 round-4 rows chosen because their FILES changed this round
+    #   (e) the 3 LATE round-7 gates (semantic_dedup, mmr_rerank,
+    #       dsir_select) — brand-new operators; never-graded beats
+    #       stale-but-green, so they displace three dedup.py r4 rows;
+    #   (d) 9 round-4 rows chosen because their FILES changed this round
     #       even though their functions didn't (similarity.py:
     #       ann_bruteforce, ivf_assign, ivf_assign_refined, kmeans_train;
-    #       dedup.py: dedup_exact, dedup_clusters, corpus_dedup,
-    #       minhash_lsh; multimodal.py: media_features,
+    #       dedup.py: dedup_exact; multimodal.py: media_features,
     #       media_frame_sample, media_resize; textstats.py:
     #       bpe_pair_counts).
     # Everything else overflows with a green r4/r5/r6 row standing (the
@@ -973,17 +975,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_zerofill_dense",
         "top_services",
         "url_domains",
+        # (e) the 3 LATE round-7 gates (semantic_dedup, mmr_rerank,
+        #     dsir_select — new operators, never graded anywhere):
+        #     never-graded beats stale-but-green, so they take the slots
+        #     of dedup_clusters / corpus_dedup / minhash_lsh from (d)
+        #     (dedup.py keeps dedup_exact + the span pair in (b) grading
+        #     this round's island-rebuild change; all three yielded rows
+        #     have green r4 rows standing)
+        "semantic_dedup",
+        "mmr_rerank",
+        "dsir_select",
         # (d) round-4 rows whose files round 7 touched
         "ann_bruteforce",
         "ivf_assign",
         "ivf_assign_refined",
         "kmeans_train",
         "dedup_exact",
-        "dedup_clusters",
-        "corpus_dedup",
-        "minhash_lsh",
         # ngram_jaccard (r4, dedup.py) yields its slot to the new
-        # hybrid_rrf gate: four other dedup.py rows stay windowed
+        # hybrid_rrf gate; dedup_clusters/corpus_dedup/minhash_lsh yield
+        # to section (e)
         "media_features",
         "media_frame_sample",
         "media_resize",
