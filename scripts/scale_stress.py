@@ -657,6 +657,48 @@ def main() -> None:
         big = suite(scaled_dir, k)
         _report(base, big, k)
 
+    if mode == "r7b":
+        # late round-7 additions: semantic_dedup, mmr_rerank, dsir_select
+        print(
+            f"tiling documents+embeddings {k}x into {scaled_dir} ...",
+            flush=True,
+        )
+        tile_documents(spark, sf_dir, scaled_dir, k)
+        tile_embeddings(spark, sf_dir, scaled_dir, k)
+
+        def suite(d: str, kk: int) -> dict[str, float]:
+            from apmbackend_spark.operators import selection as dsel
+            from apmbackend_spark.operators import similarity as sim
+            from apmbackend_spark.sources.loaders import spread
+
+            t = _Timer(spark)
+            embs = spread(spark.read.parquet(f"{d}/embeddings.parquet"))
+            # cluster COUNT held constant across K (list size grows with
+            # the corpus — the SemDeDup deployment knob is k ~ N/size; we
+            # measure the conservative fixed-k shape, so the pair stage is
+            # the quadratic-in-list-size worst case)
+            t.timed("semantic_dedup", lambda: sim.semantic_dedup(embs))
+            t.timed("mmr_rerank", lambda: sim.mmr_rerank(embs))
+            docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
+            t.timed("dsir_select", lambda: dsel.dsir_select(docs))
+            return t.out
+
+        from apmbackend_spark.operators import similarity as _sim
+        from apmbackend_spark.sources.loaders import spread as _spread
+
+        _t = _Timer(spark)
+        _t.timed(
+            "warm_ivf",
+            lambda: _sim.ivf_assign(
+                _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+            ),
+        )
+        print("timing 1x ...", flush=True)
+        base = suite(sf_dir, 1)
+        print(f"timing {k}x ...", flush=True)
+        big = suite(scaled_dir, k)
+        _report(base, big, k)
+
     if mode == "quality":
         # round-5 quality ops only (events + docs tiles, skipping the
         # z-score chain whose 10x factors are already published)
