@@ -339,3 +339,117 @@ FROM sscrub s
 JOIN cum c USING (doc_id)
 JOIN survivors d USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (Chung et al. 2023, public literature): epoch-
+# capped water-filling of a token budget across languages — the "fairer"
+# alternative to temperature sampling for multilingual pretraining mixes.
+# ---------------------------------------------------------------------------
+
+UNIMAX_EPOCH_CAP = 2
+UNIMAX_BUDGET_FRAC = (3, 2)  # budget = total_tokens * 3/2
+
+
+def unimax_alloc(
+    documents: DataFrame,
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+    frac: tuple[int, int] = UNIMAX_BUDGET_FRAC,
+) -> DataFrame:
+    """UniMax allocation: distribute a token budget across languages,
+    capping every language at ``epoch_cap`` epochs of its own data, by the
+    paper's sequential water-filling — visit languages by ascending cap,
+    give each ``min(cap, b_left DIV langs_left)``. Small languages hit
+    their epoch cap; the leftover budget splits across the large ones.
+
+    Rendering: the corpus-scale work is ONE combinable tokenize rollup to
+    |langs| rows. The sequential fill is inherently tiny (the language
+    dimension — a few hundred rows at worst) and ordered, so it runs as a
+    single in-row ``aggregate`` fold over the cap-sorted array: all-integer
+    arithmetic (DIV shares, least), bit-identical to the DuckDB oracle's
+    recursive CTE replay of the same loop. No driver loop, no Python.
+
+    Output per language: (lang, n_tokens, cap, alloc, capped). alloc sums
+    to at most the budget; strictly less only when every language capped
+    (sum of caps < budget — the paper's under-budget case).
+    """
+    num, den = frac
+    per_lang = documents.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    rows = per_lang.select(
+        F.col("lang"),
+        F.col("n_tokens"),
+        (F.lit(int(epoch_cap)) * F.col("n_tokens")).alias("cap"),
+    )
+    packed = rows.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cap", "lang", "n_tokens"))
+        ).alias("arr"),
+        F.expr(f"(CAST(sum(n_tokens) AS BIGINT) * {int(num)}) div {int(den)}").alias(
+            "budget"
+        ),
+    )
+    # fold state: (b_left, emitted array); share re-derives langs_left from
+    # the emitted count, so the state is self-contained
+    folded = packed.select(
+        F.expr(
+            """
+            aggregate(
+              arr,
+              named_struct(
+                'b', budget,
+                'out', CAST(array() AS
+                  array<struct<lang:string, n_tokens:bigint, cap:bigint, alloc:bigint>>)
+              ),
+              (acc, x) -> named_struct(
+                'b', acc.b - least(x.cap, acc.b DIV (size(arr) - size(acc.out))),
+                'out', concat(acc.out, array(named_struct(
+                  'lang', x.lang,
+                  'n_tokens', x.n_tokens,
+                  'cap', x.cap,
+                  'alloc', least(x.cap, acc.b DIV (size(arr) - size(acc.out))))))
+              ),
+              acc -> acc.out
+            ) AS out
+            """
+        )
+    )
+    return folded.select(F.explode("out").alias("s")).select(
+        F.col("s.lang").alias("lang"),
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.cap").alias("cap"),
+        F.col("s.alloc").alias("alloc"),
+        (F.col("s.alloc") == F.col("s.cap")).alias("capped"),
+    )
+
+
+def unimax_alloc_oracle_sql(
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+    frac: tuple[int, int] = UNIMAX_BUDGET_FRAC,
+) -> str:
+    num, den = frac
+    return f"""
+WITH RECURSIVE per_lang AS (
+    SELECT lang,
+           CAST(SUM(len({tokens_sql('text')})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+), ordered AS (
+    SELECT lang, n_tokens, {int(epoch_cap)} * n_tokens AS cap,
+           CAST(ROW_NUMBER() OVER (ORDER BY {int(epoch_cap)} * n_tokens ASC, lang ASC) AS BIGINT) AS i,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_langs,
+           CAST((SUM(n_tokens) OVER () * {int(num)}) // {int(den)} AS BIGINT) AS budget
+    FROM per_lang
+), fill AS (
+    SELECT i, lang, n_tokens, cap, n_langs,
+           least(cap, budget // n_langs) AS alloc,
+           budget - least(cap, budget // n_langs) AS b_after
+    FROM ordered WHERE i = 1
+    UNION ALL
+    SELECT o.i, o.lang, o.n_tokens, o.cap, o.n_langs,
+           least(o.cap, f.b_after // (o.n_langs - f.i)) AS alloc,
+           f.b_after - least(o.cap, f.b_after // (o.n_langs - f.i)) AS b_after
+    FROM fill f JOIN ordered o ON o.i = f.i + 1
+)
+SELECT lang, n_tokens, cap, alloc, (alloc = cap) AS capped FROM fill
+"""

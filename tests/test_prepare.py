@@ -219,3 +219,80 @@ def test_corpus_prepare_exact_scrubs_duplicate_and_packs_kept(spark):
     # packing over KEPT counts in doc_id order
     assert out[1]["start_offset"] == 0 and out[1]["seq_id"] == 0
     assert out[2]["start_offset"] == 29 and out[2]["seq_id"] == 29 // 16
+
+
+def _unimax_reference(lang_tokens, epoch_cap, num, den):
+    """Literal UniMax water-filling replay."""
+    total = sum(lang_tokens.values())
+    b = (total * num) // den
+    items = sorted(
+        ((epoch_cap * n, lang, n) for lang, n in lang_tokens.items())
+    )
+    out = {}
+    left = len(items)
+    for cap, lang, n in items:
+        share = b // left
+        alloc = min(cap, share)
+        out[lang] = (n, cap, alloc, alloc == cap)
+        b -= alloc
+        left -= 1
+    return out
+
+
+def test_unimax_alloc_matches_python_reference_and_invariants(spark):
+    from apmbackend_spark.operators.prepare import unimax_alloc
+
+    docs = [
+        (0, "aa", "one two three"),
+        (1, "aa", "four five"),
+        (2, "bb", "a b c d e f g h i j k l m n o p"),
+        (3, "cc", "x y z"),
+        (4, "dd", "solo"),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, lg, "s", len(t)) for d, lg, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    lang_tokens = {"aa": 5, "bb": 16, "cc": 3, "dd": 1}
+    want = _unimax_reference(lang_tokens, epoch_cap=2, num=3, den=2)
+    got = {
+        r["lang"]: (r["n_tokens"], r["cap"], r["alloc"], r["capped"])
+        for r in unimax_alloc(df).collect()
+    }
+    assert got == want
+    # budget exhaustion: total alloc == budget unless every lang capped
+    total = sum(lang_tokens.values())
+    budget = (total * 3) // 2
+    allocs = sum(v[2] for v in got.values())
+    if not all(v[3] for v in got.values()):
+        assert allocs == budget
+    assert allocs <= budget
+    # epoch cap never exceeded
+    for lang, (n, cap, alloc, _) in got.items():
+        assert alloc <= 2 * n
+
+
+def test_unimax_all_capped_leaves_budget_unspent(spark):
+    from apmbackend_spark.operators.prepare import unimax_alloc
+
+    df = spark.createDataFrame(
+        [(0, "one two", "aa", "s", 7), (1, "three four", "bb", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # budget 4x total > caps (1x total each at epoch_cap=1): all capped
+    got = {r["lang"]: r for r in unimax_alloc(df, epoch_cap=1, frac=(4, 1)).collect()}
+    assert all(r["capped"] for r in got.values())
+    assert all(r["alloc"] == r["n_tokens"] for r in got.values())
+
+
+def test_unimax_alloc_plan_single_rollup_no_python(spark):
+    from apmbackend_spark.operators.prepare import unimax_alloc
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    df = unimax_alloc(load_table(spark, SF_SMOKE, "documents"))
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_sum" in p  # the tokenize rollup is map-side combinable
