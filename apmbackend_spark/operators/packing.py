@@ -273,3 +273,103 @@ SELECT doc_id,
        {hash64_sql(f"array_to_string(tok[s:s+{hi}], ' ')")} AS chunk_fp
 FROM st
 """
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (curriculum learning, Bengio et al. 2009; the
+# quality-annealed data schedule modern pretraining runs use: plain data
+# early, highest-quality slice last).
+# ---------------------------------------------------------------------------
+
+CURRICULUM_CUTS = (0.25, 0.45)  # quality thresholds: phase 0 | 1 | 2
+# (cut at 0.25/0.45, not terciles: fixed thresholds need no global pass, and
+# the fixture quality range [0.04, 0.62] populates all three phases)
+CURRICULUM_SHARDS = 8
+CURRICULUM_SEED = 42
+
+
+def curriculum_order(
+    documents: DataFrame,
+    cuts: tuple[float, float] = CURRICULUM_CUTS,
+    n_shards: int = CURRICULUM_SHARDS,
+    seed: int = CURRICULUM_SEED,
+) -> DataFrame:
+    """Quality-phased training order: every document gets a (phase, shard,
+    pos) address — the loader consumes phases in order, shards within a
+    phase in shard order, so low-quality data trains early and the
+    highest-quality slice lands in the final anneal (the curriculum /
+    mid-training-anneal schedule). Within a phase the order is the
+    epoch-deterministic md5 permutation of `corpus_shuffle` (same seed
+    contract: pure function of (doc_id, seed)).
+
+    Phases come from FIXED quality thresholds (the `corpus_filter`
+    discipline), not global quantiles — no corpus-wide percentile pass, so
+    the phase assignment is a stateless map over the scan. The quality
+    signal is `doc_stats.quality`, whose arithmetic is bit-identical across
+    engines, so the threshold compare is exact.
+
+    Scale shape: one scan computes (quality -> phase, md5 key -> shard);
+    the only shuffle is the (phase, shard)-partitioned position window,
+    where a task holds ~N/(phases * shards) rows — n_shards is sized so a
+    shard fits a task, and the (phase, shard, pos) triple IS the file
+    layout a curriculum loader wants (no global sort, no driver state).
+    """
+    from apmbackend_spark.operators.textstats import doc_stats
+
+    lo, hi = float(cuts[0]), float(cuts[1])
+    key = F.md5(
+        F.concat(F.lit(f"curr{int(seed)}:"), F.col("doc_id").cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % int(n_shards)
+    ).cast("int")
+    phase = (
+        F.when(F.col("quality") < F.lit(lo), F.lit(0))
+        .when(F.col("quality") < F.lit(hi), F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+    )
+    keyed = doc_stats(documents).select(
+        "doc_id",
+        "quality",
+        phase.alias("phase"),
+        key.alias("__k"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("phase", "shard").orderBy("__k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "quality",
+        "phase",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
+def curriculum_order_oracle_sql(
+    cuts: tuple[float, float] = CURRICULUM_CUTS,
+    n_shards: int = CURRICULUM_SHARDS,
+    seed: int = CURRICULUM_SEED,
+) -> str:
+    from apmbackend_spark.operators.textstats import doc_stats_oracle_sql
+
+    lo, hi = float(cuts[0]), float(cuts[1])
+    return f"""
+WITH ds AS (
+    {doc_stats_oracle_sql()}
+), keyed AS (
+    SELECT doc_id, quality,
+           CASE WHEN quality < {lo!r} THEN 0
+                WHEN quality < {hi!r} THEN 1
+                ELSE 2 END AS phase,
+           md5('curr{int(seed)}:' || CAST(doc_id AS VARCHAR)) AS k
+    FROM ds
+), sharded AS (
+    SELECT doc_id, quality, phase, k,
+           CAST(('0x' || substr(k, 1, 8))::BIGINT % {int(n_shards)} AS INT) AS shard
+    FROM keyed
+)
+SELECT doc_id, quality, CAST(phase AS INT) AS phase, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY phase, shard ORDER BY k, doc_id) AS INT) AS pos
+FROM sharded
+"""

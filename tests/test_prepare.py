@@ -296,3 +296,44 @@ def test_unimax_alloc_plan_single_rollup_no_python(spark):
     )
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "partial_sum" in p  # the tokenize rollup is map-side combinable
+
+
+def test_curriculum_order_phases_and_permutation(spark):
+    import hashlib
+
+    from apmbackend_spark.operators.packing import curriculum_order
+    from apmbackend_spark.operators.textstats import doc_stats
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = curriculum_order(docs).collect()
+    q = {r["doc_id"]: r["quality"] for r in doc_stats(docs).collect()}
+    for r in got:
+        want_phase = 0 if q[r["doc_id"]] < 0.25 else (1 if q[r["doc_id"]] < 0.45 else 2)
+        assert r["phase"] == want_phase, r
+        k = hashlib.md5(f"curr42:{r['doc_id']}".encode()).hexdigest()
+        assert r["shard"] == int(k[:8], 16) % 8, r
+    # positions are a dense 1..n permutation within every (phase, shard)
+    by_ps = {}
+    for r in got:
+        by_ps.setdefault((r["phase"], r["shard"]), []).append(r["pos"])
+    for ps, positions in by_ps.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), ps
+    # both ends of the curriculum must exist on the fixture
+    phases = {r["phase"] for r in got}
+    assert 0 in phases and 2 in phases
+
+
+def test_curriculum_order_plan_one_window_no_python(spark):
+    from apmbackend_spark.operators.packing import curriculum_order
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    df = curriculum_order(load_table(spark, SF_SMOKE, "documents"))
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange") <= 2  # the (phase, shard) window partition
+    assert "Window" in p
