@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": lambda s, d: dsel.dsir_select(docs(s, d)),
         "unimax_alloc": lambda s, d: prep.unimax_alloc(docs(s, d)),
         "curriculum_order": lambda s, d: pk.curriculum_order(docs(s, d)),
+        "binary_rerank": lambda s, d: sim.binary_rerank(embs(s, d)),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
@@ -1111,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": dsel.dsir_select_oracle_sql(),
         "unimax_alloc": prep.unimax_alloc_oracle_sql(),
         "curriculum_order": pk.curriculum_order_oracle_sql(),
+        "binary_rerank": sim.binary_rerank_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("
         + zf.TX_SLICED_SQL

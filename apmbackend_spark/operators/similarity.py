@@ -1061,6 +1061,134 @@ SELECT vec_a, vec_b, sim FROM cand WHERE sim >= {float(threshold)!r}
 
 
 # ---------------------------------------------------------------------------
+# Binary-quantization serving tier: packed SRP sign signatures, Hamming
+# shortlist, exact rerank — the third quantized retrieval family next to
+# PQ and IVF-PQ.
+# ---------------------------------------------------------------------------
+
+BQ_BITS = 60  # signed-int64 headroom: 60 sign bits pack into ONE bigint
+BQ_SHORTLIST = 40
+
+
+def _bq_signature(vcol: Column, planes: list[list[int]]) -> Column:
+    """Pack the SRP sign bits of a quantized vector into one bigint:
+    bit j = [<v, plane_j> >= 0] << j. Exact integer folds only."""
+    sig = F.lit(0).cast("long")
+    for j, row in enumerate(planes):
+        d = _dot(vcol, F.array(*[F.lit(s) for s in row]))
+        sig = sig + F.shiftleft(
+            F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j
+        )
+    return sig
+
+
+def _bq_signature_sql(vexpr: str, planes: list[list[int]]) -> str:
+    terms = []
+    for j, row in enumerate(planes):
+        lit = "[" + ", ".join(str(s) for s in row) + "]"
+        terms.append(
+            f"(CASE WHEN ({_dot_sql(vexpr, lit)}) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def binary_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = BQ_SHORTLIST,
+    n_bits: int = BQ_BITS,
+) -> DataFrame:
+    """Binary-quantization search with exact rescore (the Charikar-simhash
+    serving form modern vector stores ship as "binary quantization"):
+    every vector compresses to `n_bits` SRP sign bits packed into ONE
+    int64; a query ranks the corpus by Hamming distance popcount(sig_q XOR
+    sig_c) — a monotone estimator of angle, E[hamming] = bits * theta/pi —
+    keeps the `shortlist` closest, and the exact cosine rerank restores
+    true order on that budget (same `_exact_rerank` stage as pq_rerank /
+    ivfpq_rerank, so the three quantized tiers are directly comparable).
+
+    Determinism: the signature is an exact integer fold (the srp_neardup
+    hyperplanes discipline, widened to 60 planes); Hamming is
+    bit_count(xor) on bigints in both engines; shortlist ties break on
+    cand_id; the rerank cosines are the module's exact contract.
+
+    Scale shape (100 TB): signatures are a write-once stateless scan (one
+    bigint per vector — 512x smaller than the float32 row, the whole point:
+    the Hamming scan streams the corpus at memory bandwidth). The search
+    joins queries x corpus on SIGNATURES ONLY (8 bytes a side), and full
+    vectors are read back just for |queries| x shortlist rows. The
+    signature frame is localCheckpoint-pinned: the query side and the
+    candidate side both read it."""
+    from pyspark.sql import Window
+
+    planes = _srp_signs(n_bits=int(n_bits))
+    sigs = embeddings.select(
+        "vec_id",
+        _bq_signature(_quantize(F.col("embedding")), planes).alias("sig"),
+    ).localCheckpoint()
+    q = sigs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    c = sigs.select(
+        F.col("vec_id").alias("cand_id"), F.col("sig").alias("csig")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("cand_id")
+    )
+    short = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.bit_count(F.col("qsig").bitwiseXOR(F.col("csig"))).alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= int(shortlist))
+        .select("query_id", "cand_id")
+    )
+    return _exact_rerank(embeddings, short, n_queries, k)
+
+
+def binary_rerank_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = BQ_SHORTLIST,
+    n_bits: int = BQ_BITS,
+) -> str:
+    planes = _srp_signs(n_bits=int(n_bits))
+    sig = _bq_signature_sql("v", planes)
+    return f"""
+WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+), sigs AS (
+    SELECT vec_id, v, {sig} AS sig FROM qz
+), short AS (
+    SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.sig, c.sig)) ASC, c.vec_id ASC
+               ) AS rn
+        FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {int(n_queries)}
+    ) WHERE rn <= {int(shortlist)}
+), rer AS (
+    SELECT s.query_id, s.cand_id, {cosine_sql('q.v', 'c.v')} AS sim
+    FROM short s
+    JOIN qz q ON q.vec_id = s.query_id
+    JOIN qz c ON c.vec_id = s.cand_id
+)
+SELECT query_id, cand_id, sim,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, cand_id ASC
+       ) AS INT) AS rank
+FROM rer
+QUALIFY rank <= {int(k)}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Power-iteration PCA: top principal direction of the embedding corpus.
 # ---------------------------------------------------------------------------
 

@@ -1287,3 +1287,96 @@ def test_mmr_step1_is_pure_relevance_and_no_repeats(spark):
     }
     for r in pure:
         assert topk[(r["query_id"], r["step"])] == r["cand_id"], r
+
+
+def test_binary_rerank_equals_bruteforce_at_full_shortlist(spark):
+    # with shortlist >= corpus the Hamming stage prunes nothing, so the
+    # exact rerank must reproduce ann_bruteforce bit-for-bit
+    from apmbackend_spark.operators.similarity import (
+        ann_bruteforce,
+        binary_rerank,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    want = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["sim"])
+        for r in ann_bruteforce(embs).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["sim"])
+        for r in binary_rerank(embs, shortlist=10_000).collect()
+    }
+    assert got == want
+
+
+def test_binary_rerank_signature_matches_python_and_recall_beats_floor(spark):
+    import hashlib
+
+    from apmbackend_spark.operators.similarity import (
+        _bq_signature,
+        _quantize,
+        _srp_signs,
+        ann_bruteforce,
+        binary_rerank,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    planes = _srp_signs(n_bits=60)
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in embs.select(
+            "vec_id",
+            _bq_signature(_quantize(F.col("embedding")), planes).alias("sig"),
+        )
+        .where(F.col("vec_id") < 5)
+        .collect()
+    }
+    stored = {
+        r["vec_id"]: list(r["embedding"])
+        for r in embs.where(F.col("vec_id") < 5).collect()
+    }
+    for vid, v in stored.items():
+        q = [round(x * 10_000) for x in v]
+        want = 0
+        for j, row in enumerate(planes):
+            d = sum(a * b for a, b in zip(q, row))
+            if d >= 0:
+                want |= 1 << j
+        assert sigs[vid] == want, vid
+    # at the default 40-candidate budget the Hamming prefilter must do
+    # real work: recall@5 above the random-shortlist floor (~40/500)
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_bruteforce(embs).collect()
+    }
+    got = {
+        (r["query_id"], r["cand_id"])
+        for r in binary_rerank(embs).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.3, recall
+
+
+def test_binary_rerank_shortlist_ships_signatures_only(spark):
+    import re
+
+    from apmbackend_spark.operators.similarity import binary_rerank
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    df = binary_rerank(embs)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in p
+    # the Hamming ranking window partitions on query_id with no vector col
+    for mch in re.finditer(r"hashpartitioning\(([^)]*)\)", p):
+        keys = mch.group(1)
+        if "query_id" in keys and "hamming" in keys:
+            assert "embedding" not in keys and "qv" not in keys
