@@ -338,6 +338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_alloc": lambda s, d: prep.unimax_alloc(docs(s, d)),
         "curriculum_order": lambda s, d: pk.curriculum_order(docs(s, d)),
         "binary_rerank": lambda s, d: sim.binary_rerank(embs(s, d)),
+        "cluster_profile": lambda s, d: sim.cluster_profile(
+            embs(s, d), docs(s, d)
+        ),
+        "hard_negatives": lambda s, d: sim.hard_negatives(embs(s, d)),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
@@ -1113,6 +1117,8 @@ def oracle_sql() -> dict[str, str]:
         "unimax_alloc": prep.unimax_alloc_oracle_sql(),
         "curriculum_order": pk.curriculum_order_oracle_sql(),
         "binary_rerank": sim.binary_rerank_oracle_sql(),
+        "cluster_profile": sim.cluster_profile_oracle_sql(),
+        "hard_negatives": sim.hard_negatives_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("
         + zf.TX_SLICED_SQL

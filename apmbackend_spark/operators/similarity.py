@@ -1061,6 +1061,213 @@ SELECT vec_a, vec_b, sim FROM cand WHERE sim >= {float(threshold)!r}
 
 
 # ---------------------------------------------------------------------------
+# Cluster profiling (domain discovery): what IS each embedding cluster,
+# in corpus-metadata terms.
+# ---------------------------------------------------------------------------
+
+
+def cluster_profile(embeddings: DataFrame, documents: DataFrame) -> DataFrame:
+    """Domain discovery over the embedding clusters (the analysis step of
+    cluster-based curation pipelines — SemDeDup/WebOrganizer-style): assign
+    every vector to its IVF list, join the 1:1 document metadata
+    (vec_id == doc_id in this corpus), and profile each cluster:
+
+        (list_id, n_docs, total_tokens, top_lang, top_lang_n,
+         top_label, top_label_n)
+
+    top_label_n / n_docs is the cluster's label purity against the
+    embeddings' ground-truth label column — the quality signal for the
+    clustering itself; emitted as exact integers so the gate hashes.
+
+    Scale shape: the assignment is the broadcast-centroid scan; the
+    metadata join is doc_id-keyed (co-partitionable with the corpus
+    layout); the profile is ONE combinable (list, lang) + (list, label)
+    rollup pair windowed to argmax with lexicographic tie-break — no
+    text shuffles (token counts computed at the scan)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens as _tokens
+
+    assigned = ivf_assign(embeddings).select("vec_id", "list_id")
+    meta = documents.select(
+        F.col("doc_id").alias("vec_id"),
+        "lang",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    base = (
+        assigned.join(meta, "vec_id")
+        .join(embeddings.select("vec_id", "label"), "vec_id")
+    )
+    per_lang = base.groupBy("list_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_lang")
+    )
+    wl = Window.partitionBy("list_id").orderBy(
+        F.desc("n_lang"), F.asc("lang")
+    )
+    top_lang = (
+        per_lang.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select(
+            "list_id",
+            F.col("lang").alias("top_lang"),
+            F.col("n_lang").alias("top_lang_n"),
+        )
+    )
+    per_label = base.groupBy("list_id", "label").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    wb = Window.partitionBy("list_id").orderBy(
+        F.desc("n_label"), F.asc("label")
+    )
+    top_label = (
+        per_label.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "list_id",
+            F.col("label").alias("top_label"),
+            F.col("n_label").alias("top_label_n"),
+        )
+    )
+    totals = base.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return (
+        totals.join(top_lang, "list_id")
+        .join(top_label, "list_id")
+        .select(
+            "list_id",
+            "n_docs",
+            "total_tokens",
+            "top_lang",
+            "top_lang_n",
+            "top_label",
+            "top_label_n",
+        )
+    )
+
+
+def cluster_profile_oracle_sql(n_lists_mod: int = 50) -> str:
+    from ..functions.text import tokens_sql as _tok_sql
+
+    return f"""
+WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v, label FROM embeddings
+), cent AS (
+    SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {n_lists_mod} = 0
+), scored AS (
+    SELECT q.vec_id, c.list_id, {cosine_sql('q.v', 'c.centv')} AS sim
+    FROM qz q CROSS JOIN cent c
+), assigned AS (
+    SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+), base AS (
+    SELECT a.list_id, d.lang, e.label,
+           CAST(len({_tok_sql('d.text')}) AS BIGINT) AS n_tokens
+    FROM assigned a
+    JOIN documents d ON d.doc_id = a.vec_id
+    JOIN qz e ON e.vec_id = a.vec_id
+), top_lang AS (
+    SELECT list_id, lang AS top_lang, n_lang AS top_lang_n FROM (
+        SELECT list_id, lang, CAST(COUNT(*) AS BIGINT) AS n_lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY list_id ORDER BY COUNT(*) DESC, lang ASC
+               ) AS rn
+        FROM base GROUP BY list_id, lang
+    ) WHERE rn = 1
+), top_label AS (
+    SELECT list_id, label AS top_label, n_label AS top_label_n FROM (
+        SELECT list_id, label, CAST(COUNT(*) AS BIGINT) AS n_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY list_id ORDER BY COUNT(*) DESC, label ASC
+               ) AS rn
+        FROM base GROUP BY list_id, label
+    ) WHERE rn = 1
+), totals AS (
+    SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM base GROUP BY list_id
+)
+SELECT t.list_id, t.n_docs, t.total_tokens,
+       l.top_lang, l.top_lang_n, b.top_label, b.top_label_n
+FROM totals t JOIN top_lang l USING (list_id) JOIN top_label b USING (list_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (ANCE/DPR-style): hardest same-corpus negatives per
+# anchor, label-aware.
+# ---------------------------------------------------------------------------
+
+HARDNEG_K = 5
+
+
+def hard_negatives(
+    embeddings: DataFrame, n_queries: int = 10, k: int = HARDNEG_K
+) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training (ANCE, Xiong
+    et al. 2021; DPR practice): for each anchor, the k most-similar vectors
+    whose ground-truth LABEL differs — maximally confusable true negatives,
+    the examples contrastive training wants. Deterministic tie-break on
+    cand_id; exact cosines.
+
+    Scale shape: identical to ann_bruteforce (broadcast anchors, scan-side
+    scoring, per-anchor top-k window) with the label-mismatch predicate
+    pushed into the join — at 100 TB the anchor set is the training batch
+    (tiny) and the scan is the corpus; swap the scan for an IVF/binary
+    shortlist when approximate mining is acceptable."""
+    from pyspark.sql import Window
+
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _quantize(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("cand_id"),
+        _quantize(F.col("embedding")).alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qlabel") != F.col("clabel"))
+        .select(
+            "query_id",
+            "cand_id",
+            "clabel",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "cand_id", "clabel", "sim", "rank")
+    )
+
+
+def hard_negatives_oracle_sql(n_queries: int = 10, k: int = HARDNEG_K) -> str:
+    return f"""
+WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v, label FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS clabel,
+           {cosine_sql('q.v', 'c.v')} AS sim
+    FROM qz q JOIN qz c ON q.label <> c.label
+    WHERE q.vec_id < {int(n_queries)}
+)
+SELECT query_id, cand_id, clabel, sim,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, cand_id ASC
+       ) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {int(k)}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Binary-quantization serving tier: packed SRP sign signatures, Hamming
 # shortlist, exact rerank — the third quantized retrieval family next to
 # PQ and IVF-PQ.

@@ -1380,3 +1380,48 @@ def test_binary_rerank_shortlist_ships_signatures_only(spark):
         keys = mch.group(1)
         if "query_id" in keys and "hamming" in keys:
             assert "embedding" not in keys and "qv" not in keys
+
+
+def test_cluster_profile_consistent_with_assignment(spark):
+    from apmbackend_spark.operators.similarity import cluster_profile, ivf_assign
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    prof = {r["list_id"]: r for r in cluster_profile(embs, docs).collect()}
+    sizes = {}
+    for r in ivf_assign(embs).collect():
+        sizes[r["list_id"]] = sizes.get(r["list_id"], 0) + 1
+    assert {k: r["n_docs"] for k, r in prof.items()} == sizes
+    for r in prof.values():
+        assert 1 <= r["top_lang_n"] <= r["n_docs"]
+        assert 1 <= r["top_label_n"] <= r["n_docs"]
+        assert r["total_tokens"] > 0
+    assert sum(r["n_docs"] for r in prof.values()) == embs.count()
+
+
+def test_hard_negatives_label_disjoint_and_hardest(spark):
+    from apmbackend_spark.operators.similarity import (
+        ann_bruteforce,
+        hard_negatives,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in embs.select("vec_id", "label").collect()}
+    got = hard_negatives(embs).collect()
+    for r in got:
+        assert r["clabel"] == labels[r["cand_id"]]
+        assert labels[r["query_id"]] != r["clabel"], r  # never same label
+    # hardest: each anchor's rank-1 negative is at least as similar as any
+    # different-label member of its bruteforce top-5
+    bf = {}
+    for r in ann_bruteforce(embs).collect():
+        bf.setdefault(r["query_id"], []).append((r["cand_id"], r["sim"]))
+    top1 = {r["query_id"]: r["sim"] for r in got if r["rank"] == 1}
+    for qid, cands in bf.items():
+        for cand_id, sim in cands:
+            if labels[cand_id] != labels[qid]:
+                assert top1[qid] >= sim, (qid, cand_id)
