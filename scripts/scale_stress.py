@@ -667,6 +667,8 @@ def main() -> None:
         tile_embeddings(spark, sf_dir, scaled_dir, k)
 
         def suite(d: str, kk: int) -> dict[str, float]:
+            from apmbackend_spark.operators import packing as pk
+            from apmbackend_spark.operators import prepare as prep
             from apmbackend_spark.operators import selection as dsel
             from apmbackend_spark.operators import similarity as sim
             from apmbackend_spark.sources.loaders import spread
@@ -679,8 +681,15 @@ def main() -> None:
             # the quadratic-in-list-size worst case)
             t.timed("semantic_dedup", lambda: sim.semantic_dedup(embs))
             t.timed("mmr_rerank", lambda: sim.mmr_rerank(embs))
+            t.timed("binary_rerank", lambda: sim.binary_rerank(embs))
+            t.timed("hard_negatives", lambda: sim.hard_negatives(embs))
             docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
             t.timed("dsir_select", lambda: dsel.dsir_select(docs))
+            t.timed("unimax_alloc", lambda: prep.unimax_alloc(docs))
+            t.timed("curriculum_order", lambda: pk.curriculum_order(docs))
+            t.timed(
+                "cluster_profile", lambda: sim.cluster_profile(embs, docs)
+            )
             return t.out
 
         from apmbackend_spark.operators import similarity as _sim
