@@ -154,6 +154,10 @@ def dsir_select(
         )
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        # four consumers (cr, ct, totals, the scoring join) would each
+        # re-run the gram explode over the corpus otherwise — the
+        # corpus_mixture persist rationale
+        .persist()
     )
     cr = db.groupBy("bucket").agg(F.sum("c").alias("cr"))
     ct = (

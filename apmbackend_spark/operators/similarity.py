@@ -588,8 +588,10 @@ def semantic_dedup(
     is localCheckpoint-pinned because three consumers (both join sides and
     the final flag join) would otherwise each re-run the full
     centroid-assignment scoring pass. The EXISTS is a left-semi join (no
-    pair materialization past the filter), and the final flag join is a
-    broadcast of the pruned id set (strictly smaller than the corpus).
+    pair materialization past the filter), and the final flag join keys
+    on vec_id with NO broadcast hint — pruned can approach corpus size on
+    a duplicate-heavy corpus, so AQE decides at runtime (broadcasting it
+    only when measured small).
     """
     assigned = ivf_assign(embeddings, n_lists_mod)
     vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("v"))
@@ -614,9 +616,12 @@ def semantic_dedup(
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
+    # NO broadcast hint on the flag join: pruned can approach corpus size
+    # on a duplicate-heavy corpus, so it must be allowed to shuffle-join
+    # on vec_id (AQE still broadcasts it when it measures small)
     return (
         av.join(
-            F.broadcast(pruned.withColumn("is_pruned", F.lit(True))),
+            pruned.withColumn("is_pruned", F.lit(True)),
             "vec_id",
             "left",
         )
@@ -1094,9 +1099,12 @@ def cluster_profile(embeddings: DataFrame, documents: DataFrame) -> DataFrame:
         "lang",
         F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
+    # three rollups (lang, label, totals) read base; pin it so the
+    # centroid-assignment scoring pass runs once, not three times
     base = (
         assigned.join(meta, "vec_id")
         .join(embeddings.select("vec_id", "label"), "vec_id")
+        .localCheckpoint()
     )
     per_lang = base.groupBy("list_id", "lang").agg(
         F.count(F.lit(1)).alias("n_lang")
