@@ -1685,3 +1685,168 @@ SELECT doc_id,
        ) AS l1
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Graded HyperLogLog: the mergeable-sketch cardinality path, value-hashed.
+# ---------------------------------------------------------------------------
+
+HLL_P = 6
+HLL_M = 1 << HLL_P            # 64 registers
+_HLL_VBITS = 60 - HLL_P       # value bits left of the 60-bit md5 hash
+_HLL_ALPHA = 0.709            # the published alpha_64 (Flajolet et al.)
+_LN2 = 0.6931471805599453
+
+
+def hll_cardinality(documents: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-count — the sketch `corpus_cardinality(approx=
+    True)` delegates to Spark for, reimplemented RELATIONALLY so the gate
+    can value-hash it: registers are a (source, bucket) MAX rollup of the
+    md5-derived rho, estimates are computed from the dense register array
+    with the published formulas, and the '__union__' row demonstrates the
+    property that makes HLL the 100 TB answer — registers MERGE by
+    per-bucket max, so per-shard sketches combine map-side without ever
+    shuffling distinct keys (the union row's registers are by construction
+    the bucket-max of the per-source registers; a pytest asserts it).
+
+    Both estimator branches are graded: small-range linear counting
+    (V > 0 and raw <= 2.5m — the per-source fixture regime) and the raw
+    harmonic estimate (the union row's regime). Exactness discipline:
+    rho is pure integer (bit-length of the remaining 54 hash bits), the
+    harmonic sum folds the registers IN ARRAY ORDER (never an unordered
+    float SUM) over exact powers of two, and linear counting's ln(m/V)
+    reuses the exact fixed-point log2 of `selection.py` times a shared
+    ln(2) literal — every float op has identical shape in both engines.
+    The exact COUNT(DISTINCT) rides along as the in-gate error reference
+    (the ann_recall_report pattern: the evaluation IS the gate)."""
+    from apmbackend_spark.operators.selection import _with_log2fix
+
+    fp = hash64(F.concat_ws(" ", tokens(F.col("text"))))
+    d0 = documents.select(F.col("source"), fp.alias("h"))
+    d = d0.unionByName(
+        d0.select(F.lit("__union__").alias("source"), "h")
+    ).persist()  # feeds the register rollup AND the exact-distinct rollup
+    rho = F.when(F.col("value") == 0, F.lit(_HLL_VBITS + 1)).otherwise(
+        F.lit(_HLL_VBITS + 1) - F.length(F.expr("bin(value)"))
+    )
+    regs = (
+        d.select(
+            "source",
+            (F.col("h") % HLL_M).cast("int").alias("bucket"),
+            F.expr(f"h div {HLL_M}").alias("value"),
+        )
+        .select("source", "bucket", rho.cast("long").alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    dense = regs.groupBy("source").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("reg")))
+        ).alias("mp")
+    ).select(
+        "source",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(HLL_M - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("mp"), i.cast("int")), F.lit(0).cast("long")
+            ),
+        ).alias("arr"),
+    )
+    stats = dense.select(
+        "source",
+        F.size(F.filter(F.col("arr"), lambda x: x == 0))
+        .cast("long")
+        .alias("v_zero"),
+        F.expr(
+            "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> "
+            "acc + 1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(x AS INT)) AS DOUBLE))"
+        ).alias("ssum"),
+    )
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("h").alias("exact_distinct"),
+    )
+    out = counts.join(stats, "source")
+    out = _with_log2fix(out, "greatest(v_zero, 1)", "l_v")
+    raw = (F.lit(float(_HLL_ALPHA)) * F.lit(float(HLL_M * HLL_M))) / F.col("ssum")
+    linear = (
+        F.lit(float(HLL_M))
+        * (
+            (F.lit(float(HLL_P * 65536)) - F.col("l_v").cast("double"))
+            / F.lit(65536.0)
+        )
+        * F.lit(_LN2)
+    )
+    use_linear = (F.col("v_zero") > 0) & (raw <= F.lit(2.5 * HLL_M))
+    return out.select(
+        "source",
+        "n_rows",
+        "exact_distinct",
+        "v_zero",
+        F.when(use_linear, F.lit("linear")).otherwise(F.lit("raw")).alias(
+            "est_kind"
+        ),
+        F.when(use_linear, linear).otherwise(raw).alias("est"),
+    )
+
+
+def hll_cardinality_oracle_sql() -> str:
+    from apmbackend_spark.operators.selection import log2fix_sql
+
+    fp = hash64_sql(f"COALESCE(array_to_string({tokens_sql('text')}, ' '), '')")
+    m = HLL_M
+    vb1 = _HLL_VBITS + 1
+    lv = log2fix_sql("greatest(v_zero, 1)")
+    return f"""
+WITH d0 AS (
+    SELECT source, {fp} AS h FROM documents
+), d AS (
+    SELECT source, h FROM d0
+    UNION ALL
+    SELECT '__union__' AS source, h FROM d0
+), rows_rho AS (
+    SELECT source,
+           CAST(h % {m} AS INT) AS bucket,
+           CASE WHEN (h // {m}) = 0 THEN CAST({vb1} AS BIGINT)
+                ELSE CAST({vb1} - length(format('{{:b}}', h // {m})) AS BIGINT)
+           END AS rho
+    FROM d
+), regs AS (
+    SELECT source, bucket, CAST(MAX(rho) AS BIGINT) AS reg
+    FROM rows_rho GROUP BY 1, 2
+), dense AS (
+    SELECT source,
+           list_transform(
+               range(0, {m}),
+               i -> COALESCE(element_at(
+                        map_from_entries(list(struct_pack(k := bucket, v := reg))),
+                        CAST(i AS INT))[1],
+                    CAST(0 AS BIGINT))
+           ) AS arr
+    FROM regs GROUP BY source
+), stats AS (
+    SELECT source,
+           CAST(len(list_filter(arr, x -> x = 0)) AS BIGINT) AS v_zero,
+           list_reduce(
+               list_prepend(0.0, list_transform(arr, x -> 1.0 / CAST(1::BIGINT << CAST(x AS INT) AS DOUBLE))),
+               (a, x) -> a + x
+           ) AS ssum
+    FROM dense
+), counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct
+    FROM d GROUP BY source
+), j AS (
+    SELECT c.source, c.n_rows, c.exact_distinct, s.v_zero, s.ssum,
+           {lv} AS l_v
+    FROM counts c JOIN stats s USING (source)
+)
+SELECT source, n_rows, exact_distinct, v_zero,
+       CASE WHEN v_zero > 0 AND ({_HLL_ALPHA!r} * {float(m * m)!r}) / ssum <= {2.5 * m!r}
+            THEN 'linear' ELSE 'raw' END AS est_kind,
+       CASE WHEN v_zero > 0 AND ({_HLL_ALPHA!r} * {float(m * m)!r}) / ssum <= {2.5 * m!r}
+            THEN ({float(m)!r} * ((CAST({HLL_P * 65536} - l_v AS DOUBLE)) / 65536.0)) * {_LN2!r}
+            ELSE ({_HLL_ALPHA!r} * {float(m * m)!r}) / ssum
+       END AS est
+FROM j
+"""

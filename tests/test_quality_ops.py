@@ -889,3 +889,73 @@ def test_bpe_batching_reduces_jobs_on_fixture(spark):
     bat_merges, _, bat_jobs = _bpe_train_frames(docs, 6, batch=8)
     assert bat_merges == seq_merges        # replay-identical on the fixture
     assert seq_jobs == 6 and bat_jobs < 6  # and measurably fewer jobs
+
+
+# ---------------------------------------------------------------------------
+# graded HyperLogLog
+
+
+def test_hll_registers_match_python_and_merge_identity(spark):
+    import hashlib
+
+    from apmbackend_spark.operators.textstats import HLL_M, hll_cardinality
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+    import re as _re
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = docs.select("doc_id", "source", "text").collect()
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def fingerprint(text):
+        t = [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+        return h64(" ".join(t))
+
+    regs = {}
+    for r in rows:
+        h = fingerprint(r["text"])
+        b, v = h % HLL_M, h // HLL_M
+        rho = 55 if v == 0 else 55 - v.bit_length()
+        for src in (r["source"], "__union__"):
+            cur = regs.setdefault(src, [0] * HLL_M)
+            cur[b] = max(cur[b], rho)
+    # v_zero replay pins the register arrays; the merge identity is the
+    # construction itself: union registers == bucket-max of source regs
+    merged = [0] * HLL_M
+    for src, arr in regs.items():
+        if src != "__union__":
+            merged = [max(a, b) for a, b in zip(merged, arr)]
+    assert merged == regs["__union__"]
+    got = {r["source"]: r for r in hll_cardinality(docs).collect()}
+    for src, arr in regs.items():
+        assert got[src]["v_zero"] == sum(1 for x in arr if x == 0), src
+    # accuracy: linear-counting sources within 30% (m=64, n/m~0.4 —
+    # binomial noise on v_zero), raw union within 10%
+    for src, r in got.items():
+        err = abs(r["est"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert err < (0.10 if src == "__union__" else 0.30), (src, r)
+    assert got["__union__"]["est_kind"] == "raw"
+    assert all(
+        r["est_kind"] == "linear" for s, r in got.items() if s != "__union__"
+    )
+
+
+def test_hll_estimate_invariant_under_duplication(spark):
+    # insert-idempotence: tripling every row changes NO register, so the
+    # estimate is identical while exact n_rows triples — the property that
+    # makes the sketch mergeable/combinable map-side
+    from apmbackend_spark.operators.textstats import hll_cardinality
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tripled = docs.unionByName(docs).unionByName(docs)
+    a = {r["source"]: r for r in hll_cardinality(docs).collect()}
+    b = {r["source"]: r for r in hll_cardinality(tripled).collect()}
+    assert set(a) == set(b)
+    for src in a:
+        assert b[src]["n_rows"] == 3 * a[src]["n_rows"]
+        assert b[src]["est"] == a[src]["est"], src
+        assert b[src]["exact_distinct"] == a[src]["exact_distinct"]
