@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "hard_negatives": lambda s, d: sim.hard_negatives(embs(s, d)),
         "hll_cardinality": lambda s, d: ts.hll_cardinality(docs(s, d)),
+        "stream_hll": lambda s, d: topo.stream_hll_gate(s, d),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
@@ -1121,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_profile": sim.cluster_profile_oracle_sql(),
         "hard_negatives": sim.hard_negatives_oracle_sql(),
         "hll_cardinality": ts.hll_cardinality_oracle_sql(),
+        "stream_hll": topo.stream_hll_gate_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("
         + zf.TX_SLICED_SQL

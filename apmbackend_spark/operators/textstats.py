@@ -1719,17 +1719,35 @@ def hll_cardinality(documents: DataFrame) -> DataFrame:
     ln(2) literal — every float op has identical shape in both engines.
     The exact COUNT(DISTINCT) rides along as the in-gate error reference
     (the ann_recall_report pattern: the evaluation IS the gate)."""
-    from apmbackend_spark.operators.selection import _with_log2fix
-
     fp = hash64(F.concat_ws(" ", tokens(F.col("text"))))
     d0 = documents.select(F.col("source"), fp.alias("h"))
     d = d0.unionByName(
         d0.select(F.lit("__union__").alias("source"), "h")
     ).persist()  # feeds the register rollup AND the exact-distinct rollup
+    return hll_finish(hll_registers(d), d)
+
+
+def hll_rows(documents: DataFrame) -> DataFrame:
+    """(source, h) rows incl. the '__union__' replica — the insert stream
+    both the batch gate and the streaming gate feed to the registers.
+    Streaming-safe: the replica is an explode, not a self-union."""
+    fp = hash64(F.concat_ws(" ", tokens(F.col("text"))))
+    return documents.select(
+        F.explode(
+            F.array(F.col("source"), F.lit("__union__"))
+        ).alias("source"),
+        fp.alias("h"),
+    )
+
+
+def hll_registers(d: DataFrame) -> DataFrame:
+    """(source, bucket, reg) MAX rollup — the mergeable sketch state. MAX
+    is order- and batch-insensitive, which is exactly why this aggregation
+    can live in a streaming state store (see stream_hll)."""
     rho = F.when(F.col("value") == 0, F.lit(_HLL_VBITS + 1)).otherwise(
         F.lit(_HLL_VBITS + 1) - F.length(F.expr("bin(value)"))
     )
-    regs = (
+    return (
         d.select(
             "source",
             (F.col("h") % HLL_M).cast("int").alias("bucket"),
@@ -1739,6 +1757,14 @@ def hll_cardinality(documents: DataFrame) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def hll_finish(regs: DataFrame, d: DataFrame) -> DataFrame:
+    """Estimates from (source, bucket, reg) registers plus the exact
+    reference counts from the (source, h) rows — shared by the batch gate
+    and the streaming gate's post-drain finish."""
+    from apmbackend_spark.operators.selection import _with_log2fix
+
     dense = regs.groupBy("source").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("bucket"), F.col("reg")))

@@ -458,6 +458,81 @@ GROUP BY fingerprint
 """
 
 
+def stream_hll_gate(
+    spark: SparkSession, sf_dir: str, n_shards: int = 3,
+    shuffle_partitions: int = 8,
+) -> "DataFrame":
+    """Streaming HyperLogLog: the documents table arrives as ``n_shards``
+    micro-batch deliveries and the (source, bucket) -> MAX(rho) register
+    rollup of `hll_cardinality` lives in the STATE STORE, merging each
+    delivery's registers by per-bucket max — the sketch-mergeability
+    property exercised where it matters at 100 TB: continuous ingest,
+    distinct-count maintained with O(sources x m) state and NO distinct
+    keys ever stored. After the drain, the shared `hll_finish` computes
+    the estimates from the drained registers (exact reference counts from
+    a batch read of the staged corpus), so the result — and therefore the
+    oracle — is IDENTICAL to the batch gate's: MAX is batch-insensitive,
+    making the streamed sketch a pure function of the corpus.
+
+    Scale note: complete-mode + parquet overwrite is gate plumbing for the
+    tiny register sink (sources x 64 rows); production updates a KV/Delta
+    register table. The state-store mechanics are the production ones."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from apmbackend_spark.operators.textstats import (
+        hll_finish,
+        hll_registers,
+        hll_rows,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+
+    work = tempfile.mkdtemp(prefix="apm_hll_gate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "docs_src")
+    out = os.path.join(work, "hll_regs")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    for i in range(n_shards):
+        docs.where(F.col("doc_id") % n_shards == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    regs = hll_registers(hll_rows(stream))
+
+    def sink(df, _bid):
+        df.write.mode("overwrite").parquet(out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            regs.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    drained = spark.read.parquet(out)
+    return hll_finish(drained, hll_rows(docs))
+
+
+def stream_hll_gate_oracle_sql() -> str:
+    from apmbackend_spark.operators.textstats import hll_cardinality_oracle_sql
+
+    return hll_cardinality_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Streaming session windows gate: native session_window + watermark with
 # cross-micro-batch session merging.

@@ -690,6 +690,9 @@ def main() -> None:
             t.timed(
                 "cluster_profile", lambda: sim.cluster_profile(embs, docs)
             )
+            from apmbackend_spark.operators import textstats as ts
+
+            t.timed("hll_cardinality", lambda: ts.hll_cardinality(docs))
             return t.out
 
         from apmbackend_spark.operators import similarity as _sim

@@ -979,3 +979,27 @@ def test_nearest_stateful_resumes_from_checkpoint_across_query_restarts(
         for r in nearest_event_join(tx, g, tol_ms=tol).collect()
     }
     assert got == want
+
+
+def test_stream_hll_equals_batch_gate_across_forced_batches(spark):
+    # MAX-merge across 4 forced micro-batch cuts must reproduce the batch
+    # sketch bit-for-bit (registers are batch-insensitive), including the
+    # __union__ row and both estimator branches
+    from apmbackend_spark.operators.textstats import hll_cardinality
+    from apmbackend_spark.sources.loaders import load_table
+    from apmbackend_spark.streaming.topology import stream_hll_gate
+    from tests.conftest import SF_SMOKE
+
+    batch = {r["source"]: r for r in hll_cardinality(
+        load_table(spark, SF_SMOKE, "documents")
+    ).collect()}
+    streamed = {r["source"]: r for r in stream_hll_gate(
+        spark, SF_SMOKE, n_shards=4
+    ).collect()}
+    assert set(batch) == set(streamed)
+    for src in batch:
+        b, s = batch[src], streamed[src]
+        assert (b["n_rows"], b["exact_distinct"], b["v_zero"]) == (
+            s["n_rows"], s["exact_distinct"], s["v_zero"]
+        ), src
+        assert b["est_kind"] == s["est_kind"] and b["est"] == s["est"], src
