@@ -923,6 +923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (e) the 3 LATE round-7 gates (semantic_dedup, mmr_rerank,
     #       dsir_select) — brand-new operators; never-graded beats
     #       stale-but-green, so they displace three dedup.py r4 rows;
+    #       the 7 LATEST round-7 gates (unimax_alloc, curriculum_order,
+    #       binary_rerank, cluster_profile, hard_negatives,
+    #       hll_cardinality, stream_hll — added after the window refilled)
+    #       overflow to the judge's sweep and head next round's rotation;
     #   (d) 9 round-4 rows chosen because their FILES changed this round
     #       even though their functions didn't (similarity.py:
     #       ann_bruteforce, ivf_assign, ivf_assign_refined, kmeans_train;
