@@ -140,3 +140,28 @@ def test_dsir_select_plan_broadcast_model_no_python(spark):
     # weight table and totals ride broadcasts; per-doc agg is combinable
     assert p.count("BroadcastExchange") >= 2
     assert "partial_sum" in p
+
+
+def test_log2fix_fuzz_duckdb_vs_python():
+    # three-way exactness on arbitrary int64-range inputs: DuckDB's
+    # list_reduce rendering replays the Python fold bit-for-bit, and the
+    # truncation error stays below 4 fixed-point ulps (the monotone-enough
+    # bound the DSIR weights rely on)
+    import duckdb
+
+    from apmbackend_spark.operators.selection import log2fix_sql
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=1, max_value=(1 << 62) - 1))
+    def run(x):
+        got = con.sql(f"SELECT {log2fix_sql(str(x))}").fetchone()[0]
+        want = _l2fix_py(x)
+        assert got == want, x
+        exact = math.log2(x) * L2_SCALE
+        assert 0 <= exact - got < 4, (x, got, exact)
+
+    run()
