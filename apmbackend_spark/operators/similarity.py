@@ -1334,7 +1334,11 @@ def binary_rerank(
     joins queries x corpus on SIGNATURES ONLY (8 bytes a side), and full
     vectors are read back just for |queries| x shortlist rows. The
     signature frame is localCheckpoint-pinned: the query side and the
-    candidate side both read it."""
+    candidate side both read it. The shortlist is a TWO-STAGE exact
+    top-N: a salted (query, cand_id % 64) window keeps each task at
+    ~N/64 rows, then the global per-query window ranks only
+    64 x shortlist survivors — a single per-query window would put the
+    whole corpus in one task per query at 100 TB."""
     from pyspark.sql import Window
 
     planes = _srp_signs(n_bits=int(n_bits))
@@ -1348,7 +1352,10 @@ def binary_rerank(
     c = sigs.select(
         F.col("vec_id").alias("cand_id"), F.col("sig").alias("csig")
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.asc("hamming"), F.asc("cand_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("cand_id")
     )
     short = (
@@ -1356,9 +1363,12 @@ def binary_rerank(
         .select(
             "query_id",
             "cand_id",
+            (F.col("cand_id") % 64).alias("salt"),
             F.bit_count(F.col("qsig").bitwiseXOR(F.col("csig"))).alias("hamming"),
         )
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= int(shortlist))  # exact: global top-N is a
+        .withColumn("rn", F.row_number().over(w2))  # subset of salted top-Ns
         .where(F.col("rn") <= int(shortlist))
         .select("query_id", "cand_id")
     )
