@@ -721,15 +721,27 @@ def mmr_rerank(
     c = embeddings.select(
         F.col("vec_id").alias("cand_id"), _quantize(F.col("embedding")).alias("cv")
     )
+    # two-stage exact top-N (the binary_rerank discipline): the salted
+    # pre-window bounds tasks to ~N/64 rows; global top-N is a subset of
+    # the salted top-Ns, so values are identical
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("rel"), F.asc("cand_id")
+    )
     wrel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
     rest = (
         q.join(F.broadcast(c), F.col("query_id") != F.col("cand_id"))
         .select(
-            "query_id", "cand_id", "cv", cosine(F.col("qv"), F.col("cv")).alias("rel")
+            "query_id",
+            "cand_id",
+            (F.col("cand_id") % 64).alias("salt"),
+            "cv",
+            cosine(F.col("qv"), F.col("cv")).alias("rel"),
         )
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= int(shortlist))
         .withColumn("rn", F.row_number().over(wrel))
         .where(F.col("rn") <= int(shortlist))
-        .drop("rn")
+        .drop("rn1", "rn", "salt")
         .localCheckpoint(eager=False)
     )
     spark = embeddings.sparkSession
@@ -1245,12 +1257,20 @@ def hard_negatives(
             "query_id",
             "cand_id",
             "clabel",
+            (F.col("cand_id") % 64).alias("salt"),
             cosine(F.col("qv"), F.col("cv")).alias("sim"),
         )
     )
+    # two-stage exact top-k (the binary_rerank discipline): salted
+    # pre-window bounds per-task rows; values identical
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("sim"), F.asc("cand_id")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= int(k))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(k))
         .select("query_id", "cand_id", "clabel", "sim", "rank")
     )
