@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": lambda s, d: sim.hard_negatives(embs(s, d)),
         "hll_cardinality": lambda s, d: ts.hll_cardinality(docs(s, d)),
         "stream_hll": lambda s, d: topo.stream_hll_gate(s, d),
+        "stream_cms": lambda s, d: topo.stream_cms_gate(s, d),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
@@ -1127,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": sim.hard_negatives_oracle_sql(),
         "hll_cardinality": ts.hll_cardinality_oracle_sql(),
         "stream_hll": topo.stream_hll_gate_oracle_sql(),
+        "stream_cms": topo.stream_cms_gate_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("
         + zf.TX_SLICED_SQL

@@ -324,11 +324,21 @@ def heavy_hitters_cms(events: DataFrame) -> DataFrame:
     key load, with est (CMS estimate), exact_n, and the overestimate —
     collision error made visible and hash-graded.
     """
+    keyed = events.select(F.col("user_id").alias("key"))
+    sketch = cms_hashed(keyed).groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    return cms_finish(sketch, keyed)
+
+
+def cms_hashed(keyed: DataFrame) -> DataFrame:
+    """(seed, bucket) insert rows for a (key) frame — the map side of the
+    sketch. The COUNT rollup over these is merge-safe (sums), which is why
+    the same aggregation can live in a streaming state store (stream_cms)."""
     from apmbackend_spark.functions.text import hash64
 
     seeds = F.array(*[F.lit(s) for s in range(CMS_DEPTH)])
-    keyed = events.select(F.col("user_id").alias("key"))
-    hashed = keyed.select(
+    return keyed.select(
         "key", F.explode(seeds).alias("seed")
     ).select(
         "seed",
@@ -344,10 +354,15 @@ def heavy_hitters_cms(events: DataFrame) -> DataFrame:
             % CMS_WIDTH
         ).alias("bucket"),
     )
-    sketch = hashed.groupBy("seed", "bucket").agg(
-        F.count(F.lit(1)).alias("counter")
-    )
 
+
+def cms_finish(sketch: DataFrame, keyed: DataFrame) -> DataFrame:
+    """Probe the sketch for every key and emit the graded heavy-hitter
+    rows — shared by the batch gate and the streaming gate's post-drain
+    finish."""
+    from apmbackend_spark.functions.text import hash64
+
+    seeds = F.array(*[F.lit(s) for s in range(CMS_DEPTH)])
     exact = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
     probes = exact.select(
         "key", "exact_n", F.explode(seeds).alias("seed")

@@ -458,6 +458,78 @@ GROUP BY fingerprint
 """
 
 
+def stream_cms_gate(
+    spark: SparkSession, sf_dir: str, n_shards: int = 3,
+    shuffle_partitions: int = 8,
+) -> "DataFrame":
+    """Streaming count-min sketch: the events table arrives as
+    ``n_shards`` micro-batch deliveries and the (seed, bucket) counter
+    rollup of `heavy_hitters_cms` lives in the STATE STORE — counters are
+    SUMS, so per-delivery partial sketches merge exactly (the CMS merge
+    property: element-wise addition), and the drained sketch is a pure
+    function of the corpus regardless of batching. The post-drain finish
+    probes the drained counters with the shared `cms_finish`, so the
+    result — and the oracle — is IDENTICAL to the batch gate's.
+
+    This is the sibling of `stream_hll` (MAX-merge registers); together
+    they grade the two sketch merge algebras a continuous-ingest pipeline
+    runs: max-merge (distinct count) and sum-merge (frequency). State is
+    O(depth x width) whatever the key cardinality or retention."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from apmbackend_spark.operators.profile import cms_finish, cms_hashed
+    from apmbackend_spark.sources.loaders import load_table
+    from apmbackend_spark.streaming.pipeline import EVENTS_STREAM_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="apm_cms_gate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "events_src")
+    out = os.path.join(work, "cms_sketch")
+    events = load_table(spark, sf_dir, "events")
+    for i in range(n_shards):
+        events.where(F.col("event_id") % n_shards == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sketch = (
+        cms_hashed(stream.select(F.col("user_id").alias("key")))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+    def sink(df, _bid):
+        df.write.mode("overwrite").parquet(out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sketch.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    drained = spark.read.parquet(out)
+    return cms_finish(drained, events.select(F.col("user_id").alias("key")))
+
+
+def stream_cms_gate_oracle_sql() -> str:
+    from apmbackend_spark.operators.profile import heavy_hitters_cms_oracle_sql
+
+    return heavy_hitters_cms_oracle_sql()
+
+
 def stream_hll_gate(
     spark: SparkSession, sf_dir: str, n_shards: int = 3,
     shuffle_partitions: int = 8,

@@ -1003,3 +1003,25 @@ def test_stream_hll_equals_batch_gate_across_forced_batches(spark):
             s["n_rows"], s["exact_distinct"], s["v_zero"]
         ), src
         assert b["est_kind"] == s["est_kind"] and b["est"] == s["est"], src
+
+
+def test_stream_cms_equals_batch_gate_across_forced_batches(spark):
+    # SUM-merge across 4 forced micro-batch cuts must reproduce the batch
+    # sketch exactly (CMS merge = element-wise counter addition)
+    from apmbackend_spark.operators.profile import heavy_hitters_cms
+    from apmbackend_spark.sources.loaders import load_table
+    from apmbackend_spark.streaming.topology import stream_cms_gate
+    from tests.conftest import SF_SMOKE
+
+    batch = {r["key"]: r for r in heavy_hitters_cms(
+        load_table(spark, SF_SMOKE, "events")
+    ).collect()}
+    streamed = {r["key"]: r for r in stream_cms_gate(
+        spark, SF_SMOKE, n_shards=4
+    ).collect()}
+    assert set(batch) == set(streamed)
+    for key in batch:
+        b, s = batch[key], streamed[key]
+        assert (b["est"], b["exact_n"], b["overestimate"]) == (
+            s["est"], s["exact_n"], s["overestimate"]
+        ), key
