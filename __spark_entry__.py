@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": lambda s, d: ts.hll_cardinality(docs(s, d)),
         "stream_hll": lambda s, d: topo.stream_hll_gate(s, d),
         "stream_cms": lambda s, d: topo.stream_cms_gate(s, d),
+        "winnow_matches": lambda s, d: dd.winnow_matches(docs(s, d)),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
@@ -1129,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_cardinality": ts.hll_cardinality_oracle_sql(),
         "stream_hll": topo.stream_hll_gate_oracle_sql(),
         "stream_cms": topo.stream_cms_gate_oracle_sql(),
+        "winnow_matches": dd.winnow_matches_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("
         + zf.TX_SLICED_SQL

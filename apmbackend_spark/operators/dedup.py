@@ -1846,3 +1846,143 @@ FROM cand c
 JOIN sig32 sa ON sa.doc_id = c.doc_a
 JOIN sig32 sb ON sb.doc_id = c.doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing MATCH join (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# algorithm): `doc_fingerprint` above computes the classic per-document
+# char-gram winnowing PROFILE; this gate is the other half of MOSS — the
+# cross-document match join, at token granularity with a boilerplate cap.
+# ---------------------------------------------------------------------------
+
+WINNOW_MATCH_K = 5     # k-gram length (tokens)
+WINNOW_MATCH_W = 4     # winnowing window (k-gram hashes per window)
+WINNOW_MATCH_MAX_DF = 100  # boilerplate fingerprint cap (the shingle-df discipline)
+
+
+def winnow_matches(
+    documents: DataFrame,
+    k: int = WINNOW_MATCH_K,
+    w: int = WINNOW_MATCH_W,
+    max_df: int = WINNOW_MATCH_MAX_DF,
+) -> DataFrame:
+    """Cross-document matches via winnowing: hash every k-token gram, then
+    from each window of ``w`` consecutive gram hashes keep the MINIMUM
+    (rightmost on ties — the paper's rule), and join documents sharing a
+    selected fingerprint. Winnowing's guarantee — any shared run of at
+    least ``w + k - 1`` tokens produces a shared fingerprint — is what the
+    probabilistic sketches (minhash/simhash) cannot promise, at ~2/(w+1)
+    the density of emitting every gram; this is the standard
+    plagiarism/contamination detector (MOSS) at corpus scale.
+
+    Rendering: the gram hashing AND the window-min selection are in-row
+    HOFs (nested transform/aggregate over the gram-hash array — no
+    explode until fingerprints are selected), so the corpus-sized shuffle
+    carries only ~2·|grams|/(w+1) selected (doc_id, fp) rows. Fingerprints
+    hot beyond ``max_df`` docs (boilerplate) are dropped by broadcast
+    anti-join BEFORE the self-join — the same hot-key discipline as the
+    shingle df cap — so the match join is sum(df^2) with bounded df.
+    Short docs: fewer grams than ``w`` still winnow one whole-array
+    window; fewer tokens than ``k`` yield nothing (both engines by the
+    same guard).
+
+    Output: (doc_a, doc_b, n_shared) — documents sharing >= 1 selected
+    fingerprint, with the shared-fingerprint count. All integers.
+    """
+    tok = tokens(F.col("text"))
+    n_grams = F.size(tok) - (int(k) - 1)
+    gram_idx = F.when(
+        n_grams >= 1, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    h = F.transform(
+        gram_idx, lambda i: hash64(F.concat_ws(" ", F.slice(tok, i, int(k))))
+    )
+    docs_h = documents.select("doc_id", h.alias("h"))
+    m = F.size(F.col("h"))
+    n_win = (
+        F.when(m >= int(w), m - (int(w) - 1))
+        .when(m >= 1, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    win_idx = F.when(
+        n_win >= 1, F.sequence(F.lit(1), n_win)
+    ).otherwise(F.array().cast("array<int>"))
+    # argmin with rightmost tie: fold positions i+1..min(i+w-1, m), seed i;
+    # <= keeps the RIGHTMOST minimal position (the paper's rule)
+    sel_pos = F.transform(
+        win_idx,
+        lambda i: F.aggregate(
+            F.when(
+                F.least(i + int(w) - 1, m) >= i + 1,
+                F.sequence(i + 1, F.least(i + int(w) - 1, m)),
+            ).otherwise(F.array().cast("array<int>")),
+            i,
+            lambda a, p: F.when(
+                F.element_at(F.col("h"), p) <= F.element_at(F.col("h"), a), p
+            ).otherwise(a),
+        ),
+    )
+    sel = docs_h.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(sel_pos, lambda p: F.element_at(F.col("h"), p))
+        ).alias("fps"),
+    )
+    e = sel.select("doc_id", F.explode("fps").alias("fp")).localCheckpoint()
+    hot = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > int(max_df))
+        .select("fp")
+    )
+    cold = e.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def winnow_matches_oracle_sql(
+    k: int = WINNOW_MATCH_K, w: int = WINNOW_MATCH_W, max_df: int = WINNOW_MATCH_MAX_DF
+) -> str:
+    toks = tokens_sql("text")
+    gram = hash64_sql(f"array_to_string(tok[i:i+{int(k) - 1}], ' ')")
+    return f"""
+WITH t AS (
+    SELECT doc_id, {toks} AS tok FROM documents
+), g AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(len(tok) - {int(k) - 1}, 0) + 1),
+               i -> {gram}) AS h
+    FROM t
+), sel AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               list_transform(
+                   range(1, CASE WHEN len(h) >= {int(w)} THEN len(h) - {int(w) - 1}
+                                 WHEN len(h) >= 1 THEN 1 ELSE 0 END + 1),
+                   i -> list_reduce(
+                       range(i, least(i + {int(w)}, len(h) + 1)),
+                       (a, p) -> CASE WHEN h[p] <= h[a] THEN p ELSE a END)),
+               p -> h[p])) AS fps
+    FROM g
+), e AS (
+    SELECT doc_id, unnest(fps) AS fp FROM sel
+), cold AS (
+    SELECT * FROM e WHERE fp NOT IN (
+        SELECT fp FROM e GROUP BY fp HAVING COUNT(*) > {int(max_df)}
+    )
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM cold a JOIN cold b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""

@@ -656,3 +656,78 @@ def test_span_scrub_long_fully_duplicated_doc_stays_linear(spark):
     # generous ceiling: the quadratic form takes minutes on this input,
     # the island form low seconds even on a loaded box
     assert wall < 60, f"span_scrub rebuild took {wall:.0f}s — quadratic?"
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+
+
+def _winnow_reference(text, k, w):
+    import hashlib
+    import re
+
+    t = [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
+    h = [
+        int(hashlib.md5(" ".join(t[i:i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    if not h:
+        return set()
+    n_win = max(len(h) - w + 1, 1)
+    sel = set()
+    for i in range(n_win):
+        win = h[i:i + w]
+        # rightmost minimum (the paper's rule)
+        best = max(
+            (j for j in range(len(win)) if win[j] == min(win))
+        )
+        sel.add(h[i + best])
+    return sel
+
+
+def test_winnow_selection_matches_python_reference(spark):
+    from apmbackend_spark.operators.dedup import winnow_matches
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, f"alpha beta {shared} gamma delta"),
+        (1, f"one two three {shared} four five"),   # shares a long run with 0
+        (2, "completely different words everywhere nothing matches here at all ok"),
+        (3, "tiny"),                                  # < k tokens: no grams
+        (4, "six little tokens only here"),           # grams < w: one window
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_matches(df).collect()
+    }
+    fps = {d: _winnow_reference(t, 5, 4) for d, t in docs}
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            n = len(fps[a] & fps[b])
+            if n:
+                want[(a, b)] = n
+    assert got == want
+    # the guarantee: a shared run of >= w + k - 1 = 8 tokens MUST match
+    assert (0, 1) in got and got[(0, 1)] >= 1
+
+
+def test_winnow_density_and_plan(spark):
+    from apmbackend_spark.operators.dedup import winnow_matches
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = winnow_matches(docs)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    rows = df.collect()
+    assert len(rows) > 0  # fixture near-dups are caught
+    assert all(r["n_shared"] >= 1 for r in rows)
