@@ -1889,15 +1889,21 @@ def winnow_matches(
     Output: (doc_a, doc_b, n_shared) — documents sharing >= 1 selected
     fingerprint, with the shared-fingerprint count. All integers.
     """
-    tok = tokens(F.col("text"))
-    n_grams = F.size(tok) - (int(k) - 1)
+    # tok MUST be a materialized column before the gram lambda touches it:
+    # a captured `tokens(text)` expression would re-run the regex tokenize
+    # once PER GRAM inside the interpreted HOF (quadratic in doc length);
+    # multi-reference of a non-trivial aliased expression blocks Catalyst's
+    # CollapseProject from re-inlining it
+    base = documents.select("doc_id", tokens(F.col("text")).alias("tok"))
+    n_grams = F.size(F.col("tok")) - (int(k) - 1)
     gram_idx = F.when(
         n_grams >= 1, F.sequence(F.lit(1), n_grams)
     ).otherwise(F.array().cast("array<int>"))
     h = F.transform(
-        gram_idx, lambda i: hash64(F.concat_ws(" ", F.slice(tok, i, int(k))))
+        gram_idx,
+        lambda i: hash64(F.concat_ws(" ", F.slice(F.col("tok"), i, int(k)))),
     )
-    docs_h = documents.select("doc_id", h.alias("h"))
+    docs_h = base.select("doc_id", h.alias("h"))
     m = F.size(F.col("h"))
     n_win = (
         F.when(m >= int(w), m - (int(w) - 1))
@@ -1922,13 +1928,18 @@ def winnow_matches(
             ).otherwise(a),
         ),
     )
+    # checkpoint BEFORE the explode: Generate inlines its child expression,
+    # re-evaluating the whole nested-HOF selection chain per OUTPUT row
+    # (~400x measured at fixture scale); a pinned fps column makes the
+    # explode a trivial row expansion, and the two downstream consumers
+    # (hot rollup + both join sides) re-read the pin, not the selection
     sel = docs_h.select(
         "doc_id",
         F.array_distinct(
             F.transform(sel_pos, lambda p: F.element_at(F.col("h"), p))
         ).alias("fps"),
-    )
-    e = sel.select("doc_id", F.explode("fps").alias("fp")).localCheckpoint()
+    ).localCheckpoint()
+    e = sel.select("doc_id", F.explode("fps").alias("fp"))
     hot = (
         e.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"))

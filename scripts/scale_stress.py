@@ -690,9 +690,11 @@ def main() -> None:
             t.timed(
                 "cluster_profile", lambda: sim.cluster_profile(embs, docs)
             )
+            from apmbackend_spark.operators import dedup as dd
             from apmbackend_spark.operators import textstats as ts
 
             t.timed("hll_cardinality", lambda: ts.hll_cardinality(docs))
+            t.timed("winnow_matches", lambda: dd.winnow_matches(docs))
             return t.out
 
         from apmbackend_spark.operators import similarity as _sim
