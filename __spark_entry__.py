@@ -43,6 +43,7 @@ from apmbackend_spark.sources import jsonl
 from apmbackend_spark.sources import evolution as evo
 from apmbackend_spark.sources import logchunk as lc
 from apmbackend_spark.sources import queue as qu
+from apmbackend_spark.sources import orc as orcsrc
 from apmbackend_spark.sources import broker as brk
 from apmbackend_spark.operators import skew as sk
 from apmbackend_spark.operators import langid as lid
@@ -346,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": lambda s, d: topo.stream_hll_gate(s, d),
         "stream_cms": lambda s, d: topo.stream_cms_gate(s, d),
         "winnow_matches": lambda s, d: dd.winnow_matches(docs(s, d)),
+        "orc_roundtrip": lambda s, d: orcsrc.orc_roundtrip(s, d),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
@@ -1131,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_hll": topo.stream_hll_gate_oracle_sql(),
         "stream_cms": topo.stream_cms_gate_oracle_sql(),
         "winnow_matches": dd.winnow_matches_oracle_sql(),
+        "orc_roundtrip": orcsrc.orc_roundtrip_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("
         + zf.TX_SLICED_SQL
