@@ -729,7 +729,7 @@ def mmr_rerank(
     )
     wrel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
     rest = (
-        q.join(F.broadcast(c), F.col("query_id") != F.col("cand_id"))
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",

@@ -1719,11 +1719,8 @@ def hll_cardinality(documents: DataFrame) -> DataFrame:
     ln(2) literal — every float op has identical shape in both engines.
     The exact COUNT(DISTINCT) rides along as the in-gate error reference
     (the ann_recall_report pattern: the evaluation IS the gate)."""
-    fp = hash64(F.concat_ws(" ", tokens(F.col("text"))))
-    d0 = documents.select(F.col("source"), fp.alias("h"))
-    d = d0.unionByName(
-        d0.select(F.lit("__union__").alias("source"), "h")
-    ).persist()  # feeds the register rollup AND the exact-distinct rollup
+    # feeds the register rollup AND the exact-distinct rollup
+    d = hll_rows(documents).persist()
     return hll_finish(hll_registers(d), d)
 
 

@@ -366,6 +366,70 @@ DOCS_STREAM_SCHEMA = (
 )
 
 
+def _drain_sharded_agg(
+    spark: SparkSession,
+    rows: "DataFrame",
+    shard_col: str,
+    schema,
+    agg_builder,
+    n_shards: int,
+    shuffle_partitions: int,
+    prefix: str,
+) -> "DataFrame":
+    """Shared scaffold for the shard-delivery streaming gates: stage
+    ``rows`` as ``n_shards`` parquet deliveries (``shard_col % n_shards``),
+    stream them one micro-batch per file, run ``agg_builder(stream)`` —
+    which must be a batch-insensitive aggregation (max/sum/min/count
+    merges) — in complete mode with state carried between deliveries, and
+    return the drained sink. Factored from the corpus/hll/cms gates so
+    the drain mechanics (tempdir lifetime, delivery sharding, state-store
+    width, conf restore) live once.
+
+    The staged copy + sink + checkpoint are corpus-sized; reclaimed at
+    interpreter exit (the returned DataFrame reads the sink until the
+    caller collects, so an eager delete would break grading). The
+    shuffle-partitions pin is the span-bounded sizing rationale of
+    stream_topology_gate: tiny aggregations make default-width state
+    stores pure overhead."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    for i in range(n_shards):
+        rows.where(F.col(shard_col) % n_shards == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = agg_builder(stream)
+
+    def sink(df, _bid):
+        df.write.mode("overwrite").parquet(out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)
+
+
 def stream_corpus_gate(
     spark: SparkSession, sf_dir: str, n_shards: int = 3,
     shuffle_partitions: int = 8,
@@ -388,62 +452,29 @@ def stream_corpus_gate(
     dedup operators over the lake — the per-batch state-store mechanics
     exercised here are identical.
     """
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from apmbackend_spark.functions.text import hash64
     from apmbackend_spark.sources.loaders import load_table
 
-    work = tempfile.mkdtemp(prefix="apm_corpus_gate_")
-    # the staged corpus copy + index + checkpoint are corpus-sized; reclaim
-    # at interpreter exit (the returned DataFrame reads from `work` until
-    # the caller collects, so an eager delete would break grading)
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-    src = os.path.join(work, "docs_src")
-    out = os.path.join(work, "dedup_index")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    # shard the corpus into separate delivery files (doc_id % n_shards)
-    for i in range(n_shards):
-        docs.where(F.col("doc_id") % n_shards == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    stream = (
-        spark.readStream.schema(DOCS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    return _drain_sharded_agg(
+        spark,
+        docs,
+        "doc_id",
+        DOCS_STREAM_SCHEMA,
+        lambda stream: (
+            stream.select(hash64(F.col("text")).alias("fingerprint"), "doc_id")
+            .groupBy("fingerprint")
+            .agg(
+                F.min("doc_id").alias("keep_id"),
+                F.count(F.lit(1)).alias("n_dups"),
+            )
+        ),
+        n_shards,
+        shuffle_partitions,
+        "apm_corpus_gate_",
     )
-    index = (
-        stream.select(hash64(F.col("text")).alias("fingerprint"), "doc_id")
-        .groupBy("fingerprint")
-        .agg(
-            F.min("doc_id").alias("keep_id"),
-            F.count(F.lit(1)).alias("n_dups"),
-        )
-    )
-
-    def sink(df, _bid):
-        df.write.mode("overwrite").parquet(out)
-
-    # same span-bounded sizing rationale as stream_topology_gate: the index
-    # aggregation is tiny, so default-width state stores are pure overhead
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            index.writeStream.outputMode("complete")
-            .foreachBatch(sink)
-            .option("checkpointLocation", os.path.join(work, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out)
 
 
 def stream_corpus_gate_oracle_sql() -> str:
@@ -475,52 +506,25 @@ def stream_cms_gate(
     they grade the two sketch merge algebras a continuous-ingest pipeline
     runs: max-merge (distinct count) and sum-merge (frequency). State is
     O(depth x width) whatever the key cardinality or retention."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from apmbackend_spark.operators.profile import cms_finish, cms_hashed
     from apmbackend_spark.sources.loaders import load_table
     from apmbackend_spark.streaming.pipeline import EVENTS_STREAM_SCHEMA
 
-    work = tempfile.mkdtemp(prefix="apm_cms_gate_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-    src = os.path.join(work, "events_src")
-    out = os.path.join(work, "cms_sketch")
     events = load_table(spark, sf_dir, "events")
-    for i in range(n_shards):
-        events.where(F.col("event_id") % n_shards == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    drained = _drain_sharded_agg(
+        spark,
+        events,
+        "event_id",
+        EVENTS_STREAM_SCHEMA,
+        lambda stream: (
+            cms_hashed(stream.select(F.col("user_id").alias("key")))
+            .groupBy("seed", "bucket")
+            .agg(F.count(F.lit(1)).alias("counter"))
+        ),
+        n_shards,
+        shuffle_partitions,
+        "apm_cms_gate_",
     )
-    sketch = (
-        cms_hashed(stream.select(F.col("user_id").alias("key")))
-        .groupBy("seed", "bucket")
-        .agg(F.count(F.lit(1)).alias("counter"))
-    )
-
-    def sink(df, _bid):
-        df.write.mode("overwrite").parquet(out)
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            sketch.writeStream.outputMode("complete")
-            .foreachBatch(sink)
-            .option("checkpointLocation", os.path.join(work, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    drained = spark.read.parquet(out)
     return cms_finish(drained, events.select(F.col("user_id").alias("key")))
 
 
@@ -549,11 +553,6 @@ def stream_hll_gate(
     Scale note: complete-mode + parquet overwrite is gate plumbing for the
     tiny register sink (sources x 64 rows); production updates a KV/Delta
     register table. The state-store mechanics are the production ones."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from apmbackend_spark.operators.textstats import (
         hll_finish,
         hll_registers,
@@ -561,41 +560,19 @@ def stream_hll_gate(
     )
     from apmbackend_spark.sources.loaders import load_table
 
-    work = tempfile.mkdtemp(prefix="apm_hll_gate_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-    src = os.path.join(work, "docs_src")
-    out = os.path.join(work, "hll_regs")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    for i in range(n_shards):
-        docs.where(F.col("doc_id") % n_shards == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    stream = (
-        spark.readStream.schema(DOCS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    drained = _drain_sharded_agg(
+        spark,
+        docs,
+        "doc_id",
+        DOCS_STREAM_SCHEMA,
+        lambda stream: hll_registers(hll_rows(stream)),
+        n_shards,
+        shuffle_partitions,
+        "apm_hll_gate_",
     )
-    regs = hll_registers(hll_rows(stream))
-
-    def sink(df, _bid):
-        df.write.mode("overwrite").parquet(out)
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            regs.writeStream.outputMode("complete")
-            .foreachBatch(sink)
-            .option("checkpointLocation", os.path.join(work, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    drained = spark.read.parquet(out)
     return hll_finish(drained, hll_rows(docs))
 
 

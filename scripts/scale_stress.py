@@ -675,11 +675,15 @@ def main() -> None:
 
             t = _Timer(spark)
             embs = spread(spark.read.parquet(f"{d}/embeddings.parquet"))
-            # cluster COUNT held constant across K (list size grows with
-            # the corpus — the SemDeDup deployment knob is k ~ N/size; we
-            # measure the conservative fixed-k shape, so the pair stage is
-            # the quadratic-in-list-size worst case)
-            t.timed("semantic_dedup", lambda: sim.semantic_dedup(embs))
+            # cluster COUNT held constant across K: the seed quantizer is
+            # vec_id % mod, so mod must scale with the corpus (the PQ_mod
+            # precedent) — list size then grows 10x and the pair stage is
+            # measured at its quadratic-in-list-size worst case (the
+            # production knob grows cluster count with N instead)
+            t.timed(
+                "semantic_dedup",
+                lambda: sim.semantic_dedup(embs, n_lists_mod=50 * kk),
+            )
             t.timed("mmr_rerank", lambda: sim.mmr_rerank(embs))
             t.timed("binary_rerank", lambda: sim.binary_rerank(embs))
             t.timed("hard_negatives", lambda: sim.hard_negatives(embs))
