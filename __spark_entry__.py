@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms": lambda s, d: topo.stream_cms_gate(s, d),
         "winnow_matches": lambda s, d: dd.winnow_matches(docs(s, d)),
         "orc_roundtrip": lambda s, d: orcsrc.orc_roundtrip(s, d),
+        "weighted_sample": lambda s, d: dsel.weighted_sample(docs(s, d)),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
@@ -1134,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_cms": topo.stream_cms_gate_oracle_sql(),
         "winnow_matches": dd.winnow_matches_oracle_sql(),
         "orc_roundtrip": orcsrc.orc_roundtrip_oracle_sql(),
+        "weighted_sample": dsel.weighted_sample_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("
         + zf.TX_SLICED_SQL

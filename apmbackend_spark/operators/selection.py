@@ -247,3 +247,102 @@ SELECT d.doc_id, d.lang,
        (COALESCE(p.score, 0) > 0) AS selected
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006): the
+# one-pass distributed reservoir a quality-proportional corpus sample needs.
+# ---------------------------------------------------------------------------
+
+WSAMPLE_M = 100
+_WS_H = 1 << 60  # hash64 range; u = (h + 1) / H in (0, 1]
+
+
+def weighted_sample(
+    documents: DataFrame, m: int = WSAMPLE_M, weights: DataFrame | None = None
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+    every item draws key u^(1/w) from a uniform u and the sample is the
+    top-m keys — inclusion probability proportional to weight, one pass,
+    no sequential reservoir, which is why it is THE distributed form of
+    weighted sampling (a quality-proportional corpus subsample at 100 TB:
+    score once, take top-m).
+
+    Deterministic rendering: u comes from the engine hash
+    (``hash64('ws:' || doc_id) + 1) / 2^60``, and the sort key
+    ln(u)/w is computed as ``(L(h+1) - L(2^60)) / w`` with the module's
+    EXACT fixed-point log2 — the numerator is an integer identical in
+    both engines, and the single double division is exactly rounded, so
+    the ranking (DESC, ties on doc_id) replays bit-for-bit. (ln vs log2
+    differs by a positive constant factor, which cannot change the
+    ordering.) Weights default to the quality signal, clamped to >= 1:
+    ``greatest(1, 1 + floor(quality * 100))``.
+
+    Scale shape: one stateless scan computes (w, key); the top-m is the
+    two-stage exact window (salted pre-window bounds each task, global
+    window ranks 64*m survivors — the binary_rerank discipline).
+
+    Output: the m selected rows as (rank, doc_id, weight, skey).
+    """
+    from pyspark.sql import Window
+
+    if weights is None:
+        from apmbackend_spark.operators.textstats import doc_stats
+
+        weights = doc_stats(documents).select(
+            "doc_id",
+            F.greatest(
+                F.lit(1).cast("long"),
+                (F.lit(1) + F.floor(F.col("quality") * 100)).cast("long"),
+            ).alias("w"),
+        )
+    keyed = weights.select(
+        "doc_id",
+        "w",
+        (
+            hash64(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+            + F.lit(1)
+        ).alias("h1"),
+    )
+    keyed = _with_log2fix(keyed, "h1", "l_h")
+    skey = (F.col("l_h") - F.lit(60 * L2_SCALE)).cast("double") / F.col(
+        "w"
+    ).cast("double")
+    w1 = Window.partitionBy("salt").orderBy(F.desc("skey"), F.asc("doc_id"))
+    w2 = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
+    return (
+        keyed.select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            skey.alias("skey"),
+            (F.col("doc_id") % 64).alias("salt"),
+        )
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= int(m))
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= int(m))
+        .select("rank", "doc_id", "weight", "skey")
+    )
+
+
+def weighted_sample_oracle_sql(m: int = WSAMPLE_M) -> str:
+    from apmbackend_spark.operators.textstats import doc_stats_oracle_sql
+
+    h1 = f"({hash64_sql(chr(39) + 'ws:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} + 1)"
+    lh = log2fix_sql(h1)
+    return f"""
+WITH ds AS (
+    SELECT doc_id,
+           greatest(CAST(1 AS BIGINT),
+                    CAST(1 + floor(quality * 100) AS BIGINT)) AS w
+    FROM ({doc_stats_oracle_sql()}) q
+), keyed AS (
+    SELECT doc_id, w,
+           CAST({lh} - {60 * L2_SCALE} AS DOUBLE) / CAST(w AS DOUBLE) AS skey
+    FROM ds
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, w AS weight, skey
+FROM keyed
+QUALIFY rank <= {int(m)}
+"""

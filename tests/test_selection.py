@@ -165,3 +165,60 @@ def test_log2fix_fuzz_duckdb_vs_python():
         assert 0 <= exact - got < 4, (x, got, exact)
 
     run()
+
+
+def _es_reference(weights_by_doc):
+    """Literal Efraimidis-Spirakis replay with the fixed-point log2 key."""
+    import hashlib
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    out = []
+    for doc_id, w in weights_by_doc.items():
+        lh = _l2fix_py(h64(f"ws:{doc_id}") + 1)
+        skey = float(lh - 60 * L2_SCALE) / float(w)
+        out.append((skey, doc_id, w))
+    out.sort(key=lambda t: (-t[0], t[1]))
+    return out
+
+
+def test_weighted_sample_matches_python_reference_with_custom_weights(spark):
+    from apmbackend_spark.operators.selection import weighted_sample
+
+    weights = {i: (1 if i % 3 else 50) for i in range(200)}
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s", 1) for i in weights],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    wdf = spark.createDataFrame(
+        [(d, w) for d, w in weights.items()], "doc_id long, w long"
+    )
+    got = [
+        (r["rank"], r["doc_id"], r["weight"], r["skey"])
+        for r in weighted_sample(docs, m=40, weights=wdf)
+        .orderBy("rank")
+        .collect()
+    ]
+    want = [
+        (i + 1, d, w, skey)
+        for i, (skey, d, w) in enumerate(_es_reference(weights)[:40])
+    ]
+    assert got == want
+    # inclusion tracks weight: the 50x-weighted third of docs should hold
+    # a clear majority of the 40 slots (expected ~94%)
+    heavy = sum(1 for _, d, w, _ in got if w == 50)
+    assert heavy >= 30, heavy
+
+
+def test_weighted_sample_uniform_weights_is_pure_hash_order(spark):
+    from apmbackend_spark.operators.selection import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s", 1) for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    wdf = spark.createDataFrame([(i, 7) for i in range(100)], "doc_id long, w long")
+    got = [r["doc_id"] for r in weighted_sample(docs, m=10, weights=wdf).orderBy("rank").collect()]
+    want = [d for _, d, _ in _es_reference({i: 7 for i in range(100)})[:10]]
+    assert got == want
