@@ -155,9 +155,10 @@ def dsir_select(
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         # four consumers (cr, ct, totals, the scoring join) would each
-        # re-run the gram explode over the corpus otherwise — the
-        # corpus_mixture persist rationale
-        .persist()
+        # re-run the gram explode over the corpus otherwise; pinned via
+        # localCheckpoint (not persist) so the blocks are released with
+        # the frame instead of accumulating across invocations
+        .localCheckpoint()
     )
     cr = db.groupBy("bucket").agg(F.sum("c").alias("cr"))
     ct = (
@@ -171,15 +172,18 @@ def dsir_select(
             "nt"
         ),
     )
+    # the smoothed-totals logs are constant across buckets: fold them ONCE
+    # on the 1-row totals frame, then broadcast the two scalars — the
+    # weight table's cost stays "B rows", not "B x 16-round folds"
+    totals = _with_log2fix(totals, f"nt + {B}", "l_nt")
+    totals = _with_log2fix(totals, f"nr + {B}", "l_nr")
     model = (
         cr.join(ct, "bucket", "left")
         .select("bucket", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct"))
-        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(totals.select("l_nt", "l_nr")))
     )
     model = _with_log2fix(model, "ct + 1", "l_ct")
     model = _with_log2fix(model, "cr + 1", "l_cr")
-    model = _with_log2fix(model, f"nt + {B}", "l_nt")
-    model = _with_log2fix(model, f"nr + {B}", "l_nr")
     weights = model.select(
         "bucket",
         (

@@ -582,16 +582,25 @@ def semantic_dedup(
     EXISTS are decided on bit-identical doubles, so kept is exact.
 
     Scale shape (100 TB): identical blocking to `embedding_neardup` — the
-    pair join is keyed by list_id, so work is sum over clusters of |c|^2,
-    bounded by the coarse quantizer's cluster granularity (the SemDeDup
-    design point: k is chosen so clusters stay small). The assignment frame
-    is localCheckpoint-pinned because three consumers (both join sides and
-    the final flag join) would otherwise each re-run the full
-    centroid-assignment scoring pass. The EXISTS is a left-semi join (no
-    pair materialization past the filter), and the final flag join keys
-    on vec_id with NO broadcast hint — pruned can approach corpus size on
-    a duplicate-heavy corpus, so AQE decides at runtime (broadcasting it
-    only when measured small).
+    pair join is keyed by list_id, so work is sum over clusters of |c|^2.
+    `n_lists_mod` IS the expected cluster size under the `vec_id % mod`
+    centroid seeding: cluster COUNT = N/mod grows with the corpus (k ∝ N,
+    the SemDeDup design point) while E|c| stays ~mod, so the pair stage is
+    ~N·mod — LINEAR in N at fixed mod (SCALE.md's production-knob row
+    measures this; its fixed-cluster-COUNT row is the deliberate worst
+    case). The residual 100 TB items are the coarse ASSIGN itself (N × k
+    scoring at k ∝ N — production goes hierarchical/two-level there, see
+    ivf_assign's docstring) and geometric skew (a hot list's |c|² still
+    spikes; the list-size cap guard below turns silent blowup into a
+    loud error). The assignment frame is localCheckpoint-pinned because
+    three consumers (both pair-join sides and the final flag join) would
+    otherwise each re-run the full centroid-assignment scoring pass. The
+    duplicate-existence check reduces executor-side to a DISTINCT
+    projection of the outranked vec_ids (a hash aggregate — no pair row
+    survives past the filter+aggregate), then LEFT-joins back as the
+    kept/pruned flag; the flag join carries NO broadcast hint — pruned can
+    approach corpus size on a duplicate-heavy corpus, so AQE decides at
+    runtime (broadcasting it only when measured small).
     """
     assigned = ivf_assign(embeddings, n_lists_mod)
     vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("v"))
@@ -600,6 +609,20 @@ def semantic_dedup(
         .select("vec_id", "list_id", "centroid_sim", "v")
         .localCheckpoint()
     )
+    # list-size cap guard: geometric skew can concentrate assignments into
+    # one list, whose |c|^2 pair stage then dwarfs the linear N*mod budget.
+    # One tiny rollup over the already-pinned frame (bounded scalar, not a
+    # data-sized collect) turns that silent blowup into a loud error with
+    # the fix (scale k with N / rebalance the quantizer) in the message.
+    cap = 64 * int(n_lists_mod)
+    mx = av.groupBy("list_id").count().agg(F.max("count")).first()[0]
+    if mx is not None and mx > cap:
+        raise ValueError(
+            f"semantic_dedup: largest cluster holds {mx} vectors "
+            f"(> {cap} = 64*mod); the |c|^2 pair stage would dominate — "
+            "grow the cluster count (k ∝ N via a smaller effective list "
+            "size) or rebalance the coarse quantizer before dedup"
+        )
     a = av.alias("a")
     b = av.alias("b")
     outranks = (F.col("a.centroid_sim") < F.col("b.centroid_sim")) | (

@@ -1719,8 +1719,10 @@ def hll_cardinality(documents: DataFrame) -> DataFrame:
     ln(2) literal — every float op has identical shape in both engines.
     The exact COUNT(DISTINCT) rides along as the in-gate error reference
     (the ann_recall_report pattern: the evaluation IS the gate)."""
-    # feeds the register rollup AND the exact-distinct rollup
-    d = hll_rows(documents).persist()
+    # feeds the register rollup AND the exact-distinct rollup; pinned via
+    # localCheckpoint (not persist) so the blocks are released with the
+    # frame instead of accumulating across invocations in a long session
+    d = hll_rows(documents).localCheckpoint()
     return hll_finish(hll_registers(d), d)
 
 

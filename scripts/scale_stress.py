@@ -699,9 +699,7 @@ def main() -> None:
 
             t.timed("hll_cardinality", lambda: ts.hll_cardinality(docs))
             t.timed("winnow_matches", lambda: dd.winnow_matches(docs))
-            from apmbackend_spark.operators import selection as _dsel
-
-            t.timed("weighted_sample", lambda: _dsel.weighted_sample(docs))
+            t.timed("weighted_sample", lambda: dsel.weighted_sample(docs))
             return t.out
 
         from apmbackend_spark.operators import similarity as _sim
