@@ -80,13 +80,15 @@ ZSCORE_OVERRIDES = {
 
 # Exercises every predicate on the fixture data: hard-max fires on the
 # latency tail, the override rebases one service, both-signals pass the
-# floors, one service suppressed (F1), one no-op suppressed lag.
+# floors, one service suppressed (F1), and one REAL suppressed lag — 360
+# EXISTS in the graded fs frame (lags 60+360), so F1's lag filter is
+# graded doing actual work while lag-60 alerts still flow.
 ALERT_CFG = al.AlertConfig(
     hard_max_ms=20000.0,
     hard_min_ms=200.0,
     min_tpm=0.1,
     alert_on_both_only=True,
-    suppressed_lags=(8640,),
+    suppressed_lags=(360,),
     suppressed_services=("click",),
     hard_max_overrides={"error": 15000.0},
     window_size=6,
@@ -189,6 +191,23 @@ def _q_zscore_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=ZSCORE_THRESHOLD,
         influence=0.1,
     )
+
+
+# The PRODUCTION lag pair — reference config/apm_config.json:137,142 runs
+# lags (360, 8640); the 8640-interval (24 h) baseline needs >= 1 day of
+# dense history before its first defined mean, which the 24 h-sliced gates
+# structurally cannot provide. This gate bounds the grid the other way:
+# a 3-day slice restricted to ONE service (4 server keys), so the grid is
+# 4 keys x 25,920 intervals and the oracle's widest frame is 8640 rows.
+ZSCORE_LL_SLICE_MS = 72 * 3600 * 1000
+ZSCORE_LL_SERVICE = "error"
+
+
+def _q_zscore_longlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = load_tx(spark, sf_dir).where(F.col("service") == ZSCORE_LL_SERVICE)
+    st = zf.st_zerofill_dense(tx, slice_ms=ZSCORE_LL_SLICE_MS)
+    # defaults ARE the production pair: lags=(360, 8640), chunk=8640
+    return zs.zscore_window_chunked(st, threshold=ZSCORE_THRESHOLD)
 
 
 def _q_alert_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_normalize": _q_tx_normalize,
         "window_stats": _q_window_stats,
         "zscore": _q_zscore,
+        "zscore_longlag": _q_zscore_longlag,
         "zscore_chunked": _q_zscore_chunked,
         "zscore_override": _q_zscore_override,
         "zscore_recursive": _q_zscore_recursive,
@@ -1214,6 +1234,21 @@ FROM tx
         "window_stats": TX_CTE + window_stats_oracle_sql(),
         "zscore": dense_st
         + zs.zscore_oracle_select(lags=ZSCORE_LAGS, threshold=ZSCORE_THRESHOLD),
+        # Production lag pair (360, 8640): one-service 3-day dense grid;
+        # the service filter lands BEFORE the slice bound in both engines
+        # (the slice min is taken over the keyed stream).
+        "zscore_longlag": (
+            TX_CTE
+            + f", tx_keyed AS (SELECT * FROM tx WHERE service = '{ZSCORE_LL_SERVICE}')"
+            + ", tx_sliced AS ("
+            + zf.tx_sliced_sql(ZSCORE_LL_SLICE_MS).replace(
+                "FROM tx", "FROM tx_keyed"
+            )
+            + ")"
+            + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
+            + zf.st_zerofill_dense_oracle_cte()
+            + zs.zscore_oracle_select(threshold=ZSCORE_THRESHOLD)
+        ),
         # chunked form: same naive sliding-frame oracle, over the DENSE
         # zero-filled st grid (its input contract) — the oracle needs no
         # chunk awareness because chunking is exact on that grid

@@ -341,3 +341,41 @@ def test_exact_scan_long_series_bitwise():
                 assert got != got, i  # NaN
             else:
                 assert got == want, i  # bitwise
+
+
+def test_longlag_8640_warmup_boundary(spark):
+    # Production lag gate semantics (config/apm_config.json:142): a lag-L
+    # mean is defined only once the key has L FULL intervals of history —
+    # on a dense grid starting at t0, the first non-null average for lag
+    # 8640 lands exactly at slot 8640 (24 h in), never earlier. Uses a
+    # single-key 9000-slot grid so the window pass is one task.
+    from apmbackend_spark.operators.zscore import zscore_window_chunked
+
+    n = 9000
+    rows = [
+        {
+            "timestamp": 1_700_000_000_000 + i * 10_000,
+            "server": "srv0",
+            "service": "error",
+            "tpm": 1.0,
+            "average": float(100 + i % 13),
+            "per75": float(101 + i % 13),
+            "per95": float(103 + i % 13),
+        }
+        for i in range(n)
+    ]
+    st = spark.createDataFrame(rows)
+    out = (
+        zscore_window_chunked(st, lags=(8640,), threshold=3.0)
+        .select("timestamp", "averageavg")
+        .collect()
+    )
+    assert len(out) == n
+    by_ts = {r["timestamp"]: r["averageavg"] for r in out}
+    first_defined = 1_700_000_000_000 + 8640 * 10_000
+    assert all(
+        (v is None) == (ts < first_defined) for ts, v in by_ts.items()
+    )
+    # the first defined mean averages slots 0..8639 exactly
+    want = sum(100 + i % 13 for i in range(8640)) / 8640
+    assert by_ts[first_defined] == want
