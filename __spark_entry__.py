@@ -300,6 +300,21 @@ def _q_topology_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topology_broker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The tx -> calc_stats boundary riding the REAL TCP broker with a
+    # mid-stream consumer crash + redelivery (queue.js's at-least-once
+    # contract composed INSIDE the pipeline); graded against the same
+    # fs-stage oracle shape as stream_topology, at a 12 h slice.
+    return topo.topology_broker_gate(
+        spark,
+        sf_dir,
+        lags=STREAM_GATE_LAGS,
+        threshold=ZSCORE_THRESHOLD,
+        influence=0.1,
+        watermark="60 seconds",
+    )
+
+
 def _q_wire_fs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qu.wire_fs_roundtrip_gate(spark, sf_dir)
 
@@ -704,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stateful z-score -> alerts), grade the fs sink against the
         # watermark-closed batch oracle.
         "stream_topology": _q_stream_topology,
+        "topology_broker": _q_topology_broker,
     }
     # Round-4 additions: new gates this round, all inside the window.
     round4 = {
@@ -1060,14 +1076,19 @@ def oracle_sql() -> dict[str, str]:
         + zf.st_zerofill_dense_oracle_cte()
     )
     # Stream-topology fs-stage oracle (shared verbatim by the wire-threaded
-    # variant, which only adds the insert-queue codec quantization on top).
-    stream_topo_sql = (
-        TX_CTE
-        + ", tx_sliced AS ("
-        + zf.tx_sliced_sql(STREAM_GATE_SLICE_MS)
-        + ")"
-        + window_stats_oracle_ctes().replace("FROM tx t", "FROM tx_sliced t")
-        + f"""
+    # variant, which only adds the insert-queue codec quantization on top,
+    # and — at its own slice — by the broker-composed topology, whose tx/st
+    # wire hops are lossless for the integer-valued stats).
+    def _topo_fs_sql(slice_ms: int) -> str:
+        return (
+            TX_CTE
+            + ", tx_sliced AS ("
+            + zf.tx_sliced_sql(slice_ms)
+            + ")"
+            + window_stats_oracle_ctes().replace(
+                "FROM tx t", "FROM tx_sliced t"
+            )
+            + f"""
 , st AS (
     SELECT win_start AS timestamp, server, service, tpm,
            round(avg_ms, 0) AS average,
@@ -1076,10 +1097,12 @@ def oracle_sql() -> dict[str, str]:
     FROM winstats
     WHERE win_start + 300000 <= (SELECT MAX(endts) FROM tx_sliced) - {STREAM_GATE_WATERMARK_MS}
 )"""
-        + zs.zscore_step_oracle_sql(
-            lags=STREAM_GATE_LAGS, threshold=ZSCORE_THRESHOLD, influence=0.1
-        )
-    ).replace("WITH tx AS", "WITH RECURSIVE tx AS", 1)
+            + zs.zscore_step_oracle_sql(
+                lags=STREAM_GATE_LAGS, threshold=ZSCORE_THRESHOLD, influence=0.1
+            )
+        ).replace("WITH tx AS", "WITH RECURSIVE tx AS", 1)
+
+    stream_topo_sql = _topo_fs_sql(STREAM_GATE_SLICE_MS)
     return {
         "doc_stats": ts.doc_stats_oracle_sql(),
         "corpus_filter": ts.corpus_filter_oracle_sql(),
@@ -1295,6 +1318,11 @@ FROM tx
         # end <= final watermark (max event time - delay), a pure function
         # of the data; the fs stage replays zscore_step arithmetic.
         "stream_topology": stream_topo_sql,
+        # The broker-composed topology: identical fs computation at a 12 h
+        # slice — the hash matches IFF the broker redelivered exactly the
+        # crashed consumer's unacked set (a dropped or duplicated message
+        # shifts the window stats and every z-score after them).
+        "topology_broker": _topo_fs_sql(topo.TOPO_BROKER_SLICE_MS),
         # The wire-threaded topology: identical fs computation (the st
         # boundary codec is lossless for the integer-valued stats), then
         # the fs insert-queue encode->decode quantization on the sink.

@@ -185,13 +185,24 @@ def _publish_partition(port: int):
 
 
 def _consume_session(
-    port: int, spool_path: str, ack_if=lambda payload: True
+    port: int,
+    spool_path: str,
+    ack_if=lambda payload: True,
+    spool_acked_only: bool = False,
 ) -> tuple[int, int]:
-    """One consumer session: SUB, spool every delivered payload (durable
+    """One consumer session: SUB, spool the delivered payloads (durable
     write BEFORE any ack — the reference's ack-after-handoff contract),
     ack the payloads ``ack_if`` admits, disconnect. Returns (deliveries,
     broker-pending AFTER this session's acks settled — the PEND reply is
-    the settlement barrier, so the count is race-free)."""
+    the settlement barrier, so the count is race-free).
+
+    ``spool_acked_only=True`` models the mid-stream CRASH shape: handoff
+    and ack are one atomic per-message step (spool the line, then ack it),
+    and for the refused set the crash loses BOTH — the message was never
+    processed, so its work exists nowhere downstream and MUST come back
+    via broker redelivery for the pipeline to be complete. (The default
+    spool-everything form instead grades the duplicate-delivery side:
+    processed-but-unacked messages arrive twice.)"""
     sock = socket.create_connection(("127.0.0.1", port), 30)
     rfile = sock.makefile("r", encoding="utf-8", newline="\n")
     wfile = sock.makefile("w", encoding="utf-8", newline="\n")
@@ -204,14 +215,14 @@ def _consume_session(
             break
         _msg, tag, _n, payload = line.split(" ", 3)
         got.append((int(tag), payload))
+    admitted = [(t, p) for t, p in got if ack_if(p)]
     with open(spool_path, "w", encoding="utf-8") as fh:
-        for _, payload in got:
+        for _, payload in admitted if spool_acked_only else got:
             fh.write(payload + "\n")
         fh.flush()
         os.fsync(fh.fileno())
-    for tag, payload in got:
-        if ack_if(payload):
-            wfile.write(f"ACK {tag}\n")
+    for tag, _payload in admitted:
+        wfile.write(f"ACK {tag}\n")
     wfile.write("PEND\n")
     wfile.flush()
     reply = rfile.readline().rstrip("\n")

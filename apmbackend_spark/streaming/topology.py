@@ -1031,3 +1031,165 @@ def stream_nearest_gate(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.schema(NEAREST_OUT_SCHEMA).parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# The topology composed OVER the real ack/redelivery broker: the tx ->
+# calc_stats boundary rides the TCP mini-broker, crash included.
+# ---------------------------------------------------------------------------
+
+TOPO_BROKER_SLICE_MS = 12 * 3600 * 1000
+
+
+def topology_broker_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    lags=(60,),
+    threshold: float = 3.0,
+    influence: float = 0.1,
+    watermark: str = "60 seconds",
+    slice_ms: int = TOPO_BROKER_SLICE_MS,
+    shuffle_partitions: int = 8,
+    timeout_s: int = 300,
+) -> "DataFrame":
+    """The streaming topology with its transactions-queue boundary riding
+    the REAL broker (sources/broker.py) — queue.js's at-least-once
+    contract graded INSIDE the pipeline, not in isolation
+    (queue.js:206-305 + the four-queue topology, apm_config.json:58-114).
+
+    Pipeline: stage 1 encodes tx to wire lines (the transactions-queue
+    producer leg) and the lines are published executor-side into the TCP
+    mini-broker. Consumer session 1 processes mid-stream and CRASHES:
+    each message it processed was durably handed off THEN acked
+    (spool -> ack, the reference's ack-after-handoff contract); each
+    message in the deterministic crash set (content-keyed like
+    broker_redelivery, so partition-order nondeterminism never reaches
+    the result) is NEITHER spooled nor acked — its work exists nowhere
+    downstream. Consumer session 2 — the restarted process — receives
+    the broker's unacked set via REAL redelivery and completes the
+    handoff; a PEND settlement check proves the queue then drains to
+    empty. Stages 2-3 (calc_stats, calc_z_score) consume the recovered
+    spool; the graded fs frame hash-matches the batch oracle IFF
+    redelivery returned exactly the unacked complement — one message
+    dropped or duplicated by the broker shifts the window stats and every
+    z-score after them. (The alerts stage adds no broker coverage and is
+    graded by stream_topology; it is omitted here to keep the drain
+    lean.)
+
+    Scale: the broker is the semantics test double for the AMQP/Kafka
+    tier (swap format('text') handoffs for format('kafka')); everything
+    data-sized — encode, publish fan-out, decode, stats, z-score — stays
+    distributed exactly as in run_apm_topology."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from apmbackend_spark.functions.text import hash64
+    from apmbackend_spark.sources import broker as brk
+    from apmbackend_spark.sources import queue as qu
+    from apmbackend_spark.sources.tx import load_tx
+
+    work = tempfile.mkdtemp(prefix="apm_topology_broker_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    ev_dir = os.path.join(work, "events_src")
+    os.makedirs(ev_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(ev_dir, "events.parquet"),
+    )
+    lo = load_tx(spark, sf_dir).agg(F.min("endts")).collect()[0][0]
+    endts_before = int(lo) + int(slice_ms)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        # stage 1 — parse, wire-encoded (the transactions-queue producer)
+        tx = (
+            tx_stream(spark, ev_dir)
+            .where(F.col("endts") < endts_before)
+            .select(
+                "logid", "server", "service", "acctnum",
+                "startts", "endts", "elapsed", "toplevel",
+            )
+        )
+        tx_dir = os.path.join(work, "tx_wire")
+        _run_stage(
+            qu.tx_to_wire(tx), tx_dir,
+            os.path.join(work, "ckpt_tx"), timeout_s, "text",
+        )
+
+        # broker hop: publish executor-side; crash + redelivery consume
+        wire = spark.read.text(tx_dir).localCheckpoint()
+        lost = {
+            r["value"]
+            for r in wire.where(
+                F.pmod(
+                    hash64(F.split(F.col("value"), r"\|").getItem(3)),
+                    F.lit(qu._REPLAY_MOD),
+                )
+                == F.lit(qu._REPLAY_REM)
+            ).collect()
+        }
+        spool_dir = os.path.join(work, "tx_consumed")
+        os.makedirs(spool_dir)
+        broker = brk.MiniBroker()
+        try:
+            wire.foreachPartition(brk._publish_partition(broker.port))
+            n_wire = wire.count()
+            n_pub = broker.message_count()
+            if n_pub != n_wire:
+                raise RuntimeError(
+                    f"published {n_pub} != {n_wire} wire lines "
+                    "(task retry double-publish?)"
+                )
+            n1, pend1 = brk._consume_session(
+                broker.port,
+                os.path.join(spool_dir, "session1.txt"),
+                ack_if=lambda p: p not in lost,
+                spool_acked_only=True,
+            )
+            n2, pend2 = brk._consume_session(
+                broker.port, os.path.join(spool_dir, "session2.txt")
+            )
+            if n1 != n_wire:
+                raise RuntimeError(
+                    f"session 1 saw {n1} of {n_wire} published messages"
+                )
+            if pend1 != n2:
+                raise RuntimeError(
+                    f"redelivery mismatch: {pend1} unacked, {n2} redelivered"
+                )
+            if pend2 != 0:
+                raise RuntimeError(
+                    f"broker holds {pend2} unacked after recovery session"
+                )
+        finally:
+            broker.close()
+
+        # stage 2 — calc_stats over the RECOVERED handoff spool
+        tx_in = qu.wire_to_tx(spark.readStream.text(spool_dir)).withColumn(
+            "endtime", F.timestamp_millis(F.col("endts"))
+        )
+        st = window_stats_stream(tx_in, watermark=watermark).select(
+            F.col("win_start").alias("timestamp"),
+            "server",
+            "service",
+            "tpm",
+            F.round(F.col("avg_ms"), 0).alias("average"),
+            F.round(F.col("p75"), 0).alias("per75"),
+            F.round(F.col("p95"), 0).alias("per95"),
+        )
+        st_dir = os.path.join(work, "st")
+        _run_stage(st, st_dir, os.path.join(work, "ckpt_st"), timeout_s)
+
+        # stage 3 — calc_z_score
+        st_in = spark.readStream.schema(ST_HANDOFF_SCHEMA).parquet(st_dir)
+        fs = zscore_stateful(
+            st_in, lags=lags, threshold=threshold, influence=influence
+        )
+        fs_dir = os.path.join(work, "fs")
+        _run_stage(fs, fs_dir, os.path.join(work, "ckpt_fs"), timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.schema(_fs_handoff_schema()).parquet(fs_dir)

@@ -131,3 +131,28 @@ def test_gate_counts_match_queue_replay_rule(spark):
     ).count()
     assert sum(r["n_deliveries"] == 2 for r in out) == n_lost
     assert all(r["n_deliveries"] in (1, 2) for r in out)
+
+
+def test_consume_session_spool_acked_only_crash_shape(tmp_path):
+    # The topology_broker crash contract: handoff and ack are one atomic
+    # per-message step, so session 1's spool holds EXACTLY what it acked,
+    # the crash set exists nowhere downstream, and session 2's recovery
+    # spool is exactly the redelivered complement — together a lossless,
+    # duplicate-free handoff.
+    b = MiniBroker()
+    try:
+        _pub(b.port, ["keep0", "lose1", "keep2", "lose3", "keep4"])
+        s1 = tmp_path / "s1.txt"
+        s2 = tmp_path / "s2.txt"
+        n1, pend1 = _consume_session(
+            b.port, str(s1),
+            ack_if=lambda p: not p.startswith("lose"),
+            spool_acked_only=True,
+        )
+        assert n1 == 5 and pend1 == 2
+        assert s1.read_text().splitlines() == ["keep0", "keep2", "keep4"]
+        n2, pend2 = _consume_session(b.port, str(s2))
+        assert n2 == 2 and pend2 == 0
+        assert s2.read_text().splitlines() == ["lose1", "lose3"]
+    finally:
+        b.close()
