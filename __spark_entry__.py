@@ -432,6 +432,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_features": lambda s, d: jp.jpeg_features(
             jp.synth_jpeg_media(s, docs(s, d))
         ),
+        # ...and the DECODED PIXELS under the hash: fixed-point integer
+        # IDCT (spec-legal) + clamp, per-plane exact pixel sums and the
+        # clamped-pixel count — the oracle replays the same integer ops
+        # over the interpolated cosine table
+        "jpeg_pixels": lambda s, d: jp.jpeg_pixels(
+            jp.synth_jpeg_media(s, docs(s, d))
+        ),
         # Cavnar-Trenkle char-trigram language ID: single codegen scan,
         # profile maps evaluated in-expression (no explode/join/shuffle)
         "lang_id": lambda s, d: lid.lang_id(docs(s, d)),
@@ -1207,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         "bmp_features": mm.bmp_features_oracle_sql(),
         "gif_features": mm.gif_features_oracle_sql(),
         "jpeg_features": jp.jpeg_features_oracle_sql(),
+        "jpeg_pixels": jp.jpeg_pixels_oracle_sql(),
         "media_resize": mm.media_resize_oracle_sql(),
         "media_frame_sample": mm.media_frame_sample_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,

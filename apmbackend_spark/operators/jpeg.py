@@ -2,17 +2,19 @@
 the fourth real image container on the stdlib path and the first with an
 entropy-coded bitstream (Huffman + run-length over DCT coefficients).
 
-Grading design: JPEG is LOSSY, so the PNG/BMP/GIF trick (oracle
-regenerates the pixel pattern) cannot hash pixels. But everything UP TO
-the inverse DCT is exact integer arithmetic: marker parse, DQT/DHT table
-builds, the Huffman bitstream decode (with 0xFF00 byte unstuffing), DC
-prediction, AC run-length/ZRL/EOB expansion, and dequantization. The
-graded gate therefore synthesizes images from a deterministic QUANTIZED
-COEFFICIENT pattern, and the feature extraction grades exact per-channel
-coefficient sums — a single wrong bit anywhere in the entropy decode
-corrupts them. The pixel path (de-zigzag, float IDCT, 4:2:0 upsample,
-YCbCr->RGB) is implemented and unit-tested (DC-only blocks decode to flat
-values exactly; PIL cross-validation is env-gated), just not value-hashed.
+Grading design: JPEG is LOSSY, but every stage we run is deterministic
+integer arithmetic, so BOTH layers are value-hashed. `jpeg_features`
+grades the entropy layer (marker parse, DQT/DHT builds, Huffman decode
+with 0xFF00 unstuffing, DC prediction, RLE/ZRL/EOB expansion,
+dequantization) as exact coefficient sums over the deterministic
+QUANTIZED-COEFFICIENT fixture pattern. `jpeg_pixels` grades the DECODED
+PIXELS: de-zigzag + a FIXED-POINT INTEGER IDCT (T.81 permits any
+sufficiently accurate IDCT — with encoder and decoder both ours it is a
+codec parameter) + the [0,255] clamp, folded to per-plane pixel sums and
+a clamped-pixel count; the SQL oracle replays the identical integer ops
+over the interpolated cosine table. The float reference IDCT, 4:2:0
+upsample and YCbCr->RGB stay unit-tested (DC-only blocks decode to flat
+values exactly; PIL cross-validation is env-gated).
 
 The decoder is table-driven and spec-general (any valid DQT/DHT, 8-bit
 baseline, 4:4:4 or 4:2:0 sampling); the encoder uses fixed-length-code
@@ -450,8 +452,59 @@ def _decode_jpeg_coefficients(content: bytes):
 
 
 # ---------------------------------------------------------------------------
-# Pixel path (unit-tested; not value-hashed — IDCT is float).
+# Pixel path. The GRADED pixel route is the fixed-point integer IDCT below
+# (T.81 permits any sufficiently accurate IDCT; with encoder and decoder
+# both ours, the choice is a codec parameter) — every op is exact integer,
+# so decoded pixels value-hash like PNG/BMP/GIF. The float reference IDCT
+# is kept for the PIL cross-validation and as the accuracy yardstick.
 # ---------------------------------------------------------------------------
+
+_IDCT_S = 12  # fixed-point fraction bits of the cosine table
+# T[x][u] = round(2^S * c(u) * cos((2x+1) u pi / 16)), c(0)=1/sqrt(2):
+# the one table both the separable Python transform and the SQL double sum
+# read — interpolated into the oracle literal from THIS constant, so the
+# two engines cannot drift.
+_IDCT_T = [
+    [
+        round(
+            (1 << _IDCT_S)
+            * (1 / math.sqrt(2) if u == 0 else 1.0)
+            * math.cos((2 * x + 1) * u * math.pi / 16)
+        )
+        for u in range(8)
+    ]
+    for x in range(8)
+]
+_IDCT_SHIFT = 2 * _IDCT_S + 2  # /4 of the 2-D sum folded into the shift
+_IDCT_HALF = 1 << (_IDCT_SHIFT - 1)
+
+
+def _idct8x8_int(nat: list[int]) -> list[int]:
+    """Fixed-point integer 2-D IDCT over a NATURAL-order dequantized
+    block: separable row/column passes with NO intermediate rounding (so
+    the result equals the flat double sum the SQL oracle folds), one
+    round-half-up arithmetic shift at the end, +128 level shift, clamp.
+    Pure integers throughout — bit-identical across engines."""
+    return [max(0, min(255, v)) for v in _idct8x8_int_raw(nat)]
+
+
+def _idct8x8_int_raw(nat: list[int]) -> list[int]:
+    """The integer IDCT before the [0,255] clamp — the gate counts
+    clamped pixels, which needs the raw level-shifted values."""
+    tmp = [
+        [
+            sum(nat[v * 8 + u] * _IDCT_T[x][u] for u in range(8))
+            for x in range(8)
+        ]
+        for v in range(8)
+    ]
+    out = []
+    for y in range(8):
+        ty = _IDCT_T[y]
+        for x in range(8):
+            acc = sum(tmp[v][x] * ty[v] for v in range(8))
+            out.append(((acc + _IDCT_HALF) >> _IDCT_SHIFT) + 128)
+    return out
 
 
 def _idct8x8(block: list[int]) -> list[int]:
@@ -659,4 +712,154 @@ SELECT media_id,
            AS n_nonzero_ac
 FROM cells
 GROUP BY media_id, w, h, nby, nbc
+"""
+
+
+def jpeg_pixels(media: DataFrame) -> DataFrame:
+    """DECODED-PIXEL grading for baseline JPEG: the full entropy decode,
+    dequantize, de-zigzag, and the fixed-point integer IDCT — plus the
+    [0,255] clamp — all on the value-hashed path. Per image and per
+    component plane: exact pixel sum and the count of pixels the clamp
+    actually clipped (so the saturation branch is graded, not just
+    covered). A single wrong bit anywhere from the Huffman stream to the
+    IDCT shift changes a sum.
+
+    Scale shape: mapInPandas over Arrow batches, bytes never visit the
+    driver; per-image work is (blocks x 1024) integer multiplies."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, comps = decode_jpeg_coefficients(bytes(r.content))
+                sums = [0, 0, 0]
+                n_clamped = 0
+                for ci, c in enumerate(comps):
+                    q = c["quant"]
+                    for zz in c["blocks"]:
+                        nat = [0] * 64
+                        for k in range(64):
+                            nat[ZIGZAG[k]] = zz[k] * q[k]
+                        for v in _idct8x8_int_raw(nat):
+                            if v < 0 or v > 255:
+                                n_clamped += 1
+                            sums[ci] += max(0, min(255, v))
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": w,
+                        "height": h,
+                        "n_blocks_y": len(comps[0]["blocks"]),
+                        "n_blocks_c": len(comps[1]["blocks"]),
+                        "sum_pix_y": sums[0],
+                        "sum_pix_cb": sums[1],
+                        "sum_pix_cr": sums[2],
+                        "n_clamped": n_clamped,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        schema=(
+            "media_id long, width int, height int, n_blocks_y long, "
+            "n_blocks_c long, sum_pix_y long, sum_pix_cb long, "
+            "sum_pix_cr long, n_clamped long"
+        ),
+    )
+
+
+def jpeg_pixels_oracle_sql() -> str:
+    """Exact twin of jpeg_pixels: regenerate the quantized coefficients,
+    de-zigzag via the ZIGZAG literal, apply the SAME fixed-point IDCT as a
+    flat (u,v) x (x,y) double sum over the interpolated _IDCT_T literal
+    (separable-without-intermediate-rounding == flat sum), shift with the
+    offset trick (operand kept non-negative so integer division IS the
+    arithmetic right shift), clamp, fold.
+
+    Blocks whose coefficients are ALL zero never enter the nonzero join;
+    their 64 pixels are exactly 128 each, added back arithmetically."""
+    zz = ", ".join(str(v) for v in ZIGZAG)
+    t_rows = ", ".join(
+        f"({x}, {u}, {_IDCT_T[x][u]})" for x in range(8) for u in range(8)
+    )
+    # |acc| < 2^37 (bounded by sum|deq| * max|T|^2), so +2^37 keeps the
+    # shifted operand non-negative; 2^37 / 2^SHIFT = 2^(37-SHIFT) subtracts
+    # back out exactly.
+    off = 1 << 37
+    off_shifted = 1 << (37 - _IDCT_SHIFT)
+    return f"""
+WITH ids AS (
+    SELECT doc_id AS media_id,
+           16 * (1 + doc_id % 3) AS w,
+           16 * (1 + doc_id % 2) AS h
+    FROM documents
+), dims AS (
+    SELECT media_id, w, h,
+           4 * (w // 16) * (h // 16) AS nby,
+           (w // 16) * (h // 16) AS nbc
+    FROM ids
+), cells AS (
+    SELECT media_id, nby, nbc,
+           c.range AS comp, b.range AS b, k.range AS k,
+           CASE WHEN c.range = 0 THEN 1 + (k.range * 7) % 16
+                ELSE 1 + (k.range * 5) % 12 END AS q,
+           CASE
+             WHEN k.range = 0
+               THEN ((media_id + c.range * 11 + b.range * 5) % 15) - 7
+             WHEN (b.range * 7 + k.range * 3 + c.range + media_id) % 11 <> 0
+               THEN 0
+             ELSE (CASE WHEN (b.range + k.range + media_id) % 2 = 1
+                        THEN -1 ELSE 1 END)
+                  * (1 + (media_id + b.range * 3 + k.range * 5
+                          + c.range * 7) % 8)
+           END AS v
+    FROM dims
+    JOIN range(3) c ON TRUE
+    JOIN range(24) b ON b.range < CASE WHEN c.range = 0 THEN nby ELSE nbc END
+    JOIN range(64) k ON TRUE
+), nz AS (
+    SELECT media_id, comp, b,
+           ([{zz}])[k + 1] % 8 AS u,
+           ([{zz}])[k + 1] // 8 AS vv,
+           v * q AS deq
+    FROM cells WHERE v <> 0
+), tt AS (
+    SELECT * FROM (VALUES {t_rows}) AS t(i, j, t)
+), pix AS (
+    SELECT media_id, comp, b, tx.i AS x, ty.i AS y,
+           ((CAST(SUM(deq * tx.t * ty.t) AS BIGINT)
+             + {_IDCT_HALF} + {off}) // {1 << _IDCT_SHIFT})
+           - {off_shifted} + 128 AS p
+    FROM nz
+    JOIN tt tx ON tx.j = u
+    JOIN tt ty ON ty.j = vv
+    GROUP BY media_id, comp, b, tx.i, ty.i
+), plane AS (
+    SELECT media_id, comp,
+           SUM(LEAST(255, GREATEST(0, p))) AS s,
+           COUNT(*) AS npix,
+           SUM(CASE WHEN p < 0 OR p > 255 THEN 1 ELSE 0 END) AS nclamp
+    FROM pix GROUP BY media_id, comp
+)
+SELECT d.media_id,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       CAST(d.nby AS BIGINT) AS n_blocks_y,
+       CAST(d.nbc AS BIGINT) AS n_blocks_c,
+       CAST(COALESCE(MAX(CASE WHEN comp = 0 THEN s END), 0)
+            + 128 * (64 * d.nby
+                     - COALESCE(MAX(CASE WHEN comp = 0 THEN npix END), 0))
+            AS BIGINT) AS sum_pix_y,
+       CAST(COALESCE(MAX(CASE WHEN comp = 1 THEN s END), 0)
+            + 128 * (64 * d.nbc
+                     - COALESCE(MAX(CASE WHEN comp = 1 THEN npix END), 0))
+            AS BIGINT) AS sum_pix_cb,
+       CAST(COALESCE(MAX(CASE WHEN comp = 2 THEN s END), 0)
+            + 128 * (64 * d.nbc
+                     - COALESCE(MAX(CASE WHEN comp = 2 THEN npix END), 0))
+            AS BIGINT) AS sum_pix_cr,
+       CAST(COALESCE(SUM(nclamp), 0) AS BIGINT) AS n_clamped
+FROM dims d LEFT JOIN plane USING (media_id)
+GROUP BY d.media_id, d.w, d.h, d.nby, d.nbc
 """

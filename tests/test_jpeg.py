@@ -233,3 +233,88 @@ def test_jpeg_every_truncation_offset_raises_valueerror():
             decode_jpeg_coefficients(raw[:cut])
         except ValueError:
             pass
+
+
+def test_integer_idct_tracks_float_reference_within_one():
+    # The graded fixed-point IDCT is a spec-legal approximation of the
+    # float reference transform: on a deterministic sweep of sparse and
+    # dense blocks (the fixture regime and beyond), every pixel agrees
+    # with the float path within 1 level — the T.81 accuracy yardstick —
+    # and the two clamp the same saturated blocks.
+    from apmbackend_spark.operators.jpeg import _idct8x8, _idct8x8_int
+
+    for seed in range(12):
+        nat = [0] * 64
+        for k in range(64):
+            if (k * 5 + seed) % 9 == 0:
+                nat[k] = ((seed * 31 + k * 17) % 241) - 120
+        nat[0] = ((seed * 77) % 225) - 112
+        fi = _idct8x8(nat)
+        ii = _idct8x8_int(nat)
+        assert max(abs(a - b) for a, b in zip(fi, ii)) <= 1, seed
+
+
+def test_integer_idct_dc_only_is_flat_and_exact():
+    from apmbackend_spark.operators.jpeg import (
+        _IDCT_HALF,
+        _IDCT_SHIFT,
+        _IDCT_T,
+        _idct8x8_int,
+    )
+
+    for dc in (-112, -8, 0, 9, 112):
+        nat = [0] * 64
+        nat[0] = dc
+        px = _idct8x8_int(nat)
+        want = ((dc * _IDCT_T[0][0] * _IDCT_T[0][0] + _IDCT_HALF)
+                >> _IDCT_SHIFT) + 128
+        want = max(0, min(255, want))
+        assert px == [want] * 64, dc
+
+
+def test_integer_idct_clamps_saturated_block():
+    from apmbackend_spark.operators.jpeg import _idct8x8_int, _idct8x8_int_raw
+
+    nat = [0] * 64
+    nat[0] = 2000  # far past the 8-bit range after the level shift
+    raw = _idct8x8_int_raw(nat)
+    assert all(v > 255 for v in raw)
+    assert _idct8x8_int(nat) == [255] * 64
+
+
+def test_jpeg_pixels_matches_pure_python_decode(spark):
+    # end-to-end: the Spark gate's sums equal a direct single-process
+    # decode of the same bytes (independent of mapInPandas batching)
+    from apmbackend_spark.operators.jpeg import (
+        ZIGZAG,
+        _idct8x8_int_raw,
+        decode_jpeg_coefficients,
+        encode_jpeg,
+        jpeg_pixels,
+        synth_jpeg_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(7)], "doc_id long"
+    )
+    rows = {
+        r["media_id"]: r
+        for r in jpeg_pixels(synth_jpeg_media(spark, docs)).collect()
+    }
+    for mid in range(7):
+        _w, _h, comps = decode_jpeg_coefficients(encode_jpeg(mid))
+        sums = [0, 0, 0]
+        ncl = 0
+        for ci, c in enumerate(comps):
+            for zz in c["blocks"]:
+                nat = [0] * 64
+                for k in range(64):
+                    nat[ZIGZAG[k]] = zz[k] * c["quant"][k]
+                for v in _idct8x8_int_raw(nat):
+                    ncl += v < 0 or v > 255
+                    sums[ci] += max(0, min(255, v))
+        r = rows[mid]
+        assert (r["sum_pix_y"], r["sum_pix_cb"], r["sum_pix_cr"]) == tuple(
+            sums
+        ), mid
+        assert r["n_clamped"] == ncl, mid
