@@ -2950,3 +2950,90 @@ SELECT query_id, cand_id, sim,
 FROM rer
 QUALIFY rank <= {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle: persist the trained index as parquet artifacts, reload
+# in fresh plans, serve from the stored index — the write-once shape a
+# 100 TB deployment actually runs.
+# ---------------------------------------------------------------------------
+
+
+def ann_index_persist(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    pq_mod: int = PQ_CODES_MOD,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Write-once index lifecycle, GRADED: train the shared index
+    artifacts (coarse assignment, PQ codebook + codes, IVF-PQ residual
+    codebook + codes), persist each as a parquet index file, reload them
+    via ``spark.read.parquet`` — fresh plans with no lineage back to the
+    build — and serve BOTH rerank tiers from the stored index. The
+    oracle recomputes the searches from scratch, so the value hash
+    proves persisted-index serving is bit-identical to an in-query
+    build: the parquet round-trip loses nothing (codes and codebooks are
+    integers; the quantized vectors are exact).
+
+    Scale shape: this is the split production runs — the Lloyd
+    trainings and the corpus-wide encode happen ONCE at build time and
+    land as columnar artifacts (centroids/codebooks broadcast-sized, the
+    codes frame m small ints per vector); serving jobs read the
+    artifacts and never touch raw embeddings except for the
+    |queries| x shortlist exact rerank."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="apm_ann_index_")
+    # the reloaded frames read these files until the caller collects;
+    # reclaim at interpreter exit (the topology-gate lifecycle)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    assigned, pq_cb, pq_enc, ivfpq_cb, ivfpq_enc = _shared_index_artifacts(
+        embeddings, pq_mod
+    )
+    artifacts = {
+        "assigned": assigned,
+        "pq_cb": pq_cb,
+        "pq_enc": pq_enc,
+        "ivfpq_cb": ivfpq_cb,
+        "ivfpq_enc": ivfpq_enc,
+    }
+    stored = {}
+    for name, df in artifacts.items():
+        path = f"{work}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        stored[name] = spark.read.parquet(path)
+    rr = pq_rerank(
+        embeddings, mod=pq_mod, n_queries=n_queries, k=k,
+        cb=stored["pq_cb"], enc=stored["pq_enc"],
+    )
+    irr = ivfpq_rerank(
+        embeddings, n_queries=n_queries, k=k, pq_mod=pq_mod,
+        cb=stored["ivfpq_cb"], assigned=stored["assigned"],
+        enc=stored["ivfpq_enc"],
+    )
+    return rr.select(
+        F.lit("pq_rerank").alias("method"), "query_id", "cand_id", "sim",
+        "rank",
+    ).unionAll(
+        irr.select(
+            F.lit("ivfpq_rerank").alias("method"), "query_id", "cand_id",
+            "sim", "rank",
+        )
+    )
+
+
+def ann_index_persist_oracle_sql(
+    pq_mod: int = PQ_CODES_MOD, n_queries: int = 10, k: int = 5
+) -> str:
+    """From-scratch recompute of both rerank tiers — persisted-index
+    serving must equal it exactly."""
+    rr = pq_rerank_oracle_sql(mod=pq_mod, n_queries=n_queries, k=k)
+    irr = ivfpq_rerank_oracle_sql(pq_mod=pq_mod, n_queries=n_queries, k=k)
+    return f"""
+SELECT 'pq_rerank' AS method, query_id, cand_id, sim, rank FROM ({rr})
+UNION ALL
+SELECT 'ivfpq_rerank' AS method, query_id, cand_id, sim, rank FROM ({irr})
+"""
