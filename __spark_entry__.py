@@ -34,6 +34,7 @@ from apmbackend_spark.operators import prepare as prep
 from apmbackend_spark.operators import sessions as sess
 from apmbackend_spark.operators import setops as so
 from apmbackend_spark.operators import selection as dsel
+from apmbackend_spark.operators import unigram as uni
 from apmbackend_spark.sources.loaders import load_table, spread
 from apmbackend_spark.sources import jmx as jmxsrc
 from apmbackend_spark.sources import logparse as lp
@@ -383,6 +384,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_matches": lambda s, d: dd.winnow_matches(docs(s, d)),
         "orc_roundtrip": lambda s, d: orcsrc.orc_roundtrip(s, d),
         "weighted_sample": lambda s, d: dsel.weighted_sample(docs(s, d)),
+        # unigram-LM tokenizer (Kudo 2018 hard-EM): seed substrings ->
+        # Viterbi segment -> recount -> prune -> rescore -> segment; the
+        # DP is an in-row fold (Spark) / recursive CTE (oracle), scores
+        # are the exact fixed-point log2 — bit-identical segmentations
+        "unigram_train": lambda s, d: uni.unigram_train(docs(s, d)),
+        # ...and the trained model applied: per-doc piece counts,
+        # fertility, and an order-free modular piece-stream hash (the
+        # SEGMENTATIONS are graded, not just their sizes)
+        "unigram_encode": lambda s, d: uni.unigram_encode(docs(s, d)),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
@@ -1193,6 +1203,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_matches": dd.winnow_matches_oracle_sql(),
         "orc_roundtrip": orcsrc.orc_roundtrip_oracle_sql(),
         "weighted_sample": dsel.weighted_sample_oracle_sql(),
+        "unigram_train": uni.unigram_train_oracle_sql(),
+        "unigram_encode": uni.unigram_encode_oracle_sql(),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("
         + zf.TX_SLICED_SQL

@@ -1,0 +1,484 @@
+"""Unigram-LM tokenizer (Kudo 2018, SentencePiece's unigram model; public
+literature) — the OTHER production tokenizer family, complementing the BPE
+trainer/encoder in ``textstats.py``.
+
+Method (the hard-EM / Viterbi-EM variant of the published algorithm —
+E-steps use the single best segmentation, a standard approximation that
+keeps every count an integer):
+  * pretokens: the shared word tokenizer, DISTINCT words with corpus
+    frequencies (the Sennrich weighting the BPE trainer uses), length
+    capped at ``UNI_MAXWORD`` (longer words fall back to the byte/char
+    tier in production; here they are excluded from segmentation and
+    accounted separately by the encoder);
+  * seed vocab: every substring of length 1..``UNI_MAXPIECE`` weighted by
+    pretoken frequency — all single chars (coverage guarantee) plus the
+    top ``UNI_SEED`` longer substrings;
+  * scores: the fixed-point integer log2 of ``selection.py`` —
+    sc(piece) = L(cnt + 1) - L(total + |V|), an exact integer rendering
+    of the add-1-smoothed log-probability (both engines run the identical
+    16-round square-and-normalize fold, so Viterbi compares identical
+    integers);
+  * EM round = Viterbi-segment every pretoken under the current scores,
+    recount piece usage over best segmentations, re-score; after round 1
+    the vocab is PRUNED (chars always survive; longer pieces must have
+    nonzero usage and rank in the top ``UNI_KEEP`` by usage) — the
+    prune-by-contribution step of the published algorithm with the loss
+    delta specialized to hard-EM (a piece's contribution is its usage);
+  * round 2 segments under the pruned, re-scored model; its usage counts
+    and scores are the trained table.
+
+Viterbi determinism contract: DP over word positions maximizing the sum
+of piece scores; ties broken toward the SMALLER start position j (longer
+last piece). Spark runs the DP as one in-row ``aggregate`` fold over
+positions (append-only best/backpointer array of structs, candidates
+pre-sorted by (i, j) so strict-greater keeps the j-ascending winner);
+DuckDB runs the identical recurrence as position-iterating recursive
+CTEs (the ``zscore_step`` list-carrying oracle pattern) over candidates
+packed into single BIGINTs, with the tie rule encoded in the packing
+((score + 2^40)*32 + (16 - j): max prefers higher score, then smaller
+j). All arithmetic is int64 — segmentations are bit-identical.
+
+Scale shape (100 TB): ONE corpus-sized token shuffle builds the
+distinct-pretoken frame; everything after runs on that vocabulary-sized
+frame — the substring explode is |pretokens| x O(len x maxpiece) small
+rows, vocab joins broadcast, the DP is an in-row codegen fold, usage
+recounts are map-side-combinable. The encoder joins the broadcast-sized
+(pretoken -> stats) dim onto per-doc token counts: one more combinable
+aggregate, no Python anywhere.
+
+Reference parity note: the reference engine (a Node.js APM stack) has no
+tokenizer-training operator — this is beyond-reference LLM-pipeline
+surface, like ``bpe_train``/``bpe_encode`` which it mirrors gate-for-gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash64_sql, tokens, tokens_sql
+from .selection import _with_log2fix, log2fix_sql
+
+UNI_MAXPIECE = 4
+UNI_MAXWORD = 12
+UNI_SEED = 80
+UNI_KEEP = 40
+NEG_INF = -(1 << 50)
+_BIG = 1 << 40  # packing offset keeping every packed value positive
+_HASH_MOD = 1 << 40  # piece-hash modulus: doc sums stay far below 2^63
+
+
+# ---------------------------------------------------------------------------
+# Spark building blocks.
+# ---------------------------------------------------------------------------
+
+
+def _pretokens(documents: DataFrame) -> DataFrame:
+    """(pt, freq): distinct pretokens with corpus frequencies, segmentable
+    lengths only."""
+    return (
+        documents.select(F.explode(tokens(F.col("text"))).alias("pt"))
+        .where(F.length("pt") <= UNI_MAXWORD)
+        .groupBy("pt")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _substrings(pret: DataFrame) -> DataFrame:
+    """(pt, freq, i, j, piece): every candidate piece occurrence — piece
+    spans word positions j..i (1-based end i, 0-based start j)."""
+    return (
+        pret.select(
+            "pt",
+            "freq",
+            F.explode(F.expr("sequence(1, length(pt))")).alias("i0"),
+        )
+        .select(
+            "pt",
+            "freq",
+            "i0",
+            F.explode(
+                F.expr(
+                    f"sequence(1, least({UNI_MAXPIECE}, length(pt) - i0 + 1))"
+                )
+            ).alias("l"),
+        )
+        .select(
+            "pt",
+            "freq",
+            F.expr("CAST(i0 + l - 1 AS INT)").alias("i"),
+            F.expr("CAST(i0 - 1 AS INT)").alias("j"),
+            F.expr("substring(pt, i0, l)").alias("piece"),
+        )
+    )
+
+
+def _scored(vocab: DataFrame, cnt_col: str) -> DataFrame:
+    """(piece, sc): add-1-smoothed fixed-point log2 scores. The constant
+    totals log is folded ONCE on the 1-row aggregate and broadcast (the
+    dsir_select discipline)."""
+    tot = vocab.agg(
+        F.sum(cnt_col).cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    tot = _with_log2fix(tot, "tot + nv", "l_tot")
+    v = _with_log2fix(vocab, f"{cnt_col} + 1", "l_cnt")
+    return v.crossJoin(F.broadcast(tot.select("l_tot"))).select(
+        "piece", (F.col("l_cnt") - F.col("l_tot")).alias("sc")
+    )
+
+
+_DP_EXPR = f"""
+aggregate(
+  sequence(1, length(pt)),
+  array(named_struct('s', CAST(0 AS BIGINT), 'b', 0)),
+  (acc, p) -> concat(acc, array(
+      aggregate(
+        filter(cands, c -> c.i = p),
+        named_struct('s', CAST({NEG_INF} AS BIGINT), 'b', 0),
+        (m, c) -> IF(element_at(acc, c.j + 1).s > CAST({NEG_INF} AS BIGINT)
+                     AND element_at(acc, c.j + 1).s + c.sc > m.s,
+                  named_struct('s', element_at(acc, c.j + 1).s + c.sc,
+                               'b', c.j),
+                  m))))
+)
+"""
+
+_WB_EXPR = """
+aggregate(
+  sequence(1, length(pt)),
+  named_struct('p', length(pt), 'l', CAST(array() AS array<string>)),
+  (a, x) -> IF(a.p > 0,
+      named_struct(
+        'p', element_at(dp, a.p + 1).b,
+        'l', concat(a.l, array(substring(
+                 pt,
+                 element_at(dp, a.p + 1).b + 1,
+                 a.p - element_at(dp, a.p + 1).b)))),
+      a),
+  a -> a.l
+)
+"""
+
+
+def _segment(pret: DataFrame, vocab_scored: DataFrame) -> DataFrame:
+    """(pt, freq, pieces): Viterbi best segmentation of every pretoken
+    under (piece, sc) — DP fold + backpointer walk, both in-row codegen."""
+    cand = _substrings(pret).join(
+        F.broadcast(vocab_scored.select("piece", "sc")), "piece"
+    )
+    cl = cand.groupBy("pt", "freq").agg(
+        F.sort_array(F.collect_list(F.struct("i", "j", "sc"))).alias("cands")
+    )
+    return (
+        cl.withColumn("dp", F.expr(_DP_EXPR))
+        .withColumn("pieces", F.expr(_WB_EXPR))
+        .select("pt", "freq", "pieces")
+    )
+
+
+def _usage(seg: DataFrame) -> DataFrame:
+    """(piece, u): frequency-weighted piece usage over best segmentations."""
+    return (
+        seg.select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("u"))
+    )
+
+
+def _train_frames(
+    documents: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared trainer pipeline: returns (pret, v1s, seg2, u2) — the
+    pretoken frame, the final scored vocab, its segmentations, and the
+    final usage counts."""
+    pret = _pretokens(documents).localCheckpoint()
+    pcnt = (
+        _substrings(pret)
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .localCheckpoint()  # chars + seed ranking + round-1 scores all read it
+    )
+    chars = pcnt.where(F.length("piece") == 1)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    seedk = (
+        pcnt.where(F.length("piece") >= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= UNI_SEED)
+        .drop("rn")
+    )
+    v0s = _scored(chars.unionAll(seedk), "cnt")
+    seg1 = _segment(pret, v0s)
+    u1 = _usage(seg1).localCheckpoint()  # prune ranking + rescore share it
+    wk = Window.orderBy(F.desc("u"), F.asc("piece"))
+    kept = (
+        u1.where((F.length("piece") >= 2) & (F.col("u") > 0))
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= UNI_KEEP)
+        .select("piece")
+    )
+    v1 = chars.select("piece").unionAll(kept)
+    v1u = v1.join(u1, "piece", "left").select(
+        "piece", F.coalesce(F.col("u"), F.lit(0)).cast("long").alias("u")
+    )
+    v1s = _scored(v1u, "u").localCheckpoint()  # seg2 + train output share it
+    seg2 = _segment(pret, v1s)
+    u2 = _usage(seg2)
+    return pret, v1s, seg2, u2
+
+
+def unigram_train(documents: DataFrame) -> DataFrame:
+    """(piece, piece_len, n_used, score): the trained unigram table —
+    pruned vocab, round-2 usage counts, the scores that produced them."""
+    _, v1s, _, u2 = _train_frames(documents)
+    return v1s.join(u2, "piece", "left").select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.coalesce(F.col("u"), F.lit(0)).cast("long").alias("n_used"),
+        F.col("sc").alias("score"),
+    )
+
+
+def unigram_encode(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_enc_words, n_pieces, piece_hash, fertility):
+    the trained model applied back to the corpus — per doc, total words,
+    segmentable words, total pieces, an order-free modular piece-stream
+    hash (so the SEGMENTATIONS are graded, not just their sizes), and
+    pieces-per-word fertility (the tokenizer-quality headline number)."""
+    _, _, seg2, _ = _train_frames(documents)
+    ptstats = (
+        seg2.select("pt", F.explode("pieces").alias("piece"))
+        .groupBy("pt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pieces"),
+            F.sum(
+                F.expr(
+                    "CAST(conv(substring(md5(piece), 1, 15), 16, 10) AS BIGINT)"
+                    f" % {_HASH_MOD}"
+                )
+            )
+            .cast("long")
+            .alias("hsum"),
+        )
+    )
+    dtok = (
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("pt"))
+        .groupBy("doc_id", "pt")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    enc_ok = F.length("pt") <= UNI_MAXWORD
+    per_doc = (
+        dtok.join(F.broadcast(ptstats), "pt", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.when(enc_ok, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_enc_words"),
+            F.sum(F.when(enc_ok, F.col("cnt") * F.col("n_pieces")).otherwise(0))
+            .cast("long")
+            .alias("n_pieces"),
+            F.sum(F.when(enc_ok, F.col("cnt") * F.col("hsum")).otherwise(0))
+            .cast("long")
+            .alias("piece_hash"),
+        )
+    )
+    return documents.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.col("n_enc_words"), F.lit(0))
+        .cast("long")
+        .alias("n_enc_words"),
+        F.coalesce(F.col("n_pieces"), F.lit(0)).cast("long").alias("n_pieces"),
+        F.coalesce(F.col("piece_hash"), F.lit(0))
+        .cast("long")
+        .alias("piece_hash"),
+        F.when(
+            F.coalesce(F.col("n_enc_words"), F.lit(0)) > 0,
+            F.col("n_pieces").cast("double")
+            / F.col("n_enc_words").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle renderings.
+# ---------------------------------------------------------------------------
+
+
+def _seg_ctes(vocab_cte: str, tag: str) -> str:
+    """Recursive-CTE rendering of the Viterbi DP + backpointer walk (the
+    zscore_step list-carrying pattern). Candidates pack into one BIGINT
+    ((sc + 2^40)*289 + j*17 + i, every component recoverable by positive
+    integer div/mod); the per-position max packs (score + 2^40)*32 +
+    (16 - j) so the tie rule — higher score, then smaller j — rides the
+    plain MAX."""
+    return f"""
+, cand_{tag} AS (
+    SELECT sb.pt, (CAST(v.sc + {_BIG} AS BIGINT)) * 289 + sb.j * 17 + sb.i AS cpk
+    FROM subs sb JOIN {vocab_cte} v USING (piece)
+), cl_{tag} AS (
+    SELECT pt, list(cpk) AS cpks FROM cand_{tag} GROUP BY pt
+), dp_{tag} AS (
+    SELECT pt, 0 AS pos,
+           [CAST(0 AS BIGINT)] AS s, [CAST(0 AS INT)] AS b
+    FROM cl_{tag}
+    UNION ALL
+    SELECT pt, pos + 1,
+           s || [CASE WHEN mxp > 0 THEN (mxp // 32) - {_BIG}
+                      ELSE CAST({NEG_INF} AS BIGINT) END],
+           b || [CASE WHEN mxp > 0 THEN CAST(16 - (mxp % 32) AS INT)
+                      ELSE 0 END]
+    FROM (
+        SELECT d.pt, d.pos, d.s, d.b,
+               list_aggregate(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(c.cpks, q -> q % 17 = d.pos + 1),
+                   q -> CASE WHEN d.s[((q // 17) % 17) + 1]
+                                  > CAST({NEG_INF} AS BIGINT)
+                        -- q // 289 IS (sc + 2^40), so the offset rides in
+                        THEN (d.s[((q // 17) % 17) + 1] + (q // 289)) * 32
+                             + (16 - ((q // 17) % 17))
+                        ELSE CAST(0 AS BIGINT) END)), 'max') AS mxp
+        FROM dp_{tag} d JOIN cl_{tag} c USING (pt)
+        WHERE d.pos < length(d.pt)
+    )
+), wb_{tag} AS (
+    SELECT pt, CAST(length(pt) AS INT) AS p, b, CAST([] AS VARCHAR[]) AS pieces
+    FROM dp_{tag} WHERE pos = length(pt)
+    UNION ALL
+    SELECT pt, b[p + 1], b,
+           list_append(pieces, substr(pt, b[p + 1] + 1, p - b[p + 1]))
+    FROM wb_{tag} WHERE p > 0
+), seg_{tag} AS (
+    SELECT w.pt, pr.freq, w.pieces
+    FROM wb_{tag} w JOIN pret pr USING (pt) WHERE w.p = 0
+)"""
+
+
+def _train_ctes() -> str:
+    """The full trainer as a WITH-RECURSIVE chain (caller prepends
+    'WITH RECURSIVE' and appends the final SELECT)."""
+    l_tot0 = log2fix_sql("tot + nv")
+    l_cnt = log2fix_sql("cnt + 1")
+    l_u = log2fix_sql("u + 1")
+    return f"""
+pret AS (
+    SELECT pt, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({tokens_sql('text')}) AS pt FROM documents)
+    WHERE length(pt) <= {UNI_MAXWORD}
+    GROUP BY pt
+), subs AS (
+    SELECT p.pt, p.freq,
+           CAST(i.range + l.range - 1 AS INT) AS i,
+           CAST(i.range - 1 AS INT) AS j,
+           substr(p.pt, CAST(i.range AS INT), CAST(l.range AS INT)) AS piece
+    FROM pret p
+    JOIN range(1, {UNI_MAXWORD + 1}) i ON i.range <= length(p.pt)
+    JOIN range(1, {UNI_MAXPIECE + 1}) l
+      ON i.range + l.range - 1 <= length(p.pt)
+), pcnt AS (
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM subs GROUP BY piece
+), chars AS (
+    SELECT piece, cnt FROM pcnt WHERE length(piece) = 1
+), seedk AS (
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+        FROM pcnt WHERE length(piece) >= 2
+    ) WHERE rn <= {UNI_SEED}
+), v0 AS (
+    SELECT piece, cnt FROM chars UNION ALL SELECT piece, cnt FROM seedk
+), v0tot AS (
+    SELECT {l_tot0} AS l_tot
+    FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS nv FROM v0)
+), v0s AS (
+    SELECT piece, {l_cnt} - (SELECT l_tot FROM v0tot) AS sc FROM v0
+){_seg_ctes('v0s', '1')}
+, u1 AS (
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS u
+    FROM (SELECT freq, unnest(pieces) AS piece FROM seg_1)
+    GROUP BY piece
+), kept AS (
+    SELECT piece FROM (
+        SELECT piece, u, ROW_NUMBER() OVER (ORDER BY u DESC, piece ASC) AS rn
+        FROM u1 WHERE length(piece) >= 2 AND u > 0
+    ) WHERE rn <= {UNI_KEEP}
+), v1u AS (
+    SELECT v.piece, CAST(COALESCE(u1.u, 0) AS BIGINT) AS u
+    FROM (SELECT piece FROM chars UNION ALL SELECT piece FROM kept) v
+    LEFT JOIN u1 USING (piece)
+), v1tot AS (
+    SELECT {l_tot0} AS l_tot
+    FROM (SELECT CAST(SUM(u) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS nv FROM v1u)
+), v1s AS (
+    SELECT piece, {l_u} - (SELECT l_tot FROM v1tot) AS sc FROM v1u
+){_seg_ctes('v1s', '2')}
+, u2 AS (
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS u
+    FROM (SELECT freq, unnest(pieces) AS piece FROM seg_2)
+    GROUP BY piece
+)"""
+
+
+def unigram_train_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _train_ctes()
+        + """
+SELECT v.piece,
+       CAST(length(v.piece) AS INT) AS piece_len,
+       CAST(COALESCE(u2.u, 0) AS BIGINT) AS n_used,
+       v.sc AS score
+FROM v1s v LEFT JOIN u2 USING (piece)
+"""
+    )
+
+
+def unigram_encode_oracle_sql() -> str:
+    h = hash64_sql("piece")
+    return (
+        "WITH RECURSIVE "
+        + _train_ctes()
+        + f"""
+, ptstats AS (
+    SELECT pt, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+           CAST(SUM({h} % {_HASH_MOD}) AS BIGINT) AS hsum
+    FROM (SELECT pt, unnest(pieces) AS piece FROM seg_2)
+    GROUP BY pt
+), dtok AS (
+    SELECT doc_id, pt, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS pt FROM documents)
+    GROUP BY doc_id, pt
+)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(t.cnt), 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(SUM(CASE WHEN length(t.pt) <= {UNI_MAXWORD}
+                              THEN t.cnt ELSE 0 END), 0) AS BIGINT)
+           AS n_enc_words,
+       CAST(COALESCE(SUM(CASE WHEN length(t.pt) <= {UNI_MAXWORD}
+                              THEN t.cnt * p.n_pieces ELSE 0 END), 0)
+            AS BIGINT) AS n_pieces,
+       CAST(COALESCE(SUM(CASE WHEN length(t.pt) <= {UNI_MAXWORD}
+                              THEN t.cnt * p.hsum ELSE 0 END), 0)
+            AS BIGINT) AS piece_hash,
+       CASE WHEN COALESCE(SUM(CASE WHEN length(t.pt) <= {UNI_MAXWORD}
+                                   THEN t.cnt ELSE 0 END), 0) > 0
+            THEN CAST(COALESCE(SUM(CASE WHEN length(t.pt) <= {UNI_MAXWORD}
+                                        THEN t.cnt * p.n_pieces
+                                        ELSE 0 END), 0) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN length(t.pt) <= {UNI_MAXWORD}
+                                 THEN t.cnt ELSE 0 END) AS DOUBLE)
+            ELSE 0.0 END AS fertility
+FROM documents d
+LEFT JOIN dtok t ON d.doc_id = t.doc_id
+LEFT JOIN ptstats p ON t.pt = p.pt
+GROUP BY d.doc_id
+"""
+    )

@@ -1,0 +1,178 @@
+"""Unigram-LM tokenizer semantics (Kudo 2018 hard-EM; operators/unigram.py).
+
+The Viterbi contract is validated against a step-by-step pure-Python
+reference (maximize summed piece scores, ties to the smaller start
+position), and the trained model against hand-checkable corpora where the
+optimal pieces are obvious.
+"""
+
+from __future__ import annotations
+
+from apmbackend_spark.operators.unigram import (
+    NEG_INF,
+    UNI_MAXPIECE,
+    UNI_MAXWORD,
+    unigram_encode,
+    unigram_train,
+)
+
+
+def _log2fix_py(x: int) -> int:
+    """Python twin of selection.py's fixed-point log2 fold."""
+    e = x.bit_length() - 1
+    m = x << (30 - e) if e <= 30 else x >> (e - 30)
+    bits = 0
+    for _ in range(16):
+        m2 = m * m
+        if m2 >= 1 << 61:
+            m = m2 >> 31
+            bits = bits * 2 + 1
+        else:
+            m = m2 >> 30
+            bits = bits * 2
+    return e * 65536 + bits
+
+
+def _viterbi_py(pt: str, scores: dict[str, int]) -> list[str]:
+    L = len(pt)
+    best = [0] + [NEG_INF] * L
+    bp = [0] * (L + 1)
+    for i in range(1, L + 1):
+        for j in range(max(0, i - UNI_MAXPIECE), i):
+            sc = scores.get(pt[j:i])
+            if sc is None or best[j] <= NEG_INF:
+                continue
+            v = best[j] + sc
+            if v > best[i]:  # strict: ties keep the smaller j seen first
+                best[i] = v
+                bp[i] = j
+    pieces = []
+    p = L
+    while p > 0:
+        j = bp[p]
+        pieces.append(pt[j:p])
+        p = j
+    return pieces
+
+
+def _train_py(docs: list[str]):
+    """Reference trainer: mirrors _train_frames step for step."""
+    import re
+    from collections import Counter
+
+    toks = []
+    for t in docs:
+        toks += [w for w in re.split(r"[^0-9a-z]+", t.lower()) if w]
+    pret = Counter(w for w in toks if len(w) <= UNI_MAXWORD)
+    pcnt: Counter = Counter()
+    for pt, f in pret.items():
+        for i in range(len(pt)):
+            for l in range(1, min(UNI_MAXPIECE, len(pt) - i) + 1):
+                pcnt[pt[i : i + l]] += f
+    chars = {p: c for p, c in pcnt.items() if len(p) == 1}
+    longs = sorted(
+        ((p, c) for p, c in pcnt.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:80]
+    v0 = dict(chars, **dict(longs))
+    tot0, nv0 = sum(v0.values()), len(v0)
+    s0 = {
+        p: _log2fix_py(c + 1) - _log2fix_py(tot0 + nv0) for p, c in v0.items()
+    }
+    u1: Counter = Counter()
+    for pt, f in pret.items():
+        for piece in _viterbi_py(pt, s0):
+            u1[piece] += f
+    kept = sorted(
+        ((p, u) for p, u in u1.items() if len(p) >= 2 and u > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:40]
+    v1 = {p: u1.get(p, 0) for p in chars} | dict(kept)
+    tot1, nv1 = sum(v1.values()), len(v1)
+    s1 = {
+        p: _log2fix_py(u + 1) - _log2fix_py(tot1 + nv1) for p, u in v1.items()
+    }
+    u2: Counter = Counter()
+    segs = {}
+    for pt, f in pret.items():
+        pieces = _viterbi_py(pt, s1)
+        segs[pt] = pieces
+        for piece in pieces:
+            u2[piece] += f
+    return s1, u2, segs
+
+
+DOCS = [
+    "the cat sat on the mat the cat sat",
+    "catalog catalog catnip mat mat mat on on",
+    "internationalization is one very long word",
+    "the the the thecat catcat",
+]
+
+
+def test_unigram_train_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    s1, u2, _ = _train_py(DOCS)
+    got = {
+        r["piece"]: (r["piece_len"], r["n_used"], r["score"])
+        for r in unigram_train(df).collect()
+    }
+    assert set(got) == set(s1)
+    for p in got:
+        assert got[p][0] == len(p), p
+        assert got[p][1] == u2.get(p, 0), p
+        assert got[p][2] == s1[p], p  # exact fixed-point score
+    # the trainer must actually have learned multi-char pieces and used
+    # them: at least one len>=2 piece with nonzero final usage
+    assert any(len(p) >= 2 and u2.get(p, 0) > 0 for p in got)
+
+
+def test_unigram_encode_matches_python_reference(spark):
+    import re
+    from collections import Counter
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    _, _, segs = _train_py(DOCS)
+    rows = {r["doc_id"]: r for r in unigram_encode(df).collect()}
+    assert set(rows) == set(range(len(DOCS)))
+    for i, t in enumerate(DOCS):
+        toks = [w for w in re.split(r"[^0-9a-z]+", t.lower()) if w]
+        cnt = Counter(toks)
+        n_words = sum(cnt.values())
+        enc = {w: c for w, c in cnt.items() if len(w) <= UNI_MAXWORD}
+        n_enc = sum(enc.values())
+        n_pieces = sum(c * len(segs[w]) for w, c in enc.items())
+        r = rows[i]
+        assert r["n_words"] == n_words, i
+        assert r["n_enc_words"] == n_enc, i
+        assert r["n_pieces"] == n_pieces, i
+        want_f = n_pieces / n_enc if n_enc else 0.0
+        assert r["fertility"] == want_f, i
+    # the long word is counted but not segmented
+    r2 = rows[2]
+    assert r2["n_words"] == r2["n_enc_words"] + 1
+
+
+def test_viterbi_prefers_frequent_long_pieces():
+    # 'mat' frequent enough to out-score char-by-char segmentation
+    s = {
+        "m": -100,
+        "a": -100,
+        "t": -100,
+        "mat": -150,
+        "ma": -180,
+        "at": -180,
+    }
+    assert _viterbi_py("mat", s) == ["mat"]
+    assert _viterbi_py("matmat", s) == ["mat", "mat"]
+
+
+def test_viterbi_tie_prefers_longer_last_piece():
+    # equal total score: DP keeps the smaller start j (longer last piece)
+    s = {"a": -10, "b": -10, "ab": -20}
+    # 'ab' via ['ab'] scores -20; via ['a','b'] also -20 -> j=0 wins
+    assert _viterbi_py("ab", s) == ["ab"]
