@@ -718,6 +718,79 @@ def main() -> None:
         big = suite(scaled_dir, k)
         _report(base, big, k)
 
+    if mode == "r8":
+        # round-8 measured rows: the six new gates (zscore_longlag,
+        # topology_broker, jpeg_pixels, ann_index_persist, unigram pair)
+        # plus semantic_dedup at its PRODUCTION knob — mod FIXED across K
+        # (cluster count grows with N, E|c| stays ~mod), the k-prop-to-N
+        # rule the r7 verdict asked to close; the r7b table keeps the
+        # deliberate fixed-cluster-count worst case for contrast.
+        print(
+            f"tiling events+documents+embeddings {k}x into {scaled_dir} ...",
+            flush=True,
+        )
+        tile_events(spark, sf_dir, scaled_dir, k)
+        tile_documents(spark, sf_dir, scaled_dir, k)
+        tile_embeddings(spark, sf_dir, scaled_dir, k)
+        link_static_tables(sf_dir, scaled_dir)
+
+        def suite(d: str, kk: int) -> dict[str, float]:
+            import __spark_entry__ as e
+            from apmbackend_spark.operators import jpeg as jp
+            from apmbackend_spark.operators import similarity as sim
+            from apmbackend_spark.operators import unigram as uni
+            from apmbackend_spark.sources.loaders import spread
+            from apmbackend_spark.streaming import topology as topo
+
+            t = _Timer(spark)
+            # span-bound dense grid: 10x events land inside the same
+            # 3-day x 4-key grid, so only the upstream window-stats scan
+            # grows — the volume-independence claim, measured
+            t.timed("zscore_longlag", lambda: e._q_zscore_longlag(spark, d))
+            # the broker hop is the sequential semantics test double
+            # (production swaps in Kafka); publish/consume are pipelined
+            # line writes, stages 2-3 stay distributed
+            t.timed(
+                "topology_broker", lambda: topo.topology_broker_gate(spark, d)
+            )
+            docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
+            t.timed(
+                "jpeg_pixels",
+                lambda: jp.jpeg_pixels(jp.synth_jpeg_media(spark, docs)),
+            )
+            # tiled docs REPEAT the base texts, so the distinct-pretoken
+            # frame is constant across K: train cost beyond the one token
+            # shuffle is vocabulary-bound — the unigram scale story
+            t.timed("unigram_train", lambda: uni.unigram_train(docs))
+            t.timed("unigram_encode", lambda: uni.unigram_encode(docs))
+            embs = spread(spark.read.parquet(f"{d}/embeddings.parquet"))
+            # trained-artifact size held constant (sample mod scales with
+            # the corpus — the r6 pq precedent)
+            t.timed(
+                "ann_index_persist",
+                lambda: sim.ann_index_persist(
+                    spark, embs, pq_mod=sim.PQ_CODES_MOD * kk
+                ),
+            )
+            # PRODUCTION knob: mod fixed, cluster count k grows with N
+            t.timed("semantic_dedup", lambda: sim.semantic_dedup(embs))
+            return t.out
+
+        from apmbackend_spark.sources.loaders import spread as _spread
+
+        _t = _Timer(spark)
+        _t.timed(
+            "warm_docs",
+            lambda: _spread(
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+            ).select("doc_id"),
+        )
+        print("timing 1x ...", flush=True)
+        base = suite(sf_dir, 1)
+        print(f"timing {k}x ...", flush=True)
+        big = suite(scaled_dir, k)
+        _report(base, big, k)
+
     if mode == "quality":
         # round-5 quality ops only (events + docs tiles, skipping the
         # z-score chain whose 10x factors are already published)
