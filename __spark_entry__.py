@@ -365,6 +365,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": lambda s, d: sim.ann_bruteforce(embs(s, d)),
         "ann_ivf": lambda s, d: sim.ann_ivf(embs(s, d)),
         "ivf_assign": lambda s, d: sim.ivf_assign(embs(s, d)),
+        # HIERARCHICAL coarse assign (two-level IMI-style routing): the
+        # flat assign's N x k crossJoin goes O(N*sqrt(k)); probe_l1=1 at
+        # fixture scale so the routing loss path is genuinely exercised
+        # (agreement vs flat pinned in pytest)
+        "ivf_assign_2level": lambda s, d: sim.ivf_assign_2level(
+            embs(s, d), probe_l1=1
+        ),
         "ivf_assign_refined": lambda s, d: sim.ivf_assign_refined(embs(s, d)),
         "kmeans_train": lambda s, d: sim.kmeans_train(embs(s, d)),
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
@@ -1007,13 +1014,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_matches",
         "orc_roundtrip",
         "weighted_sample",
-        # (a) the 6 new round-8 gates
+        # (a) the 7 new round-8 gates (ivf_assign_2level displaces the
+        #     stale-but-green simhash_pairs r4 row from section (d) —
+        #     dedup.py keeps six other graded rows in this window)
         "zscore_longlag",
         "topology_broker",
         "jpeg_pixels",
         "ann_index_persist",
         "unigram_train",
         "unigram_encode",
+        "ivf_assign_2level",
         # (b) output changed by the ALERT_CFG lag-suppression fix
         "alert_candidates",
         "alerts",
@@ -1037,7 +1047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers",
         "parts_never_shipped",
         "simhash",
-        "simhash_pairs",
         "stream_sessions",
         "video_features",
         "video_frame_sample",
@@ -1159,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": sim.ann_bruteforce_oracle_sql(),
         "ann_ivf": sim.ann_ivf_oracle_sql(),
         "ivf_assign": sim.ivf_assign_oracle_sql(),
+        "ivf_assign_2level": sim.ivf_assign_2level_oracle_sql(probe_l1=1),
         "ivf_assign_refined": sim.ivf_assign_refined_oracle_sql(),
         "kmeans_train": sim.kmeans_train_oracle_sql(),
         "embedding_neardup": sim.embedding_neardup_oracle_sql(),

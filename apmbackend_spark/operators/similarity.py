@@ -261,6 +261,136 @@ SELECT vec_id, list_id, sim AS centroid_sim FROM ranked WHERE rn = 1
 """
 
 
+def ivf_assign_2level(
+    embeddings: DataFrame,
+    n_lists_mod: int = 50,
+    l1_factor: int = 5,
+    probe_l1: int = 2,
+) -> DataFrame:
+    """HIERARCHICAL coarse assignment — the 100 TB fix for the flat
+    assign's N x k scoring crossJoin (with k ∝ N that stage is quadratic;
+    SCALE.md measured it as semantic_dedup's 3.5x production-knob factor).
+    Two-level routing, the standard IMI/coarse-coarse shape (public
+    FAISS/IMI literature):
+
+      * L1 cells: every ``n_lists_mod * l1_factor``-th vector (k1 = k /
+        l1_factor cells);
+      * each L2 centroid (the real lists, every ``n_lists_mod``-th
+        vector) is routed to its nearest L1 cell ONCE (k2 x k1 work,
+        write-once);
+      * each vector scores only the k1 cells, takes its top ``probe_l1``
+        cells, and argmins over just their member lists.
+
+    Cost: N x (k1 + probe_l1 * k2/k1) instead of N x k2 — with k1 ~
+    sqrt(k2) that is O(N * sqrt(k)), turning the quadratic into N^1.5.
+    The result is an APPROXIMATION of the flat assignment (a vector near
+    a cell boundary may route to a cell whose best list is second-best
+    globally — probe_l1 > 1 shrinks exactly that loss); the agreement
+    rate vs the flat assign is pinned in pytest, and every downstream
+    consumer (semantic_dedup) treats the assignment as the index
+    definition, so determinism — not flat-equality — is the contract.
+
+    Output matches ``ivf_assign``: (vec_id, list_id, centroid_sim), with
+    centroid_sim the exact quantized cosine to the CHOSEN list centroid —
+    bit-identical in both engines."""
+    from pyspark.sql import Window
+
+    mod = int(n_lists_mod)
+    vecs = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    )
+    l2 = embeddings.where(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("list_id"),
+        _quantize(F.col("embedding")).alias("centv"),
+    )
+    l1 = embeddings.where(
+        F.col("vec_id") % (mod * int(l1_factor)) == 0
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        _quantize(F.col("embedding")).alias("cellv"),
+    )
+    # route every L2 list to its nearest L1 cell (tiny, write-once)
+    l2g = (
+        _assign_step(
+            l2.select(F.col("list_id").alias("vec_id"), F.col("centv").alias("v")),
+            l1.select(F.col("cell_id").alias("list_id"), F.col("cellv").alias("centv")),
+        )
+        .select(F.col("vec_id").alias("list_id"), F.col("list_id").alias("cell_id"))
+    )
+    # vector -> top-probe_l1 cells (N x k1 scoring, broadcast cells)
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    routed = (
+        vecs.crossJoin(F.broadcast(l1))
+        .select(
+            "vec_id", "v", "cell_id",
+            cosine(F.col("v"), F.col("cellv")).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= int(probe_l1))
+        .select("vec_id", "v", "cell_id")
+    )
+    # argmin over ONLY the probed cells' member lists
+    w2 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    return (
+        routed.join(F.broadcast(l2g), "cell_id")
+        .join(F.broadcast(l2), "list_id")
+        .select(
+            "vec_id", "list_id",
+            cosine(F.col("v"), F.col("centv")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "list_id", F.col("sim").alias("centroid_sim"))
+    )
+
+
+def ivf_assign_2level_oracle_sql(
+    n_lists_mod: int = 50, l1_factor: int = 5, probe_l1: int = 2
+) -> str:
+    mod = int(n_lists_mod)
+    return f"""
+WITH qz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+), l2 AS (
+    SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {mod} = 0
+), l1 AS (
+    SELECT vec_id AS cell_id, v AS cellv FROM qz
+    WHERE vec_id % {mod * int(l1_factor)} = 0
+), l2g AS (
+    SELECT list_id, cell_id FROM (
+        SELECT c.list_id, g.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.list_id
+                   ORDER BY {cosine_sql('c.centv', 'g.cellv')} DESC,
+                            g.cell_id ASC) AS rn
+        FROM l2 c CROSS JOIN l1 g
+    ) WHERE rn = 1
+), routed AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT q.vec_id, g.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.v', 'g.cellv')} DESC,
+                            g.cell_id ASC) AS rn
+        FROM qz q CROSS JOIN l1 g
+    ) WHERE rn <= {int(probe_l1)}
+), scored AS (
+    SELECT r.vec_id, m.list_id, {cosine_sql('q.v', 'c.centv')} AS sim
+    FROM routed r
+    JOIN l2g m USING (cell_id)
+    JOIN qz q ON q.vec_id = r.vec_id
+    JOIN l2 c ON c.list_id = m.list_id
+)
+SELECT vec_id, list_id, sim AS centroid_sim FROM (
+    SELECT vec_id, list_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY sim DESC, list_id ASC) AS rn
+    FROM scored
+) WHERE rn = 1
+"""
+
+
 def _assign_step(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     """One Lloyd ASSIGN step: nearest centroid by cosine for every vector
     (broadcast centroids + argmin window). vecs: (vec_id, v); cent:
@@ -556,7 +686,11 @@ SEMDEDUP_TAU = 0.35
 
 
 def semantic_dedup(
-    embeddings: DataFrame, tau: float = SEMDEDUP_TAU, n_lists_mod: int = 50
+    embeddings: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    n_lists_mod: int = 50,
+    l1_factor: int = 5,
+    probe_l1: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     literature): cluster the embeddings, compare pairs ONLY within a
@@ -588,11 +722,12 @@ def semantic_dedup(
     the SemDeDup design point) while E|c| stays ~mod, so the pair stage is
     ~N·mod — LINEAR in N at fixed mod (SCALE.md's production-knob row
     measures this; its fixed-cluster-COUNT row is the deliberate worst
-    case). The residual 100 TB items are the coarse ASSIGN itself (N × k
-    scoring at k ∝ N — production goes hierarchical/two-level there, see
-    ivf_assign's docstring) and geometric skew (a hot list's |c|² still
-    spikes; the list-size cap guard below turns silent blowup into a
-    loud error). The assignment frame is localCheckpoint-pinned because
+    case). The coarse ASSIGN is HIERARCHICAL (`ivf_assign_2level`):
+    flat N × k scoring is quadratic once k ∝ N — SCALE.md measured it as
+    this gate's 3.5x factor before the switch — two-level routing makes
+    it O(N·sqrt(k)). The remaining 100 TB caveat is geometric skew (a
+    hot list's |c|² still spikes; the list-size cap guard below turns
+    silent blowup into a loud error). The assignment frame is localCheckpoint-pinned because
     three consumers (both pair-join sides and the final flag join) would
     otherwise each re-run the full centroid-assignment scoring pass. The
     duplicate-existence check reduces executor-side to a DISTINCT
@@ -602,7 +737,11 @@ def semantic_dedup(
     approach corpus size on a duplicate-heavy corpus, so AQE decides at
     runtime (broadcasting it only when measured small).
     """
-    assigned = ivf_assign(embeddings, n_lists_mod)
+    # HIERARCHICAL coarse assign (ivf_assign_2level): the flat N x k
+    # scoring crossJoin is quadratic once k grows with N — SCALE.md
+    # measured it as this gate's 3.5x production-knob factor before the
+    # switch. Two-level routing makes the assign O(N * sqrt(k)).
+    assigned = ivf_assign_2level(embeddings, n_lists_mod, l1_factor, probe_l1)
     vecs = embeddings.select("vec_id", _quantize(F.col("embedding")).alias("v"))
     av = (
         assigned.join(vecs, "vec_id")
@@ -658,21 +797,49 @@ def semantic_dedup(
 
 
 def semantic_dedup_oracle_sql(
-    tau: float = SEMDEDUP_TAU, n_lists_mod: int = 50
+    tau: float = SEMDEDUP_TAU,
+    n_lists_mod: int = 50,
+    l1_factor: int = 5,
+    probe_l1: int = 2,
 ) -> str:
+    mod = int(n_lists_mod)
     return f"""
 WITH qz AS (
     SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
-), cent AS (
-    SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {n_lists_mod} = 0
-), scored AS (
-    SELECT q.vec_id, c.list_id, {cosine_sql('q.v', 'c.centv')} AS sim
-    FROM qz q CROSS JOIN cent c
+), l2 AS (
+    SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {mod} = 0
+), l1 AS (
+    SELECT vec_id AS cell_id, v AS cellv FROM qz
+    WHERE vec_id % {mod * int(l1_factor)} = 0
+), l2g AS (
+    SELECT list_id, cell_id FROM (
+        SELECT c.list_id, g.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.list_id
+                   ORDER BY {cosine_sql('c.centv', 'g.cellv')} DESC,
+                            g.cell_id ASC) AS rn
+        FROM l2 c CROSS JOIN l1 g
+    ) WHERE rn = 1
+), routed AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT q.vec_id, g.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.v', 'g.cellv')} DESC,
+                            g.cell_id ASC) AS rn
+        FROM qz q CROSS JOIN l1 g
+    ) WHERE rn <= {int(probe_l1)}
+), cscored AS (
+    SELECT r.vec_id, m.list_id, {cosine_sql('q.v', 'c.centv')} AS sim
+    FROM routed r
+    JOIN l2g m USING (cell_id)
+    JOIN qz q ON q.vec_id = r.vec_id
+    JOIN l2 c ON c.list_id = m.list_id
 ), assigned AS (
     SELECT vec_id, list_id, sim AS centroid_sim FROM (
         SELECT vec_id, list_id, sim,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
-        FROM scored
+        FROM cscored
     ) WHERE rn = 1
 ), av AS (
     SELECT a.vec_id, a.list_id, a.centroid_sim, q.v

@@ -772,8 +772,14 @@ def main() -> None:
                     spark, embs, pq_mod=sim.PQ_CODES_MOD * kk
                 ),
             )
-            # PRODUCTION knob: mod fixed, cluster count k grows with N
+            # PRODUCTION knob: mod fixed, cluster count k grows with N;
+            # rides the hierarchical assign since the r8 switch (the flat
+            # row in SCALE.md is the kept-for-contrast first capture)
             t.timed("semantic_dedup", lambda: sim.semantic_dedup(embs))
+            t.timed(
+                "ivf_assign_2level",
+                lambda: sim.ivf_assign_2level(embs, probe_l1=1),
+            )
             return t.out
 
         from apmbackend_spark.sources.loaders import spread as _spread

@@ -1426,3 +1426,59 @@ def test_hard_negatives_label_disjoint_and_hardest(spark):
         for cand_id, sim in cands:
             if labels[cand_id] != labels[qid]:
                 assert top1[qid] >= sim, (qid, cand_id)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (two-level) coarse assignment
+
+
+def test_ivf_assign_2level_probe_all_equals_flat(spark):
+    # with every L1 cell probed, the candidate set is every list, so the
+    # two-level argmin must equal the flat assignment exactly
+    from apmbackend_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_2level,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    flat = {
+        r["vec_id"]: (r["list_id"], r["centroid_sim"])
+        for r in ivf_assign(embs).collect()
+    }
+    # l1_factor=5 over the 10-list fixture gives 2 cells; probe both
+    two = {
+        r["vec_id"]: (r["list_id"], r["centroid_sim"])
+        for r in ivf_assign_2level(embs, probe_l1=2).collect()
+    }
+    assert two == flat
+
+
+def test_ivf_assign_2level_probe1_routing_is_sane(spark):
+    # probe_l1=1 exercises the real routing loss: every vector still gets
+    # exactly one list, the chosen sim never beats the flat optimum, and
+    # agreement with flat stays high (boundary vectors only)
+    from apmbackend_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_2level,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    flat = {
+        r["vec_id"]: (r["list_id"], r["centroid_sim"])
+        for r in ivf_assign(embs).collect()
+    }
+    two = {
+        r["vec_id"]: (r["list_id"], r["centroid_sim"])
+        for r in ivf_assign_2level(embs, probe_l1=1).collect()
+    }
+    assert set(two) == set(flat)  # total assignment
+    agree = sum(1 for v in two if two[v][0] == flat[v][0])
+    assert agree / len(two) >= 0.5, agree
+    for v in two:
+        assert two[v][1] <= flat[v][1], v  # never beats the flat optimum
+        if two[v][0] == flat[v][0]:
+            assert two[v][1] == flat[v][1], v  # same list -> same exact sim
