@@ -456,6 +456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_pixels": lambda s, d: jp.jpeg_pixels(
             jp.synth_jpeg_media(s, docs(s, d))
         ),
+        # ...and the rest of the decoder: integer nearest 4:2:0 upsample
+        # + fixed-point YCbCr->RGB + clamp, graded as exact full-image
+        # channel sums — the WHOLE decode under the value hash
+        "jpeg_rgb": lambda s, d: jp.jpeg_rgb(
+            jp.synth_jpeg_media(s, docs(s, d))
+        ),
         # Cavnar-Trenkle char-trigram language ID: single codegen scan,
         # profile maps evaluated in-expression (no explode/join/shuffle)
         "lang_id": lambda s, d: lid.lang_id(docs(s, d)),
@@ -1014,12 +1020,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_matches",
         "orc_roundtrip",
         "weighted_sample",
-        # (a) the 7 new round-8 gates (ivf_assign_2level displaces the
-        #     stale-but-green simhash_pairs r4 row from section (d) —
-        #     dedup.py keeps six other graded rows in this window)
+        # (a) the 8 new round-8 gates (ivf_assign_2level and jpeg_rgb
+        #     displace the stale-but-green simhash_pairs and
+        #     video_frame_sample r4 rows from section (d) — dedup.py
+        #     keeps six other graded rows in this window and the video
+        #     family keeps video_features)
         "zscore_longlag",
         "topology_broker",
         "jpeg_pixels",
+        "jpeg_rgb",
         "ann_index_persist",
         "unigram_train",
         "unigram_encode",
@@ -1049,7 +1058,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash",
         "stream_sessions",
         "video_features",
-        "video_frame_sample",
         "retention_sweep",
     ]
     all_q = (
@@ -1217,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_features": mm.gif_features_oracle_sql(),
         "jpeg_features": jp.jpeg_features_oracle_sql(),
         "jpeg_pixels": jp.jpeg_pixels_oracle_sql(),
+        "jpeg_rgb": jp.jpeg_rgb_oracle_sql(),
         "media_resize": mm.media_resize_oracle_sql(),
         "media_frame_sample": mm.media_frame_sample_oracle_sql(),
         "q1_pricing_summary": rel.Q1_ORACLE,

@@ -12,9 +12,13 @@ PIXELS: de-zigzag + a FIXED-POINT INTEGER IDCT (T.81 permits any
 sufficiently accurate IDCT — with encoder and decoder both ours it is a
 codec parameter) + the [0,255] clamp, folded to per-plane pixel sums and
 a clamped-pixel count; the SQL oracle replays the identical integer ops
-over the interpolated cosine table. The float reference IDCT, 4:2:0
-upsample and YCbCr->RGB stay unit-tested (DC-only blocks decode to flat
-values exactly; PIL cross-validation is env-gated).
+over the interpolated cosine table. `jpeg_rgb` grades the REST of the
+decoder: nearest 4:2:0 upsample (pure index arithmetic) + fixed-point
+YCbCr->RGB (2^16-scaled JFIF matrix, round-half-up shifts) + clamp, as
+exact full-image channel sums — every stage of the decode is under the
+value hash. The float reference IDCT and float color path stay as the
+accuracy yardstick (DC-only blocks decode to flat values exactly; PIL
+cross-validation is env-gated).
 
 The decoder is table-driven and spec-general (any valid DQT/DHT, 8-bit
 baseline, 4:4:4 or 4:2:0 sampling); the encoder uses fixed-length-code
@@ -862,4 +866,225 @@ SELECT d.media_id,
        CAST(COALESCE(SUM(nclamp), 0) AS BIGINT) AS n_clamped
 FROM dims d LEFT JOIN plane USING (media_id)
 GROUP BY d.media_id, d.w, d.h, d.nby, d.nbc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full integer decode: IDCT planes -> 4:2:0 nearest upsample -> fixed-point
+# YCbCr->RGB. Completes the end-to-end graded pixel story.
+# ---------------------------------------------------------------------------
+
+_C_SHIFT = 16
+_C_HALF = 1 << (_C_SHIFT - 1)
+# round(coef * 2^16) of the JFIF full-range YCbCr->RGB matrix — the one
+# constant set both engines read (interpolated into the oracle literal)
+_C_RCR = round(1.402 * (1 << _C_SHIFT))      # 91881
+_C_GCB = round(0.344136 * (1 << _C_SHIFT))   # 22553
+_C_GCR = round(0.714136 * (1 << _C_SHIFT))   # 46802
+_C_BCB = round(1.772 * (1 << _C_SHIFT))      # 116130
+
+
+def decode_jpeg_rgb_int(content: bytes):
+    """Full INTEGER decode to RGB: entropy decode -> dequantize ->
+    de-zigzag -> fixed-point integer IDCT (clamped planes) -> nearest
+    4:2:0 upsample (pure index arithmetic) -> fixed-point YCbCr->RGB
+    (one round-half-up arithmetic shift per channel) -> clamp. Every op
+    is exact integer, so full-image RGB sums value-hash. Returns
+    (w, h, pixels row-major, n_rgb_clamped)."""
+    w, h, comps = decode_jpeg_coefficients(content)
+    hmax = max(c["sampling"][0] for c in comps)
+    vmax = max(c["sampling"][1] for c in comps)
+    n_mcu_x = -(-w // (8 * hmax))
+    planes = []
+    for c in comps:
+        hf, vf = c["sampling"]
+        pw, ph = n_mcu_x * 8 * hf, (-(-h // (8 * vmax))) * 8 * vf
+        plane = [128] * (pw * ph)
+        per_mcu = hf * vf
+        for bi, zz in enumerate(c["blocks"]):
+            nat = [0] * 64
+            for k in range(64):
+                nat[ZIGZAG[k]] = zz[k] * c["quant"][k]
+            px = _idct8x8_int(nat)
+            mcu, sub = divmod(bi, per_mcu)
+            mx, my = mcu % n_mcu_x, mcu // n_mcu_x
+            bx = mx * hf + sub % hf
+            by = my * vf + sub // hf
+            for y in range(8):
+                row = (by * 8 + y) * pw + bx * 8
+                plane[row : row + 8] = px[y * 8 : y * 8 + 8]
+        planes.append((plane, pw, hf, vf))
+    out = []
+    n_clamped = 0
+    for y in range(h):
+        for x in range(w):
+            vals = []
+            for plane, pw, hf, vf in planes:
+                vals.append(plane[(y * vf // vmax) * pw + (x * hf // hmax)])
+            yy, cb, cr = vals
+            r = yy + ((_C_RCR * (cr - 128) + _C_HALF) >> _C_SHIFT)
+            g = yy - (
+                (_C_GCB * (cb - 128) + _C_GCR * (cr - 128) + _C_HALF)
+                >> _C_SHIFT
+            )
+            b = yy + ((_C_BCB * (cb - 128) + _C_HALF) >> _C_SHIFT)
+            n_clamped += sum(1 for v in (r, g, b) if v < 0 or v > 255)
+            out.append(tuple(max(0, min(255, v)) for v in (r, g, b)))
+    return w, h, out, n_clamped
+
+
+def jpeg_rgb(media: DataFrame) -> DataFrame:
+    """END-TO-END graded JPEG decode: per image, the exact full-image
+    R/G/B channel sums and the RGB clamp count from the all-integer
+    pipeline (entropy -> IDCT -> upsample -> color convert). With
+    jpeg_features (entropy layer) and jpeg_pixels (IDCT planes) this puts
+    every stage of the decoder under the value hash."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, px, ncl = decode_jpeg_rgb_int(bytes(r.content))
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": w,
+                        "height": h,
+                        "sum_r": sum(p[0] for p in px),
+                        "sum_g": sum(p[1] for p in px),
+                        "sum_b": sum(p[2] for p in px),
+                        "n_rgb_clamped": ncl,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        schema=(
+            "media_id long, width int, height int, sum_r long, "
+            "sum_g long, sum_b long, n_rgb_clamped long"
+        ),
+    )
+
+
+def jpeg_rgb_oracle_sql() -> str:
+    """Exact twin of jpeg_rgb: the jpeg_pixels plane pipeline, then plane
+    coordinates from block indices (4:2:0 MCU layout), a full w x h
+    pixel grid LEFT-joined to the planes (absent all-zero blocks decode
+    to flat 128), nearest upsample as index arithmetic, and the
+    identical fixed-point color transform (offset-trick floor shifts)."""
+    zz = ", ".join(str(v) for v in ZIGZAG)
+    t_rows = ", ".join(
+        f"({x}, {u}, {_IDCT_T[x][u]})" for x in range(8) for u in range(8)
+    )
+    off = 1 << 37
+    off_shifted = 1 << (37 - _IDCT_SHIFT)
+    # color-shift offset: multiple of 2^16; |chroma term| < 2^29
+    coff = 1 << 30
+    coff_sh = 1 << (30 - _C_SHIFT)
+    return f"""
+WITH ids AS (
+    SELECT doc_id AS media_id,
+           16 * (1 + doc_id % 3) AS w,
+           16 * (1 + doc_id % 2) AS h
+    FROM documents
+), dims AS (
+    SELECT media_id, w, h,
+           4 * (w // 16) * (h // 16) AS nby,
+           (w // 16) * (h // 16) AS nbc
+    FROM ids
+), cells AS (
+    SELECT media_id, nby, nbc,
+           c.range AS comp, b.range AS b, k.range AS k,
+           CASE WHEN c.range = 0 THEN 1 + (k.range * 7) % 16
+                ELSE 1 + (k.range * 5) % 12 END AS q,
+           CASE
+             WHEN k.range = 0
+               THEN ((media_id + c.range * 11 + b.range * 5) % 15) - 7
+             WHEN (b.range * 7 + k.range * 3 + c.range + media_id) % 11 <> 0
+               THEN 0
+             ELSE (CASE WHEN (b.range + k.range + media_id) % 2 = 1
+                        THEN -1 ELSE 1 END)
+                  * (1 + (media_id + b.range * 3 + k.range * 5
+                          + c.range * 7) % 8)
+           END AS v
+    FROM dims
+    JOIN range(3) c ON TRUE
+    JOIN range(24) b ON b.range < CASE WHEN c.range = 0 THEN nby ELSE nbc END
+    JOIN range(64) k ON TRUE
+), nz AS (
+    SELECT media_id, comp, b,
+           ([{zz}])[k + 1] % 8 AS u,
+           ([{zz}])[k + 1] // 8 AS vv,
+           v * q AS deq
+    FROM cells WHERE v <> 0
+), tt AS (
+    SELECT * FROM (VALUES {t_rows}) AS t(i, j, t)
+), pix AS (
+    SELECT media_id, comp, b, tx.i AS x, ty.i AS y,
+           LEAST(255, GREATEST(0,
+               ((CAST(SUM(deq * tx.t * ty.t) AS BIGINT)
+                 + {_IDCT_HALF} + {off}) // {1 << _IDCT_SHIFT})
+               - {off_shifted} + 128)) AS p
+    FROM nz
+    JOIN tt tx ON tx.j = u
+    JOIN tt ty ON ty.j = vv
+    GROUP BY media_id, comp, b, tx.i, ty.i
+), ypix AS (
+    SELECT p.media_id,
+           (((p.b // 4) % (d.w // 16)) * 2 + (p.b % 4) % 2) * 8 + p.x AS px,
+           (((p.b // 4) // (d.w // 16)) * 2 + (p.b % 4) // 2) * 8 + p.y AS py,
+           p.p
+    FROM pix p JOIN dims d USING (media_id) WHERE p.comp = 0
+), cbpix AS (
+    SELECT p.media_id,
+           (p.b % (d.w // 16)) * 8 + p.x AS px,
+           (p.b // (d.w // 16)) * 8 + p.y AS py,
+           p.p
+    FROM pix p JOIN dims d USING (media_id) WHERE p.comp = 1
+), crpix AS (
+    SELECT p.media_id,
+           (p.b % (d.w // 16)) * 8 + p.x AS px,
+           (p.b // (d.w // 16)) * 8 + p.y AS py,
+           p.p
+    FROM pix p JOIN dims d USING (media_id) WHERE p.comp = 2
+), grid AS (
+    SELECT d.media_id, d.w, d.h, gx.range AS x, gy.range AS y
+    FROM dims d
+    JOIN range(48) gx ON gx.range < d.w
+    JOIN range(32) gy ON gy.range < d.h
+), rgbsrc AS (
+    SELECT g.media_id, g.w, g.h,
+           COALESCE(yp.p, 128) AS yy,
+           COALESCE(cb.p, 128) AS cb,
+           COALESCE(cr.p, 128) AS cr
+    FROM grid g
+    LEFT JOIN ypix yp ON yp.media_id = g.media_id
+                     AND yp.px = g.x AND yp.py = g.y
+    LEFT JOIN cbpix cb ON cb.media_id = g.media_id
+                      AND cb.px = g.x // 2 AND cb.py = g.y // 2
+    LEFT JOIN crpix cr ON cr.media_id = g.media_id
+                      AND cr.px = g.x // 2 AND cr.py = g.y // 2
+), rgb AS (
+    SELECT media_id, w, h,
+           yy + (({_C_RCR} * (cr - 128) + {_C_HALF} + {coff})
+                 // {1 << _C_SHIFT}) - {coff_sh} AS r,
+           yy - ((({_C_GCB} * (cb - 128) + {_C_GCR} * (cr - 128)
+                   + {_C_HALF} + {coff}) // {1 << _C_SHIFT}) - {coff_sh}) AS g,
+           yy + (({_C_BCB} * (cb - 128) + {_C_HALF} + {coff})
+                 // {1 << _C_SHIFT}) - {coff_sh} AS b
+    FROM rgbsrc
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM(LEAST(255, GREATEST(0, r))) AS BIGINT) AS sum_r,
+       CAST(SUM(LEAST(255, GREATEST(0, g))) AS BIGINT) AS sum_g,
+       CAST(SUM(LEAST(255, GREATEST(0, b))) AS BIGINT) AS sum_b,
+       CAST(SUM((CASE WHEN r < 0 OR r > 255 THEN 1 ELSE 0 END)
+              + (CASE WHEN g < 0 OR g > 255 THEN 1 ELSE 0 END)
+              + (CASE WHEN b < 0 OR b > 255 THEN 1 ELSE 0 END)) AS BIGINT)
+           AS n_rgb_clamped
+FROM rgb
+GROUP BY media_id, w, h
 """

