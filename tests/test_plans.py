@@ -711,3 +711,16 @@ def test_q20_rollup_pinned_once(spark):
     scan_lines = [l for l in p.splitlines() if "Scan parquet" in l]
     assert scan_lines and all("lineitem" not in l for l in scan_lines)
     assert "CartesianProduct" not in p
+
+
+def test_ivf_assign_2level_broadcast_routing_no_cartesian(spark):
+    from apmbackend_spark.operators.similarity import ivf_assign_2level
+    from apmbackend_spark.sources.loaders import load_table
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    p = plan(ivf_assign_2level(embs, probe_l1=1))
+    # both routing stages ride broadcasts of the tiny centroid frames
+    # (cells, the list->cell map, the list centroids); the corpus never
+    # joins corpus-sized state and no unhinted cartesian appears
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 3
