@@ -9,15 +9,18 @@ loop itself: unacked messages survive a consumer crash, the recovered
 consumer receives exactly the unacked set again, and the downstream
 exactly-once projection collapses the duplicates.
 
-Wire protocol (UTF-8, one frame per line):
+Wire protocol (UTF-8, one frame per line; every verb optionally
+addresses a NAMED queue as ``VERB@queue`` — the bare verb is the default
+queue, byte-identical to the original single-queue protocol):
 
   producer  ``PUB <payload>``             enqueue (fire-and-forget, the
                                           amqp ``sendToQueue`` shape)
-  consumer  ``SUB``                       broker answers ``MSG <tag>
+            ``PUB@stats <payload>``       enqueue on queue 'stats'
+  consumer  ``SUB`` / ``SUB@stats``       broker answers ``MSG <tag>
                                           <n_delivery> <payload>`` for
                                           every currently-unacked message
                                           in tag order, then ``END``
-            ``ACK <tag>``                 settle forever (idempotent)
+            ``ACK <tag>`` / ``ACK@q <t>`` settle forever (idempotent)
             disconnect                    unacked messages stay queued and
                                           REDELIVER on the next ``SUB``
                                           with n_delivery incremented
@@ -53,16 +56,23 @@ from apmbackend_spark.sources.queue import (
 
 
 class MiniBroker:
-    """Single-queue broker: tagged messages, explicit acks, redelivery of
-    the unacked set on every new consume session. Connections are handled
+    """Multi-queue broker: NAMED queues of tagged messages, explicit acks,
+    redelivery of the unacked set on every new consume session — the
+    reference's four-queue topology shape (apm_config.json:58-114) on one
+    transport. Frames address the default queue ("PUB <payload>") or a
+    named one ("PUB@stats <payload>"); the default-queue frames are
+    byte-identical to the original single-queue protocol, so existing
+    gates grade the same wire traffic. Connections are handled
     sequentially (one session at a time), which serializes concurrent
     per-partition producers without locks around the socket itself."""
 
+    DEFAULT_QUEUE = "main"
+
     def __init__(self) -> None:
         self._lock = threading.Lock()
-        self._msgs: list[tuple[int, str]] = []  # (tag, payload), tag order
-        self._acked: set[int] = set()
-        self._deliveries: dict[int, int] = {}
+        # per-queue state: (tag, payload) list in tag order, acked set,
+        # delivery counts
+        self._q: dict[str, dict] = {}
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind(("127.0.0.1", 0))
@@ -71,6 +81,20 @@ class MiniBroker:
         self._stop = False
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
+
+    def _queue(self, name: str) -> dict:
+        # caller holds self._lock
+        if name not in self._q:
+            self._q[name] = {"msgs": [], "acked": set(), "deliveries": {}}
+        return self._q[name]
+
+    @staticmethod
+    def _verb_queue(verb: str) -> tuple[str, str]:
+        """'PUB' -> ('PUB', default); 'PUB@stats' -> ('PUB', 'stats')."""
+        if "@" in verb:
+            v, q = verb.split("@", 1)
+            return v, q
+        return verb, MiniBroker.DEFAULT_QUEUE
 
     # -- server side --------------------------------------------------
 
@@ -90,57 +114,63 @@ class MiniBroker:
                 try:
                     for line in rfile:
                         line = line.rstrip("\n")
-                        if line.startswith("PUB "):
+                        verb, _sp, rest = line.partition(" ")
+                        verb, qname = self._verb_queue(verb)
+                        if verb == "PUB":
                             with self._lock:
-                                tag = len(self._msgs)
-                                self._msgs.append((tag, line[4:]))
-                        elif line == "SUB":
+                                q = self._queue(qname)
+                                tag = len(q["msgs"])
+                                q["msgs"].append((tag, rest))
+                        elif verb == "SUB":
                             with self._lock:
+                                q = self._queue(qname)
                                 live = [
                                     (t, p)
-                                    for t, p in self._msgs
-                                    if t not in self._acked
+                                    for t, p in q["msgs"]
+                                    if t not in q["acked"]
                                 ]
                                 for t, _ in live:
-                                    self._deliveries[t] = (
-                                        self._deliveries.get(t, 0) + 1
+                                    q["deliveries"][t] = (
+                                        q["deliveries"].get(t, 0) + 1
                                     )
-                                counts = dict(self._deliveries)
+                                counts = dict(q["deliveries"])
                             for t, p in live:
                                 wfile.write(f"MSG {t} {counts[t]} {p}\n")
                             wfile.write("END\n")
                             wfile.flush()
-                        elif line.startswith("ACK "):
-                            tag = int(line[4:])
+                        elif verb == "ACK":
+                            tag = int(rest)
                             with self._lock:
+                                q = self._queue(qname)
                                 # unknown tags are ignored (amqp raises a
                                 # channel error; a test double must at
                                 # least not corrupt the queue accounting)
-                                if 0 <= tag < len(self._msgs):
-                                    self._acked.add(tag)
-                        elif line == "PEND":
+                                if 0 <= tag < len(q["msgs"]):
+                                    q["acked"].add(tag)
+                        elif verb == "PEND":
                             # synchronous settlement barrier: the reply
                             # proves every earlier frame on this
                             # connection (all the ACKs) is processed
-                            wfile.write(f"PEND {self.pending()}\n")
+                            wfile.write(f"PEND {self.pending(qname)}\n")
                             wfile.flush()
-                        elif line == "COUNT":
+                        elif verb == "COUNT":
                             with self._lock:
-                                n = len(self._msgs)
+                                n = len(self._queue(qname)["msgs"])
                             wfile.write(f"COUNT {n}\n")
                             wfile.flush()
-                        elif line == "QUIT":
+                        elif verb == "QUIT":
                             break
                 except (OSError, ValueError):
                     pass  # dropped connection == consumer crash
 
-    def pending(self) -> int:
+    def pending(self, queue: str = DEFAULT_QUEUE) -> int:
         with self._lock:
-            return sum(1 for t, _ in self._msgs if t not in self._acked)
+            q = self._queue(queue)
+            return sum(1 for t, _ in q["msgs"] if t not in q["acked"])
 
-    def message_count(self) -> int:
+    def message_count(self, queue: str = DEFAULT_QUEUE) -> int:
         with self._lock:
-            return len(self._msgs)
+            return len(self._queue(queue)["msgs"])
 
     def close(self) -> None:
         self._stop = True
@@ -151,9 +181,17 @@ class MiniBroker:
         self._thread.join(timeout=5)
 
 
-def _publish_partition(port: int):
+def _frame(verb: str, queue: str) -> str:
+    """Default-queue frames stay byte-identical to the single-queue
+    protocol; named queues use the VERB@queue form."""
+    return verb if queue == MiniBroker.DEFAULT_QUEUE else f"{verb}@{queue}"
+
+
+def _publish_partition(port: int, queue: str = MiniBroker.DEFAULT_QUEUE):
     """foreachPartition closure: one producer connection per partition
     (serialized by the broker's sequential accept), PUB every wire line."""
+    pub = _frame("PUB", queue)
+    count = _frame("COUNT", queue)
 
     def run(rows) -> None:
         first = True
@@ -166,7 +204,7 @@ def _publish_partition(port: int):
                 wfile = sock.makefile("w", encoding="utf-8", newline="\n")
                 rfile = sock.makefile("r", encoding="utf-8", newline="\n")
                 first = False
-            wfile.write(f"PUB {row['value']}\n")
+            wfile.write(f"{pub} {row['value']}\n")
         if sock is not None:
             # synchronous settlement barrier: the COUNT reply proves the
             # broker consumed every PUB on this connection, so when
@@ -174,7 +212,7 @@ def _publish_partition(port: int):
             # without it the gate's publish-count check could read the
             # broker while late connections still sit in the accept
             # backlog and raise spuriously
-            wfile.write("COUNT\n")
+            wfile.write(count + "\n")
             wfile.flush()
             rfile.readline()
             wfile.write("QUIT\n")
@@ -189,6 +227,7 @@ def _consume_session(
     spool_path: str,
     ack_if=lambda payload: True,
     spool_acked_only: bool = False,
+    queue: str = MiniBroker.DEFAULT_QUEUE,
 ) -> tuple[int, int]:
     """One consumer session: SUB, spool the delivered payloads (durable
     write BEFORE any ack — the reference's ack-after-handoff contract),
@@ -206,7 +245,7 @@ def _consume_session(
     sock = socket.create_connection(("127.0.0.1", port), 30)
     rfile = sock.makefile("r", encoding="utf-8", newline="\n")
     wfile = sock.makefile("w", encoding="utf-8", newline="\n")
-    wfile.write("SUB\n")
+    wfile.write(_frame("SUB", queue) + "\n")
     wfile.flush()
     got: list[tuple[int, str]] = []
     for line in rfile:
@@ -221,9 +260,10 @@ def _consume_session(
             fh.write(payload + "\n")
         fh.flush()
         os.fsync(fh.fileno())
+    ack = _frame("ACK", queue)
     for tag, _payload in admitted:
-        wfile.write(f"ACK {tag}\n")
-    wfile.write("PEND\n")
+        wfile.write(f"{ack} {tag}\n")
+    wfile.write(_frame("PEND", queue) + "\n")
     wfile.flush()
     reply = rfile.readline().rstrip("\n")
     pending = int(reply.split(" ", 1)[1])

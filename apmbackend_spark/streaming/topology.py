@@ -1041,6 +1041,72 @@ def stream_nearest_gate(
 TOPO_BROKER_SLICE_MS = 12 * 3600 * 1000
 
 
+def _broker_hop(
+    spark, brk, queue: str, src_dir: str, spool_dir: str, lost: set
+) -> None:
+    """One stage boundary over the broker: publish every line of
+    ``src_dir`` into ``queue`` executor-side, consumer session 1 crashes
+    mid-stream under the atomic spool-then-ack contract (the content-keyed
+    ``lost`` set is neither handed off nor acked), session 2 — the
+    restarted process — recovers exactly the broker's unacked set via
+    REAL redelivery, and a PEND settlement check proves the queue drains
+    to empty. The spool directory is the downstream stage's source."""
+    import os
+
+    wire = spark.read.text(src_dir).localCheckpoint()
+    os.makedirs(spool_dir, exist_ok=True)
+    wire.foreachPartition(brk._publish_partition_fn(queue))
+    n_wire = wire.count()
+    n_pub = brk.broker.message_count(queue)
+    if n_pub != n_wire:
+        raise RuntimeError(
+            f"{queue}: published {n_pub} != {n_wire} wire lines "
+            "(task retry double-publish?)"
+        )
+    n1, pend1 = brk.consume(
+        queue,
+        os.path.join(spool_dir, "session1.txt"),
+        ack_if=lambda p: p not in lost,
+        spool_acked_only=True,
+    )
+    n2, pend2 = brk.consume(queue, os.path.join(spool_dir, "session2.txt"))
+    if n1 != n_wire:
+        raise RuntimeError(
+            f"{queue}: session 1 saw {n1} of {n_wire} published messages"
+        )
+    if pend1 != n2:
+        raise RuntimeError(
+            f"{queue}: redelivery mismatch: {pend1} unacked, "
+            f"{n2} redelivered"
+        )
+    if pend2 != 0:
+        raise RuntimeError(
+            f"{queue}: broker holds {pend2} unacked after recovery session"
+        )
+
+
+class _BrokerHandle:
+    """Tiny facade bundling one MiniBroker with the publish/consume
+    helpers bound to its port (keeps _broker_hop free of port plumbing)."""
+
+    def __init__(self) -> None:
+        from apmbackend_spark.sources import broker as brkmod
+
+        self._mod = brkmod
+        self.broker = brkmod.MiniBroker()
+
+    def _publish_partition_fn(self, queue: str):
+        return self._mod._publish_partition(self.broker.port, queue)
+
+    def consume(self, queue: str, spool: str, **kw):
+        return self._mod._consume_session(
+            self.broker.port, spool, queue=queue, **kw
+        )
+
+    def close(self) -> None:
+        self.broker.close()
+
+
 def topology_broker_gate(
     spark: SparkSession,
     sf_dir: str,
@@ -1052,29 +1118,26 @@ def topology_broker_gate(
     shuffle_partitions: int = 8,
     timeout_s: int = 300,
 ) -> "DataFrame":
-    """The streaming topology with its transactions-queue boundary riding
-    the REAL broker (sources/broker.py) — queue.js's at-least-once
-    contract graded INSIDE the pipeline, not in isolation
-    (queue.js:206-305 + the four-queue topology, apm_config.json:58-114).
+    """The streaming topology with BOTH of its first two queue boundaries
+    riding the REAL broker (sources/broker.py) — queue.js's at-least-once
+    contract graded INSIDE the pipeline, not in isolation, on the named
+    queues of ONE broker like the reference's four-queue deployment
+    (queue.js:206-305 + apm_config.json:58-114).
 
     Pipeline: stage 1 encodes tx to wire lines (the transactions-queue
-    producer leg) and the lines are published executor-side into the TCP
-    mini-broker. Consumer session 1 processes mid-stream and CRASHES:
-    each message it processed was durably handed off THEN acked
-    (spool -> ack, the reference's ack-after-handoff contract); each
-    message in the deterministic crash set (content-keyed like
-    broker_redelivery, so partition-order nondeterminism never reaches
-    the result) is NEITHER spooled nor acked — its work exists nowhere
-    downstream. Consumer session 2 — the restarted process — receives
-    the broker's unacked set via REAL redelivery and completes the
-    handoff; a PEND settlement check proves the queue then drains to
-    empty. Stages 2-3 (calc_stats, calc_z_score) consume the recovered
-    spool; the graded fs frame hash-matches the batch oracle IFF
-    redelivery returned exactly the unacked complement — one message
-    dropped or duplicated by the broker shifts the window stats and every
-    z-score after them. (The alerts stage adds no broker coverage and is
-    graded by stream_topology; it is omitted here to keep the drain
-    lean.)
+    producer leg); the lines ride the broker's 'transactions' queue with
+    a mid-stream consumer crash + redelivery (see _broker_hop — the
+    crash set is content-keyed like broker_redelivery, so partition-order
+    nondeterminism never reaches the result). Stage 2 (calc_stats)
+    consumes the recovered spool and produces st WIRE lines, which ride
+    the broker's 'stats' queue through a SECOND independent
+    crash/recovery cycle with its own content-keyed crash set. Stage 3
+    (calc_z_score) consumes that recovered spool; the graded fs frame
+    hash-matches the batch oracle IFF BOTH redeliveries returned exactly
+    their unacked complements — one message dropped or duplicated on
+    either queue shifts the window stats and every z-score after them.
+    (The alerts stage adds no broker coverage and is graded by
+    stream_topology; it is omitted here to keep the drain lean.)
 
     Scale: the broker is the semantics test double for the AMQP/Kafka
     tier (swap format('text') handoffs for format('kafka')); everything
@@ -1086,7 +1149,6 @@ def topology_broker_gate(
     import tempfile
 
     from apmbackend_spark.functions.text import hash64
-    from apmbackend_spark.sources import broker as brk
     from apmbackend_spark.sources import queue as qu
     from apmbackend_spark.sources.tx import load_tx
 
@@ -1103,6 +1165,7 @@ def topology_broker_gate(
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    brk = _BrokerHandle()
     try:
         # stage 1 — parse, wire-encoded (the transactions-queue producer)
         tx = (
@@ -1119,56 +1182,25 @@ def topology_broker_gate(
             os.path.join(work, "ckpt_tx"), timeout_s, "text",
         )
 
-        # broker hop: publish executor-side; crash + redelivery consume
-        wire = spark.read.text(tx_dir).localCheckpoint()
-        lost = {
+        # transactions-queue hop: crash on the wire-logid hash rule
+        tx_lost = {
             r["value"]
-            for r in wire.where(
+            for r in spark.read.text(tx_dir)
+            .where(
                 F.pmod(
                     hash64(F.split(F.col("value"), r"\|").getItem(3)),
                     F.lit(qu._REPLAY_MOD),
                 )
                 == F.lit(qu._REPLAY_REM)
-            ).collect()
+            )
+            .collect()
         }
-        spool_dir = os.path.join(work, "tx_consumed")
-        os.makedirs(spool_dir)
-        broker = brk.MiniBroker()
-        try:
-            wire.foreachPartition(brk._publish_partition(broker.port))
-            n_wire = wire.count()
-            n_pub = broker.message_count()
-            if n_pub != n_wire:
-                raise RuntimeError(
-                    f"published {n_pub} != {n_wire} wire lines "
-                    "(task retry double-publish?)"
-                )
-            n1, pend1 = brk._consume_session(
-                broker.port,
-                os.path.join(spool_dir, "session1.txt"),
-                ack_if=lambda p: p not in lost,
-                spool_acked_only=True,
-            )
-            n2, pend2 = brk._consume_session(
-                broker.port, os.path.join(spool_dir, "session2.txt")
-            )
-            if n1 != n_wire:
-                raise RuntimeError(
-                    f"session 1 saw {n1} of {n_wire} published messages"
-                )
-            if pend1 != n2:
-                raise RuntimeError(
-                    f"redelivery mismatch: {pend1} unacked, {n2} redelivered"
-                )
-            if pend2 != 0:
-                raise RuntimeError(
-                    f"broker holds {pend2} unacked after recovery session"
-                )
-        finally:
-            broker.close()
+        tx_spool = os.path.join(work, "tx_consumed")
+        _broker_hop(spark, brk, "transactions", tx_dir, tx_spool, tx_lost)
 
-        # stage 2 — calc_stats over the RECOVERED handoff spool
-        tx_in = qu.wire_to_tx(spark.readStream.text(spool_dir)).withColumn(
+        # stage 2 — calc_stats over the RECOVERED transactions spool,
+        # produced as st WIRE lines (the stats-queue producer)
+        tx_in = qu.wire_to_tx(spark.readStream.text(tx_spool)).withColumn(
             "endtime", F.timestamp_millis(F.col("endts"))
         )
         st = window_stats_stream(tx_in, watermark=watermark).select(
@@ -1180,16 +1212,32 @@ def topology_broker_gate(
             F.round(F.col("p75"), 0).alias("per75"),
             F.round(F.col("p95"), 0).alias("per95"),
         )
-        st_dir = os.path.join(work, "st")
-        _run_stage(st, st_dir, os.path.join(work, "ckpt_st"), timeout_s)
+        st_dir = os.path.join(work, "st_wire")
+        _run_stage(
+            qu.st_to_wire(st), st_dir,
+            os.path.join(work, "ckpt_st"), timeout_s, "text",
+        )
 
-        # stage 3 — calc_z_score
-        st_in = spark.readStream.schema(ST_HANDOFF_SCHEMA).parquet(st_dir)
+        # stats-queue hop: SECOND independent crash/recovery, its own
+        # content-keyed rule (whole-line hash — st lines are unique per
+        # (timestamp, server, service))
+        st_lost = {
+            r["value"]
+            for r in spark.read.text(st_dir)
+            .where(F.pmod(hash64(F.col("value")), F.lit(10)) == F.lit(3))
+            .collect()
+        }
+        st_spool = os.path.join(work, "st_consumed")
+        _broker_hop(spark, brk, "stats", st_dir, st_spool, st_lost)
+
+        # stage 3 — calc_z_score over the recovered stats spool
+        st_in = qu.wire_to_st(spark.readStream.text(st_spool))
         fs = zscore_stateful(
             st_in, lags=lags, threshold=threshold, influence=influence
         )
         fs_dir = os.path.join(work, "fs")
         _run_stage(fs, fs_dir, os.path.join(work, "ckpt_fs"), timeout_s)
     finally:
+        brk.close()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.schema(_fs_handoff_schema()).parquet(fs_dir)

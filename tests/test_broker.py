@@ -156,3 +156,46 @@ def test_consume_session_spool_acked_only_crash_shape(tmp_path):
         assert s2.read_text().splitlines() == ["lose1", "lose3"]
     finally:
         b.close()
+
+
+def test_broker_named_queues_are_isolated(tmp_path):
+    # named queues (the four-queue topology shape) hold independent
+    # tag spaces, ack state, and redelivery sets on one transport;
+    # default-queue frames stay byte-identical to the original protocol
+    import socket as _socket
+
+    b = MiniBroker()
+    try:
+        _pub(b.port, ["plain0"])  # default queue, original frames
+        sock = _socket.create_connection(("127.0.0.1", b.port), 10)
+        w = sock.makefile("w", encoding="utf-8", newline="\n")
+        r = sock.makefile("r", encoding="utf-8", newline="\n")
+        for p in ["t0", "t1"]:
+            w.write(f"PUB@transactions {p}\n")
+        w.write("PUB@stats s0\n")
+        # COUNT replies double as settlement barriers (the broker serves
+        # connections sequentially, so these prove the earlier _pub
+        # connection's frames are consumed too)
+        w.write("COUNT\n")
+        w.write("COUNT@transactions\n")
+        w.write("COUNT@stats\n")
+        w.flush()
+        counts = [int(r.readline().split()[1]) for _ in range(3)]
+        w.write("QUIT\n")
+        w.flush()
+        sock.close()
+        assert counts == [1, 2, 1]
+        # consume transactions only; stats and default stay pending
+        n1, pend1 = _consume_session(
+            b.port, str(tmp_path / "tq.txt"), queue="transactions"
+        )
+        assert (n1, pend1) == (2, 0)
+        assert b.pending("stats") == 1
+        assert b.pending() == 1
+        # tag spaces are per queue: stats' first message is tag 0 too
+        n2, pend2 = _consume_session(
+            b.port, str(tmp_path / "sq.txt"), queue="stats"
+        )
+        assert (n2, pend2) == (1, 0)
+    finally:
+        b.close()
