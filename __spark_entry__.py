@@ -979,20 +979,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Window strategy (the driver grades the FIRST 50 queries in dict
     # order). Round 8 window, explicit by name:
-    #   (a) ALL 25 never-driver-graded gates — the r7 verdict's top
-    #       directive (rotate the 19 in) plus this round's 6 new gates
-    #       (zscore_longlag, topology_broker, jpeg_pixels,
-    #       ann_index_persist, unigram_train, unigram_encode);
+    #   (a) ALL 27 never-driver-graded gates — the r7 verdict's top
+    #       directive (rotate the 19 in) plus this round's 8 new gates
+    #       (zscore_longlag, topology_broker, jpeg_pixels, jpeg_rgb,
+    #       ann_index_persist, unigram_train, unigram_encode,
+    #       ivf_assign_2level);
     #   (b) the 3 gates whose OUTPUT changed this round: ALERT_CFG now
     #       suppresses lag 360 (which exists in the fs frame — the r7
     #       verdict's F1 no-op fix), so alert_candidates / alerts /
     #       db_fanin produce different rows and need fresh driver green;
     #   (c) the 2 r7-green gates whose code round 8 touched
-    #       (semantic_dedup: skew guard + docstring; dsir_select:
-    #       once-folded totals + localCheckpoint lifecycle);
-    #   (d) 20 of the 34 remaining round-4 rows — the stalest on the
+    #       (semantic_dedup: skew guard + hierarchical assign;
+    #       dsir_select: once-folded totals + localCheckpoint lifecycle);
+    #   (d) 18 of the 34 remaining round-4 rows — the stalest on the
     #       books (four rounds old): the dedup family, the TPC-H r4
-    #       shapes, simhash pair, video pair, stream_sessions,
+    #       shapes, simhash, video_features, stream_sessions,
     #       retention_sweep, media_stats, corpus_filter.
     # The 14 leftover r4 rows (doc_stats/corpus_* textstats rollups,
     # token pack/spans, log_chunked, vocab_topk) head next round's
