@@ -345,6 +345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(docs(s, d)),
         "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
         "dedup_clusters": lambda s, d: dd.dedup_clusters(docs(s, d)),
+        # synchronous label propagation over the LSH graph: the DENSE
+        # communities inside a near-dup component (CC over-merges chains;
+        # LPA keeps thin bridges as label borders) — fixed rounds,
+        # deterministic (count DESC, label ASC) tie rule
+        "dup_labelprop": lambda s, d: dd.dup_labelprop(docs(s, d)),
         "corpus_dedup": lambda s, d: dd.corpus_dedup(docs(s, d)),
         # per-delivery batch-vs-corpus-index dedup (exact fp + LSH band)
         "dedup_incremental": lambda s, d: dd.dedup_incremental(docs(s, d)),
@@ -984,11 +989,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Window strategy (the driver grades the FIRST 50 queries in dict
     # order). Round 8 window, explicit by name:
-    #   (a) ALL 28 never-driver-graded gates — the r7 verdict's top
-    #       directive (rotate the 19 in) plus this round's 9 new gates
+    #   (a) ALL 29 never-driver-graded gates — the r7 verdict's top
+    #       directive (rotate the 19 in) plus this round's 10 new gates
     #       (zscore_longlag, topology_broker, jpeg_pixels, jpeg_rgb,
     #       ann_index_persist, unigram_train, unigram_encode,
-    #       ivf_assign_2level, tar_shard_ingest);
+    #       ivf_assign_2level, tar_shard_ingest, dup_labelprop);
     #   (b) the 3 gates whose OUTPUT changed this round: ALERT_CFG now
     #       suppresses lag 360 (which exists in the fs frame — the r7
     #       verdict's F1 no-op fix), so alert_candidates / alerts /
@@ -996,12 +1001,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (c) the 2 r7-green gates whose code round 8 touched
     #       (semantic_dedup: skew guard + hierarchical assign;
     #       dsir_select: once-folded totals + localCheckpoint lifecycle);
-    #   (d) 17 of the 34 remaining round-4 rows — the stalest on the
+    #   (d) 16 of the 34 remaining round-4 rows — the stalest on the
     #       books (four rounds old): the dedup family, the TPC-H r4
     #       shapes, simhash, video_features, retention_sweep,
-    #       media_stats, corpus_filter (stream_sessions yields its slot
-    #       to tar_shard_ingest — topology.py already has three graded
-    #       rows in this window).
+    #       media_stats, corpus_filter (stream_sessions and
+    #       ngram_jaccard yield their slots to tar_shard_ingest and
+    #       dup_labelprop — topology.py keeps three graded rows in this
+    #       window and dedup.py keeps six incl. the new LPA gate).
     # The 14 leftover r4 rows (doc_stats/corpus_* textstats rollups,
     # token pack/spans, log_chunked, vocab_topk) head next round's
     # rotation; everything else overflows with a green r5-r7 row standing
@@ -1042,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode",
         "ivf_assign_2level",
         "tar_shard_ingest",
+        "dup_labelprop",
         # (b) output changed by the ALERT_CFG lag-suppression fix
         "alert_candidates",
         "alerts",
@@ -1054,7 +1061,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup",
         "dedup_clusters",
         "minhash_lsh",
-        "ngram_jaccard",
         "corpus_filter",
         "media_stats",
         "q1_pricing_summary",
@@ -1146,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dd.ngram_jaccard_oracle_sql(),
         "minhash_lsh": dd.minhash_lsh_oracle(),
         "dedup_clusters": dd.dedup_clusters_oracle_sql(),
+        "dup_labelprop": dd.dup_labelprop_oracle_sql(),
         "corpus_dedup": dd.corpus_dedup_oracle_sql(),
         "dedup_incremental": dd.dedup_incremental_oracle_sql(),
         "lang_id": lid.lang_id_oracle_sql(),

