@@ -353,6 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup": lambda s, d: dd.corpus_dedup(docs(s, d)),
         # per-delivery batch-vs-corpus-index dedup (exact fp + LSH band)
         "dedup_incremental": lambda s, d: dd.dedup_incremental(docs(s, d)),
+        # Bloom "seen before?" membership tier ahead of the index join:
+        # no false negatives (asserted), false positives individually
+        # graded at this (m, k, n) point
+        "bloom_dedup": lambda s, d: dd.bloom_dedup(docs(s, d)),
         # span-level (chunk-fingerprint) cross-doc duplication stats
         "doc_span_dup": lambda s, d: dd.doc_span_dup(docs(s, d)),
         # sequence spans with document splitting across budget boundaries
@@ -989,11 +993,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Window strategy (the driver grades the FIRST 50 queries in dict
     # order). Round 8 window, explicit by name:
-    #   (a) ALL 29 never-driver-graded gates — the r7 verdict's top
-    #       directive (rotate the 19 in) plus this round's 10 new gates
+    #   (a) ALL 30 never-driver-graded gates — the r7 verdict's top
+    #       directive (rotate the 19 in) plus this round's 11 new gates
     #       (zscore_longlag, topology_broker, jpeg_pixels, jpeg_rgb,
     #       ann_index_persist, unigram_train, unigram_encode,
-    #       ivf_assign_2level, tar_shard_ingest, dup_labelprop);
+    #       ivf_assign_2level, tar_shard_ingest, dup_labelprop,
+    #       bloom_dedup);
     #   (b) the 3 gates whose OUTPUT changed this round: ALERT_CFG now
     #       suppresses lag 360 (which exists in the fs frame — the r7
     #       verdict's F1 no-op fix), so alert_candidates / alerts /
@@ -1001,13 +1006,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (c) the 2 r7-green gates whose code round 8 touched
     #       (semantic_dedup: skew guard + hierarchical assign;
     #       dsir_select: once-folded totals + localCheckpoint lifecycle);
-    #   (d) 16 of the 34 remaining round-4 rows — the stalest on the
+    #   (d) 15 of the 34 remaining round-4 rows — the stalest on the
     #       books (four rounds old): the dedup family, the TPC-H r4
     #       shapes, simhash, video_features, retention_sweep,
-    #       media_stats, corpus_filter (stream_sessions and
-    #       ngram_jaccard yield their slots to tar_shard_ingest and
-    #       dup_labelprop — topology.py keeps three graded rows in this
-    #       window and dedup.py keeps six incl. the new LPA gate).
+    #       corpus_filter (stream_sessions / ngram_jaccard / media_stats
+    #       yield their slots to tar_shard_ingest / dup_labelprop /
+    #       bloom_dedup — topology.py keeps three graded rows, dedup.py
+    #       seven, multimodal's plumbing is re-graded by the jpeg pair).
     # The 14 leftover r4 rows (doc_stats/corpus_* textstats rollups,
     # token pack/spans, log_chunked, vocab_topk) head next round's
     # rotation; everything else overflows with a green r5-r7 row standing
@@ -1049,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign_2level",
         "tar_shard_ingest",
         "dup_labelprop",
+        "bloom_dedup",
         # (b) output changed by the ALERT_CFG lag-suppression fix
         "alert_candidates",
         "alerts",
@@ -1062,7 +1068,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters",
         "minhash_lsh",
         "corpus_filter",
-        "media_stats",
         "q1_pricing_summary",
         "q3_top_orders",
         "q4_priority_semijoin",
@@ -1155,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_labelprop": dd.dup_labelprop_oracle_sql(),
         "corpus_dedup": dd.corpus_dedup_oracle_sql(),
         "dedup_incremental": dd.dedup_incremental_oracle_sql(),
+        "bloom_dedup": dd.bloom_dedup_oracle_sql(),
         "lang_id": lid.lang_id_oracle_sql(),
         "doc_keywords": lid.doc_keywords_oracle_sql(),
         "domain_stats": lid.domain_stats_oracle_sql(),

@@ -1151,6 +1151,140 @@ JOIN (SELECT label, COUNT(*) AS n FROM {prev} GROUP BY label) s
 """
 
 
+BLOOM_M = 1 << 16  # filter bits
+BLOOM_K = 4        # hash functions
+BLOOM_BATCH_MOD = 5
+
+
+def bloom_dedup(
+    documents: DataFrame,
+    batch_mod: int = BLOOM_BATCH_MOD,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter "seen before?" pre-filter for incremental exact dedup
+    (Bloom 1970, public literature) — the membership tier a 100 TB ingest
+    runs BEFORE `dedup_incremental`'s index join: the filter is a bit set
+    orders of magnitude smaller than the fingerprint index, it broadcasts
+    where the index shuffles, and a negative answer (guaranteed exact —
+    Bloom filters have no false negatives) lets the ~99 % of novel
+    documents skip the join entirely. Positives (possible duplicates)
+    fall through to the exact tier.
+
+    Split contract (the dedup_incremental fixture rule): docs with
+    ``doc_id % batch_mod == 0`` are the incoming batch, the rest are the
+    already-ingested corpus. The filter inserts each corpus doc's
+    normalized-text fingerprint at ``k`` md5-derived positions in an
+    ``m``-bit space; a batch doc is a bloom HIT iff all k of its
+    positions are set. Output, one row per batch doc:
+
+        (doc_id, bloom_hit, exact_dup, false_positive)
+
+    — exact_dup from the real fingerprint semi-check, so the gate grades
+    the Bloom MECHANICS exactly, including which specific docs are false
+    positives at this (m, k, n) point (no false NEGATIVES may exist: a
+    pytest asserts exact_dup -> bloom_hit row-for-row, and the oracle
+    hash would catch one anyway).
+
+    Scale shape: the filter is a DISTINCT of <= k*n positions (a
+    combinable aggregate; at production m it is a bitmap broadcast, here
+    a broadcast semi-join per position keeps every value exact); probes
+    explode each batch doc to k (doc, position) rows — never a
+    corpus-sized pairwise stage. The exact-dup check is the usual
+    fingerprint left-semi against the corpus."""
+    fp = hash64(F.concat_ws(" ", tokens(F.col("text"))))
+    fps = documents.select(
+        "doc_id", fp.alias("fingerprint")
+    ).localCheckpoint()  # batch + corpus + both probe legs read it
+    is_batch = F.col("doc_id") % int(batch_mod) == 0
+    corpus = fps.where(~is_batch)
+    batch = fps.where(is_batch)
+
+    def positions(df: DataFrame) -> DataFrame:
+        # k positions per fingerprint: md5-derived hash of (fp, i) mod m
+        return df.select(
+            "doc_id",
+            "fingerprint",
+            F.explode(F.expr(f"sequence(0, {int(k) - 1})")).alias("i"),
+        ).select(
+            "doc_id",
+            "fingerprint",
+            F.pmod(
+                hash64(F.concat_ws(":", F.col("fingerprint"), F.col("i"))),
+                F.lit(int(m)),
+            ).alias("pos"),
+        )
+
+    bits = positions(corpus).select("pos").distinct()
+    probe = positions(batch)
+    hits = (
+        probe.join(bits, "pos", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    exact = batch.join(
+        corpus.select("fingerprint").distinct(), "fingerprint", "left_semi"
+    ).select("doc_id", F.lit(True).alias("exact_dup"))
+    out = (
+        batch.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n_set"), F.lit(0)) == int(k)).alias(
+                "bloom_hit"
+            ),
+            F.coalesce(F.col("exact_dup"), F.lit(False)).alias("exact_dup"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "bloom_hit",
+        "exact_dup",
+        (F.col("bloom_hit") & ~F.col("exact_dup")).alias("false_positive"),
+    )
+
+
+def bloom_dedup_oracle_sql(
+    batch_mod: int = BLOOM_BATCH_MOD, m: int = BLOOM_M, k: int = BLOOM_K
+) -> str:
+    fp = hash64_sql(f"COALESCE(array_to_string({tokens_sql('text')}, ' '), '')")
+    pos = hash64_sql("fingerprint || ':' || i")
+    return f"""
+WITH fps AS (
+    SELECT doc_id, {fp} AS fingerprint FROM documents
+), corpus AS (
+    SELECT * FROM fps WHERE doc_id % {int(batch_mod)} <> 0
+), batch AS (
+    SELECT * FROM fps WHERE doc_id % {int(batch_mod)} = 0
+), bits AS (
+    SELECT DISTINCT {pos} % {int(m)} AS pos
+    FROM corpus CROSS JOIN range(0, {int(k)}) r(i)
+), probe AS (
+    SELECT b.doc_id, {pos} % {int(m)} AS pos
+    FROM batch b CROSS JOIN range(0, {int(k)}) r(i)
+), hits AS (
+    SELECT doc_id, COUNT(*) AS n_set
+    FROM probe p
+    WHERE EXISTS (SELECT 1 FROM bits WHERE bits.pos = p.pos)
+    GROUP BY doc_id
+), exact AS (
+    SELECT DISTINCT b.doc_id
+    FROM batch b
+    WHERE EXISTS (SELECT 1 FROM corpus c
+                  WHERE c.fingerprint = b.fingerprint)
+)
+SELECT b.doc_id,
+       COALESCE(h.n_set, 0) = {int(k)} AS bloom_hit,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       (COALESCE(h.n_set, 0) = {int(k)} AND e.doc_id IS NULL)
+           AS false_positive
+FROM batch b
+LEFT JOIN hits h USING (doc_id)
+LEFT JOIN exact e USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup (new batch vs existing corpus index)
 # ---------------------------------------------------------------------------

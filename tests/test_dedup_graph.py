@@ -64,3 +64,32 @@ def test_lpa_matches_reference_on_irregular_graph(spark):
         for r in labelprop_from_pairs(pdf).collect()
     }
     assert got == _lpa_reference(pairs)
+
+
+def test_bloom_dedup_no_false_negatives_and_fp_regime(spark):
+    # planted exact dups across the batch/corpus split MUST bloom-hit
+    # (no false negatives — the Bloom guarantee), novel docs mostly miss
+    # at this (m, k, n) point, and false_positive is exactly hit&!dup
+    from apmbackend_spark.operators.dedup import bloom_dedup
+
+    rows = []
+    for i in range(200):
+        if i % 5 == 0 and i % 10 == 0:
+            text = f"shared duplicate body {i // 10}"  # batch doc...
+            rows.append((i, text))
+            rows.append((i + 1, text))  # ...with a corpus twin (i+1 % 5 != 0)
+        else:
+            rows.append((i, f"unique body {i} with words {i * 7}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bloom_dedup(docs).collect()}
+    assert set(out) == {i for i, _ in rows if i % 5 == 0}
+    for i, r in out.items():
+        assert r["false_positive"] == (r["bloom_hit"] and not r["exact_dup"])
+        if r["exact_dup"]:
+            assert r["bloom_hit"], i  # NO false negatives, ever
+    dups = [i for i, r in out.items() if r["exact_dup"]]
+    assert len(dups) == 20  # every planted twin found
+    # the novel majority should mostly miss (m=2^16, k=4, n~180 -> tiny FPR)
+    novel = [r for r in out.values() if not r["exact_dup"]]
+    fps = sum(1 for r in novel if r["bloom_hit"])
+    assert fps <= len(novel) // 10
