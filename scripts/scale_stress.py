@@ -780,6 +780,14 @@ def main() -> None:
                 "ivf_assign_2level",
                 lambda: sim.ivf_assign_2level(embs, probe_l1=1),
             )
+            from apmbackend_spark.operators import dedup as dd
+            from apmbackend_spark.sources import tar as tarsrc
+
+            t.timed(
+                "tar_shard_ingest", lambda: tarsrc.tar_shard_ingest(docs)
+            )
+            t.timed("dup_labelprop", lambda: dd.dup_labelprop(docs))
+            t.timed("bloom_dedup", lambda: dd.bloom_dedup(docs))
             return t.out
 
         from apmbackend_spark.sources.loaders import spread as _spread
