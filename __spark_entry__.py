@@ -986,6 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-distribution signal; log-free integer weights for bitwise
         # cross-engine parity)
         "charlm_score": lambda s, d: lid.charlm_score(docs(s, d)),
+        # CCNet head/middle/tail thirds by the per-language LM-score
+        # distribution (exact midpoint percentiles, broadcast thresholds)
+        "ccnet_buckets": lambda s, d: lid.ccnet_buckets(docs(s, d)),
         # PII redaction + accounting (emails/IPv4/phones -> typed
         # placeholders, fixed rule order, scrubbed-text fingerprint);
         # deterministic PII injected in-plan — the fixture corpus is clean
@@ -993,12 +996,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Window strategy (the driver grades the FIRST 50 queries in dict
     # order). Round 8 window, explicit by name:
-    #   (a) ALL 30 never-driver-graded gates — the r7 verdict's top
-    #       directive (rotate the 19 in) plus this round's 11 new gates
+    #   (a) ALL 31 never-driver-graded gates — the r7 verdict's top
+    #       directive (rotate the 19 in) plus this round's 12 new gates
     #       (zscore_longlag, topology_broker, jpeg_pixels, jpeg_rgb,
     #       ann_index_persist, unigram_train, unigram_encode,
     #       ivf_assign_2level, tar_shard_ingest, dup_labelprop,
-    #       bloom_dedup);
+    #       bloom_dedup, ccnet_buckets);
     #   (b) the 3 gates whose OUTPUT changed this round: ALERT_CFG now
     #       suppresses lag 360 (which exists in the fs frame — the r7
     #       verdict's F1 no-op fix), so alert_candidates / alerts /
@@ -1006,13 +1009,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (c) the 2 r7-green gates whose code round 8 touched
     #       (semantic_dedup: skew guard + hierarchical assign;
     #       dsir_select: once-folded totals + localCheckpoint lifecycle);
-    #   (d) 15 of the 34 remaining round-4 rows — the stalest on the
+    #   (d) 14 of the 34 remaining round-4 rows — the stalest on the
     #       books (four rounds old): the dedup family, the TPC-H r4
-    #       shapes, simhash, video_features, retention_sweep,
-    #       corpus_filter (stream_sessions / ngram_jaccard / media_stats
-    #       yield their slots to tar_shard_ingest / dup_labelprop /
-    #       bloom_dedup — topology.py keeps three graded rows, dedup.py
-    #       seven, multimodal's plumbing is re-graded by the jpeg pair).
+    #       shapes, video_features, retention_sweep, corpus_filter
+    #       (stream_sessions / ngram_jaccard / media_stats / simhash
+    #       yield their slots to the four late round-8 gates —
+    #       topology.py keeps three graded rows, dedup.py six,
+    #       multimodal's plumbing is re-graded by the jpeg pair).
     # The 14 leftover r4 rows (doc_stats/corpus_* textstats rollups,
     # token pack/spans, log_chunked, vocab_topk) head next round's
     # rotation; everything else overflows with a green r5-r7 row standing
@@ -1055,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_shard_ingest",
         "dup_labelprop",
         "bloom_dedup",
+        "ccnet_buckets",
         # (b) output changed by the ALERT_CFG lag-suppression fix
         "alert_candidates",
         "alerts",
@@ -1075,7 +1079,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue",
         "q18_large_volume_customers",
         "parts_never_shipped",
-        "simhash",
         "video_features",
         "retention_sweep",
     ]
@@ -1426,6 +1429,7 @@ FROM tx
         "edit_neardup": dd.edit_neardup_oracle_sql(),
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
+        "ccnet_buckets": lid.ccnet_buckets_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),
         "log_chunked": lc.log_chunked_oracle_sql(),
         "retention_sweep": TX_CTE + pt.retention_sweep_oracle_sql(),

@@ -424,3 +424,77 @@ SELECT d.doc_id, d.lang, d.source,
        CAST(CASE WHEN p.n_tris > 0 THEN p.wsum // p.n_tris ELSE 0 END AS BIGINT) AS lm_score
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def ccnet_buckets(
+    documents: DataFrame,
+    model_size: int = CHARLM_MODEL_SIZE,
+    scale: int = CHARLM_SCALE,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, public
+    literature): split the corpus into head / middle / tail thirds by the
+    PER-LANGUAGE distribution of the LM quality score — CCNet's signature
+    output, and the partition its pipeline uses to keep head+middle and
+    drop (or downweight) tail. The score is `charlm_score`'s integer
+    in-distribution signal (higher = more reference-like, standing in for
+    lower perplexity; same monotone role, exactly hashable where a
+    log-prob would hinge on libm).
+
+    Bucket rule per language L with exact midpoint percentiles p33/p66 of
+    L's scores: head iff score >= p66, middle iff score >= p33, else
+    tail — thresholds and comparisons on exact doubles (integer scores
+    < 2^53), so the cut is bit-identical across engines.
+
+    Scale shape: thresholds need the per-language score distribution —
+    rendered exactly here via per-lang sorted arrays (|langs| groups;
+    the domain_stats precedent) with the documented 100 TB flip to the
+    mergeable histogram sketch of `hist_quantiles` when per-group volume
+    is unbounded. Scoring itself is charlm_score's shape: one (doc, tri)
+    pre-aggregate, broadcast model, no text past the scan. The |langs|-row
+    threshold dim broadcasts back."""
+    from ..functions.percentile import midpoint_percentile
+
+    scored = charlm_score(documents, model_size, scale).localCheckpoint()
+    arr = F.sort_array(F.collect_list(F.col("lm_score").cast("double")))
+    th = (
+        scored.groupBy("lang")
+        .agg(arr.alias("arr"))
+        .select(
+            "lang",
+            midpoint_percentile(F.col("arr"), 33.0).alias("p33"),
+            midpoint_percentile(F.col("arr"), 66.0).alias("p66"),
+        )
+    )
+    s = F.col("lm_score").cast("double")
+    return scored.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "lm_score",
+        F.when(s >= F.col("p66"), F.lit("head"))
+        .when(s >= F.col("p33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def ccnet_buckets_oracle_sql(
+    model_size: int = CHARLM_MODEL_SIZE, scale: int = CHARLM_SCALE
+) -> str:
+    from ..functions.percentile import midpoint_percentile_sql
+
+    inner = charlm_score_oracle_sql(model_size, scale)
+    parr = "list_sort(list(CAST(lm_score AS DOUBLE)))"
+    return f"""
+WITH scored AS ({inner}),
+th AS (
+    SELECT lang,
+           {midpoint_percentile_sql(parr, 33.0)} AS p33,
+           {midpoint_percentile_sql(parr, 66.0)} AS p66
+    FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.lm_score,
+       CASE WHEN CAST(s.lm_score AS DOUBLE) >= t.p66 THEN 'head'
+            WHEN CAST(s.lm_score AS DOUBLE) >= t.p33 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN th t USING (lang)
+"""

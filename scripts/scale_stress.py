@@ -788,6 +788,9 @@ def main() -> None:
             )
             t.timed("dup_labelprop", lambda: dd.dup_labelprop(docs))
             t.timed("bloom_dedup", lambda: dd.bloom_dedup(docs))
+            from apmbackend_spark.operators import langid as lid
+
+            t.timed("ccnet_buckets", lambda: lid.ccnet_buckets(docs))
             return t.out
 
         from apmbackend_spark.sources.loaders import spread as _spread

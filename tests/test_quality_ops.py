@@ -959,3 +959,31 @@ def test_hll_estimate_invariant_under_duplication(spark):
         assert b[src]["n_rows"] == 3 * a[src]["n_rows"]
         assert b[src]["est"] == a[src]["est"], src
         assert b[src]["exact_distinct"] == a[src]["exact_distinct"]
+
+
+def test_ccnet_buckets_thirds_and_ordering(spark):
+    # buckets are per-language thirds ordered by the LM score: every head
+    # doc scores >= every middle doc of the same language, middle >= tail,
+    # and the three buckets are nonempty for a language with spread
+    from apmbackend_spark.operators.langid import ccnet_buckets
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = ccnet_buckets(load_table(spark, SF_SMOKE, "documents")).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert sum(len(v) for v in by_lang.values()) == 500
+    order = {"tail": 0, "middle": 1, "head": 2}
+    for lang, rs in by_lang.items():
+        lo = {b: min((r["lm_score"] for r in rs if r["bucket"] == b), default=None) for b in order}
+        hi = {b: max((r["lm_score"] for r in rs if r["bucket"] == b), default=None) for b in order}
+        if hi["tail"] is not None and lo["middle"] is not None:
+            assert hi["tail"] <= lo["middle"], lang
+        if hi["middle"] is not None and lo["head"] is not None:
+            assert hi["middle"] <= lo["head"], lang
+    # at least one language exercises all three buckets
+    assert any(
+        {r["bucket"] for r in rs} == {"head", "middle", "tail"}
+        for rs in by_lang.values()
+    )
