@@ -724,3 +724,24 @@ def test_ivf_assign_2level_broadcast_routing_no_cartesian(spark):
     # joins corpus-sized state and no unhinted cartesian appears
     assert "CartesianProduct" not in p
     assert p.count("BroadcastExchange") >= 3
+
+
+def test_bloom_dedup_no_cartesian_combinable_bits(spark):
+    from apmbackend_spark.operators.dedup import bloom_dedup
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(bloom_dedup(load_table(spark, SF_SMOKE, "documents")))
+    # position inserts/probes are explodes + hash aggregates; the filter
+    # is a DISTINCT position set, never a pairwise stage
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_ccnet_buckets_threshold_dim_broadcast(spark):
+    from apmbackend_spark.operators.langid import ccnet_buckets
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(ccnet_buckets(load_table(spark, SF_SMOKE, "documents")))
+    # the |langs|-row p33/p66 dim rides a broadcast back onto the scores
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
