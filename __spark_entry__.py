@@ -333,6 +333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     phase6 = {
         "doc_stats": lambda s, d: ts.doc_stats(docs(s, d)),
         "corpus_filter": lambda s, d: ts.corpus_filter(docs(s, d)),
+        # the PUBLISHED Gopher rule suite with faithful thresholds (word
+        # count / mean word length / symbol ratio / bullet + ellipsis
+        # lines / alpha fraction / required stopwords), per-rule reasons
+        "gopher_rules": lambda s, d: ts.gopher_rules(docs(s, d)),
         "corpus_sample": lambda s, d: ts.corpus_sample(docs(s, d)),
         "corpus_scrub": lambda s, d: ts.corpus_scrub(docs(s, d)),
         "corpus_split": lambda s, d: ts.corpus_split(docs(s, d)),
@@ -996,12 +1000,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Window strategy (the driver grades the FIRST 50 queries in dict
     # order). Round 8 window, explicit by name:
-    #   (a) ALL 31 never-driver-graded gates — the r7 verdict's top
-    #       directive (rotate the 19 in) plus this round's 12 new gates
+    #   (a) ALL 32 never-driver-graded gates — the r7 verdict's top
+    #       directive (rotate the 19 in) plus this round's 13 new gates
     #       (zscore_longlag, topology_broker, jpeg_pixels, jpeg_rgb,
     #       ann_index_persist, unigram_train, unigram_encode,
     #       ivf_assign_2level, tar_shard_ingest, dup_labelprop,
-    #       bloom_dedup, ccnet_buckets);
+    #       bloom_dedup, ccnet_buckets, gopher_rules);
     #   (b) the 3 gates whose OUTPUT changed this round: ALERT_CFG now
     #       suppresses lag 360 (which exists in the fs frame — the r7
     #       verdict's F1 no-op fix), so alert_candidates / alerts /
@@ -1009,13 +1013,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (c) the 2 r7-green gates whose code round 8 touched
     #       (semantic_dedup: skew guard + hierarchical assign;
     #       dsir_select: once-folded totals + localCheckpoint lifecycle);
-    #   (d) 14 of the 34 remaining round-4 rows — the stalest on the
+    #   (d) 13 of the 34 remaining round-4 rows — the stalest on the
     #       books (four rounds old): the dedup family, the TPC-H r4
-    #       shapes, video_features, retention_sweep, corpus_filter
-    #       (stream_sessions / ngram_jaccard / media_stats / simhash
-    #       yield their slots to the four late round-8 gates —
+    #       shapes, video_features, corpus_filter (stream_sessions /
+    #       ngram_jaccard / media_stats / simhash / retention_sweep
+    #       yield their slots to the five late round-8 gates —
     #       topology.py keeps three graded rows, dedup.py six,
-    #       multimodal's plumbing is re-graded by the jpeg pair).
+    #       multimodal's plumbing is re-graded by the jpeg pair, and
+    #       partitioned.py's siblings all hold r6/r7 green rows).
     # The 14 leftover r4 rows (doc_stats/corpus_* textstats rollups,
     # token pack/spans, log_chunked, vocab_topk) head next round's
     # rotation; everything else overflows with a green r5-r7 row standing
@@ -1059,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_labelprop",
         "bloom_dedup",
         "ccnet_buckets",
+        "gopher_rules",
         # (b) output changed by the ALERT_CFG lag-suppression fix
         "alert_candidates",
         "alerts",
@@ -1080,7 +1086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers",
         "parts_never_shipped",
         "video_features",
-        "retention_sweep",
     ]
     all_q = (
         phase6
@@ -1141,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats": ts.doc_stats_oracle_sql(),
         "corpus_filter": ts.corpus_filter_oracle_sql(),
+        "gopher_rules": ts.gopher_rules_oracle_sql(),
         "corpus_sample": ts.corpus_sample_oracle_sql(),
         "corpus_scrub": ts.corpus_scrub_oracle_sql(),
         "corpus_split": ts.corpus_split_oracle_sql(),

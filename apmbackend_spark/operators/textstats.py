@@ -132,6 +132,188 @@ SELECT doc_id, n_tokens, quality, reasons, reasons = '' AS keep FROM flagged
 """
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """The Gopher quality-filter rule suite (Rae et al. 2021, Appendix A
+    — public literature), faithful thresholds: where `corpus_filter` is
+    this repo's generic rule engine, this gate implements the PUBLISHED
+    rule set a production crawl filter actually ships —
+
+      * word count in [50, 100 000]
+      * mean word length in [3, 10] characters
+      * symbol-to-word ratio (# and ellipsis) <= 0.1
+      * <= 90 % of lines starting with a bullet, <= 30 % ending with an
+        ellipsis
+      * >= 80 % of words containing an alphabetic character
+      * >= 2 distinct hits from the required-stopword set
+        {the, be, to, of, and, that, have, with}
+
+    Output per doc: the quality signals, the failed rules as a CSV in
+    fixed order (the alert-pipeline cause style), keep = nothing failed.
+
+    Determinism: every fraction is an integer/integer IEEE division and
+    every threshold comparison is on exact doubles, so the cut is
+    bit-identical across engines. Zero-word docs define mean/alpha as 0.0
+    (they fail the word-count rule regardless); null text reads as empty.
+    Scale: single codegen scan, zero shuffles — every signal is in-row
+    HOF arithmetic."""
+    documents = documents.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    nw_d = n_words.cast("double")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_wl = F.when(n_words > 0, sum_len.cast("double") / nw_d).otherwise(
+        F.lit(0.0)
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double")
+        / nw_d,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    sym_ratio = F.when(
+        n_words > 0, (n_hash + n_ell).cast("double") / nw_d
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    nl_d = n_lines.cast("double")
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-")
+                | l.startswith("*")
+                | l.startswith("\u2022"),
+            )
+        ).cast("double")
+        / nl_d,
+    ).otherwise(F.lit(0.0))
+    ell_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.endswith("...") | l.endswith("\u2026"),
+            )
+        ).cast("double")
+        / nl_d,
+    ).otherwise(F.lit(0.0))
+    base = documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ell_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    rules = [
+        (F.col("n_words") < 50, "too_few_words"),
+        (F.col("n_words") > 100_000, "too_many_words"),
+        (
+            (F.col("mean_word_len") < 3.0) | (F.col("mean_word_len") > 10.0),
+            "word_length",
+        ),
+        (F.col("symbol_ratio") > 0.1, "symbol_ratio"),
+        (F.col("bullet_frac") > 0.9, "bullet_lines"),
+        (F.col("ellipsis_frac") > 0.3, "ellipsis_lines"),
+        (F.col("alpha_frac") < 0.8, "low_alpha"),
+        (F.col("stop_hits") < 2, "few_stopwords"),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for cond, name in rules]
+    )
+    return base.select(
+        "*", reasons.alias("reasons")
+    ).withColumn("keep", F.col("reasons") == "")
+
+
+def gopher_rules_oracle_sql() -> str:
+    t = tokens_sql("text")
+    dt = f"list_distinct({t})"
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    lines = (
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "l -> trim(l)), l -> l <> '')"
+    )
+    return f"""
+WITH sig AS (
+    SELECT doc_id,
+           CAST(len({t}) AS BIGINT) AS n_words,
+           CASE WHEN len({t}) > 0 THEN
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform({t}, w -> CAST(length(w) AS BIGINT))),
+                    (a, x) -> a + x) AS DOUBLE)
+               / CAST(len({t}) AS DOUBLE)
+           ELSE 0.0 END AS mean_word_len,
+           CASE WHEN len({t}) > 0 THEN
+               CAST((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) // 3
+                    AS DOUBLE) / CAST(len({t}) AS DOUBLE)
+           ELSE 0.0 END AS symbol_ratio,
+           CASE WHEN len({lines}) > 0 THEN
+               CAST(len(list_filter({lines},
+                    l -> starts_with(l, '-') OR starts_with(l, '*')
+                         OR starts_with(l, chr(8226)))) AS DOUBLE)
+               / CAST(len({lines}) AS DOUBLE)
+           ELSE 0.0 END AS bullet_frac,
+           CASE WHEN len({lines}) > 0 THEN
+               CAST(len(list_filter({lines},
+                    l -> ends_with(l, '...') OR ends_with(l, chr(8230))))
+                    AS DOUBLE)
+               / CAST(len({lines}) AS DOUBLE)
+           ELSE 0.0 END AS ellipsis_frac,
+           CASE WHEN len({t}) > 0 THEN
+               CAST(len(list_filter({t}, w -> regexp_matches(w, '[a-z]')))
+                    AS DOUBLE) / CAST(len({t}) AS DOUBLE)
+           ELSE 0.0 END AS alpha_frac,
+           CAST(len(list_filter([{stop_list}],
+                s -> list_contains({dt}, s))) AS BIGINT) AS stop_hits
+    FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
+), flagged AS (
+    SELECT *,
+           concat_ws(',',
+               CASE WHEN n_words < 50 THEN 'too_few_words' END,
+               CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+               CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                    THEN 'word_length' END,
+               CASE WHEN symbol_ratio > 0.1 THEN 'symbol_ratio' END,
+               CASE WHEN bullet_frac > 0.9 THEN 'bullet_lines' END,
+               CASE WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines' END,
+               CASE WHEN alpha_frac < 0.8 THEN 'low_alpha' END,
+               CASE WHEN stop_hits < 2 THEN 'few_stopwords' END
+           ) AS reasons
+    FROM sig
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, stop_hits, reasons,
+       reasons = '' AS keep
+FROM flagged
+"""
+
+
 # mixture-sampling defaults: per-source keep rates in basis points of 10_000
 # (unlisted sources fall back to DEFAULT_RATE_BP)
 SAMPLE_RATES_BP = {"src0": 10_000, "src1": 7_500, "src2": 5_000, "src3": 2_500}

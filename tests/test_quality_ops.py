@@ -987,3 +987,38 @@ def test_ccnet_buckets_thirds_and_ordering(spark):
         {r["bucket"] for r in rs} == {"head", "middle", "tail"}
         for rs in by_lang.values()
     )
+
+
+def test_gopher_rules_fire_on_crafted_docs(spark):
+    # every published rule exercised by a doc built to trip exactly it
+    from apmbackend_spark.operators.textstats import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and it came to rest "
+        "with all of its might have been better words here to make this "
+        "document long enough to clear the gopher minimum word count rule "
+        "which needs fifty words total so here are some more filler words "
+        "about nothing in particular to be sure"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "too short"),
+            (2, good + " " + "#" * 40),
+            (3, "\n".join(["- bullet line the be to of and that have"] * 10)
+                + " " + good),
+            (4, good.replace("the", "supercalifragilistic")),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert rows[0]["keep"] and rows[0]["reasons"] == ""
+    assert "too_few_words" in rows[1]["reasons"]
+    assert "symbol_ratio" in rows[2]["reasons"]
+    assert "bullet_lines" in rows[3]["reasons"]
+    # replacing every 'the' with a 13-char word pushes mean length AND
+    # drops a required stopword
+    assert rows[4]["stop_hits"] < rows[0]["stop_hits"]
+    # signals are the documented exact divisions
+    assert rows[0]["n_words"] >= 50
+    assert 3.0 <= rows[0]["mean_word_len"] <= 10.0
