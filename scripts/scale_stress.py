@@ -791,6 +791,9 @@ def main() -> None:
             from apmbackend_spark.operators import langid as lid
 
             t.timed("ccnet_buckets", lambda: lid.ccnet_buckets(docs))
+            from apmbackend_spark.operators import textstats as ts
+
+            t.timed("gopher_rules", lambda: ts.gopher_rules(docs))
             return t.out
 
         from apmbackend_spark.sources.loaders import spread as _spread
