@@ -217,8 +217,9 @@ def _q_alert_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Full F1-F6 pipeline incl. recursive debounce + cooldown — rows-only
-    # driver check; trace semantics unit-tested in tests/test_alerts.py.
+    # Full F1-F6 pipeline incl. recursive debounce + cooldown — hash-graded
+    # via the recursive-CTE oracle (since r3); also unit-tested in
+    # tests/test_alerts.py.
     return al.alert_pipeline(_fs(spark, sf_dir), ALERT_CFG)
 
 

@@ -693,7 +693,12 @@ def semantic_dedup(
     probe_l1: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
-    literature): cluster the embeddings, compare pairs ONLY within a
+    literature). EAGER AT PLAN-BUILD TIME: constructing the frame runs
+    the coarse assignment (localCheckpoint + a bounded-scalar list-size
+    rollup for the skew guard) before returning — unlike the module's
+    otherwise lazy-by-construction operators.
+
+    Clusters the embeddings, compares pairs ONLY within a
     cluster, and from every semantic-duplicate neighborhood keep the
     example FARTHEST from its cluster centroid (the paper's best-performing
     keep policy — the most atypical member carries the most information).

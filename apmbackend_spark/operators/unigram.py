@@ -61,6 +61,14 @@ from .selection import _with_log2fix, log2fix_sql
 
 UNI_MAXPIECE = 4
 UNI_MAXWORD = 12
+# The DuckDB oracle packs (i, j) into mod-17 fields, the tie rule into a
+# `16 - j` term, and positions into 32-wide slots — widths valid only while
+# the constants stay under them. Fail loudly on a bump instead of silently
+# corrupting the packed cross-engine comparison.
+assert UNI_MAXWORD < 16 and UNI_MAXPIECE < 17, (
+    "oracle bit-packing (mod-17 i/j fields, 16-j tie term, 32-wide "
+    "positions) requires UNI_MAXWORD < 16 and UNI_MAXPIECE < 17"
+)
 UNI_SEED = 80
 UNI_KEEP = 40
 NEG_INF = -(1 << 50)

@@ -195,7 +195,7 @@ def tar_shard_ingest_oracle_sql(shard_size: int = SHARD_SIZE) -> str:
     return f"""
 SELECT doc_id // {int(shard_size)} AS shard_id,
        format('{{:08d}}', doc_id) || '.txt' AS member_name,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       {hash64_sql('text')} AS text_fp
+       CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+       {hash64_sql("COALESCE(text, '')")} AS text_fp
 FROM documents
 """
