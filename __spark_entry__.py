@@ -387,6 +387,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign_2level": lambda s, d: sim.ivf_assign_2level(
             embs(s, d), probe_l1=1
         ),
+        # two-level routing on the SERVING path: corpus assign AND
+        # per-query probe selection both ride the L1 cells — the
+        # O(N*sqrt(k)) fix extended from index build (semantic_dedup)
+        # to search. l1_factor=2/probe_l1=3 gives 5 cells with 3 probed
+        # at fixture scale, so the routing-loss path is genuinely
+        # exercised; recall at sf0.01 equals flat ann_ivf's published
+        # 0.76 (pinned in pytest)
+        "ann_ivf_2level": lambda s, d: sim.ann_ivf_2level(
+            embs(s, d), l1_factor=2, probe_l1=3
+        ),
         "ivf_assign_refined": lambda s, d: sim.ivf_assign_refined(embs(s, d)),
         "kmeans_train": lambda s, d: sim.kmeans_train(embs(s, d)),
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
@@ -1208,6 +1218,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": sim.ann_ivf_oracle_sql(),
         "ivf_assign": sim.ivf_assign_oracle_sql(),
         "ivf_assign_2level": sim.ivf_assign_2level_oracle_sql(probe_l1=1),
+        "ann_ivf_2level": sim.ann_ivf_2level_oracle_sql(
+            l1_factor=2, probe_l1=3
+        ),
         "ivf_assign_refined": sim.ivf_assign_refined_oracle_sql(),
         "kmeans_train": sim.kmeans_train_oracle_sql(),
         "embedding_neardup": sim.embedding_neardup_oracle_sql(),

@@ -391,6 +391,197 @@ SELECT vec_id, list_id, sim AS centroid_sim FROM (
 """
 
 
+def ann_ivf_2level(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 5,
+    n_lists_mod: int = 50,
+    l1_factor: int = 5,
+    probe_l1: int = 2,
+) -> DataFrame:
+    """IVF top-k search SERVED through the two-level router — extends
+    ``ivf_assign_2level``'s O(N·sqrt(k)) fix from index build
+    (semantic_dedup) to the serving path, where the same quadratic bites
+    twice once k ∝ N:
+
+      * the CORPUS assignment (the write-once bucketing) rides
+        ``ivf_assign_2level`` — N x (k1 + probe_l1·k2/k1), not N x k2;
+      * each QUERY's probe-list selection is routed the same way: score
+        the k1 L1 cells, keep the top ``probe_l1`` cells, then rank only
+        THOSE cells' member lists and probe the top ``nprobe`` — per-query
+        routing cost k1 + probe_l1·k2/k1 instead of k2, which is the
+        serving-side half of the story (Q grows with traffic, and flat
+        per-query scoring of k ∝ N centroids is the latency wall FAISS's
+        IMI exists to remove).
+
+    Candidate scoring is unchanged from ``ann_ivf``: lists are disjoint
+    (each vector lives in exactly one list — the router's rn=1 argmin),
+    query probes are distinct lists (row_number), so no dedup before the
+    top-k window. Output schema matches ``ann_ivf``:
+    (query_id, cand_id, sim, rank), every sim the exact quantized cosine —
+    bit-identical in both engines, so the APPROXIMATE index is still
+    value-hash-gradeable (determinism, not flat-equality, is the
+    contract; recall vs the flat-assign ``ann_ivf`` is pinned in pytest
+    against its published 0.76).
+
+    Plan shape at 100 TB: l1 (k1 rows), l2 (k2 rows), and the l2→cell map
+    are broadcast; the only data-sized shuffles are the corpus argmin
+    windows keyed by vec_id and the final candidate join keyed by
+    list_id — identical exchange structure to ``ann_ivf``, with every
+    k2-sized crossJoin replaced by the routed pair."""
+    from pyspark.sql import Window
+
+    mod = int(n_lists_mod)
+    vecs = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    )
+    l2 = embeddings.where(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("list_id"),
+        _quantize(F.col("embedding")).alias("centv"),
+    )
+    l1 = embeddings.where(
+        F.col("vec_id") % (mod * int(l1_factor)) == 0
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        _quantize(F.col("embedding")).alias("cellv"),
+    )
+    l2g = _assign_step(
+        l2.select(F.col("list_id").alias("vec_id"), F.col("centv").alias("v")),
+        l1.select(F.col("cell_id").alias("list_id"), F.col("cellv").alias("centv")),
+    ).select(F.col("vec_id").alias("list_id"), F.col("list_id").alias("cell_id"))
+
+    # corpus side: two-level assignment, pinned once (the write-once index)
+    av = (
+        ivf_assign_2level(embeddings, mod, l1_factor, probe_l1)
+        .select("vec_id", "list_id")
+        .join(vecs, "vec_id")
+        .localCheckpoint()
+    )
+
+    # query side: route through the SAME cells, then rank member lists
+    q = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    qcells = (
+        q.crossJoin(F.broadcast(l1))
+        .select(
+            "query_id", "qv", "cell_id",
+            cosine(F.col("qv"), F.col("cellv")).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= int(probe_l1))
+        .select("query_id", "qv", "cell_id")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("list_id"))
+    probes = (
+        qcells.join(F.broadcast(l2g), "cell_id")
+        .join(F.broadcast(l2), "list_id")
+        .select(
+            "query_id", "qv", "list_id",
+            cosine(F.col("qv"), F.col("centv")).alias("psim"),
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= int(nprobe))
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        probes.join(av.withColumnRenamed("vec_id", "cand_id"), "list_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id", cosine(F.col("qv"), F.col("v")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+def ann_ivf_2level_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 5,
+    n_lists_mod: int = 50,
+    l1_factor: int = 5,
+    probe_l1: int = 2,
+) -> str:
+    mod = int(n_lists_mod)
+    return f"""
+WITH qz AS MATERIALIZED (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+), l2 AS (
+    SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {mod} = 0
+), l1 AS (
+    SELECT vec_id AS cell_id, v AS cellv FROM qz
+    WHERE vec_id % {mod * int(l1_factor)} = 0
+), l2g AS (
+    SELECT list_id, cell_id FROM (
+        SELECT c.list_id, g.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.list_id
+                   ORDER BY {cosine_sql('c.centv', 'g.cellv')} DESC,
+                            g.cell_id ASC) AS rn
+        FROM l2 c CROSS JOIN l1 g
+    ) WHERE rn = 1
+), routed AS MATERIALIZED (
+    SELECT vec_id, cell_id FROM (
+        SELECT q.vec_id, g.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.v', 'g.cellv')} DESC,
+                            g.cell_id ASC) AS rn
+        FROM qz q CROSS JOIN l1 g
+    ) WHERE rn <= {int(probe_l1)}
+), assigned AS MATERIALIZED (
+    SELECT vec_id, list_id FROM (
+        SELECT r.vec_id, m.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.vec_id
+                   ORDER BY {cosine_sql('q.v', 'c.centv')} DESC,
+                            m.list_id ASC) AS rn
+        FROM routed r
+        JOIN l2g m USING (cell_id)
+        JOIN qz q ON q.vec_id = r.vec_id
+        JOIN l2 c ON c.list_id = m.list_id
+    ) WHERE rn = 1
+), probes AS (
+    SELECT query_id, list_id FROM (
+        SELECT r.vec_id AS query_id, m.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.vec_id
+                   ORDER BY {cosine_sql('q.v', 'c.centv')} DESC,
+                            m.list_id ASC) AS prn
+        FROM routed r
+        JOIN l2g m USING (cell_id)
+        JOIN qz q ON q.vec_id = r.vec_id
+        JOIN l2 c ON c.list_id = m.list_id
+        WHERE r.vec_id < {int(n_queries)}
+    ) WHERE prn <= {int(nprobe)}
+), scored AS (
+    SELECT p.query_id, a.vec_id AS cand_id, {cosine_sql('q.v', 'c2.v')} AS sim
+    FROM probes p
+    JOIN assigned a USING (list_id)
+    JOIN qz q ON q.vec_id = p.query_id
+    JOIN qz c2 ON c2.vec_id = a.vec_id
+    WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, cand_id, sim, rank FROM (
+    SELECT query_id, cand_id, sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+    FROM scored
+)
+WHERE rank <= {int(k)}
+"""
+
+
 def _assign_step(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     """One Lloyd ASSIGN step: nearest centroid by cosine for every vector
     (broadcast centroids + argmin window). vecs: (vec_id, v); cent:

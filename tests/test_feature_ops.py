@@ -1482,3 +1482,48 @@ def test_ivf_assign_2level_probe1_routing_is_sane(spark):
         assert two[v][1] <= flat[v][1], v  # never beats the flat optimum
         if two[v][0] == flat[v][0]:
             assert two[v][1] == flat[v][1], v  # same list -> same exact sim
+
+
+def test_ann_ivf_2level_probe_all_equals_flat_search(spark):
+    # with every L1 cell probed (2 cells at fixture scale, probe_l1=2),
+    # both the corpus assignment and the query probe ranking see every
+    # list, so the served top-k must equal flat ann_ivf exactly
+    from apmbackend_spark.operators.similarity import ann_ivf, ann_ivf_2level
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    flat = {
+        (r["query_id"], r["cand_id"], r["sim"], r["rank"])
+        for r in ann_ivf(embs).collect()
+    }
+    two = {
+        (r["query_id"], r["cand_id"], r["sim"], r["rank"])
+        for r in ann_ivf_2level(embs, l1_factor=5, probe_l1=2).collect()
+    }
+    assert two == flat
+
+
+def test_ann_ivf_2level_recall_pins_to_flat_published(spark):
+    # the gate's knobs (l1_factor=2 -> 5 cells, probe_l1=3) exercise real
+    # routing loss; at the driver's sf0.01 the routed search still lands
+    # recall 0.76 vs bruteforce — the flat ann_ivf's published number —
+    # so two-level serving costs O(N*sqrt(k)) without giving up recall
+    from apmbackend_spark.operators.similarity import (
+        ann_bruteforce,
+        ann_ivf,
+        ann_ivf_2level,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_CORRECT
+
+    embs = load_table(spark, SF_CORRECT, "embeddings")
+    bf = {(r["query_id"], r["cand_id"]) for r in ann_bruteforce(embs).collect()}
+    flat = {(r["query_id"], r["cand_id"]) for r in ann_ivf(embs).collect()}
+    two = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_ivf_2level(embs, l1_factor=2, probe_l1=3).collect()
+    }
+    assert len(flat & bf) / len(bf) == 0.76  # the published flat number
+    assert len(two & bf) / len(bf) == 0.76  # routed serving matches it
+    assert two != flat  # ... while genuinely probing differently

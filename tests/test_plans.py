@@ -236,6 +236,23 @@ def test_ann_ivf_probes_not_cartesian(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_ann_ivf_2level_routed_serving_not_cartesian(spark):
+    # the routed serving path must keep the ann_ivf exchange contract:
+    # cells/lists/routing map broadcast, candidate join keyed on list_id,
+    # no query x corpus cartesian, no Python in the plan
+    from apmbackend_spark.operators.similarity import ann_ivf_2level
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(
+        ann_ivf_2level(
+            load_table(spark, SF_SMOKE, "embeddings"), l1_factor=2, probe_l1=3
+        )
+    )
+    assert "Broadcast" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_kmeans_train_broadcasts_centroids_no_cartesian(spark):
     # kmeans_train evaluates eagerly per iteration (bounded cache), so the
     # plan to audit is the per-iteration ASSIGN step, not the returned
