@@ -304,10 +304,13 @@ def _q_topology_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_topology_broker(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The tx -> calc_stats boundary riding the REAL TCP broker with a
-    # mid-stream consumer crash + redelivery (queue.js's at-least-once
-    # contract composed INSIDE the pipeline); graded against the same
-    # fs-stage oracle shape as stream_topology, at a 12 h slice.
+    # ALL FOUR queue boundaries (transactions -> stats -> z_score ->
+    # db_insert) riding the REAL TCP broker, each with a mid-stream
+    # consumer crash + redelivery (queue.js's at-least-once contract
+    # composed INSIDE the pipeline, the reference's full queue map);
+    # graded frame = the decoded db_insert spool (AlertEntries with the
+    # triggering fs entry's lag + metrics recovered from the embedded
+    # escaped entry), at a 12 h slice.
     return topo.topology_broker_gate(
         spark,
         sf_dir,
@@ -1382,11 +1385,36 @@ FROM tx
         # end <= final watermark (max event time - delay), a pure function
         # of the data; the fs stage replays zscore_step arithmetic.
         "stream_topology": stream_topo_sql,
-        # The broker-composed topology: identical fs computation at a 12 h
-        # slice — the hash matches IFF the broker redelivered exactly the
-        # crashed consumer's unacked set (a dropped or duplicated message
-        # shifts the window stats and every z-score after them).
-        "topology_broker": _topo_fs_sql(topo.TOPO_BROKER_SLICE_MS),
+        # The broker-composed topology, graded at the END of the full
+        # four-queue map: identical fs computation at a 12 h slice, the
+        # insert-queue wire quantization (fs_q), then the F1-F6 alert
+        # recursion over the quantized frame, then the AlertEntry's
+        # embedded-entry metrics re-joined from fs_q — the hash matches
+        # IFF all four redeliveries returned exactly their unacked
+        # complements (a dropped or duplicated message on any queue
+        # shifts the window stats, the debounce series, or the alert
+        # set) AND the streaming alert recursion equals the batch
+        # recurrence.
+        "topology_broker": (
+            "WITH RECURSIVE fs_q AS MATERIALIZED ("
+            + qu.fs_wire_oracle_select(
+                f"({_topo_fs_sql(topo.TOPO_BROKER_SLICE_MS)}) AS fs_sink"
+            )
+            + ")"
+            + al.alert_pipeline_oracle_ctes(
+                topo.TOPO_BROKER_ALERT_CFG, fs_cte="fs_q"
+            )
+            + f""", al_rows AS ({al.ALERT_PIPELINE_FINAL_SELECT})
+SELECT a.alerttimestamp, a.entrytimestamp, a.server, a.service, a.cause,
+       a.lag,
+       q.tpm AS e_tpm, q.average AS e_average,
+       q.per75 AS e_per75, q.per95 AS e_per95
+FROM al_rows a
+JOIN fs_q q
+  ON q.timestamp = a.entrytimestamp AND q.server = a.server
+ AND q.service = a.service AND q.lag = a.lag
+"""
+        ),
         # The wire-threaded topology: identical fs computation (the st
         # boundary codec is lossless for the integer-valued stats), then
         # the fs insert-queue encode->decode quantization on the sink.

@@ -177,10 +177,31 @@ def _cause_expr_sql(cfg: AlertConfig, hard_max: str) -> str:
     return f"COALESCE(array_to_string({cause_arr}, ','), '')"
 
 
+# Tail select shared by alert_pipeline_oracle_sql and composers that need
+# the alert rows as a subquery (the broker topology joins entry metrics on).
+ALERT_PIPELINE_FINAL_SELECT = """
+SELECT l.tss[k.i] AS alerttimestamp,
+       l.tss[k.i] AS entrytimestamp,
+       l.svs[k.i] AS server,
+       k.service AS service,
+       l.lgs[k.i] AS lag,
+       l.css[k.i] AS cause
+FROM keepscan k JOIN trig_lists l USING (service)
+WHERE k.keep
+"""
+
+
 def alert_pipeline_oracle_sql(cfg: AlertConfig, fs_cte: str = "fs") -> str:
+    """CTE fragment + final select — see alert_pipeline_oracle_ctes."""
+    return alert_pipeline_oracle_ctes(cfg, fs_cte) + ALERT_PIPELINE_FINAL_SELECT
+
+
+def alert_pipeline_oracle_ctes(cfg: AlertConfig, fs_cte: str = "fs") -> str:
     """DuckDB twin of `alert_pipeline` (F1-F6 incl. the RECURSIVE debounce
     counter and cooldown registry), over an `fs` CTE with zscore output
-    columns. The assembled query must start WITH RECURSIVE.
+    columns: the CTE fragment through ``keepscan`` (append
+    ``ALERT_PIPELINE_FINAL_SELECT``, or wrap it, to read the alert rows).
+    The assembled query must start WITH RECURSIVE.
 
     The debounce counter (stream_process_alerts.js:358-391) is a two-sided
     clamped walk — +1 on firing intervals while counter <= window_size, -1
@@ -267,14 +288,6 @@ def alert_pipeline_oracle_sql(cfg: AlertConfig, fs_cte: str = "fs") -> str:
     FROM keepscan k JOIN trig_lists l USING (service)
     WHERE k.i < len(l.tss)
 )
-SELECT l.tss[k.i] AS alerttimestamp,
-       l.tss[k.i] AS entrytimestamp,
-       l.svs[k.i] AS server,
-       k.service AS service,
-       l.lgs[k.i] AS lag,
-       l.css[k.i] AS cause
-FROM keepscan k JOIN trig_lists l USING (service)
-WHERE k.keep
 """
 
 

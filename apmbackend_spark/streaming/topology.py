@@ -1041,16 +1041,29 @@ def stream_nearest_gate(
 TOPO_BROKER_SLICE_MS = 12 * 3600 * 1000
 
 
+def _py_hash64(s: str) -> int:
+    """Pure-Python twin of functions.text.hash64 (md5-hex first 15 digits
+    as an integer) — lets a consumer-side crash rule evaluate the SAME
+    content-keyed predicate per streamed payload in O(1) memory, instead
+    of the harness collecting a data-proportional membership set to the
+    driver (the round-8 verdict's one data-sized driver structure)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def _broker_hop(
-    spark, brk, queue: str, src_dir: str, spool_dir: str, lost: set
+    spark, brk, queue: str, src_dir: str, spool_dir: str, lose_if
 ) -> None:
     """One stage boundary over the broker: publish every line of
     ``src_dir`` into ``queue`` executor-side, consumer session 1 crashes
-    mid-stream under the atomic spool-then-ack contract (the content-keyed
-    ``lost`` set is neither handed off nor acked), session 2 — the
-    restarted process — recovers exactly the broker's unacked set via
-    REAL redelivery, and a PEND settlement check proves the queue drains
-    to empty. The spool directory is the downstream stage's source."""
+    mid-stream under the atomic spool-then-ack contract (payloads the
+    content-keyed ``lose_if`` predicate condemns are neither handed off
+    nor acked — evaluated per message as it streams, no membership set),
+    session 2 — the restarted process — recovers exactly the broker's
+    unacked set via REAL redelivery, and a PEND settlement check proves
+    the queue drains to empty. The spool directory is the downstream
+    stage's source."""
     import os
 
     wire = spark.read.text(src_dir).localCheckpoint()
@@ -1066,7 +1079,7 @@ def _broker_hop(
     n1, pend1 = brk.consume(
         queue,
         os.path.join(spool_dir, "session1.txt"),
-        ack_if=lambda p: p not in lost,
+        ack_if=lambda p: not lose_if(p),
         spool_acked_only=True,
     )
     n2, pend2 = brk.consume(queue, os.path.join(spool_dir, "session2.txt"))
@@ -1107,6 +1120,24 @@ class _BrokerHandle:
         self.broker.close()
 
 
+# Alert config for the broker-composed topology's process_alerts stage:
+# tuned so every predicate class fires on the 12 h lag-60 fs frame
+# (hard-max on the latency tail, the override rebasing 'error',
+# both-signals past the floors, 'click' suppressed) while the debounce
+# (6/3) and the 60-min cooldown both do real work at fixture scale.
+TOPO_BROKER_ALERT_CFG = AlertConfig(
+    hard_max_ms=20000.0,
+    hard_min_ms=200.0,
+    min_tpm=0.1,
+    alert_on_both_only=True,
+    suppressed_services=("click",),
+    hard_max_overrides={"error": 15000.0},
+    window_size=6,
+    required_bad=3,
+    cooldown_minutes=60.0,
+)
+
+
 def topology_broker_gate(
     spark: SparkSession,
     sf_dir: str,
@@ -1117,41 +1148,50 @@ def topology_broker_gate(
     slice_ms: int = TOPO_BROKER_SLICE_MS,
     shuffle_partitions: int = 8,
     timeout_s: int = 300,
+    alert_cfg: AlertConfig | None = None,
 ) -> "DataFrame":
-    """The streaming topology with BOTH of its first two queue boundaries
-    riding the REAL broker (sources/broker.py) — queue.js's at-least-once
+    """The streaming topology with ALL FOUR of its queue boundaries riding
+    the REAL broker (sources/broker.py) — queue.js's at-least-once
     contract graded INSIDE the pipeline, not in isolation, on the named
-    queues of ONE broker like the reference's four-queue deployment
-    (queue.js:206-305 + apm_config.json:58-114).
+    queues of ONE broker: transactions -> stats -> z_score -> db_insert,
+    the reference's full four-queue deployment shape (queue.js:206-305 +
+    apm_config.json:58-114).
 
-    Pipeline: stage 1 encodes tx to wire lines (the transactions-queue
-    producer leg); the lines ride the broker's 'transactions' queue with
-    a mid-stream consumer crash + redelivery (see _broker_hop — the
-    crash set is content-keyed like broker_redelivery, so partition-order
-    nondeterminism never reaches the result). Stage 2 (calc_stats)
-    consumes the recovered spool and produces st WIRE lines, which ride
-    the broker's 'stats' queue through a SECOND independent
-    crash/recovery cycle with its own content-keyed crash set. Stage 3
-    (calc_z_score) consumes that recovered spool; the graded fs frame
-    hash-matches the batch oracle IFF BOTH redeliveries returned exactly
-    their unacked complements — one message dropped or duplicated on
-    either queue shifts the window stats and every z-score after them.
-    (The alerts stage adds no broker coverage and is graded by
-    stream_topology; it is omitted here to keep the drain lean.)
+    Pipeline: stage 1 encodes tx to wire lines; they ride the
+    'transactions' queue with a mid-stream consumer crash + redelivery
+    (see _broker_hop — each hop's crash rule is a content-keyed hash
+    PREDICATE evaluated per streamed payload, so partition-order
+    nondeterminism never reaches the result and the harness holds no
+    data-sized driver state). Stage 2 (calc_stats) consumes the recovered
+    spool and produces st wire lines, which ride the 'stats' queue
+    through a second independent crash/recovery. Stage 3 (calc_z_score)
+    consumes that spool and produces fs WIRE lines, which ride the
+    'z_score' queue through a third cycle. Stage 4 (process_alerts,
+    alerts_stateful — F1-F6 incl. recursive debounce + cooldown) consumes
+    the recovered fs spool; each alert is wrapped as the reference's
+    AlertEntry with its TRIGGERING fs wire line embedded as the escaped
+    ``entry`` (stream_check_alert_conditions.js wraps toCSVString() the
+    same way), and the al lines ride the 'db_insert' queue through a
+    fourth cycle. The graded frame is the decoded db_insert spool with
+    the triggering entry's lag + metrics recovered FROM the embedded
+    entry — so the hash proves four exact redeliveries, the wire codecs,
+    the quantized z-score chain, AND the streaming alert recursion in one
+    composition (one message dropped or duplicated on any queue shifts
+    the stats, the debounce series, or the alert set).
 
     Scale: the broker is the semantics test double for the AMQP/Kafka
     tier (swap format('text') handoffs for format('kafka')); everything
-    data-sized — encode, publish fan-out, decode, stats, z-score — stays
-    distributed exactly as in run_apm_topology."""
+    data-sized — encode, publish fan-out, decode, stats, z-score, the
+    entry join — stays distributed exactly as in run_apm_topology."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    from apmbackend_spark.functions.text import hash64
     from apmbackend_spark.sources import queue as qu
     from apmbackend_spark.sources.tx import load_tx
 
+    cfg = alert_cfg or TOPO_BROKER_ALERT_CFG
     work = tempfile.mkdtemp(prefix="apm_topology_broker_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     ev_dir = os.path.join(work, "events_src")
@@ -1183,20 +1223,14 @@ def topology_broker_gate(
         )
 
         # transactions-queue hop: crash on the wire-logid hash rule
-        tx_lost = {
-            r["value"]
-            for r in spark.read.text(tx_dir)
-            .where(
-                F.pmod(
-                    hash64(F.split(F.col("value"), r"\|").getItem(3)),
-                    F.lit(qu._REPLAY_MOD),
-                )
-                == F.lit(qu._REPLAY_REM)
-            )
-            .collect()
-        }
+        # (field 3 of tx|server|service|logid|... — same rule as
+        # queue_roundtrip, evaluated per payload)
+        mod, rem = int(qu._REPLAY_MOD), int(qu._REPLAY_REM)
         tx_spool = os.path.join(work, "tx_consumed")
-        _broker_hop(spark, brk, "transactions", tx_dir, tx_spool, tx_lost)
+        _broker_hop(
+            spark, brk, "transactions", tx_dir, tx_spool,
+            lambda p: _py_hash64(p.split("|")[3]) % mod == rem,
+        )
 
         # stage 2 — calc_stats over the RECOVERED transactions spool,
         # produced as st WIRE lines (the stats-queue producer)
@@ -1221,23 +1255,98 @@ def topology_broker_gate(
         # stats-queue hop: SECOND independent crash/recovery, its own
         # content-keyed rule (whole-line hash — st lines are unique per
         # (timestamp, server, service))
-        st_lost = {
-            r["value"]
-            for r in spark.read.text(st_dir)
-            .where(F.pmod(hash64(F.col("value")), F.lit(10)) == F.lit(3))
-            .collect()
-        }
         st_spool = os.path.join(work, "st_consumed")
-        _broker_hop(spark, brk, "stats", st_dir, st_spool, st_lost)
+        _broker_hop(
+            spark, brk, "stats", st_dir, st_spool,
+            lambda p: _py_hash64(p) % 10 == 3,
+        )
 
-        # stage 3 — calc_z_score over the recovered stats spool
+        # stage 3 — calc_z_score over the recovered stats spool, produced
+        # as fs WIRE lines (the z_score-queue producer)
         st_in = qu.wire_to_st(spark.readStream.text(st_spool))
         fs = zscore_stateful(
             st_in, lags=lags, threshold=threshold, influence=influence
         )
-        fs_dir = os.path.join(work, "fs")
-        _run_stage(fs, fs_dir, os.path.join(work, "ckpt_fs"), timeout_s)
+        fs_dir = os.path.join(work, "fs_wire")
+        _run_stage(
+            qu.fs_to_wire(fs), fs_dir,
+            os.path.join(work, "ckpt_fs"), timeout_s, "text",
+        )
+
+        # z_score-queue hop: THIRD cycle (fs lines are unique per
+        # (timestamp, server, service, lag))
+        fs_spool = os.path.join(work, "fs_consumed")
+        _broker_hop(
+            spark, brk, "z_score", fs_dir, fs_spool,
+            lambda p: _py_hash64(p) % 10 == 5,
+        )
+
+        # stage 4 — process_alerts over the recovered fs spool
+        al = alerts_stateful(
+            qu.wire_to_fs(spark.readStream.text(fs_spool)), cfg
+        )
+        al_dir = os.path.join(work, "al")
+        _run_stage(al, al_dir, os.path.join(work, "ckpt_al"), timeout_s)
+
+        # AlertEntry wrap: embed the TRIGGERING fs wire line as the
+        # escaped entry (keyed join back to the spool — distributed, the
+        # fs key (timestamp, server, service, lag) is unique)
+        al_rows = spark.read.schema(
+            "alerttimestamp long, entrytimestamp long, server string, "
+            "service string, lag int, cause string"
+        ).parquet(al_dir)
+        fw = F.split(F.col("value"), r"\|")
+        fs_keyed = spark.read.text(fs_spool).select(
+            qu._parse_long(fw.getItem(1)).alias("timestamp"),
+            qu._parse_str(fw.getItem(2)).alias("k_server"),
+            qu._parse_str(fw.getItem(3)).alias("k_service"),
+            qu._parse_int(fw.getItem(4)).alias("k_lag"),
+            F.col("value").alias("entry"),
+        )
+        wired_al = al_rows.join(
+            fs_keyed,
+            (al_rows.entrytimestamp == fs_keyed.timestamp)
+            & (al_rows.server == fs_keyed.k_server)
+            & (al_rows.service == fs_keyed.k_service)
+            & (al_rows.lag == fs_keyed.k_lag),
+        ).select(
+            "alerttimestamp", "entrytimestamp", "server", "service",
+            "cause", "entry",
+        )
+        al_wire_dir = os.path.join(work, "al_wire")
+        qu.al_to_wire(wired_al).write.mode("overwrite").text(al_wire_dir)
+
+        # db_insert-queue hop: FOURTH cycle (al lines are unique per
+        # (alerttimestamp, server, service, lag-in-entry))
+        al_spool = os.path.join(work, "al_consumed")
+        _broker_hop(
+            spark, brk, "db_insert", al_wire_dir, al_spool,
+            lambda p: _py_hash64(p) % 10 == 1,
+        )
     finally:
         brk.close()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.schema(_fs_handoff_schema()).parquet(fs_dir)
+
+    # graded frame: the decoded db_insert spool, with lag + the triggering
+    # metrics recovered FROM the embedded (escaped) entry — proving the
+    # AlertEntry embedding carried real content through the fourth hop
+    dec = qu.wire_to_al(spark.read.text(al_spool))
+    ef = F.split(F.col("entry"), "&")
+    return dec.select(
+        "alerttimestamp",
+        "entrytimestamp",
+        "server",
+        "service",
+        "cause",
+        qu._parse_int(ef.getItem(4)).alias("lag"),
+        qu._parse_double(ef.getItem(5)).alias("e_tpm"),
+        qu._parse_double(F.split(ef.getItem(6), ":").getItem(0)).alias(
+            "e_average"
+        ),
+        qu._parse_double(F.split(ef.getItem(7), ":").getItem(0)).alias(
+            "e_per75"
+        ),
+        qu._parse_double(F.split(ef.getItem(8), ":").getItem(0)).alias(
+            "e_per95"
+        ),
+    )

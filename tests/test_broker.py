@@ -199,3 +199,28 @@ def test_broker_named_queues_are_isolated(tmp_path):
         assert (n2, pend2) == (1, 0)
     finally:
         b.close()
+
+
+def test_py_hash64_matches_spark_hash64(spark):
+    # the broker hops' crash rules evaluate _py_hash64 per streamed
+    # payload; it must agree with the JVM-side md5 hash on every payload
+    # shape the wire carries (pipes, colons, '&'-escapes, unicode)
+    from pyspark.sql import functions as F
+
+    from apmbackend_spark.functions.text import hash64
+    from apmbackend_spark.streaming.topology import _py_hash64
+
+    samples = [
+        "tx|web-1|login|L123|9|1578400802669|1578400802869|200|svc",
+        "st|1578400800000|web-1|login|12.50|210.0|250.0|400.0",
+        "fs|1578400800000|web-1|login|60|12.50|210.0:200.0:1.0:2.0:1",
+        "al|1|2|s|svc|hardmax_avg|fs&1&s&svc&60",
+        "", " ", "undefined", "naïve-unicode-ü", "a|b&c:d,e",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "value string")
+    got = {
+        r["value"]: r["h"]
+        for r in df.select("value", hash64(F.col("value")).alias("h")).collect()
+    }
+    for s in samples:
+        assert _py_hash64(s) == got[s], s
