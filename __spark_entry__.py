@@ -431,7 +431,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ...and the trained model applied: per-doc piece counts,
         # fertility, and an order-free modular piece-stream hash (the
         # SEGMENTATIONS are graded, not just their sizes)
-        "unigram_encode": lambda s, d: uni.unigram_encode(docs(s, d)),
+        # the fallback probe injects deterministic >UNI_MAXWORD words
+        # in-plan (fixture max word len is 8), so the byte/char fallback
+        # tier's segmentations are graded doing real work
+        "unigram_encode": lambda s, d: uni.unigram_encode(
+            uni.with_fallback_probe(docs(s, d))
+        ),
         # mapInPandas decode plumbing (stubbed codecs); the stub is
         # deterministic, so even feature_norm is oracle-checked.
         "media_features": lambda s, d: mm.extract_features(
@@ -1243,7 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "tar_shard_ingest": tarsrc.tar_shard_ingest_oracle_sql(),
         "weighted_sample": dsel.weighted_sample_oracle_sql(),
         "unigram_train": uni.unigram_train_oracle_sql(),
-        "unigram_encode": uni.unigram_encode_oracle_sql(),
+        "unigram_encode": uni.unigram_encode_oracle_sql(fallback_probe=True),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("
         + zf.TX_SLICED_SQL

@@ -7,9 +7,10 @@ E-steps use the single best segmentation, a standard approximation that
 keeps every count an integer):
   * pretokens: the shared word tokenizer, DISTINCT words with corpus
     frequencies (the Sennrich weighting the BPE trainer uses), length
-    capped at ``UNI_MAXWORD`` (longer words fall back to the byte/char
-    tier in production; here they are excluded from segmentation and
-    accounted separately by the encoder);
+    capped at ``UNI_MAXWORD`` (longer words never enter training; the
+    encoder segments them through the byte/char FALLBACK tier — each
+    over-long word becomes its single-char pieces, graded as
+    fb_pieces/fb_hash);
   * seed vocab: every substring of length 1..``UNI_MAXPIECE`` weighted by
     pretoken frequency — all single chars (coverage guarantee) plus the
     top ``UNI_SEED`` longer substrings;
@@ -249,12 +250,37 @@ def unigram_train(documents: DataFrame) -> DataFrame:
     )
 
 
+def with_fallback_probe(documents: DataFrame) -> DataFrame:
+    """The fixture corpus has no word longer than 8 chars, so the gate
+    injects deterministic >UNI_MAXWORD words IN-PLAN (the pii_scrub
+    synthesis trick): every 7th doc gains one shared long word and one
+    per-doc-unique one. The byte/char fallback tier is graded doing real
+    work, while TRAINING is untouched — pretokens are length-capped
+    before seeding, so the probes never reach the Viterbi tier."""
+    probe = F.concat(
+        F.col("text"),
+        F.lit(" internationalization fallbackprobe"),
+        F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0"),
+    )
+    return documents.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, probe).otherwise(F.col("text")),
+    )
+
+
 def unigram_encode(documents: DataFrame) -> DataFrame:
-    """(doc_id, n_words, n_enc_words, n_pieces, piece_hash, fertility):
-    the trained model applied back to the corpus — per doc, total words,
-    segmentable words, total pieces, an order-free modular piece-stream
-    hash (so the SEGMENTATIONS are graded, not just their sizes), and
-    pieces-per-word fertility (the tokenizer-quality headline number)."""
+    """(doc_id, n_words, n_enc_words, n_pieces, piece_hash, fertility,
+    fb_pieces, fb_hash): the trained model applied back to the corpus —
+    per doc, total words, segmentable words, total pieces, an order-free
+    modular piece-stream hash (so the SEGMENTATIONS are graded, not just
+    their sizes), pieces-per-word fertility over the Viterbi tier (the
+    tokenizer-quality headline number), and the BYTE/CHAR FALLBACK tier
+    made real: every word longer than ``UNI_MAXWORD`` is segmented into
+    its single-char pieces (SentencePiece's byte-fallback specialized to
+    this ASCII token alphabet, where char == byte; single-char pieces are
+    guaranteed in the vocab by the coverage rule), graded as fb_pieces
+    (total fallback pieces) and fb_hash (the same order-free piece-stream
+    hash over the fallback char streams)."""
     _, _, seg2, _ = _train_frames(documents)
     ptstats = (
         seg2.select("pt", F.explode("pieces").alias("piece"))
@@ -291,6 +317,30 @@ def unigram_encode(documents: DataFrame) -> DataFrame:
             F.sum(F.when(enc_ok, F.col("cnt") * F.col("hsum")).otherwise(0))
             .cast("long")
             .alias("piece_hash"),
+            # byte/char fallback tier: a >UNI_MAXWORD word's segmentation
+            # IS its char stream — len(pt) single-char pieces, hashed with
+            # the same order-free modular piece hash (in-row codegen fold,
+            # no vocab join needed: chars are always in-vocab)
+            F.sum(
+                F.when(~enc_ok, F.col("cnt") * F.length("pt").cast("long"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("fb_pieces"),
+            F.sum(
+                F.when(
+                    ~enc_ok,
+                    F.col("cnt")
+                    * F.expr(
+                        "aggregate(sequence(1, length(pt)), CAST(0 AS BIGINT),"
+                        " (acc, i) -> acc + CAST(conv(substring(md5("
+                        "substring(pt, i, 1)), 1, 15), 16, 10) AS BIGINT)"
+                        f" % {_HASH_MOD})"
+                    ),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fb_hash"),
         )
     )
     return documents.select("doc_id").join(per_doc, "doc_id", "left").select(
@@ -310,6 +360,10 @@ def unigram_encode(documents: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("fertility"),
+        F.coalesce(F.col("fb_pieces"), F.lit(0))
+        .cast("long")
+        .alias("fb_pieces"),
+        F.coalesce(F.col("fb_hash"), F.lit(0)).cast("long").alias("fb_hash"),
     )
 
 
@@ -368,16 +422,18 @@ def _seg_ctes(vocab_cte: str, tag: str) -> str:
 )"""
 
 
-def _train_ctes() -> str:
+def _train_ctes(docs: str = "documents") -> str:
     """The full trainer as a WITH-RECURSIVE chain (caller prepends
-    'WITH RECURSIVE' and appends the final SELECT)."""
+    'WITH RECURSIVE' and appends the final SELECT). ``docs`` names the
+    corpus source CTE/table (the fallback-probe gate passes its injected
+    twin)."""
     l_tot0 = log2fix_sql("tot + nv")
     l_cnt = log2fix_sql("cnt + 1")
     l_u = log2fix_sql("u + 1")
     return f"""
 pret AS (
     SELECT pt, CAST(COUNT(*) AS BIGINT) AS freq
-    FROM (SELECT unnest({tokens_sql('text')}) AS pt FROM documents)
+    FROM (SELECT unnest({tokens_sql('text')}) AS pt FROM {docs})
     WHERE length(pt) <= {UNI_MAXWORD}
     GROUP BY pt
 ), subs AS (
@@ -449,11 +505,24 @@ FROM v1s v LEFT JOIN u2 USING (piece)
     )
 
 
-def unigram_encode_oracle_sql() -> str:
+def unigram_encode_oracle_sql(fallback_probe: bool = False) -> str:
     h = hash64_sql("piece")
+    docs = "docs_fb" if fallback_probe else "documents"
+    probe_cte = ""
+    if fallback_probe:
+        probe_cte = f"""
+docs_fb AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' internationalization fallbackprobe'
+                     || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+                ELSE text END AS text
+    FROM documents
+), """
     return (
         "WITH RECURSIVE "
-        + _train_ctes()
+        + probe_cte
+        + _train_ctes(docs)
         + f"""
 , ptstats AS (
     SELECT pt, CAST(COUNT(*) AS BIGINT) AS n_pieces,
@@ -462,8 +531,17 @@ def unigram_encode_oracle_sql() -> str:
     GROUP BY pt
 ), dtok AS (
     SELECT doc_id, pt, CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS pt FROM documents)
+    FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS pt FROM {docs})
     GROUP BY doc_id, pt
+), fbstats AS (
+    -- byte/char fallback tier: segmentation of a >UNI_MAXWORD word is its
+    -- char stream; the order-free modular hash replays the Spark fold
+    SELECT pt,
+           CAST(list_sum(list_transform(range(1, length(pt) + 1),
+                i -> ('0x' || substr(md5(substr(pt, CAST(i AS INT), 1)),
+                                     1, 15))::BIGINT % {_HASH_MOD}))
+                AS BIGINT) AS hsum
+    FROM (SELECT DISTINCT pt FROM dtok WHERE length(pt) > {UNI_MAXWORD})
 )
 SELECT d.doc_id,
        CAST(COALESCE(SUM(t.cnt), 0) AS BIGINT) AS n_words,
@@ -483,10 +561,17 @@ SELECT d.doc_id,
                                         ELSE 0 END), 0) AS DOUBLE)
                  / CAST(SUM(CASE WHEN length(t.pt) <= {UNI_MAXWORD}
                                  THEN t.cnt ELSE 0 END) AS DOUBLE)
-            ELSE 0.0 END AS fertility
-FROM documents d
+            ELSE 0.0 END AS fertility,
+       CAST(COALESCE(SUM(CASE WHEN length(t.pt) > {UNI_MAXWORD}
+                              THEN t.cnt * length(t.pt) ELSE 0 END), 0)
+            AS BIGINT) AS fb_pieces,
+       CAST(COALESCE(SUM(CASE WHEN length(t.pt) > {UNI_MAXWORD}
+                              THEN t.cnt * f.hsum ELSE 0 END), 0)
+            AS BIGINT) AS fb_hash
+FROM {docs} d
 LEFT JOIN dtok t ON d.doc_id = t.doc_id
 LEFT JOIN ptstats p ON t.pt = p.pt
+LEFT JOIN fbstats f ON t.pt = f.pt
 GROUP BY d.doc_id
 """
     )

@@ -152,9 +152,56 @@ def test_unigram_encode_matches_python_reference(spark):
         assert r["n_pieces"] == n_pieces, i
         want_f = n_pieces / n_enc if n_enc else 0.0
         assert r["fertility"] == want_f, i
-    # the long word is counted but not segmented
+    # the long word is counted outside the Viterbi tier...
     r2 = rows[2]
     assert r2["n_words"] == r2["n_enc_words"] + 1
+    # ...and segmented by the byte/char FALLBACK tier: its pieces are its
+    # chars, hashed with the same order-free modular piece hash
+    import hashlib
+
+    word = "internationalization"
+    assert r2["fb_pieces"] == len(word)
+    want_hash = sum(
+        int(hashlib.md5(c.encode()).hexdigest()[:15], 16) % (1 << 40)
+        for c in word
+    )
+    assert r2["fb_hash"] == want_hash
+    # docs without over-long words carry an empty fallback tier
+    assert rows[0]["fb_pieces"] == 0 and rows[0]["fb_hash"] == 0
+
+
+def test_fallback_probe_feeds_only_the_fallback_tier(spark):
+    # with_fallback_probe must leave training untouched (probes exceed the
+    # pretoken length cap) and only move n_words/fb_pieces/fb_hash
+    from apmbackend_spark.operators.unigram import (
+        unigram_train,
+        with_fallback_probe,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    probed = with_fallback_probe(df)
+    plain_train = {
+        (r["piece"], r["n_used"], r["score"])
+        for r in unigram_train(df).collect()
+    }
+    probe_train = {
+        (r["piece"], r["n_used"], r["score"])
+        for r in unigram_train(probed).collect()
+    }
+    assert probe_train == plain_train
+    plain = {r["doc_id"]: r for r in unigram_encode(df).collect()}
+    got = {r["doc_id"]: r for r in unigram_encode(probed).collect()}
+    for i in plain:
+        if i % 7 == 0:
+            assert got[i]["n_words"] == plain[i]["n_words"] + 2, i
+            assert got[i]["fb_pieces"] > plain[i]["fb_pieces"], i
+        else:
+            assert got[i] == plain[i], i
+        # Viterbi-tier columns never move
+        assert got[i]["n_pieces"] == plain[i]["n_pieces"], i
+        assert got[i]["piece_hash"] == plain[i]["piece_hash"], i
 
 
 def test_viterbi_prefers_frequent_long_pieces():
