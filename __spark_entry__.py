@@ -1012,6 +1012,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet head/middle/tail thirds by the per-language LM-score
         # distribution (exact midpoint percentiles, broadcast thresholds)
         "ccnet_buckets": lambda s, d: lid.ccnet_buckets(docs(s, d)),
+        # the documented 100 TB flip graded: per-language p33/p66 from the
+        # mergeable power-of-two histogram sketch, bucket agreement vs the
+        # exact path value-hashed per language
+        "ccnet_buckets_sketch": lambda s, d: lid.ccnet_buckets_sketch(
+            docs(s, d)
+        ),
         # PII redaction + accounting (emails/IPv4/phones -> typed
         # placeholders, fixed rule order, scrubbed-text fingerprint);
         # deterministic PII injected in-plan — the fixture corpus is clean
@@ -1483,6 +1489,7 @@ JOIN fs_q q
         # Round-4 gates.
         "charlm_score": lid.charlm_score_oracle_sql(),
         "ccnet_buckets": lid.ccnet_buckets_oracle_sql(),
+        "ccnet_buckets_sketch": lid.ccnet_buckets_sketch_oracle_sql(),
         "pii_scrub": ts.pii_scrub_oracle_sql(),
         "log_chunked": lc.log_chunked_oracle_sql(),
         "retention_sweep": TX_CTE + pt.retention_sweep_oracle_sql(),

@@ -477,6 +477,248 @@ def ccnet_buckets(
     )
 
 
+def _subbin_est(arr, n, q: float):
+    """Interpolated quantile from the sorted (lo, width, cnt) sub-octave
+    bin array (profile._hist_est generalized to variable-width bins):
+    fold keeps (cum, est); est fills in the first bin where cum reaches
+    ceil(q*n), interpolating lo + width * frac. /100 back to score
+    units (identical double ops both engines)."""
+    target = F.ceil(F.lit(q / 100.0) * n.cast("double")).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("est"),
+    )
+
+    def step(acc, x):
+        lo = x["lo"].cast("double")
+        w = x["width"].cast("double")
+        frac = (target - acc["cum"]).cast("double") / x["cnt"].cast("double")
+        return F.struct(
+            (acc["cum"] + x["cnt"]).alias("cum"),
+            F.coalesce(
+                acc["est"],
+                F.when(acc["cum"] + x["cnt"] >= target, lo + w * frac),
+            ).alias("est"),
+        )
+
+    return F.aggregate(arr, init, step)["est"] / F.lit(100.0)
+
+
+def _subbin_est_sql(q: float) -> str:
+    """DuckDB twin of ``_subbin_est`` — the CASE-of-structs list_reduce
+    form (profile._hist_est_sql's documented workaround for DuckDB's
+    struct_pack lambda field resolution)."""
+    target = f"CAST(ceil({q / 100.0!r} * CAST(n AS DOUBLE)) AS BIGINT)"
+    zero = "cnt := CAST(0 AS BIGINT), lo := CAST(0 AS BIGINT), width := CAST(0 AS BIGINT)"
+    return f"""
+        list_reduce(
+            list_prepend(
+                struct_pack(cum := CAST(0 AS BIGINT),
+                            est := CAST(NULL AS DOUBLE), {zero}),
+                list_transform(
+                    arr,
+                    e -> struct_pack(cum := e.cnt,
+                                     est := CAST(NULL AS DOUBLE),
+                                     cnt := e.cnt, lo := e.lo,
+                                     width := e.width)
+                )
+            ),
+            (a, x) -> CASE
+                WHEN a.est IS NULL AND a.cum + x.cnt >= {target}
+                THEN struct_pack(
+                        cum := a.cum + x.cnt,
+                        est := CAST(x.lo AS DOUBLE)
+                               + CAST(x.width AS DOUBLE)
+                               * (CAST({target} - a.cum AS DOUBLE)
+                                  / CAST(x.cnt AS DOUBLE)),
+                        {zero})
+                ELSE struct_pack(cum := a.cum + x.cnt, est := a.est, {zero})
+            END
+        ).est / 100.0"""
+
+
+def ccnet_buckets_sketch(
+    documents: DataFrame,
+    model_size: int = CHARLM_MODEL_SIZE,
+    scale: int = CHARLM_SCALE,
+) -> DataFrame:
+    """The 100 TB form of ``ccnet_buckets``' one per-group-unbounded
+    stage, GRADED against the exact path: per-language p33/p66 come from
+    a mergeable SUB-OCTAVE histogram sketch (the HDR-histogram /
+    DDSketch bucketing shape, public literature): 64 sub-bins per
+    power-of-two octave, bin edges from pure INTEGER shifts — bit-length
+    octave, top-6-bits mantissa — so binning is bit-identical across
+    engines and relative threshold error is bounded at 1/64 (the plain
+    `hist_quantiles` octave bins are the right sketch for long-tailed
+    latencies, but the LM score clusters inside ONE octave, where a 2x
+    bin is a useless threshold). Sketch size: |langs| x <=4096 rows
+    whatever the corpus; two sketches merge by adding counts.
+
+    Documents are bucketed under BOTH threshold sets; output is the
+    per-language agreement report:
+
+      (lang, n_docs, n_agree, exact_head/middle/tail,
+       sketch_head/middle/tail)
+
+    — integer counts, so the exact-vs-sketch bucket agreement itself is
+    value-hash-gradeable. The sketch is an approximation by design; what
+    the hash pins is that BOTH paths are deterministic and the sketch's
+    bucketing loss is exactly what the report says it is. The pytest pin
+    asserts the measured agreement floor."""
+    from ..functions.percentile import midpoint_percentile
+
+    scored = charlm_score(documents, model_size, scale).localCheckpoint()
+    # exact thresholds — the ccnet_buckets path, verbatim
+    arr = F.sort_array(F.collect_list(F.col("lm_score").cast("double")))
+    th = (
+        scored.groupBy("lang")
+        .agg(arr.alias("arr"))
+        .select(
+            "lang",
+            midpoint_percentile(F.col("arr"), 33.0).alias("p33"),
+            midpoint_percentile(F.col("arr"), 66.0).alias("p66"),
+        )
+    )
+    # sub-octave sketch bins over the score in cents: shift = octave-6
+    # (64 sub-bins; clamped at 0), lo = top-bits mantissa shifted back,
+    # width = 2^shift — lo is unique per bin and sorts them, all integer
+    binned = (
+        scored.select(
+            "lang",
+            F.expr(
+                "greatest(CAST(1 AS BIGINT), CAST(lm_score * 100 AS BIGINT))"
+            ).alias("c"),
+        )
+        .withColumn(
+            "shift",
+            F.greatest(F.length(F.bin(F.col("c"))) - 7, F.lit(0)).cast("int"),
+        )
+        .select(
+            "lang",
+            F.expr("shiftleft(shiftright(c, shift), shift)").alias("lo"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), shift)").alias("width"),
+        )
+        .groupBy("lang", "lo", "width")
+        .agg(F.count("*").alias("cnt"))
+    )
+    g = binned.groupBy("lang").agg(
+        F.sum("cnt").alias("n"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("lo"), F.col("width"), F.col("cnt"))
+            )
+        ).alias("arr"),
+    )
+    n = F.col("n")
+    ths = g.select(
+        "lang",
+        _subbin_est(F.col("arr"), n, 33.0).alias("s33"),
+        _subbin_est(F.col("arr"), n, 66.0).alias("s66"),
+    )
+    s = F.col("lm_score").cast("double")
+    eb = (
+        F.when(s >= F.col("p66"), F.lit("head"))
+        .when(s >= F.col("p33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    sb = (
+        F.when(s >= F.col("s66"), F.lit("head"))
+        .when(s >= F.col("s33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    per = (
+        scored.join(F.broadcast(th), "lang")
+        .join(F.broadcast(ths), "lang")
+        .select("lang", eb.alias("eb"), sb.alias("sb"))
+    )
+
+    def _cnt(col: str, v: str):
+        return (
+            F.sum(F.when(F.col(col) == v, 1).otherwise(0))
+            .cast("long")
+            .alias(f"{'exact' if col == 'eb' else 'sketch'}_{v}")
+        )
+
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("eb") == F.col("sb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+        _cnt("eb", "head"),
+        _cnt("eb", "middle"),
+        _cnt("eb", "tail"),
+        _cnt("sb", "head"),
+        _cnt("sb", "middle"),
+        _cnt("sb", "tail"),
+    )
+
+
+def ccnet_buckets_sketch_oracle_sql(
+    model_size: int = CHARLM_MODEL_SIZE, scale: int = CHARLM_SCALE
+) -> str:
+    from ..functions.percentile import midpoint_percentile_sql
+
+    inner = charlm_score_oracle_sql(model_size, scale)
+    parr = "list_sort(list(CAST(lm_score AS DOUBLE)))"
+    return f"""
+WITH scored AS MATERIALIZED ({inner}),
+th AS (
+    SELECT lang,
+           {midpoint_percentile_sql(parr, 33.0)} AS p33,
+           {midpoint_percentile_sql(parr, 66.0)} AS p66
+    FROM scored GROUP BY lang
+), binned AS (
+    SELECT lang,
+           CAST((c >> shift) << shift AS BIGINT) AS lo,
+           CAST(1::BIGINT << shift AS BIGINT) AS width,
+           COUNT(*) AS cnt
+    FROM (
+        SELECT lang, c,
+               CAST(GREATEST(length(bin(c)) - 7, 0) AS INT) AS shift
+        FROM (
+            SELECT lang,
+                   GREATEST(CAST(1 AS BIGINT),
+                            CAST(lm_score * 100 AS BIGINT)) AS c
+            FROM scored
+        )
+    )
+    GROUP BY 1, 2, 3
+), g AS (
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           list_sort(list({{'lo': CAST(lo AS BIGINT),
+                            'width': CAST(width AS BIGINT),
+                            'cnt': CAST(cnt AS BIGINT)}})) AS arr
+    FROM binned GROUP BY lang
+), ths AS (
+    SELECT lang,
+           ({_subbin_est_sql(33.0)}) AS s33,
+           ({_subbin_est_sql(66.0)}) AS s66
+    FROM g
+), per AS (
+    SELECT s.lang,
+           CASE WHEN CAST(s.lm_score AS DOUBLE) >= t.p66 THEN 'head'
+                WHEN CAST(s.lm_score AS DOUBLE) >= t.p33 THEN 'middle'
+                ELSE 'tail' END AS eb,
+           CASE WHEN CAST(s.lm_score AS DOUBLE) >= h.s66 THEN 'head'
+                WHEN CAST(s.lm_score AS DOUBLE) >= h.s33 THEN 'middle'
+                ELSE 'tail' END AS sb
+    FROM scored s JOIN th t USING (lang) JOIN ths h USING (lang)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN eb = sb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(SUM(CASE WHEN eb = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS exact_head,
+       CAST(SUM(CASE WHEN eb = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS exact_middle,
+       CAST(SUM(CASE WHEN eb = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS exact_tail,
+       CAST(SUM(CASE WHEN sb = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS sketch_head,
+       CAST(SUM(CASE WHEN sb = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS sketch_middle,
+       CAST(SUM(CASE WHEN sb = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS sketch_tail
+FROM per
+GROUP BY lang
+"""
+
+
 def ccnet_buckets_oracle_sql(
     model_size: int = CHARLM_MODEL_SIZE, scale: int = CHARLM_SCALE
 ) -> str:

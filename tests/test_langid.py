@@ -160,3 +160,36 @@ def test_embed_quantize_range_and_zero_vector(spark):
     assert v["recon_err"] <= 0.5 / 127.0
     z = got[2]
     assert (z["scale"], z["sum_q"], z["recon_err"]) == (0.0, 0, 0.0)
+
+
+def test_ccnet_buckets_sketch_agreement_and_consistency(spark):
+    # the sub-octave sketch's bucket agreement vs the exact path stays
+    # above the measured floor (0.96 at both fixtures; 64 sub-bins per
+    # octave bound relative threshold error at 1/64), and the report's
+    # internal accounting is consistent
+    from apmbackend_spark.operators.langid import (
+        ccnet_buckets,
+        ccnet_buckets_sketch,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = ccnet_buckets_sketch(docs).collect()
+    exact = ccnet_buckets(docs).collect()
+    tot = sum(r["n_docs"] for r in rows)
+    agree = sum(r["n_agree"] for r in rows)
+    assert tot == docs.count()
+    assert agree / tot >= 0.96
+    # the exact-side counts must equal ccnet_buckets' own bucketing
+    from collections import Counter
+
+    want = Counter((r["lang"], r["bucket"]) for r in exact)
+    for r in rows:
+        for b in ("head", "middle", "tail"):
+            assert r[f"exact_{b}"] == want.get((r["lang"], b), 0), (r["lang"], b)
+        assert (
+            r["sketch_head"] + r["sketch_middle"] + r["sketch_tail"]
+            == r["n_docs"]
+        )
+        assert r["n_agree"] <= r["n_docs"]

@@ -762,3 +762,15 @@ def test_ccnet_buckets_threshold_dim_broadcast(spark):
     # the |langs|-row p33/p66 dim rides a broadcast back onto the scores
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_ccnet_buckets_sketch_threshold_dims_broadcast(spark):
+    from apmbackend_spark.operators.langid import ccnet_buckets_sketch
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(ccnet_buckets_sketch(load_table(spark, SF_SMOKE, "documents")))
+    # BOTH threshold dims (exact p33/p66 and the sub-octave sketch
+    # s33/s66) broadcast back onto the scores; the fold stays JVM-side
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
