@@ -1024,93 +1024,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": lambda s, d: ts.pii_scrub(docs(s, d)),
     }
     # Window strategy (the driver grades the FIRST 50 queries in dict
-    # order). Round 8 window, explicit by name:
-    #   (a) ALL 32 never-driver-graded gates — the r7 verdict's top
-    #       directive (rotate the 19 in) plus this round's 13 new gates
-    #       (zscore_longlag, topology_broker, jpeg_pixels, jpeg_rgb,
-    #       ann_index_persist, unigram_train, unigram_encode,
-    #       ivf_assign_2level, tar_shard_ingest, dup_labelprop,
-    #       bloom_dedup, ccnet_buckets, gopher_rules);
-    #   (b) the 3 gates whose OUTPUT changed this round: ALERT_CFG now
-    #       suppresses lag 360 (which exists in the fs frame — the r7
-    #       verdict's F1 no-op fix), so alert_candidates / alerts /
-    #       db_fanin produce different rows and need fresh driver green;
-    #   (c) the 2 r7-green gates whose code round 8 touched
-    #       (semantic_dedup: skew guard + hierarchical assign;
-    #       dsir_select: once-folded totals + localCheckpoint lifecycle);
-    #   (d) 13 of the 34 remaining round-4 rows — the stalest on the
-    #       books (four rounds old): the dedup family, the TPC-H r4
-    #       shapes, video_features, corpus_filter (stream_sessions /
-    #       ngram_jaccard / media_stats / simhash / retention_sweep
-    #       yield their slots to the five late round-8 gates —
-    #       topology.py keeps three graded rows, dedup.py six,
-    #       multimodal's plumbing is re-graded by the jpeg pair, and
-    #       partitioned.py's siblings all hold r6/r7 green rows).
-    # The 14 leftover r4 rows (doc_stats/corpus_* textstats rollups,
-    # token pack/spans, log_chunked, vocab_topk) head next round's
-    # rotation; everything else overflows with a green r5-r7 row standing
-    # (the judge's overflow sweep re-runs them).
-    R8_WINDOW = [
-        # (a) never driver-graded: 8 TPC-H shapes
-        "q2_min_cost_supplier",
-        "q8_market_share",
-        "q9_product_profit",
-        "q11_important_stock",
-        "q15_top_supplier",
-        "q17_small_quantity_revenue",
-        "q20_dominant_suppliers",
-        "q21_waiting_suppliers",
-        # (a) never driver-graded: 11 late-round-7 gates
-        "unimax_alloc",
-        "curriculum_order",
-        "binary_rerank",
-        "cluster_profile",
-        "hard_negatives",
-        "hll_cardinality",
-        "stream_hll",
-        "stream_cms",
-        "winnow_matches",
-        "orc_roundtrip",
-        "weighted_sample",
-        # (a) the 8 new round-8 gates (ivf_assign_2level and jpeg_rgb
-        #     displace the stale-but-green simhash_pairs and
-        #     video_frame_sample r4 rows from section (d) — dedup.py
-        #     keeps six other graded rows in this window and the video
-        #     family keeps video_features)
-        "zscore_longlag",
+    # order). Round 9 window, explicit by name:
+    #   (a) ALL 21 remaining r4-stale rows — the r8 verdict's top
+    #       directive: their most recent driver row is four rounds old
+    #       (judge-green at sf0.01 on r8 code, but the driver's own
+    #       signal needs refreshing);
+    #   (b) the 2 NEW round-9 gates (ann_ivf_2level: two-level routing on
+    #       the ANN serving path; ccnet_buckets_sketch: the exact-vs-
+    #       sketch threshold agreement report);
+    #   (c) the 2 gates whose OUTPUT changed this round (topology_broker
+    #       now grades the decoded db_insert spool at the end of the full
+    #       four-queue broker map; unigram_encode grew the fb_pieces/
+    #       fb_hash fallback tier + the in-plan probe);
+    #   (d) 3 gates whose ORACLE TEXT changed, output identical —
+    #       re-confirm under the driver (tar_shard_ingest: NULL-coalesce;
+    #       alerts: oracle split into CTEs + final select; unigram_train:
+    #       parameterized corpus source);
+    #   (e) 22 of the 46 r5-stale rows — queue/wire/topology neighbors of
+    #       this round's broker work first (topology_wire, stream_topology,
+    #       wire codecs, queue_roundtrip, zscore/zscore_stateful,
+    #       charlm_score under the new sketch sibling, hist_quantiles
+    #       whose fold pattern the sketch reuses), then the next-stalest
+    #       alphabetically.
+    # The 24 leftover r5 rows head the r10 rotation; everything else
+    # overflows with a green r6-r8 row standing (the judge's overflow
+    # sweep re-runs them).
+    R9_WINDOW = [
+        # (a) the 21 r4-stale rows
+        "contamination",
+        "corpus_cardinality",
+        "corpus_prepare",
+        "corpus_sample",
+        "corpus_scrub",
+        "corpus_shuffle",
+        "corpus_split",
+        "doc_repetition",
+        "doc_stats",
+        "doc_token_counts",
+        "log_chunked",
+        "media_stats",
+        "ngram_jaccard",
+        "retention_sweep",
+        "simhash",
+        "simhash_pairs",
+        "stream_sessions",
+        "token_pack",
+        "token_spans",
+        "video_frame_sample",
+        "vocab_topk",
+        # (b) new round-9 gates
+        "ann_ivf_2level",
+        "ccnet_buckets_sketch",
+        # (c) output changed this round
         "topology_broker",
-        "jpeg_pixels",
-        "jpeg_rgb",
-        "ann_index_persist",
-        "unigram_train",
         "unigram_encode",
-        "ivf_assign_2level",
+        # (d) oracle text changed, output identical (re-confirm)
         "tar_shard_ingest",
-        "dup_labelprop",
-        "bloom_dedup",
-        "ccnet_buckets",
-        "gopher_rules",
-        # (b) output changed by the ALERT_CFG lag-suppression fix
-        "alert_candidates",
         "alerts",
-        "db_fanin",
-        # (c) code touched this round, hash-unchanged (re-confirm)
-        "semantic_dedup",
-        "dsir_select",
-        # (d) stalest r4 rows
-        "bloom_join_profile",
-        "corpus_dedup",
-        "dedup_clusters",
-        "minhash_lsh",
-        "corpus_filter",
-        "q1_pricing_summary",
-        "q3_top_orders",
-        "q4_priority_semijoin",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "q18_large_volume_customers",
-        "parts_never_shipped",
-        "video_features",
+        "unigram_train",
+        # (e) stalest r5 rows: this round's neighbors first
+        "topology_wire",
+        "stream_topology",
+        "wire_fs_roundtrip",
+        "wire_al_roundtrip",
+        "queue_roundtrip",
+        "zscore",
+        "zscore_stateful",
+        "charlm_score",
+        "hist_quantiles",
+        "pii_scrub",
+        "log_sessions",
+        # (e) then next-stalest alphabetically
+        "bm25_topk",
+        "cdc_diff",
+        "compaction_bins",
+        "containment_pairs",
+        "decayed_counts",
+        "doc_span_dup",
+        "dq_rules",
+        "dup_pagerank",
+        "edit_neardup",
+        "embedding_neardup",
+        "feature_hashing",
     ]
     all_q = (
         phase6
@@ -1122,7 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | round5_new
         | round4_extra
     )
-    window = {k: all_q[k] for k in R8_WINDOW}
+    window = {k: all_q[k] for k in R9_WINDOW}
     assert len(window) == 50, f"grading window holds {len(window)}, want 50"
     overflow = {k: v for k, v in all_q.items() if k not in window}
     return window | overflow

@@ -811,6 +811,72 @@ def main() -> None:
         big = suite(scaled_dir, k)
         _report(base, big, k)
 
+    if mode == "r9":
+        # round-9 measured rows: the two new gates (ann_ivf_2level under
+        # the k-prop-to-N serving regime — tiled embeddings grow the list
+        # count 10x at fixed mod — with flat ann_ivf alongside for the
+        # quadratic contrast; ccnet_buckets_sketch vs its exact sibling)
+        # plus the two output-changed gates remeasured (topology_broker
+        # now drains the full four-queue map + alerts; unigram_encode now
+        # carries the fallback tier + probe).
+        print(
+            f"tiling events+documents+embeddings {k}x into {scaled_dir} ...",
+            flush=True,
+        )
+        tile_events(spark, sf_dir, scaled_dir, k)
+        tile_documents(spark, sf_dir, scaled_dir, k)
+        tile_embeddings(spark, sf_dir, scaled_dir, k)
+        link_static_tables(sf_dir, scaled_dir)
+
+        def suite(d: str, kk: int) -> dict[str, float]:
+            from apmbackend_spark.operators import langid as lid
+            from apmbackend_spark.operators import similarity as sim
+            from apmbackend_spark.operators import unigram as uni
+            from apmbackend_spark.sources.loaders import spread
+            from apmbackend_spark.streaming import topology as topo
+
+            t = _Timer(spark)
+            embs = spread(spark.read.parquet(f"{d}/embeddings.parquet"))
+            # serving path, k prop to N: mod fixed -> 10x lists; the gate's
+            # knobs (l1_factor=2, probe_l1=3)
+            t.timed(
+                "ann_ivf_2level",
+                lambda: sim.ann_ivf_2level(embs, l1_factor=2, probe_l1=3),
+            )
+            # flat-assign serving contrast (the N x k quadratic regime)
+            t.timed("ann_ivf_flat", lambda: sim.ann_ivf(embs))
+            docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
+            t.timed(
+                "ccnet_buckets_sketch",
+                lambda: lid.ccnet_buckets_sketch(docs),
+            )
+            t.timed("ccnet_buckets_exact", lambda: lid.ccnet_buckets(docs))
+            t.timed(
+                "unigram_encode_fb",
+                lambda: uni.unigram_encode(uni.with_fallback_probe(docs)),
+            )
+            # full four-queue broker drain + alerts stage
+            t.timed(
+                "topology_broker4",
+                lambda: topo.topology_broker_gate(spark, d),
+            )
+            return t.out
+
+        from apmbackend_spark.sources.loaders import spread as _spread
+
+        _t = _Timer(spark)
+        _t.timed(
+            "warm_embs",
+            lambda: _spread(
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            ).select("vec_id"),
+        )
+        print("timing 1x ...", flush=True)
+        base = suite(sf_dir, 1)
+        print(f"timing {k}x ...", flush=True)
+        big = suite(scaled_dir, k)
+        _report(base, big, k)
+
     if mode == "quality":
         # round-5 quality ops only (events + docs tiles, skipping the
         # z-score chain whose 10x factors are already published)
