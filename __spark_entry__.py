@@ -428,6 +428,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DP is an in-row fold (Spark) / recursive CTE (oracle), scores
         # are the exact fixed-point log2 — bit-identical segmentations
         "unigram_train": lambda s, d: uni.unigram_train(docs(s, d)),
+        # the published algorithm's TRUE E-step: forward-backward expected
+        # counts over all segmentations, every probability a deterministic
+        # 31-bit-mantissa softfloat (integer shifts/div only — no libm
+        # logsumexp); DuckDB replays the identical integer ops
+        "unigram_train_soft": lambda s, d: uni.unigram_train_soft(
+            docs(s, d)
+        ),
         # ...and the trained model applied: per-doc piece counts,
         # fertility, and an order-free modular piece-stream hash (the
         # SEGMENTATIONS are graded, not just their sizes)
@@ -1029,9 +1036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       directive: their most recent driver row is four rounds old
     #       (judge-green at sf0.01 on r8 code, but the driver's own
     #       signal needs refreshing);
-    #   (b) the 2 NEW round-9 gates (ann_ivf_2level: two-level routing on
+    #   (b) the 3 NEW round-9 gates (ann_ivf_2level: two-level routing on
     #       the ANN serving path; ccnet_buckets_sketch: the exact-vs-
-    #       sketch threshold agreement report);
+    #       sketch threshold agreement report; unigram_train_soft: the
+    #       forward-backward E-step on softfloat integer arithmetic);
     #   (c) the 2 gates whose OUTPUT changed this round (topology_broker
     #       now grades the decoded db_insert spool at the end of the full
     #       four-queue broker map; unigram_encode grew the fb_pieces/
@@ -1040,13 +1048,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       re-confirm under the driver (tar_shard_ingest: NULL-coalesce;
     #       alerts: oracle split into CTEs + final select; unigram_train:
     #       parameterized corpus source);
-    #   (e) 22 of the 46 r5-stale rows — queue/wire/topology neighbors of
+    #   (e) 21 of the 46 r5-stale rows — queue/wire/topology neighbors of
     #       this round's broker work first (topology_wire, stream_topology,
     #       wire codecs, queue_roundtrip, zscore/zscore_stateful,
     #       charlm_score under the new sketch sibling, hist_quantiles
     #       whose fold pattern the sketch reuses), then the next-stalest
     #       alphabetically.
-    # The 24 leftover r5 rows head the r10 rotation; everything else
+    # The 25 leftover r5 rows head the r10 rotation; everything else
     # overflows with a green r6-r8 row standing (the judge's overflow
     # sweep re-runs them).
     R9_WINDOW = [
@@ -1105,7 +1113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pagerank",
         "edit_neardup",
         "embedding_neardup",
-        "feature_hashing",
+        # the round-9 soft-EM gate (landed late; displaces feature_hashing
+        # to the r10 head)
+        "unigram_train_soft",
     ]
     all_q = (
         phase6
@@ -1249,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "tar_shard_ingest": tarsrc.tar_shard_ingest_oracle_sql(),
         "weighted_sample": dsel.weighted_sample_oracle_sql(),
         "unigram_train": uni.unigram_train_oracle_sql(),
+        "unigram_train_soft": uni.unigram_train_soft_oracle_sql(),
         "unigram_encode": uni.unigram_encode_oracle_sql(fallback_probe=True),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("

@@ -575,3 +575,371 @@ LEFT JOIN fbstats f ON t.pt = f.pt
 GROUP BY d.doc_id
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft-EM (forward-backward) round — fixed-point softfloat arithmetic.
+# ---------------------------------------------------------------------------
+# The hard-EM trainer above uses Viterbi (single-best) counts. The published
+# algorithm's E-step uses EXPECTED counts over all segmentations
+# (forward-backward). Floating-point logsumexp would hinge on libm rounding
+# and could drift between engines, so the probabilities ride a tiny
+# deterministic SOFTFLOAT: value = m * 2^e with the mantissa normalized to
+# [2^30, 2^31), packed into ONE BIGINT as (e + 4096) * 2^31 + m (packed
+# integer comparison == value comparison; 0 packs the value zero). mul =
+# integer product + bit-length renormalize; add = align-by-shift + truncate
+# + renormalize; div = (m << 31) // m' + renormalize. Every op is integer
+# shifts/div/mod — bit-identical in Spark codegen folds and DuckDB
+# recursive CTEs. Fold ORDER is pinned by sorting the packed candidate
+# list (truncated adds don't commute across 3+ terms), identically in both
+# engines. Worst-case exponent: |e| <= 2 * UNI_MAXWORD * (bitlen(D) + 1)
+# + 31 — far inside the 4096 bias for any conceivable corpus.
+
+_SFB = 1 << 31
+_SF_BIAS = 4096
+_SF_ONE = (_SF_BIAS - 30) * _SFB + (1 << 30)  # m=2^30, e=-30 -> value 1.0
+_SOFT_Q = 65536  # expected counts quantized to 2^-16 units
+
+_SPARK_SF = {
+    "div": lambda a, b: f"(({a}) DIV ({b}))",
+    "shl": lambda x, n: f"shiftleft({x}, CAST({n} AS INT))",
+    "shr": lambda x, n: f"shiftright({x}, CAST({n} AS INT))",
+}
+_DUCK_SF = {
+    "div": lambda a, b: f"(({a}) // ({b}))",
+    "shl": lambda x, n: f"(({x}) << ({n}))",
+    "shr": lambda x, n: f"(({x}) >> ({n}))",
+}
+
+
+def _sf_m(x: str) -> str:
+    return f"(({x}) % {_SFB})"
+
+
+def _sf_e(x: str, d) -> str:
+    return f"({d['div'](x, _SFB)} - {_SF_BIAS})"
+
+
+def _sf_mulc_sql(a: str, pm: str, pe: str, d) -> str:
+    """packed a  x  explicit-(pm, pe) softfloat -> packed."""
+    prod = f"({_sf_m(a)} * ({pm}))"
+    sh = f"(length(bin({prod})) - 31)"
+    return (
+        f"(({_sf_e(a, d)} + ({pe}) + {sh} + {_SF_BIAS}) * {_SFB}"
+        f" + {d['shr'](prod, sh)})"
+    )
+
+
+def _sf_mulp_sql(a: str, b: str, d) -> str:
+    """packed x packed -> packed."""
+    prod = f"({_sf_m(a)} * {_sf_m(b)})"
+    sh = f"(length(bin({prod})) - 31)"
+    return (
+        f"(({_sf_e(a, d)} + {_sf_e(b, d)} + {sh} + {_SF_BIAS}) * {_SFB}"
+        f" + {d['shr'](prod, sh)})"
+    )
+
+
+def _sf_add_sql(a: str, b: str, d) -> str:
+    """packed + packed -> packed (0 = zero). Align lo to hi's exponent,
+    truncate, renormalize. Packed order == value order, so hi/lo via one
+    integer compare."""
+    hi = f"(CASE WHEN ({a}) >= ({b}) THEN ({a}) ELSE ({b}) END)"
+    lo = f"(CASE WHEN ({a}) >= ({b}) THEN ({b}) ELSE ({a}) END)"
+    dd = f"least({_sf_e(hi, d)} - {_sf_e(lo, d)}, 62)"
+    s = f"({_sf_m(hi)} + {d['shr'](_sf_m(lo), dd)})"
+    sh = f"(length(bin({s})) - 31)"
+    return (
+        f"(CASE WHEN ({a}) = 0 THEN ({b}) WHEN ({b}) = 0 THEN ({a}) ELSE "
+        f"({_sf_e(hi, d)} + {sh} + {_SF_BIAS}) * {_SFB} + {d['shr'](s, sh)}"
+        f" END)"
+    )
+
+
+def _sf_div_sql(a: str, b: str, d) -> str:
+    """packed / packed -> packed."""
+    q = f"({d['div'](d['shl'](_sf_m(a), 31), _sf_m(b))})"
+    sh = f"(length(bin({q})) - 31)"
+    return (
+        f"(({_sf_e(a, d)} - {_sf_e(b, d)} - 31 + {sh} + {_SF_BIAS}) * {_SFB}"
+        f" + {d['shr'](q, sh)})"
+    )
+
+
+def _sf_q16_sql(x: str, d) -> str:
+    """floor(value(x) * 2^16) as BIGINT."""
+    t = f"({_sf_e(x, d)} + 16)"
+    return (
+        f"(CASE WHEN {t} >= 0 THEN {d['shl'](_sf_m(x), f'least({t}, 20)')}"
+        f" ELSE {d['shr'](_sf_m(x), f'least(-({t}), 62)')} END)"
+    )
+
+
+def _sf_ratio_sql(num: str, den: str, d) -> tuple[str, str]:
+    """(pm, pe) softfloat of the integer ratio num/den (both >= 1)."""
+    bln = f"length(bin({num}))"
+    bld = f"length(bin({den}))"
+    mn = (
+        f"(CASE WHEN {bln} >= 31 THEN {d['shr'](num, f'({bln} - 31)')}"
+        f" ELSE {d['shl'](num, f'(31 - {bln})')} END)"
+    )
+    md = (
+        f"(CASE WHEN {bld} >= 31 THEN {d['shr'](den, f'({bld} - 31)')}"
+        f" ELSE {d['shl'](den, f'(31 - {bld})')} END)"
+    )
+    q = f"({d['div'](d['shl'](mn, 31), md)})"
+    sh = f"(length(bin({q})) - 31)"
+    pm = d["shr"](q, sh)
+    pe = f"({bln} - {bld} - 31 + {sh})"
+    return pm, pe
+
+
+# candidate packing: ((i*16 + j)*256 + (pe + 192)) * 2^31 + pm
+def _sfc_i(c: str, d) -> str:
+    return f"({d['div'](d['div'](d['div'](c, _SFB), 256), 16)})"
+
+
+def _sfc_j(c: str, d) -> str:
+    return f"({d['div'](d['div'](c, _SFB), 256)} % 16)"
+
+
+def _sfc_pm(c: str) -> str:
+    return f"(({c}) % {_SFB})"
+
+
+def _sfc_pe(c: str, d) -> str:
+    return f"({d['div'](c, _SFB)} % 256 - 192)"
+
+
+def _alpha_fold_spark() -> str:
+    d = _SPARK_SF
+    mul = _sf_mulc_sql(
+        f"element_at(acc, CAST({_sfc_j('c', d)} + 1 AS INT))",
+        _sfc_pm("c"), _sfc_pe("c", d), d,
+    )
+    add = _sf_add_sql("s", "x", d)
+    return f"""
+aggregate(
+  sequence(1, length(pt)),
+  array(CAST({_SF_ONE} AS BIGINT)),
+  (acc, p) -> concat(acc, array(
+      aggregate(
+        transform(
+          filter(cands, c -> {_sfc_i('c', d)} = p),
+          c -> {mul}),
+        CAST(0 AS BIGINT),
+        (s, x) -> {add}))))
+"""
+
+
+def _rbeta_fold_spark() -> str:
+    d = _SPARK_SF
+    mul = _sf_mulc_sql(
+        f"element_at(acc, CAST(length(pt) - {_sfc_i('c', d)} + 1 AS INT))",
+        _sfc_pm("c"), _sfc_pe("c", d), d,
+    )
+    add = _sf_add_sql("s", "x", d)
+    return f"""
+aggregate(
+  sequence(1, length(pt)),
+  array(CAST({_SF_ONE} AS BIGINT)),
+  (acc, p) -> concat(acc, array(
+      aggregate(
+        transform(
+          filter(cands, c -> {_sfc_j('c', d)} = length(pt) - p),
+          c -> {mul}),
+        CAST(0 AS BIGINT),
+        (s, x) -> {add}))))
+"""
+
+
+def unigram_train_soft(documents: DataFrame) -> DataFrame:
+    """(piece, piece_len, u_soft, score): ONE soft-EM round on the seed
+    vocabulary — the published algorithm's true E-step. Per pretoken, the
+    forward/backward sums alpha/beta run over ALL segmentations under the
+    add-1-smoothed seed probabilities p(piece) = (cnt+1)/(tot+|V|); each
+    candidate occurrence's posterior alpha(j) * p * beta(i) / alpha(n),
+    frequency-weighted and quantized to 2^-16 units, is its expected
+    count. The M-step re-scores with the same fixed-point log2 as the
+    hard-EM trainer (add-1 in quantized-count units).
+
+    Exactness: every probability is a deterministic 31-bit-mantissa
+    softfloat packed into one BIGINT (module comment above); the DP folds
+    are in-row codegen aggregates over the SORTED packed candidate list,
+    and the DuckDB twin replays the identical integer ops in the same
+    order — expected counts are bit-identical, with no libm logsumexp
+    anywhere.
+
+    Scale shape: identical to the hard trainer — one corpus-sized token
+    shuffle builds the distinct-pretoken frame; the candidate explode,
+    both DP folds, and the posterior quantization run on the
+    vocabulary-sized frame; the usage rollup is map-side combinable."""
+    from pyspark.sql import Window
+
+    d = _SPARK_SF
+    pret = _pretokens(documents).localCheckpoint()
+    pcnt = (
+        _substrings(pret)
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    chars = pcnt.where(F.length("piece") == 1)
+    w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    seedk = (
+        pcnt.where(F.length("piece") >= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= UNI_SEED)
+        .drop("rn")
+    )
+    v0 = chars.unionAll(seedk).localCheckpoint()
+    den = v0.agg(
+        (F.sum("cnt") + F.count(F.lit(1))).cast("long").alias("dd")
+    )
+    pm_sql, pe_sql = _sf_ratio_sql("(cnt + 1)", "dd", d)
+    pv = (
+        v0.crossJoin(F.broadcast(den))
+        .select(
+            "piece",
+            F.expr(pm_sql).cast("long").alias("pm"),
+            F.expr(pe_sql).cast("long").alias("pe"),
+        )
+        .localCheckpoint()  # candidates + posterior both read it
+    )
+    cand = _substrings(pret).join(F.broadcast(pv), "piece")
+    packed = F.expr(
+        f"((CAST(i AS BIGINT) * 16 + j) * 256 + (pe + 192)) * {_SFB} + pm"
+    )
+    cl = cand.groupBy("pt").agg(
+        F.sort_array(F.collect_list(packed)).alias("cands")
+    )
+    fb = (
+        cl.withColumn("alpha", F.expr(_alpha_fold_spark()))
+        .withColumn("rbeta", F.expr(_rbeta_fold_spark()))
+        .select("pt", "alpha", "rbeta")
+    )
+    post = _sf_div_sql(
+        _sf_mulp_sql(
+            _sf_mulc_sql("element_at(alpha, j + 1)", "pm", "pe", d),
+            "element_at(rbeta, length(pt) - i + 1)",
+            d,
+        ),
+        "element_at(alpha, length(pt) + 1)",
+        d,
+    )
+    contrib = F.expr(f"freq * {_sf_q16_sql(post, d)}").cast("long")
+    us = (
+        cand.join(fb, "pt")
+        .select("piece", contrib.alias("contrib"))
+        .groupBy("piece")
+        .agg(F.sum("contrib").cast("long").alias("u"))
+    )
+    uv = v0.select("piece").join(us, "piece", "left").select(
+        "piece", F.coalesce(F.col("u"), F.lit(0)).cast("long").alias("u")
+    )
+    tot = uv.agg(
+        F.sum("u").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    tot = _with_log2fix(tot, f"tot + nv * {_SOFT_Q}", "l_tot")
+    scored = _with_log2fix(uv, f"u + {_SOFT_Q}", "l_u")
+    return scored.crossJoin(F.broadcast(tot.select("l_tot"))).select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.col("u").alias("u_soft"),
+        (F.col("l_u") - F.col("l_tot")).alias("score"),
+    )
+
+
+def unigram_train_soft_oracle_sql() -> str:
+    d = _DUCK_SF
+    pm_sql, pe_sql = _sf_ratio_sql("(cnt + 1)", "dd", d)
+    mul_a = _sf_mulc_sql(
+        f"al[{_sfc_j('x', d)} + 1]", _sfc_pm("x"), _sfc_pe("x", d), d
+    )
+    mul_b = _sf_mulc_sql(
+        f"bl[length(pt) - {_sfc_i('x', d)} + 1]",
+        _sfc_pm("x"), _sfc_pe("x", d), d,
+    )
+    add = _sf_add_sql("s", "x", d)
+    post = _sf_div_sql(
+        _sf_mulp_sql(
+            _sf_mulc_sql("f.al[sb.j + 1]", "v.pm", "v.pe", d),
+            "f.bl[length(sb.pt) - sb.i + 1]",
+            d,
+        ),
+        "f.al[length(sb.pt) + 1]",
+        d,
+    )
+    # seed CTEs: pret/subs/pcnt/chars/seedk/v0 verbatim from the hard
+    # trainer (everything up to and including v0)
+    seed = _train_ctes().split("), v0tot AS (")[0] + ")"
+    return f"""
+WITH RECURSIVE {seed}
+, den AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) + CAST(COUNT(*) AS BIGINT) AS dd FROM v0
+), pv AS MATERIALIZED (
+    SELECT piece, CAST({pm_sql} AS BIGINT) AS pm,
+           CAST({pe_sql} AS BIGINT) AS pe
+    FROM v0 CROSS JOIN den
+), candp AS (
+    SELECT sb.pt,
+           ((CAST(sb.i AS BIGINT) * 16 + sb.j) * 256 + (v.pe + 192))
+               * {_SFB} + v.pm AS cpk
+    FROM subs sb JOIN pv v USING (piece)
+), cl AS MATERIALIZED (
+    SELECT pt, list_sort(list(cpk)) AS cands FROM candp GROUP BY pt
+), af AS (
+    SELECT pt, 0 AS pos, [CAST({_SF_ONE} AS BIGINT)] AS al FROM cl
+    UNION ALL
+    SELECT a.pt, a.pos + 1,
+           a.al || [(
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(c.cands,
+                               x -> {_sfc_i('x', d)} = a.pos + 1),
+                   x -> {mul_a.replace('al[', 'a.al[')})),
+               (s, x) -> {add})
+           )]
+    FROM af a JOIN cl c USING (pt)
+    WHERE a.pos < length(a.pt)
+), bf AS (
+    SELECT pt, 0 AS pos, [CAST({_SF_ONE} AS BIGINT)] AS bl FROM cl
+    UNION ALL
+    SELECT b.pt, b.pos + 1,
+           b.bl || [(
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(c.cands,
+                               x -> {_sfc_j('x', d)} = length(b.pt) - (b.pos + 1)),
+                   x -> {mul_b.replace('bl[', 'b.bl[').replace('length(pt)', 'length(b.pt)')})),
+               (s, x) -> {add})
+           )]
+    FROM bf b JOIN cl c USING (pt)
+    WHERE b.pos < length(b.pt)
+), fbx AS MATERIALIZED (
+    SELECT a.pt, a.al, b.bl
+    FROM af a JOIN bf b USING (pt)
+    WHERE a.pos = length(a.pt) AND b.pos = length(b.pt)
+), postc AS (
+    SELECT sb.piece,
+           sb.freq * {_sf_q16_sql(post, d)} AS contrib
+    FROM subs sb JOIN pv v USING (piece) JOIN fbx f ON f.pt = sb.pt
+), us AS (
+    SELECT piece, CAST(SUM(contrib) AS BIGINT) AS u FROM postc GROUP BY piece
+), uv AS MATERIALIZED (
+    SELECT v0.piece, CAST(COALESCE(us.u, 0) AS BIGINT) AS u
+    FROM v0 LEFT JOIN us USING (piece)
+), ut AS (
+    SELECT {log2fix_sql(f'tot + nv * {_SOFT_Q}')} AS l_tot
+    FROM (SELECT CAST(SUM(u) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS nv FROM uv)
+)
+SELECT piece,
+       CAST(length(piece) AS INT) AS piece_len,
+       u AS u_soft,
+       {log2fix_sql(f'u + {_SOFT_Q}')} - (SELECT l_tot FROM ut) AS score
+FROM uv
+"""

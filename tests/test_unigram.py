@@ -223,3 +223,210 @@ def test_viterbi_tie_prefers_longer_last_piece():
     s = {"a": -10, "b": -10, "ab": -20}
     # 'ab' via ['ab'] scores -20; via ['a','b'] also -20 -> j=0 wins
     assert _viterbi_py("ab", s) == ["ab"]
+
+
+# ---------------------------------------------------------------------------
+# Soft-EM: pure-Python softfloat reference (mirrors the packed integer ops).
+
+
+_SFB = 1 << 31
+_SF_BIAS = 4096
+_SF_ONE = (_SF_BIAS - 30) * _SFB + (1 << 30)
+
+
+def _sfp(m, e):
+    return (e + _SF_BIAS) * _SFB + m
+
+
+def _sfu(x):
+    return x % _SFB, x // _SFB - _SF_BIAS
+
+
+def _sf_ratio(num, den):
+    bln, bld = num.bit_length(), den.bit_length()
+    mn = num >> (bln - 31) if bln >= 31 else num << (31 - bln)
+    md = den >> (bld - 31) if bld >= 31 else den << (31 - bld)
+    q = (mn << 31) // md
+    sh = q.bit_length() - 31
+    return q >> sh, bln - bld - 31 + sh
+
+
+def _sf_mul(a, pm, pe):
+    ma, ea = _sfu(a)
+    prod = ma * pm
+    sh = prod.bit_length() - 31
+    return _sfp(prod >> sh, ea + pe + sh)
+
+
+def _sf_add(a, b):
+    if a == 0:
+        return b
+    if b == 0:
+        return a
+    hi, lo = (a, b) if a >= b else (b, a)
+    mh, eh = _sfu(hi)
+    ml, el = _sfu(lo)
+    s = mh + (ml >> min(eh - el, 62))
+    sh = s.bit_length() - 31
+    return _sfp(s >> sh, eh + sh)
+
+
+def _sf_div(a, b):
+    ma, ea = _sfu(a)
+    mb, eb = _sfu(b)
+    q = (ma << 31) // mb
+    sh = q.bit_length() - 31
+    return _sfp(q >> sh, ea - eb - 31 + sh)
+
+
+def _sf_q16(x):
+    m, e = _sfu(x)
+    t = e + 16
+    return (m << min(t, 20)) if t >= 0 else (m >> min(-t, 62))
+
+
+def _soft_train_py(docs: list[str]):
+    """Reference soft-EM round: identical packed integer ops, identical
+    sorted fold order."""
+    import re
+    from collections import Counter
+
+    pret = Counter()
+    for t in docs:
+        for w in re.split(r"[^0-9a-z]+", t.lower()):
+            if w and len(w) <= UNI_MAXWORD:
+                pret[w] += 1
+    pcnt = Counter()
+    subs = []
+    for pt, f in pret.items():
+        for i0 in range(1, len(pt) + 1):
+            for l in range(1, min(UNI_MAXPIECE, len(pt) - i0 + 1) + 1):
+                piece = pt[i0 - 1 : i0 - 1 + l]
+                subs.append((pt, f, i0 + l - 1, i0 - 1, piece))
+                pcnt[piece] += f
+    chars = {p: c for p, c in pcnt.items() if len(p) == 1}
+    longer = sorted(
+        ((p, c) for p, c in pcnt.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:80]
+    v0 = dict(chars)
+    v0.update(dict(longer))
+    dd = sum(v0.values()) + len(v0)
+    pv = {p: _sf_ratio(c + 1, dd) for p, c in v0.items()}
+    u = Counter()
+    for pt in pret:
+        n = len(pt)
+        cands = sorted(
+            ((i * 16 + j) * 256 * _SFB
+             + (pv[p][1] + 192) * _SFB + pv[p][0], i, j, p)
+            for (w, f, i, j, p) in subs
+            if w == pt and p in pv
+        )
+        al = [_SF_ONE] + [0] * n
+        for t in range(1, n + 1):
+            acc = 0
+            for _, i, j, p in cands:
+                if i == t:
+                    acc = _sf_add(acc, _sf_mul(al[j], *pv[p]))
+            al[t] = acc
+        rb = [_SF_ONE]
+        for k in range(1, n + 1):
+            acc = 0
+            for _, i, j, p in cands:
+                if j == n - k:
+                    acc = _sf_add(acc, _sf_mul(rb[n - i], *pv[p]))
+            rb.append(acc)
+        for _, i, j, p in cands:
+            post = _sf_div(
+                _sf_mulp(_sf_mul(al[j], *pv[p]), rb[n - i]), al[n]
+            )
+            u[p] += pret[pt] * _sf_q16(post)
+    uv = {p: u.get(p, 0) for p in v0}
+    tot = sum(uv.values())
+    l_tot = _log2fix_py(tot + len(uv) * 65536)
+    return {
+        p: (c, _log2fix_py(c + 65536) - l_tot) for p, c in uv.items()
+    }
+
+
+def _sf_mulp(a, b):
+    ma, ea = _sfu(a)
+    mb, eb = _sfu(b)
+    prod = ma * mb
+    sh = prod.bit_length() - 31
+    return _sfp(prod >> sh, ea + eb + sh)
+
+
+def test_unigram_train_soft_matches_python_reference_bitwise(spark):
+    from apmbackend_spark.operators.unigram import unigram_train_soft
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    want = _soft_train_py(DOCS)
+    got = {
+        r["piece"]: (r["u_soft"], r["score"])
+        for r in unigram_train_soft(df).collect()
+    }
+    assert set(got) == set(want)
+    for p in got:
+        assert got[p] == want[p], p  # expected counts + scores BIT-exact
+
+
+def test_unigram_soft_posteriors_track_float_forward_backward(spark):
+    # the quantized expected counts must track an independent FLOAT
+    # forward-backward to within quantization error (the softfloat is an
+    # arithmetic rendering, not a different model)
+    import re
+    from collections import Counter
+
+    from apmbackend_spark.operators.unigram import unigram_train_soft
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    got = {r["piece"]: r["u_soft"] for r in unigram_train_soft(df).collect()}
+    # float reference
+    pret = Counter()
+    for t in DOCS:
+        for w in re.split(r"[^0-9a-z]+", t.lower()):
+            if w and len(w) <= UNI_MAXWORD:
+                pret[w] += 1
+    pcnt = Counter()
+    for pt, f in pret.items():
+        for i0 in range(1, len(pt) + 1):
+            for l in range(1, min(UNI_MAXPIECE, len(pt) - i0 + 1) + 1):
+                pcnt[pt[i0 - 1 : i0 - 1 + l]] += f
+    chars = {p for p in pcnt if len(p) == 1}
+    longer = sorted(
+        ((p, c) for p, c in pcnt.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:80]
+    v0 = {p: pcnt[p] for p in chars} | dict(longer)
+    dd = sum(v0.values()) + len(v0)
+    pf = {p: (c + 1) / dd for p, c in v0.items()}
+    uf = Counter()
+    occ = Counter()
+    for pt, f in pret.items():
+        n = len(pt)
+        cands = [
+            (i, j, pt[j:i])
+            for i in range(1, n + 1)
+            for j in range(max(0, i - UNI_MAXPIECE), i)
+            if pt[j:i] in pf
+        ]
+        af = [1.0] + [0.0] * n
+        for t in range(1, n + 1):
+            af[t] = sum(af[j] * pf[p] for (i, j, p) in cands if i == t)
+        bf = [0.0] * n + [1.0]
+        for t in range(n - 1, -1, -1):
+            bf[t] = sum(pf[p] * bf[i] for (i, j, p) in cands if j == t)
+        for i, j, p in cands:
+            uf[p] += f * af[j] * pf[p] * bf[i] / af[n]
+            occ[p] += f
+    for p, uq in got.items():
+        # quantization: each (occurrence, freq) contribution floors at
+        # 2^-16, so the worst error is occ[p]/2^16; the softfloat adds
+        # ~1e-9 relative truncation per op chain
+        bound = occ.get(p, 0) / 65536.0 + 1e-6 * max(uf.get(p, 0.0), 1.0)
+        assert abs(uq / 65536.0 - uf.get(p, 0.0)) <= bound, p
