@@ -400,6 +400,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_2level": lambda s, d: sim.ann_ivf_2level(
             embs(s, d), l1_factor=2, probe_l1=3
         ),
+        # the residual-PQ tier routed too: corpus assign AND query probe
+        # selection through the L1 cells, residual codebook trained on
+        # the ROUTED assignment, codes-only ADC tail unchanged
+        "ivfpq_search_2level": lambda s, d: sim.ivfpq_search_2level(
+            embs(s, d)
+        ),
         "ivf_assign_refined": lambda s, d: sim.ivf_assign_refined(embs(s, d)),
         "kmeans_train": lambda s, d: sim.kmeans_train(embs(s, d)),
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
@@ -1036,10 +1042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       directive: their most recent driver row is four rounds old
     #       (judge-green at sf0.01 on r8 code, but the driver's own
     #       signal needs refreshing);
-    #   (b) the 3 NEW round-9 gates (ann_ivf_2level: two-level routing on
-    #       the ANN serving path; ccnet_buckets_sketch: the exact-vs-
-    #       sketch threshold agreement report; unigram_train_soft: the
-    #       forward-backward E-step on softfloat integer arithmetic);
+    #   (b) the 4 NEW round-9 gates (ann_ivf_2level / ivfpq_search_2level:
+    #       two-level routing on the ANN serving path, IVF + residual-PQ
+    #       tiers; ccnet_buckets_sketch: the exact-vs-sketch threshold
+    #       agreement report; unigram_train_soft: the forward-backward
+    #       E-step on softfloat integer arithmetic);
     #   (c) the 2 gates whose OUTPUT changed this round (topology_broker
     #       now grades the decoded db_insert spool at the end of the full
     #       four-queue broker map; unigram_encode grew the fb_pieces/
@@ -1048,13 +1055,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       re-confirm under the driver (tar_shard_ingest: NULL-coalesce;
     #       alerts: oracle split into CTEs + final select; unigram_train:
     #       parameterized corpus source);
-    #   (e) 21 of the 46 r5-stale rows — queue/wire/topology neighbors of
+    #   (e) 20 of the 46 r5-stale rows — queue/wire/topology neighbors of
     #       this round's broker work first (topology_wire, stream_topology,
     #       wire codecs, queue_roundtrip, zscore/zscore_stateful,
     #       charlm_score under the new sketch sibling, hist_quantiles
     #       whose fold pattern the sketch reuses), then the next-stalest
     #       alphabetically.
-    # The 25 leftover r5 rows head the r10 rotation; everything else
+    # The 26 leftover r5 rows head the r10 rotation; everything else
     # overflows with a green r6-r8 row standing (the judge's overflow
     # sweep re-runs them).
     R9_WINDOW = [
@@ -1112,10 +1119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_rules",
         "dup_pagerank",
         "edit_neardup",
-        "embedding_neardup",
-        # the round-9 soft-EM gate (landed late; displaces feature_hashing
-        # to the r10 head)
+        # the round-9 late gates (displace embedding_neardup and
+        # feature_hashing to the r10 head)
         "unigram_train_soft",
+        "ivfpq_search_2level",
     ]
     all_q = (
         phase6
@@ -1218,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_rerank": sim.pq_rerank_oracle_sql(),
         "ivfpq_search": sim.ivfpq_search_oracle_sql(),
         "ivfpq_rerank": sim.ivfpq_rerank_oracle_sql(),
+        "ivfpq_search_2level": sim.ivfpq_search_2level_oracle_sql(),
         "ann_recall_report": sim.ann_recall_report_oracle_sql(),
         "ann_budget_curve": sim.ann_budget_curve_oracle_sql(),
         "ann_index_persist": sim.ann_index_persist_oracle_sql(),

@@ -3090,6 +3090,17 @@ def ivfpq_search(
             F.zip_with("qv", "centv", lambda a, b: a - b).alias("rv"),
         )
     )
+    return _ivfpq_adc(probes, enc, cb, dims, m, k)
+
+
+def _ivfpq_adc(
+    probes: DataFrame, enc: DataFrame, cb: DataFrame, dims: int, m: int, k: int
+) -> DataFrame:
+    """Shared ADC tail: per-(query, probed list) residual distance table
+    (broadcast) -> codes-only candidate join keyed on list_id -> top-k.
+    ``probes``: (query_id, list_id, rv)."""
+    from pyspark.sql import Window
+
     rqsubs = probes.select(
         "query_id",
         "list_id",
@@ -3122,16 +3133,105 @@ def ivfpq_search(
     )
 
 
+def ivfpq_search_2level(
+    embeddings: DataFrame,
+    dims: int = 64,
+    m: int = IVFPQ_M,
+    coarse_mod: int = 50,
+    pq_mod: int = PQ_CODES_MOD,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = IVFPQ_NPROBE,
+    iters: int = PQ_TRAIN_ITERS,
+    l1_factor: int = 2,
+    probe_l1: int = 3,
+) -> DataFrame:
+    """IVF-PQ ADC search SERVED through the two-level router — the last
+    flat piece of the ANN family routed: the corpus assignment rides
+    ``ivf_assign_2level`` (the residual codebook then trains on
+    residuals w.r.t. the ROUTED assignment — the index the router would
+    actually build), and each query's probe-list selection scores the k1
+    L1 cells, keeps the top ``probe_l1``, and ranks only those cells'
+    member lists for its ``nprobe`` probes. Per-query routing cost
+    k1 + probe_l1*k2/k1 instead of k2; everything after probe selection
+    is the codes-only ADC tail shared with ``ivfpq_search``.
+
+    Approximate by design (the routing loss is the same one
+    ``ann_ivf_2level`` grades); deterministic end to end, so the
+    composed index stays value-hash-gradeable. Recall vs bruteforce at
+    the gate knobs is pinned in pytest against the flat ivfpq's
+    published numbers."""
+    from pyspark.sql import Window
+
+    mod = int(coarse_mod)
+    assigned = (
+        ivf_assign_2level(embeddings, mod, l1_factor, probe_l1)
+        .select("vec_id", "list_id")
+        .localCheckpoint()
+    )
+    vecs, cent, assigned, cb, enc = _ivfpq_index(
+        embeddings, dims, m, mod, pq_mod, iters, assigned=assigned
+    )
+    l1 = embeddings.where(
+        F.col("vec_id") % (mod * int(l1_factor)) == 0
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        _quantize(F.col("embedding")).alias("cellv"),
+    )
+    l2g = _assign_step(
+        cent.select(F.col("list_id").alias("vec_id"), F.col("centv").alias("v")),
+        l1.select(F.col("cell_id").alias("list_id"), F.col("cellv").alias("centv")),
+    ).select(F.col("vec_id").alias("list_id"), F.col("list_id").alias("cell_id"))
+
+    q = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    qcells = (
+        q.crossJoin(F.broadcast(l1))
+        .select(
+            "query_id", "qv", "cell_id",
+            cosine(F.col("qv"), F.col("cellv")).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= int(probe_l1))
+        .select("query_id", "qv", "cell_id")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("list_id"))
+    probes = (
+        qcells.join(F.broadcast(l2g), "cell_id")
+        .join(F.broadcast(cent), "list_id")
+        .select(
+            "query_id", "qv", "list_id", "centv",
+            cosine(F.col("qv"), F.col("centv")).alias("psim"),
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= int(nprobe))
+        .select(
+            "query_id",
+            "list_id",
+            F.zip_with("qv", "centv", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    return _ivfpq_adc(probes, enc, cb, dims, m, k)
+
+
 def _ivfpq_ctes(
     dims: int,
     m: int,
     coarse_mod: int,
     pq_mod: int,
     iters: int,
+    assign_2level: bool = False,
+    l1_factor: int = 2,
+    probe_l1: int = 3,
 ) -> str:
     """Oracle twin of the IVF-PQ index build: coarse assign -> residuals
     -> residual-subvector frame -> Lloyd chain -> residual encode
-    (``best`` carries list_id for the probe join)."""
+    (``best`` carries list_id for the probe join). With ``assign_2level``
+    the coarse assignment routes through the L1 cells (l1/l2g/routed
+    CTEs replace the flat cscored) — the two-level-served variant's
+    index build."""
     head = [
         f"""qz AS MATERIALIZED (
     SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
@@ -3139,17 +3239,62 @@ def _ivfpq_ctes(
         f"""cent AS (
     SELECT vec_id AS list_id, v AS centv FROM qz WHERE vec_id % {coarse_mod} = 0
 )""",
-        f"""cscored AS MATERIALIZED (
+    ]
+    if assign_2level:
+        head += [
+            f"""l1 AS (
+    SELECT vec_id AS cell_id, v AS cellv FROM qz
+    WHERE vec_id % {coarse_mod * int(l1_factor)} = 0
+)""",
+            f"""l2g AS (
+    SELECT list_id, cell_id FROM (
+        SELECT c.list_id, g.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.list_id
+                   ORDER BY {cosine_sql('c.centv', 'g.cellv')} DESC,
+                            g.cell_id ASC) AS rn
+        FROM cent c CROSS JOIN l1 g
+    ) WHERE rn = 1
+)""",
+            f"""routed AS MATERIALIZED (
+    SELECT vec_id, cell_id FROM (
+        SELECT q.vec_id, g.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.v', 'g.cellv')} DESC,
+                            g.cell_id ASC) AS rn
+        FROM qz q CROSS JOIN l1 g
+    ) WHERE rn <= {int(probe_l1)}
+)""",
+            f"""assigned AS MATERIALIZED (
+    SELECT vec_id, list_id FROM (
+        SELECT r.vec_id, mm.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.vec_id
+                   ORDER BY {cosine_sql('q.v', 'c.centv')} DESC,
+                            mm.list_id ASC) AS rn
+        FROM routed r
+        JOIN l2g mm USING (cell_id)
+        JOIN qz q ON q.vec_id = r.vec_id
+        JOIN cent c ON c.list_id = mm.list_id
+    ) WHERE rn = 1
+)""",
+        ]
+    else:
+        head += [
+            f"""cscored AS MATERIALIZED (
     SELECT q.vec_id, c.list_id, {cosine_sql('q.v', 'c.centv')} AS sim
     FROM qz q CROSS JOIN cent c
 )""",
-        """assigned AS MATERIALIZED (
+            """assigned AS MATERIALIZED (
     SELECT vec_id, list_id FROM (
         SELECT vec_id, list_id,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS rn
         FROM cscored
     ) WHERE rn = 1
 )""",
+        ]
+    head += [
         """resid AS MATERIALIZED (
     SELECT a.vec_id, a.list_id,
            list_transform(list_zip(q.v, c.centv), pr -> pr[1] - pr[2]) AS v
@@ -3198,6 +3343,76 @@ probes AS (
         SELECT vec_id, list_id,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS prn
         FROM cscored WHERE vec_id < {n_queries}
+    ) WHERE prn <= {int(nprobe)}
+),
+rq AS (
+    SELECT p.query_id, p.list_id,
+           list_transform(list_zip(q.v, c.centv), pr -> pr[1] - pr[2]) AS rv
+    FROM probes p
+    JOIN qz q ON q.vec_id = p.query_id
+    JOIN cent c USING (list_id)
+),
+rqsubs AS (
+    SELECT query_id, list_id, CAST(t.s - 1 AS INT) AS sub,
+           ({_pq_subs_sql('rv', dims, m)})[t.s] AS subv
+    FROM rq, LATERAL unnest(range(1, {m + 1})) AS t(s)
+),
+qtable AS (
+    SELECT s.query_id, s.list_id, s.sub, c.code_id,
+           CAST({_sqdist_sql('s.subv', 'c.centv')} AS BIGINT) AS qd
+    FROM rqsubs s JOIN cb c USING (sub)
+),
+scored AS (
+    SELECT t.query_id, b.vec_id AS cand_id,
+           CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+    FROM best b
+    JOIN qtable t ON t.list_id = b.list_id AND t.sub = b.sub
+                 AND t.code_id = b.code_id
+    WHERE b.vec_id <> t.query_id
+    GROUP BY t.query_id, b.vec_id
+    HAVING COUNT(*) = {m}
+),
+ranked AS (
+    SELECT query_id, cand_id, adc_dist,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC
+           ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivfpq_search_2level_oracle_sql(
+    dims: int = 64,
+    m: int = IVFPQ_M,
+    coarse_mod: int = 50,
+    pq_mod: int = PQ_CODES_MOD,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = IVFPQ_NPROBE,
+    iters: int = PQ_TRAIN_ITERS,
+    l1_factor: int = 2,
+    probe_l1: int = 3,
+) -> str:
+    ctes = _ivfpq_ctes(
+        dims, m, coarse_mod, pq_mod, iters,
+        assign_2level=True, l1_factor=l1_factor, probe_l1=probe_l1,
+    )
+    return f"""
+WITH {ctes},
+probes AS (
+    SELECT query_id, list_id FROM (
+        SELECT r.vec_id AS query_id, mm.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.vec_id
+                   ORDER BY {cosine_sql('q.v', 'c.centv')} DESC,
+                            mm.list_id ASC) AS prn
+        FROM routed r
+        JOIN l2g mm USING (cell_id)
+        JOIN qz q ON q.vec_id = r.vec_id
+        JOIN cent c ON c.list_id = mm.list_id
+        WHERE r.vec_id < {int(n_queries)}
     ) WHERE prn <= {int(nprobe)}
 ),
 rq AS (

@@ -1527,3 +1527,28 @@ def test_ann_ivf_2level_recall_pins_to_flat_published(spark):
     assert len(flat & bf) / len(bf) == 0.76  # the published flat number
     assert len(two & bf) / len(bf) == 0.76  # routed serving matches it
     assert two != flat  # ... while genuinely probing differently
+
+
+def test_ivfpq_search_2level_recall_vs_flat_published(spark):
+    # the residual-PQ tier through the router: ADC recall at the gate
+    # knobs is 0.44 vs the flat ivfpq's published 0.50 — the bounded
+    # routing loss, pinned so a silent regression (or a silent
+    # flat-fallback) fails loudly in either direction
+    from apmbackend_spark.operators.similarity import (
+        ann_bruteforce,
+        ivfpq_search,
+        ivfpq_search_2level,
+    )
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_CORRECT
+
+    embs = load_table(spark, SF_CORRECT, "embeddings")
+    bf = {(r["query_id"], r["cand_id"]) for r in ann_bruteforce(embs).collect()}
+    flat = {(r["query_id"], r["cand_id"]) for r in ivfpq_search(embs).collect()}
+    two = {
+        (r["query_id"], r["cand_id"])
+        for r in ivfpq_search_2level(embs).collect()
+    }
+    assert len(flat & bf) / len(bf) == 0.50  # published flat ADC number
+    assert len(two & bf) / len(bf) == 0.44  # routed, bounded loss
+    assert two != flat

@@ -253,6 +253,18 @@ def test_ann_ivf_2level_routed_serving_not_cartesian(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_ivfpq_search_2level_codes_only_no_cartesian(spark):
+    # the routed ivfpq keeps the codes-only ADC contract: no query x
+    # corpus cartesian, candidate exchange without the embedding column
+    from apmbackend_spark.operators.similarity import ivfpq_search_2level
+    from apmbackend_spark.sources.loaders import load_table
+
+    p = plan(ivfpq_search_2level(load_table(spark, SF_SMOKE, "embeddings")))
+    assert "Broadcast" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_kmeans_train_broadcasts_centroids_no_cartesian(spark):
     # kmeans_train evaluates eagerly per iteration (bounded cache), so the
     # plan to audit is the per-iteration ASSIGN step, not the returned
