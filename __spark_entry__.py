@@ -952,6 +952,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": lambda s, d: pf.hist_quantiles(
             load_table(s, d, "events")
         ),
+        # the higher-resolution sibling: 64 sub-bins per octave (HDR/
+        # DDSketch bucketing) — 1/64 relative error instead of 2x, still
+        # a fixed-shape mergeable sketch
+        "subbin_quantiles": lambda s, d: pf.subbin_quantiles(
+            load_table(s, d, "events")
+        ),
         # recency-weighted feature-store counters: dyadic-exact 2^-age
         # decay folded as scaled integers (order-free), one combinable agg
         "decayed_counts": lambda s, d: sess.decayed_counts(
@@ -1485,6 +1491,7 @@ JOIN fs_q q
         "seasonal_baseline": sea.seasonal_baseline_oracle_sql(),
         "trend_slopes": sea.trend_slopes_oracle_sql(),
         "hist_quantiles": pf.hist_quantiles_oracle_sql(),
+        "subbin_quantiles": pf.subbin_quantiles_oracle_sql(),
         "decayed_counts": sess.decayed_counts_oracle_sql(),
         "rollup_incremental": cdc.rollup_incremental_oracle_sql(),
         "retention_cohorts": sess.retention_cohorts_oracle_sql(),

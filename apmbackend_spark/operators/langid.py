@@ -477,66 +477,6 @@ def ccnet_buckets(
     )
 
 
-def _subbin_est(arr, n, q: float):
-    """Interpolated quantile from the sorted (lo, width, cnt) sub-octave
-    bin array (profile._hist_est generalized to variable-width bins):
-    fold keeps (cum, est); est fills in the first bin where cum reaches
-    ceil(q*n), interpolating lo + width * frac. /100 back to score
-    units (identical double ops both engines)."""
-    target = F.ceil(F.lit(q / 100.0) * n.cast("double")).cast("long")
-    init = F.struct(
-        F.lit(0).cast("long").alias("cum"),
-        F.lit(None).cast("double").alias("est"),
-    )
-
-    def step(acc, x):
-        lo = x["lo"].cast("double")
-        w = x["width"].cast("double")
-        frac = (target - acc["cum"]).cast("double") / x["cnt"].cast("double")
-        return F.struct(
-            (acc["cum"] + x["cnt"]).alias("cum"),
-            F.coalesce(
-                acc["est"],
-                F.when(acc["cum"] + x["cnt"] >= target, lo + w * frac),
-            ).alias("est"),
-        )
-
-    return F.aggregate(arr, init, step)["est"] / F.lit(100.0)
-
-
-def _subbin_est_sql(q: float) -> str:
-    """DuckDB twin of ``_subbin_est`` — the CASE-of-structs list_reduce
-    form (profile._hist_est_sql's documented workaround for DuckDB's
-    struct_pack lambda field resolution)."""
-    target = f"CAST(ceil({q / 100.0!r} * CAST(n AS DOUBLE)) AS BIGINT)"
-    zero = "cnt := CAST(0 AS BIGINT), lo := CAST(0 AS BIGINT), width := CAST(0 AS BIGINT)"
-    return f"""
-        list_reduce(
-            list_prepend(
-                struct_pack(cum := CAST(0 AS BIGINT),
-                            est := CAST(NULL AS DOUBLE), {zero}),
-                list_transform(
-                    arr,
-                    e -> struct_pack(cum := e.cnt,
-                                     est := CAST(NULL AS DOUBLE),
-                                     cnt := e.cnt, lo := e.lo,
-                                     width := e.width)
-                )
-            ),
-            (a, x) -> CASE
-                WHEN a.est IS NULL AND a.cum + x.cnt >= {target}
-                THEN struct_pack(
-                        cum := a.cum + x.cnt,
-                        est := CAST(x.lo AS DOUBLE)
-                               + CAST(x.width AS DOUBLE)
-                               * (CAST({target} - a.cum AS DOUBLE)
-                                  / CAST(x.cnt AS DOUBLE)),
-                        {zero})
-                ELSE struct_pack(cum := a.cum + x.cnt, est := a.est, {zero})
-            END
-        ).est / 100.0"""
-
-
 def ccnet_buckets_sketch(
     documents: DataFrame,
     model_size: int = CHARLM_MODEL_SIZE,
@@ -566,6 +506,7 @@ def ccnet_buckets_sketch(
     bucketing loss is exactly what the report says it is. The pytest pin
     asserts the measured agreement floor."""
     from ..functions.percentile import midpoint_percentile
+    from .profile import _subbin_est
 
     scored = charlm_score(documents, model_size, scale).localCheckpoint()
     # exact thresholds — the ccnet_buckets path, verbatim
@@ -657,6 +598,7 @@ def ccnet_buckets_sketch_oracle_sql(
     model_size: int = CHARLM_MODEL_SIZE, scale: int = CHARLM_SCALE
 ) -> str:
     from ..functions.percentile import midpoint_percentile_sql
+    from .profile import _subbin_est_sql
 
     inner = charlm_score_oracle_sql(model_size, scale)
     parr = "list_sort(list(CAST(lm_score AS DOUBLE)))"

@@ -597,6 +597,153 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# Sub-octave histogram quantiles: the higher-resolution mergeable sketch.
+# ---------------------------------------------------------------------------
+# hist_quantiles' power-of-two bins bound relative error at 2x — right for
+# long-tailed latency distributions, useless when a metric clusters inside
+# one octave (measured on the CCNet LM score, where octave bins gave 0.33
+# bucket agreement vs the exact percentiles). The HDR-histogram / DDSketch
+# fix: 64 sub-bins per octave from pure INTEGER shifts (bit-length octave +
+# top-6-bits mantissa), bounding relative error at 1/64 while staying a
+# fixed-shape mergeable sketch (<=4096 bins per group; merge = add counts).
+# First consumer: langid.ccnet_buckets_sketch; subbin_quantiles below is
+# the latency-family form over events.value.
+
+
+def _subbin_est(arr, n, q: float):
+    """Interpolated quantile from the sorted (lo, width, cnt) sub-octave
+    bin array (_hist_est generalized to variable-width bins):
+    fold keeps (cum, est); est fills in the first bin where cum reaches
+    ceil(q*n), interpolating lo + width * frac. /100 back to score
+    units (identical double ops both engines)."""
+    target = F.ceil(F.lit(q / 100.0) * n.cast("double")).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("est"),
+    )
+
+    def step(acc, x):
+        lo = x["lo"].cast("double")
+        w = x["width"].cast("double")
+        frac = (target - acc["cum"]).cast("double") / x["cnt"].cast("double")
+        return F.struct(
+            (acc["cum"] + x["cnt"]).alias("cum"),
+            F.coalesce(
+                acc["est"],
+                F.when(acc["cum"] + x["cnt"] >= target, lo + w * frac),
+            ).alias("est"),
+        )
+
+    return F.aggregate(arr, init, step)["est"] / F.lit(100.0)
+
+
+def _subbin_est_sql(q: float) -> str:
+    """DuckDB twin of ``_subbin_est`` — the CASE-of-structs list_reduce
+    form (_hist_est_sql's documented workaround for DuckDB's
+    struct_pack lambda field resolution)."""
+    target = f"CAST(ceil({q / 100.0!r} * CAST(n AS DOUBLE)) AS BIGINT)"
+    zero = "cnt := CAST(0 AS BIGINT), lo := CAST(0 AS BIGINT), width := CAST(0 AS BIGINT)"
+    return f"""
+        list_reduce(
+            list_prepend(
+                struct_pack(cum := CAST(0 AS BIGINT),
+                            est := CAST(NULL AS DOUBLE), {zero}),
+                list_transform(
+                    arr,
+                    e -> struct_pack(cum := e.cnt,
+                                     est := CAST(NULL AS DOUBLE),
+                                     cnt := e.cnt, lo := e.lo,
+                                     width := e.width)
+                )
+            ),
+            (a, x) -> CASE
+                WHEN a.est IS NULL AND a.cum + x.cnt >= {target}
+                THEN struct_pack(
+                        cum := a.cum + x.cnt,
+                        est := CAST(x.lo AS DOUBLE)
+                               + CAST(x.width AS DOUBLE)
+                               * (CAST({target} - a.cum AS DOUBLE)
+                                  / CAST(x.cnt AS DOUBLE)),
+                        {zero})
+                ELSE struct_pack(cum := a.cum + x.cnt, est := a.est, {zero})
+            END
+        ).est / 100.0"""
+
+
+def subbin_quantiles(events: DataFrame) -> DataFrame:
+    """Per event_type: n plus sub-octave-sketched p50/p95/p99 of `value` —
+    hist_quantiles' drop-in with 64 sub-bins per octave (1/64 relative
+    error instead of 2x). Identical scale shape: one map-side-combinable
+    (group, bin) rollup, per-group arrays <=4096 whatever the volume."""
+    cents = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long"),
+    )
+    binned = (
+        events.where(F.col("value").isNotNull())
+        .select("event_type", cents.alias("c"))
+        .withColumn(
+            "shift",
+            F.greatest(F.length(F.bin(F.col("c"))) - 7, F.lit(0)).cast("int"),
+        )
+        .select(
+            "event_type",
+            F.expr("shiftleft(shiftright(c, shift), shift)").alias("lo"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), shift)").alias("width"),
+        )
+        .groupBy("event_type", "lo", "width")
+        .agg(F.count("*").alias("cnt"))
+    )
+    g = binned.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("lo"), F.col("width"), F.col("cnt")))
+        ).alias("arr"),
+    )
+    n = F.col("n")
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        *[_subbin_est(F.col("arr"), n, q).alias(f"q{int(q)}") for q in HIST_QS],
+    )
+
+
+def subbin_quantiles_oracle_sql() -> str:
+    ests = ",\n       ".join(
+        f"({_subbin_est_sql(q)}) AS q{int(q)}" for q in HIST_QS
+    )
+    return f"""
+WITH binned AS (
+    SELECT event_type,
+           CAST((c >> shift) << shift AS BIGINT) AS lo,
+           CAST(1::BIGINT << shift AS BIGINT) AS width,
+           COUNT(*) AS cnt
+    FROM (
+        SELECT event_type, c,
+               CAST(GREATEST(length(bin(c)) - 7, 0) AS INT) AS shift
+        FROM (
+            SELECT event_type,
+                   GREATEST(CAST(1 AS BIGINT),
+                            CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS c
+            FROM events WHERE value IS NOT NULL
+        )
+    )
+    GROUP BY 1, 2, 3
+), g AS (
+    SELECT event_type,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           list_sort(list({{'lo': CAST(lo AS BIGINT),
+                            'width': CAST(width AS BIGINT),
+                            'cnt': CAST(cnt AS BIGINT)}})) AS arr
+    FROM binned GROUP BY event_type
+)
+SELECT event_type, n,
+       {ests}
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # Declarative data-quality rule audit (expectation-suite shape).
 # ---------------------------------------------------------------------------
 # A production ingest gates every batch on a rule suite ("value is

@@ -185,6 +185,45 @@ def test_hist_quantiles_lands_in_the_exact_quantiles_bin(spark):
             assert lo <= est_cents <= 2 * lo, (et, q, exact, est_cents)
 
 
+def test_subbin_quantiles_error_bounded_by_sub_octave_bin(spark):
+    from apmbackend_spark.operators.profile import HIST_QS, subbin_quantiles
+    from apmbackend_spark.sources.loaders import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    got = {
+        r["event_type"]: r.asDict() for r in subbin_quantiles(events).collect()
+    }
+    vals = (
+        events.where(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in vals:
+        by_type.setdefault(r["event_type"], []).append(
+            max(1, math.floor(r["value"] * 100.0 + 0.5))
+        )
+    for et, cents in by_type.items():
+        cents.sort()
+        assert got[et]["n"] == len(cents)
+        for q in HIST_QS:
+            # the estimate must land inside the exact rank-q value's
+            # SUB-OCTAVE bin [lo, lo + width] — width = 2^(bitlen-7)-ish,
+            # i.e. 1/64 of the octave (vs hist_quantiles' full [lo, 2lo])
+            exact = cents[math.ceil(q / 100.0 * len(cents)) - 1]
+            shift = max(exact.bit_length() - 7, 0)
+            lo = (exact >> shift) << shift
+            width = 1 << shift
+            est_cents = got[et][f"q{int(q)}"] * 100.0
+            # top-inclusive (an estimate at full-bin cum lands exactly on
+            # lo + width); 1e-6 absorbs the /100*100 float round-trip
+            assert lo - 1e-6 <= est_cents <= lo + width + 1e-6, (
+                et, q, exact, est_cents,
+            )
+            # the bin really is a 1/64 slice of the value's octave
+            assert width * 128 > exact, (et, q, exact, width)
+
+
 def test_hist_quantiles_interpolates_exactly_on_tiny_case(spark):
     from apmbackend_spark.operators.profile import hist_quantiles
 
