@@ -1048,11 +1048,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       directive: their most recent driver row is four rounds old
     #       (judge-green at sf0.01 on r8 code, but the driver's own
     #       signal needs refreshing);
-    #   (b) the 4 NEW round-9 gates (ann_ivf_2level / ivfpq_search_2level:
+    #   (b) the 5 NEW round-9 gates (ann_ivf_2level / ivfpq_search_2level:
     #       two-level routing on the ANN serving path, IVF + residual-PQ
     #       tiers; ccnet_buckets_sketch: the exact-vs-sketch threshold
     #       agreement report; unigram_train_soft: the forward-backward
-    #       E-step on softfloat integer arithmetic);
+    #       E-step on softfloat integer arithmetic; subbin_quantiles:
+    #       the 1/64-error mergeable percentile sketch over events);
     #   (c) the 2 gates whose OUTPUT changed this round (topology_broker
     #       now grades the decoded db_insert spool at the end of the full
     #       four-queue broker map; unigram_encode grew the fb_pieces/
@@ -1061,13 +1062,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       re-confirm under the driver (tar_shard_ingest: NULL-coalesce;
     #       alerts: oracle split into CTEs + final select; unigram_train:
     #       parameterized corpus source);
-    #   (e) 20 of the 46 r5-stale rows — queue/wire/topology neighbors of
+    #   (e) 19 of the 46 r5-stale rows — queue/wire/topology neighbors of
     #       this round's broker work first (topology_wire, stream_topology,
     #       wire codecs, queue_roundtrip, zscore/zscore_stateful,
     #       charlm_score under the new sketch sibling, hist_quantiles
     #       whose fold pattern the sketch reuses), then the next-stalest
     #       alphabetically.
-    # The 26 leftover r5 rows head the r10 rotation; everything else
+    # The 27 leftover r5 rows head the r10 rotation; everything else
     # overflows with a green r6-r8 row standing (the judge's overflow
     # sweep re-runs them).
     R9_WINDOW = [
@@ -1124,11 +1125,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_dup",
         "dq_rules",
         "dup_pagerank",
-        "edit_neardup",
-        # the round-9 late gates (displace embedding_neardup and
-        # feature_hashing to the r10 head)
+        # the round-9 late gates (displace edit_neardup,
+        # embedding_neardup and feature_hashing to the r10 head —
+        # never-driver-graded gates take priority over once-green rows)
         "unigram_train_soft",
         "ivfpq_search_2level",
+        "subbin_quantiles",
     ]
     all_q = (
         phase6
