@@ -434,10 +434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DP is an in-row fold (Spark) / recursive CTE (oracle), scores
         # are the exact fixed-point log2 — bit-identical segmentations
         "unigram_train": lambda s, d: uni.unigram_train(docs(s, d)),
-        # the published algorithm's TRUE E-step: forward-backward expected
-        # counts over all segmentations, every probability a deterministic
-        # 31-bit-mantissa softfloat (integer shifts/div only — no libm
-        # logsumexp); DuckDB replays the identical integer ops
+        # the FULL soft-EM loop (E-step -> prune -> re-smooth -> E-step):
+        # forward-backward expected counts over all segmentations, every
+        # probability a deterministic 31-bit-mantissa softfloat (integer
+        # shifts/div only — no libm logsumexp); DuckDB replays the
+        # identical integer ops
         "unigram_train_soft": lambda s, d: uni.unigram_train_soft(
             docs(s, d)
         ),

@@ -753,52 +753,17 @@ aggregate(
 """
 
 
-def unigram_train_soft(documents: DataFrame) -> DataFrame:
-    """(piece, piece_len, u_soft, score): ONE soft-EM round on the seed
-    vocabulary — the published algorithm's true E-step. Per pretoken, the
-    forward/backward sums alpha/beta run over ALL segmentations under the
-    add-1-smoothed seed probabilities p(piece) = (cnt+1)/(tot+|V|); each
-    candidate occurrence's posterior alpha(j) * p * beta(i) / alpha(n),
-    frequency-weighted and quantized to 2^-16 units, is its expected
-    count. The M-step re-scores with the same fixed-point log2 as the
-    hard-EM trainer (add-1 in quantized-count units).
-
-    Exactness: every probability is a deterministic 31-bit-mantissa
-    softfloat packed into one BIGINT (module comment above); the DP folds
-    are in-row codegen aggregates over the SORTED packed candidate list,
-    and the DuckDB twin replays the identical integer ops in the same
-    order — expected counts are bit-identical, with no libm logsumexp
-    anywhere.
-
-    Scale shape: identical to the hard trainer — one corpus-sized token
-    shuffle builds the distinct-pretoken frame; the candidate explode,
-    both DP folds, and the posterior quantization run on the
-    vocabulary-sized frame; the usage rollup is map-side combinable."""
-    from pyspark.sql import Window
-
-    d = _SPARK_SF
-    pret = _pretokens(documents).localCheckpoint()
-    pcnt = (
-        _substrings(pret)
-        .groupBy("piece")
-        .agg(F.sum("freq").cast("long").alias("cnt"))
-        .localCheckpoint()
+def _soft_pv(vocab: DataFrame, cnt_col: str, unit: int) -> DataFrame:
+    """(piece, pm, pe): add-``unit``-smoothed softfloat probabilities —
+    p(piece) = (cnt + unit)/(tot + |V|·unit). unit=1 for raw substring
+    counts (round 1); unit=2^16 for quantized expected counts (round 2),
+    so the smoothing is add-1 in each round's own count units."""
+    den = vocab.agg(
+        (F.sum(cnt_col) + F.count(F.lit(1)) * unit).cast("long").alias("dd")
     )
-    chars = pcnt.where(F.length("piece") == 1)
-    w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
-    seedk = (
-        pcnt.where(F.length("piece") >= 2)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= UNI_SEED)
-        .drop("rn")
-    )
-    v0 = chars.unionAll(seedk).localCheckpoint()
-    den = v0.agg(
-        (F.sum("cnt") + F.count(F.lit(1))).cast("long").alias("dd")
-    )
-    pm_sql, pe_sql = _sf_ratio_sql("(cnt + 1)", "dd", d)
-    pv = (
-        v0.crossJoin(F.broadcast(den))
+    pm_sql, pe_sql = _sf_ratio_sql(f"({cnt_col} + {int(unit)})", "dd", _SPARK_SF)
+    return (
+        vocab.crossJoin(F.broadcast(den))
         .select(
             "piece",
             F.expr(pm_sql).cast("long").alias("pm"),
@@ -806,6 +771,13 @@ def unigram_train_soft(documents: DataFrame) -> DataFrame:
         )
         .localCheckpoint()  # candidates + posterior both read it
     )
+
+
+def _soft_estep(pret: DataFrame, pv: DataFrame) -> DataFrame:
+    """(piece, u): one forward-backward E-step — frequency-weighted
+    posteriors of every candidate occurrence under the softfloat model
+    ``pv``, quantized to 2^-16 units."""
+    d = _SPARK_SF
     cand = _substrings(pret).join(F.broadcast(pv), "piece")
     packed = F.expr(
         f"((CAST(i AS BIGINT) * 16 + j) * 256 + (pe + 192)) * {_SFB} + pm"
@@ -828,13 +800,78 @@ def unigram_train_soft(documents: DataFrame) -> DataFrame:
         d,
     )
     contrib = F.expr(f"freq * {_sf_q16_sql(post, d)}").cast("long")
-    us = (
+    return (
         cand.join(fb, "pt")
         .select("piece", contrib.alias("contrib"))
         .groupBy("piece")
         .agg(F.sum("contrib").cast("long").alias("u"))
     )
-    uv = v0.select("piece").join(us, "piece", "left").select(
+
+
+def unigram_train_soft(documents: DataFrame) -> DataFrame:
+    """(piece, piece_len, u_soft, score): the FULL soft-EM training loop,
+    mirroring the hard trainer's two-round structure with the published
+    algorithm's true E-step — forward-backward EXPECTED counts over all
+    segmentations instead of Viterbi best-path counts:
+
+      * round 1: E-step under the add-1-smoothed seed probabilities
+        p = (cnt+1)/(tot+|V|);
+      * prune by soft contribution (chars always survive; longer pieces
+        need expected count > 0 and a top-``UNI_KEEP`` rank — the
+        prune-by-loss-delta step with the delta rendered as the piece's
+        expected usage, the soft analogue of the hard trainer's rule);
+      * round 2: E-step under the pruned model re-smoothed in quantized
+        units, p = (u + 2^16)/(tot_q + |V|·2^16); its expected counts and
+        fixed-point-log2 scores are the trained table.
+
+    Exactness: every probability is a deterministic 31-bit-mantissa
+    softfloat packed into one BIGINT (module comment above); the DP folds
+    are in-row codegen aggregates over the SORTED packed candidate list,
+    and the DuckDB twin replays the identical integer ops in the same
+    order — expected counts are bit-identical, with no libm logsumexp
+    anywhere.
+
+    Scale shape: identical to the hard trainer — one corpus-sized token
+    shuffle builds the distinct-pretoken frame; candidate explodes, DP
+    folds, and posterior quantization run on the vocabulary-sized frame;
+    usage rollups are map-side combinable."""
+    from pyspark.sql import Window
+
+    pret = _pretokens(documents).localCheckpoint()
+    pcnt = (
+        _substrings(pret)
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    chars = pcnt.where(F.length("piece") == 1)
+    w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    seedk = (
+        pcnt.where(F.length("piece") >= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= UNI_SEED)
+        .drop("rn")
+    )
+    v0 = chars.unionAll(seedk).localCheckpoint()
+    u1 = _soft_estep(pret, _soft_pv(v0, "cnt", 1)).localCheckpoint()
+    wk = Window.orderBy(F.desc("u"), F.asc("piece"))
+    kept = (
+        u1.where((F.length("piece") >= 2) & (F.col("u") > 0))
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= UNI_KEEP)
+        .select("piece")
+    )
+    v1u = (
+        chars.select("piece")
+        .unionAll(kept)
+        .join(u1, "piece", "left")
+        .select(
+            "piece", F.coalesce(F.col("u"), F.lit(0)).cast("long").alias("u")
+        )
+        .localCheckpoint()  # pv1 + final output share it
+    )
+    u2 = _soft_estep(pret, _soft_pv(v1u, "u", _SOFT_Q))
+    uv = v1u.select("piece").join(u2, "piece", "left").select(
         "piece", F.coalesce(F.col("u"), F.lit(0)).cast("long").alias("u")
     )
     tot = uv.agg(
@@ -851,14 +888,15 @@ def unigram_train_soft(documents: DataFrame) -> DataFrame:
     )
 
 
-def unigram_train_soft_oracle_sql() -> str:
+def _soft_estep_ctes(tag: str, pv: str) -> str:
+    """One E-step as DuckDB CTEs (candp_/cl_/af_/bf_/fbx_/postc_/us_{tag})
+    over the model CTE ``pv`` — the oracle twin of ``_soft_estep``."""
     d = _DUCK_SF
-    pm_sql, pe_sql = _sf_ratio_sql("(cnt + 1)", "dd", d)
     mul_a = _sf_mulc_sql(
-        f"al[{_sfc_j('x', d)} + 1]", _sfc_pm("x"), _sfc_pe("x", d), d
+        f"a.al[{_sfc_j('x', d)} + 1]", _sfc_pm("x"), _sfc_pe("x", d), d
     )
     mul_b = _sf_mulc_sql(
-        f"bl[length(pt) - {_sfc_i('x', d)} + 1]",
+        f"b.bl[length(b.pt) - {_sfc_i('x', d)} + 1]",
         _sfc_pm("x"), _sfc_pe("x", d), d,
     )
     add = _sf_add_sql("s", "x", d)
@@ -871,26 +909,16 @@ def unigram_train_soft_oracle_sql() -> str:
         "f.al[length(sb.pt) + 1]",
         d,
     )
-    # seed CTEs: pret/subs/pcnt/chars/seedk/v0 verbatim from the hard
-    # trainer (everything up to and including v0)
-    seed = _train_ctes().split("), v0tot AS (")[0] + ")"
     return f"""
-WITH RECURSIVE {seed}
-, den AS (
-    SELECT CAST(SUM(cnt) AS BIGINT) + CAST(COUNT(*) AS BIGINT) AS dd FROM v0
-), pv AS MATERIALIZED (
-    SELECT piece, CAST({pm_sql} AS BIGINT) AS pm,
-           CAST({pe_sql} AS BIGINT) AS pe
-    FROM v0 CROSS JOIN den
-), candp AS (
+, candp_{tag} AS (
     SELECT sb.pt,
            ((CAST(sb.i AS BIGINT) * 16 + sb.j) * 256 + (v.pe + 192))
                * {_SFB} + v.pm AS cpk
-    FROM subs sb JOIN pv v USING (piece)
-), cl AS MATERIALIZED (
-    SELECT pt, list_sort(list(cpk)) AS cands FROM candp GROUP BY pt
-), af AS (
-    SELECT pt, 0 AS pos, [CAST({_SF_ONE} AS BIGINT)] AS al FROM cl
+    FROM subs sb JOIN {pv} v USING (piece)
+), cl_{tag} AS MATERIALIZED (
+    SELECT pt, list_sort(list(cpk)) AS cands FROM candp_{tag} GROUP BY pt
+), af_{tag} AS (
+    SELECT pt, 0 AS pos, [CAST({_SF_ONE} AS BIGINT)] AS al FROM cl_{tag}
     UNION ALL
     SELECT a.pt, a.pos + 1,
            a.al || [(
@@ -899,13 +927,13 @@ WITH RECURSIVE {seed}
                  list_transform(
                    list_filter(c.cands,
                                x -> {_sfc_i('x', d)} = a.pos + 1),
-                   x -> {mul_a.replace('al[', 'a.al[')})),
+                   x -> {mul_a})),
                (s, x) -> {add})
            )]
-    FROM af a JOIN cl c USING (pt)
+    FROM af_{tag} a JOIN cl_{tag} c USING (pt)
     WHERE a.pos < length(a.pt)
-), bf AS (
-    SELECT pt, 0 AS pos, [CAST({_SF_ONE} AS BIGINT)] AS bl FROM cl
+), bf_{tag} AS (
+    SELECT pt, 0 AS pos, [CAST({_SF_ONE} AS BIGINT)] AS bl FROM cl_{tag}
     UNION ALL
     SELECT b.pt, b.pos + 1,
            b.bl || [(
@@ -914,24 +942,63 @@ WITH RECURSIVE {seed}
                  list_transform(
                    list_filter(c.cands,
                                x -> {_sfc_j('x', d)} = length(b.pt) - (b.pos + 1)),
-                   x -> {mul_b.replace('bl[', 'b.bl[').replace('length(pt)', 'length(b.pt)')})),
+                   x -> {mul_b})),
                (s, x) -> {add})
            )]
-    FROM bf b JOIN cl c USING (pt)
+    FROM bf_{tag} b JOIN cl_{tag} c USING (pt)
     WHERE b.pos < length(b.pt)
-), fbx AS MATERIALIZED (
+), fbx_{tag} AS MATERIALIZED (
     SELECT a.pt, a.al, b.bl
-    FROM af a JOIN bf b USING (pt)
+    FROM af_{tag} a JOIN bf_{tag} b USING (pt)
     WHERE a.pos = length(a.pt) AND b.pos = length(b.pt)
-), postc AS (
+), postc_{tag} AS (
     SELECT sb.piece,
            sb.freq * {_sf_q16_sql(post, d)} AS contrib
-    FROM subs sb JOIN pv v USING (piece) JOIN fbx f ON f.pt = sb.pt
-), us AS (
-    SELECT piece, CAST(SUM(contrib) AS BIGINT) AS u FROM postc GROUP BY piece
-), uv AS MATERIALIZED (
-    SELECT v0.piece, CAST(COALESCE(us.u, 0) AS BIGINT) AS u
-    FROM v0 LEFT JOIN us USING (piece)
+    FROM subs sb JOIN {pv} v USING (piece) JOIN fbx_{tag} f ON f.pt = sb.pt
+), us_{tag} AS (
+    SELECT piece, CAST(SUM(contrib) AS BIGINT) AS u
+    FROM postc_{tag} GROUP BY piece
+)"""
+
+
+def _soft_pv_ctes(tag: str, vocab: str, cnt_col: str, unit: int) -> str:
+    d = _DUCK_SF
+    pm_sql, pe_sql = _sf_ratio_sql(f"({cnt_col} + {int(unit)})", "dd", d)
+    return f"""
+, den_{tag} AS (
+    SELECT CAST(SUM({cnt_col}) AS BIGINT)
+           + CAST(COUNT(*) AS BIGINT) * {int(unit)} AS dd FROM {vocab}
+), pv_{tag} AS MATERIALIZED (
+    SELECT piece, CAST({pm_sql} AS BIGINT) AS pm,
+           CAST({pe_sql} AS BIGINT) AS pe
+    FROM {vocab} CROSS JOIN den_{tag}
+)"""
+
+
+def unigram_train_soft_oracle_sql() -> str:
+    # seed CTEs: pret/subs/pcnt/chars/seedk/v0 verbatim from the hard
+    # trainer (everything up to and including v0)
+    seed = _train_ctes().split("), v0tot AS (")[0] + ")"
+    return f"""
+WITH RECURSIVE {seed}
+{_soft_pv_ctes('0', 'v0', 'cnt', 1)}
+{_soft_estep_ctes('1', 'pv_0')}
+, kept AS (
+    SELECT piece FROM (
+        SELECT piece, u,
+               ROW_NUMBER() OVER (ORDER BY u DESC, piece ASC) AS rn
+        FROM us_1 WHERE length(piece) >= 2 AND u > 0
+    ) WHERE rn <= {UNI_KEEP}
+), v1u AS MATERIALIZED (
+    SELECT v.piece, CAST(COALESCE(us_1.u, 0) AS BIGINT) AS u
+    FROM (SELECT piece FROM chars UNION ALL SELECT piece FROM kept) v
+    LEFT JOIN us_1 USING (piece)
+)
+{_soft_pv_ctes('2', 'v1u', 'u', _SOFT_Q)}
+{_soft_estep_ctes('2', 'pv_2')}
+, uv AS MATERIALIZED (
+    SELECT v1u.piece, CAST(COALESCE(us_2.u, 0) AS BIGINT) AS u
+    FROM v1u LEFT JOIN us_2 USING (piece)
 ), ut AS (
     SELECT {log2fix_sql(f'tot + nv * {_SOFT_Q}')} AS l_tot
     FROM (SELECT CAST(SUM(u) AS BIGINT) AS tot,

@@ -285,34 +285,11 @@ def _sf_q16(x):
     return (m << min(t, 20)) if t >= 0 else (m >> min(-t, 62))
 
 
-def _soft_train_py(docs: list[str]):
-    """Reference soft-EM round: identical packed integer ops, identical
-    sorted fold order."""
-    import re
+def _soft_estep_py(pret, subs, pv):
+    """One forward-backward E-step with the identical packed integer ops
+    and the identical sorted fold order."""
     from collections import Counter
 
-    pret = Counter()
-    for t in docs:
-        for w in re.split(r"[^0-9a-z]+", t.lower()):
-            if w and len(w) <= UNI_MAXWORD:
-                pret[w] += 1
-    pcnt = Counter()
-    subs = []
-    for pt, f in pret.items():
-        for i0 in range(1, len(pt) + 1):
-            for l in range(1, min(UNI_MAXPIECE, len(pt) - i0 + 1) + 1):
-                piece = pt[i0 - 1 : i0 - 1 + l]
-                subs.append((pt, f, i0 + l - 1, i0 - 1, piece))
-                pcnt[piece] += f
-    chars = {p: c for p, c in pcnt.items() if len(p) == 1}
-    longer = sorted(
-        ((p, c) for p, c in pcnt.items() if len(p) >= 2),
-        key=lambda x: (-x[1], x[0]),
-    )[:80]
-    v0 = dict(chars)
-    v0.update(dict(longer))
-    dd = sum(v0.values()) + len(v0)
-    pv = {p: _sf_ratio(c + 1, dd) for p, c in v0.items()}
     u = Counter()
     for pt in pret:
         n = len(pt)
@@ -341,7 +318,47 @@ def _soft_train_py(docs: list[str]):
                 _sf_mulp(_sf_mul(al[j], *pv[p]), rb[n - i]), al[n]
             )
             u[p] += pret[pt] * _sf_q16(post)
-    uv = {p: u.get(p, 0) for p in v0}
+    return u
+
+
+def _soft_train_py(docs: list[str]):
+    """Reference two-round soft-EM loop (E-step -> prune -> re-smooth in
+    quantized units -> E-step)."""
+    import re
+    from collections import Counter
+
+    pret = Counter()
+    for t in docs:
+        for w in re.split(r"[^0-9a-z]+", t.lower()):
+            if w and len(w) <= UNI_MAXWORD:
+                pret[w] += 1
+    pcnt = Counter()
+    subs = []
+    for pt, f in pret.items():
+        for i0 in range(1, len(pt) + 1):
+            for l in range(1, min(UNI_MAXPIECE, len(pt) - i0 + 1) + 1):
+                piece = pt[i0 - 1 : i0 - 1 + l]
+                subs.append((pt, f, i0 + l - 1, i0 - 1, piece))
+                pcnt[piece] += f
+    chars = {p: c for p, c in pcnt.items() if len(p) == 1}
+    longer = sorted(
+        ((p, c) for p, c in pcnt.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:80]
+    v0 = dict(chars)
+    v0.update(dict(longer))
+    dd = sum(v0.values()) + len(v0)
+    pv0 = {p: _sf_ratio(c + 1, dd) for p, c in v0.items()}
+    u1 = _soft_estep_py(pret, subs, pv0)
+    kept = sorted(
+        ((p, u) for p, u in u1.items() if len(p) >= 2 and u > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:40]
+    v1u = {p: u1.get(p, 0) for p in chars} | dict(kept)
+    dd1 = sum(v1u.values()) + len(v1u) * 65536
+    pv1 = {p: _sf_ratio(u + 65536, dd1) for p, u in v1u.items()}
+    u2 = _soft_estep_py(pret, subs, pv1)
+    uv = {p: u2.get(p, 0) for p in v1u}
     tot = sum(uv.values())
     l_tot = _log2fix_py(tot + len(uv) * 65536)
     return {
@@ -386,17 +403,22 @@ def test_unigram_soft_posteriors_track_float_forward_backward(spark):
         [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
     )
     got = {r["piece"]: r["u_soft"] for r in unigram_train_soft(df).collect()}
-    # float reference
+    # float reference for ROUND 2: the pruned vocab + quantized round-1
+    # counts come from the bit-exact reference (prune ranking near ties
+    # must match the engine's); only the final forward-backward is float
     pret = Counter()
     for t in DOCS:
         for w in re.split(r"[^0-9a-z]+", t.lower()):
             if w and len(w) <= UNI_MAXWORD:
                 pret[w] += 1
     pcnt = Counter()
+    subs = []
     for pt, f in pret.items():
         for i0 in range(1, len(pt) + 1):
             for l in range(1, min(UNI_MAXPIECE, len(pt) - i0 + 1) + 1):
-                pcnt[pt[i0 - 1 : i0 - 1 + l]] += f
+                piece = pt[i0 - 1 : i0 - 1 + l]
+                subs.append((pt, f, i0 + l - 1, i0 - 1, piece))
+                pcnt[piece] += f
     chars = {p for p in pcnt if len(p) == 1}
     longer = sorted(
         ((p, c) for p, c in pcnt.items() if len(p) >= 2),
@@ -404,7 +426,15 @@ def test_unigram_soft_posteriors_track_float_forward_backward(spark):
     )[:80]
     v0 = {p: pcnt[p] for p in chars} | dict(longer)
     dd = sum(v0.values()) + len(v0)
-    pf = {p: (c + 1) / dd for p, c in v0.items()}
+    pv0 = {p: _sf_ratio(c + 1, dd) for p, c in v0.items()}
+    u1 = _soft_estep_py(pret, subs, pv0)
+    kept = sorted(
+        ((p, u) for p, u in u1.items() if len(p) >= 2 and u > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:40]
+    v1u = {p: u1.get(p, 0) for p in chars} | dict(kept)
+    dd1 = sum(v1u.values()) + len(v1u) * 65536
+    pf = {p: (u + 65536) / dd1 for p, u in v1u.items()}
     uf = Counter()
     occ = Counter()
     for pt, f in pret.items():
