@@ -860,6 +860,27 @@ def main() -> None:
                 "topology_broker4",
                 lambda: topo.topology_broker_gate(spark, d),
             )
+            # late round-9 gates: routed residual-PQ serving (same
+            # k-prop-to-N regime; pq_mod scales with K — the fixed
+            # trained-artifact convention of every pq row, r6 precedent:
+            # a corpus-growing codebook makes Lloyd/encode quadratic-ish
+            # and is not what anyone deploys), the two-round softfloat EM
+            # loop (vocabulary-bound like the hard trainer), and the
+            # sub-octave percentile sketch over events
+            pqm = sim.PQ_CODES_MOD * kk
+            t.timed(
+                "ivfpq_search_2level",
+                lambda: sim.ivfpq_search_2level(embs, pq_mod=pqm),
+            )
+            t.timed(
+                "ivfpq_search_flat",
+                lambda: sim.ivfpq_search(embs, pq_mod=pqm),
+            )
+            t.timed("unigram_train_soft", lambda: uni.unigram_train_soft(docs))
+            from apmbackend_spark.operators import profile as pf
+
+            ev = spread(spark.read.parquet(f"{d}/events.parquet"))
+            t.timed("subbin_quantiles", lambda: pf.subbin_quantiles(ev))
             return t.out
 
         from apmbackend_spark.sources.loaders import spread as _spread
