@@ -442,6 +442,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train_soft": lambda s, d: uni.unigram_train_soft(
             docs(s, d)
         ),
+        # the soft model graded END TO END: Viterbi encode under the
+        # soft-trained scores (shared DP + encode rollup + oracle;
+        # only the score source changes)
+        "unigram_encode_soft": lambda s, d: uni.unigram_encode_soft(
+            docs(s, d)
+        ),
         # ...and the trained model applied: per-doc piece counts,
         # fertility, and an order-free modular piece-stream hash (the
         # SEGMENTATIONS are graded, not just their sizes)
@@ -1277,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": dsel.weighted_sample_oracle_sql(),
         "unigram_train": uni.unigram_train_oracle_sql(),
         "unigram_train_soft": uni.unigram_train_soft_oracle_sql(),
+        "unigram_encode_soft": uni.unigram_encode_soft_oracle_sql(),
         "unigram_encode": uni.unigram_encode_oracle_sql(fallback_probe=True),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("

@@ -282,6 +282,12 @@ def unigram_encode(documents: DataFrame) -> DataFrame:
     (total fallback pieces) and fb_hash (the same order-free piece-stream
     hash over the fallback char streams)."""
     _, _, seg2, _ = _train_frames(documents)
+    return _encode_from_seg(documents, seg2)
+
+
+def _encode_from_seg(documents: DataFrame, seg2: DataFrame) -> DataFrame:
+    """The per-doc encode rollup over any (pt, pieces) segmentation frame
+    (shared by the hard- and soft-model encoders)."""
     ptstats = (
         seg2.select("pt", F.explode("pieces").alias("piece"))
         .groupBy("pt")
@@ -365,6 +371,21 @@ def unigram_encode(documents: DataFrame) -> DataFrame:
         .alias("fb_pieces"),
         F.coalesce(F.col("fb_hash"), F.lit(0)).cast("long").alias("fb_hash"),
     )
+
+
+def unigram_encode_soft(documents: DataFrame) -> DataFrame:
+    """The soft-trained model graded END TO END: Viterbi segmentation
+    under ``unigram_train_soft``'s scores (expected-count table), rolled
+    up with the same per-doc encode as ``unigram_encode`` — same schema,
+    same order-free piece-stream hash, so the SOFT model's segmentations
+    are value-graded, not just its training table. The DP fold, tie rule,
+    and oracle rendering are shared with the hard encoder; only the score
+    source changes."""
+    pret = _pretokens(documents).localCheckpoint()
+    soft = unigram_train_soft(documents).select(
+        "piece", F.col("score").alias("sc")
+    )
+    return _encode_from_seg(documents, _segment(pret, soft))
 
 
 # ---------------------------------------------------------------------------
@@ -505,29 +526,16 @@ FROM v1s v LEFT JOIN u2 USING (piece)
     )
 
 
-def unigram_encode_oracle_sql(fallback_probe: bool = False) -> str:
+def _encode_tail_sql(seg: str, docs: str) -> str:
+    """The per-doc encode rollup as SQL over any segmentation CTE ``seg``
+    (pt, pieces) and corpus source ``docs`` — oracle twin of
+    ``_encode_from_seg``."""
     h = hash64_sql("piece")
-    docs = "docs_fb" if fallback_probe else "documents"
-    probe_cte = ""
-    if fallback_probe:
-        probe_cte = f"""
-docs_fb AS (
-    SELECT doc_id,
-           CASE WHEN doc_id % 7 = 0
-                THEN text || ' internationalization fallbackprobe'
-                     || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
-                ELSE text END AS text
-    FROM documents
-), """
-    return (
-        "WITH RECURSIVE "
-        + probe_cte
-        + _train_ctes(docs)
-        + f"""
+    return f"""
 , ptstats AS (
     SELECT pt, CAST(COUNT(*) AS BIGINT) AS n_pieces,
            CAST(SUM({h} % {_HASH_MOD}) AS BIGINT) AS hsum
-    FROM (SELECT pt, unnest(pieces) AS piece FROM seg_2)
+    FROM (SELECT pt, unnest(pieces) AS piece FROM {seg})
     GROUP BY pt
 ), dtok AS (
     SELECT doc_id, pt, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -574,6 +582,26 @@ LEFT JOIN ptstats p ON t.pt = p.pt
 LEFT JOIN fbstats f ON t.pt = f.pt
 GROUP BY d.doc_id
 """
+
+
+def unigram_encode_oracle_sql(fallback_probe: bool = False) -> str:
+    docs = "docs_fb" if fallback_probe else "documents"
+    probe_cte = ""
+    if fallback_probe:
+        probe_cte = f"""
+docs_fb AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' internationalization fallbackprobe'
+                     || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+                ELSE text END AS text
+    FROM documents
+), """
+    return (
+        "WITH RECURSIVE "
+        + probe_cte
+        + _train_ctes(docs)
+        + _encode_tail_sql("seg_2", docs)
     )
 
 
@@ -975,12 +1003,13 @@ def _soft_pv_ctes(tag: str, vocab: str, cnt_col: str, unit: int) -> str:
 )"""
 
 
-def unigram_train_soft_oracle_sql() -> str:
+def _soft_ctes() -> str:
+    """The full two-round soft trainer as CTEs (through ``uv``/``ut``) —
+    shared by the trained-table oracle and the soft-encode oracle."""
     # seed CTEs: pret/subs/pcnt/chars/seedk/v0 verbatim from the hard
     # trainer (everything up to and including v0)
     seed = _train_ctes().split("), v0tot AS (")[0] + ")"
-    return f"""
-WITH RECURSIVE {seed}
+    return f"""{seed}
 {_soft_pv_ctes('0', 'v0', 'cnt', 1)}
 {_soft_estep_ctes('1', 'pv_0')}
 , kept AS (
@@ -1003,10 +1032,28 @@ WITH RECURSIVE {seed}
     SELECT {log2fix_sql(f'tot + nv * {_SOFT_Q}')} AS l_tot
     FROM (SELECT CAST(SUM(u) AS BIGINT) AS tot,
                  CAST(COUNT(*) AS BIGINT) AS nv FROM uv)
-)
+)"""
+
+
+def unigram_train_soft_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_soft_ctes()}
 SELECT piece,
        CAST(length(piece) AS INT) AS piece_len,
        u AS u_soft,
        {log2fix_sql(f'u + {_SOFT_Q}')} - (SELECT l_tot FROM ut) AS score
 FROM uv
+"""
+
+
+def unigram_encode_soft_oracle_sql() -> str:
+    # softv = the soft model as a (piece, sc) vocab; the shared Viterbi
+    # _seg_ctes + encode tail do the rest (identical DP, identical hash)
+    return f"""
+WITH RECURSIVE {_soft_ctes()}
+, softv AS MATERIALIZED (
+    SELECT piece,
+           {log2fix_sql(f'u + {_SOFT_Q}')} - (SELECT l_tot FROM ut) AS sc
+    FROM uv
+){_seg_ctes('softv', 's')}{_encode_tail_sql('seg_s', 'documents')}
 """

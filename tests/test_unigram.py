@@ -460,3 +460,48 @@ def test_unigram_soft_posteriors_track_float_forward_backward(spark):
         # ~1e-9 relative truncation per op chain
         bound = occ.get(p, 0) / 65536.0 + 1e-6 * max(uf.get(p, 0.0), 1.0)
         assert abs(uq / 65536.0 - uf.get(p, 0.0)) <= bound, p
+
+
+def test_unigram_encode_soft_segments_under_soft_scores(spark):
+    # end-to-end soft-model grading: the per-doc piece counts and the
+    # order-free piece hash must equal a pure-Python Viterbi under the
+    # bit-exact soft reference's scores
+    import hashlib
+    import re
+    from collections import Counter
+
+    from apmbackend_spark.operators.unigram import unigram_encode_soft
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    scores = {p: sc for p, (u, sc) in _soft_train_py(DOCS).items()}
+
+    def h64(piece: str) -> int:
+        return int(hashlib.md5(piece.encode()).hexdigest()[:15], 16) % (
+            1 << 40
+        )
+
+    rows = {r["doc_id"]: r for r in unigram_encode_soft(df).collect()}
+    differs = False
+    for i, t in enumerate(DOCS):
+        toks = [w for w in re.split(r"[^0-9a-z]+", t.lower()) if w]
+        cnt = Counter(w for w in toks if len(w) <= UNI_MAXWORD)
+        n_pieces = 0
+        phash = 0
+        for w, c in cnt.items():
+            pieces = _viterbi_py(w, scores)
+            n_pieces += c * len(pieces)
+            phash += c * sum(h64(p) for p in pieces)
+        r = rows[i]
+        assert r["n_pieces"] == n_pieces, i
+        assert r["piece_hash"] == phash, i
+    # ...and the soft model genuinely differs from the hard one somewhere
+    from apmbackend_spark.operators.unigram import unigram_encode
+
+    hard = {r["doc_id"]: r["piece_hash"] for r in unigram_encode(df).collect()}
+    differs = any(rows[i]["piece_hash"] != hard[i] for i in rows)
+    # (equality on every doc would mean the soft scores never flip a
+    # segmentation on this corpus — possible in principle, but then the
+    # gate adds nothing; the toy corpus is built so they differ)
+    assert differs
