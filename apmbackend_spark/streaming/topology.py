@@ -164,6 +164,120 @@ def run_apm_topology(
     return dirs
 
 
+def run_apm_topology_concurrent(
+    spark: SparkSession,
+    events_dir: str,
+    work_dir: str,
+    lags=(30,),
+    threshold: float = 3.0,
+    influence: float = 0.1,
+    alert_cfg: AlertConfig | None = None,
+    watermark: str = "60 seconds",
+    timeout_s: int = 300,
+    endts_before: int | None = None,
+) -> dict[str, str]:
+    """The four stages as SIMULTANEOUSLY RUNNING streaming queries — the
+    reference's process-per-stage deployment shape actually scheduled
+    concurrently (micro-batches pipeline through the handoff dirs while
+    upstream still produces), instead of the stage-by-stage availableNow
+    drain of ``run_apm_topology``. Stage 1 runs availableNow; stages 2-4
+    run short processingTime micro-batches against the LIVE upstream sink
+    directories, and the tail is flushed deterministically with
+    ``processAllAvailable`` in stage order once upstream terminates.
+
+    Results are IDENTICAL to the sequential drain (asserted by frame
+    equality in pytest): append emission is watermark-driven — a pure
+    function of the data, not of batching — upstream sinks emit windows
+    in nondecreasing event-time order per key (so the stateful stages'
+    cross-batch state advances monotonically), and the file sink/source
+    handoff is exactly-once via the sink's _spark_metadata log."""
+    import os
+
+    cfg = alert_cfg or AlertConfig()
+    dirs = {name: f"{work_dir}/{name}" for name in ("tx", "st", "fs", "al")}
+    for p in dirs.values():
+        os.makedirs(p, exist_ok=True)
+
+    # stage 1 — parse (availableNow: terminates when the fixture is drained)
+    tx = tx_stream(spark, events_dir)
+    if endts_before is not None:
+        tx = tx.where(F.col("endts") < int(endts_before))
+    tx = tx.select(
+        "logid", "server", "service", "acctnum",
+        "startts", "endts", "elapsed", "toplevel",
+    )
+    q1 = (
+        tx.writeStream.format("parquet")
+        .option("path", dirs["tx"])
+        .option("checkpointLocation", f"{work_dir}/ckpt_tx")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    # stages 2-4 — started IMMEDIATELY, consuming the live sink dirs
+    tx_in = spark.readStream.schema(TX_HANDOFF_SCHEMA).parquet(
+        dirs["tx"]
+    ).withColumn("endtime", F.timestamp_millis(F.col("endts")))
+    st = window_stats_stream(tx_in, watermark=watermark).select(
+        F.col("win_start").alias("timestamp"),
+        "server",
+        "service",
+        "tpm",
+        F.round(F.col("avg_ms"), 0).alias("average"),
+        F.round(F.col("p75"), 0).alias("per75"),
+        F.round(F.col("p95"), 0).alias("per95"),
+    )
+    q2 = (
+        st.writeStream.format("parquet")
+        .option("path", dirs["st"])
+        .option("checkpointLocation", f"{work_dir}/ckpt_st")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    st_in = spark.readStream.schema(ST_HANDOFF_SCHEMA).parquet(dirs["st"])
+    fs = zscore_stateful(
+        st_in, lags=lags, threshold=threshold, influence=influence
+    )
+    q3 = (
+        fs.writeStream.format("parquet")
+        .option("path", dirs["fs"])
+        .option("checkpointLocation", f"{work_dir}/ckpt_fs")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    fs_in = spark.readStream.schema(_fs_handoff_schema()).parquet(dirs["fs"])
+    al = alerts_stateful(fs_in, cfg)
+    q4 = (
+        al.writeStream.format("parquet")
+        .option("path", dirs["al"])
+        .option("checkpointLocation", f"{work_dir}/ckpt_al")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    try:
+        if not q1.awaitTermination(timeout_s):
+            raise TimeoutError("concurrent topology: stage 1 did not drain")
+        # deterministic tail flush, in stage order: each stage consumes
+        # everything its (now finished) upstream wrote, then stops
+        for q in (q2, q3, q4):
+            q.processAllAvailable()
+            q.stop()
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(
+                    "concurrent topology: a stage did not stop cleanly"
+                )
+    finally:
+        for q in (q1, q2, q3, q4):
+            if q.isActive:
+                q.stop()
+    return dirs
+
+
 def stream_topology_gate(
     spark: SparkSession,
     sf_dir: str,
