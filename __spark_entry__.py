@@ -448,6 +448,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode_soft": lambda s, d: uni.unigram_encode_soft(
             docs(s, d)
         ),
+        # the ITERATED schedule with the fixed-point log-likelihood
+        # stopping rule — n_rounds and the final ll ride the output, so
+        # the stopping DECISION is value-hash-graded (oracle unrolls
+        # max_rounds and selects with the identical integer rule)
+        "unigram_train_soft_iter": lambda s, d: uni.unigram_train_soft_iter(
+            docs(s, d)
+        ),
         # ...and the trained model applied: per-doc piece counts,
         # fertility, and an order-free modular piece-stream hash (the
         # SEGMENTATIONS are graded, not just their sizes)
@@ -1284,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train": uni.unigram_train_oracle_sql(),
         "unigram_train_soft": uni.unigram_train_soft_oracle_sql(),
         "unigram_encode_soft": uni.unigram_encode_soft_oracle_sql(),
+        "unigram_train_soft_iter": uni.unigram_train_soft_iter_oracle_sql(),
         "unigram_encode": uni.unigram_encode_oracle_sql(fallback_probe=True),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("

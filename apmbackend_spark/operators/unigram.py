@@ -805,6 +805,15 @@ def _soft_estep(pret: DataFrame, pv: DataFrame) -> DataFrame:
     """(piece, u): one forward-backward E-step — frequency-weighted
     posteriors of every candidate occurrence under the softfloat model
     ``pv``, quantized to 2^-16 units."""
+    return _soft_estep_frames(pret, pv)[0]
+
+
+def _soft_estep_frames(
+    pret: DataFrame, pv: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(us, fb): the E-step's usage rollup plus the pinned per-pretoken
+    (alpha, rbeta) frame — the iterated trainer reads alpha(n) off ``fb``
+    for the fixed-point corpus log-likelihood."""
     d = _SPARK_SF
     cand = _substrings(pret).join(F.broadcast(pv), "piece")
     packed = F.expr(
@@ -817,6 +826,7 @@ def _soft_estep(pret: DataFrame, pv: DataFrame) -> DataFrame:
         cl.withColumn("alpha", F.expr(_alpha_fold_spark()))
         .withColumn("rbeta", F.expr(_rbeta_fold_spark()))
         .select("pt", "alpha", "rbeta")
+        .localCheckpoint()  # usage rollup + LL both read it
     )
     post = _sf_div_sql(
         _sf_mulp_sql(
@@ -828,12 +838,13 @@ def _soft_estep(pret: DataFrame, pv: DataFrame) -> DataFrame:
         d,
     )
     contrib = F.expr(f"freq * {_sf_q16_sql(post, d)}").cast("long")
-    return (
+    us = (
         cand.join(fb, "pt")
         .select("piece", contrib.alias("contrib"))
         .groupBy("piece")
         .agg(F.sum("contrib").cast("long").alias("u"))
     )
+    return us, fb
 
 
 def unigram_train_soft(documents: DataFrame) -> DataFrame:
@@ -913,6 +924,119 @@ def unigram_train_soft(documents: DataFrame) -> DataFrame:
         F.length("piece").cast("int").alias("piece_len"),
         F.col("u").alias("u_soft"),
         (F.col("l_u") - F.col("l_tot")).alias("score"),
+    )
+
+
+UNI_SOFT_MAX_ROUNDS = 4
+# per-TOKEN minimum log-likelihood gain to continue, in 2^-16-bit units
+# (655 ~ 0.01 bits/token)
+UNI_SOFT_MIN_GAIN = 655
+
+
+def _soft_ll(pret: DataFrame, fb: DataFrame) -> int:
+    """Fixed-point corpus log-likelihood under the model that produced
+    ``fb``: sum over pretokens of freq * (log2fix(m_Z) + e_Z * 2^16),
+    where Z = alpha(n) is the word's total segmentation probability as a
+    packed softfloat. Pure integer — bit-identical in DuckDB — and a
+    1-row bounded scalar (the kmeans_train eager-iteration precedent)."""
+    z = "element_at(alpha, CAST(length(pt) + 1 AS INT))"
+    df = fb.join(pret, "pt").select(
+        "freq",
+        F.expr(f"({z} % {_SFB})").alias("zm"),
+        F.expr(f"(({z} DIV {_SFB}) - {_SF_BIAS})").alias("ze"),
+    )
+    df = _with_log2fix(df, "zm", "l_m")
+    row = df.agg(
+        F.sum(
+            F.col("freq") * (F.col("l_m") + F.col("ze") * F.lit(65536))
+        )
+        .cast("long")
+        .alias("ll")
+    ).first()
+    return int(row["ll"])
+
+
+def unigram_train_soft_iter(
+    documents: DataFrame,
+    max_rounds: int = UNI_SOFT_MAX_ROUNDS,
+    min_gain: int = UNI_SOFT_MIN_GAIN,
+) -> DataFrame:
+    """(piece, piece_len, u_soft, score, n_rounds, ll): the ITERATED
+    soft-EM schedule with a fixed-point log-likelihood stopping rule —
+    the full Kudo training loop on the softfloat machinery. Round 1
+    E-steps the seed vocab and prunes (as ``unigram_train_soft``); then
+    pruned-vocab E-steps repeat, each re-smoothing from the previous
+    round's quantized expected counts, while the corpus log-likelihood
+    (an exact integer: sum of freq * log2fix-rendered alpha(n)) improves
+    by at least ``min_gain`` 2^-16-bits per token; stop at the first
+    round whose gain falls below, or at ``max_rounds`` E-steps. n_rounds
+    and the final ll ride the output, so the STOPPING DECISION itself is
+    value-hash-graded.
+
+    The driver loop is eager with 1-row scalar collects only (the
+    kmeans_train precedent); the DuckDB oracle unrolls max_rounds as
+    CTEs, computes every round's ll, and selects the stopped round with
+    the identical integer rule."""
+    from pyspark.sql import Window
+
+    pret = _pretokens(documents).localCheckpoint()
+    pcnt = (
+        _substrings(pret)
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    chars = pcnt.where(F.length("piece") == 1)
+    w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    seedk = (
+        pcnt.where(F.length("piece") >= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= UNI_SEED)
+        .drop("rn")
+    )
+    v0 = chars.unionAll(seedk).localCheckpoint()
+    u1 = _soft_estep(pret, _soft_pv(v0, "cnt", 1)).localCheckpoint()
+    wk = Window.orderBy(F.desc("u"), F.asc("piece"))
+    kept = (
+        u1.where((F.length("piece") >= 2) & (F.col("u") > 0))
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= UNI_KEEP)
+        .select("piece")
+    )
+    v1p = chars.select("piece").unionAll(kept).localCheckpoint()
+    cur = v1p.join(u1, "piece", "left").select(
+        "piece", F.coalesce(F.col("u"), F.lit(0)).cast("long").alias("u")
+    ).localCheckpoint()
+    tot_freq = int(pret.agg(F.sum("freq")).first()[0])
+    threshold = int(min_gain) * tot_freq
+
+    prev_ll = None
+    ll = 0
+    n_rounds = 1
+    for r in range(2, int(max_rounds) + 1):
+        us, fbr = _soft_estep_frames(pret, _soft_pv(cur, "u", _SOFT_Q))
+        ll = _soft_ll(pret, fbr)
+        cur = v1p.join(us, "piece", "left").select(
+            "piece", F.coalesce(F.col("u"), F.lit(0)).cast("long").alias("u")
+        ).localCheckpoint()
+        n_rounds = r
+        if prev_ll is not None and ll - prev_ll < threshold:
+            break
+        prev_ll = ll
+
+    tot = cur.agg(
+        F.sum("u").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    tot = _with_log2fix(tot, f"tot + nv * {_SOFT_Q}", "l_tot")
+    scored = _with_log2fix(cur, f"u + {_SOFT_Q}", "l_u")
+    return scored.crossJoin(F.broadcast(tot.select("l_tot"))).select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.col("u").alias("u_soft"),
+        (F.col("l_u") - F.col("l_tot")).alias("score"),
+        F.lit(int(n_rounds)).cast("int").alias("n_rounds"),
+        F.lit(int(ll)).cast("long").alias("ll"),
     )
 
 
@@ -1044,6 +1168,90 @@ SELECT piece,
        {log2fix_sql(f'u + {_SOFT_Q}')} - (SELECT l_tot FROM ut) AS score
 FROM uv
 """
+
+
+def _soft_ll_cte(tag: str) -> str:
+    """Corpus log-likelihood of round ``tag`` as a 1-row CTE — the oracle
+    twin of ``_soft_ll`` (same integer ops over the same packed alpha)."""
+    z = f"(f.al[length(f.pt) + 1])"
+    return f"""
+, ll_{tag} AS (
+    SELECT CAST(SUM(p.freq * (
+               {log2fix_sql(f'({z} % {_SFB})')}
+               + ((({z} // {_SFB})) - {_SF_BIAS}) * 65536)) AS BIGINT) AS v
+    FROM fbx_{tag} f JOIN pret p ON p.pt = f.pt
+)"""
+
+
+def unigram_train_soft_iter_oracle_sql(
+    max_rounds: int = UNI_SOFT_MAX_ROUNDS,
+    min_gain: int = UNI_SOFT_MIN_GAIN,
+) -> str:
+    """Unrolled oracle of the iterated soft trainer: every round's E-step
+    and log-likelihood as CTEs, the stopped round selected by the
+    identical integer rule (first round >= 3 whose gain over the previous
+    round falls below min_gain * total_freq, else max_rounds)."""
+    assert max_rounds >= 3, "the stopping rule needs at least rounds 2..3"
+    seed = _train_ctes().split("), v0tot AS (")[0] + ")"
+    parts = [f"""{seed}
+{_soft_pv_ctes('0', 'v0', 'cnt', 1)}
+{_soft_estep_ctes('1', 'pv_0')}
+, kept AS (
+    SELECT piece FROM (
+        SELECT piece, u,
+               ROW_NUMBER() OVER (ORDER BY u DESC, piece ASC) AS rn
+        FROM us_1 WHERE length(piece) >= 2 AND u > 0
+    ) WHERE rn <= {UNI_KEEP}
+), uvr_1 AS MATERIALIZED (
+    SELECT v.piece, CAST(COALESCE(us_1.u, 0) AS BIGINT) AS u
+    FROM (SELECT piece FROM chars UNION ALL SELECT piece FROM kept) v
+    LEFT JOIN us_1 USING (piece)
+)"""]
+    for r in range(2, int(max_rounds) + 1):
+        prev = f"uvr_{r - 1}"
+        parts.append(_soft_pv_ctes(str(r), prev, "u", _SOFT_Q))
+        parts.append(_soft_estep_ctes(str(r), f"pv_{r}"))
+        parts.append(f"""
+, uvr_{r} AS MATERIALIZED (
+    SELECT p.piece, CAST(COALESCE(us_{r}.u, 0) AS BIGINT) AS u
+    FROM (SELECT piece FROM uvr_1) p
+    LEFT JOIN us_{r} USING (piece)
+)""")
+        parts.append(_soft_ll_cte(str(r)))
+    # the stopped round: first r >= 3 with gain < T, else max_rounds
+    t = f"({int(min_gain)} * (SELECT CAST(SUM(freq) AS BIGINT) FROM pret))"
+    cases = " ".join(
+        f"WHEN (SELECT v FROM ll_{r}) - (SELECT v FROM ll_{r - 1}) < {t} "
+        f"THEN {r}"
+        for r in range(3, int(max_rounds) + 1)
+    )
+    sel_branches = " UNION ALL ".join(
+        f"SELECT piece, u FROM uvr_{r} WHERE (SELECT nr FROM nrx) = {r}"
+        for r in range(3, int(max_rounds) + 1)
+    )
+    ll_case = " ".join(
+        f"WHEN (SELECT nr FROM nrx) = {r} THEN (SELECT v FROM ll_{r})"
+        for r in range(3, int(max_rounds) + 1)
+    )
+    parts.append(f"""
+, nrx AS (
+    SELECT CASE {cases} ELSE {int(max_rounds)} END AS nr
+), sel AS MATERIALIZED (
+    {sel_branches}
+), selt AS (
+    SELECT {log2fix_sql(f'tot + nv * {_SOFT_Q}')} AS l_tot
+    FROM (SELECT CAST(SUM(u) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS nv FROM sel)
+)
+SELECT piece,
+       CAST(length(piece) AS INT) AS piece_len,
+       u AS u_soft,
+       {log2fix_sql(f'u + {_SOFT_Q}')} - (SELECT l_tot FROM selt) AS score,
+       CAST((SELECT nr FROM nrx) AS INT) AS n_rounds,
+       CAST(CASE {ll_case} END AS BIGINT) AS ll
+FROM sel
+""")
+    return "WITH RECURSIVE " + "".join(parts)
 
 
 def unigram_encode_soft_oracle_sql() -> str:

@@ -288,8 +288,15 @@ def _sf_q16(x):
 def _soft_estep_py(pret, subs, pv):
     """One forward-backward E-step with the identical packed integer ops
     and the identical sorted fold order."""
+    return _soft_estep_ll_py(pret, subs, pv)[0]
+
+
+def _soft_estep_ll_py(pret, subs, pv):
+    """(u, ll): the E-step plus the fixed-point corpus log-likelihood
+    (sum of freq * (log2fix(m_Z) + e_Z * 2^16) over packed Z=alpha(n))."""
     from collections import Counter
 
+    ll = 0
     u = Counter()
     for pt in pret:
         n = len(pt)
@@ -318,7 +325,9 @@ def _soft_estep_py(pret, subs, pv):
                 _sf_mulp(_sf_mul(al[j], *pv[p]), rb[n - i]), al[n]
             )
             u[p] += pret[pt] * _sf_q16(post)
-    return u
+        zm, ze = al[n] % _SFB, al[n] // _SFB - _SF_BIAS
+        ll += pret[pt] * (_log2fix_py(zm) + ze * 65536)
+    return u, ll
 
 
 def _soft_train_py(docs: list[str]):
@@ -505,3 +514,94 @@ def test_unigram_encode_soft_segments_under_soft_scores(spark):
     # segmentation on this corpus — possible in principle, but then the
     # gate adds nothing; the toy corpus is built so they differ)
     assert differs
+
+
+def _soft_iter_py(docs, max_rounds=4, min_gain=655):
+    """Reference iterated soft-EM with the stopping rule — identical
+    integer ops, identical round schedule."""
+    import re
+    from collections import Counter
+
+    pret = Counter()
+    for t in docs:
+        for w in re.split(r"[^0-9a-z]+", t.lower()):
+            if w and len(w) <= UNI_MAXWORD:
+                pret[w] += 1
+    pcnt = Counter()
+    subs = []
+    for pt, f in pret.items():
+        for i0 in range(1, len(pt) + 1):
+            for l in range(1, min(UNI_MAXPIECE, len(pt) - i0 + 1) + 1):
+                piece = pt[i0 - 1 : i0 - 1 + l]
+                subs.append((pt, f, i0 + l - 1, i0 - 1, piece))
+                pcnt[piece] += f
+    chars = {p: c for p, c in pcnt.items() if len(p) == 1}
+    longer = sorted(
+        ((p, c) for p, c in pcnt.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:80]
+    v0 = dict(chars)
+    v0.update(dict(longer))
+    dd = sum(v0.values()) + len(v0)
+    pv0 = {p: _sf_ratio(c + 1, dd) for p, c in v0.items()}
+    u1 = _soft_estep_py(pret, subs, pv0)
+    kept = sorted(
+        ((p, u) for p, u in u1.items() if len(p) >= 2 and u > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:40]
+    v1p = set(chars) | {p for p, _ in kept}
+    cur = {p: u1.get(p, 0) for p in v1p}
+    tot_freq = sum(pret.values())
+    threshold = min_gain * tot_freq
+    prev_ll = None
+    ll = 0
+    n_rounds = 1
+    for r in range(2, max_rounds + 1):
+        dd_r = sum(cur.values()) + len(cur) * 65536
+        pv = {p: _sf_ratio(u + 65536, dd_r) for p, u in cur.items()}
+        us, ll = _soft_estep_ll_py(pret, subs, pv)
+        cur = {p: us.get(p, 0) for p in v1p}
+        n_rounds = r
+        if prev_ll is not None and ll - prev_ll < threshold:
+            break
+        prev_ll = ll
+    tot = sum(cur.values())
+    l_tot = _log2fix_py(tot + len(cur) * 65536)
+    return {
+        p: (c, _log2fix_py(c + 65536) - l_tot) for p, c in cur.items()
+    }, n_rounds, ll
+
+
+def test_unigram_train_soft_iter_matches_python_reference_bitwise(spark):
+    from apmbackend_spark.operators.unigram import unigram_train_soft_iter
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    want, n_rounds, ll = _soft_iter_py(DOCS)
+    rows = unigram_train_soft_iter(df).collect()
+    got = {r["piece"]: (r["u_soft"], r["score"]) for r in rows}
+    assert got == want  # expected counts + scores BIT-exact
+    assert rows[0]["n_rounds"] == n_rounds
+    assert rows[0]["ll"] == ll
+
+
+def test_unigram_soft_iter_stopping_rule_both_branches(spark):
+    # the stopping decision is data+threshold-driven: a huge min_gain
+    # stops at the first decision point (round 3), min_gain=0 runs to
+    # max_rounds — and the log-likelihood is monotone across rounds
+    from apmbackend_spark.operators.unigram import unigram_train_soft_iter
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    early = unigram_train_soft_iter(df, min_gain=10**15).collect()
+    full = unigram_train_soft_iter(df, min_gain=0).collect()
+    assert early[0]["n_rounds"] == 3
+    assert full[0]["n_rounds"] == 4
+    assert full[0]["ll"] >= early[0]["ll"]  # EM monotonicity (quantized)
+    # both agree with the python reference under the same knobs
+    _, nr_e, ll_e = _soft_iter_py(DOCS, min_gain=10**15)
+    _, nr_f, ll_f = _soft_iter_py(DOCS, min_gain=0)
+    assert (early[0]["n_rounds"], early[0]["ll"]) == (nr_e, ll_e)
+    assert (full[0]["n_rounds"], full[0]["ll"]) == (nr_f, ll_f)
