@@ -786,3 +786,15 @@ def test_ccnet_buckets_sketch_threshold_dims_broadcast(spark):
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_unigram_train_soft_no_python_no_cartesian(spark):
+    # the softfloat forward-backward must stay an in-row codegen fold:
+    # vocab/model joins broadcast, no Python, no query x corpus cartesian
+    from apmbackend_spark.operators.unigram import unigram_train_soft
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = unigram_train_soft(load_table(spark, SF_SMOKE, "documents"))
+    p = plan(df)
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
