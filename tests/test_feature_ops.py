@@ -1591,3 +1591,23 @@ def test_ivfpq_search_2level_recall_vs_flat_published(spark):
     assert len(flat & bf) / len(bf) == 0.50  # published flat ADC number
     assert len(two & bf) / len(bf) == 0.44  # routed, bounded loss
     assert two != flat
+
+
+def test_ann_l1probe_curve_monotone_and_lands_on_flat(spark):
+    # the routed-serving tuning curve: recall is non-decreasing in
+    # probe_l1, and at the fixture geometry the top of the curve reaches
+    # flat ann_ivf's published 0.76
+    from apmbackend_spark.operators.similarity import ann_l1probe_curve
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_CORRECT
+
+    embs = load_table(spark, SF_CORRECT, "embeddings")
+    rows = sorted(
+        ann_l1probe_curve(embs).collect(), key=lambda r: r["probe_l1"]
+    )
+    assert [r["probe_l1"] for r in rows] == [1, 2, 3]
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)  # monotone in probed cells
+    assert recalls == [0.40, 0.62, 0.76]  # the measured curve, pinned
+    for r in rows:
+        assert r["total"] == 50 and 0 <= r["hits"] <= r["total"]
