@@ -62,6 +62,17 @@ def hash64_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def py_hash64(s: str) -> int:
+    """Pure-Python twin of hash64 (md5-hex first 15 digits as an integer).
+    Lets harness-side consumers (the mini-broker crash rules) evaluate the
+    SAME content-keyed predicate per streamed payload in O(1) memory,
+    instead of collecting a data-proportional membership set to the
+    driver. Parity with the Column form is pinned by tests."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def shingles(tok: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array. (Spark's sequence()
     runs DESCENDING when start > stop, so the short-doc case must be gated

@@ -44,7 +44,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apmbackend_spark.functions.text import hash64, hash64_sql
+from apmbackend_spark.functions.text import hash64_sql, py_hash64
 from apmbackend_spark.sources.queue import (
     _NULL_STR,
     _REPLAY_MOD,
@@ -305,18 +305,15 @@ def broker_redelivery_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     tx = load_tx(spark, sf_dir).drop("endtime")
     wire = tx_to_wire(tx).localCheckpoint()
-    # ack-loss set, computed by the SAME Spark hash the oracle replays
-    # (hash64 has no in-container Python twin); bounded: ~1/10 of lines
-    lost = {
-        r["value"]
-        for r in wire.where(
-            F.pmod(
-                hash64(F.split(F.col("value"), r"\|").getItem(3)),
-                F.lit(_REPLAY_MOD),
-            )
-            == F.lit(_REPLAY_REM)
-        ).collect()
-    }
+    # ack-loss rule: content-keyed hash PREDICATE on the wire logid field,
+    # evaluated per payload as the consumer streams it (py_hash64 is the
+    # bit-exact Python twin of the hash64 the oracle replays) — the
+    # harness holds no data-proportional membership set.
+    mod, rem = int(_REPLAY_MOD), int(_REPLAY_REM)
+
+    def _ack_if(p: str) -> bool:
+        return py_hash64(p.split("|")[3]) % mod != rem
+
     broker = MiniBroker()
     try:
         wire.foreachPartition(_publish_partition(broker.port))
@@ -333,7 +330,7 @@ def broker_redelivery_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1, pend1 = _consume_session(
             broker.port,
             os.path.join(work, "session1.txt"),
-            ack_if=lambda p: p not in lost,
+            ack_if=_ack_if,
         )
         n2, pend2 = _consume_session(
             broker.port, os.path.join(work, "session2.txt")

@@ -1156,14 +1156,13 @@ TOPO_BROKER_SLICE_MS = 12 * 3600 * 1000
 
 
 def _py_hash64(s: str) -> int:
-    """Pure-Python twin of functions.text.hash64 (md5-hex first 15 digits
-    as an integer) — lets a consumer-side crash rule evaluate the SAME
-    content-keyed predicate per streamed payload in O(1) memory, instead
-    of the harness collecting a data-proportional membership set to the
-    driver (the round-8 verdict's one data-sized driver structure)."""
-    import hashlib
+    """Pure-Python twin of functions.text.hash64 — see text.py:py_hash64
+    (shared with sources/broker.py's redelivery gate). Evaluating the
+    content-keyed crash predicate per streamed payload keeps the harness
+    free of data-proportional driver state."""
+    from apmbackend_spark.functions.text import py_hash64
 
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    return py_hash64(s)
 
 
 def _broker_hop(
