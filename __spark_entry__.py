@@ -409,6 +409,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the router's tuning curve: served recall vs probed L1 cells
         # (0.40 -> 0.62 -> 0.76 at the fixture's 5-cell geometry)
         "ann_l1probe_curve": lambda s, d: sim.ann_l1probe_curve(embs(s, d)),
+        # the same tuning curve for the routed residual-PQ tier: the
+        # index is built ONCE at the shipped operating point, only the
+        # query-side probe_l1 sweeps — the knob a platform tunes against
+        # a fixed index (all legs ride one codes-only ADC pass)
+        "ivfpq_l1probe_curve": lambda s, d: sim.ivfpq_l1probe_curve(
+            embs(s, d)
+        ),
         "ivf_assign_refined": lambda s, d: sim.ivf_assign_refined(embs(s, d)),
         "kmeans_train": lambda s, d: sim.kmeans_train(embs(s, d)),
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
@@ -1252,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_rerank": sim.ivfpq_rerank_oracle_sql(),
         "ivfpq_search_2level": sim.ivfpq_search_2level_oracle_sql(),
         "ann_l1probe_curve": sim.ann_l1probe_curve_oracle_sql(),
+        "ivfpq_l1probe_curve": sim.ivfpq_l1probe_curve_oracle_sql(),
         "ann_recall_report": sim.ann_recall_report_oracle_sql(),
         "ann_budget_curve": sim.ann_budget_curve_oracle_sql(),
         "ann_index_persist": sim.ann_index_persist_oracle_sql(),

@@ -3178,20 +3178,29 @@ def ivfpq_search(
 
 
 def _ivfpq_adc(
-    probes: DataFrame, enc: DataFrame, cb: DataFrame, dims: int, m: int, k: int
+    probes: DataFrame,
+    enc: DataFrame,
+    cb: DataFrame,
+    dims: int,
+    m: int,
+    k: int,
+    keys: tuple[str, ...] = ("query_id",),
 ) -> DataFrame:
     """Shared ADC tail: per-(query, probed list) residual distance table
     (broadcast) -> codes-only candidate join keyed on list_id -> top-k.
-    ``probes``: (query_id, list_id, rv)."""
+    ``probes``: (*keys, list_id, rv). ``keys`` must contain query_id; the
+    curve gates add a leg column (probe_l1) that rides every stage so one
+    codes-only pass serves all operating points."""
     from pyspark.sql import Window
 
+    keys = tuple(keys)
     rqsubs = probes.select(
-        "query_id",
+        *keys,
         "list_id",
         F.posexplode(_pq_subs(F.col("rv"), dims, m)).alias("sub", "subv"),
     )
     table = rqsubs.join(F.broadcast(cb), "sub").select(
-        "query_id",
+        *keys,
         "list_id",
         "sub",
         "code_id",
@@ -3200,20 +3209,18 @@ def _ivfpq_adc(
     scored = (
         enc.join(F.broadcast(table), ["list_id", "sub", "code_id"])
         .where(F.col("cand_id") != F.col("query_id"))
-        .groupBy("query_id", "cand_id")
+        .groupBy(*keys, "cand_id")
         .agg(
             F.sum("qd").alias("adc_dist"),
             F.count(F.lit(1)).alias("n_sub"),
         )
         .where(F.col("n_sub") == m)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("cand_id")
-    )
+    w = Window.partitionBy(*keys).orderBy(F.asc("adc_dist"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(k))
-        .select("query_id", "cand_id", "adc_dist", "rank")
+        .select(*keys, "cand_id", "adc_dist", "rank")
     )
 
 
@@ -3534,6 +3541,247 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+IVFPQ_L1_PROBE_CURVE = (1, 2, 3)
+
+
+def ivfpq_l1probe_curve(
+    embeddings: DataFrame,
+    dims: int = 64,
+    m: int = IVFPQ_M,
+    coarse_mod: int = 50,
+    pq_mod: int = PQ_CODES_MOD,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = IVFPQ_NPROBE,
+    iters: int = PQ_TRAIN_ITERS,
+    l1_factor: int = 2,
+    build_probe_l1: int = 3,
+    probes=IVFPQ_L1_PROBE_CURVE,
+) -> DataFrame:
+    """(probe_l1, hits, total, recall): the routed IVF-PQ family's TUNING
+    curve — served recall against exact bruteforce as a function of how
+    many L1 cells the QUERY router probes, the ``ann_l1probe_curve``
+    analogue for the residual-quantized tier (so index selection for the
+    routed PQ family is itself value-graded, the round-9 verdict's
+    directive #5).
+
+    The index is built ONCE, the write-once deployment shape: corpus
+    assignment routed at ``build_probe_l1`` (``ivfpq_search_2level``'s
+    shipped operating point), residual codebook trained w.r.t. that
+    routed assignment, corpus encoded once. Only the per-query leg varies
+    — the serving-side knob is exactly what a platform tunes against a
+    FIXED index (FAISS tunes nprobe the same way). The legs ride ONE
+    plan: the L1 cell ranking is computed once per query, a broadcast
+    3-row leg frame fans it out at rn <= probe_l1, and the shared
+    codes-only ADC tail runs keyed by (probe_l1, query_id) — one
+    distance-table broadcast and one candidate join serve all operating
+    points.
+
+    Deterministic end to end (exact integer cosines, integer ADC sums;
+    hits/totals integer counts, recall one division), so the evaluation
+    is value-hash-gradeable. At the fixture geometry the curve climbs to
+    the published 0.44 at probe_l1=3 = the flat-served routed gate;
+    monotonicity is pinned in pytest."""
+    from pyspark.sql import Window
+
+    mod = int(coarse_mod)
+    max_p = max(int(p) for p in probes)
+    spark = embeddings.sparkSession
+    legs = spark.createDataFrame(
+        [(int(p),) for p in probes], "probe_l1 int"
+    )
+
+    # write-once index at the shipped build-side routing
+    assigned = (
+        ivf_assign_2level(embeddings, mod, l1_factor, build_probe_l1)
+        .select("vec_id", "list_id")
+        .localCheckpoint()
+    )
+    vecs, cent, assigned, cb, enc = _ivfpq_index(
+        embeddings, dims, m, mod, pq_mod, iters, assigned=assigned
+    )
+    # both artifacts feed every leg — pin them once
+    cb = cb.localCheckpoint()
+    enc = enc.localCheckpoint()
+    l1 = embeddings.where(
+        F.col("vec_id") % (mod * int(l1_factor)) == 0
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        _quantize(F.col("embedding")).alias("cellv"),
+    )
+    l2g = _assign_step(
+        cent.select(F.col("list_id").alias("vec_id"), F.col("centv").alias("v")),
+        l1.select(F.col("cell_id").alias("list_id"), F.col("cellv").alias("centv")),
+    ).select(F.col("vec_id").alias("list_id"), F.col("list_id").alias("cell_id"))
+
+    # L1 cell ranking once per query; the leg frame fans it out
+    q = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    qcells = (
+        q.crossJoin(F.broadcast(l1))
+        .select(
+            "query_id", "qv", "cell_id",
+            cosine(F.col("qv"), F.col("cellv")).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= max_p)
+        .crossJoin(F.broadcast(legs))
+        .where(F.col("rn") <= F.col("probe_l1"))
+        .select("probe_l1", "query_id", "qv", "cell_id")
+    )
+    wp = Window.partitionBy("probe_l1", "query_id").orderBy(
+        F.desc("psim"), F.asc("list_id")
+    )
+    probe_lists = (
+        qcells.join(F.broadcast(l2g), "cell_id")
+        .join(F.broadcast(cent), "list_id")
+        .select(
+            "probe_l1", "query_id", "qv", "list_id", "centv",
+            cosine(F.col("qv"), F.col("centv")).alias("psim"),
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= int(nprobe))
+        .select(
+            "probe_l1",
+            "query_id",
+            "list_id",
+            F.zip_with("qv", "centv", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    topk = _ivfpq_adc(
+        probe_lists, enc, cb, dims, m, k, keys=("probe_l1", "query_id")
+    ).select("probe_l1", "query_id", "cand_id")
+
+    bf = ann_bruteforce(embeddings, n_queries, k).select(
+        "query_id", "cand_id"
+    ).localCheckpoint()  # one exact pass shared by every curve leg
+    hits = (
+        topk.join(bf, ["query_id", "cand_id"], "left_semi")
+        .groupBy("probe_l1")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        legs.join(hits, "probe_l1", "left")
+        .crossJoin(F.broadcast(bf.agg(F.count(F.lit(1)).alias("total"))))
+        .select(
+            F.col("probe_l1").cast("int").alias("probe_l1"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
+            F.col("total").cast("long").alias("total"),
+            (
+                F.coalesce(F.col("h"), F.lit(0)).cast("double")
+                / F.col("total").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+def ivfpq_l1probe_curve_oracle_sql(
+    dims: int = 64,
+    m: int = IVFPQ_M,
+    coarse_mod: int = 50,
+    pq_mod: int = PQ_CODES_MOD,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = IVFPQ_NPROBE,
+    iters: int = PQ_TRAIN_ITERS,
+    l1_factor: int = 2,
+    build_probe_l1: int = 3,
+    probes=IVFPQ_L1_PROBE_CURVE,
+) -> str:
+    ctes = _ivfpq_ctes(
+        dims, m, coarse_mod, pq_mod, iters,
+        assign_2level=True, l1_factor=l1_factor, probe_l1=build_probe_l1,
+    )
+    bf = ann_bruteforce_oracle_sql(n_queries, k)
+    max_p = max(int(p) for p in probes)
+    legs = ", ".join(f"({int(p)})" for p in probes)
+    return f"""
+WITH bf AS MATERIALIZED ({bf}),
+{ctes},
+legs AS (SELECT * FROM (VALUES {legs}) t(probe_l1)),
+qroute AS MATERIALIZED (
+    SELECT vec_id AS query_id, cell_id, rn FROM (
+        SELECT q.vec_id, g.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.v', 'g.cellv')} DESC,
+                            g.cell_id ASC) AS rn
+        FROM qz q CROSS JOIN l1 g
+        WHERE q.vec_id < {int(n_queries)}
+    ) WHERE rn <= {max_p}
+),
+qcells AS (
+    SELECT lg.probe_l1, r.query_id, r.cell_id
+    FROM qroute r CROSS JOIN legs lg
+    WHERE r.rn <= lg.probe_l1
+),
+probes AS (
+    SELECT probe_l1, query_id, list_id FROM (
+        SELECT qc.probe_l1, qc.query_id, mm.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qc.probe_l1, qc.query_id
+                   ORDER BY {cosine_sql('q.v', 'c.centv')} DESC,
+                            mm.list_id ASC) AS prn
+        FROM qcells qc
+        JOIN l2g mm USING (cell_id)
+        JOIN qz q ON q.vec_id = qc.query_id
+        JOIN cent c ON c.list_id = mm.list_id
+    ) WHERE prn <= {int(nprobe)}
+),
+rq AS (
+    SELECT p.probe_l1, p.query_id, p.list_id,
+           list_transform(list_zip(q.v, c.centv), pr -> pr[1] - pr[2]) AS rv
+    FROM probes p
+    JOIN qz q ON q.vec_id = p.query_id
+    JOIN cent c USING (list_id)
+),
+rqsubs AS (
+    SELECT probe_l1, query_id, list_id, CAST(t.s - 1 AS INT) AS sub,
+           ({_pq_subs_sql('rv', dims, m)})[t.s] AS subv
+    FROM rq, LATERAL unnest(range(1, {m + 1})) AS t(s)
+),
+qtable AS (
+    SELECT s.probe_l1, s.query_id, s.list_id, s.sub, c.code_id,
+           CAST({_sqdist_sql('s.subv', 'c.centv')} AS BIGINT) AS qd
+    FROM rqsubs s JOIN cb c USING (sub)
+),
+scored AS (
+    SELECT t.probe_l1, t.query_id, b.vec_id AS cand_id,
+           CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+    FROM best b
+    JOIN qtable t ON t.list_id = b.list_id AND t.sub = b.sub
+                 AND t.code_id = b.code_id
+    WHERE b.vec_id <> t.query_id
+    GROUP BY t.probe_l1, t.query_id, b.vec_id
+    HAVING COUNT(*) = {m}
+),
+topk AS (
+    SELECT probe_l1, query_id, cand_id FROM (
+        SELECT probe_l1, query_id, cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY probe_l1, query_id
+                   ORDER BY adc_dist ASC, cand_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {int(k)}
+),
+hit_counts AS (
+    SELECT probe_l1, CAST(COUNT(*) AS BIGINT) AS h
+    FROM topk t
+    WHERE EXISTS (SELECT 1 FROM bf
+                  WHERE bf.query_id = t.query_id AND bf.cand_id = t.cand_id)
+    GROUP BY probe_l1
+)
+SELECT CAST(lg.probe_l1 AS INT) AS probe_l1,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bf) AS total,
+       CAST(COALESCE(h.h, 0) AS DOUBLE)
+           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM bf) AS recall
+FROM legs lg LEFT JOIN hit_counts h USING (probe_l1)
 """
 
 

@@ -1611,3 +1611,25 @@ def test_ann_l1probe_curve_monotone_and_lands_on_flat(spark):
     assert recalls == [0.40, 0.62, 0.76]  # the measured curve, pinned
     for r in rows:
         assert r["total"] == 50 and 0 <= r["hits"] <= r["total"]
+
+
+def test_ivfpq_l1probe_curve_monotone_and_lands_on_routed(spark):
+    # the routed residual-PQ tier's tuning curve: the index is built once
+    # at the shipped build_probe_l1=3, only the query-side router sweeps;
+    # recall is non-decreasing, and the top leg reproduces
+    # ivfpq_search_2level's published 0.44 exactly (same index, same
+    # serving knobs), so the curve and the shipped gate can't drift apart
+    from apmbackend_spark.operators.similarity import ivfpq_l1probe_curve
+    from apmbackend_spark.sources.loaders import load_table
+    from tests.conftest import SF_CORRECT
+
+    embs = load_table(spark, SF_CORRECT, "embeddings")
+    rows = sorted(
+        ivfpq_l1probe_curve(embs).collect(), key=lambda r: r["probe_l1"]
+    )
+    assert [r["probe_l1"] for r in rows] == [1, 2, 3]
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)  # monotone in probed cells
+    assert recalls == [0.22, 0.38, 0.44]  # the measured curve, pinned
+    for r in rows:
+        assert r["total"] == 50 and 0 <= r["hits"] <= r["total"]
