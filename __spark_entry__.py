@@ -310,8 +310,12 @@ def _q_topology_broker(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composed INSIDE the pipeline, the reference's full queue map);
     # graded frame = the decoded db_insert spool (AlertEntries with the
     # triggering fs entry's lag + metrics recovered from the embedded
-    # escaped entry), at a 12 h slice.
-    return topo.topology_broker_gate(
+    # escaped entry), at a 12 h slice. Since r10 the graded path IS the
+    # CONCURRENT schedule: all four queues live at once, every stage's
+    # consumer running while its producer publishes (the reference's
+    # deployment shape); byte-identical to the sequential drain
+    # (test_streaming.py parity pin).
+    return topo.topology_broker_concurrent_gate(
         spark,
         sf_dir,
         lags=STREAM_GATE_LAGS,
@@ -463,6 +467,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the stopping DECISION is value-hash-graded (oracle unrolls
         # max_rounds and selects with the identical integer rule)
         "unigram_train_soft_iter": lambda s, d: uni.unigram_train_soft_iter(
+            docs(s, d)
+        ),
+        # the INTERLEAVED schedule (Kudo's published outer loop): every
+        # round after the seed prune runs E-step -> LL -> prune-by-loss-
+        # delta (keep top 3/4 multi-char pieces by exact first-order
+        # loss estimate; chars survive) until the vocab target — which
+        # pieces each round condemned AND when the loop stopped are both
+        # value-hash-graded (oracle unrolls the schedule round by round)
+        "unigram_train_soft_prune": lambda s, d: uni.unigram_train_soft_prune(
             docs(s, d)
         ),
         # ...and the trained model applied: per-doc piece counts,
@@ -1304,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train_soft": uni.unigram_train_soft_oracle_sql(),
         "unigram_encode_soft": uni.unigram_encode_soft_oracle_sql(),
         "unigram_train_soft_iter": uni.unigram_train_soft_iter_oracle_sql(),
+        "unigram_train_soft_prune": uni.unigram_train_soft_prune_oracle_sql(),
         "unigram_encode": uni.unigram_encode_oracle_sql(fallback_probe=True),
         "st_zerofill": TX_CTE
         + ", tx_sliced AS ("

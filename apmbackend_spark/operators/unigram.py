@@ -1040,6 +1040,204 @@ def unigram_train_soft_iter(
     )
 
 
+UNI_SOFT_PRUNE_TARGET = 24  # stop once the multi-char vocab reaches this
+# Kudo's shrinking factor: keep 3/4 of the multi-char pieces per prune
+UNI_SOFT_SHRINK_NUM, UNI_SOFT_SHRINK_DEN = 3, 4
+
+# Scores-only Viterbi over a piece's own string: dp[p] = best sum of
+# candidate scores covering positions 1..p (candidates exclude the
+# full-span piece itself, so dp[len] is the best ALTERNATIVE
+# segmentation). Same fold as _DP_EXPR without backpointers.
+_ALT_DP_EXPR = f"""
+aggregate(
+  sequence(1, length(pt)),
+  array(CAST(0 AS BIGINT)),
+  (acc, p) -> concat(acc, array(
+      aggregate(
+        filter(cands, c -> c.i = p),
+        CAST({NEG_INF} AS BIGINT),
+        (m, c) -> IF(element_at(acc, c.j + 1) > CAST({NEG_INF} AS BIGINT)
+                     AND element_at(acc, c.j + 1) + c.sc > m,
+                  element_at(acc, c.j + 1) + c.sc,
+                  m))))
+)
+"""
+
+
+def _soft_scores(cur: DataFrame) -> DataFrame:
+    """(piece, sc): add-2^16-smoothed fixed-point log2 scores over the
+    quantized expected counts ``cur`` (piece, u) — the model the prune
+    deltas are measured under."""
+    tot = cur.agg(
+        F.sum("u").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    tot = _with_log2fix(tot, f"tot + nv * {_SOFT_Q}", "l_tot")
+    v = _with_log2fix(cur, f"u + {_SOFT_Q}", "l_u")
+    return v.crossJoin(F.broadcast(tot.select("l_tot"))).select(
+        "piece", (F.col("l_u") - F.col("l_tot")).alias("sc")
+    )
+
+
+def _prune_delta(cur: DataFrame) -> DataFrame:
+    """(piece, delta) for every multi-char piece of ``cur``: Kudo's
+    prune-by-loss-delta — the corpus log-likelihood loss of removing the
+    piece, rendered exactly as
+
+        delta = u * (sc(piece) - alt(piece))
+
+    where alt(piece) is the best segmentation score of the piece's OWN
+    string under the current model with the piece itself excluded (its
+    occurrences must re-segment that way if pruned; SentencePiece's
+    PruneSentencePieces computes the identical first-order estimate).
+    Everything is int64 — u is the quantized expected count, sc/alt are
+    fixed-point log2 — so the ranking is bit-identical in DuckDB. Chars
+    never appear (they always survive). Vocabulary-sized work: pieces
+    are <= UNI_MAXPIECE chars, so the DP is a tiny in-row fold."""
+    sc = _soft_scores(cur).localCheckpoint()  # candidates + deltas read it
+    multi = cur.where(F.length("piece") >= 2).select(
+        F.col("piece").alias("pt"), F.lit(1).cast("long").alias("freq")
+    )
+    cand = (
+        _substrings(multi)
+        .where(F.col("piece") != F.col("pt"))
+        .join(F.broadcast(sc), "piece")
+        .groupBy("pt")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "j", "sc"))).alias("cands"))
+    )
+    alt = cand.withColumn("dp", F.expr(_ALT_DP_EXPR)).select(
+        F.col("pt").alias("piece"),
+        F.expr("element_at(dp, length(pt) + 1)").alias("alt"),
+    )
+    return (
+        cur.join(sc, "piece")
+        .join(alt, "piece")
+        .select(
+            "piece",
+            (F.col("u") * (F.col("sc") - F.col("alt")))
+            .cast("long")
+            .alias("delta"),
+        )
+    )
+
+
+def unigram_train_soft_prune(
+    documents: DataFrame,
+    max_rounds: int = UNI_SOFT_MAX_ROUNDS,
+    target_multi: int = UNI_SOFT_PRUNE_TARGET,
+) -> DataFrame:
+    """(piece, piece_len, u_soft, score, n_rounds, ll): the INTERLEAVED
+    soft-EM schedule — Kudo's published outer loop, closing SURVEY
+    §7.1.3's residual: instead of pruning once after round 1 and
+    iterating E-steps over a frozen vocab (``unigram_train_soft_iter``),
+    every round after the seed prune runs
+
+        E-step  ->  corpus LL  ->  prune-by-loss-delta (keep the top
+        3/4 of multi-char pieces ranked by ``_prune_delta``; chars
+        always survive)
+
+    and the loop stops when the multi-char vocab reaches
+    ``target_multi`` (the algorithm's actual termination: shrink toward
+    the requested vocab size) or at ``max_rounds`` E-steps. n_rounds and
+    the final ll ride the output, and the surviving vocab IS the row
+    set, so the interleaved schedule's every decision — which pieces
+    each round's deltas condemned, and when the loop stopped — is
+    value-hash-graded. The DuckDB oracle unrolls the schedule round by
+    round with the identical integer arithmetic.
+
+    Driver loop is eager with bounded scalar collects only (1-row LL,
+    1-row vocab count — the kmeans_train precedent); all corpus-sized
+    work stays in the same distributed E-step plans as the fixed-vocab
+    trainer."""
+    from pyspark.sql import Window
+
+    pret = _pretokens(documents).localCheckpoint()
+    pcnt = (
+        _substrings(pret)
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    chars = pcnt.where(F.length("piece") == 1)
+    w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    seedk = (
+        pcnt.where(F.length("piece") >= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= UNI_SEED)
+        .drop("rn")
+    )
+    v0 = chars.unionAll(seedk).localCheckpoint()
+    u1 = _soft_estep(pret, _soft_pv(v0, "cnt", 1)).localCheckpoint()
+    wk = Window.orderBy(F.desc("u"), F.asc("piece"))
+    kept = (
+        u1.where((F.length("piece") >= 2) & (F.col("u") > 0))
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= UNI_KEEP)
+        .select("piece")
+    )
+    cur = (
+        chars.select("piece")
+        .unionAll(kept)
+        .join(u1, "piece", "left")
+        .select(
+            "piece", F.coalesce(F.col("u"), F.lit(0)).cast("long").alias("u")
+        )
+        .localCheckpoint()
+    )
+
+    wd = Window.orderBy(F.desc("delta"), F.asc("piece"))
+    ll = 0
+    n_rounds = 1
+    for r in range(2, int(max_rounds) + 1):
+        us, fbr = _soft_estep_frames(pret, _soft_pv(cur, "u", _SOFT_Q))
+        ll = _soft_ll(pret, fbr)
+        uvx = (
+            cur.select("piece")
+            .join(us, "piece", "left")
+            .select(
+                "piece",
+                F.coalesce(F.col("u"), F.lit(0)).cast("long").alias("u"),
+            )
+            .localCheckpoint()  # deltas + the kept counts both read it
+        )
+        ranked = _prune_delta(uvx).withColumn("rn", F.row_number().over(wd))
+        kcnt = ranked.agg(
+            F.expr(
+                f"CAST((count(1) * {UNI_SOFT_SHRINK_NUM})"
+                f" DIV {UNI_SOFT_SHRINK_DEN} AS BIGINT)"
+            ).alias("kn")
+        )
+        pkept = (
+            ranked.crossJoin(F.broadcast(kcnt))
+            .where(F.col("rn") <= F.col("kn"))
+            .select("piece")
+        )
+        cur = (
+            uvx.where(F.length("piece") == 1)
+            .unionAll(pkept.join(uvx, "piece").select("piece", "u"))
+            .localCheckpoint()
+        )
+        n_rounds = r
+        n_multi = int(cur.where(F.length("piece") >= 2).count())
+        if n_multi <= int(target_multi):
+            break
+
+    tot = cur.agg(
+        F.sum("u").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    tot = _with_log2fix(tot, f"tot + nv * {_SOFT_Q}", "l_tot")
+    scored = _with_log2fix(cur, f"u + {_SOFT_Q}", "l_u")
+    return scored.crossJoin(F.broadcast(tot.select("l_tot"))).select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.col("u").alias("u_soft"),
+        (F.col("l_u") - F.col("l_tot")).alias("score"),
+        F.lit(int(n_rounds)).cast("int").alias("n_rounds"),
+        F.lit(int(ll)).cast("long").alias("ll"),
+    )
+
+
 def _soft_estep_ctes(tag: str, pv: str) -> str:
     """One E-step as DuckDB CTEs (candp_/cl_/af_/bf_/fbx_/postc_/us_{tag})
     over the model CTE ``pv`` — the oracle twin of ``_soft_estep``."""
@@ -1232,6 +1430,148 @@ def unigram_train_soft_iter_oracle_sql(
     ll_case = " ".join(
         f"WHEN (SELECT nr FROM nrx) = {r} THEN (SELECT v FROM ll_{r})"
         for r in range(3, int(max_rounds) + 1)
+    )
+    parts.append(f"""
+, nrx AS (
+    SELECT CASE {cases} ELSE {int(max_rounds)} END AS nr
+), sel AS MATERIALIZED (
+    {sel_branches}
+), selt AS (
+    SELECT {log2fix_sql(f'tot + nv * {_SOFT_Q}')} AS l_tot
+    FROM (SELECT CAST(SUM(u) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS nv FROM sel)
+)
+SELECT piece,
+       CAST(length(piece) AS INT) AS piece_len,
+       u AS u_soft,
+       {log2fix_sql(f'u + {_SOFT_Q}')} - (SELECT l_tot FROM selt) AS score,
+       CAST((SELECT nr FROM nrx) AS INT) AS n_rounds,
+       CAST(CASE {ll_case} END AS BIGINT) AS ll
+FROM sel
+""")
+    return "WITH RECURSIVE " + "".join(parts)
+
+
+def unigram_train_soft_prune_oracle_sql(
+    max_rounds: int = UNI_SOFT_MAX_ROUNDS,
+    target_multi: int = UNI_SOFT_PRUNE_TARGET,
+) -> str:
+    """Unrolled oracle of the INTERLEAVED trainer: per round, the E-step
+    CTEs, the corpus LL, the fixed-log2 score table, the piece-level
+    alternative-segmentation Viterbi (a position-iterating recursive CTE
+    over each multi-char piece's own substrings, full-span candidate
+    excluded), the loss-delta ranking, and the 3/4-shrink prune — the
+    stopped round selected by the identical vocab-target rule."""
+    assert max_rounds >= 2, "the interleaved schedule needs round 2"
+    seed = _train_ctes().split("), v0tot AS (")[0] + ")"
+    d = _DUCK_SF
+    parts = [f"""{seed}
+{_soft_pv_ctes('0', 'v0', 'cnt', 1)}
+{_soft_estep_ctes('1', 'pv_0')}
+, kept AS (
+    SELECT piece FROM (
+        SELECT piece, u,
+               ROW_NUMBER() OVER (ORDER BY u DESC, piece ASC) AS rn
+        FROM us_1 WHERE length(piece) >= 2 AND u > 0
+    ) WHERE rn <= {UNI_KEEP}
+), pcur_1 AS MATERIALIZED (
+    SELECT v.piece, CAST(COALESCE(us_1.u, 0) AS BIGINT) AS u
+    FROM (SELECT piece FROM chars UNION ALL SELECT piece FROM kept) v
+    LEFT JOIN us_1 USING (piece)
+), psubs AS MATERIALIZED (
+    SELECT k.piece AS pt,
+           CAST(t1.i0 + t2.l - 1 AS INT) AS i,
+           CAST(t1.i0 - 1 AS INT) AS j,
+           substring(k.piece, CAST(t1.i0 AS INT), CAST(t2.l AS INT)) AS sub
+    FROM kept k,
+         LATERAL unnest(range(1, length(k.piece) + 1)) AS t1(i0),
+         LATERAL unnest(range(1, least({UNI_MAXPIECE},
+                                       length(k.piece) - t1.i0 + 1) + 1))
+             AS t2(l)
+    WHERE substring(k.piece, CAST(t1.i0 AS INT), CAST(t2.l AS INT))
+          <> k.piece
+)"""]
+    for r in range(2, int(max_rounds) + 1):
+        prev = f"pcur_{r - 1}"
+        tag = f"q{r}"
+        parts.append(_soft_pv_ctes(tag, prev, "u", _SOFT_Q))
+        parts.append(_soft_estep_ctes(tag, f"pv_{tag}"))
+        parts.append(_soft_ll_cte(tag))
+        parts.append(f"""
+, uvx_{tag} AS MATERIALIZED (
+    SELECT p.piece, CAST(COALESCE(us_{tag}.u, 0) AS BIGINT) AS u
+    FROM (SELECT piece FROM {prev}) p
+    LEFT JOIN us_{tag} USING (piece)
+), sct_{tag} AS (
+    SELECT {log2fix_sql(f'tot + nv * {_SOFT_Q}')} AS l_tot
+    FROM (SELECT CAST(SUM(u) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS nv FROM uvx_{tag})
+), scv_{tag} AS MATERIALIZED (
+    SELECT piece,
+           {log2fix_sql(f'u + {_SOFT_Q}')} - (SELECT l_tot FROM sct_{tag})
+               AS sc
+    FROM uvx_{tag}
+), acl_{tag} AS MATERIALIZED (
+    SELECT ps.pt,
+           list_sort(list({{'i': ps.i, 'j': ps.j, 'sc': s.sc}})) AS cands
+    FROM psubs ps
+    JOIN {prev} vv ON vv.piece = ps.pt AND length(vv.piece) >= 2
+    JOIN scv_{tag} s ON s.piece = ps.sub
+    GROUP BY ps.pt
+), adp_{tag} AS (
+    SELECT pt, 0 AS pos, [CAST(0 AS BIGINT)] AS dl FROM acl_{tag}
+    UNION ALL
+    SELECT a.pt, a.pos + 1,
+           a.dl || [(
+             list_reduce(
+               list_prepend(CAST({NEG_INF} AS BIGINT),
+                 list_transform(
+                   list_filter(c.cands, x -> x.i = a.pos + 1),
+                   x -> CASE WHEN a.dl[x.j + 1] > CAST({NEG_INF} AS BIGINT)
+                             THEN a.dl[x.j + 1] + x.sc
+                             ELSE CAST({NEG_INF} AS BIGINT) END)),
+               (s2, x) -> greatest(s2, x))
+           )]
+    FROM adp_{tag} a JOIN acl_{tag} c USING (pt)
+    WHERE a.pos < length(a.pt)
+), alt_{tag} AS (
+    SELECT pt AS piece, dl[length(pt) + 1] AS alt
+    FROM adp_{tag} WHERE pos = length(pt)
+), dly_{tag} AS MATERIALIZED (
+    SELECT u.piece, CAST(u.u * (s.sc - a.alt) AS BIGINT) AS delta
+    FROM uvx_{tag} u
+    JOIN scv_{tag} s USING (piece)
+    JOIN alt_{tag} a USING (piece)
+), keepn_{tag} AS (
+    SELECT CAST((COUNT(*) * {UNI_SOFT_SHRINK_NUM})
+                // {UNI_SOFT_SHRINK_DEN} AS BIGINT) AS kn
+    FROM dly_{tag}
+), pkept_{tag} AS MATERIALIZED (
+    SELECT piece FROM (
+        SELECT piece,
+               ROW_NUMBER() OVER (ORDER BY delta DESC, piece ASC) AS rn
+        FROM dly_{tag}
+    ) WHERE rn <= (SELECT kn FROM keepn_{tag})
+), pcur_{r} AS MATERIALIZED (
+    SELECT u.piece, u.u FROM uvx_{tag} u
+    WHERE length(u.piece) = 1
+       OR u.piece IN (SELECT piece FROM pkept_{tag})
+), cnt_{tag} AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM pkept_{tag}
+)""")
+    # the stopped round: first r >= 2 whose post-prune multi count hits
+    # the target, else max_rounds (the eager loop's exact rule)
+    cases = " ".join(
+        f"WHEN (SELECT c FROM cnt_q{r}) <= {int(target_multi)} THEN {r}"
+        for r in range(2, int(max_rounds) + 1)
+    )
+    sel_branches = " UNION ALL ".join(
+        f"SELECT piece, u FROM pcur_{r} WHERE (SELECT nr FROM nrx) = {r}"
+        for r in range(2, int(max_rounds) + 1)
+    )
+    ll_case = " ".join(
+        f"WHEN (SELECT nr FROM nrx) = {r} THEN (SELECT v FROM ll_q{r})"
+        for r in range(2, int(max_rounds) + 1)
     )
     parts.append(f"""
 , nrx AS (

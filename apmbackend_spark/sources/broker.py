@@ -62,9 +62,11 @@ class MiniBroker:
     transport. Frames address the default queue ("PUB <payload>") or a
     named one ("PUB@stats <payload>"); the default-queue frames are
     byte-identical to the original single-queue protocol, so existing
-    gates grade the same wire traffic. Connections are handled
-    sequentially (one session at a time), which serializes concurrent
-    per-partition producers without locks around the socket itself."""
+    gates grade the same wire traffic. Each connection is served by its
+    own thread (amqplib multiplexes channels the same way), so producers
+    and consumers of DIFFERENT queues make progress simultaneously —
+    the concurrent topology's four legs genuinely overlap — while all
+    queue-state mutations stay serialized under one lock."""
 
     DEFAULT_QUEUE = "main"
 
@@ -107,61 +109,67 @@ class MiniBroker:
                 continue
             except OSError:
                 return
-            with conn:
-                conn.settimeout(30.0)
-                rfile = conn.makefile("r", encoding="utf-8", newline="\n")
-                wfile = conn.makefile("w", encoding="utf-8", newline="\n")
-                try:
-                    for line in rfile:
-                        line = line.rstrip("\n")
-                        verb, _sp, rest = line.partition(" ")
-                        verb, qname = self._verb_queue(verb)
-                        if verb == "PUB":
-                            with self._lock:
-                                q = self._queue(qname)
-                                tag = len(q["msgs"])
-                                q["msgs"].append((tag, rest))
-                        elif verb == "SUB":
-                            with self._lock:
-                                q = self._queue(qname)
-                                live = [
-                                    (t, p)
-                                    for t, p in q["msgs"]
-                                    if t not in q["acked"]
-                                ]
-                                for t, _ in live:
-                                    q["deliveries"][t] = (
-                                        q["deliveries"].get(t, 0) + 1
-                                    )
-                                counts = dict(q["deliveries"])
-                            for t, p in live:
-                                wfile.write(f"MSG {t} {counts[t]} {p}\n")
-                            wfile.write("END\n")
-                            wfile.flush()
-                        elif verb == "ACK":
-                            tag = int(rest)
-                            with self._lock:
-                                q = self._queue(qname)
-                                # unknown tags are ignored (amqp raises a
-                                # channel error; a test double must at
-                                # least not corrupt the queue accounting)
-                                if 0 <= tag < len(q["msgs"]):
-                                    q["acked"].add(tag)
-                        elif verb == "PEND":
-                            # synchronous settlement barrier: the reply
-                            # proves every earlier frame on this
-                            # connection (all the ACKs) is processed
-                            wfile.write(f"PEND {self.pending(qname)}\n")
-                            wfile.flush()
-                        elif verb == "COUNT":
-                            with self._lock:
-                                n = len(self._queue(qname)["msgs"])
-                            wfile.write(f"COUNT {n}\n")
-                            wfile.flush()
-                        elif verb == "QUIT":
-                            break
-                except (OSError, ValueError):
-                    pass  # dropped connection == consumer crash
+            t = threading.Thread(
+                target=self._handle, args=(conn,), daemon=True
+            )
+            t.start()
+
+    def _handle(self, conn) -> None:
+        with conn:
+            conn.settimeout(30.0)
+            rfile = conn.makefile("r", encoding="utf-8", newline="\n")
+            wfile = conn.makefile("w", encoding="utf-8", newline="\n")
+            try:
+                for line in rfile:
+                    line = line.rstrip("\n")
+                    verb, _sp, rest = line.partition(" ")
+                    verb, qname = self._verb_queue(verb)
+                    if verb == "PUB":
+                        with self._lock:
+                            q = self._queue(qname)
+                            tag = len(q["msgs"])
+                            q["msgs"].append((tag, rest))
+                    elif verb == "SUB":
+                        with self._lock:
+                            q = self._queue(qname)
+                            live = [
+                                (t, p)
+                                for t, p in q["msgs"]
+                                if t not in q["acked"]
+                            ]
+                            for t, _ in live:
+                                q["deliveries"][t] = (
+                                    q["deliveries"].get(t, 0) + 1
+                                )
+                            counts = dict(q["deliveries"])
+                        for t, p in live:
+                            wfile.write(f"MSG {t} {counts[t]} {p}\n")
+                        wfile.write("END\n")
+                        wfile.flush()
+                    elif verb == "ACK":
+                        tag = int(rest)
+                        with self._lock:
+                            q = self._queue(qname)
+                            # unknown tags are ignored (amqp raises a
+                            # channel error; a test double must at
+                            # least not corrupt the queue accounting)
+                            if 0 <= tag < len(q["msgs"]):
+                                q["acked"].add(tag)
+                    elif verb == "PEND":
+                        # synchronous settlement barrier: the reply
+                        # proves every earlier frame on this
+                        # connection (all the ACKs) is processed
+                        wfile.write(f"PEND {self.pending(qname)}\n")
+                        wfile.flush()
+                    elif verb == "COUNT":
+                        with self._lock:
+                            n = len(self._queue(qname)["msgs"])
+                        wfile.write(f"COUNT {n}\n")
+                        wfile.flush()
+                    elif verb == "QUIT":
+                        break
+            except (OSError, ValueError):
+                pass  # dropped connection == consumer crash
 
     def pending(self, queue: str = DEFAULT_QUEUE) -> int:
         with self._lock:

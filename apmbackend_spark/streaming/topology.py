@@ -1233,6 +1233,132 @@ class _BrokerHandle:
         self.broker.close()
 
 
+class _ChunkLeg:
+    """One queue leg of the CONCURRENT broker topology, run in its own
+    thread: for every upstream wire chunk handed to ``feed`` it publishes
+    the chunk executor-side, runs the crashing consumer session (admitted
+    payloads spooled+acked atomically, payloads the content-keyed
+    ``lose_if`` predicate condemns neither — the mid-stream crash), runs
+    the RECOVERY session (the broker redelivers exactly the unacked set),
+    asserts the queue settles to PEND 0, and atomically renames the
+    recovered chunk (admitted + redelivered, one file) into ``spool_dir``
+    — where the downstream stage's LIVE streaming query picks it up while
+    this leg's producer is still publishing later chunks. Chunks are
+    event-time range slices, so handing each chunk downstream only after
+    ITS redelivery settles adds zero event-time disorder: the downstream
+    watermark can never pass a crash-lost payload before it arrives, which
+    is what makes the concurrent schedule's frames byte-identical to the
+    sequential drain's. Each chunk cycle settles its queue before the next
+    begins (amqp prefetch=1 per leg); DIFFERENT queues' legs overlap
+    freely on the thread-per-connection broker."""
+
+    _DONE = object()
+
+    def __init__(
+        self, spark, brk: "_BrokerHandle", queue: str, spool_dir: str,
+        lose_if, staging_dir: str,
+    ) -> None:
+        import os
+        import queue as pyq
+        import threading
+
+        self.spark = spark
+        self.brk = brk
+        self.queue = queue
+        self.spool_dir = spool_dir
+        self.lose_if = lose_if
+        self.staging = staging_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        os.makedirs(staging_dir, exist_ok=True)
+        self._q: "pyq.Queue" = pyq.Queue()
+        self._published = 0
+        self.chunks = 0
+        self.err: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def feed(self, chunk_path: str) -> None:
+        if self.err is not None:
+            raise RuntimeError(
+                f"{self.queue} leg already failed"
+            ) from self.err
+        self._q.put(chunk_path)
+
+    def finish(self, timeout_s: int) -> None:
+        """Signal end-of-stream, drain remaining chunks, re-raise any
+        leg failure."""
+        self._q.put(self._DONE)
+        self._thread.join(timeout_s)
+        if self._thread.is_alive():
+            raise TimeoutError(
+                f"{self.queue} leg did not drain within {timeout_s}s"
+            )
+        if self.err is not None:
+            raise self.err
+
+    def _run(self) -> None:
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._DONE:
+                    return
+                self._cycle(item)
+        except BaseException as ex:  # noqa: BLE001 — surfaced by finish()
+            self.err = ex
+
+    def _cycle(self, chunk_path: str) -> None:
+        import os
+
+        idx = self.chunks
+        wire = self.spark.read.text(chunk_path)
+        wire.foreachPartition(self.brk._publish_partition_fn(self.queue))
+        n_lines = wire.count()
+        self._published += n_lines
+        n_pub = self.brk.broker.message_count(self.queue)
+        if n_pub != self._published:
+            raise RuntimeError(
+                f"{self.queue}: broker holds {n_pub} published messages, "
+                f"legs published {self._published} (double-publish?)"
+            )
+        s1 = os.path.join(self.staging, f"{self.queue}-{idx:05d}-s1.txt")
+        s2 = os.path.join(self.staging, f"{self.queue}-{idx:05d}-s2.txt")
+        n1, pend1 = self.brk.consume(
+            self.queue, s1,
+            ack_if=lambda p: not self.lose_if(p),
+            spool_acked_only=True,
+        )
+        if n1 != n_lines:
+            # the previous cycle settled to PEND 0, so session 1 must see
+            # exactly this chunk
+            raise RuntimeError(
+                f"{self.queue}: chunk {idx}: session 1 saw {n1} of "
+                f"{n_lines} published messages"
+            )
+        n2, pend2 = self.brk.consume(self.queue, s2)
+        if pend1 != n2:
+            raise RuntimeError(
+                f"{self.queue}: chunk {idx}: redelivery mismatch: "
+                f"{pend1} unacked, {n2} redelivered"
+            )
+        if pend2 != 0:
+            raise RuntimeError(
+                f"{self.queue}: chunk {idx}: broker holds {pend2} unacked "
+                "after recovery session"
+            )
+        # one atomic handoff file per settled chunk: admitted + recovered
+        tmp = os.path.join(self.staging, f"{self.queue}-{idx:05d}.txt")
+        with open(tmp, "w", encoding="utf-8") as out:
+            for part in (s1, s2):
+                with open(part, "r", encoding="utf-8") as fh:
+                    out.write(fh.read())
+        os.rename(
+            tmp, os.path.join(self.spool_dir, f"chunk-{idx:05d}.txt")
+        )
+        os.remove(s1)
+        os.remove(s2)
+        self.chunks = idx + 1
+
+
 # Alert config for the broker-composed topology's process_alerts stage:
 # tuned so every predicate class fires on the 12 h lag-60 fs frame
 # (hard-max on the latency tail, the override rebasing 'error',
@@ -1401,33 +1527,8 @@ def topology_broker_gate(
         al_dir = os.path.join(work, "al")
         _run_stage(al, al_dir, os.path.join(work, "ckpt_al"), timeout_s)
 
-        # AlertEntry wrap: embed the TRIGGERING fs wire line as the
-        # escaped entry (keyed join back to the spool — distributed, the
-        # fs key (timestamp, server, service, lag) is unique)
-        al_rows = spark.read.schema(
-            "alerttimestamp long, entrytimestamp long, server string, "
-            "service string, lag int, cause string"
-        ).parquet(al_dir)
-        fw = F.split(F.col("value"), r"\|")
-        fs_keyed = spark.read.text(fs_spool).select(
-            qu._parse_long(fw.getItem(1)).alias("timestamp"),
-            qu._parse_str(fw.getItem(2)).alias("k_server"),
-            qu._parse_str(fw.getItem(3)).alias("k_service"),
-            qu._parse_int(fw.getItem(4)).alias("k_lag"),
-            F.col("value").alias("entry"),
-        )
-        wired_al = al_rows.join(
-            fs_keyed,
-            (al_rows.entrytimestamp == fs_keyed.timestamp)
-            & (al_rows.server == fs_keyed.k_server)
-            & (al_rows.service == fs_keyed.k_service)
-            & (al_rows.lag == fs_keyed.k_lag),
-        ).select(
-            "alerttimestamp", "entrytimestamp", "server", "service",
-            "cause", "entry",
-        )
         al_wire_dir = os.path.join(work, "al_wire")
-        qu.al_to_wire(wired_al).write.mode("overwrite").text(al_wire_dir)
+        _alert_wrap(spark, al_dir, fs_spool, al_wire_dir)
 
         # db_insert-queue hop: FOURTH cycle (al lines are unique per
         # (alerttimestamp, server, service, lag-in-entry))
@@ -1443,6 +1544,269 @@ def topology_broker_gate(
     # graded frame: the decoded db_insert spool, with lag + the triggering
     # metrics recovered FROM the embedded (escaped) entry — proving the
     # AlertEntry embedding carried real content through the fourth hop
+    return _decode_db_spool(spark, al_spool)
+
+
+def _chunk_feeder(leg: "_ChunkLeg", encode, order_col: str, nchunks: int,
+                  tmp_root: str, tag: str):
+    """foreachBatch sink for a queue-leg PRODUCER stage: wire-encode the
+    micro-batch range-partitioned on its event-time column (so the leg's
+    chunk sequence is event-time ordered — each part file is a contiguous
+    time slice) and hand each part file to the leg thread. The feed
+    returns immediately; the leg cycles the broker while this stage's
+    next micro-batch (and every other stage) keeps running."""
+    import glob
+    import os
+
+    def fn(bdf, bid: int) -> None:
+        if bdf.isEmpty():
+            return
+        out = os.path.join(tmp_root, f"{tag}_batch{bid}")
+        encode(bdf.repartitionByRange(nchunks, order_col)).write.mode(
+            "overwrite"
+        ).text(out)
+        for p in sorted(glob.glob(os.path.join(out, "part-*"))):
+            if os.path.getsize(p) > 0:
+                leg.feed(p)
+
+    return fn
+
+
+def topology_broker_concurrent_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    lags=(60,),
+    threshold: float = 3.0,
+    influence: float = 0.1,
+    watermark: str = "60 seconds",
+    slice_ms: int = TOPO_BROKER_SLICE_MS,
+    shuffle_partitions: int = 8,
+    timeout_s: int = 300,
+    alert_cfg: AlertConfig | None = None,
+    nchunks: int = 4,
+) -> "DataFrame":
+    """``topology_broker_gate`` with the four queue legs SCHEDULED
+    CONCURRENTLY — the reference's deployment shape, where all four named
+    queues (transactions -> stats -> z_score -> db_insert,
+    apm_config.json:58-114) are live at once: every stage's consumer runs
+    WHILE its producer is still publishing. Semantics are unchanged — the
+    same codecs, the same content-keyed crash predicates, the same
+    per-queue crash + redelivery + settlement contract — only the
+    schedule differs, and pytest asserts the output frame is byte-
+    identical to the sequential drain's.
+
+    Scheduling: stage 1 drains availableNow, wire-encoding each
+    micro-batch into event-time range chunks that feed the transactions
+    leg's thread (_ChunkLeg: publish -> crash session -> REAL redelivery
+    -> settle -> atomic handoff). Stages 2-4 run as processingTime
+    streaming queries over the LIVE spool directories, each producer
+    feeding the next queue's leg the same way, so at steady state all
+    four queues carry traffic simultaneously on the thread-per-connection
+    broker. The tail is flushed deterministically in stage order
+    (processAllAvailable + leg finish), the same rule
+    run_apm_topology_concurrent proved for the file-handoff topology.
+
+    Why the frames are byte-identical: each chunk is handed downstream
+    only after its redelivery settles, and chunks are contiguous
+    event-time slices in nondecreasing order — so the crash-lost payloads
+    rejoin their own time slice before any downstream watermark can pass
+    it, and append emission remains a pure function of the data (the
+    run_apm_topology_concurrent argument, per queue leg)."""
+    import atexit
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from apmbackend_spark.sources import queue as qu
+    from apmbackend_spark.sources.tx import load_tx
+
+    cfg = alert_cfg or TOPO_BROKER_ALERT_CFG
+    work = tempfile.mkdtemp(prefix="apm_topology_broker_conc_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    ev_dir = os.path.join(work, "events_src")
+    os.makedirs(ev_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(ev_dir, "events.parquet"),
+    )
+    lo = load_tx(spark, sf_dir).agg(F.min("endts")).collect()[0][0]
+    endts_before = int(lo) + int(slice_ms)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    brk = _BrokerHandle()
+    staging = os.path.join(work, "staging")
+    tx_spool = os.path.join(work, "tx_consumed")
+    st_spool = os.path.join(work, "st_consumed")
+    fs_spool = os.path.join(work, "fs_consumed")
+    al_spool = os.path.join(work, "al_consumed")
+    al_dir = os.path.join(work, "al")
+    mod, rem = int(qu._REPLAY_MOD), int(qu._REPLAY_REM)
+    queries = []
+    try:
+        # the four legs' crash rules: identical to the sequential gate
+        leg_tx = _ChunkLeg(
+            spark, brk, "transactions", tx_spool,
+            lambda p: _py_hash64(p.split("|")[3]) % mod == rem, staging,
+        )
+        leg_st = _ChunkLeg(
+            spark, brk, "stats", st_spool,
+            lambda p: _py_hash64(p) % 10 == 3, staging,
+        )
+        leg_fs = _ChunkLeg(
+            spark, brk, "z_score", fs_spool,
+            lambda p: _py_hash64(p) % 10 == 5, staging,
+        )
+
+        # stage 1 — parse, producing the transactions queue's chunks
+        tx = (
+            tx_stream(spark, ev_dir)
+            .where(F.col("endts") < endts_before)
+            .select(
+                "logid", "server", "service", "acctnum",
+                "startts", "endts", "elapsed", "toplevel",
+            )
+        )
+        q1 = (
+            tx.writeStream.foreachBatch(
+                _chunk_feeder(leg_tx, qu.tx_to_wire, "endts", nchunks,
+                              work, "tx")
+            )
+            .option("checkpointLocation", os.path.join(work, "ckpt_tx"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        queries.append(q1)
+
+        # stage 2 — calc_stats LIVE over the recovering transactions spool
+        tx_in = qu.wire_to_tx(spark.readStream.text(tx_spool)).withColumn(
+            "endtime", F.timestamp_millis(F.col("endts"))
+        )
+        st = window_stats_stream(tx_in, watermark=watermark).select(
+            F.col("win_start").alias("timestamp"),
+            "server",
+            "service",
+            "tpm",
+            F.round(F.col("avg_ms"), 0).alias("average"),
+            F.round(F.col("p75"), 0).alias("per75"),
+            F.round(F.col("p95"), 0).alias("per95"),
+        )
+        q2 = (
+            st.writeStream.foreachBatch(
+                _chunk_feeder(leg_st, qu.st_to_wire, "timestamp", nchunks,
+                              work, "st")
+            )
+            .option("checkpointLocation", os.path.join(work, "ckpt_st"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        queries.append(q2)
+
+        # stage 3 — calc_z_score LIVE over the recovering stats spool
+        fs = zscore_stateful(
+            qu.wire_to_st(spark.readStream.text(st_spool)),
+            lags=lags, threshold=threshold, influence=influence,
+        )
+        q3 = (
+            fs.writeStream.foreachBatch(
+                _chunk_feeder(leg_fs, qu.fs_to_wire, "timestamp", nchunks,
+                              work, "fs")
+            )
+            .option("checkpointLocation", os.path.join(work, "ckpt_fs"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        queries.append(q3)
+
+        # stage 4 — process_alerts LIVE over the recovering z_score spool
+        al = alerts_stateful(
+            qu.wire_to_fs(spark.readStream.text(fs_spool)), cfg
+        )
+        q4 = (
+            al.writeStream.format("parquet")
+            .option("path", al_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt_al"))
+            .outputMode("append")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        queries.append(q4)
+
+        # deterministic tail flush, stage order: drain the producer, then
+        # settle its leg, then let the consumer stage catch up — exactly
+        # run_apm_topology_concurrent's rule with a leg barrier between
+        if not q1.awaitTermination(timeout_s):
+            raise TimeoutError("concurrent broker topology: stage 1 stuck")
+        leg_tx.finish(timeout_s)
+        for q, leg in ((q2, leg_st), (q3, leg_fs), (q4, None)):
+            q.processAllAvailable()
+            q.stop()
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(
+                    "concurrent broker topology: a stage did not stop"
+                )
+            if leg is not None:
+                leg.finish(timeout_s)
+
+        # AlertEntry wrap + the db_insert leg over the al wire chunks
+        al_wire_dir = os.path.join(work, "al_wire")
+        _alert_wrap(spark, al_dir, fs_spool, al_wire_dir)
+        leg_db = _ChunkLeg(
+            spark, brk, "db_insert", al_spool,
+            lambda p: _py_hash64(p) % 10 == 1, staging,
+        )
+        for p in sorted(globmod.glob(os.path.join(al_wire_dir, "part-*"))):
+            if os.path.getsize(p) > 0:
+                leg_db.feed(p)
+        leg_db.finish(timeout_s)
+    finally:
+        for q in queries:
+            if q.isActive:
+                q.stop()
+        brk.close()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _decode_db_spool(spark, al_spool)
+
+
+def _alert_wrap(spark, al_dir: str, fs_spool: str, al_wire_dir: str) -> None:
+    """AlertEntry wrap: embed the TRIGGERING fs wire line as the escaped
+    entry (keyed join back to the spool — distributed, the fs key
+    (timestamp, server, service, lag) is unique) and write the al wire
+    lines — the db_insert-queue producer."""
+    from apmbackend_spark.sources import queue as qu
+
+    al_rows = spark.read.schema(
+        "alerttimestamp long, entrytimestamp long, server string, "
+        "service string, lag int, cause string"
+    ).parquet(al_dir)
+    fw = F.split(F.col("value"), r"\|")
+    fs_keyed = spark.read.text(fs_spool).select(
+        qu._parse_long(fw.getItem(1)).alias("timestamp"),
+        qu._parse_str(fw.getItem(2)).alias("k_server"),
+        qu._parse_str(fw.getItem(3)).alias("k_service"),
+        qu._parse_int(fw.getItem(4)).alias("k_lag"),
+        F.col("value").alias("entry"),
+    )
+    wired_al = al_rows.join(
+        fs_keyed,
+        (al_rows.entrytimestamp == fs_keyed.timestamp)
+        & (al_rows.server == fs_keyed.k_server)
+        & (al_rows.service == fs_keyed.k_service)
+        & (al_rows.lag == fs_keyed.k_lag),
+    ).select(
+        "alerttimestamp", "entrytimestamp", "server", "service",
+        "cause", "entry",
+    )
+    qu.al_to_wire(wired_al).write.mode("overwrite").text(al_wire_dir)
+
+
+def _decode_db_spool(spark, al_spool: str) -> "DataFrame":
+    """Decode the db_insert spool back to typed alert rows, recovering
+    lag + the triggering metrics FROM the embedded (escaped) entry."""
+    from apmbackend_spark.sources import queue as qu
+
     dec = qu.wire_to_al(spark.read.text(al_spool))
     ef = F.split(F.col("entry"), "&")
     return dec.select(

@@ -1072,3 +1072,28 @@ def test_apm_topology_concurrent_equals_sequential_drain(spark, tmpdir):
         assert rows(seq[stage]) == rows(con[stage]), stage
     # and the concurrent run genuinely produced alerts (non-vacuous)
     assert len(rows(con["al"])) > 0
+
+
+def test_topology_broker_concurrent_equals_sequential(spark):
+    """The four queue legs SCHEDULED CONCURRENTLY (each leg a live
+    publish -> crash -> redeliver -> settle cycle feeding the next
+    stage's running streaming query) must produce a byte-identical
+    graded frame to the sequential spool-then-consume drain: the crash
+    predicates are content-keyed, each chunk is handed downstream only
+    after ITS redelivery settles, and chunks are contiguous event-time
+    slices — so no downstream watermark can ever pass a crash-lost
+    payload before it arrives."""
+    from apmbackend_spark.streaming.topology import (
+        topology_broker_concurrent_gate,
+        topology_broker_gate,
+    )
+
+    seq = sorted(
+        tuple(r) for r in topology_broker_gate(spark, SF_SMOKE).collect()
+    )
+    con = sorted(
+        tuple(r)
+        for r in topology_broker_concurrent_gate(spark, SF_SMOKE).collect()
+    )
+    assert seq == con
+    assert len(con) > 0  # non-vacuous: the composition produced alerts

@@ -605,3 +605,120 @@ def test_unigram_soft_iter_stopping_rule_both_branches(spark):
     _, nr_f, ll_f = _soft_iter_py(DOCS, min_gain=0)
     assert (early[0]["n_rounds"], early[0]["ll"]) == (nr_e, ll_e)
     assert (full[0]["n_rounds"], full[0]["ll"]) == (nr_f, ll_f)
+
+
+def _soft_prune_py(docs, max_rounds=4, target_multi=24):
+    """Reference INTERLEAVED schedule: per round E-step -> LL ->
+    prune-by-loss-delta (keep top 3/4 multi by u*(sc-alt), chars
+    survive) until the multi vocab reaches target_multi."""
+    import re
+    from collections import Counter
+
+    pret = Counter()
+    for t in docs:
+        for w in re.split(r"[^0-9a-z]+", t.lower()):
+            if w and len(w) <= UNI_MAXWORD:
+                pret[w] += 1
+    pcnt = Counter()
+    subs = []
+    for pt, f in pret.items():
+        for i0 in range(1, len(pt) + 1):
+            for l in range(1, min(UNI_MAXPIECE, len(pt) - i0 + 1) + 1):
+                piece = pt[i0 - 1 : i0 - 1 + l]
+                subs.append((pt, f, i0 + l - 1, i0 - 1, piece))
+                pcnt[piece] += f
+    chars = {p: c for p, c in pcnt.items() if len(p) == 1}
+    longer = sorted(
+        ((p, c) for p, c in pcnt.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:80]
+    v0 = dict(chars)
+    v0.update(dict(longer))
+    dd = sum(v0.values()) + len(v0)
+    pv0 = {p: _sf_ratio(c + 1, dd) for p, c in v0.items()}
+    u1 = _soft_estep_py(pret, subs, pv0)
+    kept = sorted(
+        ((p, u) for p, u in u1.items() if len(p) >= 2 and u > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:40]
+    cur = {p: u1.get(p, 0) for p in chars} | dict(kept)
+    ll = 0
+    n_rounds = 1
+    for r in range(2, max_rounds + 1):
+        dd_r = sum(cur.values()) + len(cur) * 65536
+        pv = {p: _sf_ratio(u + 65536, dd_r) for p, u in cur.items()}
+        us, ll = _soft_estep_ll_py(pret, subs, pv)
+        uvx = {p: us.get(p, 0) for p in cur}
+        tot = sum(uvx.values())
+        l_tot = _log2fix_py(tot + len(uvx) * 65536)
+        sc = {p: _log2fix_py(u + 65536) - l_tot for p, u in uvx.items()}
+        deltas = {}
+        for p, u in uvx.items():
+            if len(p) < 2:
+                continue
+            L = len(p)
+            dp = [0] + [NEG_INF] * L
+            for i in range(1, L + 1):
+                for j in range(max(0, i - UNI_MAXPIECE), i):
+                    sub = p[j:i]
+                    s = sc.get(sub)
+                    if sub == p or s is None or dp[j] <= NEG_INF:
+                        continue
+                    dp[i] = max(dp[i], dp[j] + s)
+            deltas[p] = u * (sc[p] - dp[L])
+        ranked = sorted(deltas.items(), key=lambda x: (-x[1], x[0]))
+        keep = {p for p, _ in ranked[: len(ranked) * 3 // 4]}
+        cur = {
+            p: u for p, u in uvx.items() if len(p) == 1 or p in keep
+        }
+        n_rounds = r
+        if sum(1 for p in cur if len(p) >= 2) <= target_multi:
+            break
+    tot = sum(cur.values())
+    l_tot = _log2fix_py(tot + len(cur) * 65536)
+    return {
+        p: (c, _log2fix_py(c + 65536) - l_tot) for p, c in cur.items()
+    }, n_rounds, ll
+
+
+def test_unigram_train_soft_prune_matches_python_reference_bitwise(spark):
+    from apmbackend_spark.operators.unigram import unigram_train_soft_prune
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    want, n_rounds, ll = _soft_prune_py(DOCS)
+    rows = unigram_train_soft_prune(df).collect()
+    got = {r["piece"]: (r["u_soft"], r["score"]) for r in rows}
+    assert got == want  # survivors + counts + scores BIT-exact
+    assert rows[0]["n_rounds"] == n_rounds
+    assert rows[0]["ll"] == ll
+
+
+def test_unigram_soft_prune_schedule_invariants(spark):
+    # chars all survive; the multi vocab follows the exact 3/4-shrink
+    # sequence from the round-1 keep and stops at the first round at or
+    # under the target — the trainer's actual termination rule
+    from apmbackend_spark.operators.unigram import (
+        UNI_SOFT_SHRINK_DEN,
+        UNI_SOFT_SHRINK_NUM,
+        unigram_train_soft_prune,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    target = 24
+    rows = unigram_train_soft_prune(df, target_multi=target).collect()
+    chars = {p for p, _ in _soft_prune_py(DOCS)[0].items() if len(p) == 1}
+    got_chars = {r["piece"] for r in rows if r["piece_len"] == 1}
+    assert got_chars == chars
+    n_multi = sum(1 for r in rows if r["piece_len"] >= 2)
+    assert n_multi <= target
+    # replay the shrink arithmetic from the round-1 keep count
+    k, rounds = 40, 1
+    while k > target:
+        k = k * UNI_SOFT_SHRINK_NUM // UNI_SOFT_SHRINK_DEN
+        rounds += 1
+    assert n_multi == k
+    assert rows[0]["n_rounds"] == rounds
