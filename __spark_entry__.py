@@ -356,6 +356,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dd.dedup_exact(docs(s, d)),
         "ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(docs(s, d)),
         "minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(docs(s, d)),
+        # the (bands, rows-per-band) PLANNING step (datasketch
+        # optimal_param shape, re-derived): S-curve FP/FN mass per
+        # divisor split of each minhash budget in exact int64
+        # fixed-point; 'chosen' marks each budget's argmin — k=8
+        # derives this repo's shipped (4 x 2) banding (pinned)
+        "lsh_band_plan": lambda s, d: dd.lsh_band_plan(docs(s, d)),
         "dedup_clusters": lambda s, d: dd.dedup_clusters(docs(s, d)),
         # synchronous label propagation over the LSH graph: the DENSE
         # communities inside a near-dup component (CC over-merges chains;
@@ -426,6 +432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": lambda s, d: sim.semantic_dedup(embs(s, d)),
         "mmr_rerank": lambda s, d: sim.mmr_rerank(embs(s, d)),
         "dsir_select": lambda s, d: dsel.dsir_select(docs(s, d)),
+        # multinomial Naive-Bayes quality classifier (the fastText-style
+        # cheap-student-mimics-rule-teacher shape): word likelihoods
+        # trained on the 4/5 split in exact fixed-point log2, held-out
+        # 1/5 scored as integer sums — scores, argmax, and accuracy all
+        # value-hash-graded
+        "nb_quality": lambda s, d: dsel.nb_quality(docs(s, d)),
         "unimax_alloc": lambda s, d: prep.unimax_alloc(docs(s, d)),
         "curriculum_order": lambda s, d: pk.curriculum_order(docs(s, d)),
         "binary_rerank": lambda s, d: sim.binary_rerank(embs(s, d)),
@@ -1247,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dd.dedup_exact_oracle_sql(),
         "ngram_jaccard": dd.ngram_jaccard_oracle_sql(),
         "minhash_lsh": dd.minhash_lsh_oracle(),
+        "lsh_band_plan": dd.lsh_band_plan_oracle_sql(),
         "dedup_clusters": dd.dedup_clusters_oracle_sql(),
         "dup_labelprop": dd.dup_labelprop_oracle_sql(),
         "corpus_dedup": dd.corpus_dedup_oracle_sql(),
@@ -1301,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": sim.semantic_dedup_oracle_sql(),
         "mmr_rerank": sim.mmr_rerank_oracle_sql(),
         "dsir_select": dsel.dsir_select_oracle_sql(),
+        "nb_quality": dsel.nb_quality_oracle_sql(),
         "unimax_alloc": prep.unimax_alloc_oracle_sql(),
         "curriculum_order": pk.curriculum_order_oracle_sql(),
         "binary_rerank": sim.binary_rerank_oracle_sql(),

@@ -2247,3 +2247,167 @@ FROM cold a JOIN cold b USING (fp)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+
+# --- lsh_band_plan: (bands, rows) planning for a minhash budget --------
+
+LSH_PLAN_KS = (8, 16, 32, 64, 128)  # minhash budgets to plan
+LSH_PLAN_GRID = 256                 # s-grid resolution (power of 2)
+LSH_PLAN_THRESH_NUM = 1             # target threshold t = 1/2
+LSH_PLAN_THRESH_DEN = 2
+_SP_ONE = 1 << 30                   # fixed-point 1.0 for the S-curve
+
+
+def _lsh_plan_rows() -> list[tuple[int, int, int]]:
+    """Every (k, bands, rows_per_band) with bands * rows = k — the
+    candidate plans for each minhash budget (config enumeration, like
+    _mh_params)."""
+    out = []
+    for k in LSH_PLAN_KS:
+        for b in range(1, k + 1):
+            if k % b == 0:
+                out.append((k, b, k // b))
+    return out
+
+
+def _sp_pow(base_sql: str, n_sql: str) -> str:
+    """Fixed-point pow fold (Spark SQL): base^n with base in [0, 2^30],
+    n >= 1 — (n-1) multiply-rescale steps, every product < 2^60."""
+    return (
+        f"aggregate(CASE WHEN {n_sql} >= 2 THEN sequence(2, {n_sql}) "
+        f"ELSE array() END, CAST({base_sql} AS BIGINT), "
+        # lambda var must not shadow the grid column referenced by base_sql
+        f"(acc, zz_) -> shiftright(acc * {base_sql}, 30))"
+    )
+
+
+def _sp_pow_duck(base_sql: str, n_sql: str) -> str:
+    """DuckDB twin of _sp_pow."""
+    return (
+        f"list_reduce(list_prepend(CAST({base_sql} AS BIGINT), "
+        f"list_transform(range(2, {n_sql} + 1), i -> CAST(0 AS BIGINT))), "
+        f"(acc, x) -> (acc * {base_sql}) >> 30)"
+    )
+
+
+def lsh_band_plan(documents: DataFrame) -> DataFrame:
+    """(n_hashes, bands, rows_per_band, fp_fix, fn_fix, err_fix, chosen):
+    the (bands, rows-per-band) PLANNING step of a minhash-LSH
+    deployment, exactly the calculation datasketch ships as
+    optimal_param (public code; re-derived here — the probability a
+    pair of Jaccard similarity s collides on >= 1 of b bands of r rows
+    is the classic S-curve p(s) = 1 - (1 - s^r)^b, Broder '97 /
+    Leskovec-Rajaraman-Ullman ch. 3):
+
+      fp = sum_{s < t} p(s) / G          (below-threshold pairs that
+                                          still collide — wasted
+                                          verification work)
+      fn = sum_{s >= t} (1 - p(s)) / G   (true near-dups the index
+                                          misses)
+
+    on a G-point similarity grid at target threshold t = 1/2, for every
+    divisor split of every budget in LSH_PLAN_KS. ``chosen`` marks each
+    budget's argmin of fp + fn (ties to fewer bands) — the plan a
+    deployment would configure; pytest pins that k = 8 chooses
+    (4 bands x 2 rows), which IS this repo's shipped minhash_lsh
+    banding. All arithmetic is int64 fixed-point (2^30 = 1.0; s-grid
+    points are exact multiples of 2^22, pow as multiply-rescale folds),
+    so both engines produce identical integers — no float pow.
+
+    The ``documents`` argument anchors the gate to the corpus contract
+    (the plan is evaluated once per index build); the calculation
+    itself is data-independent config math, a few hundred in-row folds.
+    Scale: |rows| = sum of divisor counts (~30), each with a G-point
+    fold — O(1) regardless of corpus size; runs on the driver-sized
+    plan frame with zero corpus scans."""
+    rows = _lsh_plan_rows()
+    G = LSH_PLAN_GRID
+    t_cut = G * LSH_PLAN_THRESH_NUM // LSH_PLAN_THRESH_DEN
+    spark_rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("n_hashes"),
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+            )
+            for (k, b, r) in rows
+        ]
+    )
+    plans = (
+        documents.limit(1)
+        .select(F.explode(spark_rows).alias("p"))
+        .select("p.n_hashes", "p.bands", "p.rows_per_band")
+    )
+    s_fix = "shiftleft(CAST(i AS BIGINT), 22)"  # i/256 in 2^30 units
+    p_coll = (
+        f"{_SP_ONE} - "
+        + _sp_pow(f"({_SP_ONE} - {_sp_pow(s_fix, 'rows_per_band')})", "bands")
+    )
+    curve = plans.select(
+        "*",
+        F.explode(F.sequence(F.lit(1), F.lit(G - 1))).alias("i"),
+    ).select("*", F.expr(p_coll).alias("p"))
+    agg = curve.groupBy("n_hashes", "bands", "rows_per_band").agg(
+        F.sum(F.when(F.col("i") < t_cut, F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("fp_fix"),
+        F.sum(
+            F.when(F.col("i") >= t_cut, F.lit(_SP_ONE) - F.col("p")).otherwise(0)
+        )
+        .cast("long")
+        .alias("fn_fix"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n_hashes").orderBy(
+        (F.col("fp_fix") + F.col("fn_fix")).asc(), F.col("bands").asc()
+    )
+    return agg.select(
+        "*",
+        (F.col("fp_fix") + F.col("fn_fix")).alias("err_fix"),
+    ).select(
+        "*",
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("chosen"),
+    )
+
+
+def lsh_band_plan_oracle_sql() -> str:
+    rows = _lsh_plan_rows()
+    G = LSH_PLAN_GRID
+    t_cut = G * LSH_PLAN_THRESH_NUM // LSH_PLAN_THRESH_DEN
+    values = ", ".join(f"({k}, {b}, {r})" for (k, b, r) in rows)
+    s_fix = "(CAST(i AS BIGINT) << 22)"
+    p_coll = (
+        f"{_SP_ONE} - "
+        + _sp_pow_duck(
+            f"({_SP_ONE} - {_sp_pow_duck(s_fix, 'rows_per_band')})", "bands"
+        )
+    )
+    return f"""
+WITH lshplans(n_hashes, bands, rows_per_band) AS (
+    VALUES {values}
+), lshcurve AS (
+    SELECT n_hashes, bands, rows_per_band, CAST(t.i AS INT) AS i,
+           {p_coll} AS p
+    FROM lshplans, LATERAL unnest(range(1, {G})) AS t(i)
+), lshagg AS (
+    SELECT CAST(n_hashes AS INT) AS n_hashes,
+           CAST(bands AS INT) AS bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           CAST(SUM(CASE WHEN i < {t_cut} THEN p ELSE 0 END) AS BIGINT)
+               AS fp_fix,
+           CAST(SUM(CASE WHEN i >= {t_cut} THEN {_SP_ONE} - p ELSE 0 END)
+                AS BIGINT) AS fn_fix
+    FROM lshcurve GROUP BY 1, 2, 3
+)
+SELECT n_hashes, bands, rows_per_band, fp_fix, fn_fix,
+       fp_fix + fn_fix AS err_fix,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY n_hashes
+                ORDER BY fp_fix + fn_fix ASC, bands ASC) = 1
+            THEN 1 ELSE 0 END AS INT) AS chosen
+FROM lshagg
+"""

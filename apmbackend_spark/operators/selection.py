@@ -350,3 +350,262 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id ASC) AS INT) AS rank,
 FROM keyed
 QUALIFY rank <= {int(m)}
 """
+
+
+# --- nb_quality: multinomial Naive-Bayes quality classifier ------------
+
+NB_HOLDOUT_MOD = 5        # doc_id % 5 == 0 is the held-out scoring split
+NB_MIN_WORDS = 50         # teacher-rule thresholds (see nb_quality)
+NB_MIN_STOPHITS = 2
+NB_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+NB_LEN_BUCKET = 10        # word-count bucket width for the #len pseudo-token
+
+
+def _nb_labeled(documents: DataFrame) -> DataFrame:
+    """(doc_id, t, bag, lbl): tokens, student feature bag, teacher
+    label — word count >= NB_MIN_WORDS and >= NB_MIN_STOPHITS
+    required-stopword token hits (the Gopher stopword set, total hits
+    since the fixture corpus tops out at one distinct hit per doc).
+    The bag is the word tokens plus ONE `#lenK` pseudo-token (K =
+    word count DIV NB_LEN_BUCKET) — the fastText-trick way to hand a
+    bag-of-words student a document-level signal as just another
+    vocabulary row ('#' can't appear in a real token)."""
+    docs = documents.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    stop = F.array(*[F.lit(s) for s in NB_STOPWORDS])
+    return docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        F.concat(
+            F.col("t"),
+            F.array(
+                F.concat(
+                    F.lit("#len"),
+                    F.expr(
+                        f"CAST(CAST(size(t) AS BIGINT)"
+                        f" DIV {NB_LEN_BUCKET} AS STRING)"
+                    ),
+                )
+            ),
+        ).alias("bag"),
+        F.when(
+            (F.size("t") >= NB_MIN_WORDS)
+            & (
+                F.size(F.filter(F.col("t"), lambda w: F.array_contains(stop, w)))
+                >= NB_MIN_STOPHITS
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("lbl"),
+    )
+
+
+def nb_quality(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, label, score_pass, score_fail, pred, correct):
+    a multinomial Naive-Bayes text-quality classifier — the
+    fastText-style "cheap student mimics an expensive teacher" shape
+    every production crawl filter ships (CCNet/LLaMA use an n-gram
+    linear classifier the same way; public literature). The teacher is a
+    compact rule label (word count + required-stopword hits); the
+    student trains word likelihoods on the 4/5 training split and scores
+    the held-out 1/5 (doc_id % NB_HOLDOUT_MOD == 0), add-1 smoothed:
+
+        score_c(d) = L(n_c) - L(n) + sum_w cnt_dw * (L(c_wc + 1)
+                                                     - L(T_c + V))
+
+    with every L the repo's exact fixed-point log2 (dsir_select's fold),
+    so scores are integer sums — bit-identical in DuckDB — and pred is
+    an exact integer comparison, never a float argmax. Unseen words
+    carry L(1) - L(T_c + V) = -L(T_c + V), the same smoothing mass.
+
+    Scale (100 TB): one token explode into a combinable (doc, word)
+    count (the only corpus-sized shuffle); the model is a |vocab|-row
+    rollup joined back by word; priors/denominators are 1-row frames
+    broadcast onto the scored split. No window, no global sort, no
+    Python.
+
+    Reference parity note: the reference (APMBackend, Node.js APM stack)
+    has no classifier — beyond-reference LLM-pipeline surface."""
+    lab = _nb_labeled(documents)
+    tc = (
+        lab.select("doc_id", "lbl", F.explode("bag").alias("word"))
+        .groupBy("doc_id", "lbl", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    train = tc.where(F.col("doc_id") % NB_HOLDOUT_MOD != 0)
+    wc = train.groupBy("word").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("lbl") == 1, F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("c1"),
+        F.coalesce(
+            F.sum(F.when(F.col("lbl") == 0, F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("c0"),
+    )
+    tot = wc.agg(
+        F.sum("c1").cast("long").alias("t1"),
+        F.sum("c0").cast("long").alias("t0"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    pri = (
+        lab.where(F.col("doc_id") % NB_HOLDOUT_MOD != 0)
+        .agg(
+            F.sum("lbl").cast("long").alias("n1"),
+            F.sum(1 - F.col("lbl")).cast("long").alias("n0"),
+        )
+    )
+    cons = tot.crossJoin(F.broadcast(pri))
+    cons = _with_log2fix(cons, "t1 + v", "den1")
+    cons = _with_log2fix(cons, "t0 + v", "den0")
+    cons = _with_log2fix(cons, "n1", "l_n1")
+    cons = _with_log2fix(cons, "n0", "l_n0")
+    cons = _with_log2fix(cons, "n1 + n0", "l_n")
+    cons = cons.select(
+        "den1",
+        "den0",
+        (F.col("l_n1") - F.col("l_n")).alias("prior1"),
+        (F.col("l_n0") - F.col("l_n")).alias("prior0"),
+    )
+    ws = _with_log2fix(wc, "c1 + 1", "l_c1")
+    ws = _with_log2fix(ws, "c0 + 1", "l_c0")
+    ws = ws.crossJoin(F.broadcast(cons.select("den1", "den0"))).select(
+        "word",
+        (F.col("l_c1") - F.col("den1")).alias("s1"),
+        (F.col("l_c0") - F.col("den0")).alias("s0"),
+    )
+    test_tc = tc.where(F.col("doc_id") % NB_HOLDOUT_MOD == 0)
+    sums = (
+        test_tc.join(ws, "word", "left")
+        .crossJoin(F.broadcast(cons.select("den1", "den0")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("s1"), -F.col("den1"))
+            )
+            .cast("long")
+            .alias("sum1"),
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("s0"), -F.col("den0"))
+            )
+            .cast("long")
+            .alias("sum0"),
+        )
+    )
+    out = (
+        lab.where(F.col("doc_id") % NB_HOLDOUT_MOD == 0)
+        .select("doc_id", F.size("t").cast("long").alias("n_tokens"), "lbl")
+        .join(sums, "doc_id", "left")
+        .crossJoin(F.broadcast(cons.select("prior1", "prior0")))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("lbl").alias("label"),
+            (F.col("prior1") + F.coalesce(F.col("sum1"), F.lit(0)))
+            .cast("long")
+            .alias("score_pass"),
+            (F.col("prior0") + F.coalesce(F.col("sum0"), F.lit(0)))
+            .cast("long")
+            .alias("score_fail"),
+        )
+    )
+    return out.select(
+        "*",
+        F.when(F.col("score_pass") > F.col("score_fail"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("pred"),
+    ).select(
+        "*",
+        F.when(F.col("pred") == F.col("label"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("correct"),
+    )
+
+
+def nb_quality_oracle_sql() -> str:
+    t = tokens_sql("text")
+    stop_list = ", ".join(f"'{s}'" for s in NB_STOPWORDS)
+    return f"""
+WITH nbdocs AS (
+    SELECT doc_id, COALESCE(text, '') AS text FROM documents
+), nbt AS (
+    SELECT doc_id, {t} AS t FROM nbdocs
+), nblab AS (
+    SELECT doc_id, t,
+           list_append(t, '#len' ||
+               CAST(CAST(len(t) AS BIGINT) // {NB_LEN_BUCKET} AS VARCHAR))
+               AS bag,
+           CASE WHEN len(t) >= {NB_MIN_WORDS}
+                 AND len(list_filter(t, w -> w IN ({stop_list})))
+                     >= {NB_MIN_STOPHITS}
+                THEN 1 ELSE 0 END AS lbl
+    FROM nbt
+), nbtok AS (
+    SELECT doc_id, lbl, unnest(bag) AS word FROM nblab
+), nbtc AS (
+    SELECT doc_id, lbl, word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM nbtok GROUP BY doc_id, lbl, word
+), nbwc AS (
+    SELECT word,
+           CAST(COALESCE(SUM(CASE WHEN lbl = 1 THEN cnt END), 0)
+                AS BIGINT) AS c1,
+           CAST(COALESCE(SUM(CASE WHEN lbl = 0 THEN cnt END), 0)
+                AS BIGINT) AS c0
+    FROM nbtc WHERE doc_id % {NB_HOLDOUT_MOD} <> 0 GROUP BY word
+), nbtot AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+           CAST(SUM(c0) AS BIGINT) AS t0,
+           CAST(COUNT(*) AS BIGINT) AS v
+    FROM nbwc
+), nbpri AS (
+    SELECT CAST(SUM(lbl) AS BIGINT) AS n1,
+           CAST(SUM(1 - lbl) AS BIGINT) AS n0
+    FROM nblab WHERE doc_id % {NB_HOLDOUT_MOD} <> 0
+), nbcons AS (
+    SELECT {log2fix_sql('t1 + v')} AS den1,
+           {log2fix_sql('t0 + v')} AS den0,
+           {log2fix_sql('n1')} - {log2fix_sql('n1 + n0')} AS prior1,
+           {log2fix_sql('n0')} - {log2fix_sql('n1 + n0')} AS prior0
+    FROM nbtot, nbpri
+), nbws AS (
+    SELECT word,
+           {log2fix_sql('c1 + 1')} - den1 AS s1,
+           {log2fix_sql('c0 + 1')} - den0 AS s0
+    FROM nbwc, nbcons
+), nbsums AS (
+    SELECT c.doc_id,
+           CAST(SUM(c.cnt * COALESCE(w.s1, -k.den1)) AS BIGINT) AS sum1,
+           CAST(SUM(c.cnt * COALESCE(w.s0, -k.den0)) AS BIGINT) AS sum0
+    FROM nbtc c CROSS JOIN nbcons k LEFT JOIN nbws w ON c.word = w.word
+    WHERE c.doc_id % {NB_HOLDOUT_MOD} = 0
+    GROUP BY c.doc_id
+), nbout AS (
+    SELECT l.doc_id,
+           CAST(len(l.t) AS BIGINT) AS n_tokens,
+           l.lbl AS label,
+           CAST(k.prior1 + COALESCE(s.sum1, 0) AS BIGINT) AS score_pass,
+           CAST(k.prior0 + COALESCE(s.sum0, 0) AS BIGINT) AS score_fail
+    FROM nblab l CROSS JOIN nbcons k LEFT JOIN nbsums s
+         ON l.doc_id = s.doc_id
+    WHERE l.doc_id % {NB_HOLDOUT_MOD} = 0
+)
+SELECT doc_id, n_tokens,
+       CAST(label AS INT) AS label,
+       score_pass, score_fail,
+       CAST(CASE WHEN score_pass > score_fail THEN 1 ELSE 0 END AS INT)
+           AS pred,
+       CAST(CASE WHEN (CASE WHEN score_pass > score_fail THEN 1 ELSE 0
+                       END) = label
+                 THEN 1 ELSE 0 END AS INT) AS correct
+FROM nbout
+"""

@@ -731,3 +731,41 @@ def test_winnow_density_and_plan(spark):
     rows = df.collect()
     assert len(rows) > 0  # fixture near-dups are caught
     assert all(r["n_shared"] >= 1 for r in rows)
+
+
+def test_lsh_band_plan_chooses_shipped_banding_and_tracks_float(spark):
+    # the k=8 argmin must be the repo's SHIPPED minhash_lsh banding
+    # (4 bands x 2 rows), and every budget's integer-fixed-point argmin
+    # must agree with an independent FLOAT rendering of the same
+    # FP+FN integral (the datasketch optimal_param calculation)
+    from apmbackend_spark.operators.dedup import (
+        LSH_PLAN_GRID,
+        LSH_PLAN_KS,
+        lsh_band_plan,
+        _lsh_plan_rows,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = lsh_band_plan(df).collect()
+    assert len(rows) == len(_lsh_plan_rows())
+    chosen = {
+        r["n_hashes"]: (r["bands"], r["rows_per_band"])
+        for r in rows
+        if r["chosen"] == 1
+    }
+    assert chosen[8] == (4, 2)
+
+    def float_err(b, r):
+        G = LSH_PLAN_GRID
+        fp = sum(
+            1 - (1 - (i / G) ** r) ** b for i in range(1, G // 2)
+        )
+        fn = sum(
+            (1 - (i / G) ** r) ** b for i in range(G // 2, G)
+        )
+        return fp + fn
+
+    for k in LSH_PLAN_KS:
+        pairs = [(b, k // b) for b in range(1, k + 1) if k % b == 0]
+        best = min(pairs, key=lambda p: (float_err(*p), p[0]))
+        assert chosen[k] == best, k

@@ -222,3 +222,81 @@ def test_weighted_sample_uniform_weights_is_pure_hash_order(spark):
     got = [r["doc_id"] for r in weighted_sample(docs, m=10, weights=wdf).orderBy("rank").collect()]
     want = [d for _, d, _ in _es_reference({i: 7 for i in range(100)})[:10]]
     assert got == want
+
+
+def _nb_reference(doc_rows):
+    """Pure-Python multinomial NB with the identical fixed-point log2 —
+    independent of both engines' SQL renderings."""
+    import re
+    from collections import Counter
+
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+
+    def toks(text):
+        return [w for w in re.split(r"[^0-9a-zA-Z]+", (text or "").lower()) if w]
+
+    labeled = {}
+    for doc_id, text in doc_rows:
+        t = toks(text)
+        hits = sum(1 for w in t if w in stop)
+        bag = t + [f"#len{len(t) // 10}"]
+        labeled[doc_id] = (t, bag, 1 if len(t) >= 50 and hits >= 2 else 0)
+    cnt = {0: Counter(), 1: Counter()}
+    n = {0: 0, 1: 0}
+    for doc_id, (t, bag, lbl) in labeled.items():
+        if doc_id % 5 != 0:
+            cnt[lbl].update(bag)
+            n[lbl] += 1
+    vocab = set(cnt[0]) | set(cnt[1])
+    v = len(vocab)
+    t1, t0 = sum(cnt[1].values()), sum(cnt[0].values())
+    den1, den0 = _l2fix_py(t1 + v), _l2fix_py(t0 + v)
+    prior1 = _l2fix_py(n[1]) - _l2fix_py(n[1] + n[0])
+    prior0 = _l2fix_py(n[0]) - _l2fix_py(n[1] + n[0])
+    out = {}
+    for doc_id, (t, bag, lbl) in labeled.items():
+        if doc_id % 5 != 0:
+            continue
+        s1, s0 = prior1, prior0
+        for w, c in Counter(bag).items():
+            if w in vocab:
+                s1 += c * (_l2fix_py(cnt[1][w] + 1) - den1)
+                s0 += c * (_l2fix_py(cnt[0][w] + 1) - den0)
+            else:
+                s1 += c * -den1
+                s0 += c * -den0
+        pred = 1 if s1 > s0 else 0
+        out[doc_id] = (len(t), lbl, s1, s0, pred, 1 if pred == lbl else 0)
+    return out
+
+
+def test_nb_quality_matches_python_reference(spark):
+    from apmbackend_spark.operators.selection import nb_quality
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r["doc_id"], r["text"]) for r in df.select("doc_id", "text").collect()]
+    want = _nb_reference(rows)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["label"], r["score_pass"], r["score_fail"],
+            r["pred"], r["correct"],
+        )
+        for r in nb_quality(df).collect()
+    }
+    assert got == want  # scores + argmax + accuracy BIT-exact
+
+
+def test_nb_quality_learns_the_teacher(spark):
+    # the student must beat the majority-class baseline on the held-out
+    # split — i.e. the word likelihoods genuinely carry the signal
+    from apmbackend_spark.operators.selection import nb_quality
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = nb_quality(df).collect()
+    acc = sum(r["correct"] for r in rows) / len(rows)
+    maj = max(
+        sum(1 for r in rows if r["label"] == 1),
+        sum(1 for r in rows if r["label"] == 0),
+    ) / len(rows)
+    assert acc > maj
+    assert acc >= 0.8  # and is genuinely predictive, not barely above
