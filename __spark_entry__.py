@@ -1092,94 +1092,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": lambda s, d: ts.pii_scrub(docs(s, d)),
     }
     # Window strategy (the driver grades the FIRST 50 queries in dict
-    # order). Round 9 window, explicit by name:
-    #   (a) ALL 21 remaining r4-stale rows — the r8 verdict's top
-    #       directive: their most recent driver row is four rounds old
-    #       (judge-green at sf0.01 on r8 code, but the driver's own
-    #       signal needs refreshing);
-    #   (b) the 5 NEW round-9 gates (ann_ivf_2level / ivfpq_search_2level:
-    #       two-level routing on the ANN serving path, IVF + residual-PQ
-    #       tiers; ccnet_buckets_sketch: the exact-vs-sketch threshold
-    #       agreement report; unigram_train_soft: the forward-backward
-    #       E-step on softfloat integer arithmetic; subbin_quantiles:
-    #       the 1/64-error mergeable percentile sketch over events);
-    #   (c) the 2 gates whose OUTPUT changed this round (topology_broker
-    #       now grades the decoded db_insert spool at the end of the full
-    #       four-queue broker map; unigram_encode grew the fb_pieces/
-    #       fb_hash fallback tier + the in-plan probe);
-    #   (d) 3 gates whose ORACLE TEXT changed, output identical —
-    #       re-confirm under the driver (tar_shard_ingest: NULL-coalesce;
-    #       alerts: oracle split into CTEs + final select; unigram_train:
-    #       parameterized corpus source);
-    #   (e) 19 of the 46 r5-stale rows — queue/wire/topology neighbors of
-    #       this round's broker work first (topology_wire, stream_topology,
-    #       wire codecs, queue_roundtrip, zscore/zscore_stateful,
-    #       charlm_score under the new sketch sibling, hist_quantiles
-    #       whose fold pattern the sketch reuses), then the next-stalest
-    #       alphabetically.
-    # The 27 leftover r5 rows head the r10 rotation; everything else
-    # overflows with a green r6-r8 row standing (the judge's overflow
+    # order). Round 10 window, explicit by name:
+    #   (a) the 4 gates that have NEVER had a driver row (added after the
+    #       r9 grading window; judge-green on the r9 re-run):
+    #       ann_l1probe_curve, unigram_encode_soft, unigram_train_soft_iter,
+    #       ivfpq_l1probe_curve;
+    #   (b) the 3 NEW round-10 gates (unigram_train_soft_prune: Kudo's
+    #       interleaved prune-by-loss-delta schedule; nb_quality: the
+    #       fixed-point Naive-Bayes quality classifier; lsh_band_plan:
+    #       the (bands, rows) planning integral);
+    #   (c) 2 gates whose GRADED PATH changed this round — topology_broker
+    #       now rides the concurrent four-queue schedule (output parity-
+    #       pinned vs the sequential drain), broker_redelivery's crash rule
+    #       became a streamed hash predicate (ed38c5d);
+    #   (d) ALL 27 r5-stale rows — the r9 verdict's top directive (their
+    #       latest driver row is five rounds old; judge-green at sf0.01);
+    #   (e) the 14 stalest r6 rows, alphabetically.
+    # The remaining 25 r6 rows head the r11 rotation; everything else
+    # overflows with a green r7-r9 row standing (the judge's overflow
     # sweep re-runs them).
-    R9_WINDOW = [
-        # (a) the 21 r4-stale rows
-        "contamination",
-        "corpus_cardinality",
-        "corpus_prepare",
-        "corpus_sample",
-        "corpus_scrub",
-        "corpus_shuffle",
-        "corpus_split",
-        "doc_repetition",
-        "doc_stats",
-        "doc_token_counts",
-        "log_chunked",
-        "media_stats",
-        "ngram_jaccard",
-        "retention_sweep",
-        "simhash",
-        "simhash_pairs",
-        "stream_sessions",
-        "token_pack",
-        "token_spans",
-        "video_frame_sample",
-        "vocab_topk",
-        # (b) new round-9 gates
-        "ann_ivf_2level",
-        "ccnet_buckets_sketch",
-        # (c) output changed this round
+    R10_WINDOW = [
+        # (a) never driver-graded
+        "ann_l1probe_curve",
+        "unigram_encode_soft",
+        "unigram_train_soft_iter",
+        "ivfpq_l1probe_curve",
+        # (b) new round-10 gates
+        "unigram_train_soft_prune",
+        "nb_quality",
+        "lsh_band_plan",
+        # (c) graded path changed this round
         "topology_broker",
-        "unigram_encode",
-        # (d) oracle text changed, output identical (re-confirm)
-        "tar_shard_ingest",
-        "alerts",
-        "unigram_train",
-        # (e) stalest r5 rows: this round's neighbors first
-        "topology_wire",
-        "stream_topology",
-        "wire_fs_roundtrip",
-        "wire_al_roundtrip",
-        "queue_roundtrip",
-        "zscore",
-        "zscore_stateful",
-        "charlm_score",
-        "hist_quantiles",
-        "pii_scrub",
-        "log_sessions",
-        # (e) then next-stalest alphabetically
-        "bm25_topk",
-        "cdc_diff",
-        "compaction_bins",
-        "containment_pairs",
-        "decayed_counts",
-        "doc_span_dup",
-        "dq_rules",
-        "dup_pagerank",
-        # the round-9 late gates (displace edit_neardup,
-        # embedding_neardup and feature_hashing to the r10 head —
-        # never-driver-graded gates take priority over once-green rows)
-        "unigram_train_soft",
-        "ivfpq_search_2level",
-        "subbin_quantiles",
+        "broker_redelivery",
+        # (d) the 27 r5-stale rows
+        "edit_neardup",
+        "embedding_neardup",
+        "event_transitions",
+        "feature_hashing",
+        "fk_integrity",
+        "funnel_steps",
+        "heavy_hitters_cms",
+        "interval_union",
+        "mad_outliers",
+        "pivot_matrix",
+        "power_iter_pca",
+        "profile_drift",
+        "retention_cohorts",
+        "rollup_incremental",
+        "schema_merge_ingest",
+        "seasonal_baseline",
+        "session_attribution",
+        "srp_neardup",
+        "stratified_sample",
+        "stream_decayed",
+        "stream_funnel",
+        "table_profile",
+        "trend_slopes",
+        "url_canonical",
+        "winsorize",
+        "zorder_layout",
+        "zscore_recursive",
+        # (e) stalest r6 rows, alphabetically
+        "acct_enrich",
+        "audio_features",
+        "bmp_features",
+        "bucketed_enrich",
+        "correlate",
+        "doc_keywords",
+        "dpp_week_rollup",
+        "dup_triangles",
+        "gauge_asof",
+        "gauge_asof_sliced",
+        "html_strip",
+        "image_features",
+        "incident_windows",
+        "jmx_poll",
     ]
     all_q = (
         phase6
@@ -1191,7 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | round5_new
         | round4_extra
     )
-    window = {k: all_q[k] for k in R9_WINDOW}
+    window = {k: all_q[k] for k in R10_WINDOW}
     assert len(window) == 50, f"grading window holds {len(window)}, want 50"
     overflow = {k: v for k, v in all_q.items() if k not in window}
     return window | overflow
