@@ -439,6 +439,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-hash-graded
         "nb_quality": lambda s, d: dsel.nb_quality(docs(s, d)),
         "unimax_alloc": lambda s, d: prep.unimax_alloc(docs(s, d)),
+        # temperature sampling (mBERT/XLM-R shape, UniMax's published
+        # baseline, same per-language rollup): p_l ∝ c_l^alpha on the
+        # 0.3/0.7/1.0 sweep via exact integer log2+exp2 folds; budget
+        # realized by largest-remainder apportionment (sums pinned)
+        "temp_mixture": lambda s, d: prep.temp_mixture(docs(s, d)),
         "curriculum_order": lambda s, d: pk.curriculum_order(docs(s, d)),
         "binary_rerank": lambda s, d: sim.binary_rerank(embs(s, d)),
         "cluster_profile": lambda s, d: sim.cluster_profile(
@@ -1097,18 +1102,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       r9 grading window; judge-green on the r9 re-run):
     #       ann_l1probe_curve, unigram_encode_soft, unigram_train_soft_iter,
     #       ivfpq_l1probe_curve;
-    #   (b) the 3 NEW round-10 gates (unigram_train_soft_prune: Kudo's
+    #   (b) the 4 NEW round-10 gates (unigram_train_soft_prune: Kudo's
     #       interleaved prune-by-loss-delta schedule; nb_quality: the
     #       fixed-point Naive-Bayes quality classifier; lsh_band_plan:
-    #       the (bands, rows) planning integral);
+    #       the (bands, rows) planning integral; temp_mixture: the
+    #       temperature-sampling allocation via exact log2+exp2 folds);
     #   (c) 2 gates whose GRADED PATH changed this round — topology_broker
     #       now rides the concurrent four-queue schedule (output parity-
     #       pinned vs the sequential drain), broker_redelivery's crash rule
     #       became a streamed hash predicate (ed38c5d);
     #   (d) ALL 27 r5-stale rows — the r9 verdict's top directive (their
     #       latest driver row is five rounds old; judge-green at sf0.01);
-    #   (e) the 14 stalest r6 rows, alphabetically.
-    # The remaining 25 r6 rows head the r11 rotation; everything else
+    #   (e) the 13 stalest r6 rows, alphabetically.
+    # The remaining 26 r6 rows (jmx_poll first) head the r11 rotation; everything else
     # overflows with a green r7-r9 row standing (the judge's overflow
     # sweep re-runs them).
     R10_WINDOW = [
@@ -1121,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train_soft_prune",
         "nb_quality",
         "lsh_band_plan",
+        "temp_mixture",
         # (c) graded path changed this round
         "topology_broker",
         "broker_redelivery",
@@ -1166,7 +1173,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip",
         "image_features",
         "incident_windows",
-        "jmx_poll",
     ]
     all_q = (
         phase6
@@ -1303,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": dsel.dsir_select_oracle_sql(),
         "nb_quality": dsel.nb_quality_oracle_sql(),
         "unimax_alloc": prep.unimax_alloc_oracle_sql(),
+        "temp_mixture": prep.temp_mixture_oracle_sql(),
         "curriculum_order": pk.curriculum_order_oracle_sql(),
         "binary_rerank": sim.binary_rerank_oracle_sql(),
         "cluster_profile": sim.cluster_profile_oracle_sql(),

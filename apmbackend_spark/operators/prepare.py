@@ -453,3 +453,190 @@ WITH RECURSIVE per_lang AS (
 )
 SELECT lang, n_tokens, cap, alloc, (alloc = cap) AS capped FROM fill
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling (Devlin 2019 mBERT / Conneau 2020 XLM-R, public
+# literature): language sampling weights p_l ∝ c_l^alpha — the standard
+# multilingual mix UniMax was proposed against; both gates share the same
+# per-language rollup, so the two policies are directly comparable.
+# ---------------------------------------------------------------------------
+
+TEMP_MIX_ALPHAS = (19661, 45875, 65536)  # ~0.3, ~0.7, 1.0 in 2^-16 units
+TEMP_MIX_BUDGET = 1_000_000
+_X2_ONE = 1 << 30
+# C_j = round(2^(2^-j) * 2^30), j = 1..16 — the classic binary-fraction
+# exp2 ladder (multiply in C_j exactly when bit j of the fraction is set)
+_X2_CONSTS = (
+    1518500250, 1276901417, 1170923762, 1121280436, 1097253708,
+    1085434106, 1079572136, 1076653033, 1075196443, 1074468888,
+    1074105294, 1073923544, 1073832680, 1073787251, 1073764537,
+    1073753181,
+)
+
+
+def _exp2fix_spark(x: str) -> tuple[str, str]:
+    """(mantissa_expr, exponent_expr): 2^(x / 2^16) for x >= 0 as a
+    (m in [2^30, 2^31), e) pair — integer multiply-rescale ladder over
+    the 16 fraction bits, bit-identical in both engines."""
+    carr = "array(" + ", ".join(f"{c}L" for c in _X2_CONSTS) + ")"
+    m = (
+        f"aggregate(sequence(1, 16), CAST({_X2_ONE} AS BIGINT), "
+        f"(acc, j) -> CASE WHEN (shiftright(({x}) % 65536, 16 - j) & 1) = 1 "
+        f"THEN shiftright(acc * element_at({carr}, j), 30) ELSE acc END)"
+    )
+    return m, f"CAST(shiftright({x}, 16) AS INT)"
+
+
+def _exp2fix_duck(x: str) -> tuple[str, str]:
+    carr = "[" + ", ".join(f"CAST({c} AS BIGINT)" for c in _X2_CONSTS) + "]"
+    m = (
+        f"list_reduce(list_prepend(CAST({_X2_ONE} AS BIGINT), "
+        f"list_transform(range(1, 17), j -> CAST(j AS BIGINT))), "
+        f"(acc, j) -> CASE WHEN ((({x}) % 65536) >> (16 - j)) & 1 = 1 "
+        f"THEN (acc * ({carr})[j]) >> 30 ELSE acc END)"
+    )
+    return m, f"CAST(({x}) >> 16 AS INT)"
+
+
+def temp_mixture(
+    documents: DataFrame,
+    alphas: tuple[int, ...] = TEMP_MIX_ALPHAS,
+    budget: int = TEMP_MIX_BUDGET,
+) -> DataFrame:
+    """(alpha_fix, lang, n_tokens, w_norm, alloc): TEMPERATURE-SAMPLED
+    token-budget allocation across languages — p_l ∝ c_l^alpha for each
+    alpha on the sweep (0.3 / 0.7 / 1.0, the published multilingual
+    operating points; alpha = 1.0 is proportional sampling, smaller
+    alpha flattens toward uniform), with the budget realized as exact
+    integers by largest-remainder apportionment (sum(alloc) == budget,
+    pinned).
+
+    Bit-determinism: c^alpha = exp2(alpha * log2 c) with BOTH transforms
+    exact integer folds — the repo's fixed-point log2 (selection.py) and
+    a 16-step binary-fraction exp2 ladder (multiply in the baked
+    C_j = round(2^2^-j * 2^30) exactly when fraction bit j is set), so
+    weights are identical int64 in both engines; w_norm is the mantissa
+    aligned to each sweep row's max exponent. The apportionment is
+    integer DIV/MOD with a (remainder DESC, lang ASC) tie rule.
+
+    Scale (100 TB): ONE combinable tokenize rollup to |langs| rows (the
+    same frame unimax_alloc folds); everything after is |langs| x
+    |alphas| rows — windows partitioned per alpha over a
+    language-bounded frame. No corpus window, no Python.
+
+    Reference parity note: the reference (APMBackend, Node.js APM stack)
+    has no mixture operator — beyond-reference LLM-pipeline surface,
+    UniMax's published baseline alongside it."""
+    from pyspark.sql import Window
+
+    from apmbackend_spark.operators.selection import _with_log2fix
+
+    per_lang = documents.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    av = F.array(*[F.lit(int(a)).cast("long") for a in alphas])
+    sweep = per_lang.select(
+        "*", F.explode(av).alias("alpha_fix")
+    )
+    sweep = _with_log2fix(sweep, "greatest(n_tokens, 1)", "l_c")
+    sweep = sweep.withColumn(
+        "x", F.expr("shiftright(alpha_fix * l_c, 16)")
+    )
+    m_expr, e_expr = _exp2fix_spark("x")
+    sweep = sweep.select(
+        "alpha_fix", "lang", "n_tokens",
+        F.expr(m_expr).alias("w_mant"),
+        F.expr(e_expr).alias("w_exp"),
+    )
+    wa = Window.partitionBy("alpha_fix")  # |langs|-bounded frame
+    sweep = sweep.withColumn("e_max", F.max("w_exp").over(wa)).withColumn(
+        "w_norm",
+        F.expr(
+            "shiftright(w_mant, CAST(least(e_max - w_exp, 62) AS INT))"
+        ),
+    )
+    sweep = sweep.withColumn("tot", F.sum("w_norm").over(wa)).select(
+        "alpha_fix", "lang", "n_tokens", "w_norm",
+        F.expr(f"CAST(({int(budget)} * w_norm) DIV tot AS BIGINT)").alias(
+            "alloc0"
+        ),
+        F.expr(f"CAST(({int(budget)} * w_norm) % tot AS BIGINT)").alias(
+            "rem"
+        ),
+    )
+    wr = Window.partitionBy("alpha_fix").orderBy(
+        F.col("rem").desc(), F.col("lang").asc()
+    )
+    return (
+        sweep.withColumn(
+            "deficit", F.lit(int(budget)) - F.sum("alloc0").over(wa)
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            F.col("alpha_fix").cast("int").alias("alpha_fix"),
+            "lang",
+            "n_tokens",
+            "w_norm",
+            (
+                F.col("alloc0")
+                + F.when(F.col("rk") <= F.col("deficit"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+def temp_mixture_oracle_sql(
+    alphas: tuple[int, ...] = TEMP_MIX_ALPHAS,
+    budget: int = TEMP_MIX_BUDGET,
+) -> str:
+    from apmbackend_spark.operators.selection import log2fix_sql
+
+    alist = ", ".join(f"({int(a)})" for a in alphas)
+    m_expr, e_expr = _exp2fix_duck("x")
+    return f"""
+WITH tm_lang AS (
+    SELECT lang,
+           CAST(SUM(len({tokens_sql('text')})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+), tm_alpha(alpha_fix) AS (VALUES {alist}),
+tm_x AS (
+    SELECT CAST(alpha_fix AS BIGINT) AS alpha_fix, lang, n_tokens,
+           (CAST(alpha_fix AS BIGINT)
+            * {log2fix_sql('greatest(n_tokens, 1)')}) >> 16 AS x
+    FROM tm_lang, tm_alpha
+), tm_w AS (
+    SELECT alpha_fix, lang, n_tokens,
+           {m_expr} AS w_mant, {e_expr} AS w_exp
+    FROM tm_x
+), tm_n AS (
+    SELECT alpha_fix, lang, n_tokens,
+           w_mant >> least(MAX(w_exp) OVER (PARTITION BY alpha_fix)
+                           - w_exp, 62) AS w_norm
+    FROM tm_w
+), tm_a AS (
+    SELECT alpha_fix, lang, n_tokens, w_norm,
+           CAST(({int(budget)} * w_norm)
+                // SUM(w_norm) OVER (PARTITION BY alpha_fix) AS BIGINT)
+               AS alloc0,
+           CAST(({int(budget)} * w_norm)
+                % SUM(w_norm) OVER (PARTITION BY alpha_fix) AS BIGINT)
+               AS rem
+    FROM tm_n
+), tm_r AS (
+    SELECT alpha_fix, lang, n_tokens, w_norm, alloc0,
+           {int(budget)} - SUM(alloc0) OVER (PARTITION BY alpha_fix)
+               AS deficit,
+           ROW_NUMBER() OVER (PARTITION BY alpha_fix
+                              ORDER BY rem DESC, lang ASC) AS rk
+    FROM tm_a
+)
+SELECT CAST(alpha_fix AS INT) AS alpha_fix, lang, n_tokens, w_norm,
+       CAST(alloc0 + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc
+FROM tm_r
+"""

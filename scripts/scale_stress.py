@@ -898,6 +898,63 @@ def main() -> None:
         big = suite(scaled_dir, k)
         _report(base, big, k)
 
+    if mode == "r10":
+        # round-10 measured rows: the interleaved-prune soft-EM trainer
+        # (vocabulary-bound like its siblings), the Naive-Bayes quality
+        # classifier (one token explode + vocab-row model), the LSH band
+        # planner (O(1) config math — measured to PROVE volume
+        # independence), the routed residual-PQ tuning curve (fixed
+        # trained-artifact convention: pq_mod x K), and the broker
+        # topology under its new CONCURRENT schedule with the sequential
+        # drain alongside as the contrast.
+        print(
+            f"tiling events+documents+embeddings {k}x into {scaled_dir} ...",
+            flush=True,
+        )
+        tile_events(spark, sf_dir, scaled_dir, k)
+        tile_documents(spark, sf_dir, scaled_dir, k)
+        tile_embeddings(spark, sf_dir, scaled_dir, k)
+        link_static_tables(sf_dir, scaled_dir)
+
+        def suite(d: str, kk: int) -> dict[str, float]:
+            from apmbackend_spark.operators import dedup as dd
+            from apmbackend_spark.operators import selection as dsel
+            from apmbackend_spark.operators import similarity as sim
+            from apmbackend_spark.operators import unigram as uni
+            from apmbackend_spark.sources.loaders import spread
+            from apmbackend_spark.streaming import topology as topo
+
+            t = _Timer(spark)
+            docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
+            t.timed(
+                "unigram_train_soft_prune",
+                lambda: uni.unigram_train_soft_prune(docs),
+            )
+            t.timed("nb_quality", lambda: dsel.nb_quality(docs))
+            t.timed("lsh_band_plan", lambda: dd.lsh_band_plan(docs))
+            embs = spread(spark.read.parquet(f"{d}/embeddings.parquet"))
+            pqm = sim.PQ_CODES_MOD * kk
+            t.timed(
+                "ivfpq_l1probe_curve",
+                lambda: sim.ivfpq_l1probe_curve(embs, pq_mod=pqm),
+            )
+            t.timed(
+                "topology_broker_concurrent",
+                lambda: topo.topology_broker_concurrent_gate(spark, d),
+            )
+            t.timed(
+                "topology_broker_sequential",
+                lambda: topo.topology_broker_gate(spark, d),
+            )
+            return t.out
+
+        print("timing 1x ...", flush=True)
+        suite(sf_dir, 1)  # warm pass
+        base = suite(sf_dir, 1)
+        print(f"timing {k}x ...", flush=True)
+        big = suite(scaled_dir, k)
+        _report(base, big, k)
+
     if mode == "quality":
         # round-5 quality ops only (events + docs tiles, skipping the
         # z-score chain whose 10x factors are already published)

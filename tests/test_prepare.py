@@ -337,3 +337,85 @@ def test_curriculum_order_plan_one_window_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("Exchange") <= 2  # the (phase, shard) window partition
     assert "Window" in p
+
+
+def _temp_mix_reference(lang_tokens, alphas=(19661, 45875, 65536), budget=1_000_000):
+    """Pure-Python twin of the integer temperature-sampling pipeline:
+    fixed-point log2, the 16-step exp2 ladder, exponent alignment,
+    largest-remainder apportionment."""
+    from tests.test_selection import _l2fix_py
+
+    consts = [round(2 ** (2 ** -j) * 2 ** 30) for j in range(1, 17)]
+    out = {}
+    for a in alphas:
+        rows = []
+        for lang, c in lang_tokens.items():
+            x = (a * _l2fix_py(max(c, 1))) >> 16
+            e, f = x >> 16, x % 65536
+            m = 1 << 30
+            for j in range(1, 17):
+                if (f >> (16 - j)) & 1:
+                    m = (m * consts[j - 1]) >> 30
+            rows.append((lang, c, m, e))
+        e_max = max(e for _, _, _, e in rows)
+        rows = [
+            (lang, c, m >> min(e_max - e, 62)) for lang, c, m, e in rows
+        ]
+        tot = sum(w for _, _, w in rows)
+        base = [(lang, c, w, budget * w // tot, budget * w % tot) for lang, c, w in rows]
+        deficit = budget - sum(b[3] for b in base)
+        ranked = sorted(base, key=lambda b: (-b[4], b[0]))
+        topped = {b[0] for b in ranked[:deficit]}
+        for lang, c, w, a0, _ in base:
+            out[(a, lang)] = (c, w, a0 + (1 if lang in topped else 0))
+    return out
+
+
+def test_temp_mixture_matches_python_reference_bitwise(spark):
+    from apmbackend_spark.operators.prepare import temp_mixture
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import re
+    from collections import Counter
+
+    toks = Counter()
+    for r in df.select("lang", "text").collect():
+        n = len([w for w in re.split(r"[^0-9a-zA-Z]+", (r["text"] or "").lower()) if w])
+        toks[r["lang"]] += n
+    want = _temp_mix_reference(dict(toks))
+    got = {
+        (r["alpha_fix"], r["lang"]): (r["n_tokens"], r["w_norm"], r["alloc"])
+        for r in temp_mixture(df).collect()
+    }
+    assert got == want  # weights + apportionment BIT-exact
+
+
+def test_temp_mixture_semantics(spark):
+    # budget realized exactly per alpha; alpha=1.0 is proportional
+    # (max relative deviation < 1 token of rounding); smaller alpha
+    # flattens the mix (min share grows, max share shrinks); and the
+    # integer weights track float c^alpha within ladder tolerance
+    from apmbackend_spark.operators.prepare import (
+        TEMP_MIX_BUDGET,
+        temp_mixture,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = temp_mixture(df).collect()
+    by_alpha = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha_fix"], []).append(r)
+    for a, rs in by_alpha.items():
+        assert sum(r["alloc"] for r in rs) == TEMP_MIX_BUDGET, a
+        tot_w = sum(r["w_norm"] for r in rs)
+        tot_c = sum(r["n_tokens"] for r in rs)
+        for r in rs:
+            f = (r["n_tokens"] / tot_c) ** (a / 65536)
+            norm = sum(
+                (q["n_tokens"] / tot_c) ** (a / 65536) for q in rs
+            )
+            assert abs(r["w_norm"] / tot_w - f / norm) < 1e-3, (a, r["lang"])
+    mins = {a: min(r["alloc"] for r in rs) for a, rs in by_alpha.items()}
+    maxs = {a: max(r["alloc"] for r in rs) for a, rs in by_alpha.items()}
+    assert mins[19661] >= mins[45875] >= mins[65536]
+    assert maxs[19661] <= maxs[45875] <= maxs[65536]
