@@ -1573,3 +1573,177 @@ SELECT media_id,
 FROM colored
 GROUP BY media_id, w, h
 """
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity detection (speech-corpus prep): frame energies over real
+# decoded PCM, threshold, and gaps-and-islands segment merge — the segment
+# inventory an ASR-training pipeline builds before cutting utterances.
+# ---------------------------------------------------------------------------
+
+VAD_FRAME = 80           # 10 ms at WAV_RATE
+VAD_THRESH = 1_000_000   # frame energy (sum of squares) cut
+
+
+def _speech_samples(media_id: int) -> list[int]:
+    """Deterministic speech-like int16 PCM: 10 ms blocks alternate voiced
+    (the sawtooth pattern) and near-silence by a per-doc block rule —
+    mirrored exactly by the SQL oracle.
+
+      voiced(b)  = (media_id*7 + b*13) % 5 < 2
+      sample[i]  = voiced(i DIV 80) ? (media_id*31 + i*7) % 4096 - 2048
+                                    : (media_id + i) % 9 - 4
+    """
+    n = 200 + media_id % 300
+    out = []
+    for i in range(n):
+        if (media_id * 7 + (i // VAD_FRAME) * 13) % 5 < 2:
+            out.append(((media_id * 31 + i * 7) % 4096) - 2048)
+        else:
+            out.append((media_id + i) % 9 - 4)
+    return out
+
+
+def synth_speech_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """One real mono 16-bit WAV per document with the speech-like
+    voiced/silence block structure — built executor-side (bytes never
+    visit the driver), same contract as synth_wav_media."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _wav_bytes(_speech_samples(int(i))) for i in ids
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        fn, schema="media_id long, content binary"
+    )
+
+
+def audio_vad(media: DataFrame) -> DataFrame:
+    """(media_id, seg, start_ms, end_ms, n_frames, energy, peak): energy
+    VAD over REAL decoded WAV audio — the utterance segmentation a
+    speech-data pipeline runs before cutting training clips.
+
+    Split of labor (the multimodal discipline): the inherently per-file
+    part — WAV container parse + 10 ms framing with exact integer frame
+    energies — runs as an Arrow-batched mapInPandas; everything after is
+    DataFrame algebra: threshold cut, gaps-and-islands merge of adjacent
+    voiced frames (frame - ROW_NUMBER() island key over a per-media
+    window — frames per file are duration-bounded, never corpus-sized),
+    and per-segment integer rollups. The oracle regenerates the PCM by
+    formula and applies the IDENTICAL energy rule, so the value hash
+    grades the real decode path end to end.
+
+    Scale: one decode pass, frames shuffle once on (media_id) for the
+    bounded per-file window, segments are tiny. 100 TB of audio = more
+    files, same per-file work."""
+    from pyspark.sql import Window
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            mids, frames, energies, peaks = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                with wave.open(io.BytesIO(bytes(r.content)), "rb") as w:
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                for f0 in range(0, n, VAD_FRAME):
+                    chunk = samples[f0 : f0 + VAD_FRAME]
+                    mids.append(r.media_id)
+                    frames.append(f0 // VAD_FRAME)
+                    energies.append(sum(s * s for s in chunk))
+                    peaks.append(max(abs(s) for s in chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame": frames,
+                    "energy": energies,
+                    "peak": peaks,
+                }
+            )
+
+    fr = media.mapInPandas(
+        fn, schema="media_id long, frame int, energy long, peak int"
+    )
+    voiced = fr.where(F.col("energy") >= VAD_THRESH)
+    w = Window.partitionBy("media_id").orderBy("frame")
+    isl = voiced.withColumn(
+        "grp", F.col("frame") - F.row_number().over(w)
+    )
+    ms = 1000 * VAD_FRAME // WAV_RATE
+    return (
+        isl.groupBy("media_id", "grp")
+        .agg(
+            F.min("frame").alias("f0"),
+            F.max("frame").alias("f1"),
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum("energy").cast("long").alias("energy"),
+            F.max("peak").cast("int").alias("peak"),
+        )
+        .select(
+            "media_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("media_id").orderBy("f0")
+            )
+            .cast("int")
+            .alias("seg"),
+            (F.col("f0").cast("long") * ms).alias("start_ms"),
+            ((F.col("f1").cast("long") + 1) * ms).alias("end_ms"),
+            "n_frames",
+            "energy",
+            "peak",
+        )
+    )
+
+
+def audio_vad_oracle_sql() -> str:
+    """Regenerate the speech PCM by formula, frame, threshold, and merge
+    with the identical gaps-and-islands rule."""
+    ms = 1000 * VAD_FRAME // WAV_RATE
+    return f"""
+WITH vids AS (
+    SELECT doc_id AS media_id, 200 + doc_id % 300 AS n FROM documents
+), vsamp AS (
+    SELECT media_id, CAST(i.range // {VAD_FRAME} AS INT) AS frame,
+           CASE WHEN (media_id * 7 + (i.range // {VAD_FRAME}) * 13) % 5 < 2
+                THEN (media_id * 31 + i.range * 7) % 4096 - 2048
+                ELSE (media_id + i.range) % 9 - 4 END AS s
+    FROM vids JOIN range(500) i ON i.range < n
+), vfr AS (
+    SELECT media_id, frame,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(ABS(s)) AS INT) AS peak
+    FROM vsamp GROUP BY media_id, frame
+), vvo AS (
+    SELECT media_id, frame, energy, peak,
+           frame - ROW_NUMBER() OVER (PARTITION BY media_id
+                                      ORDER BY frame) AS grp
+    FROM vfr WHERE energy >= {VAD_THRESH}
+), vseg AS (
+    SELECT media_id, grp,
+           MIN(frame) AS f0, MAX(frame) AS f1,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS energy,
+           CAST(MAX(peak) AS INT) AS peak
+    FROM vvo GROUP BY media_id, grp
+)
+SELECT media_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY f0) AS INT)
+           AS seg,
+       CAST(f0 AS BIGINT) * {ms} AS start_ms,
+       (CAST(f1 AS BIGINT) + 1) * {ms} AS end_ms,
+       n_frames, energy, peak
+FROM vseg
+"""

@@ -3947,3 +3947,139 @@ SELECT 'pq_rerank' AS method, query_id, cand_id, sim, rank FROM ({rr})
 UNION ALL
 SELECT 'ivfpq_rerank' AS method, query_id, cand_id, sim, rank FROM ({irr})
 """
+
+
+# --- ann_dim_curve: recall vs truncated embedding dimensions -----------
+
+ANN_DIM_CURVE = (8, 16, 32, 64)
+
+
+def ann_dim_curve(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    dims_sweep=ANN_DIM_CURVE,
+) -> DataFrame:
+    """(dims, hits, total, recall): the DIMENSION-budget tuning curve —
+    served recall against full-dimension exact bruteforce when both
+    corpus and queries are truncated to their first `dims` components
+    (Matryoshka-representation serving, Kusupati et al. 2022, public
+    literature: an MRL index stores prefixes of one embedding, and the
+    platform picks the prefix length the same way it picks nprobe or
+    probe_l1 — this gate is the dims analogue of ivf_probe_curve /
+    ann_l1probe_curve). The top leg truncates to the full width, so
+    recall = 1.0 there by construction — an in-gate sanity anchor.
+
+    One plan: the query x corpus bruteforce join is computed ONCE, the
+    |dims_sweep| legs ride an exploded dims column slicing the SAME
+    quantized vectors (prefix dot/norms per leg), and the shared
+    full-dim ground truth joins each leg's top-k for the hit count.
+    Integer dot/norm sums, one deterministic double division each —
+    the ann_bruteforce discipline per leg.
+
+    Scale: bruteforce is the BASELINE tier by contract (the scale path
+    is the routed IVF/PQ family); the sweep multiplies the scoring
+    join's row count by |dims_sweep| but prefix arithmetic shrinks per
+    leg, and everything downstream is (queries x k x legs) rows."""
+    from pyspark.sql import Window
+
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _quantize(F.col("embedding")).alias("qv"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("cand_id"),
+        _quantize(F.col("embedding")).alias("cv"),
+    )
+    dims_arr = F.array(*[F.lit(int(d)) for d in dims_sweep])
+    scored = (
+        q.join(
+            F.broadcast(c).hint("broadcast"),
+            F.col("query_id") != F.col("cand_id"),
+        )
+        .select("*", F.explode(dims_arr).alias("dims"))
+        .select(
+            "dims",
+            "query_id",
+            "cand_id",
+            cosine(
+                F.slice(F.col("qv"), 1, F.col("dims")),
+                F.slice(F.col("cv"), 1, F.col("dims")),
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("dims", "query_id").orderBy(
+        F.desc("sim"), F.asc("cand_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("dims", "query_id", "cand_id")
+    )
+    gt = ann_bruteforce(embeddings, n_queries, k).select(
+        "query_id", F.col("cand_id").alias("gt_id")
+    )
+    hits = topk.join(
+        gt,
+        (topk.query_id == gt.query_id) & (topk.cand_id == gt.gt_id),
+    ).groupBy("dims").agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    total = int(n_queries) * int(k)
+    legs = (
+        embeddings.limit(1)
+        .select(F.explode(dims_arr).alias("dims"))
+        .join(hits, "dims", "left")
+        .select(
+            F.col("dims").cast("int").alias("dims"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.lit(total).cast("long").alias("total"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.lit(float(total))
+            ).alias("recall"),
+        )
+    )
+    return legs
+
+
+def ann_dim_curve_oracle_sql(
+    n_queries: int = 10, k: int = 5, dims_sweep=ANN_DIM_CURVE
+) -> str:
+    dlist = ", ".join(str(int(d)) for d in dims_sweep)
+    total = int(n_queries) * int(k)
+    return f"""
+WITH dqz AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+), ddims(dims) AS (SELECT unnest([{dlist}])),
+dscored AS (
+    SELECT d.dims, q.vec_id AS query_id, c.vec_id AS cand_id,
+           {cosine_sql('q.v[1:d.dims]', 'c.v[1:d.dims]')} AS sim
+    FROM dqz q JOIN dqz c ON q.vec_id <> c.vec_id, ddims d
+    WHERE q.vec_id < {n_queries}
+), dtopk AS (
+    SELECT dims, query_id, cand_id FROM (
+        SELECT dims, query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY dims, query_id
+                                  ORDER BY sim DESC, cand_id ASC) AS rank
+        FROM dscored
+    ) WHERE rank <= {k}
+), dgt AS (
+    SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cosine_sql('q.v', 'c.v')} DESC,
+                                           c.vec_id ASC) AS rank
+        FROM dqz q JOIN dqz c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {n_queries}
+    ) WHERE rank <= {k}
+), dhits AS (
+    SELECT t.dims, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM dtopk t JOIN dgt g
+         ON t.query_id = g.query_id AND t.cand_id = g.cand_id
+    GROUP BY t.dims
+)
+SELECT CAST(d.dims AS INT) AS dims,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST({total} AS BIGINT) AS total,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(total)} AS recall
+FROM ddims d LEFT JOIN dhits h ON d.dims = h.dims
+"""

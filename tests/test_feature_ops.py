@@ -1633,3 +1633,18 @@ def test_ivfpq_l1probe_curve_monotone_and_lands_on_routed(spark):
     assert recalls == [0.22, 0.38, 0.44]  # the measured curve, pinned
     for r in rows:
         assert r["total"] == 50 and 0 <= r["hits"] <= r["total"]
+
+
+def test_ann_dim_curve_monotone_with_exact_top_leg(spark):
+    # recall climbs with the prefix length and the full-width leg IS the
+    # exact ground truth (recall 1.0 by construction); sf0.001 values
+    # pinned as the published operating points of this fixture geometry
+    from apmbackend_spark.operators.similarity import ann_dim_curve
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(ann_dim_curve(embs).collect(), key=lambda r: r["dims"])
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    assert [round(r, 2) for r in recalls] == [0.1, 0.14, 0.24, 1.0]
+    assert all(r["total"] == 50 for r in rows)

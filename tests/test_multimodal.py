@@ -489,3 +489,60 @@ def test_gif_every_truncation_offset_raises_valueerror():
             decode_gif(raw[:cut])
         except ValueError:
             pass
+
+
+def test_audio_vad_matches_python_reference_and_block_structure(spark):
+    # the detected segments must equal a pure-Python VAD over the same
+    # decoded samples AND reproduce the synth's voiced-block runs exactly
+    # (energy separates sawtooth blocks from near-silence by ~10^5x)
+    from apmbackend_spark.operators.multimodal import (
+        VAD_FRAME,
+        VAD_THRESH,
+        _speech_samples,
+        audio_vad,
+        synth_speech_media,
+    )
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(40)
+    got = {}
+    for r in audio_vad(synth_speech_media(spark, df)).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["seg"], r["start_ms"], r["end_ms"], r["n_frames"],
+             r["energy"], r["peak"])
+        )
+    for mid in [r["doc_id"] for r in df.select("doc_id").collect()]:
+        samples = _speech_samples(int(mid))
+        segs, cur = [], None
+        for f0 in range(0, len(samples), VAD_FRAME):
+            chunk = samples[f0 : f0 + VAD_FRAME]
+            e = sum(s * s for s in chunk)
+            p = max(abs(s) for s in chunk)
+            if e >= VAD_THRESH:
+                if cur is None:
+                    cur = [f0 // VAD_FRAME, f0 // VAD_FRAME, 0, 0, 0]
+                cur[1] = f0 // VAD_FRAME
+                cur[2] += 1
+                cur[3] += e
+                cur[4] = max(cur[4], p)
+            elif cur is not None:
+                segs.append(cur)
+                cur = None
+        if cur is not None:
+            segs.append(cur)
+        want = [
+            (i + 1, s[0] * 10, (s[1] + 1) * 10, s[2], s[3], s[4])
+            for i, s in enumerate(segs)
+        ]
+        assert sorted(got.get(mid, [])) == want, mid
+        # block-structure cross-check: voiced frames = the synth rule
+        voiced_frames = {
+            b
+            for b in range((len(samples) + VAD_FRAME - 1) // VAD_FRAME)
+            if (mid * 7 + b * 13) % 5 < 2
+        }
+        covered = set()
+        for _, s_ms, e_ms, _, _, _ in want:
+            covered.update(range(s_ms // 10, e_ms // 10))
+        assert covered == voiced_frames, mid
