@@ -1502,12 +1502,15 @@ def bpe_encode(
     )
 
 
-def _bpe_chain_ctes(n_merges: int, final_apply: bool):
+def _bpe_chain_ctes(n_merges: int, final_apply: bool, rule: str = "count"):
     """Shared CTE chain for the trainer/encoder oracles: returns (ctes
     list, last_seq_cte_name). ``final_apply`` also applies the LAST merge
     (the trainer's output needs only the argmaxes; the encoder needs the
     fully-merged vocabulary). Every seq CTE carries ``w`` so the encoder
-    can join back per document."""
+    can join back per document. ``rule`` picks the selection:
+    "count" = Sennrich BPE (n DESC), "wordpiece" = Schuster-Nakajima
+    likelihood score L(n) - L(c_left) - L(c_right) in the exact
+    fixed-point log2 (b_i then also carries the score)."""
     from apmbackend_spark.functions.text import bpe_tokens_sql
 
     def pairs_cte(seq_cte: str) -> str:
@@ -1574,10 +1577,35 @@ def _bpe_chain_ctes(n_merges: int, final_apply: bool):
     ]
     last = "seq_0"
     for i in range(1, int(n_merges) + 1):
-        ctes.append(
-            f"b_{i} AS MATERIALIZED (SELECT pair, n FROM {pairs_cte(f'seq_{i - 1}')} "
-            f"ORDER BY n DESC, pair ASC LIMIT 1)"
-        )
+        if rule == "wordpiece":
+            from apmbackend_spark.operators.selection import log2fix_sql
+
+            score = (
+                f"{log2fix_sql('p.n')} - {log2fix_sql('sa.c')}"
+                f" - {log2fix_sql('sb.c')}"
+            )
+            ctes.append(
+                f"""sym_{i} AS MATERIALIZED (
+    SELECT s, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        SELECT freq, unnest(string_split(seq, ' ')) AS s FROM seq_{i - 1}
+    ) GROUP BY s
+)"""
+            )
+            ctes.append(
+                f"""b_{i} AS MATERIALIZED (
+    SELECT pair, n, score FROM (
+        SELECT p.pair, p.n, {score} AS score
+        FROM {pairs_cte(f'seq_{i - 1}')} p
+        JOIN sym_{i} sa ON sa.s = string_split(p.pair, ' ')[1]
+        JOIN sym_{i} sb ON sb.s = string_split(p.pair, ' ')[2]
+    ) ORDER BY score DESC, pair ASC LIMIT 1
+)"""
+            )
+        else:
+            ctes.append(
+                f"b_{i} AS MATERIALIZED (SELECT pair, n FROM {pairs_cte(f'seq_{i - 1}')} "
+                f"ORDER BY n DESC, pair ASC LIMIT 1)"
+            )
         if i < int(n_merges) or final_apply:
             ctes.append(
                 f"seq_{i} AS MATERIALIZED ({apply_cte(f'seq_{i - 1}', f'b_{i}')})"
@@ -2057,3 +2085,132 @@ SELECT source, n_rows, exact_distinct, v_zero,
        END AS est
 FROM j
 """
+
+
+# --- wordpiece_train: the likelihood-ratio merge rule ------------------
+
+WP_TRAIN_MERGES = 6
+
+
+def _wp_select_one(vocab: DataFrame):
+    """One WordPiece selection job: adjacent-pair counts + current symbol
+    counts over the weighted vocabulary, scored by the Schuster-Nakajima
+    likelihood ratio in exact fixed-point log2 — argmax (score DESC,
+    pair ASC). Returns [(pair, n, score)] or []."""
+    from apmbackend_spark.operators.selection import _with_log2fix
+
+    arr = F.split(F.col("seq"), " ")
+    pair_idx = F.when(
+        F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        vocab.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.concat(
+                        F.element_at(arr, i),
+                        F.lit(" "),
+                        F.element_at(arr, i + 1),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    syms = (
+        vocab.select("freq", F.explode(arr).alias("s"))
+        .groupBy("s")
+        .agg(F.sum("freq").cast("long").alias("c"))
+    )
+    sp = F.split(F.col("pair"), " ")
+    j = (
+        pairs.select("pair", "n", sp.getItem(0).alias("pa"), sp.getItem(1).alias("pb"))
+        .join(syms.select(F.col("s").alias("pa"), F.col("c").alias("ca")), "pa")
+        .join(syms.select(F.col("s").alias("pb"), F.col("c").alias("cb")), "pb")
+    )
+    j = _with_log2fix(j, "n", "l_n")
+    j = _with_log2fix(j, "ca", "l_a")
+    j = _with_log2fix(j, "cb", "l_b")
+    j = j.select(
+        "pair", "n",
+        (F.col("l_n") - F.col("l_a") - F.col("l_b")).alias("score"),
+    )
+    return [
+        (r["pair"], r["n"], r["score"])
+        for r in j.orderBy(
+            F.col("score").desc(), F.col("pair").asc()
+        ).limit(1).collect()
+    ]
+
+
+def wordpiece_train(
+    documents: DataFrame, n_merges: int = WP_TRAIN_MERGES
+) -> DataFrame:
+    """(step, pair, n, score): the WordPiece merge table (Schuster &
+    Nakajima 2012 / BERT's tokenizer, public literature) — the SAME
+    greedy merge loop as ``bpe_train`` with the selection rule swapped:
+    instead of raw pair count, merge the pair maximizing the corpus
+    likelihood gain
+
+        score(a, b) = log p(ab) - log p(a) - log p(b)
+                    = L(n_ab) - L(c_a) - L(c_b) + const
+
+    (the denominators' totals cancel in the argmax), every L the repo's
+    exact fixed-point log2 — so the ranking is pure int64, bit-identical
+    in DuckDB, where float logs would tie-break differently across
+    libms. The score rides the output, so each round's DECISION is
+    value-hash-graded, and the oracle unrolls the loop with the same
+    chained CTEs as the BPE twin (rule="wordpiece").
+
+    Selection is one merge per job (the published algorithm's greedy
+    sequence; bpe_train's batched-disjoint acceptance does NOT port —
+    its prefix bound argues about raw counts, and WordPiece scores move
+    with the SYMBOL counts every merge changes). n_merges is tokenizer
+    config, not data-sized; the per-job work is two map-side-combinable
+    rollups over the distinct-pretoken frame — vocabulary-bounded,
+    sub-linear in corpus bytes, the same Sennrich trick as bpe_train.
+
+    Reference anchor: training-side complement of doc_token_counts /
+    bpe_pair_counts (beyond-reference LLM surface)."""
+    from apmbackend_spark.functions.text import bpe_tokens
+
+    pretok = documents.select(F.explode(bpe_tokens(F.col("text"))).alias("w"))
+    freq = pretok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    seq0 = F.trim(
+        F.regexp_replace(
+            F.replace(F.col("w"), F.lit(" "), F.lit(BPE_SPACE_MARKER)),
+            "(.)",
+            "$1 ",
+        )
+    )
+    vocab = freq.select("w", seq0.alias("seq"), "freq").localCheckpoint()
+    merges: list[tuple[int, str, int, int]] = []
+    for step in range(1, int(n_merges) + 1):
+        head = _wp_select_one(vocab)
+        if not head:
+            break
+        pair, n, score = head[0]
+        merges.append((step, pair, int(n), int(score)))
+        if step < int(n_merges):
+            vocab = vocab.select(
+                "w",
+                _bpe_apply_merge(
+                    F.col("seq"), F.lit(pair), F.lit(pair.replace(" ", ""))
+                ).alias("seq"),
+                "freq",
+            ).localCheckpoint()
+    return documents.sparkSession.createDataFrame(
+        merges, schema="step int, pair string, n long, score long"
+    )
+
+
+def wordpiece_train_oracle_sql(n_merges: int = WP_TRAIN_MERGES) -> str:
+    ctes, _ = _bpe_chain_ctes(n_merges, final_apply=False, rule="wordpiece")
+    selects = [
+        f"SELECT CAST({i} AS INT) AS step, pair, n, score FROM b_{i}"
+        for i in range(1, int(n_merges) + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

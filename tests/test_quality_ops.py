@@ -1022,3 +1022,97 @@ def test_gopher_rules_fire_on_crafted_docs(spark):
     # signals are the documented exact divisions
     assert rows[0]["n_words"] >= 50
     assert 3.0 <= rows[0]["mean_word_len"] <= 10.0
+
+
+# ---------------------------------------------------------------------------
+# wordpiece_train
+
+
+def _wordpiece_reference(texts, n_merges):
+    """Canonical WordPiece trainer on symbol lists: the BPE loop with the
+    likelihood-ratio rule — score = L(n_ab) - L(c_a) - L(c_b) with L the
+    repo's fixed-point log2 (replayed here in pure Python)."""
+    import re
+    from collections import Counter
+
+    from apmbackend_spark.functions.text import BPE_PRETOKEN_RE
+    from apmbackend_spark.operators.textstats import BPE_SPACE_MARKER
+    from tests.test_selection import _l2fix_py
+
+    freq = Counter()
+    for t in texts:
+        for w in re.findall(BPE_PRETOKEN_RE, t):
+            freq[w.replace(" ", BPE_SPACE_MARKER)] += 1
+    vocab = {w: list(w) for w in freq}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts, syms_c = Counter(), Counter()
+        for w, syms in vocab.items():
+            for s in syms:
+                syms_c[s] += freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += freq[w]
+        if not counts:
+            break
+        scored = {
+            (a, b): _l2fix_py(n) - _l2fix_py(syms_c[a]) - _l2fix_py(syms_c[b])
+            for (a, b), n in counts.items()
+        }
+        best = min(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), score = best
+        merges.append((step, f"{a} {b}", counts[(a, b)], score))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_wordpiece_train_matches_canonical_reference(spark):
+    from apmbackend_spark.operators.textstats import wordpiece_train
+
+    texts = [
+        "low lower lowest low low",
+        "newest newer new news",
+        "wide wider widest widely",
+        "a ab abc abcd ababab",
+        "zq zq zq the the the the the",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    want = _wordpiece_reference(texts, 6)
+    got = [
+        (r["step"], r["pair"], r["n"], r["score"])
+        for r in sorted(wordpiece_train(docs).collect(), key=lambda r: r["step"])
+    ]
+    assert got == want  # merge sequence + counts + scores BIT-exact
+
+
+def test_wordpiece_prefers_exclusive_pairs_over_raw_count(spark):
+    # the rule's point: a pair of rare symbols that ALWAYS co-occur
+    # outscores a raw-frequent pair of individually-common symbols —
+    # so WordPiece's first merge differs from BPE's on this corpus
+    from apmbackend_spark.operators.textstats import bpe_train, wordpiece_train
+
+    texts = [
+        # 'z q' occurs 4x but z and q appear ONLY together (ratio ~ 1/4);
+        # 'a b' occurs 8x but a and b are everywhere (ratio ~ 8/(20*20))
+        "zq zq zq zq ab ab ab ab ab ab ab ab",
+        "a a a a a a a a a a a a b b b b b b b b b b b b",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    wp1 = sorted(wordpiece_train(docs, 1).collect(), key=lambda r: r["step"])[0]
+    bpe1 = sorted(bpe_train(docs, 1).collect(), key=lambda r: r["step"])[0]
+    assert wp1["pair"] == "z q"
+    assert bpe1["pair"] != wp1["pair"]
