@@ -950,6 +950,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # score = L(n_ab) - L(c_a) - L(c_b) in exact fixed-point log2,
         # score rides the output so every round's DECISION hash-grades
         "wordpiece_train": lambda s, d: ts.wordpiece_train(docs(s, d)),
+        # ...and applied with the tokenizer's REAL inference rule: greedy
+        # longest-match-first (MaxMatch) — the third published encode
+        # scheme (BPE replays merges, unigram runs Viterbi); per-doc
+        # piece counts + order-free piece-stream hash grade segmentations
+        "wordpiece_encode": lambda s, d: ts.wordpiece_encode(docs(s, d)),
         # top principal direction via power iteration: corpus-sized
         # reduction confined to the exact INTEGER Gram matrix (order-free),
         # float steps on the 64-row frame as ordered folds shared with the
@@ -1119,24 +1124,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       r9 grading window; judge-green on the r9 re-run):
     #       ann_l1probe_curve, unigram_encode_soft, unigram_train_soft_iter,
     #       ivfpq_l1probe_curve;
-    #   (b) the 7 NEW round-10 gates (unigram_train_soft_prune: Kudo's
+    #   (b) the 8 NEW round-10 gates (unigram_train_soft_prune: Kudo's
     #       interleaved prune-by-loss-delta schedule; nb_quality: the
     #       fixed-point Naive-Bayes quality classifier; lsh_band_plan:
     #       the (bands, rows) planning integral; temp_mixture: the
     #       temperature-sampling allocation via exact log2+exp2 folds;
     #       ann_dim_curve: the Matryoshka dimension-budget recall curve;
     #       audio_vad: energy VAD segment inventory over real WAV decode;
-    #       wordpiece_train: the likelihood-ratio merge rule in exact
-    #       fixed-point log2);
+    #       wordpiece_train + wordpiece_encode: the likelihood-ratio
+    #       merge rule and greedy MaxMatch inference in exact arithmetic);
     #   (c) 2 gates whose GRADED PATH changed this round — topology_broker
     #       now rides the concurrent four-queue schedule (output parity-
     #       pinned vs the sequential drain), broker_redelivery's crash rule
     #       became a streamed hash predicate (ed38c5d);
     #   (d) ALL 27 r5-stale rows — the r9 verdict's top directive (their
     #       latest driver row is five rounds old; judge-green at sf0.01);
-    #   (e) the 10 stalest r6 rows, alphabetically.
-    # The remaining 29 r6 rows (html_strip, image_features,
-    # incident_windows, jmx_poll first) head the r11 rotation; everything else
+    #   (e) the 9 stalest r6 rows, alphabetically.
+    # The remaining 30 r6 rows (gauge_asof_sliced, html_strip,
+    # image_features, incident_windows, jmx_poll first) head the r11
+    # rotation; everything else
     # overflows with a green r7-r9 row standing (the judge's overflow
     # sweep re-runs them).
     R10_WINDOW = [
@@ -1153,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_dim_curve",
         "audio_vad",
         "wordpiece_train",
+        "wordpiece_encode",
         # (c) graded path changed this round
         "topology_broker",
         "broker_redelivery",
@@ -1194,7 +1201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_week_rollup",
         "dup_triangles",
         "gauge_asof",
-        "gauge_asof_sliced",
     ]
     all_q = (
         phase6
@@ -1554,6 +1560,7 @@ JOIN fs_q q
         "srp_neardup": sim.srp_neardup_oracle_sql(),
         "bpe_train": ts.bpe_train_oracle_sql(),
         "wordpiece_train": ts.wordpiece_train_oracle_sql(),
+        "wordpiece_encode": ts.wordpiece_encode_oracle_sql(),
         "power_iter_pca": sim.power_iter_pca_oracle_sql(),
         "profile_drift": pf.profile_drift_oracle_sql(),
         "bpe_encode": ts.bpe_encode_oracle_sql(),

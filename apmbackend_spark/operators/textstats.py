@@ -2175,6 +2175,18 @@ def wordpiece_train(
 
     Reference anchor: training-side complement of doc_token_counts /
     bpe_pair_counts (beyond-reference LLM surface)."""
+    return documents.sparkSession.createDataFrame(
+        _wp_train_list(documents, n_merges),
+        schema="step int, pair string, n long, score long",
+    )
+
+
+def _wp_train_list(
+    documents: DataFrame, n_merges: int
+) -> list[tuple[int, str, int, int]]:
+    """The trainer loop, returning [(step, pair, n, score)] so the
+    encoder can reuse the trained pieces without a second derivation
+    path (wordpiece_train is a thin DataFrame wrapper)."""
     from apmbackend_spark.functions.text import bpe_tokens
 
     pretok = documents.select(F.explode(bpe_tokens(F.col("text"))).alias("w"))
@@ -2202,9 +2214,7 @@ def wordpiece_train(
                 ).alias("seq"),
                 "freq",
             ).localCheckpoint()
-    return documents.sparkSession.createDataFrame(
-        merges, schema="step int, pair string, n long, score long"
-    )
+    return merges
 
 
 def wordpiece_train_oracle_sql(n_merges: int = WP_TRAIN_MERGES) -> str:
@@ -2214,3 +2224,161 @@ def wordpiece_train_oracle_sql(n_merges: int = WP_TRAIN_MERGES) -> str:
         for i in range(1, int(n_merges) + 1)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def wordpiece_encode(
+    documents: DataFrame, n_merges: int = WP_TRAIN_MERGES
+) -> DataFrame:
+    """(doc_id, n_words, n_pieces, piece_hash, fertility): the trained
+    WordPiece model applied back to the corpus with the tokenizer's REAL
+    inference rule — greedy longest-match-first (MaxMatch): at each
+    position take the longest vocabulary piece prefixing the rest of the
+    word, falling back to the single character (always in-vocab by the
+    coverage rule). This differs from bpe_encode (merge-order replay) and
+    unigram_encode (Viterbi) — the third published inference scheme, so
+    every trainer family has its encode graded.
+
+    Rendering: multi-char pieces are the <= n_merges trained merges
+    (a bounded driver list — the kmeans/BPE-heads precedent), compiled
+    into an in-row CASE chain tried longest-first inside ONE aggregate
+    fold per DISTINCT pretoken (each step advances by the matched
+    piece's length); the per-word (n_pieces, piece-hash) rolls up per
+    doc through the usual broadcast join. The word-level hash is the
+    order-free modular piece-stream hash (hash64 % 2^40, re-modded per
+    word so doc sums stay far below 2^63). The oracle re-derives the
+    SAME merges via the shared chained CTEs and replays MaxMatch as a
+    position-advancing recursive CTE — scalar state only (a struct
+    accumulator in DuckDB's list_reduce mis-executes; the bpe apply_cte
+    precedent).
+
+    Scale: one distinct-pretoken frame (sub-linear in corpus bytes),
+    vocabulary-bounded fold, one broadcast join — no corpus window."""
+    from apmbackend_spark.functions.text import bpe_tokens
+
+    merges = _wp_train_list(documents, n_merges)
+    pieces = sorted(
+        (p.replace(" ", "") for _, p, _, _ in merges),
+        key=lambda x: (-len(x), x),
+    )
+
+    def q(x: str) -> str:
+        return x.replace("\\", "\\\\").replace("'", "\\'")
+
+    match = "CASE " + "".join(
+        f"WHEN substring(s, CAST(acc.pos AS INT), {len(p)}) = '{q(p)}' "
+        f"THEN '{q(p)}' "
+        for p in pieces
+    ) + "ELSE substring(s, CAST(acc.pos AS INT), 1) END"
+    fold = f"""
+aggregate(
+  sequence(1, length(s)),
+  named_struct('pos', CAST(1 AS BIGINT), 'np', CAST(0 AS BIGINT),
+               'hsum', CAST(0 AS BIGINT)),
+  (acc, i) -> CASE WHEN acc.pos > length(s) THEN acc ELSE named_struct(
+      'pos', acc.pos + length({match}),
+      'np', acc.np + CAST(1 AS BIGINT),
+      'hsum', acc.hsum
+          + CAST(conv(substring(md5({match}), 1, 15), 16, 10) AS BIGINT)
+            % {1 << 40}) END,
+  acc -> named_struct('np', acc.np, 'hsum', acc.hsum % {1 << 40})
+)
+"""
+    pret = (
+        documents.select(F.explode(bpe_tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .select(
+            "w",
+            F.replace(
+                F.col("w"), F.lit(" "), F.lit(BPE_SPACE_MARKER)
+            ).alias("s"),
+        )
+        .select("w", F.expr(fold).alias("st"))
+        .select("w", F.col("st.np").alias("np"), F.col("st.hsum").alias("hsum"))
+    )
+    dtok = (
+        documents.select(
+            "doc_id", F.explode(bpe_tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        dtok.join(F.broadcast(pret), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("np")).cast("long").alias("n_pieces"),
+            F.sum(F.col("cnt") * F.col("hsum"))
+            .cast("long")
+            .alias("piece_hash"),
+        )
+        .select(
+            "*",
+            (
+                F.col("n_pieces").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
+def wordpiece_encode_oracle_sql(n_merges: int = WP_TRAIN_MERGES) -> str:
+    from apmbackend_spark.functions.text import bpe_tokens_sql
+
+    bt = bpe_tokens_sql("text")
+    ctes, _ = _bpe_chain_ctes(n_merges, final_apply=False, rule="wordpiece")
+    b_union = " UNION ALL ".join(
+        f"SELECT replace(pair, ' ', '') AS pm FROM b_{i}"
+        for i in range(1, int(n_merges) + 1)
+    )
+    h = "(('0x' || substr(md5(m), 1, 15))::BIGINT)"
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f""",
+wpp AS MATERIALIZED ({b_union}),
+wpre AS MATERIALIZED (
+    SELECT w, replace(w, ' ', '{BPE_SPACE_MARKER}') AS s,
+           (SELECT list(pm ORDER BY length(pm) DESC, pm ASC) FROM wpp)
+               AS ms
+    FROM freq
+),
+-- MaxMatch as a position-advancing recursion; the ordered piece list
+-- rides each row (a correlated subquery against the CTE-derived wpp
+-- returns no rows inside DuckDB's recursive executor — the carried-list
+-- form is the same pattern the soft-prune DP oracle uses)
+wstep AS (
+    SELECT w, s, ms, CAST(1 AS BIGINT) AS pos,
+           CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS hsum
+    FROM wpre
+    UNION ALL
+    SELECT w, s, ms, pos + length(m), np + 1, hsum + {h} % {1 << 40}
+    FROM (
+        SELECT w, s, ms, pos, np, hsum,
+               COALESCE(
+                   list_filter(ms, pm ->
+                       substring(t.s, CAST(t.pos AS INT), length(pm)) = pm
+                   )[1],
+                   substring(t.s, CAST(t.pos AS INT), 1)) AS m
+        FROM wstep t WHERE pos <= length(s)
+    )
+),
+wstats AS MATERIALIZED (
+    SELECT w, np, hsum % {1 << 40} AS hsum
+    FROM wstep WHERE pos > length(s)
+),
+wdtok AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, unnest({bt}) AS w FROM documents
+    ) GROUP BY doc_id, w
+)
+SELECT d.doc_id,
+       CAST(SUM(d.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(d.cnt * ws.np) AS BIGINT) AS n_pieces,
+       CAST(SUM(d.cnt * ws.hsum) AS BIGINT) AS piece_hash,
+       CAST(SUM(d.cnt * ws.np) AS DOUBLE) / CAST(SUM(d.cnt) AS DOUBLE)
+           AS fertility
+FROM wdtok d JOIN wstats ws USING (w)
+GROUP BY d.doc_id
+"""
+    )

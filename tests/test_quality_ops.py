@@ -1116,3 +1116,68 @@ def test_wordpiece_prefers_exclusive_pairs_over_raw_count(spark):
     bpe1 = sorted(bpe_train(docs, 1).collect(), key=lambda r: r["step"])[0]
     assert wp1["pair"] == "z q"
     assert bpe1["pair"] != wp1["pair"]
+
+
+def test_wordpiece_encode_matches_greedy_reference(spark):
+    # per-doc rollups must equal a pure-Python MaxMatch (greedy
+    # longest-first) over the same trained pieces, hashes included
+    import re
+    from collections import Counter
+
+    from apmbackend_spark.functions.text import BPE_PRETOKEN_RE, py_hash64
+    from apmbackend_spark.operators.textstats import (
+        BPE_SPACE_MARKER,
+        _wp_train_list,
+        wordpiece_encode,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    pieces = sorted(
+        (p.replace(" ", "") for _, p, _, _ in _wp_train_list(docs, 6)),
+        key=lambda x: (-len(x), x),
+    )
+
+    def seg(w):
+        s = w.replace(" ", BPE_SPACE_MARKER)
+        pos, out = 0, []
+        while pos < len(s):
+            for p in pieces:
+                if s[pos : pos + len(p)] == p:
+                    out.append(p)
+                    pos += len(p)
+                    break
+            else:
+                out.append(s[pos])
+                pos += 1
+        return out
+
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        ws = re.findall(BPE_PRETOKEN_RE, r["text"] or "")
+        n_words = len(ws)
+        np_, hs = 0, 0
+        for w in ws:
+            ps = seg(w)
+            np_ += len(ps)
+            hs += sum(py_hash64(p) % (1 << 40) for p in ps) % (1 << 40)
+        if n_words:
+            want[r["doc_id"]] = (n_words, np_, hs, np_ / n_words)
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_pieces"], r["piece_hash"], r["fertility"]
+        )
+        for r in wordpiece_encode(docs, 6).collect()
+    }
+    assert got == want
+    # the trained pieces genuinely compress: on some docs the MaxMatch
+    # piece count is strictly below the char count (pure char fallback
+    # would make them equal everywhere)
+    char_counts = {
+        r["doc_id"]: sum(
+            len(w) for w in re.findall(BPE_PRETOKEN_RE, r["text"] or "")
+        )
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert any(got[d][1] < char_counts[d] for d in got)
