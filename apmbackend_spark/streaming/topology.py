@@ -1583,7 +1583,8 @@ def topology_broker_concurrent_gate(
     shuffle_partitions: int = 8,
     timeout_s: int = 300,
     alert_cfg: AlertConfig | None = None,
-    nchunks: int = 4,
+    nchunks: int = 2,
+    trigger: str = "100 milliseconds",
 ) -> "DataFrame":
     """``topology_broker_gate`` with the four queue legs SCHEDULED
     CONCURRENTLY — the reference's deployment shape, where all four named
@@ -1698,7 +1699,7 @@ def topology_broker_concurrent_gate(
                               work, "st")
             )
             .option("checkpointLocation", os.path.join(work, "ckpt_st"))
-            .trigger(processingTime="300 milliseconds")
+            .trigger(processingTime=trigger)
             .start()
         )
         queries.append(q2)
@@ -1714,7 +1715,7 @@ def topology_broker_concurrent_gate(
                               work, "fs")
             )
             .option("checkpointLocation", os.path.join(work, "ckpt_fs"))
-            .trigger(processingTime="300 milliseconds")
+            .trigger(processingTime=trigger)
             .start()
         )
         queries.append(q3)
@@ -1728,7 +1729,7 @@ def topology_broker_concurrent_gate(
             .option("path", al_dir)
             .option("checkpointLocation", os.path.join(work, "ckpt_al"))
             .outputMode("append")
-            .trigger(processingTime="300 milliseconds")
+            .trigger(processingTime=trigger)
             .start()
         )
         queries.append(q4)
