@@ -798,3 +798,72 @@ def test_unigram_train_soft_no_python_no_cartesian(spark):
     p = plan(df)
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_nb_quality_no_python_constants_broadcast(spark):
+    # the classifier is pure DataFrame algebra: no Python anywhere, the
+    # 1-row priors/denominators frames ride broadcast joins, and the
+    # word-score join is NOT a cartesian
+    from apmbackend_spark.operators.selection import nb_quality
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = nb_quality(load_table(spark, SF_SMOKE, "documents"))
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_temp_mixture_no_python_no_cartesian_single_rollup(spark):
+    # one corpus-sized rollup (the per-language tokenize), then
+    # |langs| x |alphas| rows: no Python, no cartesian beyond the
+    # broadcast alpha fan-out, exactly one corpus aggregate
+    from apmbackend_spark.operators.prepare import temp_mixture
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = temp_mixture(load_table(spark, SF_SMOKE, "documents"))
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    import re
+
+    # ONE corpus scan feeds the sweep (numbered node, not the summary)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_ann_dim_curve_broadcast_corpus_one_scan_pair(spark):
+    # the dims sweep rides ONE scoring join (corpus side broadcast, the
+    # bruteforce-baseline contract) — no cartesian, no Python
+    from apmbackend_spark.operators.similarity import ann_dim_curve
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = ann_dim_curve(load_table(spark, SF_SMOKE, "embeddings"))
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p  # q != c with broadcast corpus
+
+
+def test_lsh_band_plan_no_corpus_scan_in_curve(spark):
+    # the planning integral is config math: the documents scan
+    # contributes exactly the one-row anchor, and the curve itself is
+    # explode + in-row folds — no Python, no shuffle-heavy join
+    from apmbackend_spark.operators.dedup import lsh_band_plan
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = lsh_band_plan(load_table(spark, SF_SMOKE, "documents"))
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_wordpiece_encode_broadcast_vocab_no_python(spark):
+    # MaxMatch runs as an in-row fold over the distinct-pretoken frame;
+    # the per-word stats join back by BROADCAST; no Python anywhere
+    from apmbackend_spark.operators.textstats import wordpiece_encode
+    from apmbackend_spark.sources.loaders import load_table
+
+    df = wordpiece_encode(load_table(spark, SF_SMOKE, "documents"))
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
