@@ -1626,25 +1626,10 @@ def synth_speech_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
     )
 
 
-def audio_vad(media: DataFrame) -> DataFrame:
-    """(media_id, seg, start_ms, end_ms, n_frames, energy, peak): energy
-    VAD over REAL decoded WAV audio — the utterance segmentation a
-    speech-data pipeline runs before cutting training clips.
-
-    Split of labor (the multimodal discipline): the inherently per-file
-    part — WAV container parse + 10 ms framing with exact integer frame
-    energies — runs as an Arrow-batched mapInPandas; everything after is
-    DataFrame algebra: threshold cut, gaps-and-islands merge of adjacent
-    voiced frames (frame - ROW_NUMBER() island key over a per-media
-    window — frames per file are duration-bounded, never corpus-sized),
-    and per-segment integer rollups. The oracle regenerates the PCM by
-    formula and applies the IDENTICAL energy rule, so the value hash
-    grades the real decode path end to end.
-
-    Scale: one decode pass, frames shuffle once on (media_id) for the
-    bounded per-file window, segments are tiny. 100 TB of audio = more
-    files, same per-file work."""
-    from pyspark.sql import Window
+def _vad_frames(media: DataFrame) -> DataFrame:
+    """(media_id, frame, energy, peak): real WAV decode + 10 ms framing
+    with exact integer frame energies — the per-file part of the VAD
+    family, shared by audio_vad and audio_vad_hangover."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -1673,10 +1658,32 @@ def audio_vad(media: DataFrame) -> DataFrame:
                 }
             )
 
-    fr = media.mapInPandas(
+    return media.mapInPandas(
         fn, schema="media_id long, frame int, energy long, peak int"
     )
-    voiced = fr.where(F.col("energy") >= VAD_THRESH)
+
+
+def audio_vad(media: DataFrame) -> DataFrame:
+    """(media_id, seg, start_ms, end_ms, n_frames, energy, peak): energy
+    VAD over REAL decoded WAV audio — the utterance segmentation a
+    speech-data pipeline runs before cutting training clips.
+
+    Split of labor (the multimodal discipline): the inherently per-file
+    part — WAV container parse + 10 ms framing with exact integer frame
+    energies — runs as an Arrow-batched mapInPandas; everything after is
+    DataFrame algebra: threshold cut, gaps-and-islands merge of adjacent
+    voiced frames (frame - ROW_NUMBER() island key over a per-media
+    window — frames per file are duration-bounded, never corpus-sized),
+    and per-segment integer rollups. The oracle regenerates the PCM by
+    formula and applies the IDENTICAL energy rule, so the value hash
+    grades the real decode path end to end.
+
+    Scale: one decode pass, frames shuffle once on (media_id) for the
+    bounded per-file window, segments are tiny. 100 TB of audio = more
+    files, same per-file work."""
+    from pyspark.sql import Window
+
+    voiced = _vad_frames(media).where(F.col("energy") >= VAD_THRESH)
     w = Window.partitionBy("media_id").orderBy("frame")
     isl = voiced.withColumn(
         "grp", F.col("frame") - F.row_number().over(w)
@@ -1746,4 +1753,110 @@ SELECT media_id,
        (CAST(f1 AS BIGINT) + 1) * {ms} AS end_ms,
        n_frames, energy, peak
 FROM vseg
+"""
+
+
+VAD_HANGOVER = 1  # bridge silence gaps of <= this many frames
+
+
+def audio_vad_hangover(
+    media: DataFrame, hangover: int = VAD_HANGOVER
+) -> DataFrame:
+    """(media_id, seg, start_ms, end_ms, n_voiced, n_bridged, energy,
+    peak): the production VAD's HANGOVER smoothing — two voiced frames
+    separated by <= ``hangover`` silent frames belong to ONE utterance
+    (speech codecs hold the channel open across sub-100 ms pauses;
+    hangover=0 reduces exactly to audio_vad's segments, pinned).
+
+    Same split of labor as audio_vad: the framing runs in the shared
+    per-file mapInPandas; the smoothing is a LAG-gap rule entirely in
+    DataFrame algebra — a new segment starts where the gap to the
+    previous voiced frame exceeds hangover + 1, the running sum of
+    starts is the segment id, one rollup ends it. n_bridged counts the
+    silent frames the hangover absorbed ((f1 - f0 + 1) - n_voiced), so
+    the value hash grades the bridging itself, not just the boundaries.
+    All windows per-media (duration-bounded), never corpus-sized."""
+    from pyspark.sql import Window
+
+    voiced = _vad_frames(media).where(F.col("energy") >= VAD_THRESH)
+    w = Window.partitionBy("media_id").orderBy("frame")
+    seg = voiced.withColumn(
+        "new_seg",
+        F.when(
+            F.coalesce(
+                F.col("frame") - F.lag("frame").over(w),
+                F.lit(hangover + 2),
+            )
+            > hangover + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "seg",
+        F.sum("new_seg")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    ms = 1000 * VAD_FRAME // WAV_RATE
+    return (
+        seg.groupBy("media_id", "seg")
+        .agg(
+            F.min("frame").alias("f0"),
+            F.max("frame").alias("f1"),
+            F.count(F.lit(1)).cast("int").alias("n_voiced"),
+            F.sum("energy").cast("long").alias("energy"),
+            F.max("peak").cast("int").alias("peak"),
+        )
+        .select(
+            "media_id",
+            "seg",
+            (F.col("f0").cast("long") * ms).alias("start_ms"),
+            ((F.col("f1").cast("long") + 1) * ms).alias("end_ms"),
+            "n_voiced",
+            (F.col("f1") - F.col("f0") + 1 - F.col("n_voiced"))
+            .cast("int")
+            .alias("n_bridged"),
+            "energy",
+            "peak",
+        )
+    )
+
+
+def audio_vad_hangover_oracle_sql(hangover: int = VAD_HANGOVER) -> str:
+    ms = 1000 * VAD_FRAME // WAV_RATE
+    return f"""
+WITH hvids AS (
+    SELECT doc_id AS media_id, 200 + doc_id % 300 AS n FROM documents
+), hvsamp AS (
+    SELECT media_id, CAST(i.range // {VAD_FRAME} AS INT) AS frame,
+           CASE WHEN (media_id * 7 + (i.range // {VAD_FRAME}) * 13) % 5 < 2
+                THEN (media_id * 31 + i.range * 7) % 4096 - 2048
+                ELSE (media_id + i.range) % 9 - 4 END AS s
+    FROM hvids JOIN range(500) i ON i.range < n
+), hvfr AS (
+    SELECT media_id, frame,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(ABS(s)) AS INT) AS peak
+    FROM hvsamp GROUP BY media_id, frame
+), hvvo AS (
+    SELECT media_id, frame, energy, peak,
+           CASE WHEN COALESCE(frame - LAG(frame) OVER (
+                        PARTITION BY media_id ORDER BY frame),
+                    {int(hangover) + 2}) > {int(hangover) + 1}
+                THEN 1 ELSE 0 END AS new_seg
+    FROM hvfr WHERE energy >= {VAD_THRESH}
+), hvseg AS (
+    SELECT media_id, frame, energy, peak,
+           CAST(SUM(new_seg) OVER (PARTITION BY media_id ORDER BY frame
+                ROWS UNBOUNDED PRECEDING) AS INT) AS seg
+    FROM hvvo
+)
+SELECT media_id, seg,
+       CAST(MIN(frame) AS BIGINT) * {ms} AS start_ms,
+       (CAST(MAX(frame) AS BIGINT) + 1) * {ms} AS end_ms,
+       CAST(COUNT(*) AS INT) AS n_voiced,
+       CAST(MAX(frame) - MIN(frame) + 1 - COUNT(*) AS INT) AS n_bridged,
+       CAST(SUM(energy) AS BIGINT) AS energy,
+       CAST(MAX(peak) AS INT) AS peak
+FROM hvseg
+GROUP BY media_id, seg
 """

@@ -546,3 +546,72 @@ def test_audio_vad_matches_python_reference_and_block_structure(spark):
         for _, s_ms, e_ms, _, _, _ in want:
             covered.update(range(s_ms // 10, e_ms // 10))
         assert covered == voiced_frames, mid
+
+
+def test_audio_vad_hangover_bridges_and_reduces_to_plain(spark):
+    # hangover=0 must reproduce audio_vad's segments exactly (modulo the
+    # n_voiced/n_bridged column split), hangover=1 must merge across
+    # single-frame gaps (fewer segments, n_bridged > 0 somewhere), and
+    # a pure-Python smoother must agree bit-exact at hangover=1
+    from apmbackend_spark.operators.multimodal import (
+        VAD_FRAME,
+        VAD_THRESH,
+        _speech_samples,
+        audio_vad,
+        audio_vad_hangover,
+        synth_speech_media,
+    )
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(40)
+    media = synth_speech_media(spark, df)
+    plain = audio_vad(media).collect()
+    h0 = audio_vad_hangover(media, hangover=0).collect()
+    key = lambda r: (r["media_id"], r["seg"])  # noqa: E731
+    assert {
+        key(r): (r["start_ms"], r["end_ms"], r["energy"], r["peak"])
+        for r in plain
+    } == {
+        key(r): (r["start_ms"], r["end_ms"], r["energy"], r["peak"])
+        for r in h0
+    }
+    assert all(r["n_bridged"] == 0 for r in h0)
+
+    h1 = audio_vad_hangover(media, hangover=1).collect()
+    assert len(h1) < len(plain)
+    assert any(r["n_bridged"] > 0 for r in h1)
+
+    # python reference at hangover=1
+    want = {}
+    for r in df.select("doc_id").collect():
+        mid = int(r["doc_id"])
+        samples = _speech_samples(mid)
+        fr = []
+        for f0 in range(0, len(samples), VAD_FRAME):
+            chunk = samples[f0 : f0 + VAD_FRAME]
+            fr.append(
+                (f0 // VAD_FRAME, sum(s * s for s in chunk),
+                 max(abs(s) for s in chunk))
+            )
+        voiced = [f for f in fr if f[1] >= VAD_THRESH]
+        seg_id, prev = 0, None
+        segs = {}
+        for f, e, p in voiced:
+            if prev is None or f - prev > 2:
+                seg_id += 1
+            segs.setdefault(seg_id, []).append((f, e, p))
+            prev = f
+        for sid, fs in segs.items():
+            f0s, f1s = fs[0][0], fs[-1][0]
+            want[(mid, sid)] = (
+                f0s * 10, (f1s + 1) * 10, len(fs),
+                f1s - f0s + 1 - len(fs),
+                sum(e for _, e, _ in fs), max(p for _, _, p in fs),
+            )
+    got = {
+        key(r): (r["start_ms"], r["end_ms"], r["n_voiced"],
+                 r["n_bridged"], r["energy"], r["peak"])
+        for r in h1
+    }
+    assert got == want
