@@ -449,6 +449,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 0.3/0.7/1.0 sweep via exact integer log2+exp2 folds; budget
         # realized by largest-remainder apportionment (sums pinned)
         "temp_mixture": lambda s, d: prep.temp_mixture(docs(s, d)),
+        # ...and the TWO-LEVEL composition production mixes ship: the
+        # source tier UniMax-capped (no dump exceeds 2 epochs), each
+        # source's allocation split across its languages by temperature
+        # sampling (alpha~0.3) — per-source sums == src_alloc pinned
+        "mixture_two_level": lambda s, d: prep.mixture_two_level(
+            docs(s, d)
+        ),
         "curriculum_order": lambda s, d: pk.curriculum_order(docs(s, d)),
         "binary_rerank": lambda s, d: sim.binary_rerank(embs(s, d)),
         "cluster_profile": lambda s, d: sim.cluster_profile(
@@ -1131,11 +1138,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       r9 grading window; judge-green on the r9 re-run):
     #       ann_l1probe_curve, unigram_encode_soft, unigram_train_soft_iter,
     #       ivfpq_l1probe_curve;
-    #   (b) the 9 NEW round-10 gates (unigram_train_soft_prune: Kudo's
+    #   (b) the 10 NEW round-10 gates (unigram_train_soft_prune: Kudo's
     #       interleaved prune-by-loss-delta schedule; nb_quality: the
     #       fixed-point Naive-Bayes quality classifier; lsh_band_plan:
     #       the (bands, rows) planning integral; temp_mixture: the
-    #       temperature-sampling allocation via exact log2+exp2 folds;
+    #       temperature-sampling allocation via exact log2+exp2 folds,
+    #       plus the two-level UniMax-over-sources x temperature-within
+    #       composition;
     #       ann_dim_curve: the Matryoshka dimension-budget recall curve;
     #       audio_vad + audio_vad_hangover: energy VAD segment inventory
     #       over real WAV decode, plain and hangover-smoothed;
@@ -1147,10 +1156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       became a streamed hash predicate (ed38c5d);
     #   (d) ALL 27 r5-stale rows — the r9 verdict's top directive (their
     #       latest driver row is five rounds old; judge-green at sf0.01);
-    #   (e) the 8 stalest r6 rows, alphabetically.
-    # The remaining 31 r6 rows (gauge_asof, gauge_asof_sliced, html_strip,
-    # image_features, incident_windows, jmx_poll first) head the r11
-    # rotation; everything else
+    #   (e) the 7 stalest r6 rows, alphabetically.
+    # The remaining 32 r6 rows (dup_triangles, gauge_asof,
+    # gauge_asof_sliced, html_strip, image_features, incident_windows,
+    # jmx_poll first) head the r11 rotation; everything else
     # overflows with a green r7-r9 row standing (the judge's overflow
     # sweep re-runs them).
     R10_WINDOW = [
@@ -1164,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality",
         "lsh_band_plan",
         "temp_mixture",
+        "mixture_two_level",
         "ann_dim_curve",
         "audio_vad",
         "audio_vad_hangover",
@@ -1208,7 +1218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlate",
         "doc_keywords",
         "dpp_week_rollup",
-        "dup_triangles",
     ]
     all_q = (
         phase6
@@ -1347,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_quality": dsel.nb_quality_oracle_sql(),
         "unimax_alloc": prep.unimax_alloc_oracle_sql(),
         "temp_mixture": prep.temp_mixture_oracle_sql(),
+        "mixture_two_level": prep.mixture_two_level_oracle_sql(),
         "curriculum_order": pk.curriculum_order_oracle_sql(),
         "binary_rerank": sim.binary_rerank_oracle_sql(),
         "cluster_profile": sim.cluster_profile_oracle_sql(),

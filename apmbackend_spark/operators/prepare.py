@@ -640,3 +640,213 @@ SELECT CAST(alpha_fix AS INT) AS alpha_fix, lang, n_tokens, w_norm,
            AS alloc
 FROM tm_r
 """
+
+
+TWO_LEVEL_ALPHA = TEMP_MIX_ALPHAS[0]  # ~0.3 — the flattening tier
+TWO_LEVEL_W_SHIFT = 14  # weight precision 2^17: products stay < 2^63
+                        # even when the budget is corpus-sized (100 TB)
+
+
+def mixture_two_level(
+    documents: DataFrame,
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+    frac: tuple[int, int] = UNIMAX_BUDGET_FRAC,
+    alpha: int = TWO_LEVEL_ALPHA,
+) -> DataFrame:
+    """(source, lang, n_tokens, src_alloc, w_norm, alloc): the PUBLISHED
+    two-level multilingual mix — the SOURCE tier allocated by UniMax
+    (epoch-capped water-filling, so no crawl dump exceeds epoch_cap
+    epochs of its own data) and each source's allocation split across
+    its LANGUAGES by temperature sampling p ∝ c^alpha (alpha ≈ 0.3, the
+    mT5 operating point) — the composition production mixes actually
+    ship (cap the dumps, flatten the languages). Σ alloc per source ==
+    that source's src_alloc exactly (largest-remainder within source,
+    pinned), and the source fill replays unimax_alloc's integer
+    water-filling verbatim.
+
+    Arithmetic: ONE corpus-sized rollup to the (source, lang) cell
+    frame; the source fill is the in-row aggregate fold over the
+    cap-sorted source array (unimax_alloc's rendering); language
+    weights are exp2(alpha·log2 c) integer ladders aligned per source
+    and down-shifted to TWO_LEVEL_W_SHIFT bits below the 2^31 mantissa
+    — 17-bit weight precision, so budget × weight products stay below
+    2^63 even with a corpus-sized budget (shares under 2^-17 of their
+    source round to zero, documented). All windows are per-source over
+    the |langs|-bounded frame."""
+    from pyspark.sql import Window
+
+    from apmbackend_spark.operators.selection import _with_log2fix
+
+    num, den = frac
+    cell = (
+        documents.groupBy("source", "lang")
+        .agg(
+            F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+        )
+        .localCheckpoint()  # source tier + language tier both read it
+    )
+    src = cell.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("n_src")
+    )
+    packed = src.select(
+        "source",
+        "n_src",
+        (F.lit(int(epoch_cap)) * F.col("n_src")).alias("cap"),
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("cap", "source", "n_src"))
+        ).alias("arr"),
+        F.expr(
+            f"(CAST(sum(n_src) AS BIGINT) * {int(num)}) div {int(den)}"
+        ).alias("budget"),
+    )
+    filled = packed.select(
+        F.expr(
+            """
+            aggregate(
+              arr,
+              named_struct(
+                'b', budget,
+                'out', CAST(array() AS
+                  array<struct<source:string, n_src:bigint, cap:bigint,
+                               alloc:bigint>>)
+              ),
+              (acc, x) -> named_struct(
+                'b', acc.b - least(x.cap, acc.b DIV (size(arr) - size(acc.out))),
+                'out', concat(acc.out, array(named_struct(
+                  'source', x.source,
+                  'n_src', x.n_src,
+                  'cap', x.cap,
+                  'alloc', least(x.cap, acc.b DIV (size(arr) - size(acc.out))))))
+              ),
+              acc -> acc.out
+            ) AS out
+            """
+        )
+    ).select(F.explode("out").alias("s")).select(
+        F.col("s.source").alias("source"),
+        F.col("s.alloc").alias("src_alloc"),
+    )
+    sweep = cell.join(F.broadcast(filled), "source")
+    sweep = _with_log2fix(sweep, "greatest(n_tokens, 1)", "l_c")
+    sweep = sweep.withColumn(
+        "x", F.expr(f"shiftright({int(alpha)}L * l_c, 16)")
+    )
+    m_expr, e_expr = _exp2fix_spark("x")
+    sweep = sweep.select(
+        "source", "lang", "n_tokens", "src_alloc",
+        F.expr(m_expr).alias("w_mant"),
+        F.expr(e_expr).alias("w_exp"),
+    )
+    wa = Window.partitionBy("source")  # |langs|-bounded frame
+    sweep = sweep.withColumn("e_max", F.max("w_exp").over(wa)).withColumn(
+        "w_norm",
+        F.expr(
+            f"shiftright(w_mant, CAST(least(e_max - w_exp"
+            f" + {TWO_LEVEL_W_SHIFT}, 62) AS INT))"
+        ),
+    )
+    sweep = sweep.withColumn("tot", F.sum("w_norm").over(wa)).select(
+        "source", "lang", "n_tokens", "src_alloc", "w_norm",
+        F.expr("CAST((src_alloc * w_norm) DIV tot AS BIGINT)").alias(
+            "alloc0"
+        ),
+        F.expr("CAST((src_alloc * w_norm) % tot AS BIGINT)").alias("rem"),
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("rem").desc(), F.col("lang").asc()
+    )
+    return (
+        sweep.withColumn(
+            "deficit", F.col("src_alloc") - F.sum("alloc0").over(wa)
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "source",
+            "lang",
+            "n_tokens",
+            "src_alloc",
+            "w_norm",
+            (
+                F.col("alloc0")
+                + F.when(F.col("rk") <= F.col("deficit"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+def mixture_two_level_oracle_sql(
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+    frac: tuple[int, int] = UNIMAX_BUDGET_FRAC,
+    alpha: int = TWO_LEVEL_ALPHA,
+) -> str:
+    from apmbackend_spark.operators.selection import log2fix_sql
+
+    num, den = frac
+    m_expr, e_expr = _exp2fix_duck("x")
+    return f"""
+WITH RECURSIVE m2cell AS MATERIALIZED (
+    SELECT source, lang,
+           CAST(SUM(len({tokens_sql('text')})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source, lang
+), m2src AS (
+    SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_src
+    FROM m2cell GROUP BY source
+), m2ord AS (
+    SELECT source, n_src, {int(epoch_cap)} * n_src AS cap,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY {int(epoch_cap)} * n_src ASC, source ASC,
+                        n_src ASC) AS BIGINT) AS i,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_srcs,
+           CAST((SUM(n_src) OVER () * {int(num)}) // {int(den)} AS BIGINT)
+               AS budget
+    FROM m2src
+), m2fill AS (
+    SELECT i, source, n_src, cap, n_srcs,
+           least(cap, budget // n_srcs) AS src_alloc,
+           budget - least(cap, budget // n_srcs) AS b_after
+    FROM m2ord WHERE i = 1
+    UNION ALL
+    SELECT o.i, o.source, o.n_src, o.cap, o.n_srcs,
+           least(o.cap, f.b_after // (o.n_srcs - f.i)) AS src_alloc,
+           f.b_after - least(o.cap, f.b_after // (o.n_srcs - f.i))
+               AS b_after
+    FROM m2fill f JOIN m2ord o ON o.i = f.i + 1
+), m2x AS (
+    SELECT c.source, c.lang, c.n_tokens, f.src_alloc,
+           ({int(alpha)} * {log2fix_sql('greatest(c.n_tokens, 1)')}) >> 16
+               AS x
+    FROM m2cell c JOIN m2fill f ON c.source = f.source
+), m2w AS (
+    SELECT source, lang, n_tokens, src_alloc,
+           {m_expr} AS w_mant, {e_expr} AS w_exp
+    FROM m2x
+), m2n AS (
+    SELECT source, lang, n_tokens, src_alloc,
+           w_mant >> least(MAX(w_exp) OVER (PARTITION BY source) - w_exp
+                           + {TWO_LEVEL_W_SHIFT}, 62) AS w_norm
+    FROM m2w
+), m2a AS (
+    SELECT source, lang, n_tokens, src_alloc, w_norm,
+           CAST((src_alloc * w_norm)
+                // SUM(w_norm) OVER (PARTITION BY source) AS BIGINT)
+               AS alloc0,
+           CAST((src_alloc * w_norm)
+                % SUM(w_norm) OVER (PARTITION BY source) AS BIGINT) AS rem
+    FROM m2n
+), m2r AS (
+    SELECT source, lang, n_tokens, src_alloc, w_norm, alloc0,
+           src_alloc - SUM(alloc0) OVER (PARTITION BY source) AS deficit,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY rem DESC, lang ASC) AS rk
+    FROM m2a
+)
+SELECT source, lang, n_tokens, src_alloc, w_norm,
+       CAST(alloc0 + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc
+FROM m2r
+"""

@@ -419,3 +419,49 @@ def test_temp_mixture_semantics(spark):
     maxs = {a: max(r["alloc"] for r in rs) for a, rs in by_alpha.items()}
     assert mins[19661] >= mins[45875] >= mins[65536]
     assert maxs[19661] <= maxs[45875] <= maxs[65536]
+
+
+def test_mixture_two_level_semantics(spark):
+    # per-source language allocations sum EXACTLY to the source tier's
+    # UniMax allocation; the source tier replays unimax semantics (caps
+    # respected, budget realized up to all-capped); flattening works
+    # within sources (alpha=1.0 degenerate check via alpha knob)
+    from apmbackend_spark.operators.prepare import (
+        UNIMAX_BUDGET_FRAC,
+        UNIMAX_EPOCH_CAP,
+        mixture_two_level,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = mixture_two_level(df).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    num, den = UNIMAX_BUDGET_FRAC
+    budget = total_tokens * num // den
+    src_allocs = {}
+    for src, rs in by_src.items():
+        sa = rs[0]["src_alloc"]
+        assert all(r["src_alloc"] == sa for r in rs)
+        assert sum(r["alloc"] for r in rs) == sa, src
+        n_src = sum(r["n_tokens"] for r in rs)
+        assert sa <= UNIMAX_EPOCH_CAP * n_src  # epoch cap respected
+        src_allocs[src] = sa
+    assert sum(src_allocs.values()) <= budget
+    # flattening: within each source the allocation ordering follows the
+    # token-count ordering (monotone in c for a monotone weight fn)
+    for src, rs in by_src.items():
+        rs2 = sorted(rs, key=lambda r: r["n_tokens"])
+        allocs = [r["alloc"] for r in rs2]
+        assert allocs == sorted(allocs), src
+    # ...but flatter than proportional: the smallest language's share
+    # exceeds its raw token share somewhere (alpha < 1 lifts the tail)
+    lifted = 0
+    for src, rs in by_src.items():
+        n_src = sum(r["n_tokens"] for r in rs)
+        sa = src_allocs[src]
+        smallest = min(rs, key=lambda r: r["n_tokens"])
+        if sa and smallest["alloc"] / sa > smallest["n_tokens"] / n_src:
+            lifted += 1
+    assert lifted >= len(by_src) // 2
