@@ -431,6 +431,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # components — one scoring join, legs ride an exploded dims
         # column, full-width leg anchors recall = 1.0 by construction
         "ann_dim_curve": lambda s, d: sim.ann_dim_curve(embs(s, d)),
+        # ...and the same sweep against the ROUTED index family (the
+        # 100 TB form): each leg truncates corpus+centroids+queries and
+        # serves through the two-level router at the shipped operating
+        # point; recall vs full-width exact gt — prefix length priced as
+        # a third tuning knob next to nprobe/probe_l1 (MRL provisioning)
+        "ann_dim_curve_routed": lambda s, d: sim.ann_dim_curve_routed(
+            embs(s, d)
+        ),
         "ivf_assign_refined": lambda s, d: sim.ivf_assign_refined(embs(s, d)),
         "kmeans_train": lambda s, d: sim.kmeans_train(embs(s, d)),
         "embedding_neardup": lambda s, d: sim.embedding_neardup(embs(s, d)),
@@ -1138,14 +1146,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       r9 grading window; judge-green on the r9 re-run):
     #       ann_l1probe_curve, unigram_encode_soft, unigram_train_soft_iter,
     #       ivfpq_l1probe_curve;
-    #   (b) the 10 NEW round-10 gates (unigram_train_soft_prune: Kudo's
+    #   (b) the 11 NEW round-10 gates (unigram_train_soft_prune: Kudo's
     #       interleaved prune-by-loss-delta schedule; nb_quality: the
     #       fixed-point Naive-Bayes quality classifier; lsh_band_plan:
     #       the (bands, rows) planning integral; temp_mixture: the
     #       temperature-sampling allocation via exact log2+exp2 folds,
     #       plus the two-level UniMax-over-sources x temperature-within
     #       composition;
-    #       ann_dim_curve: the Matryoshka dimension-budget recall curve;
+    #       ann_dim_curve + ann_dim_curve_routed: the Matryoshka
+    #       dimension-budget recall curve, bruteforce-baseline and
+    #       routed-index forms;
     #       audio_vad + audio_vad_hangover: energy VAD segment inventory
     #       over real WAV decode, plain and hangover-smoothed;
     #       wordpiece_train + wordpiece_encode: the likelihood-ratio
@@ -1156,10 +1166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       became a streamed hash predicate (ed38c5d);
     #   (d) ALL 27 r5-stale rows — the r9 verdict's top directive (their
     #       latest driver row is five rounds old; judge-green at sf0.01);
-    #   (e) the 7 stalest r6 rows, alphabetically.
-    # The remaining 32 r6 rows (dup_triangles, gauge_asof,
-    # gauge_asof_sliced, html_strip, image_features, incident_windows,
-    # jmx_poll first) head the r11 rotation; everything else
+    #   (e) the 6 stalest r6 rows, alphabetically.
+    # The remaining 33 r6 rows (dpp_week_rollup, dup_triangles,
+    # gauge_asof, gauge_asof_sliced, html_strip, image_features,
+    # incident_windows, jmx_poll first) head the r11 rotation; everything else
     # overflows with a green r7-r9 row standing (the judge's overflow
     # sweep re-runs them).
     R10_WINDOW = [
@@ -1175,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_mixture",
         "mixture_two_level",
         "ann_dim_curve",
+        "ann_dim_curve_routed",
         "audio_vad",
         "audio_vad_hangover",
         "wordpiece_train",
@@ -1217,7 +1228,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_enrich",
         "correlate",
         "doc_keywords",
-        "dpp_week_rollup",
     ]
     all_q = (
         phase6
@@ -1324,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_search_2level": sim.ivfpq_search_2level_oracle_sql(),
         "ann_l1probe_curve": sim.ann_l1probe_curve_oracle_sql(),
         "ann_dim_curve": sim.ann_dim_curve_oracle_sql(),
+        "ann_dim_curve_routed": sim.ann_dim_curve_routed_oracle_sql(),
         "ivfpq_l1probe_curve": sim.ivfpq_l1probe_curve_oracle_sql(),
         "ann_recall_report": sim.ann_recall_report_oracle_sql(),
         "ann_budget_curve": sim.ann_budget_curve_oracle_sql(),

@@ -4083,3 +4083,223 @@ SELECT CAST(d.dims AS INT) AS dims,
        CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(total)} AS recall
 FROM ddims d LEFT JOIN dhits h ON d.dims = h.dims
 """
+
+
+def ann_dim_curve_routed(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 5,
+    n_lists_mod: int = 50,
+    l1_factor: int = 2,
+    probe_l1: int = 3,
+    dims_sweep=ANN_DIM_CURVE,
+) -> DataFrame:
+    """(dims, hits, total, recall): the dimension-budget curve evaluated
+    against the ROUTED index family — ann_dim_curve's 100 TB form. Each
+    leg truncates corpus, centroids, and queries to the first `dims`
+    components and serves through the SAME two-level router as
+    ann_ivf_2level (the shipped l1_factor=2 / probe_l1=3 operating
+    point); recall is measured against the full-width exact ground
+    truth, so the curve prices the prefix length as a third tuning knob
+    NEXT TO nprobe/probe_l1 — the sweep a platform runs before
+    provisioning an MRL index (store prefixes, route and score in the
+    truncated space). The full-width leg measures the router's own
+    recall (flat ann_ivf's published 0.76 at these knobs), NOT 1.0 —
+    the curve's ceiling is the index, which is the point.
+
+    Plan: each leg is the full routed serving plan over sliced vectors
+    (quantize-then-slice == slice-then-quantize, elementwise); legs
+    union before ONE hit join against the shared ground truth. Same
+    broadcast/shuffle structure as ann_ivf_2level per leg."""
+    gt = ann_bruteforce(embeddings, n_queries, k).select(
+        "query_id", F.col("cand_id").alias("gt_id")
+    )
+    legs = None
+    for d in dims_sweep:
+        emb_d = embeddings.select(
+            "vec_id", F.slice(F.col("embedding"), 1, int(d)).alias("embedding")
+        )
+        topk = ann_ivf_2level(
+            emb_d, n_queries, k, nprobe, n_lists_mod, l1_factor, probe_l1
+        ).select(
+            F.lit(int(d)).cast("int").alias("dims"), "query_id", "cand_id"
+        )
+        legs = topk if legs is None else legs.unionAll(topk)
+    hits = (
+        legs.join(
+            gt,
+            (legs.query_id == gt.query_id) & (legs.cand_id == gt.gt_id),
+        )
+        .groupBy("dims")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    total = int(n_queries) * int(k)
+    return (
+        embeddings.limit(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(int(d)) for d in dims_sweep])
+            ).alias("dims")
+        )
+        .join(hits, "dims", "left")
+        .select(
+            F.col("dims").cast("int").alias("dims"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.lit(total).cast("long").alias("total"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.lit(float(total))
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivf2_tagged_ctes(
+    tag: str,
+    n_queries: int,
+    k: int,
+    nprobe: int,
+    mod: int,
+    l1_factor: int,
+    probe_l1: int,
+) -> str:
+    """The ann_ivf_2level oracle chain with every CTE name suffixed _{tag},
+    reading quantized vectors from qz_{tag} — lets a sweep oracle stack
+    several routed serving plans over differently-sliced vector spaces.
+    Ends with topk_{tag} (query_id, cand_id)."""
+    t = tag
+    return f"""l2_{t} AS (
+    SELECT vec_id AS list_id, v AS centv FROM qz_{t} WHERE vec_id % {mod} = 0
+), l1_{t} AS (
+    SELECT vec_id AS cell_id, v AS cellv FROM qz_{t}
+    WHERE vec_id % {mod * int(l1_factor)} = 0
+), l2g_{t} AS (
+    SELECT list_id, cell_id FROM (
+        SELECT c.list_id, g.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.list_id
+                   ORDER BY {cosine_sql('c.centv', 'g.cellv')} DESC,
+                            g.cell_id ASC) AS rn
+        FROM l2_{t} c CROSS JOIN l1_{t} g
+    ) WHERE rn = 1
+), routed_{t} AS MATERIALIZED (
+    SELECT vec_id, cell_id FROM (
+        SELECT q.vec_id, g.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.v', 'g.cellv')} DESC,
+                            g.cell_id ASC) AS rn
+        FROM qz_{t} q CROSS JOIN l1_{t} g
+    ) WHERE rn <= {int(probe_l1)}
+), assigned_{t} AS MATERIALIZED (
+    SELECT vec_id, list_id FROM (
+        SELECT r.vec_id, m.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.vec_id
+                   ORDER BY {cosine_sql('q.v', 'c.centv')} DESC,
+                            m.list_id ASC) AS rn
+        FROM routed_{t} r
+        JOIN l2g_{t} m USING (cell_id)
+        JOIN qz_{t} q ON q.vec_id = r.vec_id
+        JOIN l2_{t} c ON c.list_id = m.list_id
+    ) WHERE rn = 1
+), probes_{t} AS (
+    SELECT query_id, list_id FROM (
+        SELECT r.vec_id AS query_id, m.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.vec_id
+                   ORDER BY {cosine_sql('q.v', 'c.centv')} DESC,
+                            m.list_id ASC) AS prn
+        FROM routed_{t} r
+        JOIN l2g_{t} m USING (cell_id)
+        JOIN qz_{t} q ON q.vec_id = r.vec_id
+        JOIN l2_{t} c ON c.list_id = m.list_id
+        WHERE r.vec_id < {int(n_queries)}
+    ) WHERE prn <= {int(nprobe)}
+), scored_{t} AS (
+    SELECT p.query_id, a.vec_id AS cand_id,
+           {cosine_sql('q.v', 'c2.v')} AS sim
+    FROM probes_{t} p
+    JOIN assigned_{t} a USING (list_id)
+    JOIN qz_{t} q ON q.vec_id = p.query_id
+    JOIN qz_{t} c2 ON c2.vec_id = a.vec_id
+    WHERE p.query_id <> a.vec_id
+), topk_{t} AS MATERIALIZED (
+    SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, cand_id ASC) AS rank
+        FROM scored_{t}
+    ) WHERE rank <= {int(k)}
+)"""
+
+
+def ann_dim_curve_routed_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 5,
+    n_lists_mod: int = 50,
+    l1_factor: int = 2,
+    probe_l1: int = 3,
+    dims_sweep=ANN_DIM_CURVE,
+) -> str:
+    total = int(n_queries) * int(k)
+    parts = [
+        f"""qzfull AS MATERIALIZED (
+    SELECT vec_id, {QUANTIZE_SQL} AS v FROM embeddings
+)"""
+    ]
+    for d in dims_sweep:
+        parts.append(
+            f"""qz_d{d} AS MATERIALIZED (
+    SELECT vec_id, v[1:{int(d)}] AS v FROM qzfull
+)"""
+        )
+        parts.append(
+            _ivf2_tagged_ctes(
+                f"d{d}", n_queries, k, nprobe, int(n_lists_mod),
+                l1_factor, probe_l1,
+            )
+        )
+    parts.append(
+        f"""rgt AS MATERIALIZED (
+    SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.v', 'c.v')} DESC,
+                            c.vec_id ASC) AS rank
+        FROM qzfull q JOIN qzfull c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {int(n_queries)}
+    ) WHERE rank <= {int(k)}
+)"""
+    )
+    leg_selects = " UNION ALL ".join(
+        f"SELECT {int(d)} AS dims, query_id, cand_id FROM topk_d{d}"
+        for d in dims_sweep
+    )
+    parts.append(
+        f"""rlegs AS (
+    {leg_selects}
+), rhits AS (
+    SELECT dims, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM rlegs l JOIN rgt g
+         ON l.query_id = g.query_id AND l.cand_id = g.cand_id
+    GROUP BY dims
+), rdims(dims) AS (
+    SELECT unnest([{", ".join(str(int(d)) for d in dims_sweep)}])
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(d.dims AS INT) AS dims,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST({total} AS BIGINT) AS total,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(total)} AS recall
+FROM rdims d LEFT JOIN rhits h ON d.dims = h.dims
+"""
+    )

@@ -1648,3 +1648,32 @@ def test_ann_dim_curve_monotone_with_exact_top_leg(spark):
     assert recalls[-1] == 1.0
     assert [round(r, 2) for r in recalls] == [0.1, 0.14, 0.24, 1.0]
     assert all(r["total"] == 50 for r in rows)
+
+
+def test_ann_dim_curve_routed_monotone_ceiling_is_the_router(spark):
+    # recall climbs with prefix length, and the FULL-width leg equals the
+    # routed index's own recall (the curve's ceiling is the index, not
+    # 1.0) — computed independently from ann_ivf_2level vs bruteforce
+    from apmbackend_spark.operators.similarity import (
+        ann_bruteforce,
+        ann_dim_curve_routed,
+        ann_ivf_2level,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(
+        ann_dim_curve_routed(embs).collect(), key=lambda r: r["dims"]
+    )
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    gt = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_bruteforce(embs).collect()
+    }
+    served = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_ivf_2level(
+            embs, l1_factor=2, probe_l1=3
+        ).collect()
+    }
+    assert rows[-1]["recall"] == len(served & gt) / len(gt)
