@@ -426,3 +426,164 @@ SELECT server, service, n_events, dist,
        ) AS INT) AS rank
 FROM scored
 """
+
+
+# --- cusum_changepoints: control-chart changepoint detection -----------
+
+CUSUM_SLACK_DEN = 8  # slack kappa = tot/8  (mean/8, in n-scaled units)
+CUSUM_H_NUM = 2      # threshold H = 2*tot  (2*mean accumulated excess)
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """(event_type, hr, side, stat, n, tot): two-sided CUSUM control
+    chart (Page 1954, public literature) over each event_type's
+    zero-filled hourly count series — the classic sequential
+    changepoint detector next to the z-score family's level detectors:
+
+        S+_t = max(0, S+_{t-1} + (x_t - mean) - kappa)
+        S-_t = max(0, S-_{t-1} + (mean - x_t) - kappa)
+
+    with an alarm (and restart, the standard recycle) whenever a side
+    exceeds H. All arithmetic is n-SCALED integers — deviations are
+    n·x_t − tot so the mean never becomes a float; kappa = tot/8 and
+    H = 2·tot in the same units — exact int64 in both engines (|S| ≤
+    n·tot stays far below 2^63 on count data). Alarm rows carry the
+    PRE-reset statistic, so the hash grades every detection's position,
+    side, and magnitude.
+
+    Rendering: the recursion is inherently per-key sequential, but the
+    series is the GRID, not the data — one map-side-combinable hourly
+    rollup, a bounded zero-filled sequence per key (the st_zerofill
+    argument: the grid is retention-bounded whatever the row volume),
+    then ONE in-row aggregate fold per key over the sorted array, no
+    Python. The oracle replays the fold as a per-key index recursion
+    with scalar state columns."""
+    hourly = events.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    span = events.agg(
+        F.expr("min(unix_micros(ts) div 3600000000)").alias("lo"),
+        F.expr("max(unix_micros(ts) div 3600000000)").alias("hi"),
+    )
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi)")).alias("hr"),
+        )
+    )
+    filled = grid.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    packed = filled.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("hr", "cnt"))).alias("a"),
+        F.sum("cnt").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    kap = f"(tot DIV {CUSUM_SLACK_DEN})"
+    H = f"({CUSUM_H_NUM} * tot)"
+    spn = f"greatest(0L, acc.sp + (n * x.cnt - tot) - {kap})"
+    snn = f"greatest(0L, acc.sn + (tot - n * x.cnt) - {kap})"
+    fold = f"""
+aggregate(
+  a,
+  named_struct('sp', CAST(0 AS BIGINT), 'sn', CAST(0 AS BIGINT),
+               'out', CAST(array() AS
+                   array<struct<hr:bigint, side:int, stat:bigint>>)),
+  (acc, x) -> named_struct(
+    'sp', IF({spn} > {H}, CAST(0 AS BIGINT), {spn}),
+    'sn', IF({snn} > {H}, CAST(0 AS BIGINT), {snn}),
+    'out', concat(acc.out,
+        IF({spn} > {H},
+           array(named_struct('hr', x.hr, 'side', 1, 'stat', {spn})),
+           CAST(array() AS array<struct<hr:bigint, side:int, stat:bigint>>)),
+        IF({snn} > {H},
+           array(named_struct('hr', x.hr, 'side', -1, 'stat', {snn})),
+           CAST(array() AS array<struct<hr:bigint, side:int, stat:bigint>>)))
+  ),
+  acc -> acc.out
+)
+"""
+    return (
+        packed.select(
+            "event_type", "tot", "n", F.explode(F.expr(fold)).alias("al")
+        )
+        .select(
+            "event_type",
+            F.col("al.hr").alias("hr"),
+            F.col("al.side").alias("side"),
+            F.col("al.stat").alias("stat"),
+            "n",
+            "tot",
+        )
+    )
+
+
+def cusum_changepoints_oracle_sql() -> str:
+    kap = f"(tot // {CUSUM_SLACK_DEN})"
+    H = f"({CUSUM_H_NUM} * tot)"
+    return f"""
+WITH RECURSIVE cshourly AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), csspan AS (
+    SELECT MIN(epoch_us(ts) // 3600000000) AS lo,
+           MAX(epoch_us(ts) // 3600000000) AS hi
+    FROM events
+), csg0 AS MATERIALIZED (
+    -- the left join below must not see the lateral's correlated column
+    -- (DuckDB: "non-inner join on correlated columns"), so the grid
+    -- expansion materializes first
+    SELECT k.event_type, CAST(t.hr AS BIGINT) AS hr
+    FROM (SELECT DISTINCT event_type FROM cshourly) k
+    CROSS JOIN csspan s, LATERAL unnest(range(s.lo, s.hi + 1)) AS t(hr)
+), csgrid AS MATERIALIZED (
+    SELECT g.event_type, g.hr,
+           CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
+    FROM csg0 g
+    LEFT JOIN cshourly h
+         ON h.event_type = g.event_type AND h.hr = g.hr
+), cskey AS MATERIALIZED (
+    SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM csgrid GROUP BY event_type
+), csidx AS MATERIALIZED (
+    SELECT g.event_type, g.hr, g.cnt, k.tot, k.n,
+           CAST(ROW_NUMBER() OVER (PARTITION BY g.event_type
+                                   ORDER BY g.hr) AS BIGINT) AS idx
+    FROM csgrid g JOIN cskey k USING (event_type)
+), csrec AS (
+    SELECT event_type, CAST(0 AS BIGINT) AS idx,
+           CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+           CAST(NULL AS BIGINT) AS hr,
+           CAST(NULL AS INT) AS side_p, CAST(NULL AS BIGINT) AS stat_p,
+           CAST(NULL AS INT) AS side_n, CAST(NULL AS BIGINT) AS stat_n
+    FROM cskey
+    UNION ALL
+    SELECT s.event_type, s.idx,
+           CASE WHEN s.spn > {H} THEN 0 ELSE s.spn END,
+           CASE WHEN s.snn > {H} THEN 0 ELSE s.snn END,
+           s.hr,
+           CASE WHEN s.spn > {H} THEN 1 END,
+           CASE WHEN s.spn > {H} THEN s.spn END,
+           CASE WHEN s.snn > {H} THEN -1 END,
+           CASE WHEN s.snn > {H} THEN s.snn END
+    FROM (
+        SELECT g.event_type, g.idx, g.hr, g.tot,
+               greatest(0, r.sp + (g.n * g.cnt - g.tot) - {kap}) AS spn,
+               greatest(0, r.sn + (g.tot - g.n * g.cnt) - {kap}) AS snn
+        FROM csrec r
+        JOIN csidx g ON g.event_type = r.event_type
+                    AND g.idx = r.idx + 1
+    ) s
+)
+SELECT r.event_type, r.hr, r.side_p AS side, r.stat_p AS stat, k.n, k.tot
+FROM csrec r JOIN cskey k USING (event_type) WHERE r.side_p IS NOT NULL
+UNION ALL
+SELECT r.event_type, r.hr, r.side_n AS side, r.stat_n AS stat, k.n, k.tot
+FROM csrec r JOIN cskey k USING (event_type) WHERE r.side_n IS NOT NULL
+"""

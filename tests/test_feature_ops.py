@@ -1677,3 +1677,83 @@ def test_ann_dim_curve_routed_monotone_ceiling_is_the_router(spark):
         ).collect()
     }
     assert rows[-1]["recall"] == len(served & gt) / len(gt)
+
+
+def _cusum_py(series, tot, n):
+    from apmbackend_spark.operators.seasonal import (
+        CUSUM_H_NUM,
+        CUSUM_SLACK_DEN,
+    )
+
+    kap = tot // CUSUM_SLACK_DEN
+    H = CUSUM_H_NUM * tot
+    sp = sn = 0
+    alarms = []
+    for hr, cnt in series:
+        spn = max(0, sp + (n * cnt - tot) - kap)
+        snn = max(0, sn + (tot - n * cnt) - kap)
+        if spn > H:
+            alarms.append((hr, 1, spn))
+            sp = 0
+        else:
+            sp = spn
+        if snn > H:
+            alarms.append((hr, -1, snn))
+            sn = 0
+        else:
+            sn = snn
+    return alarms
+
+
+def test_cusum_changepoints_matches_python_reference(spark):
+    from apmbackend_spark.operators.seasonal import cusum_changepoints
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {}
+    for r in cusum_changepoints(ev).collect():
+        got.setdefault(r["event_type"], []).append(
+            (r["hr"], r["side"], r["stat"])
+        )
+    # rebuild the zero-filled hourly series independently
+    from pyspark.sql import functions as F
+
+    hc = (
+        ev.groupBy(
+            "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+        )
+        .count()
+        .collect()
+    )
+    lo = min(r["hr"] for r in hc)
+    hi = max(r["hr"] for r in hc)
+    by_key = {}
+    for r in hc:
+        by_key.setdefault(r["event_type"], {})[r["hr"]] = r["count"]
+    n = hi - lo + 1
+    for k, counts in by_key.items():
+        series = [(h, counts.get(h, 0)) for h in range(lo, hi + 1)]
+        tot = sum(c for _, c in series)
+        want = _cusum_py(series, tot, n)
+        assert sorted(got.get(k, [])) == sorted(want), k
+
+
+def test_cusum_detects_an_injected_level_shift(spark):
+    # a flat series with a mid-stream level shift must alarm on the +
+    # side AFTER the shift and never before it
+    rows = []
+    for h in range(0, 48):
+        cnt = 10 if h < 24 else 30  # shift at hour 24
+        for i in range(cnt):
+            rows.append(("shifted", h * 3600 * 10**6 + i))
+    df = spark.createDataFrame(rows, "event_type string, us long").select(
+        "event_type", F.expr("timestamp_micros(us)").alias("ts")
+    )
+    from apmbackend_spark.operators.seasonal import cusum_changepoints
+
+    al = sorted(
+        (r["hr"], r["side"]) for r in cusum_changepoints(df).collect()
+    )
+    assert al, "no alarm on a 3x level shift"
+    first_pos = min(h for h, s in al if s == 1)
+    assert 24 <= first_pos <= 30  # fires shortly after the shift
+    assert all(h >= 24 for h, s in al if s == 1)
