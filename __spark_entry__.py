@@ -368,6 +368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LPA keeps thin bridges as label borders) — fixed rounds,
         # deterministic (count DESC, label ASC) tie rule
         "dup_labelprop": lambda s, d: dd.dup_labelprop(docs(s, d)),
+        # coreness of the LSH graph via the iterated neighbor h-index
+        # (Lü 2016 — the fixed point IS the coreness): per round one
+        # keyed join + an in-row prefix fold, no peeling queue; exact
+        # convergence at fixture scale pinned vs a pure-Python peel
+        "dup_kcore": lambda s, d: dd.dup_kcore(docs(s, d)),
         "corpus_dedup": lambda s, d: dd.corpus_dedup(docs(s, d)),
         # per-delivery batch-vs-corpus-index dedup (exact fp + LSH band)
         "dedup_incremental": lambda s, d: dd.dedup_incremental(docs(s, d)),
@@ -1153,7 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       r9 grading window; judge-green on the r9 re-run):
     #       ann_l1probe_curve, unigram_encode_soft, unigram_train_soft_iter,
     #       ivfpq_l1probe_curve;
-    #   (b) the 12 NEW round-10 gates (unigram_train_soft_prune: Kudo's
+    #   (b) the 13 NEW round-10 gates (unigram_train_soft_prune: Kudo's
     #       interleaved prune-by-loss-delta schedule; nb_quality: the
     #       fixed-point Naive-Bayes quality classifier; lsh_band_plan:
     #       the (bands, rows) planning integral; temp_mixture: the
@@ -1167,15 +1172,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       over real WAV decode, plain and hangover-smoothed;
     #       wordpiece_train + wordpiece_encode: the likelihood-ratio
     #       merge rule and greedy MaxMatch inference in exact arithmetic;
-    #       cusum_changepoints: Page's control chart in n-scaled ints);
+    #       cusum_changepoints: Page's control chart in n-scaled ints;
+    #       dup_kcore: coreness via the iterated neighbor h-index);
     #   (c) 2 gates whose GRADED PATH changed this round — topology_broker
     #       now rides the concurrent four-queue schedule (output parity-
     #       pinned vs the sequential drain), broker_redelivery's crash rule
     #       became a streamed hash predicate (ed38c5d);
     #   (d) ALL 27 r5-stale rows — the r9 verdict's top directive (their
     #       latest driver row is five rounds old; judge-green at sf0.01);
-    #   (e) the 5 stalest r6 rows, alphabetically.
-    # The remaining 34 r6 rows (doc_keywords, dpp_week_rollup,
+    #   (e) the 4 stalest r6 rows, alphabetically.
+    # The remaining 35 r6 rows (correlate, doc_keywords, dpp_week_rollup,
     # dup_triangles, gauge_asof, gauge_asof_sliced, html_strip,
     # image_features, incident_windows, jmx_poll first) head the r11
     # rotation; everything else
@@ -1200,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train",
         "wordpiece_encode",
         "cusum_changepoints",
+        "dup_kcore",
         # (c) graded path changed this round
         "topology_broker",
         "broker_redelivery",
@@ -1236,7 +1243,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features",
         "bmp_features",
         "bucketed_enrich",
-        "correlate",
     ]
     all_q = (
         phase6
@@ -1319,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_band_plan": dd.lsh_band_plan_oracle_sql(),
         "dedup_clusters": dd.dedup_clusters_oracle_sql(),
         "dup_labelprop": dd.dup_labelprop_oracle_sql(),
+        "dup_kcore": dd.dup_kcore_oracle_sql(),
         "corpus_dedup": dd.corpus_dedup_oracle_sql(),
         "dedup_incremental": dd.dedup_incremental_oracle_sql(),
         "bloom_dedup": dd.bloom_dedup_oracle_sql(),

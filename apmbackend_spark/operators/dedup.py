@@ -2411,3 +2411,117 @@ SELECT n_hashes, bands, rows_per_band, fp_fix, fn_fix,
             THEN 1 ELSE 0 END AS INT) AS chosen
 FROM lshagg
 """
+
+
+# --- dup_kcore: coreness of the LSH candidate graph --------------------
+
+DUP_KCORE_ROUNDS = 6
+
+
+def _h_index_expr(arr_desc: str) -> str:
+    """h-index of a DESC-sorted int array (Spark SQL): the largest i with
+    arr[i] >= i — a prefix property under the sort, folded in-row."""
+    return (
+        f"aggregate(sequence(1, size({arr_desc})), 0, "
+        f"(acc, i) -> IF(element_at({arr_desc}, i) >= i, i, acc))"
+    )
+
+
+def dup_kcore(
+    documents: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    rounds: int = DUP_KCORE_ROUNDS,
+) -> DataFrame:
+    """(doc_id, degree, coreness): k-core decomposition of the
+    MinHash-LSH candidate graph — the densest-community measure
+    completing the graph family (components say WHICH docs hang
+    together, triangles say how locally, PageRank picks canonicals;
+    coreness says how deep each doc sits in the duplicate mass, the
+    standard peel-depth signal for "delete the core, audit the fringe").
+
+    Algorithm: the ITERATED NEIGHBOR H-INDEX (Lü et al. 2016, public
+    literature — h^(0) = degree, h^(t+1)(v) = H(h^(t) of v's
+    neighbors); the fixed point IS the coreness). Each round is one
+    keyed join + a per-node DESC sort + an in-row prefix fold — no
+    peeling queue, no driver state, embarrassingly parallel per node,
+    which is why the h-index form (not sequential peeling) is the
+    distributed rendering of choice. ``rounds`` is fixed (oracle
+    unrolls the same count); convergence to the true coreness at
+    fixture scale is pinned in pytest against an exact pure-Python
+    peel.
+
+    Scale: per-node neighbor arrays are degree-bounded; the LSH band
+    construction already caps hot buckets upstream. Rounds beyond
+    convergence are no-ops (values are stationary), so a fixed small
+    round count is the production form too (empirically h-index
+    converges in O(log n)-ish rounds on sparse graphs)."""
+    edges = minhash_lsh_pairs(documents, bands, rows_per_band).localCheckpoint()
+    nb = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).localCheckpoint()
+    vals = nb.groupBy("u").agg(
+        F.count(F.lit(1)).cast("int").alias("val")
+    )
+    deg = vals.select("u", F.col("val").alias("degree")).localCheckpoint()
+    for _ in range(int(rounds)):
+        joined = nb.join(
+            vals.select(F.col("u").alias("v"), "val"), "v"
+        )
+        arr = "sort_array(collect_list(val), false)"
+        vals = (
+            joined.groupBy("u")
+            .agg(F.expr(f"{_h_index_expr(arr)}").cast("int").alias("val"))
+            .localCheckpoint()
+        )
+    return deg.join(vals, "u").select(
+        F.col("u").alias("doc_id"),
+        "degree",
+        F.col("val").alias("coreness"),
+    )
+
+
+def dup_kcore_oracle_sql(
+    bands: int = 4,
+    rows_per_band: int = 2,
+    rounds: int = DUP_KCORE_ROUNDS,
+) -> str:
+    h = (
+        "list_reduce(list_prepend(CAST(0 AS INT), "
+        "list_transform(range(1, len(a) + 1), i -> CAST(i AS INT))), "
+        "(acc, i) -> CASE WHEN a[i] >= i THEN i ELSE acc END)"
+    )
+    parts = [
+        f"""{_band_index_ctes(bands, rows_per_band)},
+kedges AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM exploded a JOIN exploded b USING (band)
+    WHERE a.doc_id < b.doc_id
+), knb AS MATERIALIZED (
+    SELECT doc_a AS u, doc_b AS v FROM kedges
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM kedges
+), kv_0 AS MATERIALIZED (
+    SELECT u, CAST(COUNT(*) AS INT) AS val FROM knb GROUP BY u
+)"""
+    ]
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f"""kv_{r} AS MATERIALIZED (
+    SELECT n.u, {h} AS val FROM (
+        SELECT n.u, list_sort(list(p.val), 'DESC') AS a
+        FROM knb n JOIN kv_{r - 1} p ON p.u = n.v
+        GROUP BY n.u
+    ) n
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT d.u AS doc_id, d.val AS degree, k.val AS coreness
+FROM kv_0 d JOIN kv_{int(rounds)} k USING (u)
+"""
+    )

@@ -93,3 +93,45 @@ def test_bloom_dedup_no_false_negatives_and_fp_regime(spark):
     novel = [r for r in out.values() if not r["exact_dup"]]
     fps = sum(1 for r in novel if r["bloom_hit"])
     assert fps <= len(novel) // 10
+
+
+def test_dup_kcore_converges_to_exact_peeling(spark):
+    # the iterated h-index at the gate's fixed rounds must equal the
+    # TRUE coreness from an exact sequential peel of the same LSH graph
+    from apmbackend_spark.operators.dedup import dup_kcore, minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs).collect()
+    ]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # standard peel: coreness(v) = value of k when v is removed, where k
+    # only ever increases
+    deg2 = {v: len(ns) for v, ns in adj.items()}
+    neigh2 = {v: set(ns) for v, ns in adj.items()}
+    want = {}
+    k = 0
+    live2 = dict(deg2)
+    while live2:
+        v = min(live2, key=lambda x: (live2[x], x))
+        k = max(k, live2[v])
+        want[v] = k
+        for u in neigh2[v]:
+            if u in live2:
+                neigh2[u].discard(v)
+                live2[u] = len(neigh2[u] & set(live2))
+        del live2[v]
+    got = {
+        r["doc_id"]: (r["degree"], r["coreness"])
+        for r in dup_kcore(docs).collect()
+    }
+    assert set(got) == set(deg2)
+    for v in got:
+        assert got[v][0] == deg2[v], v
+        assert got[v][1] == want[v], v
+    # the measure does real work: coreness differs from degree somewhere
+    assert any(got[v][1] != got[v][0] for v in got)
