@@ -608,14 +608,23 @@ def ann_l1probe_curve(
     division), so the evaluation itself is value-hash-gradeable. Scale:
     the ground-truth join is |queries| x k rows per leg; each leg's cost
     is one routed search, already scale-shaped."""
-    bf = ann_bruteforce(embeddings, n_queries, k).select(
-        "query_id", "cand_id"
-    ).localCheckpoint()  # one exact pass shared by every curve leg
-    out = None
-    for p in probes:
-        got = ann_ivf_2level(
-            embeddings, n_queries, k, nprobe, n_lists_mod, l1_factor, int(p)
+    # the exact pass and each routed leg pin independent frames (bf, the
+    # per-leg two-level assignment) — construct them concurrently so the
+    # blocking checkpoint jobs overlap (guide §2.6); same results
+    def _mk_leg(pp):
+        return lambda: ann_ivf_2level(
+            embeddings, n_queries, k, nprobe, n_lists_mod, l1_factor, int(pp)
         ).select("query_id", "cand_id")
+
+    built = _overlap(
+        lambda: ann_bruteforce(embeddings, n_queries, k).select(
+            "query_id", "cand_id"
+        ).localCheckpoint(),  # one exact pass shared by every curve leg
+        *[_mk_leg(p) for p in probes],
+    )
+    bf, legs_built = built[0], built[1:]
+    out = None
+    for p, got in zip(probes, legs_built):
         row = (
             got.join(bf, ["query_id", "cand_id"], "left_semi")
             .agg(F.count(F.lit(1)).alias("hits"))
@@ -2617,6 +2626,21 @@ QUALIFY rank <= {int(k)}
 """
 
 
+def _overlap(*thunks):
+    """Run independent index-build chains from a small driver thread pool
+    (guide §2.6 "overlap independent jobs"): each chain's checkpoint jobs
+    otherwise serialize on the driver thread while most cores idle — the
+    Spark scheduler happily interleaves the two chains' stages. Results
+    are unchanged (each thread runs exactly the code it would have run
+    sequentially); only the wall-clock overlaps. Job groups/descriptions
+    are thread-local, so UI labels stay per-chain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def _shared_index_artifacts(
     embeddings: DataFrame, pq_mod: int
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -2639,15 +2663,28 @@ def _shared_index_artifacts(
     assigned = (
         _assign_step(vecs, cent).select("vec_id", "list_id").localCheckpoint()
     )
-    pq_cb = _pq_codebook(embeddings, 64, PQ_M, pq_mod)
-    pq_enc = pq_codes_frame(
-        embeddings, 64, PQ_M, pq_mod, cb=pq_cb
-    ).localCheckpoint()
-    _, _, _, ivfpq_cb, ivfpq_enc = _ivfpq_index(
-        embeddings, 64, IVFPQ_M, 50, pq_mod, PQ_TRAIN_ITERS,
-        assigned=assigned,
-    )
-    return assigned, pq_cb, pq_enc, ivfpq_cb, ivfpq_enc.localCheckpoint()
+
+    # The plain-PQ chain (Lloyd + corpus encode) and the residual IVF-PQ
+    # chain (residuals + Lloyd + encode) are INDEPENDENT once ``assigned``
+    # is pinned — build them concurrently (guide §2.6): the driver
+    # otherwise serializes one blocking checkpoint job at a time while
+    # most cores idle. Results unchanged; only the wall-clock overlaps.
+    def _build_pq():
+        cb = _pq_codebook(embeddings, 64, PQ_M, pq_mod)
+        enc = pq_codes_frame(
+            embeddings, 64, PQ_M, pq_mod, cb=cb
+        ).localCheckpoint()
+        return cb, enc
+
+    def _build_ivfpq():
+        _, _, _, cb, enc = _ivfpq_index(
+            embeddings, 64, IVFPQ_M, 50, pq_mod, PQ_TRAIN_ITERS,
+            assigned=assigned,
+        )
+        return cb, enc.localCheckpoint()
+
+    (pq_cb, pq_enc), (ivfpq_cb, ivfpq_enc) = _overlap(_build_pq, _build_ivfpq)
+    return assigned, pq_cb, pq_enc, ivfpq_cb, ivfpq_enc
 
 
 def ann_recall_report(
@@ -2795,14 +2832,18 @@ def ann_budget_curve(
         embeddings, pq_mod
     )
     max_short = int(k) * int(max(mults))
-    pq_top = pq_search(
-        embeddings, mod=pq_mod, n_queries=n_queries, k=max_short,
-        cb=pq_cb, enc=pq_enc,
-    ).localCheckpoint()
-    ivfpq_top = ivfpq_search(
-        embeddings, pq_mod=pq_mod, n_queries=n_queries, k=max_short,
-        cb=ivfpq_cb, assigned=assigned, enc=ivfpq_enc,
-    ).localCheckpoint()
+    # the two families' ADC passes are independent — overlap their
+    # checkpoint jobs (guide §2.6), same results
+    pq_top, ivfpq_top = _overlap(
+        lambda: pq_search(
+            embeddings, mod=pq_mod, n_queries=n_queries, k=max_short,
+            cb=pq_cb, enc=pq_enc,
+        ).localCheckpoint(),
+        lambda: ivfpq_search(
+            embeddings, pq_mod=pq_mod, n_queries=n_queries, k=max_short,
+            cb=ivfpq_cb, assigned=assigned, enc=ivfpq_enc,
+        ).localCheckpoint(),
+    )
     out = None
     for mult in mults:
         shortlist = int(k) * int(mult)
@@ -3594,18 +3635,27 @@ def ivfpq_l1probe_curve(
         [(int(p),) for p in probes], "probe_l1 int"
     )
 
-    # write-once index at the shipped build-side routing
-    assigned = (
-        ivf_assign_2level(embeddings, mod, l1_factor, build_probe_l1)
-        .select("vec_id", "list_id")
-        .localCheckpoint()
-    )
-    vecs, cent, assigned, cb, enc = _ivfpq_index(
-        embeddings, dims, m, mod, pq_mod, iters, assigned=assigned
-    )
-    # both artifacts feed every leg — pin them once
-    cb = cb.localCheckpoint()
-    enc = enc.localCheckpoint()
+    # write-once index at the shipped build-side routing; the exact
+    # bruteforce ground-truth pass is independent of the whole index
+    # build, so the two chains overlap (guide §2.6)
+    def _build_index():
+        a = (
+            ivf_assign_2level(embeddings, mod, l1_factor, build_probe_l1)
+            .select("vec_id", "list_id")
+            .localCheckpoint()
+        )
+        v, c, a, cb_, enc_ = _ivfpq_index(
+            embeddings, dims, m, mod, pq_mod, iters, assigned=a
+        )
+        # both artifacts feed every leg — pin them once
+        return v, c, a, cb_.localCheckpoint(), enc_.localCheckpoint()
+
+    def _build_bf():
+        return ann_bruteforce(embeddings, n_queries, k).select(
+            "query_id", "cand_id"
+        ).localCheckpoint()  # one exact pass shared by every curve leg
+
+    (vecs, cent, assigned, cb, enc), bf = _overlap(_build_index, _build_bf)
     l1 = embeddings.where(
         F.col("vec_id") % (mod * int(l1_factor)) == 0
     ).select(
@@ -3657,9 +3707,6 @@ def ivfpq_l1probe_curve(
         probe_lists, enc, cb, dims, m, k, keys=("probe_l1", "query_id")
     ).select("probe_l1", "query_id", "cand_id")
 
-    bf = ann_bruteforce(embeddings, n_queries, k).select(
-        "query_id", "cand_id"
-    ).localCheckpoint()  # one exact pass shared by every curve leg
     hits = (
         topk.join(bf, ["query_id", "cand_id"], "left_semi")
         .groupBy("probe_l1")
@@ -3910,11 +3957,19 @@ def ann_index_persist(
         "ivfpq_cb": ivfpq_cb,
         "ivfpq_enc": ivfpq_enc,
     }
-    stored = {}
-    for name, df in artifacts.items():
-        path = f"{work}/{name}"
-        df.write.mode("overwrite").parquet(path)
-        stored[name] = spark.read.parquet(path)
+    # the artifacts are already checkpoint-pinned, so the five writes are
+    # independent jobs — overlap them (guide §2.6); each reload is a fresh
+    # plan off its own parquet file, unchanged
+    def _mk_store(nm, df):
+        def _store():
+            path = f"{work}/{nm}"
+            df.write.mode("overwrite").parquet(path)
+            return nm, spark.read.parquet(path)
+        return _store
+
+    stored = dict(
+        _overlap(*[_mk_store(n, d) for n, d in artifacts.items()])
+    )
     rr = pq_rerank(
         embeddings, mod=pq_mod, n_queries=n_queries, k=k,
         cb=stored["pq_cb"], enc=stored["pq_enc"],
@@ -4115,16 +4170,28 @@ def ann_dim_curve_routed(
     gt = ann_bruteforce(embeddings, n_queries, k).select(
         "query_id", F.col("cand_id").alias("gt_id")
     )
+
+    # each dim leg pins its own two-level assignment (a blocking build
+    # job) over an independently sliced vector space — construct the legs
+    # concurrently (guide §2.6); the union keeps dims_sweep order, so
+    # results are unchanged
+    def _mk_leg(dd):
+        def _leg():
+            emb_d = embeddings.select(
+                "vec_id",
+                F.slice(F.col("embedding"), 1, int(dd)).alias("embedding"),
+            )
+            return ann_ivf_2level(
+                emb_d, n_queries, k, nprobe, n_lists_mod, l1_factor, probe_l1
+            ).select(
+                F.lit(int(dd)).cast("int").alias("dims"),
+                "query_id",
+                "cand_id",
+            )
+        return _leg
+
     legs = None
-    for d in dims_sweep:
-        emb_d = embeddings.select(
-            "vec_id", F.slice(F.col("embedding"), 1, int(d)).alias("embedding")
-        )
-        topk = ann_ivf_2level(
-            emb_d, n_queries, k, nprobe, n_lists_mod, l1_factor, probe_l1
-        ).select(
-            F.lit(int(d)).cast("int").alias("dims"), "query_id", "cand_id"
-        )
+    for topk in _overlap(*[_mk_leg(d) for d in dims_sweep]):
         legs = topk if legs is None else legs.unionAll(topk)
     hits = (
         legs.join(

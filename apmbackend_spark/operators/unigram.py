@@ -382,7 +382,9 @@ def unigram_encode_soft(documents: DataFrame) -> DataFrame:
     and oracle rendering are shared with the hard encoder; only the score
     source changes."""
     pret = _pretokens(documents).localCheckpoint()
-    soft = unigram_train_soft(documents).select(
+    # hand the pinned pretoken frame to the trainer: without it the
+    # corpus tokenize + groupBy chain runs twice in this gate
+    soft = unigram_train_soft(documents, pret=pret).select(
         "piece", F.col("score").alias("sc")
     )
     return _encode_from_seg(documents, _segment(pret, soft))
@@ -847,7 +849,9 @@ def _soft_estep_frames(
     return us, fb
 
 
-def unigram_train_soft(documents: DataFrame) -> DataFrame:
+def unigram_train_soft(
+    documents: DataFrame, pret: DataFrame | None = None
+) -> DataFrame:
     """(piece, piece_len, u_soft, score): the FULL soft-EM training loop,
     mirroring the hard trainer's two-round structure with the published
     algorithm's true E-step — forward-backward EXPECTED counts over all
@@ -876,7 +880,11 @@ def unigram_train_soft(documents: DataFrame) -> DataFrame:
     usage rollups are map-side combinable."""
     from pyspark.sql import Window
 
-    pret = _pretokens(documents).localCheckpoint()
+    # ``pret`` lets a composing gate (unigram_encode_soft) hand in its
+    # already-pinned pretoken frame instead of re-running the corpus
+    # tokenize + groupBy chain a second time — same frame by construction
+    if pret is None:
+        pret = _pretokens(documents).localCheckpoint()
     pcnt = (
         _substrings(pret)
         .groupBy("piece")
