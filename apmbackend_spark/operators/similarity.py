@@ -2641,6 +2641,18 @@ def _overlap(*thunks):
         return [f.result() for f in futs]
 
 
+def _pin_wide(df: DataFrame) -> DataFrame:
+    """Checkpoint-pin a bytes-small but compute-heavy-downstream frame at
+    the cluster's parallelism (window_stats' REPARTITION_BY_NUM pin): AQE's
+    byte-based coalescing leaves these frames at ONE post-shuffle
+    partition, and a localCheckpoint pins that layout — every downstream
+    map-side fan-out (ADC candidate joins, Lloyd assigns) then runs
+    single-threaded. Only valid where row placement cannot affect results
+    (order-free aggregates downstream)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n).localCheckpoint()
+
+
 def _shared_index_artifacts(
     embeddings: DataFrame, pq_mod: int
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -2671,9 +2683,9 @@ def _shared_index_artifacts(
     # most cores idle. Results unchanged; only the wall-clock overlaps.
     def _build_pq():
         cb = _pq_codebook(embeddings, 64, PQ_M, pq_mod)
-        enc = pq_codes_frame(
-            embeddings, 64, PQ_M, pq_mod, cb=cb
-        ).localCheckpoint()
+        # wide pin: the codes frame is the MAP side of every ADC
+        # candidate join downstream (_pin_wide docstring)
+        enc = _pin_wide(pq_codes_frame(embeddings, 64, PQ_M, pq_mod, cb=cb))
         return cb, enc
 
     def _build_ivfpq():
@@ -2681,7 +2693,7 @@ def _shared_index_artifacts(
             embeddings, 64, IVFPQ_M, 50, pq_mod, PQ_TRAIN_ITERS,
             assigned=assigned,
         )
-        return cb, enc.localCheckpoint()
+        return cb, _pin_wide(enc)
 
     (pq_cb, pq_enc), (ivfpq_cb, ivfpq_enc) = _overlap(_build_pq, _build_ivfpq)
     return assigned, pq_cb, pq_enc, ivfpq_cb, ivfpq_enc
@@ -3109,6 +3121,16 @@ def _ivfpq_index(
             assigned = _assign_step(vecs, cent).select("vec_id", "list_id")
         # residual index artifact: (vec_id, residual vector) — used by
         # BOTH codebook training and encode, so materialize it once.
+        # Pinned-count repartition before the checkpoint (the window_stats
+        # REPARTITION_BY_NUM precedent): the frame is bytes-small after
+        # AQE's byte-based coalescing (ONE post-shuffle partition at bench
+        # scale), but every Lloyd round's candidate fan-out and the corpus
+        # encode run MAP-side on this checkpointed layout — leaving it at
+        # one partition serializes the whole residual-PQ build on a single
+        # core (measured: the 1-task fan-out stages dominate ivfpq gates).
+        # Row placement does not affect results: every consumer is an
+        # order-free aggregate (min-struct argmin, integer sums).
+        n_parts = vecs.sparkSession.sparkContext.defaultParallelism
         resid = (
             assigned.join(vecs, "vec_id")
             .join(F.broadcast(cent), "list_id")
@@ -3116,6 +3138,7 @@ def _ivfpq_index(
                 "vec_id",
                 F.zip_with("v", "centv", lambda a, b: a - b).alias("v"),
             )
+            .repartition(n_parts)
             .localCheckpoint()
         )
         rsubs = _pq_subs_frame_v(resid, dims, m)
@@ -3647,8 +3670,9 @@ def ivfpq_l1probe_curve(
         v, c, a, cb_, enc_ = _ivfpq_index(
             embeddings, dims, m, mod, pq_mod, iters, assigned=a
         )
-        # both artifacts feed every leg — pin them once
-        return v, c, a, cb_.localCheckpoint(), enc_.localCheckpoint()
+        # both artifacts feed every leg — pin them once; enc wide (it is
+        # the map side of the shared codes-only ADC pass)
+        return v, c, a, cb_.localCheckpoint(), _pin_wide(enc_)
 
     def _build_bf():
         return ann_bruteforce(embeddings, n_queries, k).select(
