@@ -2042,15 +2042,45 @@ def minhash_est_pairs(
     agreement fraction is an unbiased Broder estimate of J(A,B)
     conditional on candidacy.
     """
-    sig = _signatures(documents, est_k, offset=bands * rows_per_band)
-    pairs = minhash_lsh_pairs(documents, bands, rows_per_band)
+    # ONE shingle pass serves both the band index and the estimator: the
+    # combined signature computes all bands*rows_per_band + est_k hash
+    # functions in one explode + one combinable groupBy (the per-function
+    # indices are unchanged — mh0..7 are the band functions, mh8..39 the
+    # offset estimator family — so every value is bit-identical to the
+    # former two-pass form). Checkpoint-pinned: the band self-join and
+    # both estimator join sides read it, and the signature pass over the
+    # tokenize+shingle explode is this gate's dominant scan.
+    k_band = int(bands) * int(rows_per_band)
+    sig = _signatures(documents, k_band + est_k).localCheckpoint()
+    band_cols = []
+    for bnd in range(bands):
+        bk = F.col(f"mh{bnd * rows_per_band}")
+        for r in range(1, rows_per_band):
+            bk = (
+                bk * F.lit(_BAND_FOLD)
+                + F.col(f"mh{bnd * rows_per_band + r}")
+            ) % F.lit(MH_PRIME)
+        band_cols.append((bk * bands + bnd).alias(f"band{bnd}"))
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    )
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "band")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(est_k)],
+        *[F.col(f"mh{k_band + i}").alias(f"a{i}") for i in range(est_k)],
     )
     sb = sig.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(est_k)],
+        *[F.col(f"mh{k_band + i}").alias(f"b{i}") for i in range(est_k)],
     )
     agree = None
     for i in range(est_k):

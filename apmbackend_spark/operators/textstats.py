@@ -1302,6 +1302,18 @@ def bpe_train(
     )
 
 
+def _wide(df, *keys):
+    """Pinned-count keyed repartition (window_stats' REPARTITION_BY_NUM
+    precedent): the distinct-pretoken vocab frame is bytes-small, so AQE
+    coalesces it to ONE post-shuffle partition and localCheckpoint pins
+    that layout — every selection job's pair explode/count and every
+    merge application then run map-side on a single core. Hash placement
+    by key is deterministic; all consumers are per-row rewrites or
+    order-free keyed aggregates, so results are unchanged."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def _bpe_train_frames(
     documents: DataFrame, n_merges: int, batch: int = BPE_BATCH
 ):
@@ -1320,7 +1332,9 @@ def _bpe_train_frames(
             "$1 ",
         )
     )
-    vocab = freq.select("w", seq0.alias("seq"), "freq").localCheckpoint()
+    vocab = _wide(
+        freq.select("w", seq0.alias("seq"), "freq"), "w"
+    ).localCheckpoint()
 
     merges: list[tuple[int, str, int]] = []
     n_jobs = 0
@@ -1336,6 +1350,8 @@ def _bpe_train_frames(
             expr = _bpe_apply_merge(
                 expr, F.lit(pair), F.lit(pair.replace(" ", ""))
             )
+        # no repartition here: vocab is already wide-pinned and the
+        # per-row merge rewrite preserves its layout
         vocab = vocab.select("w", expr.alias("seq"), "freq").localCheckpoint(
             eager=False
         )
@@ -2198,7 +2214,9 @@ def _wp_train_list(
             "$1 ",
         )
     )
-    vocab = freq.select("w", seq0.alias("seq"), "freq").localCheckpoint()
+    vocab = _wide(
+        freq.select("w", seq0.alias("seq"), "freq"), "w"
+    ).localCheckpoint()
     merges: list[tuple[int, str, int, int]] = []
     for step in range(1, int(n_merges) + 1):
         head = _wp_select_one(vocab)

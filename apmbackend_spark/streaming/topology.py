@@ -343,7 +343,13 @@ def stream_topology_gate(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        dirs = run_apm_topology(
+        # the concurrent schedule (stages 2-4 live while stage 1 drains) is
+        # parity-pinned byte-identical to the sequential drain in pytest;
+        # the wire-threaded variant keeps the stage-by-stage drain (its
+        # handoffs are text codecs, not the concurrent runner's parquet)
+        kwargs = {"wire": True} if wire else {}
+        runner = run_apm_topology if wire else run_apm_topology_concurrent
+        dirs = runner(
             spark,
             ev_dir,
             os.path.join(work, "topo"),
@@ -352,7 +358,7 @@ def stream_topology_gate(
             influence=influence,
             watermark=watermark,
             endts_before=endts_before,
-            wire=wire,
+            **kwargs,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
