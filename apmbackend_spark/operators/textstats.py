@@ -1428,9 +1428,14 @@ def _bpe_select_batch(vocab: DataFrame, batch: int) -> list[tuple[str, int]]:
     tcounts = tris.groupBy("t.trip", "t.p12", "t.p23").agg(
         F.sum("freq").alias("tn")
     )
+    # bounds are only ever read for CANDIDATE pairs (_accept_prefix walks
+    # the candidate head), so restrict the rollup to them before the
+    # collect: the driver structure is then <= 2*batch+1 rows, a config
+    # constant — never corpus-vocabulary-sized (r10 verdict item 6)
     bound_rows = (
         tcounts.select(F.col("p12").alias("pair"), "tn")
         .unionAll(tcounts.select(F.col("p23").alias("pair"), "tn"))
+        .where(F.col("pair").isin(cand_pairs))
         .groupBy("pair")
         .agg(F.max("tn").alias("bound"))
         .collect()

@@ -61,13 +61,51 @@ def main() -> None:
         t0 = time.perf_counter()
         force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # progress trace (stderr only; stdout stays the one-line contract)
+        print(
+            f"[bench] {time.time():.1f} {name} {timings[name]}",
+            file=sys.stderr,
+        )
         # Isolation between timings: multi-pass operators persist
         # intermediates that are garbage once the query's action completes;
         # left in place they pin unified memory and make later queries spill
         # (a leaked-cache artifact, not real cost — mirrors the driver's
         # fresh-process-per-query gate).
         spark.catalog.clearCache()
+        _drop_leaked_blocks(spark)
 
+    _report(timings, load_before)
+
+
+def _drop_leaked_blocks(spark) -> None:
+    """Round-11 isolation fix (measurement bug, documented in
+    OPTIMIZATION_r11.md): ``clearCache()`` only clears the SQL cache;
+    ``localCheckpoint`` pins go through the RDD block manager and are
+    reclaimed only when the ContextCleaner notices the RDD is garbage —
+    which needs a JVM GC that an 8 GiB heap rarely runs between queries.
+    226 queries' worth of pinned MEMORY_AND_DISK blocks accumulate,
+    evicting each other and starving later queries' execution memory:
+    measured at round-11 open, video_features timed 72 s in bench order
+    vs 1-4 s in a fresh session (audio_vad 30 s vs 1.5 s, pq_search 31 s
+    vs 7 s) on byte-identical code. Explicitly unpersisting every still-
+    persisted RDD after a query's action completes restores the
+    per-query isolation this loop always intended (nothing is shared
+    across queries — the driver's own correctness gate runs each query
+    in a fresh process). Runs OUTSIDE the timed region."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
+    except Exception:
+        pass
+    # let the ContextCleaner reap dead broadcasts/accumulators too
+    import gc
+
+    gc.collect()
+
+
+def _report(timings: dict[str, float], load_before: float) -> None:
     sf_raw = SF_DIR.rstrip("/").split("sf")[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
     load_after = round(os.getloadavg()[0], 2)
