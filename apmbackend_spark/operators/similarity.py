@@ -1234,8 +1234,18 @@ def mmr_rerank(
         F.desc("mmr_score"), F.asc("cand_id")
     )
     for i in range(1, int(k) + 1):
+        # remaining = shortlist minus everything picked so far — an
+        # anti-join against the PINNED picked frame, identical by
+        # induction to the former per-round rest frame but with constant
+        # plan depth and NO per-round rest checkpoint (r11: halves the
+        # loop's blocking materializations; only picked re-pins per round)
+        avail = rest.join(
+            picked.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
         ms = (
-            rest.join(
+            avail.join(
                 picked.select("query_id", F.col("sv")),
                 "query_id",
                 "left",
@@ -1263,9 +1273,6 @@ def mmr_rerank(
             )
         )
         picked = picked.unionByName(new_pick).localCheckpoint(eager=False)
-        rest = rest.join(
-            new_pick.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
-        ).localCheckpoint(eager=False)
     return picked.select("query_id", "step", "cand_id", "rel", "mmr_score")
 
 

@@ -806,16 +806,20 @@ def _soft_pv(vocab: DataFrame, cnt_col: str, unit: int) -> DataFrame:
 def _soft_estep(pret: DataFrame, pv: DataFrame) -> DataFrame:
     """(piece, u): one forward-backward E-step — frequency-weighted
     posteriors of every candidate occurrence under the softfloat model
-    ``pv``, quantized to 2^-16 units."""
-    return _soft_estep_frames(pret, pv)[0]
+    ``pv``, quantized to 2^-16 units. The fb frame is discarded, so its
+    pin is skipped (r11): the usage rollup is fb's only consumer here,
+    and the pin was a pure extra blocking materialization."""
+    return _soft_estep_frames(pret, pv, pin_fb=False)[0]
 
 
 def _soft_estep_frames(
-    pret: DataFrame, pv: DataFrame
+    pret: DataFrame, pv: DataFrame, pin_fb: bool = True
 ) -> tuple[DataFrame, DataFrame]:
-    """(us, fb): the E-step's usage rollup plus the pinned per-pretoken
+    """(us, fb): the E-step's usage rollup plus the per-pretoken
     (alpha, rbeta) frame — the iterated trainer reads alpha(n) off ``fb``
-    for the fixed-point corpus log-likelihood."""
+    for the fixed-point corpus log-likelihood, so callers that consume
+    BOTH frames keep ``pin_fb=True`` (one materialization shared by the
+    rollup and the LL scalar)."""
     d = _SPARK_SF
     cand = _substrings(pret).join(F.broadcast(pv), "piece")
     packed = F.expr(
@@ -828,8 +832,9 @@ def _soft_estep_frames(
         cl.withColumn("alpha", F.expr(_alpha_fold_spark()))
         .withColumn("rbeta", F.expr(_rbeta_fold_spark()))
         .select("pt", "alpha", "rbeta")
-        .localCheckpoint()  # usage rollup + LL both read it
     )
+    if pin_fb:
+        fb = fb.localCheckpoint()  # usage rollup + LL both read it
     post = _sf_div_sql(
         _sf_mulp_sql(
             _sf_mulc_sql("element_at(alpha, j + 1)", "pm", "pe", d),
